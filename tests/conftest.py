@@ -1,0 +1,44 @@
+"""Test harness config: run on CPU with 8 virtual devices.
+
+Mirrors SURVEY.md §4's plan — the reference's synthetic-tiny-model
+fixture idea, plus multi-device CI the reference never had, via
+--xla_force_host_platform_device_count (no pod required). The axon TPU
+plugin force-selects itself via jax.config, so we override jax_platforms
+after import rather than via env.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+os.environ["TURBOINFER_FORCE_REF"] = os.environ.get("TURBOINFER_FORCE_REF",
+                                                    "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+import turboinfer_tpu as ti  # noqa: E402
+from turboinfer_tpu.models import llama  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_cfg():
+    """The canonical synthetic fixture (reference:
+    tests/test_kv_cache_incremental.cpp:18-118 — vocab 1000, hidden 128,
+    2 layers, 4 heads), f32 for exact golden comparisons on CPU."""
+    import jax.numpy as jnp
+    return ti.tiny_config(dtype=jnp.float32)
+
+
+@pytest.fixture(scope="session")
+def tiny_params(tiny_cfg):
+    return llama.init_params(jax.random.PRNGKey(0), tiny_cfg)
+
+
+@pytest.fixture()
+def tiny_engine(tiny_params, tiny_cfg):
+    return ti.InferenceEngine(tiny_params, tiny_cfg)

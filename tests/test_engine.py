@@ -1,0 +1,146 @@
+"""InferenceEngine integration tests on the synthetic tiny model.
+
+Reference counterparts: tests/test_inference_engine.cpp,
+test_enhanced_transformer.cpp (generate → non-empty + tok/s),
+test_beam_search.cpp, test_logprob_defaults.cpp,
+test_performance_stats.cpp — plus determinism and EOS-honoring tests
+the reference can't do (wall-clock seeded, hardcoded EOS).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import turboinfer_tpu as ti
+from turboinfer_tpu.models import llama
+
+
+def test_generate_basic(tiny_engine):
+    r = tiny_engine.generate([1, 5, 7, 9], max_new_tokens=12,
+                             temperature=0.8)
+    assert len(r.tokens) > 4
+    assert r.tokens[:4] == [1, 5, 7, 9]
+    assert r.tokens_per_second > 0
+    assert r.stop_reason in ("eos", "length", "max_seq")
+
+
+def test_generate_greedy_deterministic(tiny_engine):
+    a = tiny_engine.generate([1, 2, 3], 10, temperature=0.0).tokens
+    b = tiny_engine.generate([1, 2, 3], 10, temperature=0.0).tokens
+    assert a == b
+
+
+def test_generate_seeded_sampling_reproducible(tiny_params, tiny_cfg):
+    e1 = ti.InferenceEngine(tiny_params, tiny_cfg,
+                            ti.InferenceConfig(seed=42))
+    e2 = ti.InferenceEngine(tiny_params, tiny_cfg,
+                            ti.InferenceConfig(seed=42))
+    a = e1.generate([1, 2, 3], 10, temperature=1.0).tokens
+    b = e2.generate([1, 2, 3], 10, temperature=1.0).tokens
+    assert a == b
+
+
+def test_generate_batch_matches_solo_greedy(tiny_engine):
+    """Real batching (quirk #7 fixed): batched greedy rows == solo runs."""
+    p1, p2 = [1, 2, 3], [4, 5, 6, 7, 8]
+    batch = tiny_engine.generate_batch([p1, p2], 8, temperature=0.0)
+    solo1 = tiny_engine.generate(p1, 8, temperature=0.0)
+    solo2 = tiny_engine.generate(p2, 8, temperature=0.0)
+    assert batch[0].tokens == solo1.tokens
+    assert batch[1].tokens == solo2.tokens
+
+
+def test_eos_honored(tiny_params, tiny_cfg):
+    """quirk #9 fixed: config.eos_token_id stops generation."""
+    probe = ti.InferenceEngine(tiny_params, tiny_cfg)
+    first = probe.generate([1, 2, 3], 1, temperature=0.0).tokens[-1]
+    eng = ti.InferenceEngine(tiny_params, tiny_cfg,
+                             ti.InferenceConfig(eos_token_id=first))
+    r = eng.generate([1, 2, 3], 10, temperature=0.0)
+    assert r.stop_reason == "eos"
+    assert r.finished
+    assert r.tokens == [1, 2, 3, first]
+
+
+def test_host_loop_matches_scan_loop(tiny_params, tiny_cfg):
+    es = ti.InferenceEngine(tiny_params, tiny_cfg,
+                            ti.InferenceConfig(decode_loop="scan"))
+    eh = ti.InferenceEngine(tiny_params, tiny_cfg,
+                            ti.InferenceConfig(decode_loop="host"))
+    assert (es.generate([1, 2, 3, 4], 10, temperature=0.0).tokens ==
+            eh.generate([1, 2, 3, 4], 10, temperature=0.0).tokens)
+
+
+def test_logprobs_returned(tiny_engine):
+    r = tiny_engine.generate([1, 2, 3], 6, temperature=0.0,
+                             return_logprobs=True)
+    n_new = len(r.tokens) - 3
+    assert r.logprobs is not None and len(r.logprobs) == n_new
+    assert all(lp <= 0.0 for lp in r.logprobs)
+
+
+def test_compute_logprobs(tiny_engine):
+    lp = tiny_engine.compute_logprobs([1, 5, 7, 9, 11])
+    assert len(lp) == 5
+    assert lp[0] == 0.0           # first token convention
+    assert all(x < 0.0 for x in lp[1:])
+    assert all(np.isfinite(lp))
+
+
+def test_beam_search_beats_or_matches_greedy_score(tiny_engine):
+    """Beam search's length-normalized logprob must be >= greedy's
+    (on the same model, penalty 1.0)."""
+    prompt = [1, 5, 7]
+    n = 8
+    g = tiny_engine.generate(prompt, n, temperature=0.0,
+                             return_logprobs=True)
+    b = tiny_engine.generate_beam_search(prompt, n, beam_size=4,
+                                         length_penalty=1.0)
+    g_new = g.tokens[len(prompt):]
+    b_new = b.tokens[len(prompt):]
+    assert len(b_new) > 0
+    g_score = sum(g.logprobs) / max(len(g_new), 1)
+    b_lp = tiny_engine.compute_logprobs(b.tokens)
+    b_score = sum(b_lp[len(prompt):]) / max(len(b_new), 1)
+    assert b_score >= g_score - 1e-3
+
+
+def test_beam_size_one_equals_greedy(tiny_engine):
+    prompt = [2, 4, 6]
+    g = tiny_engine.generate(prompt, 8, temperature=0.0).tokens
+    b = tiny_engine.generate_beam_search(prompt, 8, beam_size=1).tokens
+    assert g == b
+
+
+def test_stats_and_memory(tiny_engine):
+    tiny_engine.reset_state()
+    tiny_engine.generate([1, 2], 5, temperature=0.0)
+    s = tiny_engine.performance_stats()
+    assert "tok/s" in s and "TTFT" in s
+    assert tiny_engine.stats.total_generations == 1
+    assert tiny_engine.memory_usage() > 0
+
+
+def test_validation_errors(tiny_engine):
+    with pytest.raises(ValueError):
+        tiny_engine.generate([], 5)
+    with pytest.raises(ValueError):
+        tiny_engine.generate([99999], 5)
+    with pytest.raises(ValueError):
+        tiny_engine.generate(list(range(300)), 5)
+
+
+def test_quick_generate(tiny_params, tiny_cfg):
+    from turboinfer_tpu.engine.engine import quick_generate
+    toks = quick_generate(tiny_params, tiny_cfg, [1, 2, 3],
+                          max_new_tokens=5, temperature=0.0)
+    assert len(toks) > 3
+
+
+def test_facade_init_shutdown():
+    assert ti.initialize(enable_logging=False)
+    assert ti.is_initialized()
+    assert "jax" in ti.build_info()
+    ti.shutdown()
+    assert not ti.is_initialized()

@@ -1,0 +1,118 @@
+"""Model forward + KV cache tests.
+
+Reference counterparts: tests/test_kv_cache_incremental.cpp,
+test_enhanced_transformer.cpp — with the numerical golden checks the
+reference lacks (its outputs are wall-clock seeded).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turboinfer_tpu.models import llama
+
+
+def test_param_shapes(tiny_params, tiny_cfg):
+    c = tiny_cfg
+    lw = tiny_params["layers"]
+    assert tiny_params["embed"].shape == (c.vocab_size, c.hidden_size)
+    assert lw["wq"].shape == (c.num_layers, c.hidden_size, c.q_dim)
+    assert lw["wk"].shape == (c.num_layers, c.hidden_size, c.kv_dim)
+    assert lw["w_down"].shape == (c.num_layers, c.ffn_dim, c.hidden_size)
+    assert tiny_params["lm_head"].shape == (c.hidden_size, c.vocab_size)
+    n = llama.param_count(tiny_params)
+    assert n > 0
+
+
+def test_forward_shapes_and_dtype(tiny_params, tiny_cfg):
+    B, S = 2, 8
+    cache = llama.init_cache(tiny_cfg, B, max_seq=32)
+    tokens = jnp.ones((B, S), jnp.int32)
+    logits, cache2 = llama.forward(tiny_params, tiny_cfg, tokens, cache)
+    assert logits.shape == (B, S, tiny_cfg.vocab_size)
+    assert logits.dtype == jnp.float32
+    assert np.all(np.asarray(cache2.length) == S)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_incremental_decode_matches_full_forward(tiny_params, tiny_cfg):
+    """THE cache-correctness test: prefill+decode token-by-token must give
+    the same logits as one full forward over the whole sequence.
+
+    This is what the reference's O(n)-copy cache gets right and its test
+    asserts only by speed (test_kv_cache_incremental.cpp:189-199); here we
+    assert numerically."""
+    toks = [1, 5, 9, 42, 7, 100, 3, 77]
+    full = llama.forward_no_cache(tiny_params, tiny_cfg,
+                                  jnp.asarray([toks], jnp.int32))
+
+    cache = llama.init_cache(tiny_cfg, 1, max_seq=32)
+    # prefill first 4
+    logits_p, cache = llama.forward(tiny_params, tiny_cfg,
+                                    jnp.asarray([toks[:4]], jnp.int32), cache)
+    np.testing.assert_allclose(np.asarray(logits_p[0]),
+                               np.asarray(full[0, :4]), rtol=2e-4, atol=2e-4)
+    # decode the rest one token at a time
+    for i in range(4, len(toks)):
+        logits_d, cache = llama.forward(
+            tiny_params, tiny_cfg, jnp.asarray([[toks[i]]], jnp.int32), cache)
+        np.testing.assert_allclose(np.asarray(logits_d[0, 0]),
+                                   np.asarray(full[0, i]),
+                                   rtol=2e-4, atol=2e-4)
+    assert int(cache.length[0]) == len(toks)
+
+
+def test_chunked_prefill_matches_full(tiny_params, tiny_cfg):
+    """Prefill in two chunks == prefill in one (positions offset right)."""
+    toks = list(range(1, 13))
+    full = llama.forward_no_cache(tiny_params, tiny_cfg,
+                                  jnp.asarray([toks], jnp.int32))
+    cache = llama.init_cache(tiny_cfg, 1, max_seq=32)
+    _, cache = llama.forward(tiny_params, tiny_cfg,
+                             jnp.asarray([toks[:6]], jnp.int32), cache)
+    logits2, cache = llama.forward(tiny_params, tiny_cfg,
+                                   jnp.asarray([toks[6:]], jnp.int32), cache)
+    np.testing.assert_allclose(np.asarray(logits2[0]),
+                               np.asarray(full[0, 6:]), rtol=2e-4, atol=2e-4)
+
+
+def test_ragged_batch_cache(tiny_params, tiny_cfg):
+    """Right-padded batch: each row's logits must match its solo run."""
+    p1, p2 = [1, 2, 3], [4, 5, 6, 7, 8]
+    S = 8
+    tokens = np.zeros((2, S), np.int32)
+    tokens[0, :3] = p1
+    tokens[1, :5] = p2
+    seq_lens = jnp.asarray([3, 5], jnp.int32)
+    cache = llama.init_cache(tiny_cfg, 2, max_seq=32)
+    logits, cache = llama.forward(tiny_params, tiny_cfg,
+                                  jnp.asarray(tokens), cache,
+                                  seq_lens=seq_lens)
+    solo1 = llama.forward_no_cache(tiny_params, tiny_cfg,
+                                   jnp.asarray([p1], jnp.int32))
+    solo2 = llama.forward_no_cache(tiny_params, tiny_cfg,
+                                   jnp.asarray([p2], jnp.int32))
+    np.testing.assert_allclose(np.asarray(logits[0, :3]),
+                               np.asarray(solo1[0]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits[1, :5]),
+                               np.asarray(solo2[0]), rtol=2e-4, atol=2e-4)
+
+
+def test_gqa_forward():
+    import turboinfer_tpu as ti
+    cfg = ti.tiny_config(num_heads=8, num_kv_heads=2, dtype=jnp.float32)
+    params = llama.init_params(jax.random.PRNGKey(1), cfg)
+    logits = llama.forward_no_cache(params, cfg,
+                                    jnp.asarray([[1, 2, 3]], jnp.int32))
+    assert logits.shape == (1, 3, cfg.vocab_size)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_cache_reset(tiny_params, tiny_cfg):
+    cache = llama.init_cache(tiny_cfg, 1, max_seq=16)
+    _, cache = llama.forward(tiny_params, tiny_cfg,
+                             jnp.asarray([[1, 2]], jnp.int32), cache)
+    assert int(cache.length[0]) == 2
+    cache = llama.reset_cache(cache)
+    assert int(cache.length[0]) == 0
+    assert float(jnp.abs(cache.k).sum()) == 0.0

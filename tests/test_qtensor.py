@@ -1,0 +1,109 @@
+"""QTensor pack/quantize/dequantize unit tests.
+
+Reference counterparts: tests/test_quantization*.cpp — but with real
+numerical bounds instead of the reference's loose no-throw checks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from turboinfer_tpu.config import QuantType
+from turboinfer_tpu.core.qtensor import (QTensor, dequantize,
+                                         estimate_compression_ratio,
+                                         pack_int4, quantization_error,
+                                         quantize, unpack_int4)
+
+
+def test_int4_pack_roundtrip():
+    q = jnp.array(np.random.randint(-8, 8, size=(64, 16)), jnp.int8)
+    packed = pack_int4(q)
+    assert packed.shape == (32, 16)
+    assert packed.dtype == jnp.uint8
+    out = unpack_int4(packed)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(q))
+
+
+@pytest.mark.parametrize("qtype,maxerr", [(QuantType.INT8, 0.01),
+                                          (QuantType.INT4, 0.12)])
+@pytest.mark.parametrize("symmetric", [True, False])
+def test_quantize_roundtrip_error(qtype, maxerr, symmetric):
+    w = jax.random.normal(jax.random.PRNGKey(1), (256, 64), jnp.float32)
+    qt = quantize(w, qtype, group_size=64, symmetric=symmetric)
+    err = quantization_error(w, qt)
+    assert err < maxerr, f"{qtype} {symmetric} err={err}"
+
+
+def test_int4_actually_compresses():
+    """SURVEY.md quirk #5: the reference's int4 gives zero compression.
+    Ours must be ~< 0.6 bytes/elem at g=64."""
+    w = jax.random.normal(jax.random.PRNGKey(2), (512, 128), jnp.float32)
+    qt = quantize(w, QuantType.INT4, group_size=64)
+    bytes_per_elem = qt.nbytes() / (512 * 128)
+    assert bytes_per_elem < 0.6
+    assert qt.data.dtype == jnp.uint8
+    assert qt.data.shape == (256, 128)
+
+
+def test_groupwise_beats_pertensor():
+    """Group-wise must reduce error vs per-tensor on scale-varying
+    weights (the reference is per-tensor despite its flag — quirk #6).
+    Global L2 is dominated by the large rows, so measure where
+    per-tensor actually fails: relative error on the SMALL-scale rows,
+    which a single tensor-wide scale crushes to zero."""
+    key = jax.random.PRNGKey(3)
+    w = jax.random.normal(key, (256, 32), jnp.float32)
+    w = w * jnp.geomspace(0.01, 10.0, 256)[:, None]  # wildly varying rows
+
+    def small_row_err(qt):
+        wd = np.asarray(dequantize(qt, jnp.float32))
+        wf = np.asarray(w)
+        num = np.linalg.norm(wf[:64] - wd[:64])
+        return num / np.linalg.norm(wf[:64])
+
+    err_group = small_row_err(quantize(w, QuantType.INT4, group_size=32))
+    err_tensor = small_row_err(quantize(w, QuantType.INT4, group_size=0))
+    assert err_group < 0.15
+    assert err_tensor > 0.5           # per-tensor destroys small rows
+    # and globally group-wise is still no worse
+    assert quantization_error(w, quantize(w, QuantType.INT4, group_size=32)) \
+        <= quantization_error(w, quantize(w, QuantType.INT4, group_size=0))
+
+
+def test_asymmetric_handles_shifted_data():
+    w = jnp.abs(jax.random.normal(jax.random.PRNGKey(4), (128, 16))) + 5.0
+    qt_sym = quantize(w, QuantType.INT4, group_size=32, symmetric=True)
+    qt_asym = quantize(w, QuantType.INT4, group_size=32, symmetric=False)
+    assert quantization_error(w, qt_asym) < quantization_error(w, qt_sym)
+
+
+def test_qtensor_is_pytree():
+    w = jax.random.normal(jax.random.PRNGKey(5), (64, 32))
+    qt = quantize(w, QuantType.INT8, group_size=32)
+    leaves, treedef = jax.tree_util.tree_flatten(qt)
+    qt2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert qt2.shape == qt.shape and qt2.bits == qt.bits
+
+    # jit through a QTensor argument
+    @jax.jit
+    def f(q, x):
+        return x @ dequantize(q, jnp.float32)
+    x = jnp.ones((4, 64))
+    y = f(qt, x)
+    assert y.shape == (4, 32)
+
+
+def test_compression_ratio_estimate():
+    r8 = estimate_compression_ratio((4096, 4096), QuantType.INT8, 64)
+    r4 = estimate_compression_ratio((4096, 4096), QuantType.INT4, 64)
+    assert 3.0 < r8 < 4.0   # scales overhead keeps it under 4x
+    assert 6.0 < r4 < 8.0
+
+
+def test_odd_k_int8_and_padding_groups():
+    w = jax.random.normal(jax.random.PRNGKey(6), (100, 24))
+    qt = quantize(w, QuantType.INT8, group_size=64)
+    assert qt.num_groups == 2
+    err = quantization_error(w, qt)
+    assert err < 0.01

@@ -1,0 +1,81 @@
+"""Sampling pipeline tests (reference counterparts: sampling paths in
+tests/test_inference_engine.cpp and the tensor-level variants
+inference_engine.cpp:1675-1796)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turboinfer_tpu.engine import sampling
+from turboinfer_tpu.engine.sampling import SamplingParams
+
+
+def test_temperature():
+    x = jnp.asarray([1.0, 2.0, 4.0])
+    np.testing.assert_allclose(np.asarray(sampling.apply_temperature(x, 2.0)),
+                               [0.5, 1.0, 2.0])
+
+
+def test_top_k_masks_all_but_k():
+    x = jnp.asarray([[1.0, 5.0, 3.0, 2.0, 4.0]])
+    y = np.asarray(sampling.apply_top_k(x, 2))
+    kept = (y > sampling.NEG_INF / 2).sum()
+    assert kept == 2
+    assert y[0, 1] == 5.0 and y[0, 4] == 4.0
+
+
+def test_top_k_noop_when_k_large():
+    x = jnp.asarray([1.0, 2.0, 3.0])
+    np.testing.assert_array_equal(np.asarray(sampling.apply_top_k(x, 10)),
+                                  np.asarray(x))
+
+
+def test_top_p_keeps_nucleus():
+    # probs ~ [0.643, 0.236, 0.087, 0.032, 0.002]; p=0.8 keeps first two
+    # (cumulative-before rule includes the prob that crosses p).
+    logits = jnp.log(jnp.asarray([[0.643, 0.236, 0.087, 0.032, 0.002]]))
+    y = np.asarray(sampling.apply_top_p(logits, 0.8))
+    kept = y > sampling.NEG_INF / 2
+    assert kept.sum() == 2
+    assert kept[0, 0] and kept[0, 1]
+
+
+def test_top_p_always_keeps_argmax():
+    logits = jnp.asarray([[10.0, 0.0, 0.0]])
+    y = np.asarray(sampling.apply_top_p(logits, 0.01))
+    assert y[0, 0] == 10.0
+    assert (y[0, 1:] < sampling.NEG_INF / 2).all()
+
+
+def test_greedy_sample_at_zero_temperature():
+    logits = jnp.asarray([[1.0, 9.0, 3.0], [7.0, 2.0, 1.0]])
+    t = sampling.sample(jax.random.PRNGKey(0), logits,
+                        SamplingParams(temperature=0.0))
+    np.testing.assert_array_equal(np.asarray(t), [1, 0])
+
+
+def test_categorical_sampling_distribution():
+    """Multinomial draw must roughly follow the softmax distribution
+    (reference: CDF draw at inference_engine.cpp:1652-1666)."""
+    logits = jnp.log(jnp.asarray([0.7, 0.2, 0.1]))
+    logits = jnp.broadcast_to(logits, (4000, 3))
+    draws = sampling.sample(jax.random.PRNGKey(1), logits,
+                            SamplingParams(temperature=1.0, top_k=0,
+                                           top_p=1.0))
+    freq = np.bincount(np.asarray(draws), minlength=3) / 4000
+    np.testing.assert_allclose(freq, [0.7, 0.2, 0.1], atol=0.04)
+
+
+def test_top_k_top_p_restrict_support():
+    logits = jnp.broadcast_to(
+        jnp.asarray([5.0, 4.9, 0.0, -1.0, -2.0]), (1000, 5))
+    draws = sampling.sample(jax.random.PRNGKey(2), logits,
+                            SamplingParams(temperature=1.0, top_k=2,
+                                           top_p=1.0))
+    assert set(np.asarray(draws).tolist()) <= {0, 1}
+
+
+def test_token_logprob():
+    logits = jnp.asarray([[0.0, jnp.log(3.0)]])  # probs [0.25, 0.75]
+    lp = sampling.token_logprob(logits, jnp.asarray([1]))
+    np.testing.assert_allclose(np.asarray(lp), np.log(0.75), rtol=1e-5)

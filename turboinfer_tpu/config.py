@@ -1,0 +1,164 @@
+"""Configuration dataclasses for turboinfer-tpu.
+
+TPU-native equivalents of the reference's three config surfaces:
+  - ModelConfig     <- ModelMetadata      (reference: include/turboinfer/model/model_loader.hpp:35-46)
+  - InferenceConfig <- InferenceConfig    (reference: include/turboinfer/model/inference_engine.hpp:25-35)
+  - QuantizationConfig <- QuantizationConfig (reference: include/turboinfer/optimize/quantization.hpp:35-41)
+
+Unlike the reference, these are frozen dataclasses usable as static jit
+arguments, and ModelConfig carries everything XLA needs for static shapes
+(head_dim, kv heads for GQA, max_seq).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+
+class QuantType(str, enum.Enum):
+    """Quantization data types (reference: quantization.hpp:24-30)."""
+
+    NONE = "none"          # keep fp weights
+    FLOAT16 = "float16"    # half-precision weights (bf16 on TPU)
+    INT8 = "int8"          # 8-bit group-wise weight-only
+    INT4 = "int4"          # 4-bit group-wise weight-only, packed 2/byte
+
+
+class RopeMode(str, enum.Enum):
+    """RoPE pairing convention.
+
+    INTERLEAVED rotates (2i, 2i+1) pairs — the GGUF/llama.cpp and reference
+    convention (reference: src/core/tensor_engine.cpp:1510-1624).
+    HALF rotates (i, i + d/2) pairs — the HuggingFace convention.
+    """
+
+    INTERLEAVED = "interleaved"
+    HALF = "half"
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static architecture description of a decoder-only transformer.
+
+    Superset of the reference's ModelMetadata (model_loader.hpp:35-46):
+    adds GQA (num_kv_heads), explicit head_dim, norm eps and dtype control.
+    """
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: Optional[int] = None   # None -> MHA (== num_heads)
+    intermediate_size: Optional[int] = None  # None -> SwiGLU default 8/3*H rounded
+    head_dim: Optional[int] = None       # None -> hidden_size // num_heads
+    rope_theta: float = 10000.0
+    rope_mode: RopeMode = RopeMode.HALF
+    rms_norm_eps: float = 1e-5
+    max_seq_len: int = 2048
+    tie_embeddings: bool = False
+    name: str = "llama"
+    architecture: str = "llama"
+    # dtype for activations / fp weights. bfloat16 is the TPU-native default.
+    dtype: Any = jnp.bfloat16
+    extra: Tuple[Tuple[str, str], ...] = ()  # GGUF metadata passthrough (hashable)
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads if self.num_kv_heads is not None else self.num_heads
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_heads
+
+    @property
+    def ffn_dim(self) -> int:
+        if self.intermediate_size is not None:
+            return self.intermediate_size
+        # LLaMA SwiGLU sizing: 2/3 * 4H rounded up to a multiple of 256.
+        d = int(2 * 4 * self.hidden_size / 3)
+        return ((d + 255) // 256) * 256
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim_
+
+    @property
+    def kv_dim(self) -> int:
+        return self.kv_heads * self.head_dim_
+
+    def extra_params(self) -> Dict[str, str]:
+        return dict(self.extra)
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """Generation-time settings (reference: inference_engine.hpp:25-35).
+
+    Unlike the reference, eos_token_id is honored (the reference hardcodes
+    EOS==2 at inference_engine.cpp:760 — SURVEY.md quirk #9).
+    """
+
+    max_seq_len: int = 2048
+    max_batch_size: int = 32
+    temperature: float = 1.0
+    top_p: float = 0.9
+    top_k: int = 50
+    length_penalty: float = 1.0
+    eos_token_id: int = 2
+    pad_token_id: int = 0
+    use_cache: bool = True
+    seed: int = 0
+    # Decode loop style: "scan" fuses the whole decode loop into one XLA
+    # program (fastest, fixed token budget); "host" steps one jitted call per
+    # token (supports early exit on EOS from the host side).
+    decode_loop: str = "scan"
+    # Bucket prompt lengths to powers of two to bound recompilation.
+    prefill_bucket: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizationConfig:
+    """Weight-only quantization settings (reference: quantization.hpp:35-41).
+
+    The reference advertises per-channel but implements per-tensor
+    (quantization.cpp:343-367 — SURVEY.md quirk #6). Here group-wise is the
+    default and actually implemented; group_size=0 means per-channel
+    (one group spanning the whole contraction axis).
+    """
+
+    type: QuantType = QuantType.INT8
+    symmetric: bool = True
+    group_size: int = 64          # elements per scale group along contraction dim
+    skip_embeddings: bool = False # quantize embed/lm_head too when False
+    calibration_samples: int = 128
+    calibration_max_len: int = 512
+
+    @property
+    def bits(self) -> int:
+        return {QuantType.INT8: 8, QuantType.INT4: 4,
+                QuantType.FLOAT16: 16, QuantType.NONE: 32}[self.type]
+
+
+# Small named configurations used by tests/benchmarks, mirroring the
+# reference's synthetic fixtures (tests/test_kv_cache_incremental.cpp:18-118).
+def tiny_config(**kw) -> ModelConfig:
+    base = dict(vocab_size=1000, hidden_size=128, num_layers=2, num_heads=4,
+                num_kv_heads=4, intermediate_size=512, max_seq_len=256,
+                rope_theta=10000.0, name="tiny-llama")
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def llama7b_config(**kw) -> ModelConfig:
+    base = dict(vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+                num_kv_heads=32, intermediate_size=11008, max_seq_len=2048,
+                rope_theta=10000.0, name="llama-7b")
+    base.update(kw)
+    return ModelConfig(**base)

@@ -1,0 +1,237 @@
+"""QTensor: group-wise quantized weight container as a JAX pytree.
+
+TPU-native replacement for the reference Quantizer's in-memory format
+(reference: src/optimize/quantization.cpp:36-118). Fixes two reference
+defects documented in SURVEY.md:
+  - quirk #5: the reference stores INT4 one-value-per-int32 (zero real
+    compression, quantization.cpp:46). Here int4 is packed two nibbles per
+    uint8 along the contraction axis.
+  - quirk #6: the reference is per-tensor despite the per_channel flag
+    (quantization.cpp:343-367). Here scales are group-wise along the
+    contraction (input) axis: scales[ceil(K/g), N].
+
+Quantization math matches the reference's conventions
+(quantization.cpp:352-387):
+  int8 symmetric:  scale = absmax/127,  q = clip(round(x/scale), -127, 127)
+  int8 asymmetric: scale = (max-min)/255, zp = round(-min/scale) - 128,
+                   q = clip(round(x/scale) + zp, -128, 127)
+  int4 symmetric:  scale = absmax/7,    q = clip(round(x/scale), -7, 7)
+  int4 asymmetric: scale = (max-min)/15, zp = round(-min/scale) - 8,
+                   q = clip(round(x/scale) + zp, -8, 7)
+(computed per group instead of per tensor; zero-points are stored such that
+dequant is always `(q - zp) * scale`, avoiding the reference's int4 sign
+convention quirk at quantization.cpp:681/711).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turboinfer_tpu.config import QuantType
+
+
+def pack_int4(q: jax.Array) -> jax.Array:
+    """Pack int values in [-8, 7] two per byte along axis 0.
+
+    q: [K, ...] int8/int32 -> [K//2, ...] uint8 where row r holds
+    k=2r in the low nibble and k=2r+1 in the high nibble (offset by +8
+    so nibbles are unsigned).
+    """
+    if q.shape[0] % 2 != 0:
+        raise ValueError(f"int4 pack needs even leading dim, got {q.shape}")
+    u = (q.astype(jnp.int32) + 8).astype(jnp.uint8)  # [0, 15]
+    lo = u[0::2]
+    hi = u[1::2]
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of pack_int4: [K//2, ...] uint8 -> [K, ...] int8 in [-8, 7]."""
+    lo = (packed & 0x0F).astype(jnp.int8) - 8
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8) - 8
+    k2 = packed.shape[0]
+    out = jnp.stack([lo, hi], axis=1)  # [K//2, 2, ...]
+    return out.reshape((2 * k2,) + packed.shape[1:])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensor:
+    """A quantized 2-D weight [K, N] (K = contraction axis).
+
+    data:   int8 [K, N]  (bits=8)  or packed uint8 [K//2, N] (bits=4)
+    scales: [G, N] float32/bfloat16 where G = ceil(K / group_size)
+    zero_points: optional [G, N] (None for symmetric)
+    """
+
+    data: jax.Array
+    scales: jax.Array
+    zero_points: Optional[jax.Array]
+    bits: int                 # static: 4 or 8
+    group_size: int           # static: elements per group along K
+    shape: Tuple[int, int]    # static: logical (K, N)
+
+    # -- pytree protocol (bits/group_size/shape are static) ------------
+    def tree_flatten(self):
+        children = (self.data, self.scales, self.zero_points)
+        aux = (self.bits, self.group_size, self.shape)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, scales, zp = children
+        bits, group_size, shape = aux
+        return cls(data=data, scales=scales, zero_points=zp, bits=bits,
+                   group_size=group_size, shape=shape)
+
+    # -- convenience ----------------------------------------------------
+    @property
+    def K(self) -> int:
+        return self.shape[0]
+
+    @property
+    def N(self) -> int:
+        return self.shape[1]
+
+    @property
+    def num_groups(self) -> int:
+        return self.scales.shape[0]
+
+    @property
+    def symmetric(self) -> bool:
+        return self.zero_points is None
+
+    def nbytes(self) -> int:
+        n = self.data.size * self.data.dtype.itemsize
+        n += self.scales.size * self.scales.dtype.itemsize
+        if self.zero_points is not None:
+            n += self.zero_points.size * self.zero_points.dtype.itemsize
+        return n
+
+    def astuple(self):
+        return (self.data, self.scales, self.zero_points)
+
+
+def _group_reduce(x: jax.Array, group_size: int):
+    """Reshape [K, N] -> [G, g, N] with zero padding; returns (xg, G, pad)."""
+    K, N = x.shape
+    g = group_size if group_size > 0 else K
+    G = -(-K // g)
+    pad = G * g - K
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x.reshape(G, g, N), G, pad
+
+
+def quantize(w: jax.Array, qtype: QuantType, *, group_size: int = 64,
+             symmetric: bool = True, scale_dtype=jnp.float32) -> QTensor:
+    """Group-wise quantize a 2-D fp weight [K, N] along K."""
+    if w.ndim != 2:
+        raise ValueError(f"quantize expects 2-D [K, N], got {w.shape}")
+    if qtype not in (QuantType.INT8, QuantType.INT4):
+        raise ValueError(f"unsupported qtype {qtype}")
+    K, N = w.shape
+    bits = 8 if qtype == QuantType.INT8 else 4
+    if bits == 4 and K % 2 != 0:
+        raise ValueError(f"int4 needs even K, got K={K}")
+    wf = w.astype(jnp.float32)
+    xg, G, pad = _group_reduce(wf, group_size)
+    g = xg.shape[1]
+
+    if symmetric:
+        qmax = 127.0 if bits == 8 else 7.0
+        absmax = jnp.max(jnp.abs(xg), axis=1)                     # [G, N]
+        scale = jnp.where(absmax > 0, absmax / qmax, 1.0)         # [G, N]
+        q = jnp.round(xg / scale[:, None, :])
+        q = jnp.clip(q, -qmax, qmax)
+        zp = None
+    else:
+        levels = 255.0 if bits == 8 else 15.0
+        lo = -128.0 if bits == 8 else -8.0
+        hi = 127.0 if bits == 8 else 7.0
+        mn = jnp.min(xg, axis=1)
+        mx = jnp.max(xg, axis=1)
+        rng = mx - mn
+        scale = jnp.where(rng > 0, rng / levels, 1.0)
+        # zp chosen so that q = round(x/scale) + zp_shift lands in [lo, hi]
+        # and dequant is (q - zp) * scale with zp = round(mn/scale) - lo.
+        zp_f = jnp.round(mn / scale) - lo                          # [G, N]
+        q = jnp.round(xg / scale[:, None, :]) - zp_f[:, None, :] + 0.0
+        # q = round(x/scale) - (round(mn/scale) - lo)  ∈ ~[lo, hi]
+        q = jnp.clip(q, lo, hi)
+        zp = (-zp_f).astype(jnp.float32)  # store zp st dequant=(q-zp)*scale
+        # dequant: (q - zp)*scale = (round(x/s) - round(mn/s) + lo + round(mn/s) - lo)*s ≈ x
+
+    q = q.reshape(G * g, N)[:K].astype(jnp.int8)
+    if bits == 4:
+        data = pack_int4(q)
+    else:
+        data = q
+    return QTensor(data=data, scales=scale.astype(scale_dtype),
+                   zero_points=None if zp is None else zp.astype(scale_dtype),
+                   bits=bits, group_size=(group_size if group_size > 0 else K),
+                   shape=(K, N))
+
+
+def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
+    """Reconstruct the fp weight [K, N]. Pure-jnp reference path."""
+    K, N = qt.shape
+    if qt.bits == 4:
+        q = unpack_int4(qt.data)[:K].astype(jnp.float32)
+    else:
+        q = qt.data.astype(jnp.float32)
+    g = qt.group_size
+    G = qt.num_groups
+    pad = G * g - K
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+    qg = q.reshape(G, g, N)
+    scales = qt.scales.astype(jnp.float32)[:, None, :]
+    if qt.zero_points is not None:
+        qg = qg - qt.zero_points.astype(jnp.float32)[:, None, :]
+    w = (qg * scales).reshape(G * g, N)[:K]
+    return w.astype(dtype)
+
+
+def quantization_error(w: jax.Array, qt: QTensor) -> float:
+    """Relative L2 reconstruction error — the honest version of the
+    reference's validate_quantization_accuracy tensor-diff mode
+    (quantization.cpp:447-608)."""
+    wd = dequantize(qt, jnp.float32)
+    wf = w.astype(jnp.float32)
+    num = jnp.linalg.norm(wf - wd)
+    den = jnp.maximum(jnp.linalg.norm(wf), 1e-12)
+    return float(num / den)
+
+
+def estimate_compression_ratio(shape: Tuple[int, int], qtype: QuantType,
+                               group_size: int = 64, symmetric: bool = True,
+                               from_dtype_bytes: int = 4) -> float:
+    """Theoretical compression ratio vs fp source — honest version of the
+    reference's estimate (quantization.cpp:396-445), accounting for scales
+    and zero-points."""
+    K, N = shape
+    G = -(-K // (group_size if group_size > 0 else K))
+    if qtype == QuantType.INT8:
+        data = K * N
+    elif qtype == QuantType.INT4:
+        data = (K // 2) * N
+    elif qtype == QuantType.FLOAT16:
+        data = 2 * K * N
+    else:
+        return 1.0
+    meta = G * N * 4 * (1 if symmetric else 2)
+    return (from_dtype_bytes * K * N) / float(data + meta)
+
+
+def to_numpy_blobs(qt: QTensor):
+    """Host-side numpy views for persistence (see loader/tinq.py)."""
+    blobs = {"data": np.asarray(qt.data), "scales": np.asarray(qt.scales)}
+    if qt.zero_points is not None:
+        blobs["zero_points"] = np.asarray(qt.zero_points)
+    return blobs

@@ -1,0 +1,461 @@
+"""InferenceEngine — the generation runtime.
+
+Reference counterpart: include/turboinfer/model/inference_engine.hpp +
+src/model/inference_engine.cpp (generate :734-802, generate_batch
+:804-828, beam_search_decode :1912-2069, compute_logprobs :873-954,
+performance_stats :1129-1220, memory_usage :1039-1092).
+
+TPU-native redesign:
+  - prefill is ONE jitted call over the (bucketed) prompt; decode is a
+    jitted step or a fully-fused `lax.scan` over the token budget —
+    no per-token Python work on the hot path.
+  - generate_batch is REAL batching: right-padded fixed-shape batch,
+    per-sequence positions/EOS, one forward for all sequences per step
+    (the reference loops sequentially — SURVEY.md quirk #7).
+  - beam search shares the KV cache across beams (beams = batch dim,
+    cache reordered by gather each step) instead of re-running the full
+    prefix per beam per step (quirk #8: O(n²·beam) in the reference).
+  - EOS honors config.eos_token_id (quirk #9: reference hardcodes 2).
+  - reproducible sampling from an explicit PRNG seed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turboinfer_tpu.config import InferenceConfig, ModelConfig
+from turboinfer_tpu.engine import sampling
+from turboinfer_tpu.engine.sampling import SamplingParams
+from turboinfer_tpu.models import llama
+from turboinfer_tpu.models.llama import KVCache
+from turboinfer_tpu.utils.metrics import EngineStats
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    """Per-call result (reference: GenerationResult,
+    inference_engine.hpp:41-48)."""
+    tokens: List[int]
+    logprobs: Optional[List[float]] = None
+    total_time_ms: float = 0.0
+    tokens_per_second: float = 0.0
+    prefill_time_ms: float = 0.0          # TTFT proxy (not in the reference)
+    finished: bool = True
+    stop_reason: str = "length"           # "eos" | "length" | "max_seq"
+
+
+def _bucket(n: int, enable: bool, minimum: int = 16) -> int:
+    """Round prompt length up to a power of two to bound recompilation."""
+    if not enable:
+        return n
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class InferenceEngine:
+    """Holds params + configs and drives jitted prefill/decode programs.
+
+    Construct directly from in-memory params (tests/benchmarks) or via
+    turboinfer_tpu.load_model() (file formats).
+    """
+
+    def __init__(self, params: Dict[str, Any], model_config: ModelConfig,
+                 config: Optional[InferenceConfig] = None,
+                 tokenizer=None):
+        self.params = params
+        self.model_config = model_config
+        self.config = config or InferenceConfig(
+            max_seq_len=model_config.max_seq_len)
+        self.tokenizer = tokenizer
+        self.stats = EngineStats()
+        self._rng = jax.random.PRNGKey(self.config.seed)
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # -- jitted programs ----------------------------------------------------
+
+    @functools.cached_property
+    def _prefill_fn(self):
+        cfg = self.model_config
+
+        @jax.jit
+        def prefill(params, tokens, seq_lens, cache):
+            logits, cache = llama.forward(params, cfg, tokens, cache,
+                                          seq_lens=seq_lens)
+            # Last valid logit per sequence.
+            idx = jnp.maximum(seq_lens - 1, 0)
+            last = jnp.take_along_axis(
+                logits, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+            return last, cache
+        return prefill
+
+    @functools.cached_property
+    def _decode_step_fn(self):
+        cfg = self.model_config
+
+        @jax.jit
+        def step(params, token, cache):
+            logits, cache = llama.forward(params, cfg, token[:, None], cache)
+            return logits[:, 0], cache
+        return step
+
+    def _decode_scan_fn(self, num_tokens: int, params_s: SamplingParams,
+                        eos_id: int, pad_id: int):
+        """Fused decode loop: one XLA program generating `num_tokens`."""
+        key = ("scan", num_tokens, params_s, eos_id, pad_id)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        cfg = self.model_config
+
+        @jax.jit
+        def decode(params, first_token, first_logits, cache, rng):
+            """first_token [B] was sampled from prefill logits already.
+            Returns (tokens [B, num_tokens], logprobs [B, num_tokens])."""
+            B = first_token.shape[0]
+
+            def body(carry, rng_i):
+                token, cache, finished = carry
+                logits, cache = llama.forward(params, cfg, token[:, None],
+                                              cache)
+                logits = logits[:, 0]
+                nxt = sampling.sample(rng_i, logits, params_s)
+                lp = sampling.token_logprob(logits, nxt)
+                nxt = jnp.where(finished, pad_id, nxt)
+                lp = jnp.where(finished, 0.0, lp)
+                finished = finished | (nxt == eos_id)
+                return (nxt, cache, finished), (nxt, lp)
+
+            finished0 = first_token == eos_id
+            rngs = jax.random.split(rng, max(num_tokens - 1, 1))
+            (last, cache, finished), (toks, lps) = jax.lax.scan(
+                body, (first_token, cache, finished0), rngs[:num_tokens - 1])
+            first_lp = sampling.token_logprob(first_logits, first_token)
+            tokens = jnp.concatenate([first_token[:, None], toks.T], axis=1)
+            logprobs = jnp.concatenate([first_lp[:, None], lps.T], axis=1)
+            return tokens, logprobs, cache, finished
+        self._jit_cache[key] = decode
+        return decode
+
+    # -- helpers --------------------------------------------------------
+
+    def _pad_batch(self, prompts: Sequence[Sequence[int]]
+                   ) -> Tuple[jax.Array, jax.Array, int]:
+        lens = [len(p) for p in prompts]
+        S = _bucket(max(lens), self.config.prefill_bucket)
+        B = len(prompts)
+        arr = np.full((B, S), self.config.pad_token_id, np.int32)
+        for i, p in enumerate(prompts):
+            arr[i, : len(p)] = np.asarray(p, np.int32)
+        return (jnp.asarray(arr), jnp.asarray(lens, np.int32), S)
+
+    def _validate(self, tokens: Sequence[int]):
+        """Reference: validate_input_tokens (inference_engine.cpp:1409-1417)."""
+        if len(tokens) == 0:
+            raise ValueError("input tokens must be non-empty")
+        if len(tokens) >= self.config.max_seq_len:
+            raise ValueError(
+                f"prompt length {len(tokens)} exceeds max_seq_len "
+                f"{self.config.max_seq_len}")
+        V = self.model_config.vocab_size
+        bad = [t for t in tokens if not (0 <= t < V)]
+        if bad:
+            raise ValueError(f"token ids out of vocab range [0,{V}): {bad[:5]}")
+
+    def _sampling_params(self, temperature=None, top_k=None, top_p=None
+                         ) -> SamplingParams:
+        c = self.config
+        return SamplingParams(
+            temperature=c.temperature if temperature is None else temperature,
+            top_k=c.top_k if top_k is None else top_k,
+            top_p=c.top_p if top_p is None else top_p)
+
+    def next_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    # -- generation -------------------------------------------------------
+
+    def generate(self, input_tokens: Sequence[int], max_new_tokens: int = 50,
+                 *, temperature: Optional[float] = None,
+                 top_k: Optional[int] = None, top_p: Optional[float] = None,
+                 return_logprobs: bool = False) -> GenerationResult:
+        """Single-prompt generation (reference: generate,
+        inference_engine.cpp:734-802)."""
+        return self.generate_batch([input_tokens], max_new_tokens,
+                                   temperature=temperature, top_k=top_k,
+                                   top_p=top_p,
+                                   return_logprobs=return_logprobs)[0]
+
+    def generate_batch(self, prompts: Sequence[Sequence[int]],
+                       max_new_tokens: int = 50, *,
+                       temperature: Optional[float] = None,
+                       top_k: Optional[int] = None,
+                       top_p: Optional[float] = None,
+                       return_logprobs: bool = False
+                       ) -> List[GenerationResult]:
+        """True batched generation — one forward per step for ALL
+        sequences (the reference loops prompts sequentially,
+        inference_engine.cpp:804-828)."""
+        for p in prompts:
+            self._validate(p)
+        sp = self._sampling_params(temperature, top_k, top_p)
+        eos = self.config.eos_token_id
+        pad = self.config.pad_token_id
+        t0 = time.perf_counter()
+
+        tokens, seq_lens, S = self._pad_batch(prompts)
+        B = len(prompts)
+        max_new = min(max_new_tokens,
+                      self.config.max_seq_len - int(seq_lens.max()))
+        cache = llama.init_cache(self.model_config, B,
+                                 max_seq=self.config.max_seq_len)
+
+        last_logits, cache = self._prefill_fn(self.params, tokens, seq_lens,
+                                              cache)
+        rng = self.next_rng()
+        r_pre, r_dec = jax.random.split(rng)
+        first = sampling.sample(r_pre, last_logits, sp)
+        first.block_until_ready()
+        t_prefill = time.perf_counter()
+
+        if max_new <= 1:
+            toks = first[:, None]
+            lps = sampling.token_logprob(last_logits, first)[:, None]
+            finished = first == eos
+        elif self.config.decode_loop == "scan":
+            decode = self._decode_scan_fn(max_new, sp, eos, pad)
+            toks, lps, cache, finished = decode(self.params, first,
+                                                last_logits, cache, r_dec)
+        else:  # host loop with early exit on all-finished
+            toks_l, lps_l = [first], [sampling.token_logprob(last_logits,
+                                                             first)]
+            finished = first == eos
+            token = first
+            for i in range(max_new - 1):
+                logits, cache = self._decode_step_fn(self.params, token,
+                                                     cache)
+                r_dec, r_i = jax.random.split(r_dec)
+                nxt = sampling.sample(r_i, logits, sp)
+                lp = sampling.token_logprob(logits, nxt)
+                nxt = jnp.where(finished, pad, nxt)
+                toks_l.append(nxt)
+                lps_l.append(jnp.where(finished, 0.0, lp))
+                finished = finished | (nxt == eos)
+                token = nxt
+                if bool(finished.all()):
+                    break
+            toks = jnp.stack(toks_l, axis=1)
+            lps = jnp.stack(lps_l, axis=1)
+
+        toks_np = np.asarray(jax.device_get(toks))
+        lps_np = np.asarray(jax.device_get(lps))
+        fin_np = np.asarray(jax.device_get(finished))
+        t1 = time.perf_counter()
+
+        results = []
+        new_total = 0
+        for b in range(B):
+            row = toks_np[b].tolist()
+            if eos in row:
+                n = row.index(eos) + 1
+                stop = "eos"
+            else:
+                n = len(row)
+                stop = ("max_seq" if len(prompts[b]) + n >=
+                        self.config.max_seq_len else "length")
+            new_total += n
+            dt_ms = (t1 - t0) * 1e3
+            results.append(GenerationResult(
+                tokens=list(prompts[b]) + row[:n],
+                logprobs=(lps_np[b][:n].tolist() if return_logprobs else None),
+                total_time_ms=dt_ms,
+                tokens_per_second=n / max((t1 - t0), 1e-9),
+                prefill_time_ms=(t_prefill - t0) * 1e3,
+                finished=bool(fin_np[b]) or stop == "eos",
+                stop_reason=stop))
+
+        self.stats.record_generation(new_tokens=new_total,
+                                     elapsed_s=(t1 - t0),
+                                     prefill_s=(t_prefill - t0),
+                                     batch=B)
+        return results
+
+    # -- beam search ------------------------------------------------------
+
+    def generate_beam_search(self, input_tokens: Sequence[int],
+                             max_new_tokens: int = 50, beam_size: int = 4,
+                             *, length_penalty: Optional[float] = None
+                             ) -> GenerationResult:
+        """Beam search with a KV cache SHARED across beams.
+
+        Reference: beam_search_decode (inference_engine.cpp:1912-2069)
+        recomputes the full prefix per beam per step; here beams live on
+        the batch axis, the cache is gathered/reordered per step, and each
+        step costs one decode forward. Length-normalized scoring
+        `logp / len^length_penalty` matches the reference (:2023-2027).
+        """
+        self._validate(input_tokens)
+        lp_pen = (self.config.length_penalty if length_penalty is None
+                  else length_penalty)
+        eos = self.config.eos_token_id
+        t0 = time.perf_counter()
+
+        tokens, seq_lens, S = self._pad_batch([input_tokens])
+        max_new = min(max_new_tokens,
+                      self.config.max_seq_len - len(input_tokens))
+        cache = llama.init_cache(self.model_config, 1,
+                                 max_seq=self.config.max_seq_len)
+        last_logits, cache = self._prefill_fn(self.params, tokens, seq_lens,
+                                              cache)
+        # Tile prefill cache across beams: [L, beam, T, H, D].
+        cache = KVCache(
+            k=jnp.repeat(cache.k, beam_size, axis=1),
+            v=jnp.repeat(cache.v, beam_size, axis=1),
+            length=jnp.repeat(cache.length, beam_size, axis=0))
+
+        step_fn = self._beam_step_fn(beam_size)
+        logp = sampling.log_softmax(last_logits[0])          # [V]
+        top_lp, top_ix = jax.lax.top_k(logp, beam_size)
+        beam_tokens = np.asarray(top_ix)[:, None]             # [beam, 1] np
+        beam_scores = jnp.asarray(top_lp)                     # [beam]
+        beam_finished = jnp.asarray(np.asarray(top_ix) == eos)
+        token = top_ix.astype(jnp.int32)
+
+        for _ in range(max_new - 1):
+            if bool(beam_finished.all()):
+                break
+            token, beam_scores, beam_finished, parent, cache = step_fn(
+                self.params, token, beam_scores, beam_finished, cache)
+            parent_np = np.asarray(parent)
+            beam_tokens = np.concatenate(
+                [beam_tokens[parent_np], np.asarray(token)[:, None]], axis=1)
+
+        # Final ranking by length-normalized score (finished preferred).
+        scores = np.asarray(beam_scores)
+        lengths = np.array([self._beam_len(beam_tokens[b], eos)
+                            for b in range(beam_size)])
+        norm = scores / np.maximum(lengths, 1) ** lp_pen
+        best = int(np.argmax(norm))
+        row = beam_tokens[best].tolist()
+        n = self._beam_len(row, eos)
+        t1 = time.perf_counter()
+        self.stats.record_generation(new_tokens=n, elapsed_s=t1 - t0,
+                                     prefill_s=0.0, batch=1)
+        return GenerationResult(
+            tokens=list(input_tokens) + row[:n],
+            total_time_ms=(t1 - t0) * 1e3,
+            tokens_per_second=n / max(t1 - t0, 1e-9),
+            finished=bool(np.asarray(beam_finished)[best]),
+            stop_reason="eos" if eos in row[:n] else "length")
+
+    @staticmethod
+    def _beam_len(row, eos) -> int:
+        row = list(row)
+        return row.index(eos) + 1 if eos in row else len(row)
+
+    def _beam_step_fn(self, beam_size: int):
+        key = ("beam", beam_size)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        cfg = self.model_config
+        eos = self.config.eos_token_id
+        NEG = -1e30
+
+        @jax.jit
+        def step(params, token, scores, finished, cache):
+            logits, cache = llama.forward(params, cfg, token[:, None], cache)
+            logp = sampling.log_softmax(logits[:, 0])        # [beam, V]
+            V = logp.shape[-1]
+            # Finished beams only propose EOS at score 0 (stay frozen).
+            frozen = jnp.full((beam_size, V), NEG).at[:, eos].set(0.0)
+            logp = jnp.where(finished[:, None], frozen, logp)
+            total = scores[:, None] + logp                    # [beam, V]
+            flat = total.reshape(-1)
+            top_s, top_i = jax.lax.top_k(flat, beam_size)
+            parent = (top_i // V).astype(jnp.int32)
+            tok = (top_i % V).astype(jnp.int32)
+            new_finished = finished[parent] | (tok == eos)
+            cache = KVCache(k=cache.k[:, parent], v=cache.v[:, parent],
+                            length=cache.length[parent])
+            return tok, top_s, new_finished, parent, cache
+        self._jit_cache[key] = step
+        return step
+
+    # -- logprobs ---------------------------------------------------------
+
+    def compute_logprobs(self, tokens: Sequence[int]) -> List[float]:
+        """Log-prob of each token given its prefix (reference:
+        compute_logprobs, inference_engine.cpp:873-954). First token gets
+        0.0 (no context), matching the reference's convention."""
+        self._validate(tokens)
+        S = _bucket(len(tokens), self.config.prefill_bucket)
+        arr = np.full((1, S), self.config.pad_token_id, np.int32)
+        arr[0, : len(tokens)] = np.asarray(tokens, np.int32)
+        logits = self._logprob_fn(jnp.asarray(arr),
+                                  jnp.asarray([len(tokens)], np.int32))
+        lp = sampling.log_softmax(logits[0])                  # [S, V]
+        tok = jnp.asarray(arr[0], jnp.int32)
+        token_lp = jnp.take_along_axis(lp[:-1], tok[1:, None],
+                                       axis=-1)[:, 0]
+        out = [0.0] + np.asarray(token_lp)[: len(tokens) - 1].tolist()
+        return out
+
+    @functools.cached_property
+    def _logprob_fn(self):
+        cfg = self.model_config
+
+        @jax.jit
+        def run(tokens, seq_lens):
+            return llama.forward_no_cache(self.params, cfg, tokens,
+                                          seq_lens=seq_lens)
+        return run
+
+    # -- introspection ------------------------------------------------------
+
+    def reset_state(self):
+        """Reference: reset_state (inference_engine.cpp:1014-1037)."""
+        self.stats = EngineStats()
+        self._rng = jax.random.PRNGKey(self.config.seed)
+
+    def memory_usage(self) -> int:
+        """Bytes for weights + one max-shape KV cache (reference:
+        memory_usage, inference_engine.cpp:1039-1092)."""
+        w = llama.param_bytes(self.params)
+        c = self.model_config
+        cache_elems = (c.num_layers * self.config.max_batch_size *
+                       self.config.max_seq_len * c.kv_heads * c.head_dim_)
+        cache_bytes = 2 * cache_elems * jnp.dtype(c.dtype).itemsize
+        return int(w + cache_bytes)
+
+    def performance_stats(self) -> str:
+        """Formatted report (reference: performance_stats,
+        inference_engine.cpp:1129-1220)."""
+        return self.stats.report(model_name=self.model_config.name,
+                                 memory_bytes=self.memory_usage())
+
+    # -- tokenizer passthrough ----------------------------------------------
+
+    def encode(self, text: str) -> List[int]:
+        if self.tokenizer is None:
+            raise RuntimeError("engine has no tokenizer attached")
+        return self.tokenizer.encode(text)
+
+    def decode(self, tokens: Sequence[int]) -> str:
+        if self.tokenizer is None:
+            raise RuntimeError("engine has no tokenizer attached")
+        return self.tokenizer.decode(tokens)
+
+
+def quick_generate(params, model_config, prompt_tokens, max_new_tokens=50,
+                   **kw) -> List[int]:
+    """Reference: quick_generate helper (inference_engine.cpp:2071-2082)."""
+    eng = InferenceEngine(params, model_config)
+    return eng.generate(prompt_tokens, max_new_tokens, **kw).tokens

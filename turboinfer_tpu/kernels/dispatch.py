@@ -1,0 +1,70 @@
+"""Kernel dispatch: Pallas TPU kernels vs pure-jnp reference ops.
+
+Single switch point so the model/engine code never cares which backend
+runs. Selection order:
+  1. env TURBOINFER_FORCE_REF=1  -> always jnp reference
+  2. default backend is TPU Pallas when the default JAX backend is a TPU
+     and the shape is kernel-eligible; jnp reference otherwise (CPU tests,
+     virtual-device sharding tests, odd shapes).
+
+The jnp reference forms are the numerical golden models; Pallas kernels
+must match them to ~1e-2 (bf16) / 1e-5 (f32) in tests/test_kernels.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    if os.environ.get("TURBOINFER_FORCE_REF", "0") == "1":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+def pallas_enabled() -> bool:
+    return _on_tpu()
+
+
+# -- fused dequant matmul ----------------------------------------------------
+
+def qmatmul(x, qt, preferred_dtype=jnp.float32):
+    from turboinfer_tpu.kernels import ops
+    if pallas_enabled():
+        from turboinfer_tpu.kernels.pallas import qmm
+        y = qmm.qmatmul_pallas(x, qt, preferred_dtype)
+        if y is not None:
+            return y
+    return ops.qmatmul_ref(x, qt, preferred_dtype)
+
+
+# -- attention ---------------------------------------------------------------
+
+def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None):
+    from turboinfer_tpu.kernels import ops
+    if pallas_enabled():
+        from turboinfer_tpu.kernels.pallas import flash_attention
+        y = flash_attention.prefill_pallas(q, k, v, causal=causal,
+                                           positions=positions, kv_len=kv_len)
+        if y is not None:
+            return y
+    return ops.attention_prefill_ref(q, k, v, causal=causal,
+                                     positions=positions, kv_len=kv_len)
+
+
+def attention_decode(q, k_cache, v_cache, kv_len):
+    from turboinfer_tpu.kernels import ops
+    if pallas_enabled():
+        from turboinfer_tpu.kernels.pallas import decode_attention
+        y = decode_attention.decode_pallas(q, k_cache, v_cache, kv_len)
+        if y is not None:
+            return y
+    return ops.attention_decode_ref(q, k_cache, v_cache, kv_len)

@@ -1,0 +1,276 @@
+"""Core compute ops — pure-JAX reference implementations.
+
+This module is the TPU-native replacement for the reference TensorEngine
+(reference: src/core/tensor_engine.cpp — SIMD GEMM at :191-255, softmax
+:925-1043, attention :1045-1147, fast incremental attention :1254-1388,
+rms_norm :1452, apply_rope :1510-1624). Instead of hand-scheduled AVX2
+loops, each op here is a pure function XLA fuses and tiles onto the
+MXU/VPU; the hottest paths have Pallas kernel twins in
+turboinfer_tpu/kernels/pallas/ selected via dispatch in this module.
+
+Every op keeps a `*_ref` pure-jnp form usable in interpret/CPU tests as
+the numerical golden model.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from turboinfer_tpu.config import RopeMode
+from turboinfer_tpu.core.qtensor import QTensor, unpack_int4
+
+# Large-negative constant for masking; avoids -inf NaN propagation in softmax
+# when an entire row is masked (unlike the reference's raw -inf at
+# inference_engine.cpp:434 which would NaN on fully-masked rows).
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """RMSNorm over the last axis (reference: tensor_engine.cpp:1452-1508).
+
+    Statistics in fp32 regardless of input dtype (the reference up-converts
+    too via convert_dtype); output in x.dtype.
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32)).astype(dtype)
+
+
+def layer_norm(x: jax.Array, weight: jax.Array, bias: Optional[jax.Array] = None,
+               eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last axis (reference: tensor_engine.cpp:1390-1450)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * weight.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Activations (reference: tensor_engine.cpp relu :828, gelu :872, silu :900)
+# ---------------------------------------------------------------------------
+
+def relu(x: jax.Array) -> jax.Array:
+    return jnp.maximum(x, 0)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
+    """SwiGLU combine: silu(gate) * up (reference: inference_engine.cpp:376-401)."""
+    return silu(gate) * up
+
+
+# ---------------------------------------------------------------------------
+# RoPE (reference: tensor_engine.cpp:1510-1624 — interleaved convention;
+# the HALF convention is what HF-exported SafeTensors weights expect)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def rope_freqs(head_dim: int, theta: float = 10000.0,
+               dtype=jnp.float32) -> jax.Array:
+    """Per-pair inverse frequencies: theta^(-2i/d), i in [0, d/2)."""
+    i = jnp.arange(0, head_dim // 2, dtype=jnp.float32)
+    return (theta ** (-2.0 * i / head_dim)).astype(dtype)
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0,
+               mode: RopeMode = RopeMode.HALF) -> jax.Array:
+    """Rotary position embedding.
+
+    x: [..., seq, num_heads, head_dim]; positions: [..., seq] int32.
+    Unlike the reference's live path (a no-op stub,
+    inference_engine.cpp:410-417 — SURVEY.md quirk #2), this is real and
+    applied to q and k in the model.
+    """
+    head_dim = x.shape[-1]
+    freqs = rope_freqs(head_dim, theta)                       # [d/2]
+    angles = positions.astype(jnp.float32)[..., None] * freqs  # [..., seq, d/2]
+    cos = jnp.cos(angles)[..., None, :]                        # [..., seq, 1, d/2]
+    sin = jnp.sin(angles)[..., None, :]
+    xf = x.astype(jnp.float32)
+    if mode == RopeMode.INTERLEAVED:
+        x_even = xf[..., 0::2]
+        x_odd = xf[..., 1::2]
+        r_even = x_even * cos - x_odd * sin
+        r_odd = x_even * sin + x_odd * cos
+        out = jnp.stack([r_even, r_odd], axis=-1).reshape(x.shape)
+    else:  # HALF: rotate (i, i + d/2) pairs
+        x1 = xf[..., : head_dim // 2]
+        x2 = xf[..., head_dim // 2:]
+        r1 = x1 * cos - x2 * sin
+        r2 = x1 * sin + x2 * cos
+        out = jnp.concatenate([r1, r2], axis=-1)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Quantized matmul (reference counterpart: matmul dispatch at
+# tensor_engine.cpp:490-528 + the dequantize-then-matmul consumption path
+# quantization.cpp / tensor_engine.cpp:497-505. Here dequant is fused.)
+# ---------------------------------------------------------------------------
+
+def _dequant_ref(qt: QTensor, dtype) -> jax.Array:
+    """Inline group-wise dequant [K, N] — jnp form XLA fuses into the dot."""
+    K, N = qt.shape
+    if qt.bits == 4:
+        q = unpack_int4(qt.data)[:K]
+    else:
+        q = qt.data
+    g, G = qt.group_size, qt.num_groups
+    pad = G * g - K
+    qf = q.astype(jnp.float32)
+    if pad:
+        qf = jnp.pad(qf, ((0, pad), (0, 0)))
+    qg = qf.reshape(G, g, N)
+    if qt.zero_points is not None:
+        qg = qg - qt.zero_points.astype(jnp.float32)[:, None, :]
+    w = (qg * qt.scales.astype(jnp.float32)[:, None, :]).reshape(G * g, N)[:K]
+    return w.astype(dtype)
+
+
+def qmatmul_ref(x: jax.Array, qt: QTensor,
+                preferred_dtype=jnp.float32) -> jax.Array:
+    """x @ dequant(qt): pure-jnp golden model for the Pallas kernel."""
+    w = _dequant_ref(qt, x.dtype)
+    return jnp.matmul(x, w, preferred_element_type=preferred_dtype).astype(x.dtype)
+
+
+def qmatmul(x: jax.Array, w, preferred_dtype=jnp.float32) -> jax.Array:
+    """Matmul against a weight that may be fp (jax.Array) or a QTensor.
+
+    [..., K] @ [K, N] -> [..., N]. For QTensor weights, dispatches to the
+    fused dequant-matmul Pallas kernel on TPU when shapes allow, else the
+    jnp reference (XLA still fuses the dequant into the dot).
+    """
+    if isinstance(w, QTensor):
+        from turboinfer_tpu.kernels import dispatch
+        return dispatch.qmatmul(x, w, preferred_dtype)
+    return jnp.matmul(x, w.astype(x.dtype),
+                      preferred_element_type=preferred_dtype).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Softmax + sampling-adjacent math (reference: tensor_engine.cpp:925-1043)
+# ---------------------------------------------------------------------------
+
+def softmax(x: jax.Array, axis: int = -1, temperature: float = 1.0) -> jax.Array:
+    """Numerically-stable softmax with optional temperature divide
+    (reference applies temperature inside softmax, tensor_engine.cpp:944)."""
+    xf = x.astype(jnp.float32)
+    if temperature != 1.0:
+        xf = xf / temperature
+    return jax.nn.softmax(xf, axis=axis).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention — prefill (full-sequence, causal) and decode (single query
+# against KV cache). The reference materializes [seq, seq] scores
+# (inference_engine.cpp:347-359); the ref forms here do too (fine at toy
+# sizes and as golden models), while the Pallas flash kernel never does.
+# ---------------------------------------------------------------------------
+
+def _repeat_kv(k: jax.Array, num_q_heads: int) -> jax.Array:
+    """GQA: expand [B, S, Hkv, D] -> [B, S, Hq, D] by head repetition."""
+    b, s, hkv, d = k.shape
+    if hkv == num_q_heads:
+        return k
+    rep = num_q_heads // hkv
+    return jnp.repeat(k, rep, axis=2)
+
+
+def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
+                          *, causal: bool = True,
+                          positions: Optional[jax.Array] = None,
+                          kv_len: Optional[jax.Array] = None) -> jax.Array:
+    """Full scaled-dot-product attention.
+
+    q: [B, S, Hq, D], k/v: [B, T, Hkv, D] -> [B, S, Hq, D].
+    `positions` ([B, S]) gives absolute positions of the queries for causal
+    masking against cache slots 0..T-1; defaults to arange (fresh prefill).
+    `kv_len` ([B]) optionally masks cache slots >= kv_len (padded cache).
+    """
+    B, S, Hq, D = q.shape
+    T = k.shape[1]
+    k = _repeat_kv(k, Hq)
+    v = _repeat_kv(v, Hq)
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    qf = q.astype(jnp.float32) * scale
+    # [B, Hq, S, T]
+    scores = jnp.einsum("bshd,bthd->bhst", qf, k.astype(jnp.float32))
+    mask = None
+    if causal:
+        if positions is None:
+            qpos = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+        else:
+            qpos = positions
+        kpos = jnp.arange(T)
+        mask = qpos[:, None, :, None] >= kpos[None, None, None, :]
+    if kv_len is not None:
+        valid = kpos[None, None, None, :] < kv_len[:, None, None, None] \
+            if causal else (jnp.arange(T)[None, None, None, :] <
+                            kv_len[:, None, None, None])
+        mask = valid if mask is None else (mask & valid)
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhst,bthd->bshd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                         kv_len: jax.Array) -> jax.Array:
+    """Single-token attention against the KV cache — golden model for the
+    Pallas decode kernel (reference counterpart:
+    tensor_engine.cpp:1254-1388 attention_fast_incremental).
+
+    q: [B, Hq, D]; k_cache/v_cache: [B, Tmax, Hkv, D]; kv_len: [B] number
+    of valid slots (includes the current token, already written).
+    """
+    B, Hq, D = q.shape
+    Tmax = k_cache.shape[1]
+    k = _repeat_kv(k_cache, Hq)   # [B, Tmax, Hq, D]
+    v = _repeat_kv(v_cache, Hq)
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    qf = q.astype(jnp.float32) * scale
+    scores = jnp.einsum("bhd,bthd->bht", qf, k.astype(jnp.float32))
+    valid = jnp.arange(Tmax)[None, None, :] < kv_len[:, None, None]
+    scores = jnp.where(valid, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bht,bthd->bhd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch wrappers: use Pallas kernels on TPU, jnp reference elsewhere.
+# ---------------------------------------------------------------------------
+
+def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None):
+    from turboinfer_tpu.kernels import dispatch
+    return dispatch.attention_prefill(q, k, v, causal=causal,
+                                      positions=positions, kv_len=kv_len)
+
+
+def attention_decode(q, k_cache, v_cache, kv_len):
+    from turboinfer_tpu.kernels import dispatch
+    return dispatch.attention_decode(q, k_cache, v_cache, kv_len)

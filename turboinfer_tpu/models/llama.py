@@ -1,0 +1,246 @@
+"""LLaMA-class decoder as pure functions over a param pytree.
+
+TPU-native replacement for the reference's TransformerLayer +
+InferenceEngineImpl model stack (reference: src/model/inference_engine.cpp
+:178-443 layer forward, :578-692 embedding/lm_head). Key upgrades over
+the reference, per SURVEY.md quirks:
+  - real embedding gather (quirk #1: the reference's live path fabricates
+    embeddings at inference_engine.cpp:1444-1448),
+  - real RoPE on q/k (quirk #2: reference live path no-ops RoPE),
+  - true multi-head + GQA attention (quirk #3: reference is single-head),
+  - KV cache updated in-place in HBM via dynamic_update_slice and read
+    directly by attention (quirk #4: reference copies the whole prefix
+    every token).
+
+Layout decisions (TPU-first):
+  - all 2-D weights stored [in_features, out_features] so `x @ w` hits the
+    MXU without transposes; loaders transpose from HF/GGUF [out, in].
+  - per-layer weights are STACKED on a leading layer axis and the forward
+    runs `lax.scan` over layers: one trace regardless of depth, fast
+    compiles, and the cache update is a scanned dynamic_update_slice.
+  - weights may be jax.Arrays (fp) or QTensors (int8/int4 group-wise);
+    qmatmul dispatches either way.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from turboinfer_tpu.config import ModelConfig
+from turboinfer_tpu.core.qtensor import QTensor
+from turboinfer_tpu.kernels import ops
+
+
+# Weight pytree structure (dict of arrays / QTensors):
+# {
+#   "embed":      [V, H]                       (fp)
+#   "layers": {
+#     "attn_norm": [L, H], "ffn_norm": [L, H]  (fp)
+#     "wq": [L, H, Hq*D], "wk": [L, H, Hkv*D], "wv": [L, H, Hkv*D],
+#     "wo": [L, Hq*D, H],
+#     "w_gate": [L, H, F], "w_up": [L, H, F], "w_down": [L, F, H],
+#   }
+#   "final_norm": [H]                          (fp)
+#   "lm_head":    [H, V]                       (fp or QTensor; may alias embed.T)
+# }
+
+
+class KVCache(NamedTuple):
+    """HBM-resident KV cache (reference counterpart: KVCache struct,
+    inference_engine.cpp:25-172, but in-place — no per-token prefix copy).
+
+    k, v: [L, B, Tmax, Hkv, D] in cache_dtype.
+    length: [B] int32 — number of valid slots per sequence.
+    """
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(config: ModelConfig, batch_size: int,
+               max_seq: Optional[int] = None,
+               dtype=None) -> KVCache:
+    T = max_seq or config.max_seq_len
+    dtype = dtype or config.dtype
+    shape = (config.num_layers, batch_size, T, config.kv_heads,
+             config.head_dim_)
+    return KVCache(k=jnp.zeros(shape, dtype),
+                   v=jnp.zeros(shape, dtype),
+                   length=jnp.zeros((batch_size,), jnp.int32))
+
+
+def reset_cache(cache: KVCache) -> KVCache:
+    """Zero-fill (reference: KVCache::reset, inference_engine.cpp:60-69)."""
+    return KVCache(k=jnp.zeros_like(cache.k), v=jnp.zeros_like(cache.v),
+                   length=jnp.zeros_like(cache.length))
+
+
+# ---------------------------------------------------------------------------
+# Parameter init (synthetic fixture factory — reference counterpart:
+# tests/test_kv_cache_incremental.cpp:18-118 create_kv_test_model)
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, config: ModelConfig,
+                dtype=None) -> Dict[str, Any]:
+    dtype = dtype or config.dtype
+    H, V, L = config.hidden_size, config.vocab_size, config.num_layers
+    QD, KVD, F = config.q_dim, config.kv_dim, config.ffn_dim
+    keys = jax.random.split(rng, 9)
+
+    def w(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32)
+                * (1.0 / jnp.sqrt(fan_in))).astype(dtype)
+
+    params = {
+        "embed": w(keys[0], (V, H), H),
+        "layers": {
+            "attn_norm": jnp.ones((L, H), dtype),
+            "ffn_norm": jnp.ones((L, H), dtype),
+            "wq": w(keys[1], (L, H, QD), H),
+            "wk": w(keys[2], (L, H, KVD), H),
+            "wv": w(keys[3], (L, H, KVD), H),
+            "wo": w(keys[4], (L, QD, H), QD),
+            "w_gate": w(keys[5], (L, H, F), H),
+            "w_up": w(keys[6], (L, H, F), H),
+            "w_down": w(keys[7], (L, F, H), F),
+        },
+        "final_norm": jnp.ones((H,), dtype),
+        "lm_head": w(keys[8], (H, V), H),
+    }
+    if config.tie_embeddings:
+        params["lm_head"] = params["embed"].T
+    return params
+
+
+def param_count(params) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(
+            params, is_leaf=lambda x: isinstance(x, QTensor)):
+        if isinstance(leaf, QTensor):
+            total += leaf.shape[0] * leaf.shape[1]
+        else:
+            total += leaf.size
+    return total
+
+
+def param_bytes(params) -> int:
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(
+            params, is_leaf=lambda x: isinstance(x, QTensor)):
+        if isinstance(leaf, QTensor):
+            total += leaf.nbytes()
+        else:
+            total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
+                   positions: jax.Array, k_cache: jax.Array,
+                   v_cache: jax.Array, start: jax.Array, kv_len: jax.Array
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One decoder block (reference: TransformerLayer::forward,
+    inference_engine.cpp:203-233 — RMSNorm → attn → residual → RMSNorm →
+    SwiGLU FFN → residual).
+
+    x: [B, S, H]; positions: [B, S]; k_cache/v_cache: [B, Tmax, Hkv, D];
+    start: [B] write offset (== cache length before this call);
+    kv_len: [B] valid slots after this call's tokens are written.
+    Returns (x_out, k_cache', v_cache').
+    """
+    B, S, H = x.shape
+    Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
+
+    h = ops.rms_norm(x, lw["attn_norm"], config.rms_norm_eps)
+    q = ops.qmatmul(h, lw["wq"]).reshape(B, S, Hq, D)
+    k = ops.qmatmul(h, lw["wk"]).reshape(B, S, Hkv, D)
+    v = ops.qmatmul(h, lw["wv"]).reshape(B, S, Hkv, D)
+
+    q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode)
+    k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
+
+    # In-place HBM cache write at per-sequence offsets. All sequences in a
+    # prefill share S new slots written at `start` (right-padded batches:
+    # pads are written but masked out of attention by kv_len).
+    def write_one(cache_b, new_b, start_b):
+        return jax.lax.dynamic_update_slice(
+            cache_b, new_b.astype(cache_b.dtype), (start_b, 0, 0))
+    k_cache = jax.vmap(write_one)(k_cache, k, start)
+    v_cache = jax.vmap(write_one)(v_cache, v, start)
+
+    if S == 1:
+        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len)
+        attn = attn[:, None]                                     # [B,1,Hq,D]
+    else:
+        attn = ops.attention_prefill(
+            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+            causal=True, positions=positions, kv_len=kv_len)
+    attn = attn.reshape(B, S, Hq * D)
+    x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"])
+
+    h = ops.rms_norm(x, lw["ffn_norm"], config.rms_norm_eps)
+    gate = ops.qmatmul(h, lw["w_gate"])
+    up = ops.qmatmul(h, lw["w_up"])
+    x = x + ops.qmatmul(ops.swiglu(gate, up).astype(x.dtype), lw["w_down"])
+    return x, k_cache, v_cache
+
+
+def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
+            cache: KVCache, *, positions: Optional[jax.Array] = None,
+            seq_lens: Optional[jax.Array] = None
+            ) -> Tuple[jax.Array, KVCache]:
+    """Forward pass over `tokens` [B, S] appending to `cache`.
+
+    Covers both prefill (S>1, cache.length==0 or chunked) and decode (S==1)
+    — the reference's forward_pass (inference_engine.cpp:1429-1491) and
+    forward_pass_incremental (:1493-1552) collapse into this one function.
+
+    positions: [B, S] absolute positions; default start + arange(S).
+    seq_lens: [B] number of NEW valid tokens per sequence (<= S); default S.
+    Returns (logits [B, S, V] fp32, cache').
+    """
+    B, S = tokens.shape
+    start = cache.length                                         # [B]
+    if positions is None:
+        positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    if seq_lens is None:
+        seq_lens = jnp.full((B,), S, jnp.int32)
+    kv_len = start + seq_lens                                    # [B]
+
+    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+
+    def body(x, layer):
+        lw, kc, vc = layer
+        x, kc, vc = _layer_forward(config, x, lw, positions, kc, vc,
+                                   start, kv_len)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v))
+
+    x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
+    logits = logits.astype(jnp.float32)
+    return logits, KVCache(k=k_new, v=v_new, length=kv_len)
+
+
+def forward_no_cache(params: Dict[str, Any], config: ModelConfig,
+                     tokens: jax.Array,
+                     seq_lens: Optional[jax.Array] = None) -> jax.Array:
+    """Cacheless full-sequence forward (use_cache=False honored — the
+    reference's flag silently does nothing, SURVEY.md quirk #9)."""
+    B, S = tokens.shape
+    cache = init_cache(config, B, max_seq=S)
+    logits, _ = forward(params, config, tokens, cache, seq_lens=seq_lens)
+    return logits

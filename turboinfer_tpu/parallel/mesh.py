@@ -1,0 +1,63 @@
+"""Device mesh construction + multi-host bootstrap.
+
+The reference has NO distributed layer (SURVEY.md §2 rows 15-16 — single
+process, OpenMP only). This module is the TPU-native addition: a named
+`Mesh` over the slice with axes ("data", "tp"), multi-host process init
+via jax.distributed, and helpers to pick a mesh shape from the model.
+Collectives ride ICI within a slice; pjit/XLA inserts them from the
+shardings in turboinfer_tpu/parallel/shardings.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+TP_AXIS = "tp"
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bootstrap (the TPU equivalent of the reference's
+    absent MPI/NCCL layer). No-op on a single host."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_mesh(shape: Optional[Tuple[int, int]] = None,
+              axis_names: Sequence[str] = (DATA_AXIS, TP_AXIS),
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, tp) mesh. Default: all devices on the tp axis
+    (weight sharding dominates for single-model inference)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = (1, n)
+    if shape[0] * shape[1] != n:
+        raise ValueError(f"mesh shape {shape} != device count {n}")
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def pick_mesh_shape(n_devices: int, num_kv_heads: int,
+                    batch_size: int = 1) -> Tuple[int, int]:
+    """Choose (data, tp): tp = largest divisor of n that also divides
+    num_kv_heads (KV cache shards evenly over heads); rest goes to data."""
+    tp = 1
+    for cand in range(min(n_devices, num_kv_heads), 0, -1):
+        if n_devices % cand == 0 and num_kv_heads % cand == 0:
+            tp = cand
+            break
+    return (n_devices // tp, tp)
+
+
+def single_device_mesh() -> Mesh:
+    return make_mesh((1, 1), devices=[jax.devices()[0]])

@@ -1,0 +1,104 @@
+"""PartitionSpecs for params, activations and the KV cache.
+
+The reference has no parallelism (SURVEY.md row 15); this is the
+TPU-native design from SURVEY.md §7.6:
+  - qkv / up / gate projections column-sharded over `tp` (outputs land
+    head-sharded / ffn-sharded, no collective),
+  - o / down projections row-sharded over `tp` (XLA inserts the psum),
+  - lm_head column-sharded (logits vocab-sharded; sampling reductions
+    trigger the gather),
+  - KV cache sharded over kv-heads on `tp` and batch on `data`,
+  - embeddings + norms replicated (cheap, avoids gather on the token
+    gather path).
+
+Weights here are [in, out] (see models/llama.py), so "column-sharded"
+means PartitionSpec(None, "tp") on the last axis, with the leading
+stacked-layer axis unsharded.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from turboinfer_tpu.core.qtensor import QTensor
+from turboinfer_tpu.parallel.mesh import DATA_AXIS, TP_AXIS
+
+
+def param_specs(tp: str = TP_AXIS) -> Dict[str, Any]:
+    """PartitionSpec pytree matching models/llama.init_params structure.
+    Layer weights carry a leading stacked-L axis (unsharded)."""
+    return {
+        "embed": P(None, None),
+        "layers": {
+            "attn_norm": P(None, None),
+            "ffn_norm": P(None, None),
+            "wq": P(None, None, tp),
+            "wk": P(None, None, tp),
+            "wv": P(None, None, tp),
+            "wo": P(None, tp, None),
+            "w_gate": P(None, None, tp),
+            "w_up": P(None, None, tp),
+            "w_down": P(None, tp, None),
+        },
+        "final_norm": P(None),
+        "lm_head": P(None, tp),
+    }
+
+
+def cache_spec(tp: str = TP_AXIS, data: str = DATA_AXIS) -> P:
+    """KV cache [L, B, T, Hkv, D]: batch over data, heads over tp."""
+    return P(None, data, None, tp, None)
+
+
+def token_spec(data: str = DATA_AXIS) -> P:
+    return P(data, None)
+
+
+def _qtensor_spec(spec: P) -> P:
+    """Sharding for a QTensor's leaves given the logical weight spec.
+
+    Logical weight [(...,) K, N]; data/scales share the layout on N. The
+    packed/contraction axis K is sharded the same way as the logical K —
+    group boundaries must divide evenly, validated by the quantizer when
+    sharding is requested.
+    """
+    return spec
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh,
+                 specs: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Place a param pytree on the mesh with NamedShardings. QTensor
+    leaves get their spec applied to data/scales/zero_points with the
+    group axis following K."""
+    specs = specs or param_specs()
+
+    def place(leaf, spec):
+        if isinstance(leaf, QTensor):
+            # data: same rank as logical weight ([(L,) K(/2), N]);
+            # scales/zp: [(L,) G, N] — same spec (K-axis position holds G).
+            ns = NamedSharding(mesh, spec)
+            data = jax.device_put(leaf.data, ns)
+            scales = jax.device_put(leaf.scales, ns)
+            zp = (None if leaf.zero_points is None
+                  else jax.device_put(leaf.zero_points, ns))
+            return QTensor(data=data, scales=scales, zero_points=zp,
+                           bits=leaf.bits, group_size=leaf.group_size,
+                           shape=leaf.shape)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(
+        place, params, specs,
+        is_leaf=lambda x: isinstance(x, QTensor) or x is None)
+
+
+def shard_cache(cache, mesh: Mesh):
+    """Place a KVCache on the mesh."""
+    from turboinfer_tpu.models.llama import KVCache
+    ns = NamedSharding(mesh, cache_spec())
+    len_ns = NamedSharding(mesh, P(DATA_AXIS))
+    return KVCache(k=jax.device_put(cache.k, ns),
+                   v=jax.device_put(cache.v, ns),
+                   length=jax.device_put(cache.length, len_ns))
