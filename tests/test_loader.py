@@ -1,0 +1,384 @@
+"""Loader tests: GGUF round-trip, dequant correctness, SafeTensors,
+TINQ persistence, name mapping, honest format errors.
+
+Reference test counterparts: test_model_loader.cpp (format detect /
+validate), test_quantization_persistence.cpp (TINQ round-trip with
+metadata/shape/dtype assertions).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import turboinfer_tpu as ti
+from turboinfer_tpu.config import QuantizationConfig, QuantType
+from turboinfer_tpu.loader import (gguf, loader, mapping, safetensors,
+                                   synthetic, tinq)
+from turboinfer_tpu.models import llama
+
+
+# ---------------------------------------------------------------------------
+# GGUF container
+# ---------------------------------------------------------------------------
+
+def test_gguf_metadata_roundtrip(tmp_path):
+    path = str(tmp_path / "m.gguf")
+    md = {
+        "general.architecture": "llama",
+        "general.name": "unit-test",
+        "llama.embedding_length": 128,
+        "llama.block_count": 2,
+        "llama.rope.freq_base": 10000.0,
+        "some.flag": True,
+        "tokenizer.ggml.tokens": ["<unk>", "<s>", "</s>", "he", "llo"],
+        "tokenizer.ggml.scores": [0.0, 0.0, 0.0, -1.0, -2.0],
+        "ids.array": [1, 2, 3, 4],
+    }
+    tensors = {
+        "token_embd.weight": np.random.randn(5, 8).astype(np.float32),
+        "output_norm.weight": np.ones(8, np.float32),
+        "half.weight": np.random.randn(4, 8).astype(np.float16),
+    }
+    gguf.write_gguf(path, md, tensors)
+    with gguf.read_gguf(path) as gf:
+        assert gf.metadata["general.architecture"] == "llama"
+        assert gf.metadata["llama.embedding_length"] == 128
+        assert gf.metadata["some.flag"] is True
+        # arrays parsed for real (reference skips them)
+        assert gf.metadata["tokenizer.ggml.tokens"][3] == "he"
+        assert gf.metadata["ids.array"] == [1, 2, 3, 4]
+        assert pytest.approx(gf.metadata["tokenizer.ggml.scores"][4]) == -2.0
+        np.testing.assert_allclose(
+            gf.tensor("token_embd.weight"), tensors["token_embd.weight"],
+            rtol=0, atol=0)
+        np.testing.assert_allclose(
+            gf.tensor("half.weight"),
+            tensors["half.weight"].astype(np.float32))
+
+
+def test_gguf_bad_magic(tmp_path):
+    path = str(tmp_path / "bad.gguf")
+    with open(path, "wb") as f:
+        f.write(b"NOPE" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="magic"):
+        gguf.read_gguf(path)
+
+
+# ---------------------------------------------------------------------------
+# GGML block dequantization vs naive per-element spec implementation
+# ---------------------------------------------------------------------------
+
+def _f16b(x):
+    return np.float16(x).tobytes()
+
+
+def test_dequant_q4_0_manual():
+    # one block: d=0.5, nibbles 0..15 then 0..15 -> (q-8)*d
+    d = 0.5
+    qs = bytes((i | (i << 4)) for i in range(16))
+    raw = np.frombuffer(_f16b(d) + qs, np.uint8)
+    out = gguf.dequantize_ggml(raw, gguf.GGML_Q4_0, 32)
+    lo = [(i - 8) * d for i in range(16)]
+    hi = [(i - 8) * d for i in range(16)]
+    np.testing.assert_allclose(out, np.array(lo + hi, np.float32), atol=1e-3)
+
+
+def test_dequant_q8_0_manual():
+    d = 0.25
+    q = np.arange(-16, 16, dtype=np.int8)
+    raw = np.frombuffer(_f16b(d) + q.tobytes(), np.uint8)
+    out = gguf.dequantize_ggml(raw, gguf.GGML_Q8_0, 32)
+    np.testing.assert_allclose(out, q.astype(np.float32) * d, atol=1e-3)
+
+
+def _naive_unpack_kscales(sb):
+    sc, mn = np.zeros(8), np.zeros(8)
+    for j in range(4):
+        sc[j] = sb[j] & 63
+        mn[j] = sb[j + 4] & 63
+    for j in range(4, 8):
+        sc[j] = (sb[j + 4] & 0x0F) | ((sb[j - 4] >> 6) << 4)
+        mn[j] = (sb[j + 4] >> 4) | ((sb[j] >> 6) << 4)
+    return sc, mn
+
+
+def test_dequant_q4_k_vs_naive():
+    rng = np.random.RandomState(0)
+    nb = 3
+    blocks = rng.randint(0, 256, size=(nb, 144), dtype=np.uint8)
+    # plant valid f16 d / dmin
+    for i in range(nb):
+        blocks[i, 0:2] = np.frombuffer(_f16b(0.01 * (i + 1)), np.uint8)
+        blocks[i, 2:4] = np.frombuffer(_f16b(0.02 * (i + 1)), np.uint8)
+    out = gguf.dequantize_ggml(blocks.reshape(-1), gguf.GGML_Q4_K, nb * 256)
+
+    expected = np.zeros(nb * 256, np.float32)
+    for i in range(nb):
+        d = np.frombuffer(blocks[i, 0:2].tobytes(), np.float16)[0]
+        dmin = np.frombuffer(blocks[i, 2:4].tobytes(), np.float16)[0]
+        sc, mn = _naive_unpack_kscales(blocks[i, 4:16])
+        qs = blocks[i, 16:144]
+        y = i * 256
+        for j in range(0, 256, 64):
+            isub = 2 * (j // 64)
+            d1, m1 = float(d) * sc[isub], float(dmin) * mn[isub]
+            d2, m2 = float(d) * sc[isub + 1], float(dmin) * mn[isub + 1]
+            q = qs[32 * (j // 64): 32 * (j // 64) + 32]
+            for l in range(32):
+                expected[y + j + l] = d1 * (q[l] & 0xF) - m1
+            for l in range(32):
+                expected[y + j + 32 + l] = d2 * (q[l] >> 4) - m2
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_dequant_q6_k_vs_naive():
+    rng = np.random.RandomState(1)
+    nb = 2
+    blocks = rng.randint(0, 256, size=(nb, 210), dtype=np.uint8)
+    for i in range(nb):
+        blocks[i, 208:210] = np.frombuffer(_f16b(0.03), np.uint8)
+    out = gguf.dequantize_ggml(blocks.reshape(-1), gguf.GGML_Q6_K, nb * 256)
+
+    expected = np.zeros(nb * 256, np.float32)
+    for i in range(nb):
+        d = float(np.frombuffer(blocks[i, 208:210].tobytes(), np.float16)[0])
+        ql = blocks[i, 0:128]
+        qh = blocks[i, 128:192]
+        sc = blocks[i, 192:208].view(np.int8)
+        y = i * 256
+        for half in range(2):
+            qlh = ql[64 * half: 64 * half + 64]
+            qhh = qh[32 * half: 32 * half + 32]
+            sch = sc[8 * half: 8 * half + 8]
+            base = y + 128 * half
+            for l in range(32):
+                iss = l // 16
+                lo, lo32 = int(qlh[l]), int(qlh[l + 32])
+                h = int(qhh[l])
+                q1 = ((lo & 0xF) | (((h >> 0) & 3) << 4)) - 32
+                q2 = ((lo32 & 0xF) | (((h >> 2) & 3) << 4)) - 32
+                q3 = ((lo >> 4) | (((h >> 4) & 3) << 4)) - 32
+                q4 = ((lo32 >> 4) | (((h >> 6) & 3) << 4)) - 32
+                expected[base + l] = d * sch[iss] * q1
+                expected[base + 32 + l] = d * sch[iss + 2] * q2
+                expected[base + 64 + l] = d * sch[iss + 4] * q3
+                expected[base + 96 + l] = d * sch[iss + 6] * q4
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_dequant_q5_0_manual():
+    d = 0.125
+    qs = bytes((i | ((31 - i) << 4)) & 0xFF for i in range(16))
+    qh = 0
+    for idx in range(32):
+        if idx % 3 == 0:
+            qh |= 1 << idx
+    raw = np.frombuffer(_f16b(d) + qh.to_bytes(4, "little") + qs, np.uint8)
+    out = gguf.dequantize_ggml(raw, gguf.GGML_Q5_0, 32)
+    expected = np.zeros(32, np.float32)
+    for idx in range(32):
+        if idx < 16:
+            low = idx
+        else:
+            low = (31 - (idx - 16)) & 0xF
+        h = (qh >> idx) & 1
+        expected[idx] = ((low | (h << 4)) - 16) * d
+    np.testing.assert_allclose(out, expected, atol=1e-3)
+
+
+def test_unsupported_ggml_type_raises():
+    with pytest.raises(ValueError, match="unsupported"):
+        gguf.dequantize_ggml(np.zeros(100, np.uint8), gguf.GGML_Q2_K, 256)
+
+
+# ---------------------------------------------------------------------------
+# SafeTensors
+# ---------------------------------------------------------------------------
+
+def test_safetensors_roundtrip(tmp_path):
+    path = str(tmp_path / "m.safetensors")
+    tensors = {
+        "a": np.random.randn(4, 6).astype(np.float32),
+        "b": np.random.randn(3).astype(np.float16),
+        "c": np.arange(10, dtype=np.int8),
+    }
+    safetensors.write_safetensors(path, tensors, metadata={"who": "test"})
+    with safetensors.read_safetensors(path) as sf:
+        assert set(sf.keys()) == {"a", "b", "c"}
+        assert sf.metadata["who"] == "test"
+        np.testing.assert_array_equal(sf.tensor("a"), tensors["a"])
+        np.testing.assert_array_equal(sf.tensor("b"), tensors["b"])
+        np.testing.assert_array_equal(sf.tensor("c"), tensors["c"])
+
+
+def test_safetensors_size_validation(tmp_path):
+    import json
+    import struct
+    path = str(tmp_path / "bad.safetensors")
+    header = {"x": {"dtype": "F32", "shape": [4], "data_offsets": [0, 8]}}
+    h = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(h)) + h + b"\x00" * 8)
+    with pytest.raises(ValueError, match="expected"):
+        safetensors.read_safetensors(path)
+
+
+# ---------------------------------------------------------------------------
+# Name mapping + end-to-end GGUF model load
+# ---------------------------------------------------------------------------
+
+def _export_tiny_gguf(tmp_path, tiny_params, tiny_cfg, names="gguf"):
+    """Write tiny_params as a GGUF file under the given name convention."""
+    t = {}
+    p = tiny_params
+    layers = p["layers"]
+
+    def np32(x):
+        return np.asarray(x, np.float32)
+
+    if names == "gguf":
+        t["token_embd.weight"] = np32(p["embed"])
+        t["output_norm.weight"] = np32(p["final_norm"])
+        t["output.weight"] = np32(p["lm_head"]).T  # file layout [out, in]
+        fmt = dict(attn_norm="blk.{i}.attn_norm.weight",
+                   ffn_norm="blk.{i}.ffn_norm.weight",
+                   wq="blk.{i}.attn_q.weight", wk="blk.{i}.attn_k.weight",
+                   wv="blk.{i}.attn_v.weight",
+                   wo="blk.{i}.attn_output.weight",
+                   w_gate="blk.{i}.ffn_gate.weight",
+                   w_up="blk.{i}.ffn_up.weight",
+                   w_down="blk.{i}.ffn_down.weight")
+    else:  # HF convention
+        t["model.embed_tokens.weight"] = np32(p["embed"])
+        t["model.norm.weight"] = np32(p["final_norm"])
+        t["lm_head.weight"] = np32(p["lm_head"]).T
+        fmt = dict(attn_norm="model.layers.{i}.input_layernorm.weight",
+                   ffn_norm="model.layers.{i}.post_attention_layernorm.weight",
+                   wq="model.layers.{i}.self_attn.q_proj.weight",
+                   wk="model.layers.{i}.self_attn.k_proj.weight",
+                   wv="model.layers.{i}.self_attn.v_proj.weight",
+                   wo="model.layers.{i}.self_attn.o_proj.weight",
+                   w_gate="model.layers.{i}.mlp.gate_proj.weight",
+                   w_up="model.layers.{i}.mlp.up_proj.weight",
+                   w_down="model.layers.{i}.mlp.down_proj.weight")
+    norm_slots = {"attn_norm", "ffn_norm"}
+    for i in range(tiny_cfg.num_layers):
+        for slot, tmpl in fmt.items():
+            arr = np32(layers[slot][i])
+            if slot not in norm_slots:
+                arr = arr.T              # runtime [in,out] -> file [out,in]
+            t[tmpl.format(i=i)] = arr
+
+    md = {
+        "general.architecture": "llama",
+        "general.name": "tiny-export",
+        "llama.embedding_length": tiny_cfg.hidden_size,
+        "llama.block_count": tiny_cfg.num_layers,
+        "llama.attention.head_count": tiny_cfg.num_heads,
+        "llama.attention.head_count_kv": tiny_cfg.kv_heads,
+        "llama.feed_forward_length": tiny_cfg.ffn_dim,
+        "llama.rope.freq_base": tiny_cfg.rope_theta,
+        "llama.attention.layer_norm_rms_epsilon": tiny_cfg.rms_norm_eps,
+        "llama.context_length": tiny_cfg.max_seq_len,
+    }
+    path = str(tmp_path / f"tiny_{names}.gguf")
+    gguf.write_gguf(path, md, t)
+    return path
+
+
+@pytest.mark.parametrize("convention", ["gguf", "hf"])
+def test_gguf_end_to_end(tmp_path, tiny_params, tiny_cfg, convention):
+    path = _export_tiny_gguf(tmp_path, tiny_params, tiny_cfg, convention)
+    data = loader.load_model_data(path, dtype=jnp.float32)
+    assert data.config.hidden_size == tiny_cfg.hidden_size
+    assert data.config.num_layers == tiny_cfg.num_layers
+    assert data.config.num_heads == tiny_cfg.num_heads
+
+    # Loaded weights reproduce the original logits exactly (fp32).
+    tokens = jnp.asarray([[1, 5, 42, 7]], jnp.int32)
+    ref_cfg = tiny_cfg
+    want = llama.forward_no_cache(tiny_params, ref_cfg, tokens)
+    got = llama.forward_no_cache(data.params, data.config.replace(
+        dtype=jnp.float32, rope_mode=ref_cfg.rope_mode), tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pytorch_honest_error(tmp_path):
+    path = str(tmp_path / "model.pt")
+    with open(path, "wb") as f:
+        f.write(b"PK\x03\x04" + b"\x00" * 100)
+    with pytest.raises(ValueError, match="not supported"):
+        loader.load_model_data(path)
+
+
+def test_detect_format():
+    assert loader.detect_format("x.gguf") == "gguf"
+    assert loader.detect_format("x.safetensors") == "safetensors"
+    assert loader.detect_format("x.tinq") == "tinq"
+    assert loader.detect_format("x.pt") == "pytorch"
+    assert loader.detect_format("x.onnx") == "onnx"
+    assert loader.detect_format("x.xyz") == "unknown"
+
+
+# ---------------------------------------------------------------------------
+# TINQ persistence round-trip (reference: test_quantization_persistence.cpp)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("qtype", [QuantType.INT8, QuantType.INT4])
+def test_tinq_roundtrip(tmp_path, tiny_params, tiny_cfg, qtype):
+    from turboinfer_tpu.quant.quantizer import quantize_params
+    qcfg = QuantizationConfig(type=qtype, group_size=32)
+    qparams = quantize_params(tiny_params, qcfg)
+    path = str(tmp_path / "model.tinq")
+    tinq.save(path, qparams, tiny_cfg, qcfg, {"creator": "unit-test"})
+
+    params2, cfg2, qcfg2, meta = tinq.load(path)
+    assert cfg2.hidden_size == tiny_cfg.hidden_size
+    assert cfg2.num_layers == tiny_cfg.num_layers
+    assert qcfg2.type == qtype
+    assert qcfg2.group_size == 32
+    assert meta["creator"] == "unit-test"
+
+    # identical logits from saved vs in-memory quantized params
+    tokens = jnp.asarray([[1, 5, 42, 7, 99]], jnp.int32)
+    want = llama.forward_no_cache(qparams, tiny_cfg, tokens)
+    got = llama.forward_no_cache(params2, tiny_cfg, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tinq_bad_magic(tmp_path):
+    path = str(tmp_path / "bad.tinq")
+    with open(path, "wb") as f:
+        f.write(b"XXXX" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="magic"):
+        tinq.load(path)
+
+
+def test_quantize_model_file(tmp_path, tiny_params, tiny_cfg):
+    """One-shot pipeline (reference: quantize_model_file,
+    quantization.cpp:651-658): gguf -> quantize -> tinq -> engine."""
+    from turboinfer_tpu.quant.quantizer import quantize_model_file
+    src = _export_tiny_gguf(tmp_path, tiny_params, tiny_cfg, "gguf")
+    dst = str(tmp_path / "tiny-int8.tinq")
+    quantize_model_file(src, dst, QuantizationConfig(
+        type=QuantType.INT8, group_size=32))
+    eng = ti.load_model(dst)
+    res = eng.generate([1, 5, 42], max_new_tokens=8, temperature=0.0)
+    assert len(res.tokens) > 3
+
+
+# ---------------------------------------------------------------------------
+# Synthetic factory
+# ---------------------------------------------------------------------------
+
+def test_synthetic_model_generates():
+    data = synthetic.create_synthetic_model(dtype=jnp.float32)
+    assert data.source_format == "synthetic"
+    eng = ti.InferenceEngine(data.params, data.config,
+                             tokenizer=data.tokenizer)
+    res = eng.generate(data.tokenizer.encode("hello"), max_new_tokens=4)
+    assert len(res.tokens) >= 4
+    assert "synthetic" in data.summary()

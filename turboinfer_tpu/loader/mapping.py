@@ -1,0 +1,237 @@
+"""Weight-name conventions and metadata → ModelConfig mapping.
+
+Reference counterpart: the multi-convention weight resolution in
+InferenceEngineImpl::initialize_model (reference:
+src/model/inference_engine.cpp:479-564) and the GGUF llama.*/gpt2.* key
+mapping (src/model/model_loader.cpp:752-771). This module reproduces all
+three reference naming conventions plus the GGUF-native and HF-native
+layouts, and assembles the stacked-layer param pytree that
+models/llama.py expects (weights transposed to [in, out] on load).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from turboinfer_tpu.config import ModelConfig, RopeMode
+
+# Name templates per logical slot. {i} = layer index. Order = priority.
+# Conventions covered: GGUF-native (blk.*), HF (model.layers.*), and the
+# reference's two fallbacks (layers.N.attention.*, layers.N.self_attn.* —
+# inference_engine.cpp:510-564).
+SLOT_TEMPLATES: Dict[str, List[str]] = {
+    "embed": [
+        "token_embd.weight",                      # GGUF
+        "model.embed_tokens.weight",              # HF
+        "embed_tokens.weight",                    # reference convention
+        "token_embeddings.weight",                # reference convention
+        "tok_embeddings.weight",                  # llama original
+        "transformer.wte.weight",                 # GPT-2
+    ],
+    "attn_norm": [
+        "blk.{i}.attn_norm.weight",
+        "model.layers.{i}.input_layernorm.weight",
+        "layers.{i}.input_layernorm.weight",
+        "layers.{i}.attention_norm.weight",
+        "transformer.h.{i}.ln_1.weight",
+    ],
+    "wq": [
+        "blk.{i}.attn_q.weight",
+        "model.layers.{i}.self_attn.q_proj.weight",
+        "layers.{i}.self_attn.q_proj.weight",
+        "layers.{i}.attention.q_proj.weight",
+        "layers.{i}.attention.wq.weight",
+    ],
+    "wk": [
+        "blk.{i}.attn_k.weight",
+        "model.layers.{i}.self_attn.k_proj.weight",
+        "layers.{i}.self_attn.k_proj.weight",
+        "layers.{i}.attention.k_proj.weight",
+        "layers.{i}.attention.wk.weight",
+    ],
+    "wv": [
+        "blk.{i}.attn_v.weight",
+        "model.layers.{i}.self_attn.v_proj.weight",
+        "layers.{i}.self_attn.v_proj.weight",
+        "layers.{i}.attention.v_proj.weight",
+        "layers.{i}.attention.wv.weight",
+    ],
+    "wo": [
+        "blk.{i}.attn_output.weight",
+        "model.layers.{i}.self_attn.o_proj.weight",
+        "layers.{i}.self_attn.o_proj.weight",
+        "layers.{i}.attention.o_proj.weight",
+        "layers.{i}.attention.wo.weight",
+    ],
+    "ffn_norm": [
+        "blk.{i}.ffn_norm.weight",
+        "model.layers.{i}.post_attention_layernorm.weight",
+        "layers.{i}.post_attention_layernorm.weight",
+        "layers.{i}.ffn_norm.weight",
+        "transformer.h.{i}.ln_2.weight",
+    ],
+    "w_gate": [
+        "blk.{i}.ffn_gate.weight",
+        "model.layers.{i}.mlp.gate_proj.weight",
+        "layers.{i}.mlp.gate_proj.weight",
+        "layers.{i}.feed_forward.w1.weight",
+    ],
+    "w_up": [
+        "blk.{i}.ffn_up.weight",
+        "model.layers.{i}.mlp.up_proj.weight",
+        "layers.{i}.mlp.up_proj.weight",
+        "layers.{i}.feed_forward.w3.weight",
+    ],
+    "w_down": [
+        "blk.{i}.ffn_down.weight",
+        "model.layers.{i}.mlp.down_proj.weight",
+        "layers.{i}.mlp.down_proj.weight",
+        "layers.{i}.feed_forward.w2.weight",
+    ],
+    "final_norm": [
+        "output_norm.weight",
+        "model.norm.weight",
+        "norm.weight",
+        "transformer.ln_f.weight",
+    ],
+    "lm_head": [
+        "output.weight",
+        "lm_head.weight",
+    ],
+}
+
+# Slots whose file layout is [out, in] and must be transposed to [in, out].
+_TRANSPOSED = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head"}
+_PER_LAYER = {"attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
+              "w_gate", "w_up", "w_down"}
+
+
+def resolve_name(names: Sequence[str], slot: str, layer: Optional[int] = None
+                 ) -> Optional[str]:
+    """First matching concrete name for a slot (reference behavior:
+    try conventions in order, inference_engine.cpp:483-564)."""
+    nameset = set(names)
+    for tmpl in SLOT_TEMPLATES[slot]:
+        cand = tmpl.format(i=layer) if "{i}" in tmpl else tmpl
+        if cand in nameset:
+            return cand
+    return None
+
+
+def assemble_params(get: Callable[[str], np.ndarray], names: Sequence[str],
+                    config: ModelConfig, dtype=None) -> Dict[str, Any]:
+    """Build the stacked-layer param pytree from a name→array getter.
+
+    `get(name)` returns a host numpy array in file layout ([out, in] for
+    matmul weights). Missing lm_head falls back to tied embeddings.
+    """
+    dtype = dtype or config.dtype
+    L = config.num_layers
+
+    def fetch(slot: str, layer: Optional[int] = None,
+              required: bool = True) -> Optional[np.ndarray]:
+        name = resolve_name(names, slot, layer)
+        if name is None:
+            if required:
+                where = f" (layer {layer})" if layer is not None else ""
+                raise KeyError(
+                    f"no tensor found for slot '{slot}'{where}; tried "
+                    f"{[t.format(i=layer) for t in SLOT_TEMPLATES[slot]]}")
+            return None
+        arr = get(name)
+        if slot in _TRANSPOSED:
+            arr = arr.T
+        return arr
+
+    def stack(slot: str) -> jnp.ndarray:
+        rows = [fetch(slot, i) for i in range(L)]
+        return jnp.asarray(np.stack(rows), dtype=dtype)
+
+    embed = jnp.asarray(fetch("embed"), dtype=dtype)
+    params: Dict[str, Any] = {
+        "embed": embed,
+        "layers": {slot: stack(slot) for slot in sorted(_PER_LAYER)},
+        "final_norm": jnp.asarray(fetch("final_norm"), dtype=dtype),
+    }
+    head = fetch("lm_head", required=False)
+    params["lm_head"] = (embed.T if head is None
+                         else jnp.asarray(head, dtype=dtype))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# GGUF metadata -> ModelConfig (reference: model_loader.cpp:752-771)
+# ---------------------------------------------------------------------------
+
+def config_from_gguf_metadata(md: Dict[str, Any],
+                              vocab_size_hint: Optional[int] = None,
+                              dtype=jnp.bfloat16) -> ModelConfig:
+    arch = str(md.get("general.architecture", "llama"))
+    p = arch  # GGUF prefixes per-arch keys with the architecture name
+
+    def geti(key: str, default: int) -> int:
+        return int(md.get(f"{p}.{key}", default))
+
+    def getf(key: str, default: float) -> float:
+        return float(md.get(f"{p}.{key}", default))
+
+    hidden = geti("embedding_length", 4096)
+    heads = geti("attention.head_count", max(hidden // 128, 1))
+    kv_heads = geti("attention.head_count_kv", heads)
+    vocab = vocab_size_hint or len(md.get("tokenizer.ggml.tokens", [])) or 32000
+
+    extra = tuple(sorted(
+        (k, str(v)) for k, v in md.items()
+        if isinstance(v, (str, int, float, bool)) and not k.startswith("tokenizer.")))
+
+    return ModelConfig(
+        vocab_size=int(vocab),
+        hidden_size=hidden,
+        num_layers=geti("block_count", 32),
+        num_heads=heads,
+        num_kv_heads=kv_heads,
+        intermediate_size=geti("feed_forward_length", 0) or None,
+        rope_theta=getf("rope.freq_base", 10000.0),
+        # GGUF/llama.cpp store q/k permuted for the interleaved convention.
+        rope_mode=RopeMode.INTERLEAVED,
+        rms_norm_eps=getf("attention.layer_norm_rms_epsilon", 1e-5),
+        max_seq_len=geti("context_length", 2048),
+        name=str(md.get("general.name", arch)),
+        architecture=arch,
+        dtype=dtype,
+        extra=extra,
+    )
+
+
+def config_to_dict(config: ModelConfig) -> Dict[str, Any]:
+    """JSON-safe serialization (tinq persistence)."""
+    d = {
+        "vocab_size": config.vocab_size,
+        "hidden_size": config.hidden_size,
+        "num_layers": config.num_layers,
+        "num_heads": config.num_heads,
+        "num_kv_heads": config.num_kv_heads,
+        "intermediate_size": config.intermediate_size,
+        "head_dim": config.head_dim,
+        "rope_theta": config.rope_theta,
+        "rope_mode": config.rope_mode.value,
+        "rms_norm_eps": config.rms_norm_eps,
+        "max_seq_len": config.max_seq_len,
+        "tie_embeddings": config.tie_embeddings,
+        "name": config.name,
+        "architecture": config.architecture,
+        "dtype": jnp.dtype(config.dtype).name,
+        "extra": list(list(kv) for kv in config.extra),
+    }
+    return d
+
+
+def config_from_dict(d: Dict[str, Any]) -> ModelConfig:
+    d = dict(d)
+    d["rope_mode"] = RopeMode(d.get("rope_mode", "half"))
+    d["dtype"] = jnp.dtype(d.get("dtype", "bfloat16"))
+    d["extra"] = tuple((k, v) for k, v in d.get("extra", []))
+    return ModelConfig(**d)

@@ -1,0 +1,45 @@
+"""Explicit synthetic-model factory.
+
+Reference counterpart: create_pytorch_realistic_model /
+create_pytorch_mock_model (reference: src/model/model_loader.cpp
+:1160-1416) and the benchmark fixture create_test_model
+(benchmarks/benchmark_inference.cpp:145-225). Unlike the reference —
+which silently fabricates weights when handed a .pt/.onnx file — this
+factory is the ONLY way to get synthetic weights, and it says so.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from turboinfer_tpu.config import ModelConfig
+from turboinfer_tpu.loader.loader import ModelData
+from turboinfer_tpu.models import llama
+from turboinfer_tpu.tokenizer.bpe import BuiltinTokenizer
+
+
+def create_synthetic_model(vocab_size: int = 1000, hidden_size: int = 128,
+                           num_layers: int = 2, num_heads: int = 4,
+                           intermediate_size: Optional[int] = None,
+                           max_seq_len: int = 2048, seed: int = 0,
+                           dtype=jnp.bfloat16,
+                           name: str = "synthetic") -> ModelData:
+    """Build an in-memory random-weight LLaMA-class model.
+
+    Default sizes mirror the reference's canonical test fixture
+    (tests/test_kv_cache_incremental.cpp:18-118: vocab 1000, hidden 128,
+    2 layers, 4 heads).
+    """
+    config = ModelConfig(
+        vocab_size=vocab_size, hidden_size=hidden_size,
+        num_layers=num_layers, num_heads=num_heads, num_kv_heads=num_heads,
+        intermediate_size=intermediate_size or 4 * hidden_size,
+        max_seq_len=max_seq_len, dtype=dtype, name=name,
+        architecture="llama")
+    params = llama.init_params(jax.random.PRNGKey(seed), config)
+    return ModelData(params=params, config=config,
+                     tokenizer=BuiltinTokenizer(vocab_size=vocab_size),
+                     source_format="synthetic")
