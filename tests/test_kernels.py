@@ -1,0 +1,98 @@
+"""Pallas kernel tests — interpret mode on CPU vs jnp golden models.
+
+SURVEY.md §7.2: every kernel ships a pure-jnp reference and allclose
+tests runnable without TPU hardware.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from turboinfer_tpu.config import QuantType
+from turboinfer_tpu.core.qtensor import quantize
+from turboinfer_tpu.kernels import ops
+
+
+RNG = np.random.RandomState(42)
+
+
+def _rand(*shape):
+    return jnp.asarray(RNG.randn(*shape).astype(np.float32))
+
+
+class TestQmmKernel:
+    @pytest.mark.parametrize("qtype,bits", [(QuantType.INT8, 8),
+                                            (QuantType.INT4, 4)])
+    @pytest.mark.parametrize("M,K,N", [(1, 256, 512), (4, 256, 512),
+                                       (16, 512, 1024), (3, 512, 384),
+                                       (9, 1024, 256)])
+    def test_matches_reference(self, qtype, bits, M, K, N):
+        from turboinfer_tpu.kernels.pallas import qmm
+        w = _rand(K, N)
+        x = _rand(M, K)
+        qt = quantize(w, qtype, group_size=64)
+        want = ops.qmatmul_ref(x, qt)
+        got = qmm.qmatmul_pallas(x, qt, interpret=True)
+        assert got is not None, "kernel should be eligible for this shape"
+        rel = float(jnp.max(jnp.abs(got - want))
+                    / (jnp.max(jnp.abs(want)) + 1e-9))
+        assert rel < 2e-2, f"rel err {rel}"
+
+    def test_batched_leading_dims(self):
+        from turboinfer_tpu.kernels.pallas import qmm
+        w = _rand(256, 512)
+        x = _rand(2, 3, 256)
+        qt = quantize(w, QuantType.INT8, group_size=64)
+        got = qmm.qmatmul_pallas(x, qt, interpret=True)
+        want = ops.qmatmul_ref(x, qt)
+        assert got.shape == (2, 3, 512)
+        rel = float(jnp.max(jnp.abs(got - want))
+                    / (jnp.max(jnp.abs(want)) + 1e-9))
+        assert rel < 2e-2
+
+    def test_asymmetric_falls_back(self):
+        from turboinfer_tpu.kernels.pallas import qmm
+        w = _rand(256, 512)
+        qt = quantize(w, QuantType.INT8, group_size=64, symmetric=False)
+        assert qmm.qmatmul_pallas(_rand(4, 256), qt, interpret=True) is None
+
+    def test_unaligned_n_falls_back(self):
+        from turboinfer_tpu.kernels.pallas import qmm
+        w = _rand(256, 130)
+        qt = quantize(w, QuantType.INT8, group_size=64)
+        assert qmm.qmatmul_pallas(_rand(4, 256), qt, interpret=True) is None
+
+
+class TestAttentionKernels:
+    def test_decode_matches_reference(self):
+        from turboinfer_tpu.kernels.pallas import decode_attention
+        B, Hq, Hkv, D, T = 2, 8, 4, 64, 256
+        q = _rand(B, Hq, D)
+        k = _rand(B, Hkv, T, D)
+        v = _rand(B, Hkv, T, D)
+        kv_len = jnp.asarray([100, 256], jnp.int32)
+        got = decode_attention.decode_pallas(q, k, v, kv_len, interpret=True)
+        if got is None:
+            pytest.skip("decode kernel not yet eligible")
+        want = ops.attention_decode_ref(q, k, v, kv_len)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_prefill_matches_reference(self):
+        from turboinfer_tpu.kernels.pallas import flash_attention
+        B, S, Hq, Hkv, D, T = 2, 128, 4, 4, 64, 256
+        q = _rand(B, S, Hq, D)
+        k = _rand(B, Hkv, T, D)
+        v = _rand(B, Hkv, T, D)
+        positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+        kv_len = jnp.asarray([S, S], jnp.int32)
+        got = flash_attention.prefill_pallas(
+            q, k, v, causal=True, positions=positions, kv_len=kv_len,
+            q_start=positions[:, 0], interpret=True)
+        if got is None:
+            pytest.skip("prefill kernel not yet eligible")
+        want = ops.attention_prefill_ref(q, k, v, causal=True,
+                                         positions=positions, kv_len=kv_len)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)

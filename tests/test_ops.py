@@ -145,7 +145,8 @@ def test_attention_prefill_matches_numpy():
     k = rng.randn(B, S, H, D).astype(np.float32)
     v = rng.randn(B, S, H, D).astype(np.float32)
     got = np.asarray(ops.attention_prefill_ref(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True))
+        jnp.asarray(q), jnp.asarray(k.transpose(0, 2, 1, 3)),
+        jnp.asarray(v.transpose(0, 2, 1, 3)), causal=True))
     ref = _np_attention(q, k, v, causal=True)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
@@ -166,7 +167,8 @@ def test_attention_decode_matches_prefill_last_row():
 
     full = _np_attention(q, k[:, :T], v[:, :T], causal=False)[:, 0]
     got = np.asarray(ops.attention_decode_ref(
-        jnp.asarray(q[:, 0]), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(q[:, 0]), jnp.asarray(k.transpose(0, 2, 1, 3)),
+        jnp.asarray(v.transpose(0, 2, 1, 3)),
         jnp.full((B,), T, jnp.int32)))
     np.testing.assert_allclose(got, full, rtol=1e-4, atol=1e-5)
 
@@ -178,7 +180,8 @@ def test_attention_gqa_repeats_heads():
     k = rng.randn(B, S, Hkv, D).astype(np.float32)
     v = rng.randn(B, S, Hkv, D).astype(np.float32)
     got = np.asarray(ops.attention_prefill_ref(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+        jnp.asarray(q), jnp.asarray(k.transpose(0, 2, 1, 3)),
+        jnp.asarray(v.transpose(0, 2, 1, 3))))
     krep = np.repeat(k, Hq // Hkv, axis=2)
     vrep = np.repeat(v, Hq // Hkv, axis=2)
     ref = _np_attention(q, krep, vrep)
@@ -196,7 +199,8 @@ def test_attention_kv_len_masks_padding():
     k2[:, 2:] = 1e3
     v2[:, 2:] = 1e3
     got = np.asarray(ops.attention_prefill_ref(
-        jnp.asarray(q), jnp.asarray(k2), jnp.asarray(v2),
+        jnp.asarray(q), jnp.asarray(k2.transpose(0, 2, 1, 3)),
+        jnp.asarray(v2.transpose(0, 2, 1, 3)),
         kv_len=jnp.asarray([2], jnp.int32)))
     ref = _np_attention(q[:, :2], k[:, :2], v[:, :2])
     np.testing.assert_allclose(got[:, :2], ref, rtol=1e-4, atol=1e-5)

@@ -16,12 +16,13 @@ from turboinfer_tpu.core.qtensor import (QTensor, dequantize,
                                          quantize, unpack_int4)
 
 
-def test_int4_pack_roundtrip():
+@pytest.mark.parametrize("group_size", [16, 32, 64])
+def test_int4_pack_roundtrip(group_size):
     q = jnp.array(np.random.randint(-8, 8, size=(64, 16)), jnp.int8)
-    packed = pack_int4(q)
+    packed = pack_int4(q, group_size)
     assert packed.shape == (32, 16)
     assert packed.dtype == jnp.uint8
-    out = unpack_int4(packed)
+    out = unpack_int4(packed, group_size)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(q))
 
 

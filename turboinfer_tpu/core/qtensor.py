@@ -35,28 +35,41 @@ import numpy as np
 from turboinfer_tpu.config import QuantType
 
 
-def pack_int4(q: jax.Array) -> jax.Array:
-    """Pack int values in [-8, 7] two per byte along axis 0.
+def pack_int4(q: jax.Array, group_size: int) -> jax.Array:
+    """Pack int values in [-8, 7] two per byte along axis 0,
+    planar-within-group.
 
-    q: [K, ...] int8/int32 -> [K//2, ...] uint8 where row r holds
-    k=2r in the low nibble and k=2r+1 in the high nibble (offset by +8
-    so nibbles are unsigned).
+    q: [K, ...] with K % group_size == 0 and group_size even. Within each
+    scale group of g rows, the first g/2 logical rows land in the LOW
+    nibbles of the group's g/2 bytes and the last g/2 rows in the HIGH
+    nibbles (offset by +8 so nibbles are unsigned). This layout lets the
+    Pallas qmm kernel dequantize with two contiguous half-dots — no
+    sublane interleave shuffles on the weight side.
     """
-    if q.shape[0] % 2 != 0:
-        raise ValueError(f"int4 pack needs even leading dim, got {q.shape}")
-    u = (q.astype(jnp.int32) + 8).astype(jnp.uint8)  # [0, 15]
-    lo = u[0::2]
-    hi = u[1::2]
-    return (lo | (hi << 4)).astype(jnp.uint8)
+    K = q.shape[0]
+    g = group_size if group_size > 0 else K
+    if g % 2 or K % g:
+        raise ValueError(
+            f"int4 pack needs even group_size dividing K (K={K}, g={g})")
+    u = (q.astype(jnp.int32) + 8).astype(jnp.uint8)       # [0, 15]
+    tail = q.shape[1:]
+    ug = u.reshape((K // g, g) + tail)
+    lo = ug[:, : g // 2]
+    hi = ug[:, g // 2:]
+    return (lo | (hi << 4)).reshape((K // 2,) + tail).astype(jnp.uint8)
 
 
-def unpack_int4(packed: jax.Array) -> jax.Array:
+def unpack_int4(packed: jax.Array, group_size: int) -> jax.Array:
     """Inverse of pack_int4: [K//2, ...] uint8 -> [K, ...] int8 in [-8, 7]."""
-    lo = (packed & 0x0F).astype(jnp.int8) - 8
-    hi = ((packed >> 4) & 0x0F).astype(jnp.int8) - 8
-    k2 = packed.shape[0]
-    out = jnp.stack([lo, hi], axis=1)  # [K//2, 2, ...]
-    return out.reshape((2 * k2,) + packed.shape[1:])
+    K2 = packed.shape[0]
+    K = 2 * K2
+    g = group_size if group_size > 0 else K
+    tail = packed.shape[1:]
+    pg = packed.reshape((K // g, g // 2) + tail)
+    lo = (pg & 0x0F).astype(jnp.int8) - 8
+    hi = ((pg >> 4) & 0x0F).astype(jnp.int8) - 8
+    out = jnp.concatenate([lo, hi], axis=1)               # [G, g, ...]
+    return out.reshape((K,) + tail)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -137,8 +150,12 @@ def quantize(w: jax.Array, qtype: QuantType, *, group_size: int = 64,
         raise ValueError(f"unsupported qtype {qtype}")
     K, N = w.shape
     bits = 8 if qtype == QuantType.INT8 else 4
-    if bits == 4 and K % 2 != 0:
-        raise ValueError(f"int4 needs even K, got K={K}")
+    if bits == 4:
+        g_eff = group_size if group_size > 0 else K
+        if K % 2 != 0 or g_eff % 2 != 0 or K % g_eff != 0:
+            raise ValueError(
+                f"int4 needs even K and even group_size dividing K "
+                f"(K={K}, group_size={g_eff})")
     wf = w.astype(jnp.float32)
     xg, G, pad = _group_reduce(wf, group_size)
     g = xg.shape[1]
@@ -169,7 +186,7 @@ def quantize(w: jax.Array, qtype: QuantType, *, group_size: int = 64,
 
     q = q.reshape(G * g, N)[:K].astype(jnp.int8)
     if bits == 4:
-        data = pack_int4(q)
+        data = pack_int4(q, group_size if group_size > 0 else K)
     else:
         data = q
     return QTensor(data=data, scales=scale.astype(scale_dtype),
@@ -182,7 +199,7 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
     """Reconstruct the fp weight [K, N]. Pure-jnp reference path."""
     K, N = qt.shape
     if qt.bits == 4:
-        q = unpack_int4(qt.data)[:K].astype(jnp.float32)
+        q = unpack_int4(qt.data, qt.group_size)[:K].astype(jnp.float32)
     else:
         q = qt.data.astype(jnp.float32)
     g = qt.group_size

@@ -48,12 +48,14 @@ def qmatmul(x, qt, preferred_dtype=jnp.float32):
 
 # -- attention ---------------------------------------------------------------
 
-def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None):
+def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
+                      q_start=None):
     from turboinfer_tpu.kernels import ops
     if pallas_enabled():
         from turboinfer_tpu.kernels.pallas import flash_attention
         y = flash_attention.prefill_pallas(q, k, v, causal=causal,
-                                           positions=positions, kv_len=kv_len)
+                                           positions=positions, kv_len=kv_len,
+                                           q_start=q_start)
         if y is not None:
             return y
     return ops.attention_prefill_ref(q, k, v, causal=causal,

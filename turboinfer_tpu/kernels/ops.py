@@ -134,7 +134,7 @@ def _dequant_ref(qt: QTensor, dtype) -> jax.Array:
     """Inline group-wise dequant [K, N] — jnp form XLA fuses into the dot."""
     K, N = qt.shape
     if qt.bits == 4:
-        q = unpack_int4(qt.data)[:K]
+        q = unpack_int4(qt.data, qt.group_size)[:K]
     else:
         q = qt.data
     g, G = qt.group_size, qt.num_groups
@@ -191,12 +191,12 @@ def softmax(x: jax.Array, axis: int = -1, temperature: float = 1.0) -> jax.Array
 # ---------------------------------------------------------------------------
 
 def _repeat_kv(k: jax.Array, num_q_heads: int) -> jax.Array:
-    """GQA: expand [B, S, Hkv, D] -> [B, S, Hq, D] by head repetition."""
-    b, s, hkv, d = k.shape
+    """GQA: expand [B, Hkv, T, D] -> [B, Hq, T, D] by head repetition."""
+    b, hkv, t, d = k.shape
     if hkv == num_q_heads:
         return k
     rep = num_q_heads // hkv
-    return jnp.repeat(k, rep, axis=2)
+    return jnp.repeat(k, rep, axis=1)
 
 
 def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -205,19 +205,20 @@ def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
                           kv_len: Optional[jax.Array] = None) -> jax.Array:
     """Full scaled-dot-product attention.
 
-    q: [B, S, Hq, D], k/v: [B, T, Hkv, D] -> [B, S, Hq, D].
+    q: [B, S, Hq, D], k/v: [B, Hkv, T, D] (head-major cache layout)
+    -> [B, S, Hq, D].
     `positions` ([B, S]) gives absolute positions of the queries for causal
     masking against cache slots 0..T-1; defaults to arange (fresh prefill).
     `kv_len` ([B]) optionally masks cache slots >= kv_len (padded cache).
     """
     B, S, Hq, D = q.shape
-    T = k.shape[1]
+    T = k.shape[2]
     k = _repeat_kv(k, Hq)
     v = _repeat_kv(v, Hq)
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
     qf = q.astype(jnp.float32) * scale
     # [B, Hq, S, T]
-    scores = jnp.einsum("bshd,bthd->bhst", qf, k.astype(jnp.float32))
+    scores = jnp.einsum("bshd,bhtd->bhst", qf, k.astype(jnp.float32))
     mask = None
     if causal:
         if positions is None:
@@ -234,7 +235,7 @@ def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
     if mask is not None:
         scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhst,bthd->bshd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("bhst,bhtd->bshd", probs, v.astype(jnp.float32))
     return out.astype(q.dtype)
 
 
@@ -244,20 +245,20 @@ def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     Pallas decode kernel (reference counterpart:
     tensor_engine.cpp:1254-1388 attention_fast_incremental).
 
-    q: [B, Hq, D]; k_cache/v_cache: [B, Tmax, Hkv, D]; kv_len: [B] number
+    q: [B, Hq, D]; k_cache/v_cache: [B, Hkv, Tmax, D]; kv_len: [B] number
     of valid slots (includes the current token, already written).
     """
     B, Hq, D = q.shape
-    Tmax = k_cache.shape[1]
-    k = _repeat_kv(k_cache, Hq)   # [B, Tmax, Hq, D]
+    Tmax = k_cache.shape[2]
+    k = _repeat_kv(k_cache, Hq)   # [B, Hq, Tmax, D]
     v = _repeat_kv(v_cache, Hq)
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
     qf = q.astype(jnp.float32) * scale
-    scores = jnp.einsum("bhd,bthd->bht", qf, k.astype(jnp.float32))
+    scores = jnp.einsum("bhd,bhtd->bht", qf, k.astype(jnp.float32))
     valid = jnp.arange(Tmax)[None, None, :] < kv_len[:, None, None]
     scores = jnp.where(valid, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bht,bthd->bhd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("bht,bhtd->bhd", probs, v.astype(jnp.float32))
     return out.astype(q.dtype)
 
 
@@ -265,10 +266,12 @@ def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
 # Dispatch wrappers: use Pallas kernels on TPU, jnp reference elsewhere.
 # ---------------------------------------------------------------------------
 
-def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None):
+def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
+                      q_start=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_prefill(q, k, v, causal=causal,
-                                      positions=positions, kv_len=kv_len)
+                                      positions=positions, kv_len=kv_len,
+                                      q_start=q_start)
 
 
 def attention_decode(q, k_cache, v_cache, kv_len):

@@ -1,7 +1,171 @@
-"""Blockwise (flash) prefill attention Pallas kernel (placeholder stage)."""
+"""Blockwise (flash-style) causal prefill attention Pallas kernel.
+
+TPU-native replacement for the reference's prefill attention, which
+materializes the full [seq, seq] score matrix + causal mask
+(reference: src/model/inference_engine.cpp:347-367, masks at :425-442).
+Here scores exist only as a [TS, TT] tile in VMEM with online softmax —
+memory is O(S·D) instead of O(S²) (SURVEY.md §5 long-context note).
+
+Supports the chunked-prefill case: queries at absolute `positions`
+attending to a cache [B, Hkv, T, D] whose first kv_len slots are valid,
+with causality q_pos >= k_pos. Fully-masked T tiles (k_start > last
+q position of the tile, or beyond kv_len) are skipped.
+
+Grid (B, Hq, S/TS, T/TT), T innermost; q is head-major [B, Hq, S, D]
+(transposed outside); running max/denom/acc in VMEM scratch.
+"""
 
 from __future__ import annotations
 
+import functools
+from typing import Optional
 
-def prefill_pallas(q, k, v, *, causal=True, positions=None, kv_len=None):
-    return None
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref,
+            m_ref, l_ref, acc_ref, *, nt: int, ts: int, tt: int,
+            gh: int, scale: float, causal: bool):
+    """len_ref: [B] kv lens; start_ref: [B] absolute position of each
+    sequence's first query (both scalar-prefetch; query s has position
+    start + s). q_ref: [1, 1, TS, D]; k/v_ref: [1, 1, TT, D];
+    o_ref: [1, 1, TS, D]; scratch m/l: [TS, 128], acc: [TS, D]."""
+    b = pl.program_id(0)
+    si = pl.program_id(2)
+    t = pl.program_id(3)
+
+    @pl.when(t == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    kv_len = len_ref[b]
+    # Last valid q position in this S tile bounds which T tiles matter.
+    q_last = start_ref[b] + si * ts + ts - 1
+    k_start = t * tt
+    live = (k_start < kv_len)
+    if causal:
+        live = jnp.logical_and(live, k_start <= q_last)
+
+    @pl.when(live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale     # [TS, D]
+        k = k_ref[0, 0].astype(jnp.float32)             # [TT, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(                        # [TS, TT]
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_start
+        mask = col < kv_len
+        if causal:
+            qpos = (start_ref[b] + si * ts
+                    + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
+            mask = jnp.logical_and(mask, qpos >= col)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(t == nt - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "gh", "interpret"))
+def _prefill(qh, k_cache, v_cache, kv_len, q_start, *, causal: bool,
+             gh: int, interpret: bool = False):
+    B, Hq, S, D = qh.shape
+    T = k_cache.shape[2]
+    TS = min(S, 512)
+    TT = min(T, 512)
+    ns, nt = S // TS, T // TT
+    scale = 1.0 / float(D) ** 0.5
+
+    kern = functools.partial(_kernel, nt=nt, ts=TS, tt=TT, gh=gh,
+                             scale=scale, causal=causal)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hq, ns, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, TS, D),
+                         lambda b, h, s, t, len_r, st_r: (b, h, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TT, D),
+                         lambda b, h, s, t, len_r, st_r: (b, h // gh, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TT, D),
+                         lambda b, h, s, t, len_r, st_r: (b, h // gh, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TS, D),
+                               lambda b, h, s, t, len_r, st_r: (b, h, s, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TS, 128), jnp.float32),
+            pltpu.VMEM((TS, 128), jnp.float32),
+            pltpu.VMEM((TS, D), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, S, D), qh.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * S * T * D,
+            bytes_accessed=(B * Hq * S * D * 2 + 2 * B * (Hq // gh) * T * D
+                            * 2 * nt),
+            transcendentals=B * Hq * S * T),
+        interpret=interpret,
+    )(kv_len.astype(jnp.int32), q_start.astype(jnp.int32),
+      qh, k_cache, v_cache)
+
+
+def prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                   causal: bool = True,
+                   positions: Optional[jax.Array] = None,
+                   kv_len: Optional[jax.Array] = None,
+                   q_start: Optional[jax.Array] = None,
+                   interpret: bool = False) -> Optional[jax.Array]:
+    """q: [B, S, Hq, D]; k/v: [B, Hkv, T, D] -> [B, S, Hq, D] or None.
+
+    Positions must be contiguous per sequence: query s at position
+    q_start[b] + s. Callers with arbitrary `positions` must pass
+    q_start=positions[:, 0] only when positions are contiguous (the
+    model's prefill path always is); otherwise the jnp reference runs.
+    """
+    B, S, Hq, D = q.shape
+    Hkv, T = k.shape[1], k.shape[2]
+    if Hq % Hkv or D % 64:
+        return None
+    TS, TT = min(S, 512), min(T, 512)
+    if S % TS or T % TT or S < 8:
+        return None
+    if q_start is None:
+        if positions is not None:
+            return None                 # can't prove contiguity; fall back
+        q_start = jnp.zeros((B,), jnp.int32)
+    if kv_len is None:
+        kv_len = jnp.full((B,), T, jnp.int32)
+    qh = q.transpose(0, 2, 1, 3)                       # [B, Hq, S, D]
+    out = _prefill(qh, k, v, kv_len, q_start, causal=causal,
+                   gh=Hq // Hkv, interpret=interpret)
+    return out.transpose(0, 2, 1, 3)

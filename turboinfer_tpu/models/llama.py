@@ -53,7 +53,9 @@ class KVCache(NamedTuple):
     """HBM-resident KV cache (reference counterpart: KVCache struct,
     inference_engine.cpp:25-172, but in-place — no per-token prefix copy).
 
-    k, v: [L, B, Tmax, Hkv, D] in cache_dtype.
+    k, v: [L, B, Hkv, Tmax, D] in cache_dtype — head-major so each
+    (batch, head) slice is a contiguous [T, D] block the Pallas decode
+    kernel can stream.
     length: [B] int32 — number of valid slots per sequence.
     """
     k: jax.Array
@@ -62,7 +64,7 @@ class KVCache(NamedTuple):
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_cache(config: ModelConfig, batch_size: int,
@@ -70,7 +72,7 @@ def init_cache(config: ModelConfig, batch_size: int,
                dtype=None) -> KVCache:
     T = max_seq or config.max_seq_len
     dtype = dtype or config.dtype
-    shape = (config.num_layers, batch_size, T, config.kv_heads,
+    shape = (config.num_layers, batch_size, config.kv_heads, T,
              config.head_dim_)
     return KVCache(k=jnp.zeros(shape, dtype),
                    v=jnp.zeros(shape, dtype),
@@ -148,13 +150,14 @@ def param_bytes(params) -> int:
 
 def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
                    positions: jax.Array, k_cache: jax.Array,
-                   v_cache: jax.Array, start: jax.Array, kv_len: jax.Array
+                   v_cache: jax.Array, start: jax.Array, kv_len: jax.Array,
+                   contiguous: bool = True
                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One decoder block (reference: TransformerLayer::forward,
     inference_engine.cpp:203-233 — RMSNorm → attn → residual → RMSNorm →
     SwiGLU FFN → residual).
 
-    x: [B, S, H]; positions: [B, S]; k_cache/v_cache: [B, Tmax, Hkv, D];
+    x: [B, S, H]; positions: [B, S]; k_cache/v_cache: [B, Hkv, Tmax, D];
     start: [B] write offset (== cache length before this call);
     kv_len: [B] valid slots after this call's tokens are written.
     Returns (x_out, k_cache', v_cache').
@@ -174,8 +177,10 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
     # prefill share S new slots written at `start` (right-padded batches:
     # pads are written but masked out of attention by kv_len).
     def write_one(cache_b, new_b, start_b):
+        # cache_b: [Hkv, T, D]; new_b: [S, Hkv, D] -> [Hkv, S, D]
         return jax.lax.dynamic_update_slice(
-            cache_b, new_b.astype(cache_b.dtype), (start_b, 0, 0))
+            cache_b, new_b.transpose(1, 0, 2).astype(cache_b.dtype),
+            (0, start_b, 0))
     k_cache = jax.vmap(write_one)(k_cache, k, start)
     v_cache = jax.vmap(write_one)(v_cache, v, start)
 
@@ -185,7 +190,8 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
     else:
         attn = ops.attention_prefill(
             q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
-            causal=True, positions=positions, kv_len=kv_len)
+            causal=True, positions=positions, kv_len=kv_len,
+            q_start=start if contiguous else None)
     attn = attn.reshape(B, S, Hq * D)
     x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"])
 
@@ -212,6 +218,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     """
     B, S = tokens.shape
     start = cache.length                                         # [B]
+    contiguous = positions is None
     if positions is None:
         positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     if seq_lens is None:
@@ -223,7 +230,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     def body(x, layer):
         lw, kc, vc = layer
         x, kc, vc = _layer_forward(config, x, lw, positions, kc, vc,
-                                   start, kv_len)
+                                   start, kv_len, contiguous=contiguous)
         return x, (kc, vc)
 
     x, (k_new, v_new) = jax.lax.scan(

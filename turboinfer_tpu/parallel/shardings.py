@@ -49,8 +49,8 @@ def param_specs(tp: str = TP_AXIS) -> Dict[str, Any]:
 
 
 def cache_spec(tp: str = TP_AXIS, data: str = DATA_AXIS) -> P:
-    """KV cache [L, B, T, Hkv, D]: batch over data, heads over tp."""
-    return P(None, data, None, tp, None)
+    """KV cache [L, B, Hkv, T, D]: batch over data, heads over tp."""
+    return P(None, data, tp, None, None)
 
 
 def token_spec(data: str = DATA_AXIS) -> P:
