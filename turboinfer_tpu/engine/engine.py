@@ -33,8 +33,8 @@ import numpy as np
 from turboinfer_tpu.config import InferenceConfig, ModelConfig
 from turboinfer_tpu.engine import sampling
 from turboinfer_tpu.engine.sampling import SamplingParams
-from turboinfer_tpu.models import llama
-from turboinfer_tpu.models.llama import KVCache
+from turboinfer_tpu.models import llama, registry
+from turboinfer_tpu.models.common import KVCache
 from turboinfer_tpu.utils.metrics import EngineStats
 
 
@@ -73,6 +73,7 @@ class InferenceEngine:
                  tokenizer=None):
         self.params = params
         self.model_config = model_config
+        self._model = registry.get_model(model_config.architecture)
         self.config = config or InferenceConfig(
             max_seq_len=model_config.max_seq_len)
         self.tokenizer = tokenizer
@@ -85,10 +86,11 @@ class InferenceEngine:
     @functools.cached_property
     def _prefill_fn(self):
         cfg = self.model_config
+        model = self._model
 
         @jax.jit
         def prefill(params, tokens, seq_lens, cache):
-            logits, cache = llama.forward(params, cfg, tokens, cache,
+            logits, cache = model.forward(params, cfg, tokens, cache,
                                           seq_lens=seq_lens)
             # Last valid logit per sequence.
             idx = jnp.maximum(seq_lens - 1, 0)
@@ -100,10 +102,11 @@ class InferenceEngine:
     @functools.cached_property
     def _decode_step_fn(self):
         cfg = self.model_config
+        model = self._model
 
         @jax.jit
         def step(params, token, cache):
-            logits, cache = llama.forward(params, cfg, token[:, None], cache)
+            logits, cache = model.forward(params, cfg, token[:, None], cache)
             return logits[:, 0], cache
         return step
 
@@ -114,6 +117,7 @@ class InferenceEngine:
         if key in self._jit_cache:
             return self._jit_cache[key]
         cfg = self.model_config
+        model = self._model
 
         @jax.jit
         def decode(params, first_token, first_logits, cache, rng):
@@ -123,7 +127,7 @@ class InferenceEngine:
 
             def body(carry, rng_i):
                 token, cache, finished = carry
-                logits, cache = llama.forward(params, cfg, token[:, None],
+                logits, cache = model.forward(params, cfg, token[:, None],
                                               cache)
                 logits = logits[:, 0]
                 nxt = sampling.sample(rng_i, logits, params_s)
@@ -215,8 +219,8 @@ class InferenceEngine:
         B = len(prompts)
         max_new = min(max_new_tokens,
                       self.config.max_seq_len - int(seq_lens.max()))
-        cache = llama.init_cache(self.model_config, B,
-                                 max_seq=self.config.max_seq_len)
+        cache = self._model.init_cache(self.model_config, B,
+                                       max_seq=self.config.max_seq_len)
 
         last_logits, cache = self._prefill_fn(self.params, tokens, seq_lens,
                                               cache)
@@ -311,8 +315,8 @@ class InferenceEngine:
         tokens, seq_lens, S = self._pad_batch([input_tokens])
         max_new = min(max_new_tokens,
                       self.config.max_seq_len - len(input_tokens))
-        cache = llama.init_cache(self.model_config, 1,
-                                 max_seq=self.config.max_seq_len)
+        cache = self._model.init_cache(self.model_config, 1,
+                                       max_seq=self.config.max_seq_len)
         last_logits, cache = self._prefill_fn(self.params, tokens, seq_lens,
                                               cache)
         # Tile prefill cache across beams: [L, beam, T, H, D].
@@ -366,12 +370,13 @@ class InferenceEngine:
         if key in self._jit_cache:
             return self._jit_cache[key]
         cfg = self.model_config
+        model = self._model
         eos = self.config.eos_token_id
         NEG = -1e30
 
         @jax.jit
         def step(params, token, scores, finished, cache):
-            logits, cache = llama.forward(params, cfg, token[:, None], cache)
+            logits, cache = model.forward(params, cfg, token[:, None], cache)
             logp = sampling.log_softmax(logits[:, 0])        # [beam, V]
             V = logp.shape[-1]
             # Finished beams only propose EOS at score 0 (stay frozen).
@@ -411,10 +416,11 @@ class InferenceEngine:
     @functools.cached_property
     def _logprob_fn(self):
         cfg = self.model_config
+        model = self._model
 
         @jax.jit
         def run(tokens, seq_lens):
-            return llama.forward_no_cache(self.params, cfg, tokens,
+            return model.forward_no_cache(self.params, cfg, tokens,
                                           seq_lens=seq_lens)
         return run
 
@@ -428,7 +434,7 @@ class InferenceEngine:
     def memory_usage(self) -> int:
         """Bytes for weights + one max-shape KV cache (reference:
         memory_usage, inference_engine.cpp:1039-1092)."""
-        w = llama.param_bytes(self.params)
+        w = self._model.param_bytes(self.params)
         c = self.model_config
         cache_elems = (c.num_layers * self.config.max_batch_size *
                        self.config.max_seq_len * c.kv_heads * c.head_dim_)

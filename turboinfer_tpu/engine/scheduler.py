@@ -1,0 +1,239 @@
+"""Continuous batching: slot-based scheduler over a fixed-shape decode step.
+
+The reference has NO real batching — generate_batch is a sequential loop
+(reference: src/model/inference_engine.cpp:804-828, SURVEY.md quirk #7).
+This is the TPU-native replacement described in SURVEY.md §7 hard part
+#3: a fixed-[B] slot pool, per-slot positions/EOS inside one jitted
+decode step (no recompilation as requests come and go), prompt prefill
+into a free slot's cache region, and slot recycling the moment a
+sequence finishes. Arbitrary request streams run at full batch
+efficiency instead of one-at-a-time.
+
+Decode step cost is independent of how many slots are live (fixed
+shapes); throughput scales with occupancy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from collections import deque
+from typing import Any, Deque, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turboinfer_tpu.config import InferenceConfig, ModelConfig
+from turboinfer_tpu.engine import sampling
+from turboinfer_tpu.engine.engine import GenerationResult, _bucket
+from turboinfer_tpu.engine.sampling import SamplingParams
+from turboinfer_tpu.models import registry
+from turboinfer_tpu.models.common import KVCache
+
+
+@dataclasses.dataclass
+class _Request:
+    rid: int
+    prompt: List[int]
+    max_new: int
+    submitted_at: float
+    out_tokens: List[int] = dataclasses.field(default_factory=list)
+    slot: int = -1
+    prefill_ms: float = 0.0
+    finished: bool = False
+    stop_reason: str = "length"
+
+
+class ContinuousBatchingScheduler:
+    """Slot-pool scheduler driving one shared KV cache.
+
+    Usage:
+        sched = ContinuousBatchingScheduler(params, model_config,
+                                            config, batch_slots=8)
+        ids = [sched.submit(p, max_new) for p in prompts]
+        results = sched.run()     # {rid: GenerationResult}
+    """
+
+    def __init__(self, params: Dict[str, Any], model_config: ModelConfig,
+                 config: Optional[InferenceConfig] = None,
+                 batch_slots: int = 8):
+        self.params = params
+        self.model_config = model_config
+        self._model = registry.get_model(model_config.architecture)
+        self.config = config or InferenceConfig(
+            max_seq_len=model_config.max_seq_len)
+        self.B = batch_slots
+        self.T = self.config.max_seq_len
+        self._rng = jax.random.PRNGKey(self.config.seed)
+        self._queue: Deque[_Request] = deque()
+        self._active: Dict[int, _Request] = {}       # slot -> request
+        self._done: Dict[int, _Request] = {}
+        self._next_id = 0
+        self._sp = SamplingParams(temperature=self.config.temperature,
+                                  top_k=self.config.top_k,
+                                  top_p=self.config.top_p)
+
+        # Device state: shared cache + per-slot current token / activity.
+        self.cache = self._model.init_cache(model_config, self.B,
+                                            max_seq=self.T)
+        self.tokens = jnp.zeros((self.B,), jnp.int32)
+        self.active = jnp.zeros((self.B,), jnp.bool_)
+
+    # -- jitted programs ------------------------------------------------
+
+    @functools.cached_property
+    def _decode_fn(self):
+        cfg = self.model_config
+        model = self._model
+        sp = self._sp
+        eos = self.config.eos_token_id
+
+        @jax.jit
+        def step(params, tokens, active, cache, rng):
+            """One decode step for every slot; inactive slots still run
+            (fixed shape) but their cache length is frozen."""
+            logits, new_cache = model.forward(params, cfg, tokens[:, None],
+                                              cache)
+            nxt = sampling.sample(rng, logits[:, 0], sp)
+            lp = sampling.token_logprob(logits[:, 0], nxt)
+            # Inactive slots: keep cache length frozen (writes to their
+            # slots are harmless garbage past their length).
+            new_len = jnp.where(active, new_cache.length, cache.length)
+            cache = KVCache(k=new_cache.k, v=new_cache.v, length=new_len)
+            hit_eos = active & (nxt == eos)
+            return nxt, lp, hit_eos, cache
+        return step
+
+    def _prefill_fn(self, S: int):
+        cfg = self.model_config
+        model = self._model
+
+        @functools.partial(jax.jit, static_argnames=())
+        def prefill(params, tokens, seq_len, slot, cache, rng):
+            """Prefill ONE prompt [1, S] into `slot`'s cache region."""
+            small = model.init_cache(cfg, 1, max_seq=self.T)
+            logits, small = model.forward(params, cfg, tokens,
+                                          small, seq_lens=seq_len[None])
+            idx = jnp.maximum(seq_len - 1, 0)
+            last = logits[0, idx]
+            first = sampling.sample(rng, last, self._sp)
+            k = jax.lax.dynamic_update_slice_in_dim(
+                cache.k, small.k, slot, axis=1)
+            v = jax.lax.dynamic_update_slice_in_dim(
+                cache.v, small.v, slot, axis=1)
+            length = cache.length.at[slot].set(seq_len)
+            return first, KVCache(k=k, v=v, length=length)
+        return prefill
+
+    @functools.cached_property
+    def _prefill_cache(self):
+        return {}
+
+    # -- public API ------------------------------------------------------
+
+    def submit(self, prompt: Sequence[int], max_new_tokens: int = 50) -> int:
+        if len(prompt) == 0:
+            raise ValueError("prompt must be non-empty")
+        if len(prompt) >= self.T:
+            raise ValueError(f"prompt length {len(prompt)} >= max_seq_len")
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append(_Request(rid=rid, prompt=list(prompt),
+                                    max_new=max_new_tokens,
+                                    submitted_at=time.perf_counter()))
+        return rid
+
+    @property
+    def pending(self) -> int:
+        return len(self._queue) + len(self._active)
+
+    def _free_slots(self) -> List[int]:
+        return [s for s in range(self.B) if s not in self._active]
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _admit(self):
+        """Fill free slots from the queue (prefill each prompt)."""
+        for slot in self._free_slots():
+            if not self._queue:
+                break
+            req = self._queue.popleft()
+            t0 = time.perf_counter()
+            S = _bucket(len(req.prompt), self.config.prefill_bucket)
+            arr = np.full((1, S), self.config.pad_token_id, np.int32)
+            arr[0, : len(req.prompt)] = req.prompt
+            key = S
+            if key not in self._prefill_cache:
+                self._prefill_cache[key] = self._prefill_fn(S)
+            first, self.cache = self._prefill_cache[key](
+                self.params, jnp.asarray(arr),
+                jnp.int32(len(req.prompt)), slot, self.cache,
+                self._next_rng())
+            req.prefill_ms = (time.perf_counter() - t0) * 1e3
+            req.slot = slot
+            first_i = int(first)
+            req.out_tokens.append(first_i)
+            self.tokens = self.tokens.at[slot].set(first_i)
+            self.active = self.active.at[slot].set(True)
+            self._active[slot] = req
+            if first_i == self.config.eos_token_id:
+                self._finish(slot, "eos")
+            elif len(req.out_tokens) >= req.max_new:
+                self._finish(slot, "length")
+
+    def _finish(self, slot: int, reason: str):
+        req = self._active.pop(slot)
+        req.finished = True
+        req.stop_reason = reason
+        self.active = self.active.at[slot].set(False)
+        self._done[req.rid] = req
+
+    def step(self) -> int:
+        """Admit + one decode step. Returns number of live slots."""
+        self._admit()
+        if not self._active:
+            return 0
+        nxt, lp, hit_eos, self.cache = self._decode_fn(
+            self.params, self.tokens, self.active, self.cache,
+            self._next_rng())
+        self.tokens = nxt
+        nxt_np = np.asarray(nxt)
+        eos_np = np.asarray(hit_eos)
+        for slot in list(self._active):
+            req = self._active[slot]
+            req.out_tokens.append(int(nxt_np[slot]))
+            if eos_np[slot]:
+                self._finish(slot, "eos")
+            elif len(req.out_tokens) >= req.max_new:
+                self._finish(slot, "length")
+            elif len(req.prompt) + len(req.out_tokens) >= self.T:
+                self._finish(slot, "max_seq")
+        return len(self._active)
+
+    def run(self, max_steps: Optional[int] = None
+            ) -> Dict[int, GenerationResult]:
+        """Drive until all submitted requests complete."""
+        steps = 0
+        while self.pending:
+            self.step()
+            steps += 1
+            if max_steps is not None and steps >= max_steps:
+                break
+        t1 = time.perf_counter()
+        out: Dict[int, GenerationResult] = {}
+        for rid, req in self._done.items():
+            dt_ms = (t1 - req.submitted_at) * 1e3
+            n = len(req.out_tokens)
+            out[rid] = GenerationResult(
+                tokens=req.prompt + req.out_tokens,
+                total_time_ms=dt_ms,
+                tokens_per_second=n / max(dt_ms / 1e3, 1e-9),
+                prefill_time_ms=req.prefill_ms,
+                finished=req.finished,
+                stop_reason=req.stop_reason)
+        self._done.clear()
+        return out

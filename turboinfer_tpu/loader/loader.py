@@ -91,7 +91,10 @@ def load_gguf(path: str, dtype=None) -> ModelData:
             if emb:
                 config = config.replace(
                     vocab_size=gf.tensors[emb].shape[0])
-        params = mapping.assemble_params(
+        assemble = (mapping.assemble_params_gpt2
+                    if config.architecture == "gpt2"
+                    else mapping.assemble_params)
+        params = assemble(
             lambda name: gf.tensor(name), list(gf.tensors), config,
             dtype=dtype or config.dtype)
         tlog.log_info("loaded GGUF %s: %d tensors, arch=%s", path,

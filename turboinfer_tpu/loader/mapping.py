@@ -163,6 +163,103 @@ def assemble_params(get: Callable[[str], np.ndarray], names: Sequence[str],
 
 
 # ---------------------------------------------------------------------------
+# GPT-2 assembly. Template entries are (name_template, transpose):
+# HF GPT-2 uses Conv1D — weights already [in, out] (no transpose); GGUF
+# stores [out, in] row-major like the llama tensors (transpose).
+# ---------------------------------------------------------------------------
+
+GPT2_SLOTS: Dict[str, List[Tuple[str, bool]]] = {
+    "embed": [("token_embd.weight", False),
+              ("transformer.wte.weight", False), ("wte.weight", False)],
+    "pos_embed": [("position_embd.weight", False),
+                  ("transformer.wpe.weight", False), ("wpe.weight", False)],
+    "ln1_w": [("blk.{i}.attn_norm.weight", False),
+              ("transformer.h.{i}.ln_1.weight", False),
+              ("h.{i}.ln_1.weight", False)],
+    "ln1_b": [("blk.{i}.attn_norm.bias", False),
+              ("transformer.h.{i}.ln_1.bias", False),
+              ("h.{i}.ln_1.bias", False)],
+    "w_qkv": [("blk.{i}.attn_qkv.weight", True),
+              ("transformer.h.{i}.attn.c_attn.weight", False),
+              ("h.{i}.attn.c_attn.weight", False)],
+    "b_qkv": [("blk.{i}.attn_qkv.bias", False),
+              ("transformer.h.{i}.attn.c_attn.bias", False),
+              ("h.{i}.attn.c_attn.bias", False)],
+    "wo": [("blk.{i}.attn_output.weight", True),
+           ("transformer.h.{i}.attn.c_proj.weight", False),
+           ("h.{i}.attn.c_proj.weight", False)],
+    "bo": [("blk.{i}.attn_output.bias", False),
+           ("transformer.h.{i}.attn.c_proj.bias", False),
+           ("h.{i}.attn.c_proj.bias", False)],
+    "ln2_w": [("blk.{i}.ffn_norm.weight", False),
+              ("transformer.h.{i}.ln_2.weight", False),
+              ("h.{i}.ln_2.weight", False)],
+    "ln2_b": [("blk.{i}.ffn_norm.bias", False),
+              ("transformer.h.{i}.ln_2.bias", False),
+              ("h.{i}.ln_2.bias", False)],
+    "w_fc": [("blk.{i}.ffn_up.weight", True),
+             ("transformer.h.{i}.mlp.c_fc.weight", False),
+             ("h.{i}.mlp.c_fc.weight", False)],
+    "b_fc": [("blk.{i}.ffn_up.bias", False),
+             ("transformer.h.{i}.mlp.c_fc.bias", False),
+             ("h.{i}.mlp.c_fc.bias", False)],
+    "w_proj": [("blk.{i}.ffn_down.weight", True),
+               ("transformer.h.{i}.mlp.c_proj.weight", False),
+               ("h.{i}.mlp.c_proj.weight", False)],
+    "b_proj": [("blk.{i}.ffn_down.bias", False),
+               ("transformer.h.{i}.mlp.c_proj.bias", False),
+               ("h.{i}.mlp.c_proj.bias", False)],
+    "final_norm_w": [("output_norm.weight", False),
+                     ("transformer.ln_f.weight", False),
+                     ("ln_f.weight", False)],
+    "final_norm_b": [("output_norm.bias", False),
+                     ("transformer.ln_f.bias", False),
+                     ("ln_f.bias", False)],
+    "lm_head": [("output.weight", True), ("lm_head.weight", True)],
+}
+
+_GPT2_PER_LAYER = {"ln1_w", "ln1_b", "w_qkv", "b_qkv", "wo", "bo",
+                   "ln2_w", "ln2_b", "w_fc", "b_fc", "w_proj", "b_proj"}
+
+
+def assemble_params_gpt2(get: Callable[[str], np.ndarray],
+                         names: Sequence[str], config: ModelConfig,
+                         dtype=None) -> Dict[str, Any]:
+    """Build the GPT-2 stacked-layer pytree (models/gpt2.py structure)."""
+    dtype = dtype or config.dtype
+    nameset = set(names)
+    L = config.num_layers
+
+    def fetch(slot: str, layer: Optional[int] = None, required=True):
+        for tmpl, transpose in GPT2_SLOTS[slot]:
+            cand = tmpl.format(i=layer) if "{i}" in tmpl else tmpl
+            if cand in nameset:
+                arr = get(cand)
+                return arr.T if transpose else arr
+        if required:
+            raise KeyError(f"no tensor for gpt2 slot '{slot}' "
+                           f"(layer {layer})")
+        return None
+
+    def stack(slot):
+        return jnp.asarray(np.stack([fetch(slot, i) for i in range(L)]),
+                           dtype=dtype)
+
+    embed = jnp.asarray(fetch("embed"), dtype=dtype)
+    params: Dict[str, Any] = {
+        "embed": embed,
+        "pos_embed": jnp.asarray(fetch("pos_embed"), dtype=dtype),
+        "layers": {s: stack(s) for s in sorted(_GPT2_PER_LAYER)},
+        "final_norm_w": jnp.asarray(fetch("final_norm_w"), dtype=dtype),
+        "final_norm_b": jnp.asarray(fetch("final_norm_b"), dtype=dtype),
+    }
+    head = fetch("lm_head", required=False)
+    params["lm_head"] = (embed.T if head is None
+                         else jnp.asarray(head, dtype=dtype))
+    return params
+
+
+# ---------------------------------------------------------------------------
 # GGUF metadata -> ModelConfig (reference: model_loader.cpp:752-771)
 # ---------------------------------------------------------------------------
 
@@ -181,7 +278,9 @@ def config_from_gguf_metadata(md: Dict[str, Any],
     hidden = geti("embedding_length", 4096)
     heads = geti("attention.head_count", max(hidden // 128, 1))
     kv_heads = geti("attention.head_count_kv", heads)
-    vocab = vocab_size_hint or len(md.get("tokenizer.ggml.tokens", [])) or 32000
+    # vocab 0 = unknown; the loader fills it from the embedding shape.
+    vocab = (vocab_size_hint or geti("vocab_size", 0)
+             or len(md.get("tokenizer.ggml.tokens", [])))
 
     extra = tuple(sorted(
         (k, str(v)) for k, v in md.items()

@@ -1,0 +1,140 @@
+"""GPT-2-class decoder (learned positions, LayerNorm, GELU MLP, MHA).
+
+The reference advertises GPT-2 support through its GGUF gpt2.* metadata
+mapping (reference: src/model/model_loader.cpp:752-771) but its single
+TransformerLayer is LLaMA-shaped; this module is a real second
+architecture: pre-LN blocks `x + attn(ln1(x))`, `x + mlp(ln2(x))` with
+biases everywhere, learned positional embeddings added to the token
+embedding, fused qkv projection, and tied lm_head.
+
+Same conventions as models/llama.py: weights [in, out], per-layer
+weights stacked on a leading L axis consumed by lax.scan, head-major
+KV cache shared with the Pallas attention kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from turboinfer_tpu.config import ModelConfig
+from turboinfer_tpu.kernels import ops
+from turboinfer_tpu.models.common import (KVCache, init_cache,  # noqa: F401
+                                          param_bytes, param_count,
+                                          reset_cache)
+
+
+def init_params(rng: jax.Array, config: ModelConfig,
+                dtype=None) -> Dict[str, Any]:
+    dtype = dtype or config.dtype
+    H, V, L = config.hidden_size, config.vocab_size, config.num_layers
+    F = config.intermediate_size or 4 * H
+    T = config.max_seq_len
+    keys = jax.random.split(rng, 6)
+
+    def w(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32)
+                * (1.0 / jnp.sqrt(fan_in))).astype(dtype)
+
+    embed = w(keys[0], (V, H), H)
+    params = {
+        "embed": embed,
+        "pos_embed": w(keys[1], (T, H), H),
+        "layers": {
+            "ln1_w": jnp.ones((L, H), dtype),
+            "ln1_b": jnp.zeros((L, H), dtype),
+            "ln2_w": jnp.ones((L, H), dtype),
+            "ln2_b": jnp.zeros((L, H), dtype),
+            "w_qkv": w(keys[2], (L, H, 3 * H), H),
+            "b_qkv": jnp.zeros((L, 3 * H), dtype),
+            "wo": w(keys[3], (L, H, H), H),
+            "bo": jnp.zeros((L, H), dtype),
+            "w_fc": w(keys[4], (L, H, F), H),
+            "b_fc": jnp.zeros((L, F), dtype),
+            "w_proj": w(keys[5], (L, F, H), F),
+            "b_proj": jnp.zeros((L, H), dtype),
+        },
+        "final_norm_w": jnp.ones((H,), dtype),
+        "final_norm_b": jnp.zeros((H,), dtype),
+        "lm_head": embed.T,
+    }
+    return params
+
+
+def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
+                   start, kv_len):
+    """x + attn(ln1(x)); x + mlp(ln2(x)). Caches shaped like llama's."""
+    B, S, H = x.shape
+    Hq = config.num_heads
+    D = H // Hq
+
+    h = ops.layer_norm(x, lw["ln1_w"], lw["ln1_b"], config.rms_norm_eps)
+    qkv = ops.qmatmul(h, lw["w_qkv"]) + lw["b_qkv"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, S, Hq, D)
+    k = k.reshape(B, S, Hq, D)
+    v = v.reshape(B, S, Hq, D)
+
+    def write_one(cache_b, new_b, start_b):
+        return jax.lax.dynamic_update_slice(
+            cache_b, new_b.transpose(1, 0, 2).astype(cache_b.dtype),
+            (0, start_b, 0))
+    k_cache = jax.vmap(write_one)(k_cache, k, start)
+    v_cache = jax.vmap(write_one)(v_cache, v, start)
+
+    if S == 1:
+        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len)
+        attn = attn[:, None]
+    else:
+        attn = ops.attention_prefill(
+            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+            causal=True, kv_len=kv_len, q_start=start)
+    attn = attn.reshape(B, S, H)
+    x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"]) + lw["bo"]
+
+    h = ops.layer_norm(x, lw["ln2_w"], lw["ln2_b"], config.rms_norm_eps)
+    h = ops.gelu(ops.qmatmul(h, lw["w_fc"]) + lw["b_fc"])
+    x = x + ops.qmatmul(h.astype(x.dtype), lw["w_proj"]) + lw["b_proj"]
+    return x, k_cache, v_cache
+
+
+def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
+            cache: KVCache, *, positions: Optional[jax.Array] = None,
+            seq_lens: Optional[jax.Array] = None
+            ) -> Tuple[jax.Array, KVCache]:
+    """Same contract as llama.forward: [B, S] tokens appended to cache."""
+    B, S = tokens.shape
+    start = cache.length
+    if positions is None:
+        positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    if seq_lens is None:
+        seq_lens = jnp.full((B,), S, jnp.int32)
+    kv_len = start + seq_lens
+
+    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    x = x + jnp.take(params["pos_embed"],
+                     jnp.clip(positions, 0, params["pos_embed"].shape[0] - 1),
+                     axis=0).astype(config.dtype)
+
+    def body(x, layer):
+        lw, kc, vc = layer
+        x, kc, vc = _layer_forward(config, x, lw, kc, vc, start, kv_len)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v))
+
+    x = ops.layer_norm(x, params["final_norm_w"], params["final_norm_b"],
+                       config.rms_norm_eps)
+    logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
+    return logits.astype(jnp.float32), KVCache(k=k_new, v=v_new,
+                                               length=kv_len)
+
+
+def forward_no_cache(params, config, tokens, seq_lens=None) -> jax.Array:
+    B, S = tokens.shape
+    cache = init_cache(config, B, max_seq=S)
+    logits, _ = forward(params, config, tokens, cache, seq_lens=seq_lens)
+    return logits

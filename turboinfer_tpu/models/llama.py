@@ -49,40 +49,10 @@ from turboinfer_tpu.kernels import ops
 # }
 
 
-class KVCache(NamedTuple):
-    """HBM-resident KV cache (reference counterpart: KVCache struct,
-    inference_engine.cpp:25-172, but in-place — no per-token prefix copy).
-
-    k, v: [L, B, Hkv, Tmax, D] in cache_dtype — head-major so each
-    (batch, head) slice is a contiguous [T, D] block the Pallas decode
-    kernel can stream.
-    length: [B] int32 — number of valid slots per sequence.
-    """
-    k: jax.Array
-    v: jax.Array
-    length: jax.Array
-
-    @property
-    def max_seq(self) -> int:
-        return self.k.shape[3]
-
-
-def init_cache(config: ModelConfig, batch_size: int,
-               max_seq: Optional[int] = None,
-               dtype=None) -> KVCache:
-    T = max_seq or config.max_seq_len
-    dtype = dtype or config.dtype
-    shape = (config.num_layers, batch_size, config.kv_heads, T,
-             config.head_dim_)
-    return KVCache(k=jnp.zeros(shape, dtype),
-                   v=jnp.zeros(shape, dtype),
-                   length=jnp.zeros((batch_size,), jnp.int32))
-
-
-def reset_cache(cache: KVCache) -> KVCache:
-    """Zero-fill (reference: KVCache::reset, inference_engine.cpp:60-69)."""
-    return KVCache(k=jnp.zeros_like(cache.k), v=jnp.zeros_like(cache.v),
-                   length=jnp.zeros_like(cache.length))
+# Shared cache container + param accounting (see models/common.py).
+from turboinfer_tpu.models.common import (KVCache, init_cache,  # noqa: F401
+                                          param_bytes, param_count,
+                                          reset_cache)
 
 
 # ---------------------------------------------------------------------------
@@ -120,28 +90,6 @@ def init_params(rng: jax.Array, config: ModelConfig,
     if config.tie_embeddings:
         params["lm_head"] = params["embed"].T
     return params
-
-
-def param_count(params) -> int:
-    total = 0
-    for leaf in jax.tree_util.tree_leaves(
-            params, is_leaf=lambda x: isinstance(x, QTensor)):
-        if isinstance(leaf, QTensor):
-            total += leaf.shape[0] * leaf.shape[1]
-        else:
-            total += leaf.size
-    return total
-
-
-def param_bytes(params) -> int:
-    total = 0
-    for leaf in jax.tree_util.tree_leaves(
-            params, is_leaf=lambda x: isinstance(x, QTensor)):
-        if isinstance(leaf, QTensor):
-            total += leaf.nbytes()
-        else:
-            total += leaf.size * leaf.dtype.itemsize
-    return total
 
 
 # ---------------------------------------------------------------------------

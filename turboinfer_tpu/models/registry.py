@@ -1,0 +1,37 @@
+"""Architecture registry: config.architecture -> model module.
+
+Reference counterpart: the llama.*/gpt2.* metadata dispatch in the GGUF
+loader (src/model/model_loader.cpp:752-771) — but the reference runs
+every model through one LLaMA-shaped layer; here each architecture has
+a real forward.
+
+Model modules implement: init_params, init_cache, reset_cache, forward,
+forward_no_cache, param_count, param_bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from turboinfer_tpu.models import gpt2, llama
+
+_REGISTRY = {
+    "llama": llama,
+    "mistral": llama,      # same block structure (GQA handled by config)
+    "qwen2": llama,
+    "gpt2": gpt2,
+}
+
+
+def get_model(architecture: str) -> Any:
+    arch = architecture.lower()
+    mod = _REGISTRY.get(arch)
+    if mod is None:
+        known = ", ".join(sorted(_REGISTRY))
+        raise ValueError(
+            f"unknown architecture '{architecture}' (known: {known})")
+    return mod
+
+
+def register(architecture: str, module: Any) -> None:
+    _REGISTRY[architecture.lower()] = module
