@@ -196,9 +196,32 @@ class _Reader:
 
 
 def read_gguf(path: str) -> GGUFFile:
-    """Parse header + metadata + tensor index; tensor data stays mmapped."""
+    """Parse header + metadata + tensor index; tensor data stays mmapped.
+
+    The index parse runs in the native turboio library when available
+    (native/turboio.cpp — the C++ counterpart of the reference's
+    model_loader GGUF branch), else in pure Python below; results are
+    identical (tests/test_native.py pins this)."""
+    native_idx = None
+    if os.environ.get("TURBOINFER_NO_NATIVE") != "1":
+        try:
+            from turboinfer_tpu import native as tio
+            native_idx = tio.gguf_index(path)
+        except Exception:
+            native_idx = None
     fh = open(path, "rb")
     mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+    if native_idx is not None:
+        tensors = {
+            name: GGUFTensorInfo(
+                name=name, dims=tuple(int(d) for d in ent["dims"]),
+                ggml_type=int(ent["type"]), offset=int(ent["offset"]))
+            for name, ent in native_idx["tensors"].items()}
+        return GGUFFile(metadata=native_idx["metadata"], tensors=tensors,
+                        path=path,
+                        data_start=int(native_idx["data_start"]),
+                        alignment=int(native_idx["alignment"]),
+                        _mm=mm, _fh=fh)
     r = _Reader(mm)
     magic, version = struct.unpack("<II", r.read(8))
     if magic != GGUF_MAGIC:

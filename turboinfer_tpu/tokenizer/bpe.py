@@ -61,10 +61,29 @@ class SPMTokenizer(Tokenizer):
             tid = self.vocab.get(f"<0x{b:02X}>")
             if tid is not None:
                 self._byte_ids[b] = tid
+        self._native = None
+        self._native_tried = False
+
+    def _native_encoder(self):
+        """Lazy native turboio encoder (O(n log n) agenda merge); falls
+        back to the Python scan loop when the library is unavailable."""
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from turboinfer_tpu import native as tio
+                self._native = tio.NativeSPMEncoder(
+                    self.tokens, self.scores, self.add_space_prefix)
+            except (ImportError, OSError):
+                self._native = None
+        return self._native
 
     def encode(self, text: str, add_bos: bool = False) -> List[int]:
         if not text:
             return [self.bos_id] if add_bos else []
+        enc = self._native_encoder()
+        if enc is not None:
+            return enc.encode(text, add_bos=add_bos, bos_id=self.bos_id,
+                              unk_id=self.unk_id)
         s = text.replace(" ", self.SPACE)
         if self.add_space_prefix and not s.startswith(self.SPACE):
             s = self.SPACE + s
