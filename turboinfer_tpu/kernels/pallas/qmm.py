@@ -117,15 +117,33 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
     """x2: [M, K] -> [M, N]. data/scales as stored in the QTensor."""
     M = x2.shape[0]
 
-    TN = _pick_tile(N, (512, 384, 256, 128))
+    import os
+    tn_pref = os.environ.get("TURBOINFER_QMM_TN", "")
+    tk_pref = os.environ.get("TURBOINFER_QMM_TK", "")
+    if tn_pref == "full" and N <= 16384:
+        TN = N
+    elif tn_pref.isdigit() and N % int(tn_pref) == 0:
+        TN = int(tn_pref)
+    else:
+        TN = _pick_tile(N, (512, 384, 256, 128))
     # TK: multiple of group_size dividing K, targeting ~512-2048.
     TK = None
-    for mult in (2048, 1024, 512, 256, 128, 64, 32):
-        if mult % group_size == 0 and K % mult == 0 and mult >= group_size:
-            TK = mult
-            break
+    if tk_pref.isdigit() and K % int(tk_pref) == 0 \
+            and int(tk_pref) % group_size == 0:
+        TK = int(tk_pref)
+    else:
+        for mult in (2048, 1024, 512, 256, 128, 64, 32):
+            if mult % group_size == 0 and K % mult == 0 \
+                    and mult >= group_size:
+                TK = mult
+                break
     if TK is None and K % group_size == 0:
         TK = group_size
+    # Cap the streamed weight block at ~1.5 MB of VMEM.
+    while TK > group_size and (TK // (1 if bits == 8 else 2)) * TN > 1_572_864:
+        TK //= 2
+    if TK % group_size:
+        return None
     if TN is None or TK is None or (bits == 4 and (TK % 2 or group_size % 2)):
         return None                      # not kernel-eligible
     TM = min(_round_up(M, 8), 256)
