@@ -1,0 +1,94 @@
+"""Mixture-of-experts model tests: routing semantics, cache parity,
+engine integration, expert-parallel sharding on the virtual mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import turboinfer_tpu as ti
+from turboinfer_tpu.config import ModelConfig
+from turboinfer_tpu.models import moe, registry
+
+
+@pytest.fixture(scope="module")
+def moe_cfg():
+    return ModelConfig(vocab_size=500, hidden_size=64, num_layers=2,
+                       num_heads=4, num_kv_heads=2, intermediate_size=128,
+                       max_seq_len=64, architecture="mixtral",
+                       num_experts=4, experts_per_token=2,
+                       name="tiny-moe", dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def moe_params(moe_cfg):
+    return moe.init_params(jax.random.PRNGKey(0), moe_cfg)
+
+
+def test_registry_moe():
+    assert registry.get_model("mixtral") is moe
+
+
+def test_requires_experts():
+    cfg = ModelConfig(num_experts=0)
+    with pytest.raises(ValueError, match="num_experts"):
+        moe.init_params(jax.random.PRNGKey(0), cfg)
+
+
+def test_routing_mixture_semantics(moe_cfg, moe_params):
+    """With a zero router every token ties: stable top-k selects experts
+    0 and 1 at gates (0.5, 0.5), so the MoE FFN must equal the equal-mix
+    of those two experts' dense SwiGLU outputs."""
+    from turboinfer_tpu.kernels import ops
+    lw = {k: v[0] for k, v in moe_params["layers"].items()}
+    lw = dict(lw, router=jnp.zeros_like(lw["router"]))
+    h = jnp.asarray(np.random.RandomState(0).randn(1, 3, 64), jnp.float32)
+    got = moe._moe_ffn(moe_cfg, h, lw)
+
+    def expert(e):
+        gate = h @ lw["we_gate"][e]
+        up = h @ lw["we_up"][e]
+        return ops.swiglu(gate, up) @ lw["we_down"][e]
+
+    want = 0.5 * expert(0) + 0.5 * expert(1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_incremental_matches_full(moe_params, moe_cfg):
+    tokens = jnp.asarray([[1, 5, 42, 7, 99, 3]], jnp.int32)
+    full = moe.forward_no_cache(moe_params, moe_cfg, tokens)
+    cache = moe.init_cache(moe_cfg, 1, max_seq=32)
+    logits_p, cache = moe.forward(moe_params, moe_cfg, tokens[:, :4], cache)
+    np.testing.assert_allclose(np.asarray(logits_p[:, 3]),
+                               np.asarray(full[:, 3]),
+                               rtol=1e-4, atol=1e-4)
+    lg, cache = moe.forward(moe_params, moe_cfg, tokens[:, 4:5], cache)
+    np.testing.assert_allclose(np.asarray(lg[:, 0]), np.asarray(full[:, 4]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_engine_generates_moe(moe_params, moe_cfg):
+    eng = ti.InferenceEngine(moe_params, moe_cfg)
+    res = eng.generate([1, 5, 9], 10, temperature=0.0)
+    assert len(res.tokens) == 13
+    assert res.tokens == eng.generate([1, 5, 9], 10, temperature=0.0).tokens
+
+
+def test_expert_parallel_sharding(moe_params, moe_cfg):
+    """Shard experts over tp on the virtual mesh; logits must match the
+    unsharded forward."""
+    from turboinfer_tpu.parallel import mesh as pmesh, shardings
+    n = min(len(jax.devices()), 4)
+    if n < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = pmesh.make_mesh((1, n), devices=jax.devices()[:n])
+    sharded = shardings.shard_params(moe_params, mesh,
+                                     specs=shardings.moe_param_specs())
+    tokens = jnp.asarray([[1, 5, 42, 7]], jnp.int32)
+    want = moe.forward_no_cache(moe_params, moe_cfg, tokens)
+    with mesh:
+        got = jax.jit(lambda p, t: moe.forward_no_cache(p, moe_cfg, t))(
+            sharded, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

@@ -1,0 +1,87 @@
+"""Pipeline-parallel inference tests on the virtual device mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from turboinfer_tpu.config import ModelConfig
+from turboinfer_tpu.models import llama
+from turboinfer_tpu.parallel import mesh as pmesh, pipeline
+
+
+@pytest.fixture(scope="module")
+def pp_setup():
+    n_stage = 4 if len(jax.devices()) >= 4 else 2
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg = ModelConfig(vocab_size=300, hidden_size=64, num_layers=n_stage * 2,
+                      num_heads=4, num_kv_heads=4, intermediate_size=128,
+                      max_seq_len=64, dtype=jnp.float32, name="pp-test")
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = pmesh.make_mesh((n_stage, 1), axis_names=("pp", "tp"),
+                           devices=jax.devices()[:n_stage])
+    return cfg, params, mesh
+
+
+def test_pipeline_prefill_matches_single(pp_setup):
+    cfg, params, mesh = pp_setup
+    tokens = jnp.asarray([[1, 5, 42, 7, 9, 2, 11, 13]], jnp.int32)
+    cache0 = llama.init_cache(cfg, 1, max_seq=32)
+    want, want_cache = llama.forward(params, cfg, tokens, cache0)
+
+    pparams, pcache = pipeline.shard_for_pipeline(
+        params, llama.init_cache(cfg, 1, max_seq=32), mesh)
+    with mesh:
+        got, got_cache = jax.jit(
+            lambda p, t, c: pipeline.pipeline_forward(p, cfg, t, c,
+                                                      mesh=mesh))(
+            pparams, tokens, pcache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got_cache.length),
+                                  np.asarray(want_cache.length))
+    np.testing.assert_allclose(np.asarray(got_cache.k),
+                               np.asarray(want_cache.k),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_decode_steps(pp_setup):
+    """Greedy prefill + 4 decode steps through the pipeline must match
+    the single-device engine path."""
+    cfg, params, mesh = pp_setup
+    prompt = jnp.asarray([[1, 5, 42, 7]], jnp.int32)
+
+    # Single-device reference tokens.
+    cache = llama.init_cache(cfg, 1, max_seq=32)
+    logits, cache = llama.forward(params, cfg, prompt, cache)
+    ref_toks = []
+    tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    for _ in range(4):
+        ref_toks.append(int(tok[0]))
+        logits, cache = llama.forward(params, cfg, tok[:, None], cache)
+        tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+
+    pparams, pcache = pipeline.shard_for_pipeline(
+        params, llama.init_cache(cfg, 1, max_seq=32), mesh)
+    step = jax.jit(lambda p, t, c: pipeline.pipeline_forward(
+        p, cfg, t, c, mesh=mesh))
+    with mesh:
+        logits, pcache = step(pparams, prompt, pcache)
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        got_toks = []
+        for _ in range(4):
+            got_toks.append(int(tok[0]))
+            logits, pcache = step(pparams, tok[:, None], pcache)
+            tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+    assert got_toks == ref_toks
+
+
+def test_pipeline_rejects_indivisible(pp_setup):
+    cfg, params, mesh = pp_setup
+    bad_cfg = cfg.replace(num_layers=cfg.num_layers + 1)
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline.pipeline_forward(params, bad_cfg,
+                                  jnp.ones((1, 4), jnp.int32),
+                                  llama.init_cache(cfg, 1, max_seq=16),
+                                  mesh=mesh)

@@ -1,0 +1,166 @@
+"""Mixtral-class sparse Mixture-of-Experts decoder.
+
+No reference counterpart — the reference is a dense-only LLaMA-shaped
+stack (SURVEY.md §2 row 5); this is a TPU-native model-family addition:
+the LLaMA attention block (RoPE + GQA, shared with models/llama.py)
+with a top-k routed MoE FFN.
+
+Expert parallelism falls out of sharding: expert weights carry a
+leading E axis annotated with the `tp` mesh axis
+(parallel/shardings.moe_param_specs), the expert computation is an
+einsum over E, and XLA partitions it so each device computes only its
+local experts and psums the router-weighted combination. The dense
+einsum (every expert on every token) is exact and compiles to clean
+MXU work; a capacity-based gather/scatter kernel is the follow-up
+optimization for large-scale serving.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from turboinfer_tpu.config import ModelConfig
+from turboinfer_tpu.kernels import ops
+from turboinfer_tpu.models import llama
+from turboinfer_tpu.models.common import (KVCache, init_cache,  # noqa: F401
+                                          param_bytes, param_count,
+                                          reset_cache)
+
+
+def init_params(rng: jax.Array, config: ModelConfig,
+                dtype=None) -> Dict[str, Any]:
+    if config.num_experts <= 0:
+        raise ValueError("moe model needs config.num_experts > 0")
+    dtype = dtype or config.dtype
+    H, V, L = config.hidden_size, config.vocab_size, config.num_layers
+    QD, KVD, F = config.q_dim, config.kv_dim, config.ffn_dim
+    E = config.num_experts
+    keys = jax.random.split(rng, 10)
+
+    def w(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32)
+                * (1.0 / jnp.sqrt(fan_in))).astype(dtype)
+
+    params = {
+        "embed": w(keys[0], (V, H), H),
+        "layers": {
+            "attn_norm": jnp.ones((L, H), dtype),
+            "ffn_norm": jnp.ones((L, H), dtype),
+            "wq": w(keys[1], (L, H, QD), H),
+            "wk": w(keys[2], (L, H, KVD), H),
+            "wv": w(keys[3], (L, H, KVD), H),
+            "wo": w(keys[4], (L, QD, H), QD),
+            "router": w(keys[5], (L, H, E), H),
+            "we_gate": w(keys[6], (L, E, H, F), H),
+            "we_up": w(keys[7], (L, E, H, F), H),
+            "we_down": w(keys[8], (L, E, F, H), F),
+        },
+        "final_norm": jnp.ones((H,), dtype),
+        "lm_head": w(keys[9], (H, V), H),
+    }
+    if config.tie_embeddings:
+        params["lm_head"] = params["embed"].T
+    return params
+
+
+def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any]
+             ) -> jax.Array:
+    """Top-k routed SwiGLU experts. h: [B, S, H] -> [B, S, H].
+
+    Router softmax is over the selected top-k (Mixtral convention).
+    """
+    E, k = config.num_experts, config.experts_per_token
+    hf = h.astype(jnp.float32)
+    logits = jnp.einsum("bsh,he->bse", hf,
+                        lw["router"].astype(jnp.float32))
+    top_v, top_i = jax.lax.top_k(logits, k)               # [B, S, k]
+    gates = jax.nn.softmax(top_v, axis=-1)                # [B, S, k]
+    # Scatter top-k gates into a dense [B, S, E] mixing vector.
+    onehot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)  # [B, S, k, E]
+    mix = jnp.einsum("bsk,bske->bse", gates, onehot)      # [B, S, E]
+
+    # Dense expert computation, partitionable over E.
+    g = jnp.einsum("bsh,ehf->bsef", h, lw["we_gate"])
+    u = jnp.einsum("bsh,ehf->bsef", h, lw["we_up"])
+    act = ops.swiglu(g, u)
+    out_e = jnp.einsum("bsef,efh->bseh", act.astype(h.dtype),
+                       lw["we_down"])
+    out = jnp.einsum("bseh,bse->bsh", out_e.astype(jnp.float32), mix)
+    return out.astype(h.dtype)
+
+
+def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
+                   kv_len, contiguous=True):
+    """LLaMA attention block + MoE FFN."""
+    B, S, H = x.shape
+    Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
+
+    h = ops.rms_norm(x, lw["attn_norm"], config.rms_norm_eps)
+    q = ops.qmatmul(h, lw["wq"]).reshape(B, S, Hq, D)
+    k = ops.qmatmul(h, lw["wk"]).reshape(B, S, Hkv, D)
+    v = ops.qmatmul(h, lw["wv"]).reshape(B, S, Hkv, D)
+    q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode)
+    k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
+
+    def write_one(cache_b, new_b, start_b):
+        return jax.lax.dynamic_update_slice(
+            cache_b, new_b.transpose(1, 0, 2).astype(cache_b.dtype),
+            (0, start_b, 0))
+    k_cache = jax.vmap(write_one)(k_cache, k, start)
+    v_cache = jax.vmap(write_one)(v_cache, v, start)
+
+    if S == 1:
+        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len)
+        attn = attn[:, None]
+    else:
+        attn = ops.attention_prefill(
+            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+            causal=True, positions=positions, kv_len=kv_len,
+            q_start=start if contiguous else None)
+    attn = attn.reshape(B, S, Hq * D)
+    x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"])
+
+    h = ops.rms_norm(x, lw["ffn_norm"], config.rms_norm_eps)
+    x = x + _moe_ffn(config, h, lw)
+    return x, k_cache, v_cache
+
+
+def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
+            cache: KVCache, *, positions: Optional[jax.Array] = None,
+            seq_lens: Optional[jax.Array] = None
+            ) -> Tuple[jax.Array, KVCache]:
+    """Same contract as llama.forward."""
+    B, S = tokens.shape
+    start = cache.length
+    contiguous = positions is None
+    if positions is None:
+        positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    if seq_lens is None:
+        seq_lens = jnp.full((B,), S, jnp.int32)
+    kv_len = start + seq_lens
+
+    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+
+    def body(x, layer):
+        lw, kc, vc = layer
+        x, kc, vc = _layer_forward(config, x, lw, positions, kc, vc,
+                                   start, kv_len, contiguous=contiguous)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v))
+
+    x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
+    return logits.astype(jnp.float32), KVCache(k=k_new, v=v_new,
+                                               length=kv_len)
+
+
+def forward_no_cache(params, config, tokens, seq_lens=None) -> jax.Array:
+    B, S = tokens.shape
+    cache = init_cache(config, B, max_seq=S)
+    logits, _ = forward(params, config, tokens, cache, seq_lens=seq_lens)
+    return logits

@@ -13,13 +13,15 @@ from __future__ import annotations
 
 from typing import Any
 
-from turboinfer_tpu.models import gpt2, llama
+from turboinfer_tpu.models import gpt2, llama, moe
 
 _REGISTRY = {
     "llama": llama,
     "mistral": llama,      # same block structure (GQA handled by config)
     "qwen2": llama,
     "gpt2": gpt2,
+    "mixtral": moe,
+    "moe": moe,
 }
 
 

@@ -1,0 +1,145 @@
+"""Pipeline parallelism: decoder layers staged over a mesh axis.
+
+No reference counterpart (SURVEY.md §2 row 15 — the reference has no
+parallelism at all). TPU-native design: the params' stacked [L, ...]
+layer axis and the KV cache's layer axis shard over a `pp` mesh axis,
+so each device holds L/P layers and their cache. A shard_map stage
+relay runs the local `lax.scan` on the device whose turn it is and
+rotates activations to the next stage with `ppermute` (one ICI hop —
+neighbor traffic only). The last stage computes the lm_head and the
+logits are broadcast with a psum.
+
+Memory scales 1/P in weights and cache — the way to serve a model
+larger than one chip's HBM when tensor parallelism alone isn't enough.
+Decode latency is the sum of stage latencies (classic inference PP);
+microbatch overlap is the follow-up optimization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from turboinfer_tpu.config import ModelConfig
+from turboinfer_tpu.kernels import ops
+from turboinfer_tpu.models import llama
+from turboinfer_tpu.models.common import KVCache
+
+PP_AXIS = "pp"
+
+
+def pipeline_param_specs(pp: str = PP_AXIS) -> Dict[str, Any]:
+    """Layer-stacked weights shard on the leading L axis over `pp`;
+    embeddings/norms/head replicated (the last stage uses them)."""
+    return {
+        "embed": P(None, None),
+        "layers": {
+            "attn_norm": P(pp, None),
+            "ffn_norm": P(pp, None),
+            "wq": P(pp, None, None),
+            "wk": P(pp, None, None),
+            "wv": P(pp, None, None),
+            "wo": P(pp, None, None),
+            "w_gate": P(pp, None, None),
+            "w_up": P(pp, None, None),
+            "w_down": P(pp, None, None),
+        },
+        "final_norm": P(None),
+        "lm_head": P(None, None),
+    }
+
+
+def pipeline_cache_spec(pp: str = PP_AXIS) -> P:
+    """KV cache [L, B, Hkv, T, D]: layer axis over `pp`."""
+    return P(pp, None, None, None, None)
+
+
+def shard_for_pipeline(params, cache: KVCache, mesh: Mesh,
+                       pp: str = PP_AXIS):
+    """Place params + cache with the pipeline shardings."""
+    from turboinfer_tpu.parallel.shardings import shard_params
+    params = shard_params(params, mesh, specs=pipeline_param_specs(pp))
+    ns = NamedSharding(mesh, pipeline_cache_spec(pp))
+    cache = KVCache(
+        k=jax.device_put(cache.k, ns),
+        v=jax.device_put(cache.v, ns),
+        length=jax.device_put(cache.length, NamedSharding(mesh, P(None))))
+    return params, cache
+
+
+def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
+                     cache: KVCache, *, mesh: Mesh, axis: str = PP_AXIS
+                     ) -> Tuple[jax.Array, KVCache]:
+    """llama-family forward with layers staged over `axis`.
+
+    Same contract as llama.forward; tokens/logits replicated across the
+    pipeline, params/cache sharded on the layer axis.
+    """
+    B, S = tokens.shape
+    n_stage = mesh.shape[axis]
+    if config.num_layers % n_stage:
+        raise ValueError(f"{config.num_layers} layers not divisible by "
+                         f"{n_stage} pipeline stages")
+
+    lspec = pipeline_param_specs(axis)
+    cspec = pipeline_cache_spec(axis)
+    rep2 = P(None, None)
+
+    def local(embed, layers_local, final_norm, lm_head, toks,
+              k_loc, v_loc, length):
+        me = jax.lax.axis_index(axis)
+        start = length
+        positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+        kv_len = start + S
+
+        x = jnp.take(embed, toks, axis=0).astype(config.dtype)
+
+        def run_stage(args):
+            x, kc, vc = args
+
+            def body(x, layer):
+                lw, k1, v1 = layer
+                x, k1, v1 = llama._layer_forward(
+                    config, x, lw, positions, k1, v1, start, kv_len,
+                    contiguous=True)
+                return x, (k1, v1)
+
+            x, (kc, vc) = jax.lax.scan(body, x, (layers_local, kc, vc))
+            return x, kc, vc
+
+        def skip_stage(args):
+            return args
+
+        def stage_step(s, carry):
+            x, kc, vc = carry
+            x, kc, vc = jax.lax.cond(me == s, run_stage, skip_stage,
+                                     (x, kc, vc))
+            perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
+            x = jax.lax.ppermute(x, axis, perm)
+            return (x, kc, vc)
+
+        x, k_loc, v_loc = jax.lax.fori_loop(
+            0, n_stage, stage_step, (x, k_loc, v_loc))
+        # After n_stage rotations the fully-processed x landed back on
+        # stage 0; stage 0 computes the head and a psum broadcasts.
+        x = ops.rms_norm(x, final_norm, config.rms_norm_eps)
+        logits = ops.qmatmul(x, lm_head,
+                             preferred_dtype=jnp.float32).astype(jnp.float32)
+        logits = jnp.where(me == 0, logits, 0.0)
+        logits = jax.lax.psum(logits, axis)
+        return logits, k_loc, v_loc, kv_len
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(lspec["embed"], lspec["layers"], lspec["final_norm"],
+                  lspec["lm_head"], rep2, cspec, cspec, P(None)),
+        out_specs=(P(None, None, None), cspec, cspec, P(None)),
+        check_vma=False)
+    logits, k_new, v_new, kv_len = fn(
+        params["embed"], params["layers"], params["final_norm"],
+        params["lm_head"], tokens, cache.k, cache.v, cache.length)
+    return logits, KVCache(k=k_new, v=v_new, length=kv_len)

@@ -48,6 +48,30 @@ def param_specs(tp: str = TP_AXIS) -> Dict[str, Any]:
     }
 
 
+def moe_param_specs(tp: str = TP_AXIS) -> Dict[str, Any]:
+    """Specs for models/moe.py: EXPERT-parallel — the leading E axis of
+    expert weights shards over `tp`, so the expert einsums partition by
+    expert and XLA psums the router-weighted combine. Attention shards
+    like the dense model."""
+    return {
+        "embed": P(None, None),
+        "layers": {
+            "attn_norm": P(None, None),
+            "ffn_norm": P(None, None),
+            "wq": P(None, None, tp),
+            "wk": P(None, None, tp),
+            "wv": P(None, None, tp),
+            "wo": P(None, tp, None),
+            "router": P(None, None, None),
+            "we_gate": P(None, tp, None, None),
+            "we_up": P(None, tp, None, None),
+            "we_down": P(None, tp, None, None),
+        },
+        "final_norm": P(None),
+        "lm_head": P(None, tp),
+    }
+
+
 def cache_spec(tp: str = TP_AXIS, data: str = DATA_AXIS) -> P:
     """KV cache [L, B, Hkv, T, D]: batch over data, heads over tp."""
     return P(None, data, tp, None, None)
