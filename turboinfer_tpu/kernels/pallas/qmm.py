@@ -139,6 +139,8 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
                 break
     if TK is None and K % group_size == 0:
         TK = group_size
+    if TN is None or TK is None:
+        return None
     # Cap the streamed weight block at ~1.5 MB of VMEM.
     while TK > group_size and (TK // (1 if bits == 8 else 2)) * TN > 1_572_864:
         TK //= 2
