@@ -127,3 +127,19 @@ def test_gpt2_gguf_roundtrip(tmp_path, g2_params, g2_cfg):
                                 tokens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gpt2_quantization(g2_params, g2_cfg):
+    """Architecture-aware quantizer handles gpt2 slots."""
+    from turboinfer_tpu.config import QuantizationConfig, QuantType
+    from turboinfer_tpu.core.qtensor import QTensor
+    from turboinfer_tpu.quant.quantizer import (quantize_params,
+                                                validate_quantization_accuracy)
+    q = quantize_params(g2_params, QuantizationConfig(
+        type=QuantType.INT8, group_size=32))
+    assert isinstance(q["layers"]["w_qkv"], QTensor)
+    assert isinstance(q["layers"]["w_fc"], QTensor)
+    eng = ti.InferenceEngine(q, g2_cfg)
+    assert len(eng.generate([1, 5], 6, temperature=0.0).tokens) == 8
+    rep = validate_quantization_accuracy(g2_params, q, g2_cfg)
+    assert rep.mean_abs_logprob_delta < 1.0

@@ -92,3 +92,16 @@ def test_expert_parallel_sharding(moe_params, moe_cfg):
             sharded, tokens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_moe_quantization(moe_params, moe_cfg):
+    """Attention weights quantize; expert weights stay fp for now."""
+    from turboinfer_tpu.config import QuantizationConfig, QuantType
+    from turboinfer_tpu.core.qtensor import QTensor
+    from turboinfer_tpu.quant.quantizer import quantize_params
+    q = quantize_params(moe_params, QuantizationConfig(
+        type=QuantType.INT8, group_size=32))
+    assert isinstance(q["layers"]["wq"], QTensor)
+    assert not isinstance(q["layers"]["we_gate"], QTensor)
+    eng = ti.InferenceEngine(q, moe_cfg)
+    assert len(eng.generate([1, 5], 6, temperature=0.0).tokens) == 8

@@ -20,8 +20,25 @@ import numpy as np
 from turboinfer_tpu.config import (ModelConfig, QuantizationConfig, QuantType)
 from turboinfer_tpu.core.qtensor import QTensor, dequantize, quantize
 
-# Per-layer matmul weight slots that get quantized. Stacked [L, K, N].
-_LAYER_MATMULS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+# Per-layer matmul weight slots that get quantized, per architecture.
+# Stacked [L, K, N]. MoE expert weights ([L, E, K, N]) stay fp until the
+# qmm kernel grows a 3-D batch mode.
+_ARCH_MATMULS = {
+    "llama": ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"),
+    "gpt2": ("w_qkv", "wo", "w_fc", "w_proj"),
+    "moe": ("wq", "wk", "wv", "wo"),
+}
+_LAYER_MATMULS = _ARCH_MATMULS["llama"]
+
+
+def _matmul_slots(params: Dict[str, Any]) -> tuple:
+    """Pick the quantizable stacked-2D slots by inspecting the pytree."""
+    layers = params.get("layers", {})
+    for arch, slots in _ARCH_MATMULS.items():
+        if all(s in layers for s in slots):
+            return slots
+    return tuple(k for k, v in layers.items()
+                 if hasattr(v, "ndim") and v.ndim == 3)
 
 
 def _quantize_stacked(w: jax.Array, cfg: QuantizationConfig) -> QTensor:
@@ -53,15 +70,16 @@ def quantize_params(params: Dict[str, Any], cfg: QuantizationConfig
             if isinstance(x, jax.Array) and x.dtype in (jnp.float32,)
             else x, params)
 
-    out = {"embed": params["embed"], "final_norm": params["final_norm"]}
+    out = {k: v for k, v in params.items() if k not in ("layers", "lm_head")}
     layers = dict(params["layers"])
-    for name in _LAYER_MATMULS:
+    for name in _matmul_slots(params):
         layers[name] = _quantize_stacked(layers[name], cfg)
     out["layers"] = layers
-    if cfg.skip_embeddings:
-        out["lm_head"] = params["lm_head"]
+    head = params["lm_head"]
+    if cfg.skip_embeddings or isinstance(head, QTensor) or head.ndim != 2:
+        out["lm_head"] = head
     else:
-        out["lm_head"] = quantize(params["lm_head"], cfg.type,
+        out["lm_head"] = quantize(head, cfg.type,
                                   group_size=cfg.group_size,
                                   symmetric=cfg.symmetric)
     return out
@@ -109,7 +127,8 @@ def validate_quantization_accuracy(
     """Compare per-token logprobs of fp vs quantized model on sample
     sequences (reference inference-mode validation, quantization.cpp
     :500-608, minus the /10 normalization fudge)."""
-    from turboinfer_tpu.models import llama
+    from turboinfer_tpu.models import registry
+    model = registry.get_model(model_config.architecture)
 
     if sample_tokens is None:
         rng = np.random.RandomState(seed)
@@ -120,9 +139,9 @@ def validate_quantization_accuracy(
     for toks in sample_tokens:
         t = jnp.asarray([toks], jnp.int32)
         lf = jax.nn.log_softmax(
-            llama.forward_no_cache(params_fp, model_config, t), axis=-1)
+            model.forward_no_cache(params_fp, model_config, t), axis=-1)
         lq = jax.nn.log_softmax(
-            llama.forward_no_cache(params_q, model_config, t), axis=-1)
+            model.forward_no_cache(params_q, model_config, t), axis=-1)
         tgt = t[0, 1:]
         lp_f = np.asarray(jnp.take_along_axis(
             lf[0, :-1], tgt[:, None], axis=-1)[:, 0])
