@@ -144,3 +144,32 @@ def test_facade_init_shutdown():
     assert "jax" in ti.build_info()
     ti.shutdown()
     assert not ti.is_initialized()
+
+
+def test_chunked_prefill_matches_single_shot(tiny_params, tiny_cfg):
+    """prefill_chunk must not change greedy outputs."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.config import InferenceConfig
+    prompt = list(range(1, 25))
+    e1 = ti.InferenceEngine(tiny_params, tiny_cfg, InferenceConfig(
+        max_seq_len=128, seed=0))
+    e2 = ti.InferenceEngine(tiny_params, tiny_cfg, InferenceConfig(
+        max_seq_len=128, seed=0, prefill_chunk=8, prefill_bucket=False))
+    w = e1.generate(prompt, 10, temperature=0.0).tokens
+    g = e2.generate(prompt, 10, temperature=0.0).tokens
+    assert g == w
+
+
+def test_use_cache_false_matches_cached(tiny_params, tiny_cfg):
+    """use_cache=False recomputes but must produce identical greedy
+    output (the reference's flag silently does nothing)."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.config import InferenceConfig
+    prompt = [1, 5, 42, 7]
+    e1 = ti.InferenceEngine(tiny_params, tiny_cfg, InferenceConfig(
+        max_seq_len=128, seed=0))
+    e2 = ti.InferenceEngine(tiny_params, tiny_cfg, InferenceConfig(
+        max_seq_len=128, seed=0, use_cache=False))
+    w = e1.generate(prompt, 8, temperature=0.0).tokens
+    g = e2.generate(prompt, 8, temperature=0.0).tokens
+    assert g == w

@@ -124,6 +124,10 @@ class InferenceConfig:
     decode_loop: str = "scan"
     # Bucket prompt lengths to powers of two to bound recompilation.
     prefill_bucket: bool = True
+    # Chunked prefill: process prompts in fixed chunks of this many
+    # tokens (0 = single-shot). Bounds compile shapes and activation
+    # memory for long prompts.
+    prefill_chunk: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

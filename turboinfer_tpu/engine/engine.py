@@ -148,6 +148,35 @@ class InferenceEngine:
         self._jit_cache[key] = decode
         return decode
 
+    def _run_prefill(self, tokens, seq_lens, cache):
+        """Prefill, optionally in fixed-size chunks (config.prefill_chunk)
+        — bounds compile shapes + activation memory for long prompts.
+        Returns (last_logits [B, V], cache)."""
+        B, S = tokens.shape
+        C = self.config.prefill_chunk
+        if C <= 0 or S <= C:
+            return self._prefill_fn(self.params, tokens, seq_lens, cache)
+        lens_np = np.asarray(seq_lens)
+        last = None
+        last_sel = np.zeros((B,), bool)
+        out_logits = None
+        for c0 in range(0, S, C):
+            c1 = min(c0 + C, S)
+            chunk = tokens[:, c0:c1]
+            if chunk.shape[1] < C:
+                chunk = jnp.pad(chunk, ((0, 0), (0, C - chunk.shape[1])),
+                                constant_values=self.config.pad_token_id)
+            chunk_lens = jnp.clip(seq_lens - c0, 0, C)
+            logits, cache = self._prefill_fn(self.params, chunk,
+                                             chunk_lens, cache)
+            sel = (lens_np - 1 >= c0) & (lens_np - 1 < c1)
+            if out_logits is None:
+                out_logits = logits
+            else:
+                out_logits = jnp.where(jnp.asarray(sel)[:, None], logits,
+                                       out_logits)
+        return out_logits, cache
+
     # -- helpers --------------------------------------------------------
 
     def _pad_batch(self, prompts: Sequence[Sequence[int]]
@@ -215,6 +244,11 @@ class InferenceEngine:
         pad = self.config.pad_token_id
         t0 = time.perf_counter()
 
+        if not self.config.use_cache:
+            return self._generate_batch_nocache(prompts, max_new_tokens, sp,
+                                                eos, pad, t0,
+                                                return_logprobs)
+
         tokens, seq_lens, S = self._pad_batch(prompts)
         B = len(prompts)
         max_new = min(max_new_tokens,
@@ -222,8 +256,7 @@ class InferenceEngine:
         cache = self._model.init_cache(self.model_config, B,
                                        max_seq=self.config.max_seq_len)
 
-        last_logits, cache = self._prefill_fn(self.params, tokens, seq_lens,
-                                              cache)
+        last_logits, cache = self._run_prefill(tokens, seq_lens, cache)
         rng = self.next_rng()
         r_pre, r_dec = jax.random.split(rng)
         first = sampling.sample(r_pre, last_logits, sp)
@@ -290,6 +323,52 @@ class InferenceEngine:
                                      elapsed_s=(t1 - t0),
                                      prefill_s=(t_prefill - t0),
                                      batch=B)
+        return results
+
+    def _generate_batch_nocache(self, prompts, max_new_tokens, sp, eos, pad,
+                                t0, return_logprobs):
+        """use_cache=False path: recompute the full sequence every token
+        (the reference's flag silently does nothing — SURVEY.md quirk #9;
+        here it honestly disables incremental decoding)."""
+        seqs = [list(p) for p in prompts]
+        lps: List[List[float]] = [[] for _ in prompts]
+        finished = [False] * len(prompts)
+        stop = ["length"] * len(prompts)
+        for _ in range(max_new_tokens):
+            if all(finished):
+                break
+            tokens, seq_lens, S = self._pad_batch(seqs)
+            logits = self._logprob_fn(tokens, seq_lens)
+            idx = jnp.maximum(seq_lens - 1, 0)
+            last = jnp.take_along_axis(
+                logits, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+            rng = self.next_rng()
+            nxt = np.asarray(sampling.sample(rng, last, sp))
+            lp = np.asarray(sampling.token_logprob(last, jnp.asarray(nxt)))
+            for b, s in enumerate(seqs):
+                if finished[b]:
+                    continue
+                s.append(int(nxt[b]))
+                lps[b].append(float(lp[b]))
+                if int(nxt[b]) == eos:
+                    finished[b] = True
+                    stop[b] = "eos"
+                elif len(s) >= self.config.max_seq_len:
+                    finished[b] = True
+                    stop[b] = "max_seq"
+        t1 = time.perf_counter()
+        results = []
+        for b, s in enumerate(seqs):
+            n = len(s) - len(prompts[b])
+            results.append(GenerationResult(
+                tokens=s, logprobs=lps[b] if return_logprobs else None,
+                total_time_ms=(t1 - t0) * 1e3,
+                tokens_per_second=n / max(t1 - t0, 1e-9),
+                finished=finished[b] or n >= max_new_tokens,
+                stop_reason=stop[b]))
+        self.stats.record_generation(
+            new_tokens=sum(len(s) - len(p) for s, p in zip(seqs, prompts)),
+            elapsed_s=(t1 - t0), prefill_s=0.0, batch=len(prompts))
         return results
 
     # -- beam search ------------------------------------------------------
