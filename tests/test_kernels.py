@@ -57,11 +57,31 @@ class TestQmmKernel:
         qt = quantize(w, QuantType.INT8, group_size=64, symmetric=False)
         assert qmm.qmatmul_pallas(_rand(4, 256), qt, interpret=True) is None
 
-    def test_unaligned_n_falls_back(self):
+    def test_unaligned_n_full_width_block(self):
+        """Non-128-multiple N runs via a full-width (TN == N) block."""
         from turboinfer_tpu.kernels.pallas import qmm
         w = _rand(256, 130)
+        x = _rand(4, 256)
         qt = quantize(w, QuantType.INT8, group_size=64)
-        assert qmm.qmatmul_pallas(_rand(4, 256), qt, interpret=True) is None
+        got = qmm.qmatmul_pallas(x, qt, interpret=True)
+        assert got is not None
+        want = ops.qmatmul_ref(x, qt)
+        rel = float(jnp.max(jnp.abs(got - want))
+                    / (jnp.max(jnp.abs(want)) + 1e-9))
+        assert rel < 2e-2
+
+    def test_huge_n_narrow_tiles(self):
+        """N beyond the full-width cap falls back to 128k-wide tiles."""
+        from turboinfer_tpu.kernels.pallas import qmm
+        w = _rand(64, 17408)        # > 16384 -> narrow tiling path
+        x = _rand(2, 64)
+        qt = quantize(w, QuantType.INT8, group_size=64)
+        got = qmm.qmatmul_pallas(x, qt, interpret=True)
+        assert got is not None
+        want = ops.qmatmul_ref(x, qt)
+        rel = float(jnp.max(jnp.abs(got - want))
+                    / (jnp.max(jnp.abs(want)) + 1e-9))
+        assert rel < 2e-2
 
 
 class TestAttentionKernels:

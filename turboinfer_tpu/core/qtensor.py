@@ -142,7 +142,10 @@ def _group_reduce(x: jax.Array, group_size: int):
 
 
 def quantize(w: jax.Array, qtype: QuantType, *, group_size: int = 64,
-             symmetric: bool = True, scale_dtype=jnp.float32) -> QTensor:
+             symmetric: bool = True, scale_dtype=jnp.bfloat16) -> QTensor:
+    # bf16 scales by default: f32 scales add 25% HBM traffic on top of
+    # int4 data at g=64; the ~0.4% scale rounding is far below the int4
+    # quantization error itself.
     """Group-wise quantize a 2-D fp weight [K, N] along K."""
     if w.ndim != 2:
         raise ValueError(f"quantize expects 2-D [K, N], got {w.shape}")

