@@ -206,12 +206,15 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
     else:
         q = qt.data.astype(jnp.float32)
     g = qt.group_size
-    G = qt.num_groups
+    G = -(-K // g)
     pad = G * g - K
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0)))
     qg = q.reshape(G, g, N)
-    scales = qt.scales.astype(jnp.float32)[:, None, :]
+    sc = qt.scales
+    if sc.ndim == 3:                   # pre-tiled [nk, gk, N] (prepare_scales)
+        sc = sc.reshape(G, N)
+    scales = sc.astype(jnp.float32)[:, None, :]
     if qt.zero_points is not None:
         qg = qg - qt.zero_points.astype(jnp.float32)[:, None, :]
     w = (qg * scales).reshape(G * g, N)[:K]

@@ -71,7 +71,8 @@ class InferenceEngine:
     def __init__(self, params: Dict[str, Any], model_config: ModelConfig,
                  config: Optional[InferenceConfig] = None,
                  tokenizer=None):
-        self.params = params
+        from turboinfer_tpu.kernels import dispatch as _dispatch
+        self.params = _dispatch.prepare_params(params)
         self.model_config = model_config
         self._model = registry.get_model(model_config.architecture)
         self.config = config or InferenceConfig(

@@ -59,7 +59,8 @@ class ContinuousBatchingScheduler:
     def __init__(self, params: Dict[str, Any], model_config: ModelConfig,
                  config: Optional[InferenceConfig] = None,
                  batch_slots: int = 8):
-        self.params = params
+        from turboinfer_tpu.kernels import dispatch as _dispatch
+        self.params = _dispatch.prepare_params(params)
         self.model_config = model_config
         self._model = registry.get_model(model_config.architecture)
         self.config = config or InferenceConfig(

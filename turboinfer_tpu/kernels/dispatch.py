@@ -36,13 +36,29 @@ def pallas_enabled() -> bool:
 
 # -- fused dequant matmul ----------------------------------------------------
 
-def qmatmul(x, qt, preferred_dtype=jnp.float32):
+def qmatmul(x, qt, preferred_dtype=jnp.float32, layer_index=None):
     from turboinfer_tpu.kernels import ops
+    stacked = layer_index is not None and qt.data.ndim == 3
     if pallas_enabled():
         from turboinfer_tpu.kernels.pallas import qmm
-        y = qmm.qmatmul_pallas(x, qt, preferred_dtype)
+        if stacked:
+            y = qmm.qmatmul_pallas_stacked(x, qt, layer_index,
+                                           preferred_dtype)
+        else:
+            y = qmm.qmatmul_pallas(x, qt, preferred_dtype)
         if y is not None:
             return y
+    if stacked:
+        from turboinfer_tpu.core.qtensor import QTensor
+        qt = QTensor(
+            data=jax.lax.dynamic_index_in_dim(qt.data, layer_index, 0,
+                                              keepdims=False),
+            scales=jax.lax.dynamic_index_in_dim(qt.scales, layer_index, 0,
+                                                keepdims=False),
+            zero_points=None if qt.zero_points is None else
+            jax.lax.dynamic_index_in_dim(qt.zero_points, layer_index, 0,
+                                         keepdims=False),
+            bits=qt.bits, group_size=qt.group_size, shape=qt.shape)
     return ops.qmatmul_ref(x, qt, preferred_dtype)
 
 
@@ -70,3 +86,21 @@ def attention_decode(q, k_cache, v_cache, kv_len):
         if y is not None:
             return y
     return ops.attention_decode_ref(q, k_cache, v_cache, kv_len)
+
+
+def prepare_params(params):
+    """One-time engine-setup pass: pre-tile stacked QTensor scales into
+    the kernel's layout (see pallas/qmm.prepare_scales). Pure tree map;
+    no-op off-TPU or for fp leaves."""
+    from turboinfer_tpu.core.qtensor import QTensor
+    if not pallas_enabled():
+        return params
+    from turboinfer_tpu.kernels.pallas import qmm
+
+    def prep(leaf):
+        if isinstance(leaf, QTensor):
+            return qmm.prepare_scales(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map(
+        prep, params, is_leaf=lambda x: isinstance(x, QTensor))

@@ -137,15 +137,19 @@ def _dequant_ref(qt: QTensor, dtype) -> jax.Array:
         q = unpack_int4(qt.data, qt.group_size)[:K]
     else:
         q = qt.data
-    g, G = qt.group_size, qt.num_groups
+    g = qt.group_size
+    G = -(-K // g)
     pad = G * g - K
     qf = q.astype(jnp.float32)
     if pad:
         qf = jnp.pad(qf, ((0, pad), (0, 0)))
     qg = qf.reshape(G, g, N)
+    scales = qt.scales
+    if scales.ndim == 3:               # pre-tiled [nk, gk, N] (prepare_scales)
+        scales = scales.reshape(G, N)
     if qt.zero_points is not None:
         qg = qg - qt.zero_points.astype(jnp.float32)[:, None, :]
-    w = (qg * qt.scales.astype(jnp.float32)[:, None, :]).reshape(G * g, N)[:K]
+    w = (qg * scales.astype(jnp.float32)[:, None, :]).reshape(G * g, N)[:K]
     return w.astype(dtype)
 
 
@@ -156,16 +160,24 @@ def qmatmul_ref(x: jax.Array, qt: QTensor,
     return jnp.matmul(x, w, preferred_element_type=preferred_dtype).astype(x.dtype)
 
 
-def qmatmul(x: jax.Array, w, preferred_dtype=jnp.float32) -> jax.Array:
+def qmatmul(x: jax.Array, w, preferred_dtype=jnp.float32,
+            layer_index=None) -> jax.Array:
     """Matmul against a weight that may be fp (jax.Array) or a QTensor.
 
     [..., K] @ [K, N] -> [..., N]. For QTensor weights, dispatches to the
     fused dequant-matmul Pallas kernel on TPU when shapes allow, else the
     jnp reference (XLA still fuses the dequant into the dot).
+
+    `layer_index`: when the weight is STACKED [L, ...] (scan over
+    layers), pass the traced layer id instead of slicing the stack —
+    the Pallas kernel then reads layer `i` directly from the stacked
+    HBM array via scalar prefetch, avoiding a per-layer weight copy.
     """
     if isinstance(w, QTensor):
         from turboinfer_tpu.kernels import dispatch
-        return dispatch.qmatmul(x, w, preferred_dtype)
+        return dispatch.qmatmul(x, w, preferred_dtype, layer_index)
+    if layer_index is not None and w.ndim == 3:
+        w = jax.lax.dynamic_index_in_dim(w, layer_index, 0, keepdims=False)
     return jnp.matmul(x, w.astype(x.dtype),
                       preferred_element_type=preferred_dtype).astype(x.dtype)
 

@@ -110,27 +110,24 @@ def _pick_tile(dim: int, candidates) -> Optional[int]:
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "group_size", "K", "N",
-                                             "out_dtype", "interpret"))
-def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
-            out_dtype, interpret: bool = False):
-    """x2: [M, K] -> [M, N]. data/scales as stored in the QTensor."""
-    M = x2.shape[0]
+def _pick_tiles(M, K, N, bits, group_size):
+    """Tile selection shared by the 2-D and stacked paths.
 
+    Default: FULL-width N tiles — each weight block is TK/kd contiguous
+    rows, so DMA runs at full burst width (measured +13% decode tok/s
+    over 256-wide tiles on 7B shapes); narrow tiles only when N is too
+    wide for VMEM. TK covers whole scale groups, capped so the streamed
+    weight block stays ~2 MB (double-buffered; v5e has ~16 MB usable).
+    """
     import os
     tn_pref = os.environ.get("TURBOINFER_QMM_TN", "")
     tk_pref = os.environ.get("TURBOINFER_QMM_TK", "")
-    # Default: FULL-width N tiles — each weight block is TK/kd contiguous
-    # rows, so DMA runs at full burst width (measured +13% decode tok/s
-    # over 256-wide tiles on 7B shapes); narrow tiles only when N is
-    # too wide for VMEM.
     if tn_pref.isdigit() and N % int(tn_pref) == 0:
         TN = int(tn_pref)
     elif N <= 16384 and tn_pref != "narrow":
         TN = N
     else:
         TN = _pick_tile(N, (512, 384, 256, 128))
-    # TK: multiple of group_size dividing K, targeting ~512-2048.
     TK = None
     if tk_pref.isdigit() and K % int(tk_pref) == 0 \
             and int(tk_pref) % group_size == 0:
@@ -145,15 +142,24 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
         TK = group_size
     if TN is None or TK is None:
         return None
-    # Cap the streamed weight block at ~3 MB of VMEM (double-buffered by
-    # the pipeline; v5e has ~16 MB usable).
-    while TK > group_size and (TK // (1 if bits == 8 else 2)) * TN > 3_145_728:
+    while TK > group_size and (TK // (1 if bits == 8 else 2)) * TN > 2_097_152:
         TK //= 2
-    if TK % group_size:
+    if TK % group_size or (bits == 4 and (TK % 2 or group_size % 2)):
         return None
-    if TN is None or TK is None or (bits == 4 and (TK % 2 or group_size % 2)):
-        return None                      # not kernel-eligible
     TM = min(_round_up(M, 8), 256)
+    return TM, TN, TK
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group_size", "K", "N",
+                                             "out_dtype", "interpret"))
+def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
+            out_dtype, interpret: bool = False):
+    """x2: [M, K] -> [M, N]. data/scales as stored in the QTensor."""
+    M = x2.shape[0]
+    tiles = _pick_tiles(M, K, N, bits, group_size)
+    if tiles is None:
+        return None
+    TM, TN, TK = tiles
     pad_m = _round_up(M, TM) - M
     if pad_m:
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
@@ -216,6 +222,168 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
     return out[:M] if pad_m else out
 
 
+def _kernel_int8_idx(idx_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                     nk: int, group_size: int, out_dtype):
+    """Stacked-layer int8: q_ref [1, TK, TN] indexed by the prefetched
+    layer id in the BlockSpec; body identical to _kernel_int8."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:].astype(jnp.bfloat16)
+    q = q_ref[0]
+    s = s_ref[0, 0].astype(jnp.float32)
+    TK, TN = q.shape
+    G = TK // group_size
+    w = q.astype(jnp.int32).astype(jnp.float32).reshape(G, group_size, TN)
+    w = (w * s[:, None, :]).reshape(TK, TN).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _kernel_int4_idx(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref,
+                     *, nk: int, group_size: int, out_dtype):
+    """Stacked-layer int4 planar variant (see _kernel_int4)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x_lo = xlo_ref[:].astype(jnp.bfloat16)
+    x_hi = xhi_ref[:].astype(jnp.bfloat16)
+    qp = q_ref[0]
+    s = s_ref[0, 0].astype(jnp.float32)
+    TK2, TN = qp.shape
+    G = 2 * TK2 // group_size
+    g2 = group_size // 2
+
+    qi = qp.astype(jnp.int32)
+    lo = ((qi & 0x0F) - 8).astype(jnp.float32).reshape(G, g2, TN)
+    hi = ((qi >> 4) - 8).astype(jnp.float32).reshape(G, g2, TN)
+    w_lo = (lo * s[:, None, :]).reshape(TK2, TN).astype(jnp.bfloat16)
+    w_hi = (hi * s[:, None, :]).reshape(TK2, TN).astype(jnp.bfloat16)
+
+    acc_ref[:] += (jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
+                   + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32))
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group_size", "K", "N",
+                                             "out_dtype", "interpret"))
+def _qmm_stacked(x2, data3, scales3, layer_idx, *, bits: int,
+                 group_size: int, K: int, N: int, out_dtype,
+                 interpret: bool = False):
+    """x2: [M, K] @ layer `layer_idx` of data3 [L, K/kd, N] -> [M, N].
+
+    The layer id rides scalar prefetch and lands in the BlockSpec index
+    maps, so the kernel streams directly from the stacked HBM weight
+    array — no per-layer slice materialization (XLA copy-insertion would
+    otherwise duplicate ~100 MB of weights per layer per decode step
+    when a lax.scan slices the stack).
+    """
+    M = x2.shape[0]
+    tiles = _pick_tiles(M, K, N, bits, group_size)
+    if tiles is None:
+        return None
+    TM, TN, TK = tiles
+    pad_m = _round_up(M, TM) - M
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    Mp = M + pad_m
+    nk = K // TK
+    L = data3.shape[0]
+    gk = TK // group_size
+    if scales3.ndim == 4:
+        scales4 = scales3          # pre-tiled [L, nk, gk, N] (prepare_scales)
+    else:
+        scales4 = scales3.reshape(L, nk, gk, N)
+
+    kern = _kernel_int8_idx if bits == 8 else _kernel_int4_idx
+    kern = functools.partial(kern, nk=nk, group_size=group_size,
+                             out_dtype=out_dtype)
+    kd = 1 if bits == 8 else 2
+    w_spec = pl.BlockSpec((1, TK // kd, TN),
+                          lambda i, j, k, idx: (idx[0], k, j),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, 1, gk, TN),
+                          lambda i, j, k, idx: (idx[0], k, 0, j),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((TM, TN), lambda i, j, k, idx: (i, j),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * Mp * N * K,
+        bytes_accessed=(Mp * K * x2.dtype.itemsize + K * N * bits // 8
+                        + (K // group_size) * N * 2 + Mp * N * 2),
+        transcendentals=0)
+    idx_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    if bits == 8:
+        x_spec = pl.BlockSpec((TM, TK), lambda i, j, k, idx: (i, k),
+                              memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(Mp // TM, N // TN, nk),
+            in_specs=[x_spec, w_spec, s_spec], out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)])
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            cost_estimate=cost, interpret=interpret,
+        )(idx_arr, x2, data3, scales4)
+    else:
+        g2 = group_size // 2
+        xg = x2.reshape(Mp, K // group_size, group_size)
+        x_lo = xg[:, :, :g2].reshape(Mp, K // 2)
+        x_hi = xg[:, :, g2:].reshape(Mp, K // 2)
+        half_spec = pl.BlockSpec((TM, TK // 2), lambda i, j, k, idx: (i, k),
+                                 memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(Mp // TM, N // TN, nk),
+            in_specs=[half_spec, half_spec, w_spec, s_spec],
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)])
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            cost_estimate=cost, interpret=interpret,
+        )(idx_arr, x_lo, x_hi, data3, scales4)
+    return out[:M] if pad_m else out
+
+
+def qmatmul_pallas_stacked(x: jax.Array, qt: QTensor, layer_index,
+                           preferred_dtype=jnp.float32,
+                           interpret: bool = False) -> Optional[jax.Array]:
+    """[..., K] @ dequant(qt.data[layer_index]) for a stacked [L, ...]
+    QTensor, reading directly from the stacked HBM array."""
+    if qt.zero_points is not None or qt.data.ndim != 3:
+        return None
+    K, N = qt.shape
+    if qt.bits == 4 and qt.data.shape[1] * 2 != K:
+        return None
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    out = _qmm_stacked(x.reshape(M, K), qt.data, qt.scales, layer_index,
+                       bits=qt.bits, group_size=qt.group_size, K=K, N=N,
+                       out_dtype=x.dtype, interpret=interpret)
+    if out is None:
+        return None
+    return out.reshape(*lead, N)
+
+
 def qmatmul_pallas(x: jax.Array, qt: QTensor, preferred_dtype=jnp.float32,
                    interpret: bool = False) -> Optional[jax.Array]:
     """[..., K] @ dequant(qt [K, N]) -> [..., N] in x.dtype.
@@ -242,3 +410,29 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, preferred_dtype=jnp.float32,
     if out is None:
         return None
     return out.reshape(*lead, N)
+
+
+def prepare_scales(qt: QTensor) -> QTensor:
+    """Pre-tile a STACKED QTensor's scales to the [L, nk, gk, N] layout
+    the kernel consumes.
+
+    The runtime reshape [L, G, N] -> [L, nk, gk, N] is NOT a bitcast on
+    TPU (sublane tiling pads G and gk differently), so doing it inside
+    the per-layer call costs a full scales copy every layer every step
+    (~90 MB/layer measured on 7B). Doing it once at engine setup makes
+    it free at decode time. No-op for 2-D or non-kernel-eligible
+    weights.
+    """
+    if qt.data.ndim != 3 or qt.zero_points is not None:
+        return qt
+    K, N = qt.shape
+    tiles = _pick_tiles(8, K, N, qt.bits, qt.group_size)
+    if tiles is None or qt.scales.ndim != 3:
+        return qt
+    _, TN, TK = tiles
+    nk = K // TK
+    gk = TK // qt.group_size
+    L = qt.data.shape[0]
+    scales4 = qt.scales.reshape(L, nk, gk, N)
+    return QTensor(data=qt.data, scales=scales4, zero_points=None,
+                   bits=qt.bits, group_size=qt.group_size, shape=qt.shape)

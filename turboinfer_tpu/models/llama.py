@@ -99,7 +99,7 @@ def init_params(rng: jax.Array, config: ModelConfig,
 def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
                    positions: jax.Array, k_cache: jax.Array,
                    v_cache: jax.Array, start: jax.Array, kv_len: jax.Array,
-                   contiguous: bool = True
+                   contiguous: bool = True, layer_index=None
                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One decoder block (reference: TransformerLayer::forward,
     inference_engine.cpp:203-233 — RMSNorm → attn → residual → RMSNorm →
@@ -108,15 +108,26 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
     x: [B, S, H]; positions: [B, S]; k_cache/v_cache: [B, Hkv, Tmax, D];
     start: [B] write offset (== cache length before this call);
     kv_len: [B] valid slots after this call's tokens are written.
+    lw: per-layer weights — either already-sliced 2-D tensors
+    (layer_index=None) or the FULL stacked [L, ...] dict with
+    `layer_index` the traced layer id (the fast path: the qmm kernel
+    then reads the stack directly, no slice materialization).
     Returns (x_out, k_cache', v_cache').
     """
     B, S, H = x.shape
     Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
+    li = layer_index
 
-    h = ops.rms_norm(x, lw["attn_norm"], config.rms_norm_eps)
-    q = ops.qmatmul(h, lw["wq"]).reshape(B, S, Hq, D)
-    k = ops.qmatmul(h, lw["wk"]).reshape(B, S, Hkv, D)
-    v = ops.qmatmul(h, lw["wv"]).reshape(B, S, Hkv, D)
+    def norm_w(name):
+        w = lw[name]
+        if li is not None and w.ndim == 2:
+            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        return w
+
+    h = ops.rms_norm(x, norm_w("attn_norm"), config.rms_norm_eps)
+    q = ops.qmatmul(h, lw["wq"], layer_index=li).reshape(B, S, Hq, D)
+    k = ops.qmatmul(h, lw["wk"], layer_index=li).reshape(B, S, Hkv, D)
+    v = ops.qmatmul(h, lw["wv"], layer_index=li).reshape(B, S, Hkv, D)
 
     q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode)
     k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
@@ -141,12 +152,13 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
             causal=True, positions=positions, kv_len=kv_len,
             q_start=start if contiguous else None)
     attn = attn.reshape(B, S, Hq * D)
-    x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"])
+    x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
 
-    h = ops.rms_norm(x, lw["ffn_norm"], config.rms_norm_eps)
-    gate = ops.qmatmul(h, lw["w_gate"])
-    up = ops.qmatmul(h, lw["w_up"])
-    x = x + ops.qmatmul(ops.swiglu(gate, up).astype(x.dtype), lw["w_down"])
+    h = ops.rms_norm(x, norm_w("ffn_norm"), config.rms_norm_eps)
+    gate = ops.qmatmul(h, lw["w_gate"], layer_index=li)
+    up = ops.qmatmul(h, lw["w_up"], layer_index=li)
+    x = x + ops.qmatmul(ops.swiglu(gate, up).astype(x.dtype), lw["w_down"],
+                        layer_index=li)
     return x, k_cache, v_cache
 
 
@@ -175,14 +187,29 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
 
     x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
 
-    def body(x, layer):
-        lw, kc, vc = layer
-        x, kc, vc = _layer_forward(config, x, lw, positions, kc, vc,
-                                   start, kv_len, contiguous=contiguous)
-        return x, (kc, vc)
+    # Cache rides the scan CARRY and is updated in place at layer i via
+    # dynamic_update_index. Passing it through scan xs/ys instead makes
+    # XLA's copy-insertion duplicate the FULL stacked cache every layer
+    # (~220 MB/layer/step measured on 7B decode — the dominant cost).
+    # Weights stay STACKED in the scan closure; the body only passes the
+    # layer id. The qmm kernel indexes the stack via scalar prefetch, so
+    # neither weights nor cache are sliced into per-layer copies.
+    layers = params["layers"]
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v))
+    def body(carry, i):
+        x, k_full, v_full = carry
+        kc = jax.lax.dynamic_index_in_dim(k_full, i, 0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
+        x, kc, vc = _layer_forward(config, x, layers, positions, kc, vc,
+                                   start, kv_len, contiguous=contiguous,
+                                   layer_index=i)
+        k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
+        v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
+        return (x, k_full, v_full), None
+
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        jnp.arange(config.num_layers, dtype=jnp.int32))
 
     x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)

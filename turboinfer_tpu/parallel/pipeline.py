@@ -100,15 +100,21 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
 
         def run_stage(args):
             x, kc, vc = args
+            n_local = kc.shape[0]
 
-            def body(x, layer):
-                lw, k1, v1 = layer
+            def body(carry, i):
+                x, kf, vf = carry
+                k1 = jax.lax.dynamic_index_in_dim(kf, i, 0, keepdims=False)
+                v1 = jax.lax.dynamic_index_in_dim(vf, i, 0, keepdims=False)
                 x, k1, v1 = llama._layer_forward(
-                    config, x, lw, positions, k1, v1, start, kv_len,
-                    contiguous=True)
-                return x, (k1, v1)
+                    config, x, layers_local, positions, k1, v1, start,
+                    kv_len, contiguous=True, layer_index=i)
+                kf = jax.lax.dynamic_update_index_in_dim(kf, k1, i, 0)
+                vf = jax.lax.dynamic_update_index_in_dim(vf, v1, i, 0)
+                return (x, kf, vf), None
 
-            x, (kc, vc) = jax.lax.scan(body, x, (layers_local, kc, vc))
+            (x, kc, vc), _ = jax.lax.scan(
+                body, (x, kc, vc), jnp.arange(n_local, dtype=jnp.int32))
             return x, kc, vc
 
         def skip_stage(args):

@@ -99,15 +99,30 @@ def shard_params(params: Dict[str, Any], mesh: Mesh,
     group axis following K."""
     specs = specs or param_specs()
 
+    def fit(spec: P, ndim: int) -> P:
+        """Adapt a spec to an array of higher rank (e.g. pre-tiled 4-D
+        scales [L, nk, gk, N]): keep the first and last axis specs,
+        replicate the inserted middle axes."""
+        if len(spec) == ndim:
+            return spec
+        return P(*(list(spec[:-1]) + [None] * (ndim - len(spec))
+                   + [spec[-1]]))
+
     def place(leaf, spec):
         if isinstance(leaf, QTensor):
             # data: same rank as logical weight ([(L,) K(/2), N]);
-            # scales/zp: [(L,) G, N] — same spec (K-axis position holds G).
-            ns = NamedSharding(mesh, spec)
-            data = jax.device_put(leaf.data, ns)
-            scales = jax.device_put(leaf.scales, ns)
+            # scales/zp: [(L,) G(*), N] — same spec (K position holds G).
+            data = jax.device_put(leaf.data,
+                                  NamedSharding(mesh, fit(spec,
+                                                          leaf.data.ndim)))
+            scales = jax.device_put(
+                leaf.scales, NamedSharding(mesh, fit(spec,
+                                                     leaf.scales.ndim)))
             zp = (None if leaf.zero_points is None
-                  else jax.device_put(leaf.zero_points, ns))
+                  else jax.device_put(
+                      leaf.zero_points,
+                      NamedSharding(mesh, fit(spec,
+                                              leaf.zero_points.ndim))))
             return QTensor(data=data, scales=scales, zero_points=zp,
                            bits=leaf.bits, group_size=leaf.group_size,
                            shape=leaf.shape)
