@@ -36,9 +36,18 @@ def pallas_enabled() -> bool:
 
 # -- fused dequant matmul ----------------------------------------------------
 
+# Below this weight size the Pallas kernel's fixed launch cost exceeds
+# the matmul itself and the XLA-fused dequant path wins (measured 3x on
+# the tiny fixture). Per-layer data bytes.
+_QMM_MIN_BYTES = int(os.environ.get("TURBOINFER_QMM_MIN_BYTES", "262144"))
+
+
 def qmatmul(x, qt, preferred_dtype=jnp.float32, layer_index=None):
     from turboinfer_tpu.kernels import ops
     stacked = layer_index is not None and qt.data.ndim == 3
+    per_layer_bytes = qt.data.size // (qt.data.shape[0] if stacked else 1)
+    if per_layer_bytes < _QMM_MIN_BYTES:
+        return _qmm_small(x, qt, preferred_dtype, layer_index, stacked)
     if pallas_enabled():
         from turboinfer_tpu.kernels.pallas import qmm
         if stacked:
@@ -48,6 +57,12 @@ def qmatmul(x, qt, preferred_dtype=jnp.float32, layer_index=None):
             y = qmm.qmatmul_pallas(x, qt, preferred_dtype)
         if y is not None:
             return y
+    return _qmm_small(x, qt, preferred_dtype, layer_index, stacked)
+
+
+def _qmm_small(x, qt, preferred_dtype, layer_index, stacked):
+    """jnp reference path (XLA fuses the dequant into the dot)."""
+    from turboinfer_tpu.kernels import ops
     if stacked:
         from turboinfer_tpu.core.qtensor import QTensor
         qt = QTensor(
