@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from turboinfer_tpu.config import QuantType
+from turboinfer_tpu.utils.errors import QuantizationError
 
 
 def pack_int4(q: jax.Array, group_size: int) -> jax.Array:
@@ -49,7 +50,7 @@ def pack_int4(q: jax.Array, group_size: int) -> jax.Array:
     K = q.shape[0]
     g = group_size if group_size > 0 else K
     if g % 2 or K % g:
-        raise ValueError(
+        raise QuantizationError(
             f"int4 pack needs even group_size dividing K (K={K}, g={g})")
     u = (q.astype(jnp.int32) + 8).astype(jnp.uint8)       # [0, 15]
     tail = q.shape[1:]
@@ -148,9 +149,9 @@ def quantize(w: jax.Array, qtype: QuantType, *, group_size: int = 64,
     # quantization error itself.
     """Group-wise quantize a 2-D fp weight [K, N] along K."""
     if w.ndim != 2:
-        raise ValueError(f"quantize expects 2-D [K, N], got {w.shape}")
+        raise QuantizationError(f"quantize expects 2-D [K, N], got {w.shape}")
     if qtype not in (QuantType.INT8, QuantType.INT4):
-        raise ValueError(f"unsupported qtype {qtype}")
+        raise QuantizationError(f"unsupported qtype {qtype}")
     K, N = w.shape
     bits = 8 if qtype == QuantType.INT8 else 4
     if bits == 4:

@@ -35,6 +35,7 @@ from turboinfer_tpu.engine import sampling
 from turboinfer_tpu.engine.sampling import SamplingParams
 from turboinfer_tpu.models import llama, registry
 from turboinfer_tpu.models.common import KVCache
+from turboinfer_tpu.utils.errors import TokenError
 from turboinfer_tpu.utils.metrics import EngineStats
 
 
@@ -193,15 +194,15 @@ class InferenceEngine:
     def _validate(self, tokens: Sequence[int]):
         """Reference: validate_input_tokens (inference_engine.cpp:1409-1417)."""
         if len(tokens) == 0:
-            raise ValueError("input tokens must be non-empty")
+            raise TokenError("input tokens must be non-empty")
         if len(tokens) >= self.config.max_seq_len:
-            raise ValueError(
+            raise TokenError(
                 f"prompt length {len(tokens)} exceeds max_seq_len "
                 f"{self.config.max_seq_len}")
         V = self.model_config.vocab_size
         bad = [t for t in tokens if not (0 <= t < V)]
         if bad:
-            raise ValueError(f"token ids out of vocab range [0,{V}): {bad[:5]}")
+            raise TokenError(f"token ids out of vocab range [0,{V}): {bad[:5]}")
 
     def _sampling_params(self, temperature=None, top_k=None, top_p=None
                          ) -> SamplingParams:

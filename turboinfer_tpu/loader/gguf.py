@@ -26,6 +26,8 @@ from typing import Any, BinaryIO, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from turboinfer_tpu.utils.errors import ModelFormatError
+
 GGUF_MAGIC = 0x46554747  # "GGUF" little-endian (reference model_loader.cpp:22)
 GGUF_VERSION = 3         # only v3, like the reference (model_loader.cpp:733)
 DEFAULT_ALIGNMENT = 32   # reference model_loader.cpp:846-849
@@ -76,7 +78,7 @@ _BLOCK_LAYOUT = {
 def tensor_nbytes(ggml_type: int, n_elems: int) -> int:
     if ggml_type not in _BLOCK_LAYOUT:
         name = GGML_TYPE_NAMES.get(ggml_type, str(ggml_type))
-        raise ValueError(f"unsupported GGML tensor type {name}")
+        raise ModelFormatError(f"unsupported GGML tensor type {name}")
     be, bb = _BLOCK_LAYOUT[ggml_type]
     if n_elems % be:
         raise ValueError(
@@ -225,9 +227,9 @@ def read_gguf(path: str) -> GGUFFile:
     r = _Reader(mm)
     magic, version = struct.unpack("<II", r.read(8))
     if magic != GGUF_MAGIC:
-        raise ValueError(f"not a GGUF file (magic 0x{magic:08x})")
+        raise ModelFormatError(f"not a GGUF file (magic 0x{magic:08x})")
     if version != GGUF_VERSION:
-        raise ValueError(f"unsupported GGUF version {version} (only v3)")
+        raise ModelFormatError(f"unsupported GGUF version {version} (only v3)")
     n_tensors, n_kv = struct.unpack("<QQ", r.read(16))
 
     metadata: Dict[str, Any] = {}
@@ -285,7 +287,7 @@ def dequantize_ggml(raw: np.ndarray, ggml_type: int, n_elems: int
     be, bb = _BLOCK_LAYOUT.get(ggml_type, (None, None))
     if be is None:
         name = GGML_TYPE_NAMES.get(ggml_type, str(ggml_type))
-        raise ValueError(f"unsupported GGML tensor type {name}")
+        raise ModelFormatError(f"unsupported GGML tensor type {name}")
     nb = n_elems // be
     blocks = raw[: nb * bb].reshape(nb, bb)
 

@@ -24,6 +24,7 @@ from turboinfer_tpu.loader import safetensors as st_mod
 from turboinfer_tpu.loader import tinq as tinq_mod
 from turboinfer_tpu.tokenizer import bpe as tok_mod
 from turboinfer_tpu.utils import logging as tlog
+from turboinfer_tpu.utils.errors import ModelFormatError
 
 
 @dataclasses.dataclass
@@ -71,13 +72,13 @@ def load_model_data(path: str, dtype=None) -> ModelData:
     if fmt == "tinq":
         return load_tinq(path)
     if fmt in ("pytorch", "onnx"):
-        raise ValueError(
+        raise ModelFormatError(
             f"{fmt} files are not supported: export the model to "
             f"safetensors or GGUF first. (The reference fabricates random "
             f"weights for these formats — reference "
             f"model_loader.cpp:1160-1568; this build errors honestly "
             f"instead, see SURVEY.md quirk #10.)")
-    raise ValueError(f"unrecognized model format for '{path}'")
+    raise ModelFormatError(f"unrecognized model format for '{path}'")
 
 
 def load_gguf(path: str, dtype=None) -> ModelData:

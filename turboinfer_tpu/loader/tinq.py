@@ -36,6 +36,7 @@ import numpy as np
 from turboinfer_tpu.config import ModelConfig, QuantizationConfig, QuantType
 from turboinfer_tpu.core.qtensor import QTensor
 from turboinfer_tpu.loader import mapping
+from turboinfer_tpu.utils.errors import ModelFormatError
 
 MAGIC = b"TINQ"
 VERSION = 2
@@ -168,10 +169,10 @@ def load(path: str) -> Tuple[Dict[str, Any], ModelConfig,
         mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
         try:
             if mm[:4] != MAGIC:
-                raise ValueError(f"not a TINQ file: bad magic {mm[:4]!r}")
+                raise ModelFormatError(f"not a TINQ file: bad magic {mm[:4]!r}")
             (version,) = struct.unpack("<I", mm[4:8])
             if version != VERSION:
-                raise ValueError(f"unsupported TINQ version {version}")
+                raise ModelFormatError(f"unsupported TINQ version {version}")
             (hlen,) = struct.unpack("<Q", mm[8:16])
             header = json.loads(mm[16:16 + hlen].decode("utf-8"))
             data_start = (16 + hlen + _ALIGN - 1) // _ALIGN * _ALIGN

@@ -64,14 +64,23 @@ def init_params(rng: jax.Array, config: ModelConfig,
 
 
 def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
-                   start, kv_len):
-    """x + attn(ln1(x)); x + mlp(ln2(x)). Caches shaped like llama's."""
+                   start, kv_len, layer_index=None):
+    """x + attn(ln1(x)); x + mlp(ln2(x)). Caches shaped like llama's.
+    lw is the FULL stacked layer dict when layer_index is given."""
     B, S, H = x.shape
     Hq = config.num_heads
     D = H // Hq
+    li = layer_index
 
-    h = ops.layer_norm(x, lw["ln1_w"], lw["ln1_b"], config.rms_norm_eps)
-    qkv = ops.qmatmul(h, lw["w_qkv"]) + lw["b_qkv"]
+    def w1(name):
+        w = lw[name]
+        if li is not None and w.ndim >= 2 and w.shape[0] ==                 config.num_layers and name not in ("w_qkv", "wo", "w_fc",
+                                                   "w_proj"):
+            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        return w
+
+    h = ops.layer_norm(x, w1("ln1_w"), w1("ln1_b"), config.rms_norm_eps)
+    qkv = ops.qmatmul(h, lw["w_qkv"], layer_index=li) + w1("b_qkv")
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(B, S, Hq, D)
     k = k.reshape(B, S, Hq, D)
@@ -92,11 +101,13 @@ def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
             q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
             causal=True, kv_len=kv_len, q_start=start)
     attn = attn.reshape(B, S, H)
-    x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"]) + lw["bo"]
+    x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"],
+                        layer_index=li) + w1("bo")
 
-    h = ops.layer_norm(x, lw["ln2_w"], lw["ln2_b"], config.rms_norm_eps)
-    h = ops.gelu(ops.qmatmul(h, lw["w_fc"]) + lw["b_fc"])
-    x = x + ops.qmatmul(h.astype(x.dtype), lw["w_proj"]) + lw["b_proj"]
+    h = ops.layer_norm(x, w1("ln2_w"), w1("ln2_b"), config.rms_norm_eps)
+    h = ops.gelu(ops.qmatmul(h, lw["w_fc"], layer_index=li) + w1("b_fc"))
+    x = x + ops.qmatmul(h.astype(x.dtype), lw["w_proj"],
+                        layer_index=li) + w1("b_proj")
     return x, k_cache, v_cache
 
 
@@ -118,13 +129,21 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
                      jnp.clip(positions, 0, params["pos_embed"].shape[0] - 1),
                      axis=0).astype(config.dtype)
 
-    def body(x, layer):
-        lw, kc, vc = layer
-        x, kc, vc = _layer_forward(config, x, lw, kc, vc, start, kv_len)
-        return x, (kc, vc)
+    layers = params["layers"]
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v))
+    def body(carry, i):
+        x, k_full, v_full = carry
+        kc = jax.lax.dynamic_index_in_dim(k_full, i, 0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
+        x, kc, vc = _layer_forward(config, x, layers, kc, vc, start,
+                                   kv_len, layer_index=i)
+        k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
+        v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
+        return (x, k_full, v_full), None
+
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        jnp.arange(config.num_layers, dtype=jnp.int32))
 
     x = ops.layer_norm(x, params["final_norm_w"], params["final_norm_b"],
                        config.rms_norm_eps)

@@ -93,15 +93,23 @@ def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any]
 
 
 def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
-                   kv_len, contiguous=True):
-    """LLaMA attention block + MoE FFN."""
+                   kv_len, contiguous=True, layer_index=None):
+    """LLaMA attention block + MoE FFN. lw is the FULL stacked layer
+    dict when layer_index is given."""
     B, S, H = x.shape
     Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
+    li = layer_index
 
-    h = ops.rms_norm(x, lw["attn_norm"], config.rms_norm_eps)
-    q = ops.qmatmul(h, lw["wq"]).reshape(B, S, Hq, D)
-    k = ops.qmatmul(h, lw["wk"]).reshape(B, S, Hkv, D)
-    v = ops.qmatmul(h, lw["wv"]).reshape(B, S, Hkv, D)
+    def w1(name):
+        w = lw[name]
+        if li is not None:
+            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        return w
+
+    h = ops.rms_norm(x, w1("attn_norm"), config.rms_norm_eps)
+    q = ops.qmatmul(h, lw["wq"], layer_index=li).reshape(B, S, Hq, D)
+    k = ops.qmatmul(h, lw["wk"], layer_index=li).reshape(B, S, Hkv, D)
+    v = ops.qmatmul(h, lw["wv"], layer_index=li).reshape(B, S, Hkv, D)
     q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode)
     k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
 
@@ -121,10 +129,12 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
             causal=True, positions=positions, kv_len=kv_len,
             q_start=start if contiguous else None)
     attn = attn.reshape(B, S, Hq * D)
-    x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"])
+    x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
 
-    h = ops.rms_norm(x, lw["ffn_norm"], config.rms_norm_eps)
-    x = x + _moe_ffn(config, h, lw)
+    h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
+    lw_ffn = (lw if li is None else
+              {k: w1(k) for k in ("router", "we_gate", "we_up", "we_down")})
+    x = x + _moe_ffn(config, h, lw_ffn)
     return x, k_cache, v_cache
 
 
@@ -144,14 +154,22 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
 
     x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
 
-    def body(x, layer):
-        lw, kc, vc = layer
-        x, kc, vc = _layer_forward(config, x, lw, positions, kc, vc,
-                                   start, kv_len, contiguous=contiguous)
-        return x, (kc, vc)
+    layers = params["layers"]
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v))
+    def body(carry, i):
+        x, k_full, v_full = carry
+        kc = jax.lax.dynamic_index_in_dim(k_full, i, 0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
+        x, kc, vc = _layer_forward(config, x, layers, positions, kc, vc,
+                                   start, kv_len, contiguous=contiguous,
+                                   layer_index=i)
+        k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
+        v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
+        return (x, k_full, v_full), None
+
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        jnp.arange(config.num_layers, dtype=jnp.int32))
 
     x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)

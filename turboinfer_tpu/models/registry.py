@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any
 
 from turboinfer_tpu.models import gpt2, llama, moe
+from turboinfer_tpu.utils.errors import ConfigError
 
 _REGISTRY = {
     "llama": llama,
@@ -30,7 +31,7 @@ def get_model(architecture: str) -> Any:
     mod = _REGISTRY.get(arch)
     if mod is None:
         known = ", ".join(sorted(_REGISTRY))
-        raise ValueError(
+        raise ConfigError(
             f"unknown architecture '{architecture}' (known: {known})")
     return mod
 
