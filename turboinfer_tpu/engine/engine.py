@@ -406,22 +406,32 @@ class InferenceEngine:
             v=jnp.repeat(cache.v, beam_size, axis=1),
             length=jnp.repeat(cache.length, beam_size, axis=0))
 
-        step_fn = self._beam_step_fn(beam_size)
         logp = sampling.log_softmax(last_logits[0])          # [V]
         top_lp, top_ix = jax.lax.top_k(logp, beam_size)
-        beam_tokens = np.asarray(top_ix)[:, None]             # [beam, 1] np
+        first_np = np.asarray(top_ix)
         beam_scores = jnp.asarray(top_lp)                     # [beam]
-        beam_finished = jnp.asarray(np.asarray(top_ix) == eos)
+        beam_finished = jnp.asarray(first_np == eos)
         token = top_ix.astype(jnp.int32)
 
-        for _ in range(max_new - 1):
-            if bool(beam_finished.all()):
-                break
-            token, beam_scores, beam_finished, parent, cache = step_fn(
+        if max_new > 1:
+            # Entire beam loop is ONE fused lax.scan program (no host
+            # sync per step); lineages are reconstructed from the
+            # emitted (token, parent) history afterwards.
+            scan_fn = self._beam_scan_fn(beam_size, max_new - 1)
+            (beam_scores, beam_finished, toks_hist, parents_hist) = scan_fn(
                 self.params, token, beam_scores, beam_finished, cache)
-            parent_np = np.asarray(parent)
-            beam_tokens = np.concatenate(
-                [beam_tokens[parent_np], np.asarray(token)[:, None]], axis=1)
+            toks_np = np.asarray(toks_hist)        # [steps, beam]
+            parents_np = np.asarray(parents_hist)  # [steps, beam]
+            n_steps = toks_np.shape[0]
+            beam_tokens = np.zeros((beam_size, n_steps + 1), np.int64)
+            for b in range(beam_size):
+                cur = b
+                for t in range(n_steps - 1, -1, -1):
+                    beam_tokens[b, t + 1] = toks_np[t, cur]
+                    cur = parents_np[t, cur]
+                beam_tokens[b, 0] = first_np[cur]
+        else:
+            beam_tokens = first_np[:, None]
 
         # Final ranking by length-normalized score (finished preferred).
         scores = np.asarray(beam_scores)
@@ -445,6 +455,28 @@ class InferenceEngine:
     def _beam_len(row, eos) -> int:
         row = list(row)
         return row.index(eos) + 1 if eos in row else len(row)
+
+    def _beam_scan_fn(self, beam_size: int, n_steps: int):
+        """Fused beam loop: scan of `n_steps` beam expansions emitting
+        (token, parent) per step for host-side lineage backtracking."""
+        key = ("beam_scan", beam_size, n_steps)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        step_fn = self._beam_step_fn(beam_size)
+
+        @jax.jit
+        def run(params, token, scores, finished, cache):
+            def body(carry, _):
+                token, scores, finished, cache = carry
+                token, scores, finished, parent, cache = step_fn.__wrapped__(
+                    params, token, scores, finished, cache)
+                return (token, scores, finished, cache), (token, parent)
+
+            (token, scores, finished, cache), (toks, parents) = jax.lax.scan(
+                body, (token, scores, finished, cache), None, length=n_steps)
+            return scores, finished, toks, parents
+        self._jit_cache[key] = run
+        return run
 
     def _beam_step_fn(self, beam_size: int):
         key = ("beam", beam_size)
