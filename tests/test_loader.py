@@ -382,3 +382,21 @@ def test_synthetic_model_generates():
     res = eng.generate(data.tokenizer.encode("hello"), max_new_tokens=4)
     assert len(res.tokens) >= 4
     assert "synthetic" in data.summary()
+
+
+def test_synthetic_quantized_model():
+    """Direct-packed random quantized fixture (perf-bench factory)."""
+    import jax.numpy as jnp
+    from turboinfer_tpu.config import ModelConfig
+    from turboinfer_tpu.core.qtensor import QTensor
+    from turboinfer_tpu.loader.synthetic import \
+        create_synthetic_quantized_model
+    cfg = ModelConfig(vocab_size=512, hidden_size=128, num_layers=2,
+                      num_heads=4, num_kv_heads=4, intermediate_size=256,
+                      max_seq_len=64, dtype=jnp.bfloat16, name="sq")
+    data = create_synthetic_quantized_model(cfg, bits=4, group_size=32)
+    assert isinstance(data.params["layers"]["wq"], QTensor)
+    assert data.params["layers"]["wq"].data.shape == (2, 64, 128)
+    eng = ti.InferenceEngine(data.params, cfg)
+    res = eng.generate([1, 5, 9], 6, temperature=0.0)
+    assert len(res.tokens) == 9

@@ -43,3 +43,50 @@ def create_synthetic_model(vocab_size: int = 1000, hidden_size: int = 128,
     return ModelData(params=params, config=config,
                      tokenizer=BuiltinTokenizer(vocab_size=vocab_size),
                      source_format="synthetic")
+
+
+def create_synthetic_quantized_model(config: ModelConfig, bits: int = 4,
+                                     group_size: int = 64,
+                                     seed: int = 0) -> ModelData:
+    """Random-weight QUANTIZED LLaMA-class model built directly in the
+    packed format — no fp materialization, so 7B-class perf fixtures fit
+    in memory (an fp32 7B init would need 28 GB). Values are random;
+    use for performance measurement, not accuracy.
+    """
+    import jax.numpy as jnp
+
+    from turboinfer_tpu.core.qtensor import QTensor
+
+    c = config
+    L, H, V, F = c.num_layers, c.hidden_size, c.vocab_size, c.ffn_dim
+    QD, KVD, G = c.q_dim, c.kv_dim, group_size
+    key = jax.random.PRNGKey(seed)
+
+    def rq(K, N, stacked=True):
+        lead = (L,) if stacked else ()
+        if bits == 4:
+            data = jax.random.randint(key, lead + (K // 2, N), 0, 255,
+                                      jnp.int32).astype(jnp.uint8)
+        else:
+            data = jax.random.randint(key, lead + (K, N), -127, 127,
+                                      jnp.int32).astype(jnp.int8)
+        scales = jnp.full(lead + (K // G, N), 0.01, jnp.bfloat16)
+        return QTensor(data=data, scales=scales, zero_points=None,
+                       bits=bits, group_size=G, shape=(K, N))
+
+    params = {
+        "embed": (jax.random.normal(key, (V, H), jnp.float32)
+                  * 0.02).astype(jnp.bfloat16),
+        "layers": {
+            "attn_norm": jnp.ones((L, H), jnp.bfloat16),
+            "ffn_norm": jnp.ones((L, H), jnp.bfloat16),
+            "wq": rq(H, QD), "wk": rq(H, KVD), "wv": rq(H, KVD),
+            "wo": rq(QD, H),
+            "w_gate": rq(H, F), "w_up": rq(H, F), "w_down": rq(F, H),
+        },
+        "final_norm": jnp.ones((H,), jnp.bfloat16),
+        "lm_head": rq(H, V, stacked=False),
+    }
+    return ModelData(params=params, config=config,
+                     tokenizer=BuiltinTokenizer(vocab_size=c.vocab_size),
+                     source_format="synthetic-quantized")
