@@ -137,3 +137,23 @@ def test_metrics_report(tiny_params, tiny_cfg):
     assert "tok/s" in rep or "tokens" in rep.lower()
     assert eng.memory_usage() > 0
     eng.reset_state()
+
+
+# -- CLI ---------------------------------------------------------------------
+
+def test_cli_quantize_inspect_generate(tmp_path, tiny_params, tiny_cfg,
+                                       capsys):
+    from turboinfer_tpu import cli
+    from turboinfer_tpu.loader import gguf
+    # export tiny model as gguf (reuse the loader test exporter)
+    from tests.test_loader import _export_tiny_gguf
+    src = _export_tiny_gguf(tmp_path, tiny_params, tiny_cfg, "gguf")
+    dst = str(tmp_path / "m.tinq")
+
+    assert cli.main(["quantize", src, dst, "--type", "int8",
+                     "--group-size", "32"]) == 0
+    assert cli.main(["inspect", dst]) == 0
+    out = capsys.readouterr().out
+    assert "int8" in out
+    assert cli.main(["generate", dst, "hello", "--max-tokens", "5",
+                     "--greedy", "--quiet"]) == 0

@@ -1,0 +1,124 @@
+"""Command-line interface: python -m turboinfer_tpu <command>.
+
+Reference counterpart: the example CLIs (examples/basic_inference.cpp)
+and quantize_model_file (quantization.cpp:651-658); bundled here as a
+single console entry with subcommands.
+
+Commands:
+  generate   load a model file and generate text
+  quantize   model file -> INT8/INT4 TINQ checkpoint
+  inspect    print a model file's metadata/tensor inventory
+  bench      run the inference benchmark suites
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_generate(args):
+    import turboinfer_tpu as ti
+    ti.initialize(enable_logging=not args.quiet)
+    eng = ti.load_model(args.model)
+    tokens = eng.encode(args.prompt)
+    res = eng.generate(tokens, args.max_tokens,
+                       temperature=0.0 if args.greedy else args.temperature,
+                       top_k=args.top_k, top_p=args.top_p)
+    print(eng.decode(res.tokens))
+    if not args.quiet:
+        print(f"[{len(res.tokens) - len(tokens)} tokens, "
+              f"{res.tokens_per_second:.1f} tok/s, "
+              f"TTFT {res.prefill_time_ms:.0f} ms]", file=sys.stderr)
+    return 0
+
+
+def cmd_quantize(args):
+    from turboinfer_tpu.config import QuantizationConfig, QuantType
+    from turboinfer_tpu.quant.quantizer import quantize_model_file
+    cfg = QuantizationConfig(type=QuantType(args.type),
+                             group_size=args.group_size,
+                             symmetric=not args.asymmetric)
+    quantize_model_file(args.input, args.output, cfg)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_inspect(args):
+    from turboinfer_tpu.loader import gguf, loader, safetensors, tinq
+    fmt = loader.detect_format(args.model)
+    print(f"format: {fmt}")
+    if fmt == "gguf":
+        with gguf.read_gguf(args.model) as gf:
+            print(f"tensors: {len(gf.tensors)}")
+            for k, v in sorted(gf.metadata.items()):
+                if isinstance(v, list) and len(v) > 8:
+                    v = f"[{len(v)} items]"
+                print(f"  {k} = {v}")
+            if args.tensors:
+                for name, info in gf.tensors.items():
+                    tname = gguf.GGML_TYPE_NAMES.get(info.ggml_type, "?")
+                    print(f"  {name}: {info.shape} {tname}")
+    elif fmt == "safetensors":
+        with safetensors.read_safetensors(args.model) as sf:
+            print(f"tensors: {len(sf.entries)}")
+            for name, ent in sf.entries.items():
+                print(f"  {name}: {ent['shape']} {ent['dtype']}")
+    elif fmt == "tinq":
+        params, config, qcfg, meta = tinq.load(args.model)
+        from turboinfer_tpu.loader.mapping import config_to_dict
+        print(json.dumps({"config": config_to_dict(config),
+                          "quantization": None if qcfg is None else
+                          qcfg.type.value, "metadata": meta}, indent=2))
+    else:
+        print("cannot inspect this format")
+        return 1
+    return 0
+
+
+def cmd_bench(args):
+    from benchmarks import benchmark_inference  # noqa: F401 (repo-root run)
+    sys.argv = ["bench"] + (["--quick"] if args.quick else [])
+    benchmark_inference.main()
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="turboinfer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="generate text from a model file")
+    g.add_argument("model")
+    g.add_argument("prompt")
+    g.add_argument("--max-tokens", type=int, default=50)
+    g.add_argument("--temperature", type=float, default=0.8)
+    g.add_argument("--top-k", type=int, default=50)
+    g.add_argument("--top-p", type=float, default=0.9)
+    g.add_argument("--greedy", action="store_true")
+    g.add_argument("--quiet", action="store_true")
+    g.set_defaults(fn=cmd_generate)
+
+    q = sub.add_parser("quantize", help="quantize a model to TINQ")
+    q.add_argument("input")
+    q.add_argument("output")
+    q.add_argument("--type", choices=["int8", "int4"], default="int4")
+    q.add_argument("--group-size", type=int, default=64)
+    q.add_argument("--asymmetric", action="store_true")
+    q.set_defaults(fn=cmd_quantize)
+
+    i = sub.add_parser("inspect", help="print model file metadata")
+    i.add_argument("model")
+    i.add_argument("--tensors", action="store_true")
+    i.set_defaults(fn=cmd_inspect)
+
+    b = sub.add_parser("bench", help="run benchmark suites")
+    b.add_argument("--quick", action="store_true")
+    b.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -147,6 +147,16 @@ def _pick_tiles(M, K, N, bits, group_size):
     if TK % group_size or (bits == 4 and (TK % 2 or group_size % 2)):
         return None
     TM = min(_round_up(M, 8), 256)
+
+    def vmem_budget(tm):
+        # weight block (double-buffered) + x blocks + f32 acc + out.
+        w = (TK // (1 if bits == 8 else 2)) * TN * 2
+        x = tm * TK * 2 * 2
+        out = tm * TN * (4 + 4 + 2)
+        return w + x + out
+
+    while TM > 8 and vmem_budget(TM) > 12 * 1024 * 1024:
+        TM = max(8, TM // 2)
     return TM, TN, TK
 
 
