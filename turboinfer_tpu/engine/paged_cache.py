@@ -1,0 +1,182 @@
+"""Paged KV cache: fixed-size pages + per-sequence block tables.
+
+No reference counterpart (the reference preallocates [B, H, max_seq, D]
+per sequence, inference_engine.cpp:51-54). This is the vLLM-style
+TPU-native design BASELINE.json's north star names ("HBM-resident,
+tensor-sharded paged cache"): HBM holds a pool of [page_size] token
+pages per layer/head; each sequence maps logical positions to pages
+through a block table, so memory scales with TOKENS IN USE, not
+batch × max_seq. Fragmentation-free slot recycling for continuous
+batching.
+
+This module provides the container, a host-side page allocator, and
+pure-jnp append/attention reference ops (gather-based). The Pallas
+decode kernel that walks block tables directly in HBM is the follow-up;
+the reference ops here are its golden model and are already usable by
+the scheduler for correctness-sensitive paths.
+
+Layout: pages [L, P, Hkv, page_size, D] (head-major within a page, same
+as the contiguous cache); block_table [B, max_pages] int32 page ids
+(-1 = unassigned); lengths [B].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from turboinfer_tpu.config import ModelConfig
+
+
+class PagedKVCache(NamedTuple):
+    k_pages: jax.Array        # [L, P, Hkv, page, D]
+    v_pages: jax.Array
+    block_table: jax.Array    # [B, max_pages] int32
+    lengths: jax.Array        # [B] int32
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[1]
+
+
+def init_paged_cache(config: ModelConfig, batch_size: int, num_pages: int,
+                     page_size: int = 64, max_seq: Optional[int] = None,
+                     dtype=None) -> PagedKVCache:
+    dtype = dtype or config.dtype
+    T = max_seq or config.max_seq_len
+    max_pages = -(-T // page_size)
+    shape = (config.num_layers, num_pages, config.kv_heads, page_size,
+             config.head_dim_)
+    return PagedKVCache(
+        k_pages=jnp.zeros(shape, dtype),
+        v_pages=jnp.zeros(shape, dtype),
+        block_table=jnp.full((batch_size, max_pages), -1, jnp.int32),
+        lengths=jnp.zeros((batch_size,), jnp.int32))
+
+
+class PageAllocator:
+    """Host-side free-list allocator for page ids."""
+
+    def __init__(self, num_pages: int):
+        self._free: List[int] = list(range(num_pages - 1, -1, -1))
+        self.num_pages = num_pages
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int = 1) -> List[int]:
+        if n > len(self._free):
+            raise RuntimeError(
+                f"KV page pool exhausted: need {n}, have {len(self._free)}")
+        return [self._free.pop() for _ in range(n)]
+
+    def release(self, pages) -> None:
+        for p in pages:
+            if p >= 0:
+                self._free.append(int(p))
+
+
+def pages_needed(length: int, page_size: int) -> int:
+    return -(-length // page_size)
+
+
+# ---------------------------------------------------------------------------
+# jnp reference ops (golden model for the future Pallas paged kernel)
+# ---------------------------------------------------------------------------
+
+def append_token(cache: PagedKVCache, layer_k: jax.Array, layer_v: jax.Array,
+                 ) -> PagedKVCache:
+    """Append ONE token's k/v for every layer and sequence.
+
+    layer_k/v: [L, B, Hkv, D]. The destination page for each sequence is
+    block_table[b, lengths[b] // page] at offset lengths[b] % page; pages
+    must be pre-assigned (assign_pages).
+    """
+    L, P, Hkv, page, D = cache.k_pages.shape
+    B = cache.lengths.shape[0]
+    page_idx = cache.lengths // page                      # [B]
+    offset = cache.lengths % page                         # [B]
+    page_ids = jnp.take_along_axis(cache.block_table, page_idx[:, None],
+                                   axis=1)[:, 0]          # [B]
+
+    def write_b(kp, vp, pid, off, kb, vb):
+        # kp/vp: [L, P, Hkv, page, D]; kb/vb: [L, Hkv, D]
+        kp = jax.lax.dynamic_update_slice(
+            kp, kb[:, None, :, None, :].astype(kp.dtype),
+            (0, pid, 0, off, 0))
+        vp = jax.lax.dynamic_update_slice(
+            vp, vb[:, None, :, None, :].astype(vp.dtype),
+            (0, pid, 0, off, 0))
+        return kp, vp
+
+    kp, vp = cache.k_pages, cache.v_pages
+    for b in range(B):      # B is small & static; unrolled at trace time
+        kp, vp = write_b(kp, vp, page_ids[b], offset[b],
+                         layer_k[:, b], layer_v[:, b])
+    return PagedKVCache(k_pages=kp, v_pages=vp,
+                        block_table=cache.block_table,
+                        lengths=cache.lengths + 1)
+
+
+def gather_sequence(cache: PagedKVCache, max_seq: int
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Materialize contiguous [L, B, Hkv, max_seq, D] k/v from pages
+    (reference path; the Pallas kernel will read pages directly)."""
+    L, P, Hkv, page, D = cache.k_pages.shape
+    n_pages = max_seq // page
+    table = jnp.clip(cache.block_table[:, :n_pages], 0, P - 1)  # [B, n]
+
+    def per_seq(t):
+        # t: [n_pages] -> [L, Hkv, n_pages*page, D]
+        k = cache.k_pages[:, t]          # [L, n, Hkv, page, D]
+        v = cache.v_pages[:, t]
+        k = k.transpose(0, 2, 1, 3, 4).reshape(L, Hkv, n_pages * page, D)
+        v = v.transpose(0, 2, 1, 3, 4).reshape(L, Hkv, n_pages * page, D)
+        return k, v
+
+    ks, vs = jax.vmap(per_seq, out_axes=1)(table)   # [L, B, Hkv, T, D]
+    return ks, vs
+
+
+def paged_attention_decode_ref(q: jax.Array, cache: PagedKVCache,
+                               layer: int) -> jax.Array:
+    """Single-token attention for one layer over the paged cache.
+
+    q: [B, Hq, D] -> [B, Hq, D]. Golden model: gather then the standard
+    decode reference.
+    """
+    from turboinfer_tpu.kernels import ops
+    B = q.shape[0]
+    max_seq = cache.block_table.shape[1] * cache.page_size
+    ks, vs = gather_sequence(cache, max_seq)
+    return ops.attention_decode_ref(q, ks[layer].astype(q.dtype),
+                                    vs[layer].astype(q.dtype),
+                                    cache.lengths)
+
+
+def assign_pages(cache: PagedKVCache, seq: int, slots: List[int],
+                 first_page_index: int = 0) -> PagedKVCache:
+    """Host-side: record allocator-granted page ids in the block table."""
+    table = cache.block_table
+    for i, pid in enumerate(slots):
+        table = table.at[seq, first_page_index + i].set(pid)
+    return cache._replace(block_table=table)
+
+
+def release_sequence(cache: PagedKVCache, seq: int,
+                     allocator: PageAllocator) -> PagedKVCache:
+    """Return a finished sequence's pages to the allocator."""
+    import numpy as np
+    row = np.asarray(cache.block_table[seq])
+    allocator.release([p for p in row if p >= 0])
+    table = cache.block_table.at[seq].set(-1)
+    lengths = cache.lengths.at[seq].set(0)
+    return cache._replace(block_table=table, lengths=lengths)

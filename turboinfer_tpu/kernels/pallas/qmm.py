@@ -148,14 +148,24 @@ def _pick_tiles(M, K, N, bits, group_size):
         return None
     TM = min(_round_up(M, 8), 256)
 
+    kd = 1 if bits == 8 else 2
+    if M > 8:
+        # Prefill-sized M: the kernel shares scoped VMEM with the rest
+        # of the program (activations etc.), so keep its footprint small
+        # — the kernel compiles standalone at much larger tiles, but
+        # OOMs inside a full prefill otherwise.
+        while TK > group_size and (TK // kd) * TN > 1_048_576:
+            TK //= 2
+        TM = min(TM, 64)
+
     def vmem_budget(tm):
         # weight block (double-buffered) + x blocks + f32 acc + out.
-        w = (TK // (1 if bits == 8 else 2)) * TN * 2
+        w = (TK // kd) * TN * 2
         x = tm * TK * 2 * 2
         out = tm * TN * (4 + 4 + 2)
         return w + x + out
 
-    while TM > 8 and vmem_budget(TM) > 12 * 1024 * 1024:
+    while TM > 8 and vmem_budget(TM) > 5 * 1024 * 1024:
         TM = max(8, TM // 2)
     return TM, TN, TK
 
