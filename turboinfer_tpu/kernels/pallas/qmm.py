@@ -142,19 +142,24 @@ def _pick_tiles(M, K, N, bits, group_size):
         TK = group_size
     if TN is None or TK is None:
         return None
-    while TK > group_size and (TK // (1 if bits == 8 else 2)) * TN > 2_097_152:
+    while TK > max(group_size, min(128 * (2 if bits == 4 else 1), K)) \
+            and (TK // (1 if bits == 8 else 2)) * TN > 2_097_152:
         TK //= 2
     if TK % group_size or (bits == 4 and (TK % 2 or group_size % 2)):
         return None
     TM = min(_round_up(M, 8), 256)
 
     kd = 1 if bits == 8 else 2
+    # x half-blocks have lane dim TK/kd: keep it >= 128 (Mosaic lane
+    # constraint) unless it already spans the full K axis.
+    tk_floor = min(128 * kd, K)
     if M > 8:
         # Prefill-sized M: the kernel shares scoped VMEM with the rest
         # of the program (activations etc.), so keep its footprint small
         # — the kernel compiles standalone at much larger tiles, but
         # OOMs inside a full prefill otherwise.
-        while TK > group_size and (TK // kd) * TN > 1_048_576:
+        while TK > max(group_size, tk_floor) \
+                and (TK // kd) * TN > 1_048_576:
             TK //= 2
         TM = min(TM, 64)
 
@@ -322,9 +327,13 @@ def _qmm_stacked(x2, data3, scales3, layer_idx, *, bits: int,
     nk = K // TK
     L = data3.shape[0]
     gk = TK // group_size
-    if scales3.ndim == 4:
+    if scales3.ndim == 4 and scales3.shape[1] == nk \
+            and scales3.shape[2] == gk:
         scales4 = scales3          # pre-tiled [L, nk, gk, N] (prepare_scales)
     else:
+        # Different tiling than prepared (e.g. prefill picked a smaller
+        # TK): re-tile. Costs one scales copy per call — fine for
+        # prefill (once per request), avoided on the decode path.
         scales4 = scales3.reshape(L, nk, gk, N)
 
     kern = _kernel_int8_idx if bits == 8 else _kernel_int4_idx
