@@ -80,3 +80,61 @@ def test_incremental_submission(sched_setup):
     results = sched.run()
     assert set(results) == {r1, r2}
     assert all(r.finished for r in results.values())
+
+
+# ---------------------------------------------------------------------------
+# Paged scheduler: same semantics as the contiguous one, memory by pages
+# ---------------------------------------------------------------------------
+
+def test_paged_matches_contiguous(sched_setup):
+    """Greedy outputs through the paged cache must exactly match the
+    contiguous-cache scheduler (same prompts, slots, seeds)."""
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    params, mcfg, cfg = sched_setup
+    prompts = [[1, i + 2, 2 * i + 3, 5] for i in range(5)]
+
+    base = ContinuousBatchingScheduler(params, mcfg, cfg, batch_slots=2)
+    want = {base.submit(p, 10): p for p in prompts}
+    want = {rid: r.tokens for rid, r in base.run().items()}
+
+    sched = PagedContinuousScheduler(params, mcfg, cfg, batch_slots=2,
+                                     page_size=8)
+    rids = [sched.submit(p, 10) for p in prompts]
+    results = sched.run()
+    assert len(results) == 5
+    for rid in rids:
+        assert results[rid].tokens == want[rid], f"request {rid} diverged"
+
+
+def test_paged_pool_reuse_and_release(sched_setup):
+    """Pages released by finished sequences are reused; the pool never
+    leaks (all pages free after run())."""
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    params, mcfg, cfg = sched_setup
+    # Pool sized for ~2 live sequences of ~32 tokens at page 8: force
+    # recycling across 6 requests.
+    sched = PagedContinuousScheduler(params, mcfg, cfg, batch_slots=2,
+                                     page_size=8, num_pages=1 + 12)
+    rids = [sched.submit([1, i + 2, 3], 12) for i in range(6)]
+    results = sched.run()
+    assert len(results) == 6
+    assert all(r.finished for r in results.values())
+    assert sched.alloc.free_pages == 12          # everything returned
+
+
+def test_paged_admission_blocks_until_pages_free(sched_setup):
+    """A prompt that can't fit in the free pool stays queued (no crash,
+    no partial admission) and is admitted once pages free up."""
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    params, mcfg, cfg = sched_setup
+    # 5 free pages of 8 tokens; bucketed prefill of a 20-token prompt
+    # needs ceil(32/8)=4 pages, so only one can ever be live.
+    sched = PagedContinuousScheduler(params, mcfg, cfg, batch_slots=2,
+                                     page_size=8, num_pages=1 + 5)
+    long_prompt = list(range(1, 21))
+    r1 = sched.submit(long_prompt, 4)
+    r2 = sched.submit(long_prompt, 4)
+    results = sched.run()
+    assert set(results) == {r1, r2}
+    assert all(r.finished for r in results.values())
+    assert sched.alloc.free_pages == 5

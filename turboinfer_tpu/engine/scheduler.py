@@ -238,3 +238,200 @@ class ContinuousBatchingScheduler:
                 stop_reason=req.stop_reason)
         self._done.clear()
         return out
+
+
+class PagedContinuousScheduler(ContinuousBatchingScheduler):
+    """Continuous batching over the PAGED KV cache (engine/paged_cache.py).
+
+    Same request API as ContinuousBatchingScheduler, but cache memory
+    scales with tokens in use instead of batch_slots × max_seq_len:
+    sequences borrow fixed-size pages from a shared pool on demand
+    (one new page each time they cross a page boundary) and return them
+    the moment they finish. `num_pages` may be oversubscribed relative
+    to batch_slots × max_pages — admission blocks (request stays queued)
+    when the pool can't cover a prompt, and decode raises if the pool is
+    truly exhausted mid-flight.
+
+    Page id 0 is RESERVED as a trash page: released block-table rows are
+    -1 and the decode path clamps them to 0, so writes from inactive
+    slots land in the trash page instead of corrupting live sequences.
+
+    Decode runs the model's `forward_paged_decode` (Pallas block-table
+    kernel on TPU, gather reference elsewhere). No reference counterpart
+    — the reference preallocates per-sequence max_seq buffers
+    (inference_engine.cpp:51-54).
+    """
+
+    def __init__(self, params: Dict[str, Any], model_config: ModelConfig,
+                 config: Optional[InferenceConfig] = None,
+                 batch_slots: int = 8, page_size: int = 64,
+                 num_pages: Optional[int] = None):
+        from turboinfer_tpu.engine import paged_cache as pc
+        super().__init__(params, model_config, config, batch_slots)
+        if not hasattr(self._model, "forward_paged_decode"):
+            raise NotImplementedError(
+                f"{model_config.architecture} has no forward_paged_decode")
+        self.page = page_size
+        max_pages = -(-self.T // page_size)
+        if num_pages is None:
+            num_pages = 1 + self.B * max_pages      # +1: trash page
+        self.cache = pc.init_paged_cache(model_config, self.B,
+                                         num_pages=num_pages,
+                                         page_size=page_size, max_seq=self.T)
+        self.alloc = pc.PageAllocator(num_pages)
+        trash = self.alloc.alloc(1)[0]
+        assert trash == 0, "page 0 must be the trash page"
+        # Host mirror of the block table (authoritative; device copy is
+        # refreshed lazily before each jitted call that consumes it).
+        self._table = np.full((self.B, max_pages), -1, np.int32)
+        self._table_dirty = False
+        self._lengths = np.zeros((self.B,), np.int64)   # host lengths
+
+    # -- paged jitted programs -----------------------------------------
+
+    @functools.cached_property
+    def _decode_fn(self):
+        cfg = self.model_config
+        model = self._model
+        sp = self._sp
+        eos = self.config.eos_token_id
+
+        @functools.partial(jax.jit, donate_argnums=(3, 4))
+        def step(params, tokens, active, k_pages, v_pages, table, lengths,
+                 rng):
+            logits, k_pages, v_pages = model.forward_paged_decode(
+                params, cfg, tokens, k_pages, v_pages, table, lengths)
+            nxt = sampling.sample(rng, logits, sp)
+            lp = sampling.token_logprob(logits, nxt)
+            hit_eos = active & (nxt == eos)
+            return nxt, lp, hit_eos, k_pages, v_pages
+        return step
+
+    def _prefill_fn(self, S: int):
+        cfg = self.model_config
+        model = self._model
+        page = self.page
+        n_pg = -(-S // page)
+        Sp = n_pg * page
+
+        @functools.partial(jax.jit, donate_argnums=(4, 5))
+        def prefill(params, tokens, seq_len, page_ids, k_pages, v_pages,
+                    rng):
+            """Prefill ONE prompt [1, S]; scatter its K/V into the n_pg
+            pages listed in page_ids (positions past seq_len are garbage
+            inside pages this sequence owns — masked at attention)."""
+            small = model.init_cache(cfg, 1, max_seq=Sp)
+            logits, small = model.forward(params, cfg, tokens, small,
+                                          seq_lens=seq_len[None])
+            idx = jnp.maximum(seq_len - 1, 0)
+            first = sampling.sample(rng, logits[0, idx], self._sp)
+            L, _, Hkv, _, D = small.k.shape
+            # [L,1,Hkv,Sp,D] -> [L, n_pg, Hkv, page, D]
+            k = small.k[:, 0].reshape(L, Hkv, n_pg, page, D)
+            k = k.transpose(0, 2, 1, 3, 4)
+            v = small.v[:, 0].reshape(L, Hkv, n_pg, page, D)
+            v = v.transpose(0, 2, 1, 3, 4)
+            k_pages = k_pages.at[:, page_ids].set(k.astype(k_pages.dtype))
+            v_pages = v_pages.at[:, page_ids].set(v.astype(v_pages.dtype))
+            return first, k_pages, v_pages
+        return prefill
+
+    # -- host-side page bookkeeping ------------------------------------
+
+    def _ensure_pages(self, slot: int, upto_len: int) -> bool:
+        """Assign pages so positions [0, upto_len) are backed. Returns
+        False (no state change) if the pool can't cover the need."""
+        need = -(-upto_len // self.page)
+        have = int((self._table[slot] >= 0).sum())
+        if need <= have:
+            return True
+        if need - have > self.alloc.free_pages:
+            return False
+        got = self.alloc.alloc(need - have)
+        self._table[slot, have:need] = got
+        self._table_dirty = True
+        return True
+
+    def _device_table(self):
+        if self._table_dirty or not hasattr(self, "_table_dev"):
+            self._table_dev = jnp.asarray(self._table)
+            self._table_dirty = False
+        return self._table_dev
+
+    # -- overridden lifecycle ------------------------------------------
+
+    def _admit(self):
+        for slot in self._free_slots():
+            if not self._queue:
+                break
+            req = self._queue[0]
+            t0 = time.perf_counter()
+            S = _bucket(len(req.prompt), self.config.prefill_bucket)
+            # Cover the whole bucketed prefill region (the scatter writes
+            # full pages) + the first generated token; later pages arrive
+            # on demand in step().
+            if not self._ensure_pages(slot, max(S, len(req.prompt) + 1)):
+                break                       # pool full: stay queued
+            self._queue.popleft()
+            n_pg = -(-S // self.page)
+            page_ids = jnp.asarray(self._table[slot, :n_pg])
+            arr = np.full((1, S), self.config.pad_token_id, np.int32)
+            arr[0, : len(req.prompt)] = req.prompt
+            if S not in self._prefill_cache:
+                self._prefill_cache[S] = self._prefill_fn(S)
+            first, kp, vp = self._prefill_cache[S](
+                self.params, jnp.asarray(arr), jnp.int32(len(req.prompt)),
+                page_ids, self.cache.k_pages, self.cache.v_pages,
+                self._next_rng())
+            self.cache = self.cache._replace(k_pages=kp, v_pages=vp)
+            self._lengths[slot] = len(req.prompt)
+            req.prefill_ms = (time.perf_counter() - t0) * 1e3
+            req.slot = slot
+            first_i = int(first)
+            req.out_tokens.append(first_i)
+            self.tokens = self.tokens.at[slot].set(first_i)
+            self.active = self.active.at[slot].set(True)
+            self._active[slot] = req
+            if first_i == self.config.eos_token_id:
+                self._finish(slot, "eos")
+            elif len(req.out_tokens) >= req.max_new:
+                self._finish(slot, "length")
+
+    def _finish(self, slot: int, reason: str):
+        self.alloc.release(self._table[slot])
+        self._table[slot] = -1
+        self._table_dirty = True
+        self._lengths[slot] = 0
+        super()._finish(slot, reason)
+
+    def step(self) -> int:
+        self._admit()
+        if not self._active:
+            return 0
+        # Each live slot writes its next token at position _lengths[slot]
+        # — make sure that position's page exists.
+        for slot in self._active:
+            if not self._ensure_pages(slot, int(self._lengths[slot]) + 1):
+                raise RuntimeError(
+                    "KV page pool exhausted mid-decode; raise num_pages "
+                    "or lower batch_slots")
+        lengths_dev = jnp.asarray(self._lengths.astype(np.int32))
+        nxt, lp, hit_eos, kp, vp = self._decode_fn(
+            self.params, self.tokens, self.active, self.cache.k_pages,
+            self.cache.v_pages, self._device_table(), lengths_dev,
+            self._next_rng())
+        self.cache = self.cache._replace(k_pages=kp, v_pages=vp)
+        self.tokens = nxt
+        nxt_np = np.asarray(nxt)
+        eos_np = np.asarray(hit_eos)
+        for slot in list(self._active):
+            self._lengths[slot] += 1
+            req = self._active[slot]
+            req.out_tokens.append(int(nxt_np[slot]))
+            if eos_np[slot]:
+                self._finish(slot, "eos")
+            elif len(req.out_tokens) >= req.max_new:
+                self._finish(slot, "length")
+            elif len(req.prompt) + len(req.out_tokens) >= self.T:
+                self._finish(slot, "max_seq")
+        return len(self._active)

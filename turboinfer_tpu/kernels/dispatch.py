@@ -103,6 +103,18 @@ def attention_decode(q, k_cache, v_cache, kv_len):
     return ops.attention_decode_ref(q, k_cache, v_cache, kv_len)
 
 
+def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len):
+    from turboinfer_tpu.kernels import ops
+    if pallas_enabled():
+        from turboinfer_tpu.kernels.pallas import paged_attention
+        y = paged_attention.paged_decode_pallas(q, k_pages, v_pages,
+                                                block_table, kv_len)
+        if y is not None:
+            return y
+    return ops.attention_paged_decode_ref(q, k_pages, v_pages, block_table,
+                                          kv_len)
+
+
 def prepare_params(params):
     """One-time engine-setup pass: pre-tile stacked QTensor scales into
     the kernel's layout (see pallas/qmm.prepare_scales). Pure tree map;

@@ -274,6 +274,28 @@ def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     return out.astype(q.dtype)
 
 
+def attention_paged_decode_ref(q: jax.Array, k_pages: jax.Array,
+                               v_pages: jax.Array, block_table: jax.Array,
+                               kv_len: jax.Array) -> jax.Array:
+    """Single-token attention over a PAGED cache (one layer) — golden
+    model for kernels/pallas/paged_attention.py. Gathers the sequence's
+    pages into a contiguous view, then attention_decode_ref.
+
+    q: [B, Hq, D]; k_pages/v_pages: [P, Hkv, page, D];
+    block_table: [B, max_pages] page ids (-1 = unassigned);
+    kv_len: [B] valid tokens (includes the current token, already
+    written into its page).
+    """
+    B, Hq, D = q.shape
+    P, Hkv, page, _ = k_pages.shape
+    n = block_table.shape[1]
+    t = jnp.clip(block_table, 0, P - 1)                   # [B, n]
+    k = k_pages[t].transpose(0, 2, 1, 3, 4).reshape(B, Hkv, n * page, D)
+    v = v_pages[t].transpose(0, 2, 1, 3, 4).reshape(B, Hkv, n * page, D)
+    return attention_decode_ref(q, k.astype(q.dtype), v.astype(q.dtype),
+                                kv_len)
+
+
 # ---------------------------------------------------------------------------
 # Dispatch wrappers: use Pallas kernels on TPU, jnp reference elsewhere.
 # ---------------------------------------------------------------------------
@@ -289,3 +311,9 @@ def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
 def attention_decode(q, k_cache, v_cache, kv_len):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_decode(q, k_cache, v_cache, kv_len)
+
+
+def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len):
+    from turboinfer_tpu.kernels import dispatch
+    return dispatch.attention_paged_decode(q, k_pages, v_pages, block_table,
+                                           kv_len)

@@ -217,6 +217,85 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     return logits, KVCache(k=k_new, v=v_new, length=kv_len)
 
 
+def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
+                         tokens: jax.Array, k_pages: jax.Array,
+                         v_pages: jax.Array, block_table: jax.Array,
+                         lengths: jax.Array
+                         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One decode step over a PAGED KV cache (engine/paged_cache.py).
+
+    tokens: [B] current token per slot; k_pages/v_pages:
+    [L, P, Hkv, page, D] shared page pool; block_table: [B, max_pages];
+    lengths: [B] tokens already cached (the new token is written at
+    position `lengths[b]`, into page block_table[b, lengths[b]//page]).
+    Returns (logits [B, V] fp32, k_pages', v_pages'). Same decoder body
+    as `forward` (reference: forward_pass_incremental,
+    inference_engine.cpp:1493-1552) but the cache write is a scatter
+    into the sequence's current page and attention walks the block
+    table (Pallas paged kernel on TPU; gather reference elsewhere).
+    """
+    B = tokens.shape[0]
+    Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
+    page = k_pages.shape[3]
+    P = k_pages.shape[1]
+    positions = lengths[:, None]                                # [B, 1]
+    kv_len = lengths + 1
+    page_idx = lengths // page                                  # [B]
+    offset = lengths % page                                     # [B]
+    page_ids = jnp.clip(jnp.take_along_axis(
+        block_table, page_idx[:, None], axis=1)[:, 0], 0, P - 1)
+
+    x = jnp.take(params["embed"], tokens[:, None],
+                 axis=0).astype(config.dtype)                   # [B, 1, H]
+    layers = params["layers"]
+
+    def norm_w(w, i):
+        return jax.lax.dynamic_index_in_dim(w, i, 0, keepdims=False) \
+            if w.ndim == 2 else w
+
+    def body(carry, i):
+        x, kp_full, vp_full = carry
+        kp = jax.lax.dynamic_index_in_dim(kp_full, i, 0, keepdims=False)
+        vp = jax.lax.dynamic_index_in_dim(vp_full, i, 0, keepdims=False)
+
+        h = ops.rms_norm(x, norm_w(layers["attn_norm"], i),
+                         config.rms_norm_eps)
+        q = ops.qmatmul(h, layers["wq"], layer_index=i).reshape(B, 1, Hq, D)
+        k = ops.qmatmul(h, layers["wk"], layer_index=i).reshape(B, 1, Hkv, D)
+        v = ops.qmatmul(h, layers["wv"], layer_index=i).reshape(B, 1, Hkv, D)
+        q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode)
+        k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
+
+        # Scatter the new token's k/v into each slot's current page.
+        kp = kp.at[page_ids, :, offset].set(k[:, 0].astype(kp.dtype))
+        vp = vp.at[page_ids, :, offset].set(v[:, 0].astype(vp.dtype))
+
+        attn = ops.attention_paged_decode(q[:, 0], kp, vp, block_table,
+                                          kv_len)
+        attn = attn.reshape(B, 1, Hq * D)
+        x = x + ops.qmatmul(attn.astype(x.dtype), layers["wo"],
+                            layer_index=i)
+
+        h = ops.rms_norm(x, norm_w(layers["ffn_norm"], i),
+                         config.rms_norm_eps)
+        gate = ops.qmatmul(h, layers["w_gate"], layer_index=i)
+        up = ops.qmatmul(h, layers["w_up"], layer_index=i)
+        x = x + ops.qmatmul(ops.swiglu(gate, up).astype(x.dtype),
+                            layers["w_down"], layer_index=i)
+
+        kp_full = jax.lax.dynamic_update_index_in_dim(kp_full, kp, i, 0)
+        vp_full = jax.lax.dynamic_update_index_in_dim(vp_full, vp, i, 0)
+        return (x, kp_full, vp_full), None
+
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (x, k_pages, v_pages),
+        jnp.arange(config.num_layers, dtype=jnp.int32))
+
+    x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
+    return logits[:, 0].astype(jnp.float32), k_new, v_new
+
+
 def forward_no_cache(params: Dict[str, Any], config: ModelConfig,
                      tokens: jax.Array,
                      seq_lens: Optional[jax.Array] = None) -> jax.Array:
