@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--max-seq", type=int, default=1024)
+    ap.add_argument("--paged", action="store_true",
+                    help="decode over the paged KV cache (block-table "
+                         "Pallas kernel) instead of the contiguous cache")
+    ap.add_argument("--page-size", type=int, default=64)
     args = ap.parse_args()
 
     from turboinfer_tpu.config import llama7b_config
@@ -44,32 +48,75 @@ def main():
                                             group_size=64)
     params = dispatch.prepare_params(data.params)
     del data
-    cache = llama.init_cache(cfg, args.batch, max_seq=args.max_seq)
     wbytes = common.param_bytes(params)
 
-    @functools.partial(jax.jit, static_argnames=("n",),
-                       donate_argnames=("cache",))
-    def steps(params, tok, cache, n):
-        def body(carry, _):
-            tok, cache = carry
-            logits, cache = llama.forward(params, cfg, tok[:, None], cache)
-            nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
-            return (nxt, cache), None
-        (tok, cache), _ = jax.lax.scan(body, (tok, cache), None, length=n)
-        return tok, cache
+    if args.paged:
+        from turboinfer_tpu.engine import paged_cache as pc
+        page = args.page_size
+        per_seq = args.max_seq // page
+        pcache = pc.init_paged_cache(cfg, args.batch,
+                                     num_pages=args.batch * per_seq,
+                                     page_size=page, max_seq=args.max_seq)
+        # Each sequence owns a contiguous run of pages (worst case for
+        # locality is irrelevant: the kernel DMAs per block-table entry).
+        table = jnp.arange(args.batch * per_seq, dtype=jnp.int32)
+        table = table.reshape(args.batch, per_seq)
+        pcache = pcache._replace(block_table=table)
 
-    tok = jnp.ones((args.batch,), jnp.int32)
-    t0 = time.perf_counter()
-    tok2, cache = steps(params, tok, cache, n=args.steps)
-    _ = int(np.asarray(tok2).sum())
-    print(f"compile+first run: {time.perf_counter() - t0:.0f}s", flush=True)
+        @functools.partial(jax.jit, static_argnames=("n",),
+                           donate_argnames=("kp", "vp"))
+        def steps(params, tok, kp, vp, lengths, n):
+            def body(carry, _):
+                tok, kp, vp, lengths = carry
+                logits, kp, vp = llama.forward_paged_decode(
+                    params, cfg, tok, kp, vp, table, lengths)
+                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                return (nxt, kp, vp, lengths + 1), None
+            carry, _ = jax.lax.scan(body, (tok, kp, vp, lengths), None,
+                                    length=n)
+            return carry
 
-    t0 = time.perf_counter()
-    tok2, cache = steps(params, tok, cache, n=args.steps)
-    _ = int(np.asarray(tok2).sum())
+        tok = jnp.ones((args.batch,), jnp.int32)
+        lengths = jnp.zeros((args.batch,), jnp.int32)
+        t0 = time.perf_counter()
+        out = steps(params, tok, pcache.k_pages, pcache.v_pages, lengths,
+                    n=args.steps)
+        _ = int(np.asarray(out[0]).sum())
+        print(f"compile+first run: {time.perf_counter() - t0:.0f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        out = steps(params, out[0], out[1], out[2], out[3], n=args.steps)
+        _ = int(np.asarray(out[0]).sum())
+    else:
+        cache = llama.init_cache(cfg, args.batch, max_seq=args.max_seq)
+
+        @functools.partial(jax.jit, static_argnames=("n",),
+                           donate_argnames=("cache",))
+        def steps(params, tok, cache, n):
+            def body(carry, _):
+                tok, cache = carry
+                logits, cache = llama.forward(params, cfg, tok[:, None],
+                                              cache)
+                nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                return (nxt, cache), None
+            (tok, cache), _ = jax.lax.scan(body, (tok, cache), None,
+                                           length=n)
+            return tok, cache
+
+        tok = jnp.ones((args.batch,), jnp.int32)
+        t0 = time.perf_counter()
+        tok2, cache = steps(params, tok, cache, n=args.steps)
+        _ = int(np.asarray(tok2).sum())
+        print(f"compile+first run: {time.perf_counter() - t0:.0f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        tok2, cache = steps(params, tok2, cache, n=args.steps)
+        _ = int(np.asarray(tok2).sum())
+
     dt = (time.perf_counter() - t0) / args.steps
     mode = "REF" if os.environ.get("TURBOINFER_FORCE_REF") == "1" \
         else "PALLAS"
+    mode += "+paged" if args.paged else ""
     print(f"{mode} int{args.bits} B={args.batch} T={args.max_seq}: "
           f"{dt * 1e3:.2f} ms/step, {args.batch / dt:.1f} tok/s/chip, "
           f"weight-stream {wbytes / dt / 1e9:.0f} GB/s")

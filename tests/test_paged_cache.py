@@ -179,3 +179,42 @@ def test_forward_paged_decode_matches_contiguous(cfg):
         tok_p = jnp.argmax(logits_p, -1).astype(jnp.int32)
         tok_c = jnp.argmax(logits_c[:, -1], -1).astype(jnp.int32)
         np.testing.assert_array_equal(np.asarray(tok_p), np.asarray(tok_c))
+
+
+def test_paged_decode_tp_sharded_matches_unsharded(cfg):
+    """forward_paged_decode under a head-sharded page pool (tp=2) must
+    match the unsharded result."""
+    from turboinfer_tpu.models import llama
+    from turboinfer_tpu.parallel import mesh as pmesh
+    from turboinfer_tpu.parallel import shardings
+    B, page, n_pages = 2, 8, 8
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    pcache = pc.init_paged_cache(cfg, B, num_pages=n_pages, page_size=page,
+                                 max_seq=32)
+    pcache = pcache._replace(
+        block_table=jnp.arange(8, dtype=jnp.int32).reshape(B, 4),
+        lengths=jnp.asarray([5, 9], jnp.int32))
+    rng = np.random.RandomState(0)
+    pcache = pcache._replace(
+        k_pages=jnp.asarray(rng.randn(*pcache.k_pages.shape)
+                            .astype(np.float32)),
+        v_pages=jnp.asarray(rng.randn(*pcache.v_pages.shape)
+                            .astype(np.float32)))
+    tok = jnp.asarray([3, 7], jnp.int32)
+
+    want, wk, wv = llama.forward_paged_decode(
+        params, cfg, tok, pcache.k_pages, pcache.v_pages,
+        pcache.block_table, pcache.lengths)
+
+    mesh = pmesh.make_mesh((1, 2), devices=jax.devices()[:2])
+    sp = shardings.shard_params(params, mesh)
+    sc = shardings.shard_paged_cache(pcache, mesh)
+    with mesh:
+        got, gk, gv = jax.jit(
+            lambda p, t, kp, vp, bt, ln: llama.forward_paged_decode(
+                p, cfg, t, kp, vp, bt, ln))(
+            sp, tok, sc.k_pages, sc.v_pages, sc.block_table, sc.lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(wk),
+                               rtol=1e-5, atol=1e-5)

@@ -119,7 +119,7 @@ def test_paged_pool_reuse_and_release(sched_setup):
     results = sched.run()
     assert len(results) == 6
     assert all(r.finished for r in results.values())
-    assert sched.alloc.free_pages == 12          # everything returned
+    assert sched.pool.available == 12            # everything returned
 
 
 def test_paged_admission_blocks_until_pages_free(sched_setup):
@@ -137,4 +137,71 @@ def test_paged_admission_blocks_until_pages_free(sched_setup):
     results = sched.run()
     assert set(results) == {r1, r2}
     assert all(r.finished for r in results.values())
-    assert sched.alloc.free_pages == 5
+    assert sched.pool.available == 5
+
+
+def test_prefix_caching_shares_and_retains(sched_setup):
+    """Requests repeating a long prompt hit the prefix cache (pages
+    shared while concurrent, retained evictably after), and outputs are
+    identical to a cache-cold run."""
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    params, mcfg, cfg = sched_setup
+    prompt = list(range(1, 25))            # 24 tokens = 3 full pages @ 8
+
+    cold = PagedContinuousScheduler(params, mcfg, cfg, batch_slots=2,
+                                    page_size=8, prefix_caching=False)
+    r = cold.submit(prompt, 8)
+    want = cold.run()[r].tokens
+    assert cold.pool.hits == 0
+
+    warm = PagedContinuousScheduler(params, mcfg, cfg, batch_slots=2,
+                                    page_size=8)
+    rids = [warm.submit(prompt, 8) for _ in range(4)]
+    results = warm.run()
+    for rid in rids:
+        assert results[rid].tokens == want
+    # 3 full pages of the shared prompt, but the page holding the LAST
+    # prompt token is never shared (its hidden state must be recomputed
+    # for the first logits) -> 2 shareable pages per warm request.
+    # Request 2 runs concurrently with request 1 (shares live pages),
+    # requests 3-4 reuse retained pages after 1-2 finish. Only the first
+    # request misses (lookup stops at the first miss).
+    assert warm.pool.hits == 3 * 2
+    assert warm.pool.misses == 1
+
+
+def test_prefix_cache_eviction_under_pressure(sched_setup):
+    """Retained prefix pages are evicted (not leaked) when the pool runs
+    dry, and everything still completes."""
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    params, mcfg, cfg = sched_setup
+    sched = PagedContinuousScheduler(params, mcfg, cfg, batch_slots=2,
+                                     page_size=8, num_pages=1 + 6)
+    # Distinct 16-token prompts: each leaves 2 retained pages; the pool
+    # only has 6, so later admissions must evict earlier retained pages.
+    rids = [sched.submit([i * 100 + j for j in range(16)], 6)
+            for i in range(5)]
+    results = sched.run()
+    assert len(results) == 5
+    assert all(r.finished for r in results.values())
+    assert sched.pool.available == 6
+
+
+def test_prefix_caching_long_trajectories_match(sched_setup):
+    """Regression: warm (prefix-cached) runs must track cache-cold runs
+    token-for-token over long decodes. The warm prefill's cache width
+    must equal the cold path's, or XLA's attention reduction shapes
+    differ and one-ulp bf16 K/V flips diverge greedy decoding."""
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    params, mcfg, cfg = sched_setup
+    sys_prompt = list(range(1, 40))
+    warm = PagedContinuousScheduler(params, mcfg, cfg, batch_slots=4,
+                                    page_size=8)
+    rids = [warm.submit(sys_prompt + [100 + i], 16) for i in range(8)]
+    res = warm.run()
+    base = ContinuousBatchingScheduler(params, mcfg, cfg, batch_slots=4)
+    rids2 = [base.submit(sys_prompt + [100 + i], 16) for i in range(8)]
+    res2 = base.run()
+    assert warm.pool.hits > 0
+    for r in rids:
+        assert res[r].tokens == res2[r].tokens

@@ -88,6 +88,100 @@ def pages_needed(length: int, page_size: int) -> int:
     return -(-length // page_size)
 
 
+class PrefixPagePool:
+    """Content-addressed page pool: automatic prefix caching.
+
+    Wraps PageAllocator with (a) refcounts, so concurrent sequences with
+    a common prompt prefix SHARE the pages holding it, and (b) an
+    evictable LRU of content-keyed pages whose refcount dropped to zero,
+    so a later request with the same prefix reuses the K/V without
+    recomputation or rewrite. A page's content key is the full token
+    prefix up to that page's end (K/V at position t depends on all
+    tokens ≤ t), exactly vLLM's hashing scheme. No reference counterpart.
+
+    Pages never move: eviction only drops the key→page mapping of a
+    zero-ref page when the free list runs dry.
+    """
+
+    def __init__(self, num_pages: int):
+        self._alloc = PageAllocator(num_pages)
+        self.num_pages = num_pages
+        self._by_key: dict = {}            # key -> page id
+        self._key_of: dict = {}            # page id -> key
+        self._refs: dict = {}              # page id -> refcount (>0 only)
+        self._evictable: dict = {}         # page id -> None (ordered = LRU)
+        self.hits = 0
+        self.misses = 0
+
+    @property
+    def available(self) -> int:
+        """Pages obtainable right now (free + evictable cached)."""
+        return self._alloc.free_pages + len(self._evictable)
+
+    def lookup(self, key: bytes) -> Optional[int]:
+        """Return a shared page holding `key`'s content (refcount +1)."""
+        pid = self._by_key.get(key)
+        if pid is None:
+            self.misses += 1
+            return None
+        self.hits += 1
+        self._evictable.pop(pid, None)
+        self._refs[pid] = self._refs.get(pid, 0) + 1
+        return pid
+
+    def acquire(self, key: Optional[bytes] = None) -> int:
+        """Take a fresh page (evicting a cold cached page if needed) and
+        optionally register its content key for future lookup."""
+        if self._alloc.free_pages == 0 and self._evictable:
+            cold = next(iter(self._evictable))   # oldest zero-ref page
+            del self._evictable[cold]
+            old_key = self._key_of.pop(cold, None)
+            if old_key is not None:
+                del self._by_key[old_key]
+            self._alloc.release([cold])
+        pid = self._alloc.alloc(1)[0]
+        self._refs[pid] = 1
+        if key is not None:
+            # A stale mapping for this key (shouldn't happen) is replaced.
+            old = self._by_key.get(key)
+            if old is not None:
+                self._key_of.pop(old, None)
+            self._by_key[key] = pid
+            self._key_of[pid] = key
+        return pid
+
+    def release(self, pages) -> None:
+        """Drop one reference per page; zero-ref keyed pages become
+        evictable (content retained), unkeyed ones return to the free
+        list."""
+        for p in pages:
+            p = int(p)
+            if p < 0:
+                continue
+            n = self._refs.get(p, 0) - 1
+            if n > 0:
+                self._refs[p] = n
+                continue
+            self._refs.pop(p, None)
+            if p in self._key_of:
+                self._evictable[p] = None
+            else:
+                self._alloc.release([p])
+
+    @property
+    def live_pages(self) -> int:
+        return sum(1 for _ in self._refs)
+
+
+def prefix_page_keys(tokens, page_size: int) -> List[bytes]:
+    """Content keys for each FULL page of `tokens` (partial tail pages
+    are never shared — decode appends into them)."""
+    import numpy as np
+    arr = np.asarray(tokens, np.int32)
+    return [arr[: (i + 1) * page_size].tobytes()
+            for i in range(len(tokens) // page_size)]
+
+
 # ---------------------------------------------------------------------------
 # jnp reference ops (golden model for the future Pallas paged kernel)
 # ---------------------------------------------------------------------------

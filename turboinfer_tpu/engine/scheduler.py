@@ -256,6 +256,13 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
     -1 and the decode path clamps them to 0, so writes from inactive
     slots land in the trash page instead of corrupting live sequences.
 
+    Automatic PREFIX CACHING (prefix_caching=True): full prompt pages
+    are content-addressed (key = the token prefix up to the page's end),
+    so concurrent requests with a common prefix share pages, and pages
+    whose last user finished are retained evictably for future identical
+    prefixes — repeated system prompts cost HBM once. Sharing never
+    changes outputs (shared content is bit-identical by construction).
+
     Decode runs the model's `forward_paged_decode` (Pallas block-table
     kernel on TPU, gather reference elsewhere). No reference counterpart
     — the reference preallocates per-sequence max_seq buffers
@@ -265,12 +272,14 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
     def __init__(self, params: Dict[str, Any], model_config: ModelConfig,
                  config: Optional[InferenceConfig] = None,
                  batch_slots: int = 8, page_size: int = 64,
-                 num_pages: Optional[int] = None):
+                 num_pages: Optional[int] = None,
+                 prefix_caching: bool = True):
         from turboinfer_tpu.engine import paged_cache as pc
         super().__init__(params, model_config, config, batch_slots)
         if not hasattr(self._model, "forward_paged_decode"):
             raise NotImplementedError(
                 f"{model_config.architecture} has no forward_paged_decode")
+        self._pc = pc
         self.page = page_size
         max_pages = -(-self.T // page_size)
         if num_pages is None:
@@ -278,8 +287,9 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         self.cache = pc.init_paged_cache(model_config, self.B,
                                          num_pages=num_pages,
                                          page_size=page_size, max_seq=self.T)
-        self.alloc = pc.PageAllocator(num_pages)
-        trash = self.alloc.alloc(1)[0]
+        self.pool = pc.PrefixPagePool(num_pages)
+        self.prefix_caching = prefix_caching
+        trash = self.pool.acquire()                 # held forever
         assert trash == 0, "page 0 must be the trash page"
         # Host mirror of the block table (authoritative; device copy is
         # refreshed lazily before each jitted call that consumes it).
@@ -307,32 +317,52 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             return nxt, lp, hit_eos, k_pages, v_pages
         return step
 
-    def _prefill_fn(self, S: int):
+    def _prefill_fn(self, m: int, S_suf: int):
+        """Jitted prefill specialized on (shared prefix pages m, suffix
+        width S_suf — a page multiple chosen so pre + S_suf equals the
+        width the cache-cold path would use). Computes the forward ONLY
+        over the suffix — the shared pages' K/V is gathered into the
+        chunked-prefill cache, so TTFT scales with the un-cached part of
+        the prompt. Keeping the total cache width identical to the cold
+        path keeps XLA's attention reduction shapes (and therefore the
+        rounded bf16 K/V bits) identical, so cached and uncached runs
+        produce the same greedy trajectories."""
         cfg = self.model_config
         model = self._model
         page = self.page
-        n_pg = -(-S // page)
-        Sp = n_pg * page
+        pre = m * page
+        n_new = S_suf // page
+        L, Hkv, D = cfg.num_layers, cfg.kv_heads, cfg.head_dim_
 
-        @functools.partial(jax.jit, donate_argnums=(4, 5))
-        def prefill(params, tokens, seq_len, page_ids, k_pages, v_pages,
-                    rng):
-            """Prefill ONE prompt [1, S]; scatter its K/V into the n_pg
-            pages listed in page_ids (positions past seq_len are garbage
-            inside pages this sequence owns — masked at attention)."""
-            small = model.init_cache(cfg, 1, max_seq=Sp)
+        @functools.partial(jax.jit, donate_argnums=(5, 6))
+        def prefill(params, tokens, seq_len, shared_ids, new_ids, k_pages,
+                    v_pages, rng):
+            """tokens: [1, S_suf] suffix; seq_len: TOTAL prompt length;
+            shared_ids: [m] pages already holding positions [0, pre);
+            new_ids: [n_new] pages to receive the suffix K/V."""
+            small = model.init_cache(cfg, 1, max_seq=pre + n_new * page)
+            k, v, length = small.k, small.v, small.length
+            if m:
+                kpre = k_pages[:, shared_ids].transpose(0, 2, 1, 3, 4)
+                vpre = v_pages[:, shared_ids].transpose(0, 2, 1, 3, 4)
+                k = k.at[:, :, :, :pre].set(
+                    kpre.reshape(L, 1, Hkv, pre, D).astype(k.dtype))
+                v = v.at[:, :, :, :pre].set(
+                    vpre.reshape(L, 1, Hkv, pre, D).astype(v.dtype))
+                length = jnp.full_like(length, pre)
+            small = type(small)(k=k, v=v, length=length)
+            suf_len = seq_len - pre
             logits, small = model.forward(params, cfg, tokens, small,
-                                          seq_lens=seq_len[None])
-            idx = jnp.maximum(seq_len - 1, 0)
+                                          seq_lens=suf_len[None])
+            idx = jnp.maximum(suf_len - 1, 0)
             first = sampling.sample(rng, logits[0, idx], self._sp)
-            L, _, Hkv, _, D = small.k.shape
-            # [L,1,Hkv,Sp,D] -> [L, n_pg, Hkv, page, D]
-            k = small.k[:, 0].reshape(L, Hkv, n_pg, page, D)
-            k = k.transpose(0, 2, 1, 3, 4)
-            v = small.v[:, 0].reshape(L, Hkv, n_pg, page, D)
-            v = v.transpose(0, 2, 1, 3, 4)
-            k_pages = k_pages.at[:, page_ids].set(k.astype(k_pages.dtype))
-            v_pages = v_pages.at[:, page_ids].set(v.astype(v_pages.dtype))
+            # [L,1,Hkv,n_new*page,D] suffix region -> [L,n_new,Hkv,page,D]
+            kn = small.k[:, 0, :, pre:].reshape(L, Hkv, n_new, page, D)
+            vn = small.v[:, 0, :, pre:].reshape(L, Hkv, n_new, page, D)
+            k_pages = k_pages.at[:, new_ids].set(
+                kn.transpose(0, 2, 1, 3, 4).astype(k_pages.dtype))
+            v_pages = v_pages.at[:, new_ids].set(
+                vn.transpose(0, 2, 1, 3, 4).astype(v_pages.dtype))
             return first, k_pages, v_pages
         return prefill
 
@@ -345,10 +375,10 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         have = int((self._table[slot] >= 0).sum())
         if need <= have:
             return True
-        if need - have > self.alloc.free_pages:
+        if need - have > self.pool.available:
             return False
-        got = self.alloc.alloc(need - have)
-        self._table[slot, have:need] = got
+        for i in range(have, need):
+            self._table[slot, i] = self.pool.acquire()
         self._table_dirty = True
         return True
 
@@ -366,22 +396,51 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                 break
             req = self._queue[0]
             t0 = time.perf_counter()
-            S = _bucket(len(req.prompt), self.config.prefill_bucket)
-            # Cover the whole bucketed prefill region (the scatter writes
-            # full pages) + the first generated token; later pages arrive
-            # on demand in step().
-            if not self._ensure_pages(slot, max(S, len(req.prompt) + 1)):
-                break                       # pool full: stay queued
+            plen = len(req.prompt)
+            # Prefix-cache lookup: reuse the longest run of full prompt
+            # pages whose content (token prefix) is already pooled. Never
+            # share the page holding the LAST prompt token — its hidden
+            # state must be recomputed to produce the first logits.
+            keys = (self._pc.prefix_page_keys(req.prompt, self.page)
+                    if self.prefix_caching else [])
+            shared: List[int] = []
+            for key in keys[: (plen - 1) // self.page]:
+                pid = self.pool.lookup(key)
+                if pid is None:
+                    break
+                shared.append(pid)
+            m = len(shared)
+            pre = m * self.page
+            # Total prefill width = what a cache-cold admission would
+            # use (bucketed prompt, rounded up to whole pages); the
+            # suffix takes the part past the shared prefix. See
+            # _prefill_fn on why the width must match the cold path.
+            W = -(-_bucket(plen, self.config.prefill_bucket)
+                  // self.page) * self.page
+            S_suf = W - pre
+            n_new = S_suf // self.page
+            # Cover the scattered suffix region + the first generated
+            # token; later pages arrive on demand in step().
+            need = max(m + n_new, -(-(plen + 1) // self.page))
+            if need - m > self.pool.available:
+                self.pool.release(shared)   # pool full: stay queued
+                break
             self._queue.popleft()
-            n_pg = -(-S // self.page)
-            page_ids = jnp.asarray(self._table[slot, :n_pg])
-            arr = np.full((1, S), self.config.pad_token_id, np.int32)
-            arr[0, : len(req.prompt)] = req.prompt
-            if S not in self._prefill_cache:
-                self._prefill_cache[S] = self._prefill_fn(S)
-            first, kp, vp = self._prefill_cache[S](
-                self.params, jnp.asarray(arr), jnp.int32(len(req.prompt)),
-                page_ids, self.cache.k_pages, self.cache.v_pages,
+            self._table[slot, :m] = shared
+            for i in range(m, need):
+                self._table[slot, i] = self.pool.acquire(
+                    keys[i] if i < len(keys) else None)
+            self._table_dirty = True
+            arr = np.full((1, S_suf), self.config.pad_token_id, np.int32)
+            arr[0, : plen - pre] = req.prompt[pre:]
+            fkey = (m, S_suf)
+            if fkey not in self._prefill_cache:
+                self._prefill_cache[fkey] = self._prefill_fn(*fkey)
+            first, kp, vp = self._prefill_cache[fkey](
+                self.params, jnp.asarray(arr), jnp.int32(plen),
+                jnp.asarray(self._table[slot, :m]),
+                jnp.asarray(self._table[slot, m:m + n_new]),
+                self.cache.k_pages, self.cache.v_pages,
                 self._next_rng())
             self.cache = self.cache._replace(k_pages=kp, v_pages=vp)
             self._lengths[slot] = len(req.prompt)
@@ -398,7 +457,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                 self._finish(slot, "length")
 
     def _finish(self, slot: int, reason: str):
-        self.alloc.release(self._table[slot])
+        self.pool.release(self._table[slot])
         self._table[slot] = -1
         self._table_dirty = True
         self._lengths[slot] = 0

@@ -83,6 +83,15 @@ def _paged_decode(q4, k_pages, v_pages, table, kv_len, *,
 
     kern = functools.partial(_kernel, n_pages=n_pages, page=page,
                              scale=scale)
+
+    def kv_map(b, h, i, lr, tr):
+        # Clamp past-the-end page indices to the LAST valid page: Mosaic
+        # skips the DMA when consecutive grid steps map to the same
+        # block, so unused pool pages cost zero HBM bandwidth (without
+        # this, decode streams the entire empty pool every step).
+        last = jnp.maximum((lr[b] + page - 1) // page - 1, 0)
+        return (tr[b, jnp.minimum(i, last)], h, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hkv, n_pages),
@@ -90,11 +99,9 @@ def _paged_decode(q4, k_pages, v_pages, table, kv_len, *,
             pl.BlockSpec((1, 1, Ghp, D),
                          lambda b, h, i, lr, tr: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page, D),
-                         lambda b, h, i, lr, tr: (tr[b, i], h, 0, 0),
+            pl.BlockSpec((1, 1, page, D), kv_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page, D),
-                         lambda b, h, i, lr, tr: (tr[b, i], h, 0, 0),
+            pl.BlockSpec((1, 1, page, D), kv_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, Ghp, D),

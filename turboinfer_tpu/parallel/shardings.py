@@ -81,6 +81,26 @@ def token_spec(data: str = DATA_AXIS) -> P:
     return P(data, None)
 
 
+def paged_cache_spec(tp: str = TP_AXIS) -> P:
+    """Paged KV pool [L, P, Hkv, page, D]: heads over tp. The page pool
+    is SHARED across sequences, so the page axis stays replicated (every
+    chip holds its head-slice of every page) and block tables/lengths
+    are replicated host state."""
+    return P(None, None, tp, None, None)
+
+
+def shard_paged_cache(cache, mesh: Mesh):
+    """Place a PagedKVCache on the mesh (heads over tp, tables
+    replicated)."""
+    ns = NamedSharding(mesh, paged_cache_spec())
+    rep = NamedSharding(mesh, P())
+    return cache._replace(
+        k_pages=jax.device_put(cache.k_pages, ns),
+        v_pages=jax.device_put(cache.v_pages, ns),
+        block_table=jax.device_put(cache.block_table, rep),
+        lengths=jax.device_put(cache.lengths, rep))
+
+
 def _qtensor_spec(spec: P) -> P:
     """Sharding for a QTensor's leaves given the logical weight spec.
 
