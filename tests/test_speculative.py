@@ -1,0 +1,100 @@
+"""Speculative decoding tests.
+
+No reference counterpart (the reference decodes one token per forward).
+Key invariants: greedy speculative output is TOKEN-IDENTICAL to plain
+greedy decoding of the target model alone (lossless acceleration), and
+rejection sampling accepts everything when draft == target.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import turboinfer_tpu as ti
+from turboinfer_tpu.config import InferenceConfig, tiny_config
+from turboinfer_tpu.engine.speculative import speculative_generate
+from turboinfer_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg_t = tiny_config()
+    cfg_d = tiny_config(hidden_size=64, num_layers=1, num_heads=2,
+                        num_kv_heads=2, intermediate_size=128)
+    params_t = llama.init_params(jax.random.PRNGKey(0), cfg_t)
+    params_d = llama.init_params(jax.random.PRNGKey(1), cfg_d)
+    return params_t, cfg_t, params_d, cfg_d
+
+
+def test_greedy_spec_matches_plain_greedy(models):
+    params_t, cfg_t, params_d, cfg_d = models
+    icfg = InferenceConfig(temperature=0.0, seed=0)
+    prompts = [[1, 5, 42, 7], [9, 3], [100, 200, 300, 400, 500]]
+    eng = ti.InferenceEngine(params_t, cfg_t, icfg)
+    want = [eng.generate(p, 24, temperature=0.0).tokens for p in prompts]
+
+    res = speculative_generate(params_t, cfg_t, params_d, cfg_d, prompts,
+                               max_new_tokens=24, k=4, config=icfg)
+    for b, p in enumerate(prompts):
+        assert res.tokens[b] == want[b], f"sequence {b} diverged"
+    assert 0.0 <= res.acceptance_rate <= 1.0
+    assert res.tokens_per_round > 0.0
+
+
+def test_self_draft_accepts_everything(models):
+    """draft == target => p == q => rejection sampling accepts every
+    proposal (acceptance rate 1, k+1 tokens per round)."""
+    params_t, cfg_t, _, _ = models
+    icfg = InferenceConfig(temperature=0.8, top_k=0, top_p=1.0, seed=3)
+    res = speculative_generate(params_t, cfg_t, params_t, cfg_t,
+                               [[1, 2, 3]], max_new_tokens=20, k=3,
+                               config=icfg)
+    assert res.acceptance_rate == 1.0
+    assert res.tokens_per_round == 4.0
+
+
+def test_sampled_spec_runs_and_is_seeded(models):
+    params_t, cfg_t, params_d, cfg_d = models
+    icfg = InferenceConfig(temperature=0.9, top_k=50, top_p=0.95, seed=11)
+    r1 = speculative_generate(params_t, cfg_t, params_d, cfg_d,
+                              [[1, 5, 7]], max_new_tokens=16, k=4,
+                              config=icfg)
+    r2 = speculative_generate(params_t, cfg_t, params_d, cfg_d,
+                              [[1, 5, 7]], max_new_tokens=16, k=4,
+                              config=icfg)
+    assert r1.tokens == r2.tokens          # same seed, same stream
+    toks = r1.tokens[0]
+    assert len(toks) == 3 + 16
+    assert all(0 <= t < cfg_t.vocab_size for t in toks)
+
+
+def test_eos_stops_early(models):
+    """A generated EOS terminates the sequence mid-round; tokens after
+    it in the same round are discarded."""
+    params_t, cfg_t, params_d, cfg_d = models
+    icfg = InferenceConfig(temperature=0.0, seed=0, eos_token_id=-1)
+    eng = ti.InferenceEngine(params_t, cfg_t, icfg)
+    base = eng.generate([1, 5, 42, 7], 40, temperature=0.0).tokens
+    gen = base[4:]
+    eos = gen[7]                           # pretend token 8 is EOS
+    icfg = InferenceConfig(temperature=0.0, seed=0, eos_token_id=eos)
+    res = speculative_generate(params_t, cfg_t, params_d, cfg_d,
+                               [[1, 5, 42, 7]], max_new_tokens=40, k=4,
+                               config=icfg)
+    got = res.tokens[0]
+    assert got[-1] == eos
+    assert got == base[: len(got)]
+    assert len(got) < len(base)
+
+
+def test_validation_errors(models):
+    params_t, cfg_t, params_d, cfg_d = models
+    with pytest.raises(ValueError):
+        speculative_generate(params_t, cfg_t, params_d, cfg_d, [],
+                             max_new_tokens=4)
+    with pytest.raises(ValueError):
+        speculative_generate(params_t, cfg_t, params_d, cfg_d, [[]],
+                             max_new_tokens=4)
+    with pytest.raises(ValueError, match="max_seq"):
+        speculative_generate(params_t, cfg_t, params_d, cfg_d, [[1, 2]],
+                             max_new_tokens=10_000)

@@ -271,9 +271,13 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
 
     def __init__(self, params: Dict[str, Any], model_config: ModelConfig,
                  config: Optional[InferenceConfig] = None,
-                 batch_slots: int = 8, page_size: int = 64,
+                 batch_slots: int = 8, page_size: int = 256,
                  num_pages: Optional[int] = None,
                  prefix_caching: bool = True):
+        # page_size trades paged-kernel grid overhead against allocation
+        # / prefix-sharing granularity: on v5e, 7B decode with 64-token
+        # pages runs 53.7 ms/step (4096 grid cells/layer) vs 40.7 with
+        # 256-token pages — within 3% of the contiguous cache (39.4).
         from turboinfer_tpu.engine import paged_cache as pc
         super().__init__(params, model_config, config, batch_slots)
         if not hasattr(self._model, "forward_paged_decode"):
