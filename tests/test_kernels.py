@@ -99,6 +99,24 @@ class TestAttentionKernels:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-2, atol=2e-2)
 
+    def test_decode_stacked_layer_index(self):
+        """Stacked [L, B, Hkv, T, D] cache + traced layer id must match
+        slicing the layer out first (the no-copy decode path)."""
+        from turboinfer_tpu.kernels.pallas import decode_attention
+        L, B, Hq, Hkv, D, T = 3, 2, 8, 4, 64, 256
+        q = _rand(B, Hq, D)
+        k = _rand(L, B, Hkv, T, D)
+        v = _rand(L, B, Hkv, T, D)
+        kv_len = jnp.asarray([100, 256], jnp.int32)
+        for li in (0, 2):
+            got = decode_attention.decode_pallas(
+                q, k, v, kv_len, layer_index=jnp.int32(li), interpret=True)
+            if got is None:
+                pytest.skip("decode kernel not eligible")
+            want = ops.attention_decode_ref(q, k[li], v[li], kv_len)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-2, atol=2e-2)
+
     def test_prefill_matches_reference(self):
         from turboinfer_tpu.kernels.pallas import flash_attention
         B, S, Hq, Hkv, D, T = 2, 128, 4, 4, 64, 256

@@ -137,6 +137,15 @@ def test_paged_pallas_kernel_matches_ref(cfg):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
 
+    # Stacked-pool path: pass the full [L, P, Hkv, page, D] pool with a
+    # traced layer id — must match slicing the layer out first.
+    got2 = paged_attention.paged_decode_pallas(
+        q, cache.k_pages, cache.v_pages, cache.block_table,
+        cache.lengths, layer_index=jnp.int32(0), interpret=True)
+    assert got2 is not None
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
 
 def test_forward_paged_decode_matches_contiguous(cfg):
     """Whole-model decode over the paged cache must produce the same

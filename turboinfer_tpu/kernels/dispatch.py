@@ -93,24 +93,44 @@ def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
                                      positions=positions, kv_len=kv_len)
 
 
-def attention_decode(q, k_cache, v_cache, kv_len):
+def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None):
+    """k/v_cache: [B, Hkv, T, D], or the full stacked [L, B, Hkv, T, D]
+    when `layer_index` is given — the Pallas kernel then reads layer
+    `layer_index` directly from HBM (no per-layer slice copy; same
+    copy-insertion trap as scan-sliced weights, see qmm stacked path)."""
     from turboinfer_tpu.kernels import ops
     if pallas_enabled():
         from turboinfer_tpu.kernels.pallas import decode_attention
-        y = decode_attention.decode_pallas(q, k_cache, v_cache, kv_len)
+        y = decode_attention.decode_pallas(q, k_cache, v_cache, kv_len,
+                                           layer_index=layer_index)
         if y is not None:
             return y
+    if layer_index is not None:
+        k_cache = jax.lax.dynamic_index_in_dim(k_cache, layer_index, 0,
+                                               keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer_index, 0,
+                                               keepdims=False)
     return ops.attention_decode_ref(q, k_cache, v_cache, kv_len)
 
 
-def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len):
+def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
+                           layer_index=None):
+    """k/v_pages: [P, Hkv, page, D], or the full stacked
+    [L, P, Hkv, page, D] pool when `layer_index` is given (the kernel
+    reads its layer via scalar prefetch — no per-layer pool copy)."""
     from turboinfer_tpu.kernels import ops
     if pallas_enabled():
         from turboinfer_tpu.kernels.pallas import paged_attention
         y = paged_attention.paged_decode_pallas(q, k_pages, v_pages,
-                                                block_table, kv_len)
+                                                block_table, kv_len,
+                                                layer_index=layer_index)
         if y is not None:
             return y
+    if layer_index is not None:
+        k_pages = jax.lax.dynamic_index_in_dim(k_pages, layer_index, 0,
+                                               keepdims=False)
+        v_pages = jax.lax.dynamic_index_in_dim(v_pages, layer_index, 0,
+                                               keepdims=False)
     return ops.attention_paged_decode_ref(q, k_pages, v_pages, block_table,
                                           kv_len)
 

@@ -308,12 +308,14 @@ def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
                                       q_start=q_start)
 
 
-def attention_decode(q, k_cache, v_cache, kv_len):
+def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None):
     from turboinfer_tpu.kernels import dispatch
-    return dispatch.attention_decode(q, k_cache, v_cache, kv_len)
+    return dispatch.attention_decode(q, k_cache, v_cache, kv_len,
+                                     layer_index=layer_index)
 
 
-def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len):
+def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
+                           layer_index=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_paged_decode(q, k_pages, v_pages, block_table,
-                                           kv_len)
+                                           kv_len, layer_index=layer_index)

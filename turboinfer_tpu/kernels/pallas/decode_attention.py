@@ -2,16 +2,23 @@
 
 The TPU-native replacement for the reference's
 `attention_fast_incremental` (reference: src/core/tensor_engine.cpp
-:1254-1388 — SIMD q·k dots + scalar softmax + weighted V sum). Here one
-query per sequence attends to its head's contiguous [T, D] cache slab
-streaming from HBM, with flash-style online softmax so scores never
-materialize beyond a [Gh, TT] tile (SURVEY.md §7 hard part #2).
+:1254-1388 — SIMD q·k dots + scalar softmax + weighted V sum). One
+query per sequence attends to its head's contiguous [T, D] cache slab,
+flash-style online softmax, scores never materialize beyond [Ghp, TT]
+(SURVEY.md §7 hard part #2).
+
+Streaming is MANUAL and length-aware: grid (B, Hkv) with a
+double-buffered `make_async_copy` loop whose trip count is
+ceil(kv_len[b] / TT) — decode streams the VALID prefix of the cache,
+not max_seq. (A BlockSpec-pipelined T axis fetches every block of a
+preallocated cache whether or not it holds tokens: measured 39→77
+ms/step going T=1024→2048 at the same 64-token fill on 7B-int4 B=8.
+`pl.when`-gating compute does not stop the DMAs — the pipeline issues
+them regardless; index-map clamping does not either.)
 
 Layout: cache is head-major [B, Hkv, T, D]; q is reshaped outside to
 [B, Hkv, Ghp, D] where Ghp = q heads per kv head padded up to 8
-sublanes. Grid (B, Hkv, T/TT) with the T axis innermost; running
-(max, denom, acc) live in VMEM scratch and the normalized output is
-written on the last T step.
+sublanes.
 """
 
 from __future__ import annotations
@@ -27,78 +34,108 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref,
-            m_ref, l_ref, acc_ref, *, nt: int, tt: int, scale: float):
-    """One [TT] block of the cache for one (b, kv_head).
+def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
+            kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref,
+            *, tt: int, scale: float):
+    """One (b, kv_head): stream ceil(kv_len/TT) cache chunks HBM->VMEM
+    with two buffers, fold each into the online-softmax state.
 
+    idx_ref: scalar-prefetch [1] layer id into the STACKED cache
+    (the model keeps the whole [L, B, Hkv, T, D] cache in the scan
+    carry; slicing layer i outside the kernel would materialize a
+    full-cache copy per layer per step — the same copy-insertion trap
+    as scan-sliced weights, see qmm.py's stacked path).
     len_ref: scalar-prefetch [B] int32 valid lengths.
-    q_ref: [1, 1, Ghp, D]; k_ref/v_ref: [1, 1, TT, D];
-    o_ref: [1, 1, Ghp, D]; scratch m/l: [Ghp, 128] f32, acc: [Ghp, D] f32.
+    q_ref: [1, 1, Ghp, D] VMEM; k_hbm/v_hbm: [L, B, Hkv, T, D] in HBM;
+    o_ref: [1, 1, Ghp, D]; kbuf/vbuf: [2, TT, D] VMEM scratch;
+    m/l: [Ghp, 128], acc: [Ghp, D] f32 scratch.
     """
     b = pl.program_id(0)
-    t = pl.program_id(2)
-
-    @pl.when(t == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
+    h = pl.program_id(1)
+    li = idx_ref[0]
     kv_len = len_ref[b]
+    nchunks = jax.lax.div(kv_len + tt - 1, tt)      # >= 1 (kv_len >= 1)
 
-    @pl.when(t * tt < kv_len)
-    def _():
-        q = q_ref[0, 0].astype(jnp.float32) * scale     # [Ghp, D]
-        k = k_ref[0, 0].astype(jnp.float32)             # [TT, D]
-        v = v_ref[0, 0].astype(jnp.float32)             # [TT, D]
-        s = jax.lax.dot_general(                        # [Ghp, TT]
+    def kdma(slot, i):
+        return pltpu.make_async_copy(
+            k_hbm.at[li, b, h, pl.ds(i * tt, tt)], kbuf.at[slot],
+            ksem.at[slot])
+
+    def vdma(slot, i):
+        return pltpu.make_async_copy(
+            v_hbm.at[li, b, h, pl.ds(i * tt, tt)], vbuf.at[slot],
+            vsem.at[slot])
+
+    kdma(0, 0).start()
+    vdma(0, 0).start()
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    q = q_ref[0, 0].astype(jnp.float32) * scale     # [Ghp, D]
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            kdma(nxt, i + 1).start()
+            vdma(nxt, i + 1).start()
+
+        kdma(slot, i).wait()
+        vdma(slot, i).wait()
+        k = kbuf[slot].astype(jnp.float32)          # [TT, D]
+        v = vbuf[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(                    # [Ghp, TT]
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + t * tt
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * tt
         s = jnp.where(col < kv_len, s, NEG_INF)
 
-        m_prev = m_ref[:, 0:1]                          # [Ghp, 1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)       # [Ghp, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)                 # rescale old state
-        p = jnp.exp(s - m_new)                          # [Ghp, TT]
+        m_prev = m_ref[:, 0:1]                      # [Ghp, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                      # [Ghp, TT]
         l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        return 0
 
-    @pl.when(t == nt - 1)
-    def _():
-        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
-        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+    o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _decode(q4, k_cache, v_cache, kv_len, *, interpret: bool = False):
+def _decode(q4, k_cache, v_cache, kv_len, layer_idx, *,
+            interpret: bool = False):
     B, Hkv, Ghp, D = q4.shape
-    T = k_cache.shape[2]
-    TT = min(T, 512)
-    nt = T // TT
+    T = k_cache.shape[3]
+    TT = min(T, 256)
     scale = 1.0 / float(D) ** 0.5
 
-    kern = functools.partial(_kernel, nt=nt, tt=TT, scale=scale)
+    kern = functools.partial(_kernel, tt=TT, scale=scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, Hkv, nt),
+        num_scalar_prefetch=2,
+        grid=(B, Hkv),
         in_specs=[
-            pl.BlockSpec((1, 1, Ghp, D), lambda b, h, t, len_ref: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, Ghp, D),
+                         lambda b, h, idx, len_ref: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TT, D), lambda b, h, t, len_ref: (b, h, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TT, D), lambda b, h, t, len_ref: (b, h, t, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, Ghp, D),
-                               lambda b, h, t, len_ref: (b, h, 0, 0),
+                               lambda b, h, idx, len_ref: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((2, TT, D), k_cache.dtype),
+            pltpu.VMEM((2, TT, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((Ghp, 128), jnp.float32),
             pltpu.VMEM((Ghp, 128), jnp.float32),
             pltpu.VMEM((Ghp, D), jnp.float32),
@@ -109,34 +146,43 @@ def _decode(q4, k_cache, v_cache, kv_len, *, interpret: bool = False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Ghp, D), q4.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hkv * Ghp * T * D,
             bytes_accessed=2 * B * Hkv * T * D * 2,
             transcendentals=B * Hkv * Ghp * T),
         interpret=interpret,
-    )(kv_len.astype(jnp.int32), q4, k_cache, v_cache)
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
+      kv_len.astype(jnp.int32), q4, k_cache, v_cache)
 
 
 def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
-                  kv_len: jax.Array,
+                  kv_len: jax.Array, layer_index=None,
                   interpret: bool = False) -> Optional[jax.Array]:
-    """q: [B, Hq, D]; k/v_cache: [B, Hkv, T, D]; kv_len: [B]
-    -> [B, Hq, D] or None if the shape isn't kernel-eligible."""
+    """q: [B, Hq, D]; k/v_cache: [B, Hkv, T, D] (layer_index=None) or the
+    full stacked [L, B, Hkv, T, D] with `layer_index` the traced layer
+    id; kv_len: [B] -> [B, Hq, D] or None if not kernel-eligible."""
     B, Hq, D = q.shape
-    Hkv, T = k_cache.shape[1], k_cache.shape[2]
+    if layer_index is None:
+        k_cache = k_cache[None]
+        v_cache = v_cache[None]
+        layer_index = 0
+    Hkv, T = k_cache.shape[2], k_cache.shape[3]
     if Hq % Hkv or D % 64:
-        return None            # blocks cover the full D axis; need lane-
-                               # aligned D (64 = half-lane is still legal
-                               # since the block equals the array dim)
+        return None            # blocks cover the full D axis
+    if D % 128 and not interpret:
+        return None            # Mosaic: memref_slice of the HBM cache
+                               # needs the sliced D axis lane-aligned
+                               # (128); D=64 models take the jnp path
     Gh = Hq // Hkv
     Ghp = max(Gh, 8)
-    TT = min(T, 512)
+    TT = min(T, 256)
     if T % TT:
         return None
     # [B, Hq, D] -> [B, Hkv, Gh, D], pad group axis to >= 8 sublanes.
     q4 = q.reshape(B, Hkv, Gh, D)
     if Ghp != Gh:
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, Ghp - Gh), (0, 0)))
-    out = _decode(q4, k_cache, v_cache, kv_len, interpret=interpret)
+    out = _decode(q4, k_cache, v_cache, kv_len, layer_index,
+                  interpret=interpret)
     return out[:, :, :Gh].reshape(B, Hq, D)

@@ -1,17 +1,18 @@
 """Paged decode attention: block-table indirection inside the kernel.
 
 Companion to engine/paged_cache.py (vLLM-style pool of fixed-size token
-pages + per-sequence block tables). The kernel walks a sequence's pages
-directly in HBM via scalar-prefetched block tables — no gather
-materialization (the jnp reference gathers pages into a contiguous
-cache first; this kernel is its fused equivalent).
+pages + per-sequence block tables). Grid (B, Hkv); each cell walks the
+sequence's block table with a multi-buffered `make_async_copy` loop
+whose trip count is ceil(kv_len[b] / page) — only pages that hold
+tokens are ever DMA'd, and decode cost scales with the ACTUAL context,
+not the pool size or max_pages. (A BlockSpec-pipelined page axis
+fetches every table entry regardless of kv_len; see
+decode_attention.py's module docstring for the measurement.)
 
-Grid (B, Hkv, max_pages), page axis innermost; the BlockSpec index map
-reads the page id for (b, i) from the prefetched table, so the DMA
-fetches exactly the page the sequence uses. Pages past a sequence's
-length are skipped (compute) and clamped to page 0 (DMA target stays
-in range). Online softmax state in VMEM scratch, as in
-decode_attention.py.
+Small pages need a deeper pipeline to hide HBM latency behind 16-64 KB
+copies, so the buffer count rises to 4 below 256-token pages. Online
+softmax state lives in VMEM scratch, as in decode_attention.py; the
+jnp reference is ops.attention_paged_decode_ref.
 """
 
 from __future__ import annotations
@@ -27,87 +28,116 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(len_ref, table_ref, q_ref, k_ref, v_ref, o_ref,
-            m_ref, l_ref, acc_ref, *, n_pages: int, page: int, scale: float):
-    """len_ref: [B]; table_ref: [B, max_pages] page ids (scalar prefetch).
-    q_ref: [1, 1, Ghp, D]; k_ref/v_ref: [1, 1, page, D] (the page chosen
-    by the index map); o_ref: [1, 1, Ghp, D]."""
+def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
+            kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref,
+            *, page: int, nbuf: int, scale: float):
+    """One (b, kv_head): stream the sequence's pages through nbuf VMEM
+    buffers, folding each into the online-softmax state.
+
+    idx_ref: [1] layer id into the STACKED page pool (slicing the layer
+    outside would materialize a full-pool copy per layer per step).
+    len_ref: [B] valid lengths; table_ref: [B, max_pages] page ids
+    (scalar prefetch, already clamped to valid pool indices).
+    q_ref: [1, 1, Ghp, D]; k_hbm/v_hbm: [L, P, Hkv, page, D] in HBM;
+    kbuf/vbuf: [nbuf, page, D] VMEM scratch.
+    """
     b = pl.program_id(0)
-    i = pl.program_id(2)
-
-    @pl.when(i == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
+    h = pl.program_id(1)
+    li = idx_ref[0]
     kv_len = len_ref[b]
+    npages = jax.lax.div(kv_len + page - 1, page)    # >= 1 (kv_len >= 1)
 
-    @pl.when(i * page < kv_len)
-    def _():
-        q = q_ref[0, 0].astype(jnp.float32) * scale     # [Ghp, D]
-        k = k_ref[0, 0]                                 # [page, D]
-        v = v_ref[0, 0]
-        s = jax.lax.dot_general(q, k.astype(jnp.float32),
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+    def kdma(slot, i):
+        return pltpu.make_async_copy(
+            k_hbm.at[li, table_ref[b, i], h], kbuf.at[slot], ksem.at[slot])
+
+    def vdma(slot, i):
+        return pltpu.make_async_copy(
+            v_hbm.at[li, table_ref[b, i], h], vbuf.at[slot], vsem.at[slot])
+
+    def start(i):
+        slot = jax.lax.rem(i, nbuf)
+        kdma(slot, i).start()
+        vdma(slot, i).start()
+
+    # Prime the pipeline: first min(nbuf-1, npages) copies in flight.
+    def prime(i, _):
+        @pl.when(i < npages)
+        def _():
+            start(i)
+        return 0
+    jax.lax.fori_loop(0, nbuf - 1, prime, 0)
+
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    q = q_ref[0, 0].astype(jnp.float32) * scale      # [Ghp, D]
+
+    def body(i, _):
+        slot = jax.lax.rem(i, nbuf)
+
+        @pl.when(i + nbuf - 1 < npages)
+        def _():
+            start(i + nbuf - 1)
+
+        kdma(slot, i).wait()
+        vdma(slot, i).wait()
+        k = kbuf[slot].astype(jnp.float32)           # [page, D]
+        v = vbuf[slot].astype(jnp.float32)
+        s = jax.lax.dot_general(                     # [Ghp, page]
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * page
         s = jnp.where(col < kv_len, s, NEG_INF)
+
         m_prev = m_ref[:, 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        return 0
 
-    @pl.when(i == n_pages - 1)
-    def _():
-        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
-        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+    jax.lax.fori_loop(0, npages, body, 0)
+    denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+    o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _paged_decode(q4, k_pages, v_pages, table, kv_len, *,
+def _paged_decode(q4, k_pages, v_pages, table, kv_len, layer_idx, *,
                   interpret: bool = False):
     B, Hkv, Ghp, D = q4.shape
-    P, page = k_pages.shape[0], k_pages.shape[2]
-    n_pages = table.shape[1]
+    P, page = k_pages.shape[1], k_pages.shape[3]
     scale = 1.0 / float(D) ** 0.5
+    nbuf = 2 if page >= 256 else 4
 
-    # Clamp unassigned (-1) ids so skipped pages still DMA in-range.
+    # Clamp unassigned (-1) ids so any stray DMA still lands in-range
+    # (only pages below ceil(kv_len/page) are ever fetched).
     table = jnp.clip(table, 0, P - 1).astype(jnp.int32)
 
-    kern = functools.partial(_kernel, n_pages=n_pages, page=page,
-                             scale=scale)
-
-    def kv_map(b, h, i, lr, tr):
-        # Clamp past-the-end page indices to the LAST valid page: Mosaic
-        # skips the DMA when consecutive grid steps map to the same
-        # block, so unused pool pages cost zero HBM bandwidth (without
-        # this, decode streams the entire empty pool every step).
-        last = jnp.maximum((lr[b] + page - 1) // page - 1, 0)
-        return (tr[b, jnp.minimum(i, last)], h, 0, 0)
-
+    kern = functools.partial(_kernel, page=page, nbuf=nbuf, scale=scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, Hkv, n_pages),
+        num_scalar_prefetch=3,
+        grid=(B, Hkv),
         in_specs=[
             pl.BlockSpec((1, 1, Ghp, D),
-                         lambda b, h, i, lr, tr: (b, h, 0, 0),
+                         lambda b, h, idx, lr, tr: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page, D), kv_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page, D), kv_map,
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, Ghp, D),
-                               lambda b, h, i, lr, tr: (b, h, 0, 0),
+                               lambda b, h, idx, lr, tr: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((nbuf, page, D), k_pages.dtype),
+            pltpu.VMEM((nbuf, page, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.VMEM((Ghp, 128), jnp.float32),
             pltpu.VMEM((Ghp, 128), jnp.float32),
             pltpu.VMEM((Ghp, D), jnp.float32),
@@ -117,28 +147,37 @@ def _paged_decode(q4, k_pages, v_pages, table, kv_len, *,
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Ghp, D), q4.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(kv_len.astype(jnp.int32), table, q4, k_pages, v_pages)
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
+      kv_len.astype(jnp.int32), table, q4, k_pages, v_pages)
 
 
 def paged_decode_pallas(q: jax.Array, k_pages: jax.Array,
                         v_pages: jax.Array, block_table: jax.Array,
-                        lengths: jax.Array,
+                        lengths: jax.Array, layer_index=None,
                         interpret: bool = False) -> Optional[jax.Array]:
-    """q: [B, Hq, D]; k/v_pages: [P, Hkv, page, D] (ONE layer's pages);
-    block_table: [B, max_pages]; lengths: [B] -> [B, Hq, D] or None.
+    """q: [B, Hq, D]; k/v_pages: [P, Hkv, page, D] (ONE layer's pages,
+    layer_index=None) or the full stacked [L, P, Hkv, page, D] pool with
+    `layer_index` the traced layer id; block_table: [B, max_pages];
+    lengths: [B] -> [B, Hq, D] or None.
     """
     B, Hq, D = q.shape
-    Hkv, page = k_pages.shape[1], k_pages.shape[2]
+    if layer_index is None:
+        k_pages = k_pages[None]
+        v_pages = v_pages[None]
+        layer_index = 0
+    Hkv, page = k_pages.shape[2], k_pages.shape[3]
     if Hq % Hkv or D % 64 or page % 8:
         return None
+    if D % 128 and not interpret:
+        return None            # Mosaic: memref_slice of the HBM pool
+                               # needs the sliced D axis lane-aligned
     Gh = Hq // Hkv
     Ghp = max(Gh, 8)
-    # kernel indexes pages as [P, Hkv, page, D] with a leading block of 1
     q4 = q.reshape(B, Hkv, Gh, D)
     if Ghp != Gh:
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, Ghp - Gh), (0, 0)))
     out = _paged_decode(q4, k_pages, v_pages, block_table, lengths,
-                        interpret=interpret)
+                        layer_index, interpret=interpret)
     return out[:, :, :Gh].reshape(B, Hq, D)

@@ -86,6 +86,29 @@ def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
     k = k.reshape(B, S, Hq, D)
     v = v.reshape(B, S, Hq, D)
 
+    if k_cache.ndim == 5:
+        # Stacked-cache decode (see llama._layer_forward): per-slot
+        # in-place writes; attention reads layer li via scalar prefetch.
+        newk = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)
+        newv = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+        for b in range(B):
+            idx = (li, b, 0, start[b], 0)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, newk[b][None, None], idx)
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, newv[b][None, None], idx)
+        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
+                                    layer_index=li)
+        attn = attn[:, None]
+        attn = attn.reshape(B, S, H)
+        x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"],
+                            layer_index=li) + w1("bo")
+        h = ops.layer_norm(x, w1("ln2_w"), w1("ln2_b"), config.rms_norm_eps)
+        h = ops.gelu(ops.qmatmul(h, lw["w_fc"], layer_index=li) + w1("b_fc"))
+        x = x + ops.qmatmul(h.astype(x.dtype), lw["w_proj"],
+                            layer_index=li) + w1("b_proj")
+        return x, k_cache, v_cache
+
     def write_one(cache_b, new_b, start_b):
         return jax.lax.dynamic_update_slice(
             cache_b, new_b.transpose(1, 0, 2).astype(cache_b.dtype),
@@ -131,15 +154,25 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
 
     layers = params["layers"]
 
-    def body(carry, i):
-        x, k_full, v_full = carry
-        kc = jax.lax.dynamic_index_in_dim(k_full, i, 0, keepdims=False)
-        vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
-        x, kc, vc = _layer_forward(config, x, layers, kc, vc, start,
-                                   kv_len, layer_index=i)
-        k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
-        v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
-        return (x, k_full, v_full), None
+    if S == 1:
+        # Decode: stacked cache flows through whole (no per-layer slice
+        # copies — see llama.forward for the measurement).
+        def body(carry, i):
+            x, k_full, v_full = carry
+            x, k_full, v_full = _layer_forward(config, x, layers, k_full,
+                                               v_full, start, kv_len,
+                                               layer_index=i)
+            return (x, k_full, v_full), None
+    else:
+        def body(carry, i):
+            x, k_full, v_full = carry
+            kc = jax.lax.dynamic_index_in_dim(k_full, i, 0, keepdims=False)
+            vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
+            x, kc, vc = _layer_forward(config, x, layers, kc, vc, start,
+                                       kv_len, layer_index=i)
+            k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
+            v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
+            return (x, k_full, v_full), None
 
     (x, k_new, v_new), _ = jax.lax.scan(
         body, (x, cache.k, cache.v),

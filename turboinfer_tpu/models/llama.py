@@ -135,6 +135,32 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
     # In-place HBM cache write at per-sequence offsets. All sequences in a
     # prefill share S new slots written at `start` (right-padded batches:
     # pads are written but masked out of attention by kv_len).
+    if k_cache.ndim == 5:
+        # Decode over the FULL stacked [L, B, Hkv, T, D] cache: per-slot
+        # in-place writes at (li, b, 0, start_b, 0) — a vectorized
+        # scatter (or slicing layer li out first) makes XLA copy the
+        # whole cache every layer — and the attention kernel reads layer
+        # li straight from the stacked HBM array via scalar prefetch.
+        newk = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)  # [B,Hkv,S,D]
+        newv = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+        for b in range(B):
+            idx = (li, b, 0, start[b], 0)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, newk[b][None, None], idx)
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, newv[b][None, None], idx)
+        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
+                                    layer_index=li)
+        attn = attn[:, None]                                     # [B,1,Hq,D]
+        attn = attn.reshape(B, S, Hq * D)
+        x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
+        h = ops.rms_norm(x, norm_w("ffn_norm"), config.rms_norm_eps)
+        gate = ops.qmatmul(h, lw["w_gate"], layer_index=li)
+        up = ops.qmatmul(h, lw["w_up"], layer_index=li)
+        x = x + ops.qmatmul(ops.swiglu(gate, up).astype(x.dtype),
+                            lw["w_down"], layer_index=li)
+        return x, k_cache, v_cache
+
     def write_one(cache_b, new_b, start_b):
         # cache_b: [Hkv, T, D]; new_b: [S, Hkv, D] -> [Hkv, S, D]
         return jax.lax.dynamic_update_slice(
@@ -196,16 +222,30 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     # neither weights nor cache are sliced into per-layer copies.
     layers = params["layers"]
 
-    def body(carry, i):
-        x, k_full, v_full = carry
-        kc = jax.lax.dynamic_index_in_dim(k_full, i, 0, keepdims=False)
-        vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
-        x, kc, vc = _layer_forward(config, x, layers, positions, kc, vc,
-                                   start, kv_len, contiguous=contiguous,
-                                   layer_index=i)
-        k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
-        v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
-        return (x, k_full, v_full), None
+    if S == 1:
+        # Decode: the stacked cache flows through whole — _layer_forward
+        # writes token slots in place and the attention kernel reads its
+        # layer via scalar prefetch. Slicing layer i here instead costs
+        # a full [B, Hkv, T, D] copy (plus write-back) per layer per
+        # step — measured 39 -> 72 ms/step going T=1024 -> 2048 on
+        # 7B-int4 B=8 with the slice, flat ~12 ms without.
+        def body(carry, i):
+            x, k_full, v_full = carry
+            x, k_full, v_full = _layer_forward(
+                config, x, layers, positions, k_full, v_full,
+                start, kv_len, contiguous=contiguous, layer_index=i)
+            return (x, k_full, v_full), None
+    else:
+        def body(carry, i):
+            x, k_full, v_full = carry
+            kc = jax.lax.dynamic_index_in_dim(k_full, i, 0, keepdims=False)
+            vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
+            x, kc, vc = _layer_forward(config, x, layers, positions, kc, vc,
+                                       start, kv_len, contiguous=contiguous,
+                                       layer_index=i)
+            k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
+            v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
+            return (x, k_full, v_full), None
 
     (x, k_new, v_new), _ = jax.lax.scan(
         body, (x, cache.k, cache.v),
@@ -255,8 +295,6 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
 
     def body(carry, i):
         x, kp_full, vp_full = carry
-        kp = jax.lax.dynamic_index_in_dim(kp_full, i, 0, keepdims=False)
-        vp = jax.lax.dynamic_index_in_dim(vp_full, i, 0, keepdims=False)
 
         h = ops.rms_norm(x, norm_w(layers["attn_norm"], i),
                          config.rms_norm_eps)
@@ -267,20 +305,24 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
         k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
 
         # Write the new token's k/v into each slot's current page with
-        # per-slot dynamic_update_slice (B is small and static). A
-        # vector scatter (.at[page_ids, :, offset].set) here makes XLA
-        # materialize a copy of the page pool EVERY LAYER instead of
-        # updating in place — tens of ms/step at 7B scale.
+        # per-slot dynamic_update_slice directly into the STACKED pool
+        # (B is small and static). A vector scatter
+        # (.at[page_ids, :, offset].set) here makes XLA materialize a
+        # copy of the page pool EVERY LAYER instead of updating in place
+        # — tens of ms/step at 7B scale — and so does slicing layer i
+        # out of the stack (full-pool copy + write-back per layer).
         for b in range(B):
-            kp = jax.lax.dynamic_update_slice(
-                kp, k[b, 0][None, :, None, :].astype(kp.dtype),
-                (page_ids[b], 0, offset[b], 0))
-            vp = jax.lax.dynamic_update_slice(
-                vp, v[b, 0][None, :, None, :].astype(vp.dtype),
-                (page_ids[b], 0, offset[b], 0))
+            idx = (i, page_ids[b], 0, offset[b], 0)
+            kp_full = jax.lax.dynamic_update_slice(
+                kp_full, k[b, 0][None, None, :, None, :].astype(
+                    kp_full.dtype), idx)
+            vp_full = jax.lax.dynamic_update_slice(
+                vp_full, v[b, 0][None, None, :, None, :].astype(
+                    vp_full.dtype), idx)
 
-        attn = ops.attention_paged_decode(q[:, 0], kp, vp, block_table,
-                                          kv_len)
+        attn = ops.attention_paged_decode(q[:, 0], kp_full, vp_full,
+                                          block_table, kv_len,
+                                          layer_index=i)
         attn = attn.reshape(B, 1, Hq * D)
         x = x + ops.qmatmul(attn.astype(x.dtype), layers["wo"],
                             layer_index=i)
@@ -292,8 +334,6 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
         x = x + ops.qmatmul(ops.swiglu(gate, up).astype(x.dtype),
                             layers["w_down"], layer_index=i)
 
-        kp_full = jax.lax.dynamic_update_index_in_dim(kp_full, kp, i, 0)
-        vp_full = jax.lax.dynamic_update_index_in_dim(vp_full, vp, i, 0)
         return (x, kp_full, vp_full), None
 
     (x, k_new, v_new), _ = jax.lax.scan(
