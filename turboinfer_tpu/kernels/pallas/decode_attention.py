@@ -7,18 +7,27 @@ query per sequence attends to its head's contiguous [T, D] cache slab,
 flash-style online softmax, scores never materialize beyond [Ghp, TT]
 (SURVEY.md §7 hard part #2).
 
-Streaming is MANUAL and length-aware: grid (B, Hkv) with a
-double-buffered `make_async_copy` loop whose trip count is
-ceil(kv_len[b] / TT) — decode streams the VALID prefix of the cache,
-not max_seq. (A BlockSpec-pipelined T axis fetches every block of a
-preallocated cache whether or not it holds tokens: measured 39→77
-ms/step going T=1024→2048 at the same 64-token fill on 7B-int4 B=8.
-`pl.when`-gating compute does not stop the DMAs — the pipeline issues
-them regardless; index-map clamping does not either.)
+Streaming is MANUAL and length-aware: grid (B,) with ONE multi-buffered
+`make_async_copy` loop per sequence over the flattened
+(kv_head, chunk) space — Hkv * ceil(kv_len[b] / TT) trips.
 
-Layout: cache is head-major [B, Hkv, T, D]; q is reshaped outside to
-[B, Hkv, Ghp, D] where Ghp = q heads per kv head padded up to 8
-sublanes.
+Two measured traps shape this design:
+  - A BlockSpec-pipelined T axis fetches every block of a preallocated
+    cache whether or not it holds tokens (39→77 ms/step going
+    T=1024→2048 at the same fill on 7B-int4 B=8). Hence the manual
+    loop with a kv_len-derived trip count: decode cost scales with the
+    ACTUAL context, not max_seq.
+  - A grid cell per (b, kv_head) serializes the DMA latency of
+    B * Hkv cells (measured 9.15 ms/step of a 18.6 ms step at B=8,
+    Hkv=32, short fill — the dominant cost). Hence one cell per
+    sequence with heads flattened into the pipelined loop.
+
+Layout: cache is head-major, STACKED over layers [L, B, Hkv, T, D];
+the layer id arrives by scalar prefetch (slicing layer i outside the
+kernel materializes a full-layer copy + write-back per layer per step
+— the same copy-insertion trap as scan-sliced weights, see qmm.py).
+q is reshaped outside to [B, Hkv, Ghp, D], Ghp = q heads per kv head
+padded up to 8 sublanes.
 """
 
 from __future__ import annotations
@@ -32,81 +41,92 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+NBUF = 4
 
 
 def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
             kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref,
-            *, tt: int, scale: float):
-    """One (b, kv_head): stream ceil(kv_len/TT) cache chunks HBM->VMEM
-    with two buffers, fold each into the online-softmax state.
+            *, hkv: int, tt: int, scale: float):
+    """One sequence b: stream Hkv * ceil(kv_len/TT) cache chunks through
+    NBUF VMEM buffers; trip t covers chunk (t % nchunks) of kv head
+    (t // nchunks), folding into that head's online-softmax state.
 
-    idx_ref: scalar-prefetch [1] layer id into the STACKED cache
-    (the model keeps the whole [L, B, Hkv, T, D] cache in the scan
-    carry; slicing layer i outside the kernel would materialize a
-    full-cache copy per layer per step — the same copy-insertion trap
-    as scan-sliced weights, see qmm.py's stacked path).
-    len_ref: scalar-prefetch [B] int32 valid lengths.
-    q_ref: [1, 1, Ghp, D] VMEM; k_hbm/v_hbm: [L, B, Hkv, T, D] in HBM;
-    o_ref: [1, 1, Ghp, D]; kbuf/vbuf: [2, TT, D] VMEM scratch;
-    m/l: [Ghp, 128], acc: [Ghp, D] f32 scratch.
+    idx_ref: [1] layer id (scalar prefetch); len_ref: [B] valid lengths.
+    q_ref: [1, Hkv, Ghp, D] VMEM; k_hbm/v_hbm: [L, B, Hkv, T, D] HBM;
+    o_ref: [1, Hkv, Ghp, D]; kbuf/vbuf: [NBUF, TT, D] VMEM scratch;
+    m/l: [Ghp, 128], acc: [Ghp, D] f32 scratch (reused head to head —
+    heads complete in order).
     """
     b = pl.program_id(0)
-    h = pl.program_id(1)
     li = idx_ref[0]
     kv_len = len_ref[b]
     nchunks = jax.lax.div(kv_len + tt - 1, tt)      # >= 1 (kv_len >= 1)
+    ntrips = hkv * nchunks
 
-    def kdma(slot, i):
-        return pltpu.make_async_copy(
+    def start(t):
+        h = jax.lax.div(t, nchunks)
+        i = jax.lax.rem(t, nchunks)
+        slot = jax.lax.rem(t, NBUF)
+        pltpu.make_async_copy(
             k_hbm.at[li, b, h, pl.ds(i * tt, tt)], kbuf.at[slot],
-            ksem.at[slot])
-
-    def vdma(slot, i):
-        return pltpu.make_async_copy(
+            ksem.at[slot]).start()
+        pltpu.make_async_copy(
             v_hbm.at[li, b, h, pl.ds(i * tt, tt)], vbuf.at[slot],
-            vsem.at[slot])
+            vsem.at[slot]).start()
 
-    kdma(0, 0).start()
-    vdma(0, 0).start()
-    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[:] = jnp.zeros_like(l_ref)
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    q = q_ref[0, 0].astype(jnp.float32) * scale     # [Ghp, D]
-
-    def body(i, _):
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
-
-        @pl.when(i + 1 < nchunks)
+    def prime(t, _):
+        @pl.when(t < ntrips)
         def _():
-            kdma(nxt, i + 1).start()
-            vdma(nxt, i + 1).start()
+            start(t)
+        return 0
+    jax.lax.fori_loop(0, NBUF - 1, prime, 0)
 
-        kdma(slot, i).wait()
-        vdma(slot, i).wait()
-        k = kbuf[slot].astype(jnp.float32)          # [TT, D]
+    def body(t, _):
+        h = jax.lax.div(t, nchunks)
+        i = jax.lax.rem(t, nchunks)
+        slot = jax.lax.rem(t, NBUF)
+
+        @pl.when(t + NBUF - 1 < ntrips)
+        def _():
+            start(t + NBUF - 1)
+
+        @pl.when(i == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        pltpu.make_async_copy(kbuf.at[slot], kbuf.at[slot],
+                              ksem.at[slot]).wait()
+        pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot],
+                              vsem.at[slot]).wait()
+        q = q_ref[0, h].astype(jnp.float32) * scale  # [Ghp, D]
+        k = kbuf[slot].astype(jnp.float32)           # [TT, D]
         v = vbuf[slot].astype(jnp.float32)
-        s = jax.lax.dot_general(                    # [Ghp, TT]
+        s = jax.lax.dot_general(                     # [Ghp, TT]
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * tt
         s = jnp.where(col < kv_len, s, NEG_INF)
 
-        m_prev = m_ref[:, 0:1]                      # [Ghp, 1]
+        m_prev = m_ref[:, 0:1]                       # [Ghp, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                      # [Ghp, TT]
+        p = jnp.exp(s - m_new)                       # [Ghp, TT]
         l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+        @pl.when(i == nchunks - 1)
+        def _():
+            denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+            o_ref[0, h] = (acc_ref[:] / denom).astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
-    denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
-    o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+    jax.lax.fori_loop(0, ntrips, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -114,28 +134,28 @@ def _decode(q4, k_cache, v_cache, kv_len, layer_idx, *,
             interpret: bool = False):
     B, Hkv, Ghp, D = q4.shape
     T = k_cache.shape[3]
-    TT = min(T, 256)
+    TT = min(T, 128)
     scale = 1.0 / float(D) ** 0.5
 
-    kern = functools.partial(_kernel, tt=TT, scale=scale)
+    kern = functools.partial(_kernel, hkv=Hkv, tt=TT, scale=scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, Hkv),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, Ghp, D),
-                         lambda b, h, idx, len_ref: (b, h, 0, 0),
+            pl.BlockSpec((1, Hkv, Ghp, D),
+                         lambda b, idx, len_ref: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, Ghp, D),
-                               lambda b, h, idx, len_ref: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, Hkv, Ghp, D),
+                               lambda b, idx, len_ref: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, TT, D), k_cache.dtype),
-            pltpu.VMEM((2, TT, D), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, TT, D), k_cache.dtype),
+            pltpu.VMEM((NBUF, TT, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.VMEM((Ghp, 128), jnp.float32),
             pltpu.VMEM((Ghp, 128), jnp.float32),
             pltpu.VMEM((Ghp, D), jnp.float32),
@@ -146,7 +166,7 @@ def _decode(q4, k_cache, v_cache, kv_len, layer_idx, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Ghp, D), q4.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hkv * Ghp * T * D,
             bytes_accessed=2 * B * Hkv * T * D * 2,
@@ -176,7 +196,7 @@ def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                                # (128); D=64 models take the jnp path
     Gh = Hq // Hkv
     Ghp = max(Gh, 8)
-    TT = min(T, 256)
+    TT = min(T, 128)
     if T % TT:
         return None
     # [B, Hq, D] -> [B, Hkv, Gh, D], pad group axis to >= 8 sublanes.

@@ -1,18 +1,21 @@
 """Paged decode attention: block-table indirection inside the kernel.
 
 Companion to engine/paged_cache.py (vLLM-style pool of fixed-size token
-pages + per-sequence block tables). Grid (B, Hkv); each cell walks the
-sequence's block table with a multi-buffered `make_async_copy` loop
-whose trip count is ceil(kv_len[b] / page) — only pages that hold
-tokens are ever DMA'd, and decode cost scales with the ACTUAL context,
-not the pool size or max_pages. (A BlockSpec-pipelined page axis
-fetches every table entry regardless of kv_len; see
-decode_attention.py's module docstring for the measurement.)
+pages + per-sequence block tables). Grid (B,); each cell walks the
+sequence's block table with ONE multi-buffered `make_async_copy` loop
+over the flattened (kv_head, page) space — Hkv * ceil(kv_len[b] / page)
+trips. Only pages that hold tokens are ever DMA'd, so decode cost
+scales with the ACTUAL context, not the pool size or max_pages (a
+BlockSpec-pipelined page axis fetches every table entry regardless of
+kv_len), and flattening heads into the one pipelined loop keeps the
+copies back-to-back instead of paying DMA latency per (b, head) grid
+cell — see decode_attention.py's module docstring for both
+measurements.
 
-Small pages need a deeper pipeline to hide HBM latency behind 16-64 KB
-copies, so the buffer count rises to 4 below 256-token pages. Online
-softmax state lives in VMEM scratch, as in decode_attention.py; the
-jnp reference is ops.attention_paged_decode_ref.
+The pool is STACKED over layers [L, P, Hkv, page, D] and the layer id
+arrives by scalar prefetch (slicing the layer outside would materialize
+a full-pool copy per layer per step). Online softmax state lives in
+VMEM scratch; the jnp reference is ops.attention_paged_decode_ref.
 """
 
 from __future__ import annotations
@@ -26,62 +29,65 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+NBUF = 4
 
 
 def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
             kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref,
-            *, page: int, nbuf: int, scale: float):
-    """One (b, kv_head): stream the sequence's pages through nbuf VMEM
-    buffers, folding each into the online-softmax state.
+            *, hkv: int, page: int, scale: float):
+    """One sequence b: stream Hkv * ceil(kv_len/page) pages through NBUF
+    VMEM buffers; trip t covers page (t % npages) of kv head
+    (t // npages), folding into that head's online-softmax state.
 
-    idx_ref: [1] layer id into the STACKED page pool (slicing the layer
-    outside would materialize a full-pool copy per layer per step).
-    len_ref: [B] valid lengths; table_ref: [B, max_pages] page ids
-    (scalar prefetch, already clamped to valid pool indices).
-    q_ref: [1, 1, Ghp, D]; k_hbm/v_hbm: [L, P, Hkv, page, D] in HBM;
-    kbuf/vbuf: [nbuf, page, D] VMEM scratch.
+    idx_ref: [1] layer id; len_ref: [B] valid lengths; table_ref:
+    [B, max_pages] page ids (scalar prefetch, pre-clamped in range).
+    q_ref: [1, Hkv, Ghp, D]; k_hbm/v_hbm: [L, P, Hkv, page, D] HBM;
+    kbuf/vbuf: [NBUF, page, D] VMEM scratch; m/l: [Ghp, 128],
+    acc: [Ghp, D] f32 scratch (reused head to head).
     """
     b = pl.program_id(0)
-    h = pl.program_id(1)
     li = idx_ref[0]
     kv_len = len_ref[b]
     npages = jax.lax.div(kv_len + page - 1, page)    # >= 1 (kv_len >= 1)
+    ntrips = hkv * npages
 
-    def kdma(slot, i):
-        return pltpu.make_async_copy(
-            k_hbm.at[li, table_ref[b, i], h], kbuf.at[slot], ksem.at[slot])
+    def start(t):
+        h = jax.lax.div(t, npages)
+        i = jax.lax.rem(t, npages)
+        slot = jax.lax.rem(t, NBUF)
+        pid = table_ref[b, i]
+        pltpu.make_async_copy(
+            k_hbm.at[li, pid, h], kbuf.at[slot], ksem.at[slot]).start()
+        pltpu.make_async_copy(
+            v_hbm.at[li, pid, h], vbuf.at[slot], vsem.at[slot]).start()
 
-    def vdma(slot, i):
-        return pltpu.make_async_copy(
-            v_hbm.at[li, table_ref[b, i], h], vbuf.at[slot], vsem.at[slot])
-
-    def start(i):
-        slot = jax.lax.rem(i, nbuf)
-        kdma(slot, i).start()
-        vdma(slot, i).start()
-
-    # Prime the pipeline: first min(nbuf-1, npages) copies in flight.
-    def prime(i, _):
-        @pl.when(i < npages)
+    def prime(t, _):
+        @pl.when(t < ntrips)
         def _():
-            start(i)
+            start(t)
         return 0
-    jax.lax.fori_loop(0, nbuf - 1, prime, 0)
+    jax.lax.fori_loop(0, NBUF - 1, prime, 0)
 
-    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[:] = jnp.zeros_like(l_ref)
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    q = q_ref[0, 0].astype(jnp.float32) * scale      # [Ghp, D]
+    def body(t, _):
+        h = jax.lax.div(t, npages)
+        i = jax.lax.rem(t, npages)
+        slot = jax.lax.rem(t, NBUF)
 
-    def body(i, _):
-        slot = jax.lax.rem(i, nbuf)
-
-        @pl.when(i + nbuf - 1 < npages)
+        @pl.when(t + NBUF - 1 < ntrips)
         def _():
-            start(i + nbuf - 1)
+            start(t + NBUF - 1)
 
-        kdma(slot, i).wait()
-        vdma(slot, i).wait()
+        @pl.when(i == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        pltpu.make_async_copy(kbuf.at[slot], kbuf.at[slot],
+                              ksem.at[slot]).wait()
+        pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot],
+                              vsem.at[slot]).wait()
+        q = q_ref[0, h].astype(jnp.float32) * scale  # [Ghp, D]
         k = kbuf[slot].astype(jnp.float32)           # [page, D]
         v = vbuf[slot].astype(jnp.float32)
         s = jax.lax.dot_general(                     # [Ghp, page]
@@ -100,11 +106,14 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
             preferred_element_type=jnp.float32)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+        @pl.when(i == npages - 1)
+        def _():
+            denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+            o_ref[0, h] = (acc_ref[:] / denom).astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, npages, body, 0)
-    denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
-    o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+    jax.lax.fori_loop(0, ntrips, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -113,31 +122,30 @@ def _paged_decode(q4, k_pages, v_pages, table, kv_len, layer_idx, *,
     B, Hkv, Ghp, D = q4.shape
     P, page = k_pages.shape[1], k_pages.shape[3]
     scale = 1.0 / float(D) ** 0.5
-    nbuf = 2 if page >= 256 else 4
 
     # Clamp unassigned (-1) ids so any stray DMA still lands in-range
     # (only pages below ceil(kv_len/page) are ever fetched).
     table = jnp.clip(table, 0, P - 1).astype(jnp.int32)
 
-    kern = functools.partial(_kernel, page=page, nbuf=nbuf, scale=scale)
+    kern = functools.partial(_kernel, hkv=Hkv, page=page, scale=scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, Hkv),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, Ghp, D),
-                         lambda b, h, idx, lr, tr: (b, h, 0, 0),
+            pl.BlockSpec((1, Hkv, Ghp, D),
+                         lambda b, idx, lr, tr: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, Ghp, D),
-                               lambda b, h, idx, lr, tr: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, Hkv, Ghp, D),
+                               lambda b, idx, lr, tr: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, page, D), k_pages.dtype),
-            pltpu.VMEM((nbuf, page, D), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((nbuf,)),
-            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.VMEM((NBUF, page, D), k_pages.dtype),
+            pltpu.VMEM((NBUF, page, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.VMEM((Ghp, 128), jnp.float32),
             pltpu.VMEM((Ghp, 128), jnp.float32),
             pltpu.VMEM((Ghp, D), jnp.float32),
@@ -147,7 +155,7 @@ def _paged_decode(q4, k_pages, v_pages, table, kv_len, layer_idx, *,
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Ghp, D), q4.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
       kv_len.astype(jnp.int32), table, q4, k_pages, v_pages)
