@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--max-seq", type=int, default=1024)
+    ap.add_argument("--group-size", type=int, default=64)
     ap.add_argument("--paged", action="store_true",
                     help="decode over the paged KV cache (block-table "
                          "Pallas kernel) instead of the contiguous cache")
@@ -45,7 +46,7 @@ def main():
 
     cfg = llama7b_config(dtype=jnp.bfloat16, max_seq_len=args.max_seq)
     data = create_synthetic_quantized_model(cfg, bits=args.bits,
-                                            group_size=64)
+                                            group_size=args.group_size)
     params = dispatch.prepare_params(data.params)
     del data
     wbytes = common.param_bytes(params)

@@ -51,6 +51,38 @@ class TestQmmKernel:
                     / (jnp.max(jnp.abs(want)) + 1e-9))
         assert rel < 2e-2
 
+    @pytest.mark.parametrize("M,K,N", [(1, 512, 384), (4, 1024, 512),
+                                       (16, 512, 256)])
+    def test_factored_group256(self, M, K, N):
+        """group_size >= 256 routes to the factored-scale int4 kernel
+        (scale applied to per-group partial sums, not per weight)."""
+        from turboinfer_tpu.kernels.pallas import qmm
+        w = _rand(K, N)
+        x = _rand(M, K)
+        qt = quantize(w, QuantType.INT4, group_size=256)
+        assert qmm._fact_eligible(qt.bits, qt.group_size)
+        want = ops.qmatmul_ref(x, qt)
+        got = qmm.qmatmul_pallas(x, qt, interpret=True)
+        assert got is not None
+        rel = float(jnp.max(jnp.abs(got - want))
+                    / (jnp.max(jnp.abs(want)) + 1e-9))
+        assert rel < 2e-2, f"rel err {rel}"
+
+    def test_factored_group256_stacked(self):
+        from turboinfer_tpu.kernels.pallas import qmm
+        L, K, N = 3, 512, 384
+        ws = [_rand(K, N) for _ in range(L)]
+        qts = [quantize(w, QuantType.INT4, group_size=256) for w in ws]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+        x = _rand(4, K)
+        for li in range(L):
+            got = qmm.qmatmul_pallas_stacked(x, stacked, li, interpret=True)
+            assert got is not None
+            want = ops.qmatmul_ref(x, qts[li])
+            rel = float(jnp.max(jnp.abs(got - want))
+                        / (jnp.max(jnp.abs(want)) + 1e-9))
+            assert rel < 2e-2, f"layer {li} rel err {rel}"
+
     def test_asymmetric_falls_back(self):
         from turboinfer_tpu.kernels.pallas import qmm
         w = _rand(256, 512)

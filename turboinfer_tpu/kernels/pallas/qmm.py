@@ -103,6 +103,95 @@ def _kernel_int4(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _fact_eligible(bits: int, group_size: int) -> bool:
+    """The factored-scale int4 variant needs each half-group to span
+    whole 128-lane slices of the pre-gathered activations (Mosaic only
+    slices the lane dim at 128 alignment)."""
+    import os
+    if os.environ.get("TURBOINFER_QMM_NO_FACT") == "1":
+        return False
+    return bits == 4 and group_size >= 256 and (group_size // 2) % 128 == 0
+
+
+def _int4_fact_body(x_lo, x_hi, qp, s, acc_ref, *, group_size: int):
+    """Factored-scale int4 accumulation (one K tile).
+
+    The baseline kernel dequantizes every weight on the VPU (unpack,
+    subtract 8, scale-multiply, two dtype casts ≈ 5.5 vector passes per
+    weight) — at 7B decode shapes that outruns the DMA and makes the
+    pipeline compute-bound. Here the group scale is factored OUT of the
+    contraction:
+
+        acc[m,n] += sum_g s[g,n] * ( sum_{k in g} x[m,k]*u[k,n]
+                                     - 8 * sum_{k in g} x[m,k] )
+
+    so the MXU dots run on raw unpacked nibbles u in [0,16) (exact in
+    bf16) and the VPU only touches per-weight data for unpack + cast
+    (~3.5 passes); the scale/zero-point algebra runs on the [TM, TN]
+    per-group partial, which is group_size× smaller. Each group is one
+    full-depth pair of [TM, g/2] @ [g/2, TN] dots (g/2 = 128k lanes).
+
+    x_lo/x_hi: [TM, TK//2] bf16 pre-gathered halves; qp: [TK//2, TN]
+    uint8; s: [G, TN] f32; acc_ref: [TM, TN] f32.
+    """
+    TK2, TN = qp.shape
+    g2 = group_size // 2
+    G = TK2 // g2
+    acc = acc_ref[:]
+    for gi in range(G):
+        lo_sl = slice(gi * g2, (gi + 1) * g2)
+        qg = qp[lo_sl].astype(jnp.int32)
+        u_lo = (qg & 0x0F).astype(jnp.bfloat16)
+        u_hi = (qg >> 4).astype(jnp.bfloat16)
+        xl = x_lo[:, lo_sl]
+        xh = x_hi[:, lo_sl]
+        p = (jnp.dot(xl, u_lo, preferred_element_type=jnp.float32)
+             + jnp.dot(xh, u_hi, preferred_element_type=jnp.float32))
+        rsum = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True) \
+            + jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+        acc = acc + (p - 8.0 * rsum) * s[gi][None, :]
+    acc_ref[:] = acc
+
+
+def _kernel_int4_fact(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                      nk: int, group_size: int, out_dtype):
+    """Factored-scale int4 (see _int4_fact_body); same interface as
+    _kernel_int4."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _int4_fact_body(xlo_ref[:].astype(jnp.bfloat16),
+                    xhi_ref[:].astype(jnp.bfloat16),
+                    q_ref[:], s_ref[0].astype(jnp.float32), acc_ref,
+                    group_size=group_size)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _kernel_int4_fact_idx(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
+                          acc_ref, *, nk: int, group_size: int, out_dtype):
+    """Stacked-layer factored-scale int4 (see _int4_fact_body)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _int4_fact_body(xlo_ref[:].astype(jnp.bfloat16),
+                    xhi_ref[:].astype(jnp.bfloat16),
+                    q_ref[0], s_ref[0, 0].astype(jnp.float32), acc_ref,
+                    group_size=group_size)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
 def _pick_tile(dim: int, candidates) -> Optional[int]:
     for t in candidates:
         if dim % t == 0:
@@ -191,7 +280,12 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
     Mp = M + pad_m
     nk = K // TK
 
-    kern = _kernel_int8 if bits == 8 else _kernel_int4
+    if bits == 8:
+        kern = _kernel_int8
+    elif _fact_eligible(bits, group_size):
+        kern = _kernel_int4_fact
+    else:
+        kern = _kernel_int4
     kern = functools.partial(kern, nk=nk, group_size=group_size,
                              out_dtype=out_dtype)
     common = dict(
@@ -336,7 +430,12 @@ def _qmm_stacked(x2, data3, scales3, layer_idx, *, bits: int,
         # prefill (once per request), avoided on the decode path.
         scales4 = scales3.reshape(L, nk, gk, N)
 
-    kern = _kernel_int8_idx if bits == 8 else _kernel_int4_idx
+    if bits == 8:
+        kern = _kernel_int8_idx
+    elif _fact_eligible(bits, group_size):
+        kern = _kernel_int4_fact_idx
+    else:
+        kern = _kernel_int4_idx
     kern = functools.partial(kern, nk=nk, group_size=group_size,
                              out_dtype=out_dtype)
     kd = 1 if bits == 8 else 2
