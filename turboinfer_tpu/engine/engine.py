@@ -82,6 +82,27 @@ class InferenceEngine:
         self.stats = EngineStats()
         self._rng = jax.random.PRNGKey(self.config.seed)
         self._jit_cache: Dict[Any, Any] = {}
+        self._cache_pool: Dict[Any, Any] = {}
+
+    # -- KV-cache buffer pool -------------------------------------------
+
+    def _take_cache(self, batch_size: int):
+        """Reuse the HBM KV buffers from a previous generate call when the
+        shape matches — allocating + zero-filling a multi-GB cache per
+        call costs real time over the device link. Stale K/V contents are
+        harmless: every attention path masks by the per-sequence length,
+        so resetting `length` to zero is a full reset (the honest
+        equivalent of the reference's zero-fill KVCache::reset,
+        inference_engine.cpp:60-69, without the memset)."""
+        key = (batch_size, self.config.max_seq_len)
+        cache = self._cache_pool.pop(key, None)
+        if cache is None:
+            return self._model.init_cache(self.model_config, batch_size,
+                                          max_seq=self.config.max_seq_len)
+        return cache._replace(length=jnp.zeros_like(cache.length))
+
+    def _put_cache(self, batch_size: int, cache) -> None:
+        self._cache_pool[(batch_size, self.config.max_seq_len)] = cache
 
     # -- jitted programs ----------------------------------------------------
 
@@ -90,7 +111,7 @@ class InferenceEngine:
         cfg = self.model_config
         model = self._model
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(3,))
         def prefill(params, tokens, seq_lens, cache):
             logits, cache = model.forward(params, cfg, tokens, cache,
                                           seq_lens=seq_lens)
@@ -106,7 +127,7 @@ class InferenceEngine:
         cfg = self.model_config
         model = self._model
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def step(params, token, cache):
             logits, cache = model.forward(params, cfg, token[:, None], cache)
             return logits[:, 0], cache
@@ -121,7 +142,7 @@ class InferenceEngine:
         cfg = self.model_config
         model = self._model
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(3,))
         def decode(params, first_token, first_logits, cache, rng):
             """first_token [B] was sampled from prefill logits already.
             Returns (tokens [B, num_tokens], logprobs [B, num_tokens])."""
@@ -255,8 +276,7 @@ class InferenceEngine:
         B = len(prompts)
         max_new = min(max_new_tokens,
                       self.config.max_seq_len - int(seq_lens.max()))
-        cache = self._model.init_cache(self.model_config, B,
-                                       max_seq=self.config.max_seq_len)
+        cache = self._take_cache(B)
 
         last_logits, cache = self._run_prefill(tokens, seq_lens, cache)
         rng = self.next_rng()
@@ -294,9 +314,9 @@ class InferenceEngine:
             toks = jnp.stack(toks_l, axis=1)
             lps = jnp.stack(lps_l, axis=1)
 
-        toks_np = np.asarray(jax.device_get(toks))
-        lps_np = np.asarray(jax.device_get(lps))
-        fin_np = np.asarray(jax.device_get(finished))
+        toks_np, lps_np, fin_np = (
+            np.asarray(a) for a in jax.device_get((toks, lps, finished)))
+        self._put_cache(B, cache)
         t1 = time.perf_counter()
 
         results = []
@@ -543,6 +563,7 @@ class InferenceEngine:
         """Reference: reset_state (inference_engine.cpp:1014-1037)."""
         self.stats = EngineStats()
         self._rng = jax.random.PRNGKey(self.config.seed)
+        self._cache_pool.clear()
 
     def memory_usage(self) -> int:
         """Bytes for weights + one max-shape KV cache (reference:
