@@ -1,0 +1,44 @@
+"""Robust 7B decode timing: repeat the 8-step scan several times inside
+one process and report min/median ms/step (tunnel has multi-ms jitter).
+Usage: python _prof_min.py [B] [FILL] [BITS] [GS] [REPS]
+"""
+import functools, sys, time
+import numpy as np, jax, jax.numpy as jnp
+from turboinfer_tpu.config import llama7b_config
+from turboinfer_tpu.kernels import dispatch
+from turboinfer_tpu.loader.synthetic import create_synthetic_quantized_model
+from turboinfer_tpu.models import llama
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+FILL = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+BITS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+GS = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+REPS = int(sys.argv[5]) if len(sys.argv) > 5 else 6
+cfg = llama7b_config(dtype=jnp.bfloat16, max_seq_len=1024)
+data = create_synthetic_quantized_model(cfg, bits=BITS, group_size=GS)
+params = dispatch.prepare_params(data.params); del data
+cache = llama.init_cache(cfg, B, max_seq=1024)
+cache = cache._replace(length=jnp.full((B,), FILL, jnp.int32))
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def steps(params, tok, cache, n):
+    def body(carry, _):
+        tok, cache = carry
+        logits, cache = llama.forward(params, cfg, tok[:, None], cache)
+        nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+        return (nxt, cache), None
+    (tok, cache), _ = jax.lax.scan(body, (tok, cache), None, length=n)
+    return tok
+
+tok = jnp.ones((B,), jnp.int32)
+_ = int(np.asarray(steps(params, tok, cache, n=8)).sum())
+times = []
+for _i in range(REPS):
+    t0 = time.perf_counter()
+    _ = int(np.asarray(steps(params, tok, cache, n=8)).sum())
+    times.append((time.perf_counter() - t0) / 8 * 1e3)
+times.sort()
+med = times[len(times) // 2]
+print(f"min {times[0]:.2f} med {med:.2f} ms/step  "
+      f"({B/times[0]*1000:.1f} tok/s at min)  all={[f'{t:.2f}' for t in times]}",
+      flush=True)

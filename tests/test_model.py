@@ -116,3 +116,67 @@ def test_cache_reset(tiny_params, tiny_cfg):
     cache = llama.reset_cache(cache)
     assert int(cache.length[0]) == 0
     assert float(jnp.abs(cache.k).sum()) == 0.0
+
+
+class TestFusedProjections:
+    """common.fuse_projections: wq/wk/wv -> wqkv, w_gate/w_up -> w_gateup
+    must be a pure layout change — forward numerics identical."""
+
+    def test_fp_fused_forward_matches_unfused(self, tiny_params, tiny_cfg):
+        from turboinfer_tpu.models.common import fuse_projections
+        fused = fuse_projections(tiny_params)
+        lw = fused["layers"]
+        assert "wqkv" in lw and "wq" not in lw
+        assert "w_gateup" in lw and "w_up" not in lw
+        B, S = 2, 8
+        tokens = jax.random.randint(jax.random.PRNGKey(3), (B, S), 0,
+                                    tiny_cfg.vocab_size)
+        ref, _ = llama.forward(tiny_params, tiny_cfg, tokens,
+                               llama.init_cache(tiny_cfg, B, max_seq=32))
+        got, cache = llama.forward(fused, tiny_cfg, tokens,
+                                   llama.init_cache(tiny_cfg, B, max_seq=32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        # decode step too
+        nxt = jnp.ones((B, 1), jnp.int32)
+        ref_cache = llama.init_cache(tiny_cfg, B, max_seq=32)
+        _, ref_cache = llama.forward(tiny_params, tiny_cfg, tokens, ref_cache)
+        r2, _ = llama.forward(tiny_params, tiny_cfg, nxt, ref_cache)
+        g2, _ = llama.forward(fused, tiny_cfg, nxt, cache)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(r2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_quantized_fused_matches_unfused(self, tiny_cfg):
+        from turboinfer_tpu.models.common import fuse_projections
+        from turboinfer_tpu.quant.quantizer import quantize_params
+        from turboinfer_tpu.config import QuantizationConfig, QuantType
+        params = llama.init_params(jax.random.PRNGKey(0), tiny_cfg,
+                                   dtype=jnp.float32)
+        q = quantize_params(params, QuantizationConfig(
+            type=QuantType.INT4, group_size=32))
+        fused = fuse_projections(q)
+        from turboinfer_tpu.core.qtensor import QTensor
+        assert isinstance(fused["layers"]["wqkv"], QTensor)
+        B, S = 1, 6
+        tokens = jnp.arange(S, dtype=jnp.int32)[None] + 1
+        ref, _ = llama.forward(q, tiny_cfg, tokens,
+                               llama.init_cache(tiny_cfg, B, max_seq=16))
+        got, _ = llama.forward(fused, tiny_cfg, tokens,
+                               llama.init_cache(tiny_cfg, B, max_seq=16))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_concat_n_roundtrip(self):
+        from turboinfer_tpu.core import qtensor
+        from turboinfer_tpu.config import QuantType
+        k = jax.random.PRNGKey(1)
+        a = jax.random.normal(k, (64, 32), jnp.float32)
+        b = jax.random.normal(jax.random.fold_in(k, 1), (64, 48), jnp.float32)
+        qa = qtensor.quantize(a, QuantType.INT4, group_size=32)
+        qb = qtensor.quantize(b, QuantType.INT4, group_size=32)
+        qc = qtensor.concat_n([qa, qb])
+        assert qc.shape == (64, 80)
+        ref = np.concatenate([np.asarray(qtensor.dequantize(qa)),
+                              np.asarray(qtensor.dequantize(qb))], axis=-1)
+        np.testing.assert_allclose(np.asarray(qtensor.dequantize(qc)), ref,
+                                   rtol=0, atol=0)

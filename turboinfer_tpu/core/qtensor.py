@@ -131,6 +131,35 @@ class QTensor:
         return (self.data, self.scales, self.zero_points)
 
 
+def concat_n(qts) -> "QTensor":
+    """Concatenate QTensors along N (the output axis).
+
+    Packing and scale groups run along K, so fusing same-input
+    projections (e.g. q/k/v) is a pure concat of data/scales/zero_points
+    on the last axis — per-column dequant semantics are unchanged, the
+    fused matmul is numerically identical to the separate ones. Works
+    for 2-D [K/kd, N] and stacked [L, K/kd, N] layouts alike.
+    """
+    first = qts[0]
+    for qt in qts[1:]:
+        if (qt.bits != first.bits or qt.group_size != first.group_size
+                or qt.shape[0] != first.shape[0]
+                or qt.data.ndim != first.data.ndim
+                or qt.scales.dtype != first.scales.dtype
+                or (qt.zero_points is None) != (first.zero_points is None)):
+            raise QuantizationError(
+                "concat_n needs matching K/bits/group_size/scale-dtype/"
+                "symmetry across operands")
+    data = jnp.concatenate([qt.data for qt in qts], axis=-1)
+    scales = jnp.concatenate([qt.scales for qt in qts], axis=-1)
+    zp = None if first.zero_points is None else jnp.concatenate(
+        [qt.zero_points for qt in qts], axis=-1)
+    N = sum(qt.shape[1] for qt in qts)
+    return QTensor(data=data, scales=scales, zero_points=zp,
+                   bits=first.bits, group_size=first.group_size,
+                   shape=(first.shape[0], N))
+
+
 def _group_reduce(x: jax.Array, group_size: int):
     """Reshape [K, N] -> [G, g, N] with zero padding; returns (xg, G, pad)."""
     K, N = x.shape

@@ -135,11 +135,21 @@ def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
                                           kv_len)
 
 
-def prepare_params(params):
-    """One-time engine-setup pass: pre-tile stacked QTensor scales into
-    the kernel's layout (see pallas/qmm.prepare_scales). Pure tree map;
-    no-op off-TPU or for fp leaves."""
+def prepare_params(params, fuse: bool = True):
+    """One-time engine-setup pass.
+
+    1. Fuse same-input projections (wq/wk/wv -> wqkv, w_gate/w_up ->
+       w_gateup; see models/common.fuse_projections) — all backends,
+       fewer kernel launches per decode step.
+    2. Pre-tile stacked QTensor scales into the kernel's layout (see
+       pallas/qmm.prepare_scales) — TPU only.
+    Do NOT use for params headed into the TP/PP sharding paths (fused
+    columns straddle shards); pass fuse=False there.
+    """
     from turboinfer_tpu.core.qtensor import QTensor
+    if fuse and os.environ.get("TURBOINFER_NO_FUSE", "0") != "1":
+        from turboinfer_tpu.models.common import fuse_projections
+        params = fuse_projections(params)
     if not pallas_enabled():
         return params
     from turboinfer_tpu.kernels.pallas import qmm

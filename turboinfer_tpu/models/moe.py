@@ -107,9 +107,8 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
         return w
 
     h = ops.rms_norm(x, w1("attn_norm"), config.rms_norm_eps)
-    q = ops.qmatmul(h, lw["wq"], layer_index=li).reshape(B, S, Hq, D)
-    k = ops.qmatmul(h, lw["wk"], layer_index=li).reshape(B, S, Hkv, D)
-    v = ops.qmatmul(h, lw["wv"], layer_index=li).reshape(B, S, Hkv, D)
+    from turboinfer_tpu.models.llama import qkv_proj
+    q, k, v = qkv_proj(h, lw, li, B, S, Hq, Hkv, D)
     q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode)
     k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
 
