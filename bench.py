@@ -41,7 +41,12 @@ def main():
 
     which = os.environ.get("BENCH_CONFIG", "tiny-int4")
     is7b = which.startswith("7b")
-    n_tokens = int(os.environ.get("BENCH_TOKENS", "32" if is7b else "256"))
+    # Decode length amortizes the fixed per-dispatch latency of the
+    # tunnel-attached chip (~28 ms per jitted call, measured with a
+    # trivial-kernel chain — NOT per decoded token: the whole decode
+    # loop is one lax.scan program). Long decodes are the
+    # representative serving workload anyway.
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "128" if is7b else "1024"))
     batch = int(os.environ.get("BENCH_BATCH", "8" if is7b else "1"))
 
     if is7b:
@@ -55,6 +60,9 @@ def main():
         params = data.params
     else:
         cfg = tiny_config(dtype=jnp.bfloat16)
+        if n_tokens + 16 > cfg.max_seq_len:
+            cfg = tiny_config(dtype=jnp.bfloat16,
+                              max_seq_len=1 << (n_tokens + 16).bit_length())
         max_seq = cfg.max_seq_len
         params = llama.init_params(jax.random.PRNGKey(0), cfg)
         if which.endswith("-int8") or which.endswith("-int4"):
