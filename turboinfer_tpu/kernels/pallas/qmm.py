@@ -89,11 +89,7 @@ def _kernel_int4(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int,
     G = 2 * TK2 // group_size
     g2 = group_size // 2
 
-    qi = qp.astype(jnp.int32)
-    lo = ((qi & 0x0F) - 8).astype(jnp.float32).reshape(G, g2, TN)
-    hi = ((qi >> 4) - 8).astype(jnp.float32).reshape(G, g2, TN)
-    w_lo = (lo * s[:, None, :]).reshape(TK2, TN).astype(jnp.bfloat16)
-    w_hi = (hi * s[:, None, :]).reshape(TK2, TN).astype(jnp.bfloat16)
+    w_lo, w_hi = _dequant_int4_halves(qp, s, G, g2, TN)
 
     acc_ref[:] += (jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
                    + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32))
@@ -101,6 +97,22 @@ def _kernel_int4(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int,
     @pl.when(k == nk - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _dequant_int4_halves(qp, s, G, g2, TN):
+    """Unpack + scale both nibble planes of a [TK/2, TN] uint8 block.
+
+    Value math stays in f32: an all-bf16 variant (i32→bf16 casts +
+    bf16 broadcast-multiply) measured ~30% SLOWER end-to-end — Mosaic
+    lowers those through f32 with extra relayouts.
+    """
+    qi = qp.astype(jnp.int32)
+    lo = ((qi & 0x0F) - 8).astype(jnp.float32).reshape(G, g2, TN)
+    hi = ((qi >> 4) - 8).astype(jnp.float32).reshape(G, g2, TN)
+    TK2 = G * g2
+    w_lo = (lo * s[:, None, :]).reshape(TK2, TN).astype(jnp.bfloat16)
+    w_hi = (hi * s[:, None, :]).reshape(TK2, TN).astype(jnp.bfloat16)
+    return w_lo, w_hi
 
 
 def _fact_eligible(bits: int, group_size: int) -> bool:
@@ -243,14 +255,33 @@ def _pick_tiles(M, K, N, bits, group_size):
     # constraint) unless it already spans the full K axis.
     tk_floor = min(128 * kd, K)
     if M > 8:
-        # Prefill-sized M: the kernel shares scoped VMEM with the rest
-        # of the program (activations etc.), so keep its footprint small
-        # — the kernel compiles standalone at much larger tiles, but
-        # OOMs inside a full prefill otherwise.
-        while TK > max(group_size, tk_floor) \
-                and (TK // kd) * TN > 1_048_576:
+        # Prefill-sized M. The grid re-streams (and re-dequantizes) the
+        # whole weight matrix once per M tile, so weight traffic is
+        # (M/TM)x — maximize TM (up to one pass over the weights) and
+        # NARROW TN to fit VMEM, the opposite of the decode-tuned
+        # full-width-N choice (measured: S=512 7B-int4 prefill 124 ->
+        # 75 ms). TK shrinks first so the streamed block stays modest.
+        while TK > max(group_size, tk_floor) and (TK // kd) * 512 > 262144:
             TK //= 2
-        TM = min(TM, 64)
+        if TK % group_size:
+            return None
+        TM = min(_round_up(M, 8), 512)
+
+        def budget(tn):
+            # double-buffered weight block + x halves + f32 acc + out
+            return ((TK // kd) * tn * 2 + TM * TK * 2
+                    + TM * tn * (4 + 2))
+        for tn in (2048, 1024, 768, 512, 384, 256, 128):
+            if N % tn == 0 and budget(tn) <= 4 * 1024 * 1024:
+                TN = tn
+                break
+        else:
+            TN = _pick_tile(N, (512, 384, 256, 128))
+            if TN is None:
+                return None
+        while TM > 8 and budget(TN) > 4 * 1024 * 1024:
+            TM = max(8, TM // 2)
+        return TM, TN, TK
 
     def vmem_budget(tm):
         # weight block (double-buffered) + x blocks + f32 acc + out.
@@ -382,11 +413,7 @@ def _kernel_int4_idx(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref,
     G = 2 * TK2 // group_size
     g2 = group_size // 2
 
-    qi = qp.astype(jnp.int32)
-    lo = ((qi & 0x0F) - 8).astype(jnp.float32).reshape(G, g2, TN)
-    hi = ((qi >> 4) - 8).astype(jnp.float32).reshape(G, g2, TN)
-    w_lo = (lo * s[:, None, :]).reshape(TK2, TN).astype(jnp.bfloat16)
-    w_hi = (hi * s[:, None, :]).reshape(TK2, TN).astype(jnp.bfloat16)
+    w_lo, w_hi = _dequant_int4_halves(qp, s, G, g2, TN)
 
     acc_ref[:] += (jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
                    + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32))
