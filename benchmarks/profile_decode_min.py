@@ -1,8 +1,9 @@
 """Robust 7B decode timing: repeat the 8-step scan several times inside
 one process and report min/median ms/step (tunnel has multi-ms jitter).
-Usage: python _prof_min.py [B] [FILL] [BITS] [GS] [REPS]
+Usage (from repo root): python benchmarks/profile_decode_min.py [B] [FILL] [BITS] [GS] [REPS]
 """
-import functools, sys, time
+import functools, os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import numpy as np, jax, jax.numpy as jnp
 from turboinfer_tpu.config import llama7b_config
 from turboinfer_tpu.kernels import dispatch

@@ -1,4 +1,9 @@
-import functools, sys
+"""7B decode XProf trace: runs an 8-step scan, captures a trace, and
+prints per-op device self-times (framework_op_stats).
+Usage (from repo root): python benchmarks/profile_decode_trace.py [B] [FILL] [BITS] [GS]
+"""
+import os, functools, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import numpy as np, jax, jax.numpy as jnp
 from turboinfer_tpu.config import llama7b_config
 from turboinfer_tpu.kernels import dispatch

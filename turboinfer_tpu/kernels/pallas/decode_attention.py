@@ -41,9 +41,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-# 8 buffers × 512-row chunks measured best at 7B B=1 long-fill decode
-# (~600 GB/s cache stream vs ~136 GB/s at the original 4×128): deep
-# enough to cover HBM latency, small enough to stay under ~2 MB VMEM.
+# 8 buffers × 512-row chunks measured best in-model at 7B B=1 fill=960
+# (kernel self-time 3.72 -> 1.07 ms/step, ~500 GB/s cache stream, vs
+# ~144 GB/s at the original 4×128): deep enough to cover HBM latency,
+# small enough to stay under ~2 MB VMEM. Beware: this kernel benches
+# ~4x SLOWER in isolation than inside the decode scan (cold DMA
+# pipeline per standalone call) — tune it in-model, not standalone.
 import os
 NBUF = int(os.environ.get("TURBOINFER_DECODE_NBUF", "8"))
 
@@ -81,6 +84,10 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
     kv_len = len_ref[b]
     nchunks = jax.lax.div(kv_len + tt - 1, tt)      # >= 1 (kv_len >= 1)
     ntrips = hkv * nchunks
+    # NOTE: a coarse+fine variant (tt-row bulk trips + 128-row tail
+    # trips to bound over-fetch) measured 50% SLOWER at fill=960 —
+    # the dual-width @pl.when body wrecks Mosaic's DMA pipelining.
+    # Uniform chunks with tail masking win despite the over-fetch.
 
     def start(t):
         h = jax.lax.div(t, nchunks)
@@ -119,11 +126,13 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
                               ksem.at[slot]).wait()
         pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot],
                               vsem.at[slot]).wait()
-        q = q_ref[0, h].astype(jnp.float32) * scale  # [Ghp, D]
-        k = kbuf[slot].astype(jnp.float32)           # [TT, D]
-        v = vbuf[slot].astype(jnp.float32)
-        s = jax.lax.dot_general(                     # [Ghp, TT]
-            q, k, (((1,), (1,)), ((), ())),
+        # k/v feed the MXU as bf16 straight from the DMA buffers (no
+        # [TT, D] f32 casts). Scores/softmax state stay f32; only the
+        # probabilities are rounded to bf16 for the p @ v dot (standard
+        # flash-attention practice).
+        s = scale * jax.lax.dot_general(             # [Ghp, TT] f32
+            q_ref[0, h].astype(kbuf.dtype), kbuf[slot],
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * tt
         s = jnp.where(col < kv_len, s, NEG_INF)
@@ -134,7 +143,7 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
         p = jnp.exp(s - m_new)                       # [Ghp, TT]
         l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(vbuf.dtype), vbuf[slot], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)

@@ -29,7 +29,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-NBUF = 4
+# Pages are small DMAs (page=64, D=128 -> 16 KB); measured NBUF 4 vs 12
+# identical at 7B B=8 short fills (step is qmm-dominated there), so
+# keep the shallower queue. Env-tunable for long-context paged serving.
+import os
+NBUF = int(os.environ.get("TURBOINFER_PAGED_NBUF", "4"))
 
 
 def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
