@@ -205,3 +205,45 @@ def test_prefix_caching_long_trajectories_match(sched_setup):
     assert warm.pool.hits > 0
     for r in rids:
         assert res[r].tokens == res2[r].tokens
+
+
+def test_burst_decode_matches_per_step(sched_setup):
+    """decode_burst must be a pure batching change: greedy outputs
+    identical to burst=1, including requests that finish mid-burst
+    (budget, EOS, slot recycling all resolved on device)."""
+    params, mcfg, cfg = sched_setup
+    prompts = [[1, i + 2, 3 * i + 5] for i in range(5)]
+    budgets = [3, 8, 12, 5, 9]          # several finish mid-burst
+
+    base = ContinuousBatchingScheduler(params, mcfg, cfg, batch_slots=2)
+    rids = [base.submit(p, n) for p, n in zip(prompts, budgets)]
+    want = base.run()
+
+    burst = ContinuousBatchingScheduler(params, mcfg, cfg, batch_slots=2,
+                                        decode_burst=8)
+    rids2 = [burst.submit(p, n) for p, n in zip(prompts, budgets)]
+    got = burst.run()
+    for r1, r2 in zip(rids, rids2):
+        assert want[r1].tokens == got[r2].tokens
+        assert want[r1].stop_reason == got[r2].stop_reason
+
+
+def test_burst_decode_eos(sched_setup):
+    """EOS inside a burst stops the request at the right token."""
+    params, mcfg, cfg = sched_setup
+    import dataclasses
+    base = ContinuousBatchingScheduler(params, mcfg, cfg, batch_slots=1)
+    rid0 = base.submit([1, 9, 4], 40)
+    ref = base.run()[rid0]
+    # pick the 5th generated token as a fake EOS so it trips mid-burst
+    fake_eos = ref.tokens[3 + 4]
+    cfg_eos = dataclasses.replace(cfg, eos_token_id=int(fake_eos))
+
+    a = ContinuousBatchingScheduler(params, mcfg, cfg_eos, batch_slots=1)
+    b = ContinuousBatchingScheduler(params, mcfg, cfg_eos, batch_slots=1,
+                                    decode_burst=16)
+    ra = a.run() if not a.submit([1, 9, 4], 40) is None else None
+    rb = b.run() if not b.submit([1, 9, 4], 40) is None else None
+    (ka, va), (kb, vb) = list(ra.items())[0], list(rb.items())[0]
+    assert va.tokens == vb.tokens
+    assert va.stop_reason == vb.stop_reason == "eos"

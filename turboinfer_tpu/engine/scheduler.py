@@ -58,7 +58,7 @@ class ContinuousBatchingScheduler:
 
     def __init__(self, params: Dict[str, Any], model_config: ModelConfig,
                  config: Optional[InferenceConfig] = None,
-                 batch_slots: int = 8):
+                 batch_slots: int = 8, decode_burst: int = 1):
         from turboinfer_tpu.kernels import dispatch as _dispatch
         self.params = _dispatch.prepare_params(params)
         self.model_config = model_config
@@ -67,6 +67,13 @@ class ContinuousBatchingScheduler:
             max_seq_len=model_config.max_seq_len)
         self.B = batch_slots
         self.T = self.config.max_seq_len
+        # decode_burst > 1 runs that many decode steps as ONE jitted
+        # scan per host iteration: host<->device sync cost amortizes
+        # burst-fold (essential over high-latency links; still saves
+        # per-step dispatch on-prem). Tradeoff: admission happens only
+        # between bursts, and a slot finishing mid-burst idles for the
+        # remainder, so keep bursts small relative to typical outputs.
+        self.decode_burst = max(1, int(decode_burst))
         self._rng = jax.random.PRNGKey(self.config.seed)
         self._queue: Deque[_Request] = deque()
         self._active: Dict[int, _Request] = {}       # slot -> request
@@ -81,6 +88,7 @@ class ContinuousBatchingScheduler:
                                             max_seq=self.T)
         self.tokens = jnp.zeros((self.B,), jnp.int32)
         self.active = jnp.zeros((self.B,), jnp.bool_)
+        self.budget = jnp.zeros((self.B,), jnp.int32)   # remaining tokens
 
     # -- jitted programs ------------------------------------------------
 
@@ -106,6 +114,44 @@ class ContinuousBatchingScheduler:
             hit_eos = active & (nxt == eos)
             return nxt, lp, hit_eos, cache
         return step
+
+    def _decode_burst_fn(self, n: int):
+        """n decode steps as one jitted scan (see decode_burst).
+
+        Per sub-step, each slot samples its next token, decrements its
+        budget, and deactivates on EOS / budget exhaustion / cache
+        full — all on device, so a burst needs ONE host round trip.
+        Returns per-step (token, was_active, hit_eos) so the host can
+        reconstruct exactly which tokens each request emitted.
+        """
+        cfg = self.model_config
+        model = self._model
+        sp = self._sp
+        eos = self.config.eos_token_id
+        T = self.T
+
+        @jax.jit
+        def burst(params, tokens, active, budget, cache, rng):
+            def body(carry, rng_i):
+                tokens, active, budget, cache = carry
+                logits, new_cache = model.forward(params, cfg,
+                                                  tokens[:, None], cache)
+                nxt = sampling.sample(rng_i, logits[:, 0], sp)
+                new_len = jnp.where(active, new_cache.length, cache.length)
+                cache = KVCache(k=new_cache.k, v=new_cache.v, length=new_len)
+                was_active = active
+                hit_eos = active & (nxt == eos)
+                budget = budget - active.astype(jnp.int32)
+                active = (active & ~hit_eos & (budget > 0)
+                          & (new_len < T))
+                tokens = jnp.where(was_active, nxt, tokens)
+                return (tokens, active, budget, cache), \
+                    (nxt, was_active, hit_eos)
+            rngs = jax.random.split(rng, n)
+            (tokens, active, budget, cache), (toks, was, eoss) = \
+                jax.lax.scan(body, (tokens, active, budget, cache), rngs)
+            return tokens, active, budget, cache, toks, was, eoss
+        return burst
 
     def _prefill_fn(self, S: int):
         cfg = self.model_config
@@ -180,6 +226,8 @@ class ContinuousBatchingScheduler:
             req.out_tokens.append(first_i)
             self.tokens = self.tokens.at[slot].set(first_i)
             self.active = self.active.at[slot].set(True)
+            self.budget = self.budget.at[slot].set(
+                req.max_new - len(req.out_tokens))
             self._active[slot] = req
             if first_i == self.config.eos_token_id:
                 self._finish(slot, "eos")
@@ -194,10 +242,13 @@ class ContinuousBatchingScheduler:
         self._done[req.rid] = req
 
     def step(self) -> int:
-        """Admit + one decode step. Returns number of live slots."""
+        """Admit + one decode step (or one `decode_burst`-step scan).
+        Returns number of live slots."""
         self._admit()
         if not self._active:
             return 0
+        if self.decode_burst > 1:
+            return self._step_burst()
         nxt, lp, hit_eos, self.cache = self._decode_fn(
             self.params, self.tokens, self.active, self.cache,
             self._next_rng())
@@ -213,6 +264,37 @@ class ContinuousBatchingScheduler:
                 self._finish(slot, "length")
             elif len(req.prompt) + len(req.out_tokens) >= self.T:
                 self._finish(slot, "max_seq")
+        return len(self._active)
+
+    @functools.cached_property
+    def _burst_cache(self):
+        return {}
+
+    def _step_burst(self) -> int:
+        n = self.decode_burst
+        if n not in self._burst_cache:
+            self._burst_cache[n] = self._decode_burst_fn(n)
+        (self.tokens, self.active, self.budget, self.cache,
+         toks, was, eoss) = self._burst_cache[n](
+            self.params, self.tokens, self.active, self.budget,
+            self.cache, self._next_rng())
+        toks_np, was_np, eos_np = (np.asarray(a) for a in
+                                   jax.device_get((toks, was, eoss)))
+        for slot in list(self._active):
+            req = self._active[slot]
+            for i in range(n):
+                if not was_np[i, slot]:
+                    break
+                req.out_tokens.append(int(toks_np[i, slot]))
+                if eos_np[i, slot]:
+                    self._finish(slot, "eos")
+                    break
+                if len(req.out_tokens) >= req.max_new:
+                    self._finish(slot, "length")
+                    break
+                if len(req.prompt) + len(req.out_tokens) >= self.T:
+                    self._finish(slot, "max_seq")
+                    break
         return len(self._active)
 
     def run(self, max_steps: Optional[int] = None
@@ -255,6 +337,9 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
     Page id 0 is RESERVED as a trash page: released block-table rows are
     -1 and the decode path clamps them to 0, so writes from inactive
     slots land in the trash page instead of corrupting live sequences.
+
+    decode_burst is not supported here (pages are allocated one decode
+    step at a time); the paged scheduler always host-steps per token.
 
     Automatic PREFIX CACHING (prefix_caching=True): full prompt pages
     are content-addressed (key = the token prefix up to the page's end),
@@ -454,6 +539,8 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             req.out_tokens.append(first_i)
             self.tokens = self.tokens.at[slot].set(first_i)
             self.active = self.active.at[slot].set(True)
+            self.budget = self.budget.at[slot].set(
+                req.max_new - len(req.out_tokens))
             self._active[slot] = req
             if first_i == self.config.eos_token_id:
                 self._finish(slot, "eos")
