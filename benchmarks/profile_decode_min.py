@@ -18,7 +18,9 @@ REPS = int(sys.argv[5]) if len(sys.argv) > 5 else 6
 cfg = llama7b_config(dtype=jnp.bfloat16, max_seq_len=1024)
 data = create_synthetic_quantized_model(cfg, bits=BITS, group_size=GS)
 params = dispatch.prepare_params(data.params); del data
-cache = llama.init_cache(cfg, B, max_seq=1024)
+kvd = os.environ.get("TURBOINFER_PROF_KV", "")
+kv_dtype = {"fp8": jnp.uint8}.get(kvd, None)
+cache = llama.init_cache(cfg, B, max_seq=1024, dtype=kv_dtype)
 cache = cache._replace(length=jnp.full((B,), FILL, jnp.int32))
 
 @functools.partial(jax.jit, static_argnames=("n",))

@@ -166,3 +166,17 @@ class TestAttentionKernels:
                                          positions=positions, kv_len=kv_len)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_e4m3_software_decode_all_codes():
+    """e4m3_to_bf16 (integer bit-math) must match the numpy fp8->f32
+    conversion for every finite code, incl. subnormals and +-0."""
+    import numpy as np
+    import jax.numpy as jnp
+    from turboinfer_tpu.kernels.pallas.decode_attention import e4m3_to_bf16
+    codes = np.arange(256, dtype=np.uint8)
+    ref = codes.view(jnp.float8_e4m3fn.dtype).astype(np.float32)
+    got = np.asarray(e4m3_to_bf16(jnp.asarray(codes).reshape(8, 32),
+                                  jnp.float32)).reshape(-1)
+    finite = np.isfinite(ref)
+    np.testing.assert_array_equal(got[finite], ref[finite])

@@ -128,6 +128,12 @@ class InferenceConfig:
     # tokens (0 = single-shot). Bounds compile shapes and activation
     # memory for long prompts.
     prefill_chunk: int = 0
+    # KV-cache storage dtype: "model" stores at the model's activation
+    # dtype; "fp8" stores float8_e4m3 (half the HBM bytes and decode
+    # attention bandwidth of bf16, no scale bookkeeping; K/V magnitudes
+    # sit well inside e4m3's +-448 range, logit deltas are ~1e-2).
+    # "bf16" forces bfloat16 for fp32 models.
+    kv_cache_dtype: str = "model"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -97,8 +97,12 @@ class InferenceEngine:
         key = (batch_size, self.config.max_seq_len)
         cache = self._cache_pool.pop(key, None)
         if cache is None:
+            from turboinfer_tpu.models.common import resolve_kv_dtype
+            dt = resolve_kv_dtype(self.config.kv_cache_dtype,
+                                  self.model_config.dtype)
             return self._model.init_cache(self.model_config, batch_size,
-                                          max_seq=self.config.max_seq_len)
+                                          max_seq=self.config.max_seq_len,
+                                          dtype=dt)
         return cache._replace(length=jnp.zeros_like(cache.length))
 
     def _put_cache(self, batch_size: int, cache) -> None:
@@ -416,8 +420,7 @@ class InferenceEngine:
         tokens, seq_lens, S = self._pad_batch([input_tokens])
         max_new = min(max_new_tokens,
                       self.config.max_seq_len - len(input_tokens))
-        cache = self._model.init_cache(self.model_config, 1,
-                                       max_seq=self.config.max_seq_len)
+        cache = self._take_cache(1)
         last_logits, cache = self._prefill_fn(self.params, tokens, seq_lens,
                                               cache)
         # Tile prefill cache across beams: [L, beam, T, H, D].

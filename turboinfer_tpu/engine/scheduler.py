@@ -84,8 +84,12 @@ class ContinuousBatchingScheduler:
                                   top_p=self.config.top_p)
 
         # Device state: shared cache + per-slot current token / activity.
+        from turboinfer_tpu.models.common import resolve_kv_dtype
+        self._kv_dtype = resolve_kv_dtype(self.config.kv_cache_dtype,
+                                          model_config.dtype)
         self.cache = self._model.init_cache(model_config, self.B,
-                                            max_seq=self.T)
+                                            max_seq=self.T,
+                                            dtype=self._kv_dtype)
         self.tokens = jnp.zeros((self.B,), jnp.int32)
         self.active = jnp.zeros((self.B,), jnp.bool_)
         self.budget = jnp.zeros((self.B,), jnp.int32)   # remaining tokens
@@ -160,7 +164,8 @@ class ContinuousBatchingScheduler:
         @functools.partial(jax.jit, static_argnames=())
         def prefill(params, tokens, seq_len, slot, cache, rng):
             """Prefill ONE prompt [1, S] into `slot`'s cache region."""
-            small = model.init_cache(cfg, 1, max_seq=self.T)
+            small = model.init_cache(cfg, 1, max_seq=self.T,
+                                     dtype=self._kv_dtype)
             logits, small = model.forward(params, cfg, tokens,
                                           small, seq_lens=seq_len[None])
             idx = jnp.maximum(seq_len - 1, 0)
@@ -375,7 +380,8 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             num_pages = 1 + self.B * max_pages      # +1: trash page
         self.cache = pc.init_paged_cache(model_config, self.B,
                                          num_pages=num_pages,
-                                         page_size=page_size, max_seq=self.T)
+                                         page_size=page_size, max_seq=self.T,
+                                         dtype=self._kv_dtype)
         self.pool = pc.PrefixPagePool(num_pages)
         self.prefix_caching = prefix_caching
         trash = self.pool.acquire()                 # held forever
@@ -429,7 +435,8 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             """tokens: [1, S_suf] suffix; seq_len: TOTAL prompt length;
             shared_ids: [m] pages already holding positions [0, pre);
             new_ids: [n_new] pages to receive the suffix K/V."""
-            small = model.init_cache(cfg, 1, max_seq=pre + n_new * page)
+            small = model.init_cache(cfg, 1, max_seq=pre + n_new * page,
+                                     dtype=self._kv_dtype)
             k, v, length = small.k, small.v, small.length
             if m:
                 kpre = k_pages[:, shared_ids].transpose(0, 2, 1, 3, 4)

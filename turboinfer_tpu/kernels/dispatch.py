@@ -110,7 +110,9 @@ def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None):
                                                keepdims=False)
         v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer_index, 0,
                                                keepdims=False)
-    return ops.attention_decode_ref(q, k_cache, v_cache, kv_len)
+    from turboinfer_tpu.models.common import decode_kv
+    return ops.attention_decode_ref(q, decode_kv(k_cache, q.dtype),
+                                    decode_kv(v_cache, q.dtype), kv_len)
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
@@ -131,8 +133,10 @@ def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
                                                keepdims=False)
         v_pages = jax.lax.dynamic_index_in_dim(v_pages, layer_index, 0,
                                                keepdims=False)
-    return ops.attention_paged_decode_ref(q, k_pages, v_pages, block_table,
-                                          kv_len)
+    from turboinfer_tpu.models.common import decode_kv
+    return ops.attention_paged_decode_ref(q, decode_kv(k_pages, q.dtype),
+                                          decode_kv(v_pages, q.dtype),
+                                          block_table, kv_len)
 
 
 def prepare_params(params, fuse: bool = True):

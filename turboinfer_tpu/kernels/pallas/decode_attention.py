@@ -66,6 +66,40 @@ def _chunk_rows(T: int) -> int:
     return max(tt, 1)
 
 
+def e4m3_to_bf16(u8, out_dtype=jnp.bfloat16):
+    """Software float8_e4m3fn -> bf16 on raw uint8 bit patterns.
+
+    Mosaic's native fp8 astype is scalar-emulated (~20x slower than
+    this); integer unpack + an exponent-bits bitcast run at VPU speed
+    (same trick family as the int4 qmm dequant). Exact for all finite
+    e4m3 codes incl. subnormals; the two NaN codes (S.1111.111) decode
+    as +-480 — K/V caches never hold NaNs.
+
+      normal   (e>0): (8+m) * 2^(e-10)
+      subnormal(e=0):  m    * 2^(1-10)
+    """
+    qi = u8.astype(jnp.int32)
+    sgn = qi >> 7
+    e = (qi >> 3) & 0xF
+    m = qi & 0x7
+    mf = jnp.where(e == 0, m, m + 8).astype(jnp.float32)
+    exp_sel = jnp.where(e == 0, 1, e)
+    pow2 = jax.lax.bitcast_convert_type(
+        (exp_sel + (127 - 10)) << 23, jnp.float32)
+    val = mf * pow2
+    val = jnp.where(sgn == 1, -val, val)
+    return val.astype(out_dtype)
+
+
+def _load_kv(buf_slice, out_dtype):
+    """Read a K/V chunk at compute dtype: plain astype for bf16/f32
+    caches, software e4m3 decode for fp8 caches (stored bitcast to
+    uint8 — see decode_pallas)."""
+    if buf_slice.dtype == jnp.uint8:
+        return e4m3_to_bf16(buf_slice, out_dtype)
+    return buf_slice.astype(out_dtype)
+
+
 def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
             kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref,
             *, hkv: int, tt: int, scale: float):
@@ -126,12 +160,12 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
                               ksem.at[slot]).wait()
         pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot],
                               vsem.at[slot]).wait()
-        # k/v feed the MXU as bf16 straight from the DMA buffers (no
-        # [TT, D] f32 casts). Scores/softmax state stay f32; only the
-        # probabilities are rounded to bf16 for the p @ v dot (standard
-        # flash-attention practice).
+        # k/v feed the MXU at the QUERY dtype (bf16): a no-op cast for
+        # bf16 caches, software e4m3 decode for fp8 caches. Scores/
+        # softmax state stay f32; only the probabilities are rounded to
+        # bf16 for the p @ v dot (standard flash-attention practice).
         s = scale * jax.lax.dot_general(             # [Ghp, TT] f32
-            q_ref[0, h].astype(kbuf.dtype), kbuf[slot],
+            q_ref[0, h], _load_kv(kbuf[slot], q_ref.dtype),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * tt
@@ -143,7 +177,8 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
         p = jnp.exp(s - m_new)                       # [Ghp, TT]
         l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(vbuf.dtype), vbuf[slot], (((1,), (0,)), ((), ())),
+            p.astype(q_ref.dtype), _load_kv(vbuf[slot], q_ref.dtype),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
@@ -211,6 +246,12 @@ def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     full stacked [L, B, Hkv, T, D] with `layer_index` the traced layer
     id; kv_len: [B] -> [B, Hq, D] or None if not kernel-eligible."""
     B, Hq, D = q.shape
+    if k_cache.dtype == jnp.float8_e4m3fn:
+        # Free reinterpret: the kernel decodes e4m3 with integer math
+        # (e4m3_to_bf16) — Mosaic's native fp8 casts are scalar-emulated
+        # and ~20x slower.
+        k_cache = jax.lax.bitcast_convert_type(k_cache, jnp.uint8)
+        v_cache = jax.lax.bitcast_convert_type(v_cache, jnp.uint8)
     if layer_index is None:
         k_cache = k_cache[None]
         v_cache = v_cache[None]

@@ -91,9 +91,10 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
                               ksem.at[slot]).wait()
         pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot],
                               vsem.at[slot]).wait()
+        from turboinfer_tpu.kernels.pallas.decode_attention import _load_kv
         q = q_ref[0, h].astype(jnp.float32) * scale  # [Ghp, D]
-        k = kbuf[slot].astype(jnp.float32)           # [page, D]
-        v = vbuf[slot].astype(jnp.float32)
+        k = _load_kv(kbuf[slot], jnp.float32)        # [page, D]
+        v = _load_kv(vbuf[slot], jnp.float32)
         s = jax.lax.dot_general(                     # [Ghp, page]
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -175,6 +176,10 @@ def paged_decode_pallas(q: jax.Array, k_pages: jax.Array,
     lengths: [B] -> [B, Hq, D] or None.
     """
     B, Hq, D = q.shape
+    if k_pages.dtype == jnp.float8_e4m3fn:
+        # Kernel decodes e4m3 with integer math (see decode_attention).
+        k_pages = jax.lax.bitcast_convert_type(k_pages, jnp.uint8)
+        v_pages = jax.lax.bitcast_convert_type(v_pages, jnp.uint8)
     if layer_index is None:
         k_pages = k_pages[None]
         v_pages = v_pages[None]

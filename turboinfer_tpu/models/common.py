@@ -120,3 +120,65 @@ def fuse_projections(params: Any) -> Any:
     fuse(("wq", "wk", "wv"), "wqkv")
     fuse(("w_gate", "w_up"), "w_gateup")
     return {**params, "layers": layers}
+
+
+def resolve_kv_dtype(kv_cache_dtype: str, model_dtype):
+    """Map InferenceConfig.kv_cache_dtype to a cache STORAGE dtype.
+
+    "fp8" resolves to uint8: the cache holds raw float8_e4m3 bit
+    patterns for its whole lifetime (encode_kv/decode_kv translate at
+    the write/read points; the Pallas kernels decode bytes with integer
+    math). Storing jnp.float8_e4m3fn directly also works (forward
+    bitcasts to a uint8 view around the layer scan) but costs a full
+    cache copy per decoded token inside a fused decode loop — the
+    bitcast cannot cross the token-scan boundary.
+    """
+    if kv_cache_dtype == "fp8":
+        return jnp.uint8
+    if kv_cache_dtype == "bf16":
+        return jnp.bfloat16
+    if kv_cache_dtype in ("model", "", None):
+        return model_dtype
+    raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r} "
+                     "(expected 'model', 'fp8', or 'bf16')")
+
+
+# fp8 caches travel through scan bodies BITCAST TO uint8: a bitcast (or
+# any fp8 astype) inside the scan body materializes a full stacked-cache
+# copy per layer per step (measured 255 ms/step at 7B B=8 — the same
+# copy-insertion trap as scan-sliced weights), and Mosaic's native fp8
+# loads are scalar-emulated anyway. The Pallas kernels decode raw e4m3
+# bytes with integer math (pallas/decode_attention.e4m3_to_bf16).
+
+def cache_bits_view(cache: KVCache) -> KVCache:
+    """fp8 cache -> uint8 bit view (no-op for other dtypes)."""
+    if cache.k.dtype == jnp.float8_e4m3fn:
+        return cache._replace(
+            k=jax.lax.bitcast_convert_type(cache.k, jnp.uint8),
+            v=jax.lax.bitcast_convert_type(cache.v, jnp.uint8))
+    return cache
+
+
+def cache_from_bits(k, v, was_fp8: bool):
+    """Inverse of cache_bits_view for the scan-carried k/v arrays."""
+    if was_fp8:
+        return (jax.lax.bitcast_convert_type(k, jnp.float8_e4m3fn),
+                jax.lax.bitcast_convert_type(v, jnp.float8_e4m3fn))
+    return k, v
+
+
+def encode_kv(x, cache_dtype):
+    """Convert bf16/f32 K/V values to the cache's storage representation
+    (uint8 means e4m3 bit patterns)."""
+    if cache_dtype == jnp.uint8:
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.float8_e4m3fn), jnp.uint8)
+    return x.astype(cache_dtype)
+
+
+def decode_kv(x, out_dtype):
+    """Inverse of encode_kv for non-kernel consumers (prefill attention,
+    jnp reference paths): uint8 bit patterns -> values."""
+    if x.dtype == jnp.uint8:
+        x = jax.lax.bitcast_convert_type(x, jnp.float8_e4m3fn)
+    return x.astype(out_dtype)

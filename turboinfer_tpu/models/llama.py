@@ -50,7 +50,9 @@ from turboinfer_tpu.kernels import ops
 
 
 # Shared cache container + param accounting (see models/common.py).
-from turboinfer_tpu.models.common import (KVCache, fuse_projections,  # noqa: F401
+from turboinfer_tpu.models.common import (KVCache, cache_bits_view,  # noqa: F401
+                                          cache_from_bits, decode_kv,
+                                          encode_kv, fuse_projections,
                                           init_cache, param_bytes,
                                           param_count, reset_cache)
 
@@ -165,8 +167,8 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         # scatter (or slicing layer li out first) makes XLA copy the
         # whole cache every layer — and the attention kernel reads layer
         # li straight from the stacked HBM array via scalar prefetch.
-        newk = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)  # [B,Hkv,S,D]
-        newv = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+        newk = encode_kv(k.transpose(0, 2, 1, 3), k_cache.dtype)
+        newv = encode_kv(v.transpose(0, 2, 1, 3), v_cache.dtype)
         for b in range(B):
             idx = (li, b, 0, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
@@ -187,7 +189,7 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
     def write_one(cache_b, new_b, start_b):
         # cache_b: [Hkv, T, D]; new_b: [S, Hkv, D] -> [Hkv, S, D]
         return jax.lax.dynamic_update_slice(
-            cache_b, new_b.transpose(1, 0, 2).astype(cache_b.dtype),
+            cache_b, encode_kv(new_b.transpose(1, 0, 2), cache_b.dtype),
             (0, start_b, 0))
     k_cache = jax.vmap(write_one)(k_cache, k, start)
     v_cache = jax.vmap(write_one)(v_cache, v, start)
@@ -197,7 +199,7 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         attn = attn[:, None]                                     # [B,1,Hq,D]
     else:
         attn = ops.attention_prefill(
-            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+            q, decode_kv(k_cache, q.dtype), decode_kv(v_cache, q.dtype),
             causal=True, positions=positions, kv_len=kv_len,
             q_start=start if contiguous else None)
     attn = attn.reshape(B, S, Hq * D)
@@ -242,7 +244,11 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     # Weights stay STACKED in the scan closure; the body only passes the
     # layer id. The qmm kernel indexes the stack via scalar prefetch, so
     # neither weights nor cache are sliced into per-layer copies.
+    # fp8 caches are carried as uint8 bit views (see common.encode_kv —
+    # an fp8 bitcast/astype inside the body copies the whole cache).
     layers = params["layers"]
+    was_fp8 = cache.k.dtype == jnp.float8_e4m3fn
+    cache = cache_bits_view(cache)
 
     if S == 1:
         # Decode: the stacked cache flows through whole — _layer_forward
@@ -272,6 +278,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     (x, k_new, v_new), _ = jax.lax.scan(
         body, (x, cache.k, cache.v),
         jnp.arange(config.num_layers, dtype=jnp.int32))
+    k_new, v_new = cache_from_bits(k_new, v_new, was_fp8)
 
     x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
@@ -310,6 +317,10 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
     x = jnp.take(params["embed"], tokens[:, None],
                  axis=0).astype(config.dtype)                   # [B, 1, H]
     layers = params["layers"]
+    was_fp8 = k_pages.dtype == jnp.float8_e4m3fn
+    if was_fp8:                       # uint8 bit view through the scan
+        k_pages = jax.lax.bitcast_convert_type(k_pages, jnp.uint8)
+        v_pages = jax.lax.bitcast_convert_type(v_pages, jnp.uint8)
 
     def norm_w(w, i):
         return jax.lax.dynamic_index_in_dim(w, i, 0, keepdims=False) \
@@ -334,11 +345,11 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
         for b in range(B):
             idx = (i, page_ids[b], 0, offset[b], 0)
             kp_full = jax.lax.dynamic_update_slice(
-                kp_full, k[b, 0][None, None, :, None, :].astype(
-                    kp_full.dtype), idx)
+                kp_full, encode_kv(k[b, 0][None, None, :, None, :],
+                                   kp_full.dtype), idx)
             vp_full = jax.lax.dynamic_update_slice(
-                vp_full, v[b, 0][None, None, :, None, :].astype(
-                    vp_full.dtype), idx)
+                vp_full, encode_kv(v[b, 0][None, None, :, None, :],
+                                   vp_full.dtype), idx)
 
         attn = ops.attention_paged_decode(q[:, 0], kp_full, vp_full,
                                           block_table, kv_len,
@@ -358,6 +369,7 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
     (x, k_new, v_new), _ = jax.lax.scan(
         body, (x, k_pages, v_pages),
         jnp.arange(config.num_layers, dtype=jnp.int32))
+    k_new, v_new = cache_from_bits(k_new, v_new, was_fp8)
 
     x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
