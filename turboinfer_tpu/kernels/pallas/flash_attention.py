@@ -99,6 +99,23 @@ def _prefill(qh, k_cache, v_cache, kv_len, q_start, *, causal: bool,
 
     kern = functools.partial(_kernel, nt=nt, ts=TS, tt=TT, gh=gh,
                              scale=scale, causal=causal)
+    ts, tt = TS, TT
+
+    def kv_map(b, h, s, t, len_r, st_r):
+        # Clamp the T coordinate to the last LIVE tile for this
+        # (sequence, S-tile): dead tiles (beyond kv_len, or beyond the
+        # causal frontier) revisit the previous block index, and Pallas
+        # skips the duplicate fetch — so KV traffic follows the causal
+        # triangle / the valid prefix instead of the whole preallocated
+        # T axis (the kernel already skipped their COMPUTE via
+        # @pl.when(live); this skips their DMA too).
+        lim = len_r[b]
+        if causal:
+            q_last = st_r[b] + s * ts + ts - 1
+            lim = jnp.minimum(lim, q_last + 1)
+        last = jnp.maximum(jax.lax.div(lim + tt - 1, tt) - 1, 0)
+        return (b, h // gh, jnp.minimum(t, last), 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hq, ns, nt),
@@ -106,11 +123,9 @@ def _prefill(qh, k_cache, v_cache, kv_len, q_start, *, causal: bool,
             pl.BlockSpec((1, 1, TS, D),
                          lambda b, h, s, t, len_r, st_r: (b, h, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TT, D),
-                         lambda b, h, s, t, len_r, st_r: (b, h // gh, t, 0),
+            pl.BlockSpec((1, 1, TT, D), kv_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TT, D),
-                         lambda b, h, s, t, len_r, st_r: (b, h // gh, t, 0),
+            pl.BlockSpec((1, 1, TT, D), kv_map,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, TS, D),

@@ -265,21 +265,24 @@ def _pick_tiles(M, K, N, bits, group_size):
             TK //= 2
         if TK % group_size:
             return None
-        TM = min(_round_up(M, 8), 512)
+        tm_pref = os.environ.get("TURBOINFER_QMM_PREFILL_TM", "512")
+        TM = min(_round_up(M, 8), int(tm_pref))
+        cap = int(os.environ.get("TURBOINFER_QMM_PREFILL_BUDGET",
+                                 str(6 * 1024 * 1024)))
 
         def budget(tn):
             # double-buffered weight block + x halves + f32 acc + out
             return ((TK // kd) * tn * 2 + TM * TK * 2
                     + TM * tn * (4 + 2))
         for tn in (2048, 1024, 768, 512, 384, 256, 128):
-            if N % tn == 0 and budget(tn) <= 4 * 1024 * 1024:
+            if N % tn == 0 and budget(tn) <= cap:
                 TN = tn
                 break
         else:
             TN = _pick_tile(N, (512, 384, 256, 128))
             if TN is None:
                 return None
-        while TM > 8 and budget(TN) > 4 * 1024 * 1024:
+        while TM > 8 and budget(TN) > cap:
             TM = max(8, TM // 2)
         return TM, TN, TK
 
