@@ -1,6 +1,6 @@
 """Robust 7B decode timing: repeat the 8-step scan several times inside
 one process and report min/median ms/step (tunnel has multi-ms jitter).
-Usage (from repo root): python benchmarks/profile_decode_min.py [B] [FILL] [BITS] [GS] [REPS]
+Usage (from repo root): python benchmarks/profile_decode_min.py [B] [FILL] [BITS] [GS] [REPS] [MAX_SEQ]
 """
 import functools, os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
@@ -15,12 +15,15 @@ FILL = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 BITS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 GS = int(sys.argv[4]) if len(sys.argv) > 4 else 64
 REPS = int(sys.argv[5]) if len(sys.argv) > 5 else 6
-cfg = llama7b_config(dtype=jnp.bfloat16, max_seq_len=1024)
+MAX_SEQ = int(sys.argv[6]) if len(sys.argv) > 6 else 1024
+win = int(os.environ.get("TURBOINFER_PROF_WINDOW", "0")) or None
+cfg = llama7b_config(dtype=jnp.bfloat16, max_seq_len=MAX_SEQ,
+                     sliding_window=win)
 data = create_synthetic_quantized_model(cfg, bits=BITS, group_size=GS)
 params = dispatch.prepare_params(data.params); del data
 kvd = os.environ.get("TURBOINFER_PROF_KV", "")
 kv_dtype = {"fp8": jnp.uint8}.get(kvd, None)
-cache = llama.init_cache(cfg, B, max_seq=1024, dtype=kv_dtype)
+cache = llama.init_cache(cfg, B, max_seq=MAX_SEQ, dtype=kv_dtype)
 cache = cache._replace(length=jnp.full((B,), FILL, jnp.int32))
 
 @functools.partial(jax.jit, static_argnames=("n",))

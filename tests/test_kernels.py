@@ -180,3 +180,45 @@ def test_e4m3_software_decode_all_codes():
                                   jnp.float32)).reshape(-1)
     finite = np.isfinite(ref)
     np.testing.assert_array_equal(got[finite], ref[finite])
+
+
+def test_decode_kernel_sliding_window_interpret():
+    """Pallas decode kernel with a sliding window vs the jnp reference
+    (interpret mode; D=128 so the kernel path is representative)."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from turboinfer_tpu.kernels import ops
+    from turboinfer_tpu.kernels.pallas import decode_attention
+    B, Hq, Hkv, T, D, W = 2, 8, 8, 256, 128, 100
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, Hq, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, Hkv, T, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, Hkv, T, D), jnp.float32)
+    kv_len = jnp.asarray([250, 37])   # window active / inactive
+    ref = ops.attention_decode_ref(q, k, v, kv_len, window=W)
+    got = decode_attention.decode_pallas(q, k, v, kv_len, window=W,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_prefill_kernel_sliding_window_interpret():
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from turboinfer_tpu.kernels import ops
+    from turboinfer_tpu.kernels.pallas import flash_attention
+    B, S, Hq, Hkv, T, D, W = 1, 64, 4, 4, 128, 128, 40
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, S, Hq, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(4), (B, Hkv, T, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(5), (B, Hkv, T, D), jnp.float32)
+    # chunked-prefill style: queries start at position 60, cache holds 124
+    q_start = jnp.asarray([60])
+    kv_len = jnp.asarray([124])
+    positions = q_start[:, None] + jnp.arange(S)[None, :]
+    ref = ops.attention_prefill_ref(q, k, v, causal=True,
+                                    positions=positions, kv_len=kv_len,
+                                    window=W)
+    got = flash_attention.prefill_pallas(q, k, v, causal=True,
+                                         kv_len=kv_len, q_start=q_start,
+                                         window=W, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

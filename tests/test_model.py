@@ -180,3 +180,93 @@ class TestFusedProjections:
                               np.asarray(qtensor.dequantize(qb))], axis=-1)
         np.testing.assert_allclose(np.asarray(qtensor.dequantize(qc)), ref,
                                    rtol=0, atol=0)
+
+
+class TestSlidingWindow:
+    """config.sliding_window (Mistral/Mixtral): each token attends to
+    the previous W positions only."""
+
+    def _cfgs(self, tiny_cfg, W):
+        import dataclasses
+        return dataclasses.replace(tiny_cfg, sliding_window=W)
+
+    def test_window_wider_than_seq_is_identity(self, tiny_params, tiny_cfg):
+        cfg_w = self._cfgs(tiny_cfg, 64)
+        tokens = jnp.asarray([[1, 5, 42, 7, 9, 300, 12, 77]])
+        ref, _ = llama.forward(tiny_params, tiny_cfg, tokens,
+                               llama.init_cache(tiny_cfg, 1, max_seq=32))
+        got, _ = llama.forward(tiny_params, cfg_w, tokens,
+                               llama.init_cache(cfg_w, 1, max_seq=32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_incremental_matches_full_forward_windowed(self, tiny_params,
+                                                       tiny_cfg):
+        """Cache correctness under a window: token-by-token decode equals
+        one full windowed forward."""
+        cfg_w = self._cfgs(tiny_cfg, 4)
+        seq = [1, 5, 42, 7, 9, 300, 12, 77, 31, 2]
+        full, _ = llama.forward(tiny_params, cfg_w, jnp.asarray([seq]),
+                                llama.init_cache(cfg_w, 1, max_seq=32))
+        cache = llama.init_cache(cfg_w, 1, max_seq=32)
+        outs = []
+        for t in seq:
+            logits, cache = llama.forward(tiny_params, cfg_w,
+                                          jnp.asarray([[t]]), cache)
+            outs.append(np.asarray(logits[0, 0]))
+        np.testing.assert_allclose(np.stack(outs), np.asarray(full[0]),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_window_changes_output_beyond_window(self, tiny_params,
+                                                 tiny_cfg):
+        """Far-past tokens must STOP influencing logits once outside the
+        window: two sequences differing only at position 0 give the same
+        final-token logits under W=3 (but different without a window)."""
+        cfg_w = self._cfgs(tiny_cfg, 3)
+        s1 = [1, 5, 42, 7, 9, 300]
+        s2 = [2, 5, 42, 7, 9, 300]
+        f1, _ = llama.forward(tiny_params, cfg_w, jnp.asarray([s1]),
+                              llama.init_cache(cfg_w, 1, max_seq=16))
+        f2, _ = llama.forward(tiny_params, cfg_w, jnp.asarray([s2]),
+                              llama.init_cache(cfg_w, 1, max_seq=16))
+        # NOT identical overall (early positions see position 0)...
+        # but the LAST token's attention window is positions 3..5, and
+        # although its INPUT hidden states still differ through the
+        # residual stream, the direct attention mask cut can be verified
+        # at the ops level instead:
+        from turboinfer_tpu.kernels import ops
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 4, 8))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 6, 8))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 6, 8))
+        out_w = ops.attention_prefill_ref(q, k, v, causal=True, window=3)
+        k2 = k.at[:, :, 0].set(123.0)   # clobber position 0
+        v2 = v.at[:, :, 0].set(-55.0)
+        out_w2 = ops.attention_prefill_ref(q, k2, v2, causal=True, window=3)
+        # last query (pos 5) sees keys 3..5 only: unaffected
+        np.testing.assert_allclose(np.asarray(out_w[:, 5]),
+                                   np.asarray(out_w2[:, 5]),
+                                   rtol=1e-6, atol=1e-6)
+        # first query (pos 0) sees key 0: affected
+        assert not np.allclose(np.asarray(out_w[:, 0]),
+                               np.asarray(out_w2[:, 0]))
+
+    def test_decode_ref_matches_prefill_ref_last_token(self):
+        from turboinfer_tpu.kernels import ops
+        B, Hq, Hkv, T, D, W = 2, 4, 4, 10, 8, 4
+        q = jax.random.normal(jax.random.PRNGKey(3), (B, Hq, D))
+        k = jax.random.normal(jax.random.PRNGKey(4), (B, Hkv, T, D))
+        v = jax.random.normal(jax.random.PRNGKey(5), (B, Hkv, T, D))
+        kv_len = jnp.asarray([10, 7])
+        dec = ops.attention_decode_ref(q, k, v, kv_len, window=W)
+        # same computation through the prefill ref: query at position
+        # kv_len-1 per sequence
+        for b in range(B):
+            L = int(kv_len[b])
+            pq = q[b][None, None]                    # [1, 1, Hq, D]
+            pre = ops.attention_prefill_ref(
+                pq, k[b:b+1], v[b:b+1], causal=True,
+                positions=jnp.asarray([[L - 1]]),
+                kv_len=jnp.asarray([L]), window=W)
+            np.testing.assert_allclose(np.asarray(dec[b]),
+                                       np.asarray(pre[0, 0]),
+                                       rtol=1e-5, atol=1e-5)

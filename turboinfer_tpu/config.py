@@ -60,6 +60,9 @@ class ModelConfig:
     rms_norm_eps: float = 1e-5
     max_seq_len: int = 2048
     tie_embeddings: bool = False
+    # Sliding-window attention (Mistral/Mixtral): each token attends to
+    # the previous `sliding_window` positions only. None = full causal.
+    sliding_window: Optional[int] = None
     # Mixture-of-experts (0 = dense FFN). experts_per_token = router top-k.
     num_experts: int = 0
     experts_per_token: int = 2

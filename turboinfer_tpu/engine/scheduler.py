@@ -103,7 +103,7 @@ class ContinuousBatchingScheduler:
         sp = self._sp
         eos = self.config.eos_token_id
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(3,))
         def step(params, tokens, active, cache, rng):
             """One decode step for every slot; inactive slots still run
             (fixed shape) but their cache length is frozen."""
@@ -134,7 +134,7 @@ class ContinuousBatchingScheduler:
         eos = self.config.eos_token_id
         T = self.T
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(4,))
         def burst(params, tokens, active, budget, cache, rng):
             def body(carry, rng_i):
                 tokens, active, budget, cache = carry
@@ -161,7 +161,7 @@ class ContinuousBatchingScheduler:
         cfg = self.model_config
         model = self._model
 
-        @functools.partial(jax.jit, static_argnames=())
+        @functools.partial(jax.jit, donate_argnums=(4,))
         def prefill(params, tokens, seq_len, slot, cache, rng):
             """Prefill ONE prompt [1, S] into `slot`'s cache region."""
             small = model.init_cache(cfg, 1, max_seq=self.T,

@@ -214,7 +214,8 @@ def _repeat_kv(k: jax.Array, num_q_heads: int) -> jax.Array:
 def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
                           *, causal: bool = True,
                           positions: Optional[jax.Array] = None,
-                          kv_len: Optional[jax.Array] = None) -> jax.Array:
+                          kv_len: Optional[jax.Array] = None,
+                          window: Optional[int] = None) -> jax.Array:
     """Full scaled-dot-product attention.
 
     q: [B, S, Hq, D], k/v: [B, Hkv, T, D] (head-major cache layout)
@@ -239,6 +240,10 @@ def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
             qpos = positions
         kpos = jnp.arange(T)
         mask = qpos[:, None, :, None] >= kpos[None, None, None, :]
+        if window is not None:
+            # Sliding window: key positions within `window` of the query.
+            mask = mask & (kpos[None, None, None, :]
+                           > qpos[:, None, :, None] - window)
     if kv_len is not None:
         valid = kpos[None, None, None, :] < kv_len[:, None, None, None] \
             if causal else (jnp.arange(T)[None, None, None, :] <
@@ -252,7 +257,8 @@ def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
-                         kv_len: jax.Array) -> jax.Array:
+                         kv_len: jax.Array,
+                         window: Optional[int] = None) -> jax.Array:
     """Single-token attention against the KV cache — golden model for the
     Pallas decode kernel (reference counterpart:
     tensor_engine.cpp:1254-1388 attention_fast_incremental).
@@ -268,6 +274,10 @@ def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     qf = q.astype(jnp.float32) * scale
     scores = jnp.einsum("bhd,bhtd->bht", qf, k.astype(jnp.float32))
     valid = jnp.arange(Tmax)[None, None, :] < kv_len[:, None, None]
+    if window is not None:
+        # Query position is kv_len-1; it sees positions > kv_len-1-window.
+        valid = valid & (jnp.arange(Tmax)[None, None, :]
+                         >= kv_len[:, None, None] - window)
     scores = jnp.where(valid, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bht,bhtd->bhd", probs, v.astype(jnp.float32))
@@ -301,17 +311,18 @@ def attention_paged_decode_ref(q: jax.Array, k_pages: jax.Array,
 # ---------------------------------------------------------------------------
 
 def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
-                      q_start=None):
+                      q_start=None, window=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_prefill(q, k, v, causal=causal,
                                       positions=positions, kv_len=kv_len,
-                                      q_start=q_start)
+                                      q_start=q_start, window=window)
 
 
-def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None):
+def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
+                     window=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_decode(q, k_cache, v_cache, kv_len,
-                                     layer_index=layer_index)
+                                     layer_index=layer_index, window=window)
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,

@@ -102,7 +102,7 @@ def _load_kv(buf_slice, out_dtype):
 
 def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
             kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref,
-            *, hkv: int, tt: int, scale: float):
+            *, hkv: int, tt: int, scale: float, window=None):
     """One sequence b: stream Hkv * ceil(kv_len/TT) cache chunks through
     NBUF VMEM buffers; trip t covers chunk (t % nchunks) of kv head
     (t // nchunks), folding into that head's online-softmax state.
@@ -116,7 +116,12 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
     b = pl.program_id(0)
     li = idx_ref[0]
     kv_len = len_ref[b]
-    nchunks = jax.lax.div(kv_len + tt - 1, tt)      # >= 1 (kv_len >= 1)
+    # Sliding window: only chunks covering positions
+    # [max(kv_len - window, 0), kv_len) are streamed; earlier cache
+    # slots are dead for this query and never leave HBM.
+    lo = jnp.maximum(kv_len - window, 0) if window is not None else 0
+    c0 = jax.lax.div(lo, tt) if window is not None else 0
+    nchunks = jax.lax.div(kv_len + tt - 1, tt) - c0  # >= 1 (kv_len >= 1)
     ntrips = hkv * nchunks
     # NOTE: a coarse+fine variant (tt-row bulk trips + 128-row tail
     # trips to bound over-fetch) measured 50% SLOWER at fill=960 —
@@ -125,7 +130,7 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
 
     def start(t):
         h = jax.lax.div(t, nchunks)
-        i = jax.lax.rem(t, nchunks)
+        i = c0 + jax.lax.rem(t, nchunks)
         slot = jax.lax.rem(t, NBUF)
         pltpu.make_async_copy(
             k_hbm.at[li, b, h, pl.ds(i * tt, tt)], kbuf.at[slot],
@@ -143,14 +148,15 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
 
     def body(t, _):
         h = jax.lax.div(t, nchunks)
-        i = jax.lax.rem(t, nchunks)
+        ii = jax.lax.rem(t, nchunks)          # 0-based within the live run
+        i = c0 + ii
         slot = jax.lax.rem(t, NBUF)
 
         @pl.when(t + NBUF - 1 < ntrips)
         def _():
             start(t + NBUF - 1)
 
-        @pl.when(i == 0)
+        @pl.when(ii == 0)
         def _():
             m_ref[:] = jnp.full_like(m_ref, NEG_INF)
             l_ref[:] = jnp.zeros_like(l_ref)
@@ -169,7 +175,10 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * tt
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        valid = col < kv_len
+        if window is not None:
+            valid = jnp.logical_and(valid, col >= lo)
+        s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_ref[:, 0:1]                       # [Ghp, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -183,7 +192,7 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
-        @pl.when(i == nchunks - 1)
+        @pl.when(ii == nchunks - 1)
         def _():
             denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
             o_ref[0, h] = (acc_ref[:] / denom).astype(o_ref.dtype)
@@ -192,15 +201,16 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
     jax.lax.fori_loop(0, ntrips, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _decode(q4, k_cache, v_cache, kv_len, layer_idx, *,
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def _decode(q4, k_cache, v_cache, kv_len, layer_idx, *, window=None,
             interpret: bool = False):
     B, Hkv, Ghp, D = q4.shape
     T = k_cache.shape[3]
     TT = _chunk_rows(T)
     scale = 1.0 / float(D) ** 0.5
 
-    kern = functools.partial(_kernel, hkv=Hkv, tt=TT, scale=scale)
+    kern = functools.partial(_kernel, hkv=Hkv, tt=TT, scale=scale,
+                             window=window)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
@@ -240,7 +250,7 @@ def _decode(q4, k_cache, v_cache, kv_len, layer_idx, *,
 
 
 def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
-                  kv_len: jax.Array, layer_index=None,
+                  kv_len: jax.Array, layer_index=None, window=None,
                   interpret: bool = False) -> Optional[jax.Array]:
     """q: [B, Hq, D]; k/v_cache: [B, Hkv, T, D] (layer_index=None) or the
     full stacked [L, B, Hkv, T, D] with `layer_index` the traced layer
@@ -270,5 +280,5 @@ def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     if Ghp != Gh:
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, Ghp - Gh), (0, 0)))
     out = _decode(q4, k_cache, v_cache, kv_len, layer_index,
-                  interpret=interpret)
+                  window=window, interpret=interpret)
     return out[:, :, :Gh].reshape(B, Hq, D)

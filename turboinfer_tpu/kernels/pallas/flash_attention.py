@@ -30,7 +30,7 @@ NEG_INF = -1e30
 
 def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref,
             m_ref, l_ref, acc_ref, *, nt: int, ts: int, tt: int,
-            gh: int, scale: float, causal: bool):
+            gh: int, scale: float, causal: bool, window):
     """len_ref: [B] kv lens; start_ref: [B] absolute position of each
     sequence's first query (both scalar-prefetch; query s has position
     start + s). q_ref: [1, 1, TS, D]; k/v_ref: [1, 1, TT, D];
@@ -52,6 +52,12 @@ def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref,
     live = (k_start < kv_len)
     if causal:
         live = jnp.logical_and(live, k_start <= q_last)
+    if window is not None:
+        # Tile dead when entirely below the earliest position any query
+        # in this S tile can see (q_first - window + 1).
+        q_first = start_ref[b] + si * ts
+        live = jnp.logical_and(live,
+                               k_start + tt - 1 >= q_first - window + 1)
 
     @pl.when(live)
     def _():
@@ -67,6 +73,8 @@ def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref,
             qpos = (start_ref[b] + si * ts
                     + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
             mask = jnp.logical_and(mask, qpos >= col)
+            if window is not None:
+                mask = jnp.logical_and(mask, col > qpos - window)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, 0:1]
@@ -87,9 +95,10 @@ def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "gh", "interpret"))
+@functools.partial(jax.jit, static_argnames=("causal", "gh", "window",
+                                             "interpret"))
 def _prefill(qh, k_cache, v_cache, kv_len, q_start, *, causal: bool,
-             gh: int, interpret: bool = False):
+             gh: int, window=None, interpret: bool = False):
     B, Hq, S, D = qh.shape
     T = k_cache.shape[2]
     TS = min(S, 512)
@@ -98,7 +107,7 @@ def _prefill(qh, k_cache, v_cache, kv_len, q_start, *, causal: bool,
     scale = 1.0 / float(D) ** 0.5
 
     kern = functools.partial(_kernel, nt=nt, ts=TS, tt=TT, gh=gh,
-                             scale=scale, causal=causal)
+                             scale=scale, causal=causal, window=window)
     ts, tt = TS, TT
 
     def kv_map(b, h, s, t, len_r, st_r):
@@ -114,7 +123,13 @@ def _prefill(qh, k_cache, v_cache, kv_len, q_start, *, causal: bool,
             q_last = st_r[b] + s * ts + ts - 1
             lim = jnp.minimum(lim, q_last + 1)
         last = jnp.maximum(jax.lax.div(lim + tt - 1, tt) - 1, 0)
-        return (b, h // gh, jnp.minimum(t, last), 0)
+        tq = jnp.minimum(t, last)
+        if window is not None and causal:
+            # ...and below the window: clamp up to the first live tile.
+            q_first = st_r[b] + s * ts
+            first = jnp.maximum(jax.lax.div(q_first - window + 1, tt), 0)
+            tq = jnp.maximum(tq, jnp.minimum(first, last))
+        return (b, h // gh, tq, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -159,6 +174,7 @@ def prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array, *,
                    positions: Optional[jax.Array] = None,
                    kv_len: Optional[jax.Array] = None,
                    q_start: Optional[jax.Array] = None,
+                   window: Optional[int] = None,
                    interpret: bool = False) -> Optional[jax.Array]:
     """q: [B, S, Hq, D]; k/v: [B, Hkv, T, D] -> [B, S, Hq, D] or None.
 
@@ -180,7 +196,9 @@ def prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array, *,
         q_start = jnp.zeros((B,), jnp.int32)
     if kv_len is None:
         kv_len = jnp.full((B,), T, jnp.int32)
+    if window is not None and not causal:
+        return None                     # windowed non-causal: jnp ref
     qh = q.transpose(0, 2, 1, 3)                       # [B, Hq, S, D]
     out = _prefill(qh, k, v, kv_len, q_start, causal=causal,
-                   gh=Hq // Hkv, interpret=interpret)
+                   gh=Hq // Hkv, window=window, interpret=interpret)
     return out.transpose(0, 2, 1, 3)

@@ -298,6 +298,9 @@ def config_from_gguf_metadata(md: Dict[str, Any],
         rope_mode=RopeMode.INTERLEAVED,
         rms_norm_eps=getf("attention.layer_norm_rms_epsilon", 1e-5),
         max_seq_len=geti("context_length", 2048),
+        # Mistral/Mixtral GGUFs carry e.g. llama.attention.sliding_window
+        # (llama.cpp convention); 0/absent = full causal attention.
+        sliding_window=geti("attention.sliding_window", 0) or None,
         name=str(md.get("general.name", arch)),
         architecture=arch,
         dtype=dtype,
@@ -319,6 +322,7 @@ def config_to_dict(config: ModelConfig) -> Dict[str, Any]:
         "rope_mode": config.rope_mode.value,
         "rms_norm_eps": config.rms_norm_eps,
         "max_seq_len": config.max_seq_len,
+        "sliding_window": config.sliding_window,
         "tie_embeddings": config.tie_embeddings,
         "name": config.name,
         "architecture": config.architecture,

@@ -176,7 +176,8 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, newv[b][None, None], idx)
         attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
-                                    layer_index=li)
+                                    layer_index=li,
+                                    window=config.sliding_window)
         attn = attn[:, None]                                     # [B,1,Hq,D]
         attn = attn.reshape(B, S, Hq * D)
         x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
@@ -195,13 +196,15 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
     v_cache = jax.vmap(write_one)(v_cache, v, start)
 
     if S == 1:
-        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len)
+        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
+                                    window=config.sliding_window)
         attn = attn[:, None]                                     # [B,1,Hq,D]
     else:
         attn = ops.attention_prefill(
             q, decode_kv(k_cache, q.dtype), decode_kv(v_cache, q.dtype),
             causal=True, positions=positions, kv_len=kv_len,
-            q_start=start if contiguous else None)
+            q_start=start if contiguous else None,
+            window=config.sliding_window)
     attn = attn.reshape(B, S, Hq * D)
     x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
 
@@ -304,6 +307,10 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
     table (Pallas paged kernel on TPU; gather reference elsewhere).
     """
     B = tokens.shape[0]
+    if config.sliding_window is not None:
+        raise NotImplementedError(
+            "sliding_window is not supported on the paged-cache decode "
+            "path; use the contiguous cache")
     Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
     page = k_pages.shape[3]
     P = k_pages.shape[1]

@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from turboinfer_tpu.config import ModelConfig
 from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models import llama
-from turboinfer_tpu.models.common import (KVCache, init_cache,  # noqa: F401
+from turboinfer_tpu.models.common import (KVCache, cache_bits_view,  # noqa: F401
+                                          cache_from_bits, decode_kv,
+                                          encode_kv, init_cache,
                                           param_bytes, param_count,
                                           reset_cache)
 
@@ -115,8 +117,8 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
     if k_cache.ndim == 5:
         # Stacked-cache decode (see llama._layer_forward): per-slot
         # in-place writes; attention reads layer li via scalar prefetch.
-        newk = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)
-        newv = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+        newk = encode_kv(k.transpose(0, 2, 1, 3), k_cache.dtype)
+        newv = encode_kv(v.transpose(0, 2, 1, 3), v_cache.dtype)
         for b in range(B):
             idx = (li, b, 0, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
@@ -124,6 +126,7 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, newv[b][None, None], idx)
         attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
+                                    window=config.sliding_window,
                                     layer_index=li)
         attn = attn[:, None]
         attn = attn.reshape(B, S, Hq * D)
@@ -136,19 +139,21 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
 
     def write_one(cache_b, new_b, start_b):
         return jax.lax.dynamic_update_slice(
-            cache_b, new_b.transpose(1, 0, 2).astype(cache_b.dtype),
+            cache_b, encode_kv(new_b.transpose(1, 0, 2), cache_b.dtype),
             (0, start_b, 0))
     k_cache = jax.vmap(write_one)(k_cache, k, start)
     v_cache = jax.vmap(write_one)(v_cache, v, start)
 
     if S == 1:
-        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len)
+        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
+                                    window=config.sliding_window)
         attn = attn[:, None]
     else:
         attn = ops.attention_prefill(
-            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+            q, decode_kv(k_cache, q.dtype), decode_kv(v_cache, q.dtype),
             causal=True, positions=positions, kv_len=kv_len,
-            q_start=start if contiguous else None)
+            q_start=start if contiguous else None,
+            window=config.sliding_window)
     attn = attn.reshape(B, S, Hq * D)
     x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
 
@@ -176,6 +181,8 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
 
     layers = params["layers"]
+    was_fp8 = cache.k.dtype == jnp.float8_e4m3fn
+    cache = cache_bits_view(cache)
 
     if S == 1:
         # Decode: stacked cache flows through whole (no per-layer slice
@@ -201,6 +208,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     (x, k_new, v_new), _ = jax.lax.scan(
         body, (x, cache.k, cache.v),
         jnp.arange(config.num_layers, dtype=jnp.int32))
+    k_new, v_new = cache_from_bits(k_new, v_new, was_fp8)
 
     x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
