@@ -99,9 +99,16 @@ def main():
     prompts = [list(int(t) for t in rng.integers(1, cfg.vocab_size, int(n)))
                for n in plens]
 
-    # Warm the compile caches (prefill buckets + decode/burst program)
-    # so the measured run reflects steady-state serving.
-    sched.submit(prompts[0][: max(4, args.prompt_len // 2)], 4)
+    # Warm the compile caches so the measured run reflects steady-state
+    # serving: one request per DISTINCT prompt bucket (prefill programs
+    # compile per bucketed length) plus the decode/burst program.
+    def _bucket(n):
+        b = 16
+        while b < n:
+            b *= 2
+        return b
+    for L in sorted({_bucket(len(p)) for p in prompts}):
+        sched.submit(prompts[0][:4] * (L // 4), 4)
     sched.run()
 
     t0 = time.perf_counter()
