@@ -227,3 +227,24 @@ def test_paged_decode_tp_sharded_matches_unsharded(cfg):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(wk),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_paged_scheduler_fp8_matches_bf16_greedy(tiny_params, tiny_cfg):
+    """fp8 page pool: same greedy tokens as the bf16 pool on a
+    clear-margin tiny model (pool stores raw e4m3 bytes)."""
+    import dataclasses
+    from turboinfer_tpu.config import InferenceConfig
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    cfg = InferenceConfig(max_seq_len=128, temperature=0.0, seed=0)
+    cfg8 = dataclasses.replace(cfg, kv_cache_dtype="fp8")
+    a = PagedContinuousScheduler(tiny_params, tiny_cfg, cfg,
+                                 batch_slots=2, page_size=16)
+    b = PagedContinuousScheduler(tiny_params, tiny_cfg, cfg8,
+                                 batch_slots=2, page_size=16)
+    ra = a.run() if a.submit([1, 5, 42, 7], 10) is not None else None
+    rb = b.run() if b.submit([1, 5, 42, 7], 10) is not None else None
+    ta = list(ra.values())[0].tokens
+    tb = list(rb.values())[0].tokens
+    # fp8 rounding may flip a late near-tie; require a long common prefix
+    same = sum(1 for x, y in zip(ta, tb) if x == y)
+    assert same >= len(ta) - 2, (ta, tb)

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from turboinfer_tpu.kernels.pallas.decode_attention import _load_kv
+
 NEG_INF = -1e30
 # Pages are small DMAs (page=64, D=128 -> 16 KB); measured NBUF 4 vs 12
 # identical at 7B B=8 short fills (step is qmm-dominated there), so
@@ -91,7 +93,6 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
                               ksem.at[slot]).wait()
         pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot],
                               vsem.at[slot]).wait()
-        from turboinfer_tpu.kernels.pallas.decode_attention import _load_kv
         q = q_ref[0, h].astype(jnp.float32) * scale  # [Ghp, D]
         k = _load_kv(kbuf[slot], jnp.float32)        # [page, D]
         v = _load_kv(vbuf[slot], jnp.float32)
