@@ -1,0 +1,200 @@
+"""Golden tests vs HuggingFace transformers (torch CPU).
+
+Each test builds a TINY randomly-initialized HF model, converts its
+state_dict through loader/mapping.assemble_params + config_from_hf_dict
+(the same code path a real safetensors checkpoint takes), and asserts
+our forward matches HF logits in float32.
+
+The reference has nothing like this — its tests assert only "non-empty
+output" (SURVEY.md §4); these pin exact numerics per architecture:
+llama (+ llama3 rope scaling), qwen2 (attention biases), qwen3
+(q/k RMSNorm), gemma (embed scaling, (1+w) norms, GeGLU), gemma2
+(sandwich norms, logit softcaps, alternating sliding window, attn-scale
+override), gemma3 (local/global RoPE bases), phi3 (fused qkv/gate_up).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from turboinfer_tpu.loader import mapping
+from turboinfer_tpu.models import llama, registry
+
+ATOL = 2e-3   # f32 both sides; accumulation-order differences only
+RTOL = 2e-3
+
+
+def _hf_logits(model, tokens):
+    model.eval()
+    with torch.no_grad():
+        out = model(torch.tensor(tokens, dtype=torch.long))
+    return out.logits.float().numpy()
+
+
+def _ours_from_hf(model, hf_cfg, tokens):
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    config = mapping.config_from_hf_dict(hf_cfg.to_dict(),
+                                         dtype=jnp.float32)
+    params = mapping.assemble_params(lambda n: sd[n], list(sd), config,
+                                     dtype=jnp.float32)
+    mod = registry.get_model(config.architecture)
+    logits = mod.forward_no_cache(params, config,
+                                  jnp.asarray(tokens, jnp.int32))
+    return np.asarray(logits), config, params
+
+
+def _check(model, hf_cfg, *, B=2, S=24, seed=0):
+    rng = np.random.default_rng(seed)
+    tokens = rng.integers(0, hf_cfg.vocab_size, size=(B, S))
+    want = _hf_logits(model, tokens)
+    got, config, params = _ours_from_hf(model, hf_cfg, tokens)
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+    return config, params, tokens, want
+
+
+def _decode_check(config, params, tokens, want):
+    """Prefill all-but-last + single-token decode steps must match the
+    full-sequence logits at each decoded position."""
+    B, S = tokens.shape
+    split = S - 4
+    cache = llama.init_cache(config, B, max_seq=S, dtype=jnp.float32)
+    logits, cache = llama.forward(params, config,
+                                  jnp.asarray(tokens[:, :split], jnp.int32),
+                                  cache)
+    np.testing.assert_allclose(np.asarray(logits), want[:, :split],
+                               atol=ATOL, rtol=RTOL)
+    for s in range(split, S):
+        logits, cache = llama.forward(
+            params, config, jnp.asarray(tokens[:, s:s + 1], jnp.int32),
+            cache)
+        np.testing.assert_allclose(np.asarray(logits[:, 0]), want[:, s],
+                                   atol=ATOL, rtol=RTOL)
+
+
+def test_llama_parity():
+    torch.manual_seed(0)
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attn_implementation="eager")
+    model = transformers.LlamaForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.architecture == "llama" and not config.attn_bias
+    _decode_check(config, params, tokens, want)
+
+
+def test_llama3_rope_scaling_parity():
+    torch.manual_seed(1)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, rope_theta=50000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 32},
+        attn_implementation="eager")
+    model = transformers.LlamaForCausalLM(cfg)
+    config, *_ = _check(model, cfg, S=48)
+    assert dict(config.rope_scaling)["rope_type"] == "llama3"
+
+
+def test_qwen2_bias_parity():
+    torch.manual_seed(2)
+    cfg = transformers.Qwen2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, use_sliding_window=False,
+        attn_implementation="eager")
+    model = transformers.Qwen2ForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.attn_bias and config.sliding_window is None
+    assert "b_q" in params["layers"]
+    _decode_check(config, params, tokens, want)
+    # Fused-projection path (what engines run) must stay identical.
+    from turboinfer_tpu.models.common import fuse_projections
+    fused = fuse_projections(params)
+    assert "b_qkv" in fused["layers"]
+    got = np.asarray(llama.forward_no_cache(
+        fused, config, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+def test_qwen3_qk_norm_parity():
+    torch.manual_seed(3)
+    cfg = transformers.Qwen3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=64,
+        attn_implementation="eager")
+    model = transformers.Qwen3ForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.qk_norm and config.head_dim == 32
+    _decode_check(config, params, tokens, want)
+
+
+def test_gemma_parity():
+    torch.manual_seed(4)
+    cfg = transformers.GemmaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
+        head_dim=32, max_position_embeddings=64,
+        attn_implementation="eager")
+    model = transformers.GemmaForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.scale_embeddings and config.norm_offset
+    assert config.hidden_act == "gelu" and config.tie_embeddings
+    _decode_check(config, params, tokens, want)
+
+
+def test_gemma2_parity():
+    torch.manual_seed(5)
+    cfg = transformers.Gemma2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=64,
+        query_pre_attn_scalar=64,       # != head_dim: exercises attn_scale
+        sliding_window=8,               # alternating local/global layers
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        attn_implementation="eager")
+    model = transformers.Gemma2ForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg, S=24)
+    assert config.post_norms and config.sliding_window_pattern == 2
+    assert config.attn_logit_softcap == 50.0
+    assert config.attn_scale == pytest.approx(64 ** -0.5)
+    _decode_check(config, params, tokens, want)
+
+
+def test_gemma3_parity():
+    torch.manual_seed(6)
+    cfg = transformers.Gemma3TextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=128,
+        sliding_window=8, sliding_window_pattern=3,
+        rope_theta=1000000.0, rope_local_base_freq=10000.0,
+        rope_scaling={"rope_type": "linear", "factor": 8.0},
+        query_pre_attn_scalar=32,
+        attn_implementation="eager")
+    model = transformers.Gemma3ForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg, S=24)
+    assert config.qk_norm and config.rope_local_theta == 10000.0
+    assert config.sliding_window_pattern == 3
+    _decode_check(config, params, tokens, want)
+
+
+def test_phi3_fused_weights_parity():
+    torch.manual_seed(7)
+    cfg = transformers.Phi3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, sliding_window=None, pad_token_id=0,
+        attn_implementation="eager")
+    model = transformers.Phi3ForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.architecture == "phi3"
+    _decode_check(config, params, tokens, want)

@@ -222,3 +222,48 @@ def test_prefill_kernel_sliding_window_interpret():
                                          window=W, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_decode_kernel_softcap_interpret():
+    """Attention logit soft-capping (Gemma2) in the decode kernel vs the
+    jnp reference."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from turboinfer_tpu.kernels import ops
+    from turboinfer_tpu.kernels.pallas import decode_attention
+    B, Hq, Hkv, T, D = 2, 8, 4, 256, 128
+    q = 4 * jax.random.normal(jax.random.PRNGKey(0), (B, Hq, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, Hkv, T, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, Hkv, T, D), jnp.float32)
+    kv_len = jnp.asarray([200, 64])
+    ref = ops.attention_decode_ref(q, k, v, kv_len, softcap=20.0)
+    got = decode_attention.decode_pallas(q, k, v, kv_len, softcap=20.0,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # and composed with a sliding window
+    ref = ops.attention_decode_ref(q, k, v, kv_len, window=96, softcap=20.0)
+    got = decode_attention.decode_pallas(q, k, v, kv_len, window=96,
+                                         softcap=20.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_prefill_kernel_softcap_interpret():
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from turboinfer_tpu.kernels import ops
+    from turboinfer_tpu.kernels.pallas import flash_attention
+    B, S, Hq, Hkv, T, D = 1, 64, 4, 2, 128, 128
+    q = 4 * jax.random.normal(jax.random.PRNGKey(3), (B, S, Hq, D),
+                              jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(4), (B, Hkv, T, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(5), (B, Hkv, T, D), jnp.float32)
+    kv_len = jnp.asarray([128])
+    ref = ops.attention_prefill_ref(q, k, v, causal=True, kv_len=kv_len,
+                                    softcap=30.0)
+    got = flash_attention.prefill_pallas(q, k, v, causal=True,
+                                         kv_len=kv_len, softcap=30.0,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -63,9 +63,41 @@ class ModelConfig:
     # Sliding-window attention (Mistral/Mixtral): each token attends to
     # the previous `sliding_window` positions only. None = full causal.
     sliding_window: Optional[int] = None
+    # Per-layer window pattern (Gemma2/3): layer i is GLOBAL (full
+    # causal) iff (i + 1) % pattern == 0, windowed otherwise. None/1 =
+    # sliding_window (if any) applies to every layer. Gemma2 uses 2,
+    # Gemma3 uses 6.
+    sliding_window_pattern: Optional[int] = None
     # Mixture-of-experts (0 = dense FFN). experts_per_token = router top-k.
     num_experts: int = 0
     experts_per_token: int = 2
+    # q/k/v projection biases (Qwen2 / Qwen2.5).
+    attn_bias: bool = False
+    # Per-head RMSNorm on q and k before RoPE (Qwen3, Gemma3).
+    qk_norm: bool = False
+    # Multiply token embeddings by sqrt(hidden_size) (Gemma family).
+    scale_embeddings: bool = False
+    # RMSNorm weights stored as (w - 1), applied as (1 + w) (Gemma family).
+    norm_offset: bool = False
+    # Gated-FFN activation: "silu" (LLaMA SwiGLU) or "gelu" (Gemma GeGLU).
+    hidden_act: str = "silu"
+    # Sandwich norms (Gemma2/3): post_attention and post_feedforward
+    # RMSNorms applied to each sublayer's output before the residual add;
+    # the ffn_norm slot then holds pre_feedforward_layernorm.
+    post_norms: bool = False
+    # Attention score scale override; None = head_dim**-0.5. Gemma2 uses
+    # query_pre_attn_scalar**-0.5 (e.g. (hidden/heads)**-0.5 for 27B).
+    attn_scale: Optional[float] = None
+    # Logit soft-capping, cap*tanh(x/cap) (Gemma2): on attention scores
+    # and on the final lm_head logits respectively. None = off.
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    # RoPE base for WINDOWED (local) layers when sliding_window_pattern
+    # is set (Gemma3: local 10k, global = rope_theta = 1M). None = same.
+    rope_local_theta: Optional[float] = None
+    # HF-style rope_scaling as a hashable (key, value) tuple, e.g.
+    # (("rope_type", "llama3"), ("factor", 8.0), ...). () = unscaled.
+    rope_scaling: Tuple[Tuple[str, Any], ...] = ()
     name: str = "llama"
     architecture: str = "llama"
     # dtype for activations / fp weights. bfloat16 is the TPU-native default.

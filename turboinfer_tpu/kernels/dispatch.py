@@ -80,22 +80,23 @@ def _qmm_small(x, qt, preferred_dtype, layer_index, stacked):
 # -- attention ---------------------------------------------------------------
 
 def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
-                      q_start=None, window=None):
+                      q_start=None, window=None, softcap=None):
     from turboinfer_tpu.kernels import ops
     if pallas_enabled():
         from turboinfer_tpu.kernels.pallas import flash_attention
         y = flash_attention.prefill_pallas(q, k, v, causal=causal,
                                            positions=positions, kv_len=kv_len,
-                                           q_start=q_start, window=window)
+                                           q_start=q_start, window=window,
+                                           softcap=softcap)
         if y is not None:
             return y
     return ops.attention_prefill_ref(q, k, v, causal=causal,
                                      positions=positions, kv_len=kv_len,
-                                     window=window)
+                                     window=window, softcap=softcap)
 
 
 def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
-                     window=None):
+                     window=None, softcap=None):
     """k/v_cache: [B, Hkv, T, D], or the full stacked [L, B, Hkv, T, D]
     when `layer_index` is given — the Pallas kernel then reads layer
     `layer_index` directly from HBM (no per-layer slice copy; same
@@ -105,7 +106,7 @@ def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
         from turboinfer_tpu.kernels.pallas import decode_attention
         y = decode_attention.decode_pallas(q, k_cache, v_cache, kv_len,
                                            layer_index=layer_index,
-                                           window=window)
+                                           window=window, softcap=softcap)
         if y is not None:
             return y
     if layer_index is not None:
@@ -116,7 +117,7 @@ def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
     from turboinfer_tpu.models.common import decode_kv
     return ops.attention_decode_ref(q, decode_kv(k_cache, q.dtype),
                                     decode_kv(v_cache, q.dtype), kv_len,
-                                    window=window)
+                                    window=window, softcap=softcap)
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,

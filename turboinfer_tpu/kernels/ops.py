@@ -33,17 +33,23 @@ NEG_INF = -1e30
 # Normalization
 # ---------------------------------------------------------------------------
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5,
+             offset: float = 0.0) -> jax.Array:
     """RMSNorm over the last axis (reference: tensor_engine.cpp:1452-1508).
 
     Statistics in fp32 regardless of input dtype (the reference up-converts
-    too via convert_dtype); output in x.dtype.
+    too via convert_dtype); output in x.dtype. `offset` is added to the
+    weight before scaling — Gemma stores RMSNorm weights as (w - 1) and
+    applies (1 + w), so Gemma-family configs pass offset=1.0.
     """
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     y = xf * jax.lax.rsqrt(var + eps)
-    return (y * weight.astype(jnp.float32)).astype(dtype)
+    w = weight.astype(jnp.float32)
+    if offset:
+        w = w + offset
+    return (y * w).astype(dtype)
 
 
 def layer_norm(x: jax.Array, weight: jax.Array, bias: Optional[jax.Array] = None,
@@ -81,30 +87,85 @@ def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
     return silu(gate) * up
 
 
+_GLU_ACTS = {"silu": silu, "gelu": gelu, "relu": relu}
+
+
+def glu(gate: jax.Array, up: jax.Array, act: str = "silu") -> jax.Array:
+    """Gated FFN combine: act(gate) * up. act="silu" is LLaMA SwiGLU,
+    "gelu" is Gemma GeGLU (tanh-approximate, matching HF
+    gelu_pytorch_tanh)."""
+    return _GLU_ACTS[act](gate) * up
+
+
+def apply_softcap(s: jax.Array, cap: Optional[float]) -> jax.Array:
+    """Logit soft-capping (Gemma2): cap * tanh(s / cap). Monotonic, so it
+    composes with online-softmax max-tracking in the flash kernels."""
+    if cap is None:
+        return s
+    return cap * jnp.tanh(s / cap)
+
+
 # ---------------------------------------------------------------------------
 # RoPE (reference: tensor_engine.cpp:1510-1624 — interleaved convention;
 # the HALF convention is what HF-exported SafeTensors weights expect)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def rope_freqs(head_dim: int, theta: float = 10000.0,
-               dtype=jnp.float32) -> jax.Array:
-    """Per-pair inverse frequencies: theta^(-2i/d), i in [0, d/2)."""
+               dtype=jnp.float32,
+               scaling: Tuple[Tuple[str, float], ...] = ()) -> jax.Array:
+    """Per-pair inverse frequencies: theta^(-2i/d), i in [0, d/2).
+
+    `scaling` is a hashable (key, value) tuple encoding HF-style
+    rope_scaling. Supported rope_type values: "linear" (divide all
+    freqs by `factor`) and "llama3" (Llama-3.1 frequency-banded
+    scaling: low-frequency bands divided by `factor`, high-frequency
+    bands untouched, smooth ramp between — keys factor,
+    low_freq_factor, high_freq_factor, original_max_position_embeddings).
+    """
     i = jnp.arange(0, head_dim // 2, dtype=jnp.float32)
-    return (theta ** (-2.0 * i / head_dim)).astype(dtype)
+    freqs = theta ** (-2.0 * i / head_dim)
+    if scaling:
+        d = dict(scaling)
+        kind = str(d.get("rope_type", d.get("type", "linear")))
+        factor = float(d.get("factor", 1.0))
+        if kind == "linear":
+            freqs = freqs / factor
+        elif kind == "llama3":
+            low = float(d.get("low_freq_factor", 1.0))
+            high = float(d.get("high_freq_factor", 4.0))
+            orig = float(d.get("original_max_position_embeddings", 8192))
+            wavelen = 2.0 * jnp.pi / freqs
+            # smooth ramp between the high-freq (untouched) and
+            # low-freq (fully scaled) bands, as in Llama 3.1.
+            smooth = (orig / wavelen - low) / (high - low)
+            smooth = jnp.clip(smooth, 0.0, 1.0)
+            scaled = (1 - smooth) * (freqs / factor) + smooth * freqs
+            freqs = jnp.where(wavelen > orig / low, freqs / factor,
+                              jnp.where(wavelen < orig / high, freqs,
+                                        scaled))
+        else:
+            raise ValueError(f"unsupported rope_scaling type '{kind}' "
+                             "(supported: linear, llama3)")
+    return freqs.astype(dtype)
 
 
 def apply_rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0,
-               mode: RopeMode = RopeMode.HALF) -> jax.Array:
+               mode: RopeMode = RopeMode.HALF,
+               freqs: Optional[jax.Array] = None,
+               scaling: Tuple[Tuple[str, float], ...] = ()) -> jax.Array:
     """Rotary position embedding.
 
     x: [..., seq, num_heads, head_dim]; positions: [..., seq] int32.
+    `freqs` overrides the theta-derived table — used for per-layer
+    frequency selection (Gemma3 local/global RoPE bases).
     Unlike the reference's live path (a no-op stub,
     inference_engine.cpp:410-417 — SURVEY.md quirk #2), this is real and
     applied to q and k in the model.
     """
     head_dim = x.shape[-1]
-    freqs = rope_freqs(head_dim, theta)                       # [d/2]
+    if freqs is None:
+        freqs = rope_freqs(head_dim, theta, scaling=scaling)  # [d/2]
     angles = positions.astype(jnp.float32)[..., None] * freqs  # [..., seq, d/2]
     cos = jnp.cos(angles)[..., None, :]                        # [..., seq, 1, d/2]
     sin = jnp.sin(angles)[..., None, :]
@@ -215,7 +276,8 @@ def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
                           *, causal: bool = True,
                           positions: Optional[jax.Array] = None,
                           kv_len: Optional[jax.Array] = None,
-                          window: Optional[int] = None) -> jax.Array:
+                          window: Optional[int] = None,
+                          softcap: Optional[float] = None) -> jax.Array:
     """Full scaled-dot-product attention.
 
     q: [B, S, Hq, D], k/v: [B, Hkv, T, D] (head-major cache layout)
@@ -232,6 +294,7 @@ def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
     qf = q.astype(jnp.float32) * scale
     # [B, Hq, S, T]
     scores = jnp.einsum("bshd,bhtd->bhst", qf, k.astype(jnp.float32))
+    scores = apply_softcap(scores, softcap)
     mask = None
     if causal:
         if positions is None:
@@ -258,7 +321,8 @@ def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                          kv_len: jax.Array,
-                         window: Optional[int] = None) -> jax.Array:
+                         window: Optional[int] = None,
+                         softcap: Optional[float] = None) -> jax.Array:
     """Single-token attention against the KV cache — golden model for the
     Pallas decode kernel (reference counterpart:
     tensor_engine.cpp:1254-1388 attention_fast_incremental).
@@ -273,6 +337,7 @@ def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
     qf = q.astype(jnp.float32) * scale
     scores = jnp.einsum("bhd,bhtd->bht", qf, k.astype(jnp.float32))
+    scores = apply_softcap(scores, softcap)
     valid = jnp.arange(Tmax)[None, None, :] < kv_len[:, None, None]
     if window is not None:
         # Query position is kv_len-1; it sees positions > kv_len-1-window.
@@ -311,18 +376,20 @@ def attention_paged_decode_ref(q: jax.Array, k_pages: jax.Array,
 # ---------------------------------------------------------------------------
 
 def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
-                      q_start=None, window=None):
+                      q_start=None, window=None, softcap=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_prefill(q, k, v, causal=causal,
                                       positions=positions, kv_len=kv_len,
-                                      q_start=q_start, window=window)
+                                      q_start=q_start, window=window,
+                                      softcap=softcap)
 
 
 def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
-                     window=None):
+                     window=None, softcap=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_decode(q, k_cache, v_cache, kv_len,
-                                     layer_index=layer_index, window=window)
+                                     layer_index=layer_index, window=window,
+                                     softcap=softcap)
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,

@@ -102,7 +102,8 @@ def _load_kv(buf_slice, out_dtype):
 
 def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
             kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref,
-            *, hkv: int, tt: int, scale: float, window=None):
+            *, hkv: int, tt: int, scale: float, window=None,
+            softcap=None):
     """One sequence b: stream Hkv * ceil(kv_len/TT) cache chunks through
     NBUF VMEM buffers; trip t covers chunk (t % nchunks) of kv head
     (t // nchunks), folding into that head's online-softmax state.
@@ -174,6 +175,8 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
             q_ref[0, h], _load_kv(kbuf[slot], q_ref.dtype),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * tt
         valid = col < kv_len
         if window is not None:
@@ -201,16 +204,17 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
     jax.lax.fori_loop(0, ntrips, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+@functools.partial(jax.jit, static_argnames=("window", "softcap",
+                                             "interpret"))
 def _decode(q4, k_cache, v_cache, kv_len, layer_idx, *, window=None,
-            interpret: bool = False):
+            softcap=None, interpret: bool = False):
     B, Hkv, Ghp, D = q4.shape
     T = k_cache.shape[3]
     TT = _chunk_rows(T)
     scale = 1.0 / float(D) ** 0.5
 
     kern = functools.partial(_kernel, hkv=Hkv, tt=TT, scale=scale,
-                             window=window)
+                             window=window, softcap=softcap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
@@ -251,7 +255,8 @@ def _decode(q4, k_cache, v_cache, kv_len, layer_idx, *, window=None,
 
 def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                   kv_len: jax.Array, layer_index=None, window=None,
-                  interpret: bool = False) -> Optional[jax.Array]:
+                  softcap=None, interpret: bool = False
+                  ) -> Optional[jax.Array]:
     """q: [B, Hq, D]; k/v_cache: [B, Hkv, T, D] (layer_index=None) or the
     full stacked [L, B, Hkv, T, D] with `layer_index` the traced layer
     id; kv_len: [B] -> [B, Hq, D] or None if not kernel-eligible."""
@@ -280,5 +285,5 @@ def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     if Ghp != Gh:
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, Ghp - Gh), (0, 0)))
     out = _decode(q4, k_cache, v_cache, kv_len, layer_index,
-                  window=window, interpret=interpret)
+                  window=window, softcap=softcap, interpret=interpret)
     return out[:, :, :Gh].reshape(B, Hq, D)

@@ -30,7 +30,7 @@ NEG_INF = -1e30
 
 def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref,
             m_ref, l_ref, acc_ref, *, nt: int, ts: int, tt: int,
-            gh: int, scale: float, causal: bool, window):
+            gh: int, scale: float, causal: bool, window, softcap=None):
     """len_ref: [B] kv lens; start_ref: [B] absolute position of each
     sequence's first query (both scalar-prefetch; query s has position
     start + s). q_ref: [1, 1, TS, D]; k/v_ref: [1, 1, TT, D];
@@ -67,6 +67,8 @@ def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref,
         s = jax.lax.dot_general(                        # [TS, TT]
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_start
         mask = col < kv_len
         if causal:
@@ -96,9 +98,9 @@ def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "gh", "window",
-                                             "interpret"))
+                                             "softcap", "interpret"))
 def _prefill(qh, k_cache, v_cache, kv_len, q_start, *, causal: bool,
-             gh: int, window=None, interpret: bool = False):
+             gh: int, window=None, softcap=None, interpret: bool = False):
     B, Hq, S, D = qh.shape
     T = k_cache.shape[2]
     TS = min(S, 512)
@@ -107,7 +109,8 @@ def _prefill(qh, k_cache, v_cache, kv_len, q_start, *, causal: bool,
     scale = 1.0 / float(D) ** 0.5
 
     kern = functools.partial(_kernel, nt=nt, ts=TS, tt=TT, gh=gh,
-                             scale=scale, causal=causal, window=window)
+                             scale=scale, causal=causal, window=window,
+                             softcap=softcap)
     ts, tt = TS, TT
 
     def kv_map(b, h, s, t, len_r, st_r):
@@ -175,6 +178,7 @@ def prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array, *,
                    kv_len: Optional[jax.Array] = None,
                    q_start: Optional[jax.Array] = None,
                    window: Optional[int] = None,
+                   softcap: Optional[float] = None,
                    interpret: bool = False) -> Optional[jax.Array]:
     """q: [B, S, Hq, D]; k/v: [B, Hkv, T, D] -> [B, S, Hq, D] or None.
 
@@ -200,5 +204,6 @@ def prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array, *,
         return None                     # windowed non-causal: jnp ref
     qh = q.transpose(0, 2, 1, 3)                       # [B, Hq, S, D]
     out = _prefill(qh, k, v, kv_len, q_start, causal=causal,
-                   gh=Hq // Hkv, window=window, interpret=interpret)
+                   gh=Hq // Hkv, window=window, softcap=softcap,
+                   interpret=interpret)
     return out.transpose(0, 2, 1, 3)

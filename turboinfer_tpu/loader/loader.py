@@ -106,13 +106,22 @@ def load_gguf(path: str, dtype=None) -> ModelData:
 
 def load_safetensors(path: str, dtype=None,
                      config: Optional[ModelConfig] = None) -> ModelData:
-    """SafeTensors → ModelData. Architecture params are inferred from
-    tensor shapes when no config is given (HF sidecar configs are JSON;
-    pass a ModelConfig built from one for exact values)."""
+    """SafeTensors → ModelData. Config priority: explicit `config` arg >
+    HF config.json sidecar in the same directory > shape inference."""
     with st_mod.read_safetensors(path) as sf:
         names = list(sf.keys())
         if config is None:
-            config = _infer_config_from_shapes(sf, names, dtype)
+            sidecar = os.path.join(os.path.dirname(path) or ".",
+                                   "config.json")
+            if os.path.exists(sidecar):
+                import json
+                with open(sidecar) as f:
+                    config = mapping.config_from_hf_dict(json.load(f),
+                                                         dtype=dtype)
+                tlog.log_info("using HF config.json sidecar (%s)",
+                              config.architecture)
+            else:
+                config = _infer_config_from_shapes(sf, names, dtype)
         params = mapping.assemble_params(
             lambda name: np.asarray(sf.tensor(name)), names, config,
             dtype=dtype or config.dtype)

@@ -68,10 +68,49 @@ SLOT_TEMPLATES: Dict[str, List[str]] = {
     ],
     "ffn_norm": [
         "blk.{i}.ffn_norm.weight",
+        # Gemma2/3 sandwich-norm checkpoints: ffn_norm is the PRE-ffn
+        # norm; post_attention_layernorm binds to post_attn_norm there.
+        "model.layers.{i}.pre_feedforward_layernorm.weight",
         "model.layers.{i}.post_attention_layernorm.weight",
         "layers.{i}.post_attention_layernorm.weight",
         "layers.{i}.ffn_norm.weight",
         "transformer.h.{i}.ln_2.weight",
+    ],
+    # Optional per-layer slots, fetched only when the config asks:
+    "b_q": [
+        "blk.{i}.attn_q.bias",
+        "model.layers.{i}.self_attn.q_proj.bias",
+        "layers.{i}.self_attn.q_proj.bias",
+    ],
+    "b_k": [
+        "blk.{i}.attn_k.bias",
+        "model.layers.{i}.self_attn.k_proj.bias",
+        "layers.{i}.self_attn.k_proj.bias",
+    ],
+    "b_v": [
+        "blk.{i}.attn_v.bias",
+        "model.layers.{i}.self_attn.v_proj.bias",
+        "layers.{i}.self_attn.v_proj.bias",
+    ],
+    "q_norm": [
+        "blk.{i}.attn_q_norm.weight",
+        "model.layers.{i}.self_attn.q_norm.weight",
+        "layers.{i}.self_attn.q_norm.weight",
+    ],
+    "k_norm": [
+        "blk.{i}.attn_k_norm.weight",
+        "model.layers.{i}.self_attn.k_norm.weight",
+        "layers.{i}.self_attn.k_norm.weight",
+    ],
+    "post_attn_norm": [
+        "blk.{i}.post_attention_norm.weight",
+        "model.layers.{i}.post_attention_layernorm.weight",
+        "layers.{i}.post_attention_layernorm.weight",
+    ],
+    "post_ffn_norm": [
+        "blk.{i}.post_ffw_norm.weight",
+        "model.layers.{i}.post_feedforward_layernorm.weight",
+        "layers.{i}.post_feedforward_layernorm.weight",
     ],
     "w_gate": [
         "blk.{i}.ffn_gate.weight",
@@ -131,10 +170,36 @@ def assemble_params(get: Callable[[str], np.ndarray], names: Sequence[str],
     dtype = dtype or config.dtype
     L = config.num_layers
 
+    nameset = set(names)
+
+    def fetch_fused(slot: str, layer: int) -> Optional[np.ndarray]:
+        """Phi-3-style checkpoints store qkv_proj / gate_up_proj fused
+        along the output axis; split the file-layout [out, in] rows."""
+        if slot in ("wq", "wk", "wv"):
+            cand = f"model.layers.{layer}.self_attn.qkv_proj.weight"
+            if cand not in nameset:
+                return None
+            arr = get(cand)
+            qd, kvd = config.q_dim, config.kv_dim
+            return {"wq": arr[:qd], "wk": arr[qd:qd + kvd],
+                    "wv": arr[qd + kvd:qd + 2 * kvd]}[slot]
+        if slot in ("w_gate", "w_up"):
+            cand = f"model.layers.{layer}.mlp.gate_up_proj.weight"
+            if cand not in nameset:
+                return None
+            arr = get(cand)
+            f = arr.shape[0] // 2
+            return arr[:f] if slot == "w_gate" else arr[f:]
+        return None
+
     def fetch(slot: str, layer: Optional[int] = None,
               required: bool = True) -> Optional[np.ndarray]:
         name = resolve_name(names, slot, layer)
         if name is None:
+            if layer is not None:
+                arr = fetch_fused(slot, layer)
+                if arr is not None:
+                    return arr.T if slot in _TRANSPOSED else arr
             if required:
                 where = f" (layer {layer})" if layer is not None else ""
                 raise KeyError(
@@ -150,10 +215,18 @@ def assemble_params(get: Callable[[str], np.ndarray], names: Sequence[str],
         rows = [fetch(slot, i) for i in range(L)]
         return jnp.asarray(np.stack(rows), dtype=dtype)
 
+    per_layer = set(_PER_LAYER)
+    if config.attn_bias:
+        per_layer |= {"b_q", "b_k", "b_v"}
+    if config.qk_norm:
+        per_layer |= {"q_norm", "k_norm"}
+    if config.post_norms:
+        per_layer |= {"post_attn_norm", "post_ffn_norm"}
+
     embed = jnp.asarray(fetch("embed"), dtype=dtype)
     params: Dict[str, Any] = {
         "embed": embed,
-        "layers": {slot: stack(slot) for slot in sorted(_PER_LAYER)},
+        "layers": {slot: stack(slot) for slot in sorted(per_layer)},
         "final_norm": jnp.asarray(fetch("final_norm"), dtype=dtype),
     }
     head = fetch("lm_head", required=False)
@@ -286,6 +359,24 @@ def config_from_gguf_metadata(md: Dict[str, Any],
         (k, str(v)) for k, v in md.items()
         if isinstance(v, (str, int, float, bool)) and not k.startswith("tokenizer.")))
 
+    is_gemma = arch.startswith("gemma")
+    # RoPE pairing: llama.cpp permutes q/k at conversion for llama-family
+    # ("NORM" rope = interleaved pairs); qwen/gemma/phi3 use "NEOX" rope
+    # (half-split pairs, no permutation).
+    interleaved = arch in ("llama", "mistral", "mixtral", "moe")
+    pattern = None
+    if arch == "gemma2":
+        pattern = 2
+    elif arch == "gemma3":
+        pattern = 6
+    attn_scale = None
+    if arch == "gemma2":
+        attn_scale = float(heads / hidden) ** 0.5   # (hidden/heads)**-0.5
+    elif arch == "gemma3":
+        attn_scale = 256.0 ** -0.5
+    softcap_a = float(md.get(f"{p}.attn_logit_softcapping", 0.0)) or None
+    softcap_f = float(md.get(f"{p}.final_logit_softcapping", 0.0)) or None
+
     return ModelConfig(
         vocab_size=int(vocab),
         hidden_size=hidden,
@@ -293,14 +384,26 @@ def config_from_gguf_metadata(md: Dict[str, Any],
         num_heads=heads,
         num_kv_heads=kv_heads,
         intermediate_size=geti("feed_forward_length", 0) or None,
+        head_dim=geti("attention.key_length", 0) or None,
         rope_theta=getf("rope.freq_base", 10000.0),
-        # GGUF/llama.cpp store q/k permuted for the interleaved convention.
-        rope_mode=RopeMode.INTERLEAVED,
+        rope_mode=(RopeMode.INTERLEAVED if interleaved else RopeMode.HALF),
+        rope_local_theta=(getf("rope.local_freq_base", 10000.0)
+                          if arch == "gemma3" else None),
         rms_norm_eps=getf("attention.layer_norm_rms_epsilon", 1e-5),
         max_seq_len=geti("context_length", 2048),
         # Mistral/Mixtral GGUFs carry e.g. llama.attention.sliding_window
         # (llama.cpp convention); 0/absent = full causal attention.
         sliding_window=geti("attention.sliding_window", 0) or None,
+        sliding_window_pattern=pattern,
+        attn_bias=(arch == "qwen2"),
+        qk_norm=arch in ("qwen3", "gemma3"),
+        scale_embeddings=is_gemma,
+        norm_offset=is_gemma,
+        hidden_act="gelu" if is_gemma else "silu",
+        post_norms=arch in ("gemma2", "gemma3"),
+        attn_scale=attn_scale,
+        attn_logit_softcap=softcap_a,
+        final_logit_softcap=softcap_f,
         name=str(md.get("general.name", arch)),
         architecture=arch,
         dtype=dtype,
@@ -323,7 +426,19 @@ def config_to_dict(config: ModelConfig) -> Dict[str, Any]:
         "rms_norm_eps": config.rms_norm_eps,
         "max_seq_len": config.max_seq_len,
         "sliding_window": config.sliding_window,
+        "sliding_window_pattern": config.sliding_window_pattern,
         "tie_embeddings": config.tie_embeddings,
+        "attn_bias": config.attn_bias,
+        "qk_norm": config.qk_norm,
+        "scale_embeddings": config.scale_embeddings,
+        "norm_offset": config.norm_offset,
+        "hidden_act": config.hidden_act,
+        "post_norms": config.post_norms,
+        "attn_scale": config.attn_scale,
+        "attn_logit_softcap": config.attn_logit_softcap,
+        "final_logit_softcap": config.final_logit_softcap,
+        "rope_local_theta": config.rope_local_theta,
+        "rope_scaling": list(list(kv) for kv in config.rope_scaling),
         "name": config.name,
         "architecture": config.architecture,
         "dtype": jnp.dtype(config.dtype).name,
@@ -337,4 +452,83 @@ def config_from_dict(d: Dict[str, Any]) -> ModelConfig:
     d["rope_mode"] = RopeMode(d.get("rope_mode", "half"))
     d["dtype"] = jnp.dtype(d.get("dtype", "bfloat16"))
     d["extra"] = tuple((k, v) for k, v in d.get("extra", []))
+    d["rope_scaling"] = tuple(
+        (k, v) for k, v in d.get("rope_scaling", []))
     return ModelConfig(**d)
+
+
+# ---------------------------------------------------------------------------
+# HF config.json -> ModelConfig (sidecar of safetensors checkpoints)
+# ---------------------------------------------------------------------------
+
+def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
+    """Build a ModelConfig from a HuggingFace config.json dict.
+
+    Covers the LLaMA-family architectures this framework runs natively:
+    llama/mistral/mixtral/qwen2/qwen3/gemma/gemma2/gemma3/phi3 (plus
+    gpt2). Unknown model_types fall back to llama-shaped defaults.
+    """
+    mt = str(hf.get("model_type", "llama")).lower()
+    if mt == "gemma3" and "text_config" in hf:      # multimodal wrapper
+        hf = {**hf["text_config"], "model_type": "gemma3"}
+    arch = {"gemma3_text": "gemma3", "qwen2_moe": "qwen2"}.get(mt, mt)
+
+    hidden = int(hf.get("hidden_size", 4096))
+    heads = int(hf.get("num_attention_heads", max(hidden // 128, 1)))
+    is_gemma = arch.startswith("gemma")
+    rope_scaling: Tuple[Tuple[str, Any], ...] = ()
+    rs = hf.get("rope_scaling")
+    if isinstance(rs, dict):
+        rope_scaling = tuple(sorted(
+            (str(k), v) for k, v in rs.items()
+            if isinstance(v, (str, int, float))))
+
+    # Gemma2: every ODD layer (1-indexed even) is global -> pattern 2.
+    # Gemma3: layer_types has a global every 6th layer -> pattern 6
+    # (sliding_window_pattern key on older configs).
+    pattern = None
+    if arch == "gemma2":
+        pattern = 2
+    elif arch == "gemma3":
+        pattern = int(hf.get("sliding_window_pattern", 6))
+    lt = hf.get("layer_types")
+    if isinstance(lt, list) and "full_attention" in lt:
+        pattern = lt.index("full_attention") + 1
+    sliding = hf.get("sliding_window")
+    if not hf.get("use_sliding_window", True):
+        sliding = None           # Qwen2 ships the key but disables it
+    if pattern == 1:
+        sliding, pattern = None, None    # every layer full attention
+
+    qpas = hf.get("query_pre_attn_scalar")
+    return ModelConfig(
+        vocab_size=int(hf.get("vocab_size", 32000)),
+        hidden_size=hidden,
+        num_layers=int(hf.get("num_hidden_layers", 32)),
+        num_heads=heads,
+        num_kv_heads=int(hf.get("num_key_value_heads", heads)),
+        intermediate_size=hf.get("intermediate_size"),
+        head_dim=hf.get("head_dim"),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rope_mode=RopeMode.HALF,
+        rope_scaling=rope_scaling,
+        rope_local_theta=(float(hf["rope_local_base_freq"])
+                          if "rope_local_base_freq" in hf else None),
+        rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        max_seq_len=int(hf.get("max_position_embeddings", 2048)),
+        sliding_window=sliding,
+        sliding_window_pattern=pattern,
+        tie_embeddings=bool(hf.get("tie_word_embeddings", is_gemma)),
+        attn_bias=bool(hf.get("attention_bias", arch == "qwen2")),
+        qk_norm=arch in ("qwen3", "gemma3"),
+        scale_embeddings=is_gemma,
+        norm_offset=is_gemma,
+        hidden_act="gelu" if is_gemma else "silu",
+        post_norms=arch in ("gemma2", "gemma3"),
+        attn_scale=(float(qpas) ** -0.5 if qpas else None),
+        attn_logit_softcap=hf.get("attn_logit_softcapping"),
+        final_logit_softcap=hf.get("final_logit_softcapping"),
+        name=str(hf.get("_name_or_path", arch)) or arch,
+        architecture=arch,
+        dtype=dtype or jnp.bfloat16,
+    )

@@ -118,6 +118,11 @@ def fuse_projections(params: Any) -> Any:
         layers[out] = fused
 
     fuse(("wq", "wk", "wv"), "wqkv")
+    if "wqkv" in layers and "b_q" in layers:
+        # Qwen2-style projection biases fuse iff their weights did.
+        layers["b_qkv"] = jnp.concatenate(
+            [layers.pop("b_q"), layers.pop("b_k"), layers.pop("b_v")],
+            axis=-1)
     fuse(("w_gate", "w_up"), "w_gateup")
     return {**params, "layers": layers}
 

@@ -57,11 +57,24 @@ from turboinfer_tpu.models.common import (KVCache, cache_bits_view,  # noqa: F40
                                           param_count, reset_cache)
 
 
-def qkv_proj(h, lw, li, B, S, Hq, Hkv, D):
+def _slot_w(lw, name, li, stacked_ndim=2):
+    """Per-layer small weight (norm/bias): slice layer li from the
+    stacked array when the full stack is passed with a traced index."""
+    w = lw[name]
+    if li is not None and w.ndim == stacked_ndim:
+        return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+    return w
+
+
+def qkv_proj(h, lw, li, B, S, Hq, Hkv, D, config=None):
     """q/k/v projections — one fused qmm when the params carry the
-    "wqkv" slot (see common.fuse_projections), else three."""
+    "wqkv" slot (see common.fuse_projections), else three. Adds the
+    q/k/v biases (Qwen2, config.attn_bias) and per-head q/k RMSNorm
+    (Qwen3/Gemma3, config.qk_norm) when those slots are present."""
     if "wqkv" in lw:
         qkv = ops.qmatmul(h, lw["wqkv"], layer_index=li)
+        if "b_qkv" in lw:
+            qkv = qkv + _slot_w(lw, "b_qkv", li).astype(qkv.dtype)
         q = qkv[..., : Hq * D]
         k = qkv[..., Hq * D: (Hq + Hkv) * D]
         v = qkv[..., (Hq + Hkv) * D:]
@@ -69,8 +82,20 @@ def qkv_proj(h, lw, li, B, S, Hq, Hkv, D):
         q = ops.qmatmul(h, lw["wq"], layer_index=li)
         k = ops.qmatmul(h, lw["wk"], layer_index=li)
         v = ops.qmatmul(h, lw["wv"], layer_index=li)
-    return (q.reshape(B, S, Hq, D), k.reshape(B, S, Hkv, D),
-            v.reshape(B, S, Hkv, D))
+        if "b_q" in lw:
+            q = q + _slot_w(lw, "b_q", li).astype(q.dtype)
+            k = k + _slot_w(lw, "b_k", li).astype(k.dtype)
+            v = v + _slot_w(lw, "b_v", li).astype(v.dtype)
+    q = q.reshape(B, S, Hq, D)
+    k = k.reshape(B, S, Hkv, D)
+    v = v.reshape(B, S, Hkv, D)
+    if "q_norm" in lw and config is not None and config.qk_norm:
+        off = 1.0 if config.norm_offset else 0.0
+        q = ops.rms_norm(q, _slot_w(lw, "q_norm", li),
+                         config.rms_norm_eps, off)
+        k = ops.rms_norm(k, _slot_w(lw, "k_norm", li),
+                         config.rms_norm_eps, off)
+    return q, k, v
 
 
 def gate_up_proj(h, lw, li):
@@ -115,6 +140,29 @@ def init_params(rng: jax.Array, config: ModelConfig,
         "final_norm": jnp.ones((H,), dtype),
         "lm_head": w(keys[8], (H, V), H),
     }
+    layers = params["layers"]
+    if config.attn_bias:
+        bk = jax.random.split(keys[1], 3)
+        layers["b_q"] = (0.02 * jax.random.normal(bk[0], (L, QD))
+                         ).astype(dtype)
+        layers["b_k"] = (0.02 * jax.random.normal(bk[1], (L, KVD))
+                         ).astype(dtype)
+        layers["b_v"] = (0.02 * jax.random.normal(bk[2], (L, KVD))
+                         ).astype(dtype)
+    if config.qk_norm:
+        D = config.head_dim_
+        layers["q_norm"] = jnp.ones((L, D), dtype)
+        layers["k_norm"] = jnp.ones((L, D), dtype)
+    if config.post_norms:
+        layers["post_attn_norm"] = jnp.ones((L, H), dtype)
+        layers["post_ffn_norm"] = jnp.ones((L, H), dtype)
+    if config.norm_offset:
+        # Gemma stores norm weights as (w - 1): ones -> zeros.
+        for n in ("attn_norm", "ffn_norm", "q_norm", "k_norm",
+                  "post_attn_norm", "post_ffn_norm"):
+            if n in layers:
+                layers[n] = jnp.zeros_like(layers[n])
+        params["final_norm"] = jnp.zeros_like(params["final_norm"])
     if config.tie_embeddings:
         params["lm_head"] = params["embed"].T
     return params
@@ -145,18 +193,48 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
     B, S, H = x.shape
     Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
     li = layer_index
+    off = 1.0 if config.norm_offset else 0.0
+    cap = config.attn_logit_softcap
 
     def norm_w(name):
-        w = lw[name]
-        if li is not None and w.ndim == 2:
-            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
-        return w
+        return _slot_w(lw, name, li)
 
-    h = ops.rms_norm(x, norm_w("attn_norm"), config.rms_norm_eps)
-    q, k, v = qkv_proj(h, lw, li, B, S, Hq, Hkv, D)
+    def norm(x, name):
+        return ops.rms_norm(x, norm_w(name), config.rms_norm_eps, off)
 
-    q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode)
-    k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
+    # Per-layer local/global pattern (Gemma2/3): layer i is global iff
+    # (i + 1) % pattern == 0. With a traced layer id inside the layer
+    # scan, the window/RoPE choice runs as a lax.cond over two
+    # statically-shaped branches (each attention kernel keeps its
+    # static window — only one branch executes per layer).
+    pattern = config.sliding_window_pattern
+    alternating = bool(pattern and pattern > 1 and config.sliding_window)
+    if alternating and li is None:
+        raise ValueError("sliding_window_pattern needs stacked weights "
+                         "with a layer_index")
+    is_global = ((li + 1) % pattern == 0) if alternating else None
+
+    h = norm(x, "attn_norm")
+    q, k, v = qkv_proj(h, lw, li, B, S, Hq, Hkv, D, config)
+
+    if alternating and config.rope_local_theta is not None:
+        # Gemma3: local layers use a different RoPE base (and no
+        # rope_scaling — scaling applies to the global layers only).
+        fg = ops.rope_freqs(D, config.rope_theta,
+                            scaling=config.rope_scaling)
+        fl = ops.rope_freqs(D, config.rope_local_theta)
+        freqs = jnp.where(is_global, fg, fl)
+        q = ops.apply_rope(q, positions, mode=config.rope_mode, freqs=freqs)
+        k = ops.apply_rope(k, positions, mode=config.rope_mode, freqs=freqs)
+    else:
+        q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode,
+                           scaling=config.rope_scaling)
+        k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode,
+                           scaling=config.rope_scaling)
+    if config.attn_scale is not None:
+        # Kernels scale scores by D**-0.5; fold the override into q.
+        q = (q.astype(jnp.float32)
+             * (config.attn_scale * float(D) ** 0.5)).astype(q.dtype)
 
     # In-place HBM cache write at per-sequence offsets. All sequences in a
     # prefill share S new slots written at `start` (right-padded batches:
@@ -175,43 +253,65 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
                 k_cache, newk[b][None, None], idx)
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, newv[b][None, None], idx)
-        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
-                                    layer_index=li,
-                                    window=config.sliding_window)
-        attn = attn[:, None]                                     # [B,1,Hq,D]
-        attn = attn.reshape(B, S, Hq * D)
-        x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
-        h = ops.rms_norm(x, norm_w("ffn_norm"), config.rms_norm_eps)
-        gate, up = gate_up_proj(h, lw, li)
-        x = x + ops.qmatmul(ops.swiglu(gate, up).astype(x.dtype),
-                            lw["w_down"], layer_index=li)
-        return x, k_cache, v_cache
 
-    def write_one(cache_b, new_b, start_b):
-        # cache_b: [Hkv, T, D]; new_b: [S, Hkv, D] -> [Hkv, S, D]
-        return jax.lax.dynamic_update_slice(
-            cache_b, encode_kv(new_b.transpose(1, 0, 2), cache_b.dtype),
-            (0, start_b, 0))
-    k_cache = jax.vmap(write_one)(k_cache, k, start)
-    v_cache = jax.vmap(write_one)(v_cache, v, start)
-
-    if S == 1:
-        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
-                                    window=config.sliding_window)
+        def dec(window):
+            return lambda: ops.attention_decode(
+                q[:, 0], k_cache, v_cache, kv_len, layer_index=li,
+                window=window, softcap=cap)
+        if alternating:
+            attn = jax.lax.cond(is_global, dec(None),
+                                dec(config.sliding_window))
+        else:
+            attn = dec(config.sliding_window)()
         attn = attn[:, None]                                     # [B,1,Hq,D]
     else:
-        attn = ops.attention_prefill(
-            q, decode_kv(k_cache, q.dtype), decode_kv(v_cache, q.dtype),
-            causal=True, positions=positions, kv_len=kv_len,
-            q_start=start if contiguous else None,
-            window=config.sliding_window)
-    attn = attn.reshape(B, S, Hq * D)
-    x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
+        def write_one(cache_b, new_b, start_b):
+            # cache_b: [Hkv, T, D]; new_b: [S, Hkv, D] -> [Hkv, S, D]
+            return jax.lax.dynamic_update_slice(
+                cache_b, encode_kv(new_b.transpose(1, 0, 2), cache_b.dtype),
+                (0, start_b, 0))
+        k_cache = jax.vmap(write_one)(k_cache, k, start)
+        v_cache = jax.vmap(write_one)(v_cache, v, start)
 
-    h = ops.rms_norm(x, norm_w("ffn_norm"), config.rms_norm_eps)
+        if S == 1:
+            def dec(window):
+                return lambda: ops.attention_decode(
+                    q[:, 0], k_cache, v_cache, kv_len, window=window,
+                    softcap=cap)
+            if alternating:
+                attn = jax.lax.cond(is_global, dec(None),
+                                    dec(config.sliding_window))
+            else:
+                attn = dec(config.sliding_window)()
+            attn = attn[:, None]                                 # [B,1,Hq,D]
+        else:
+            kf = decode_kv(k_cache, q.dtype)
+            vf = decode_kv(v_cache, q.dtype)
+
+            def pre(window):
+                return lambda: ops.attention_prefill(
+                    q, kf, vf, causal=True, positions=positions,
+                    kv_len=kv_len, q_start=start if contiguous else None,
+                    window=window, softcap=cap)
+            if alternating:
+                attn = jax.lax.cond(is_global, pre(None),
+                                    pre(config.sliding_window))
+            else:
+                attn = pre(config.sliding_window)()
+
+    attn = attn.reshape(B, S, Hq * D)
+    attn_out = ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
+    if config.post_norms:
+        attn_out = norm(attn_out, "post_attn_norm")
+    x = x + attn_out
+
+    h = norm(x, "ffn_norm")
     gate, up = gate_up_proj(h, lw, li)
-    x = x + ops.qmatmul(ops.swiglu(gate, up).astype(x.dtype), lw["w_down"],
-                        layer_index=li)
+    ffn_out = ops.qmatmul(ops.glu(gate, up, config.hidden_act)
+                          .astype(x.dtype), lw["w_down"], layer_index=li)
+    if config.post_norms:
+        ffn_out = norm(ffn_out, "post_ffn_norm")
+    x = x + ffn_out
     return x, k_cache, v_cache
 
 
@@ -239,6 +339,10 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     kv_len = start + seq_lens                                    # [B]
 
     x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    if config.scale_embeddings:
+        # Gemma multiplies embeddings by sqrt(H) ROUNDED to the model
+        # dtype (HF casts the normalizer to the activation dtype).
+        x = x * jnp.asarray(config.hidden_size ** 0.5, config.dtype)
 
     # Cache rides the scan CARRY and is updated in place at layer i via
     # dynamic_update_index. Passing it through scan xs/ys instead makes
@@ -283,9 +387,11 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
         jnp.arange(config.num_layers, dtype=jnp.int32))
     k_new, v_new = cache_from_bits(k_new, v_new, was_fp8)
 
-    x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps,
+                     1.0 if config.norm_offset else 0.0)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
-    logits = logits.astype(jnp.float32)
+    logits = ops.apply_softcap(logits.astype(jnp.float32),
+                               config.final_logit_softcap)
     return logits, KVCache(k=k_new, v=v_new, length=kv_len)
 
 
@@ -311,6 +417,10 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
         raise NotImplementedError(
             "sliding_window is not supported on the paged-cache decode "
             "path; use the contiguous cache")
+    if config.attn_logit_softcap is not None:
+        raise NotImplementedError(
+            "attn_logit_softcap is not supported on the paged-cache "
+            "decode path; use the contiguous cache")
     Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
     page = k_pages.shape[3]
     P = k_pages.shape[1]
@@ -323,6 +433,9 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
 
     x = jnp.take(params["embed"], tokens[:, None],
                  axis=0).astype(config.dtype)                   # [B, 1, H]
+    if config.scale_embeddings:
+        x = x * jnp.asarray(config.hidden_size ** 0.5, config.dtype)
+    off = 1.0 if config.norm_offset else 0.0
     layers = params["layers"]
     was_fp8 = k_pages.dtype == jnp.float8_e4m3fn
     if was_fp8:                       # uint8 bit view through the scan
@@ -337,10 +450,15 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
         x, kp_full, vp_full = carry
 
         h = ops.rms_norm(x, norm_w(layers["attn_norm"], i),
-                         config.rms_norm_eps)
-        q, k, v = qkv_proj(h, layers, i, B, 1, Hq, Hkv, D)
-        q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode)
-        k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
+                         config.rms_norm_eps, off)
+        q, k, v = qkv_proj(h, layers, i, B, 1, Hq, Hkv, D, config)
+        q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode,
+                           scaling=config.rope_scaling)
+        k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode,
+                           scaling=config.rope_scaling)
+        if config.attn_scale is not None:
+            q = (q.astype(jnp.float32)
+                 * (config.attn_scale * float(D) ** 0.5)).astype(q.dtype)
 
         # Write the new token's k/v into each slot's current page with
         # per-slot dynamic_update_slice directly into the STACKED pool
@@ -362,14 +480,25 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
                                           block_table, kv_len,
                                           layer_index=i)
         attn = attn.reshape(B, 1, Hq * D)
-        x = x + ops.qmatmul(attn.astype(x.dtype), layers["wo"],
-                            layer_index=i)
+        attn_out = ops.qmatmul(attn.astype(x.dtype), layers["wo"],
+                               layer_index=i)
+        if config.post_norms:
+            attn_out = ops.rms_norm(attn_out,
+                                    norm_w(layers["post_attn_norm"], i),
+                                    config.rms_norm_eps, off)
+        x = x + attn_out
 
         h = ops.rms_norm(x, norm_w(layers["ffn_norm"], i),
-                         config.rms_norm_eps)
+                         config.rms_norm_eps, off)
         gate, up = gate_up_proj(h, layers, i)
-        x = x + ops.qmatmul(ops.swiglu(gate, up).astype(x.dtype),
-                            layers["w_down"], layer_index=i)
+        ffn_out = ops.qmatmul(
+            ops.glu(gate, up, config.hidden_act).astype(x.dtype),
+            layers["w_down"], layer_index=i)
+        if config.post_norms:
+            ffn_out = ops.rms_norm(ffn_out,
+                                   norm_w(layers["post_ffn_norm"], i),
+                                   config.rms_norm_eps, off)
+        x = x + ffn_out
 
         return (x, kp_full, vp_full), None
 
@@ -378,9 +507,12 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
         jnp.arange(config.num_layers, dtype=jnp.int32))
     k_new, v_new = cache_from_bits(k_new, v_new, was_fp8)
 
-    x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps,
+                     1.0 if config.norm_offset else 0.0)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
-    return logits[:, 0].astype(jnp.float32), k_new, v_new
+    logits = ops.apply_softcap(logits.astype(jnp.float32),
+                               config.final_logit_softcap)
+    return logits[:, 0], k_new, v_new
 
 
 def forward_no_cache(params: Dict[str, Any], config: ModelConfig,

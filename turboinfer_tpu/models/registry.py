@@ -19,7 +19,12 @@ from turboinfer_tpu.utils.errors import ConfigError
 _REGISTRY = {
     "llama": llama,
     "mistral": llama,      # same block structure (GQA handled by config)
-    "qwen2": llama,
+    "qwen2": llama,        # + q/k/v biases (config.attn_bias)
+    "qwen3": llama,        # + per-head q/k RMSNorm (config.qk_norm)
+    "phi3": llama,         # llama block with fused qkv/gate_up weights
+    "gemma": llama,        # + embed scale, (1+w) norms, GeGLU
+    "gemma2": llama,       # + sandwich norms, softcaps, alternating window
+    "gemma3": llama,       # + qk-norm, local/global RoPE bases
     "gpt2": gpt2,
     "mixtral": moe,
     "moe": moe,
