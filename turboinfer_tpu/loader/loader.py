@@ -125,8 +125,17 @@ def load_safetensors(path: str, dtype=None,
         params = mapping.assemble_params(
             lambda name: np.asarray(sf.tensor(name)), names, config,
             dtype=dtype or config.dtype)
+        tokenizer = None
+        try:
+            from turboinfer_tpu.tokenizer import hf as hf_tok
+            tokenizer = hf_tok.from_hf_dir(os.path.dirname(path) or ".")
+            if tokenizer is not None:
+                tlog.log_info("loaded tokenizer.json sidecar (%s, vocab %d)",
+                              tokenizer.kind, tokenizer.vocab_size)
+        except Exception as e:               # corrupt/unsupported sidecar
+            tlog.log_warning("tokenizer.json sidecar ignored: %s", e)
         tlog.log_info("loaded SafeTensors %s: %d tensors", path, len(names))
-        return ModelData(params=params, config=config,
+        return ModelData(params=params, config=config, tokenizer=tokenizer,
                          source_format="safetensors")
 
 
