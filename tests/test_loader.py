@@ -305,10 +305,18 @@ def test_gguf_end_to_end(tmp_path, tiny_params, tiny_cfg, convention):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_pytorch_honest_error(tmp_path):
+def test_pytorch_corrupt_file_raises(tmp_path):
     path = str(tmp_path / "model.pt")
     with open(path, "wb") as f:
         f.write(b"PK\x03\x04" + b"\x00" * 100)
+    with pytest.raises(ValueError, match="cannot read"):
+        loader.load_model_data(path)
+
+
+def test_onnx_honest_error(tmp_path):
+    path = str(tmp_path / "model.onnx")
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 16)
     with pytest.raises(ValueError, match="not supported"):
         loader.load_model_data(path)
 
@@ -400,3 +408,154 @@ def test_synthetic_quantized_model():
     eng = ti.InferenceEngine(data.params, cfg)
     res = eng.generate([1, 5, 9], 6, temperature=0.0)
     assert len(res.tokens) == 9
+
+
+# ---------------------------------------------------------------------------
+# Sharded safetensors, checkpoint directories, real PyTorch loads
+# ---------------------------------------------------------------------------
+
+def _hf_named_tensors(tiny_params, tiny_cfg):
+    """tiny_params → HF-named fp32 tensor dict (file layout [out, in])."""
+    p, layers = tiny_params, tiny_params["layers"]
+    t = {"model.embed_tokens.weight": np.asarray(p["embed"], np.float32),
+         "model.norm.weight": np.asarray(p["final_norm"], np.float32),
+         "lm_head.weight": np.asarray(p["lm_head"], np.float32).T}
+    fmt = dict(attn_norm="model.layers.{i}.input_layernorm.weight",
+               ffn_norm="model.layers.{i}.post_attention_layernorm.weight",
+               wq="model.layers.{i}.self_attn.q_proj.weight",
+               wk="model.layers.{i}.self_attn.k_proj.weight",
+               wv="model.layers.{i}.self_attn.v_proj.weight",
+               wo="model.layers.{i}.self_attn.o_proj.weight",
+               w_gate="model.layers.{i}.mlp.gate_proj.weight",
+               w_up="model.layers.{i}.mlp.up_proj.weight",
+               w_down="model.layers.{i}.mlp.down_proj.weight")
+    for i in range(tiny_cfg.num_layers):
+        for slot, tmpl in fmt.items():
+            arr = np.asarray(layers[slot][i], np.float32)
+            if slot not in ("attn_norm", "ffn_norm"):
+                arr = arr.T
+            t[tmpl.format(i=i)] = arr
+    return t
+
+
+def _hf_config_dict(tiny_cfg):
+    return {"model_type": "llama", "vocab_size": tiny_cfg.vocab_size,
+            "hidden_size": tiny_cfg.hidden_size,
+            "num_hidden_layers": tiny_cfg.num_layers,
+            "num_attention_heads": tiny_cfg.num_heads,
+            "num_key_value_heads": tiny_cfg.kv_heads,
+            "intermediate_size": tiny_cfg.ffn_dim,
+            "rope_theta": tiny_cfg.rope_theta,
+            "rms_norm_eps": tiny_cfg.rms_norm_eps,
+            "max_position_embeddings": tiny_cfg.max_seq_len}
+
+
+def _assert_logits_match(data, tiny_params, tiny_cfg):
+    tokens = jnp.asarray([[1, 5, 42, 7]], jnp.int32)
+    want = llama.forward_no_cache(tiny_params, tiny_cfg, tokens)
+    got = llama.forward_no_cache(data.params, data.config.replace(
+        dtype=jnp.float32, rope_mode=tiny_cfg.rope_mode), tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_safetensors_end_to_end(tmp_path, tiny_params, tiny_cfg):
+    import json
+    t = _hf_named_tensors(tiny_params, tiny_cfg)
+    names = sorted(t)
+    half = len(names) // 2
+    shards = {"model-00001-of-00002.safetensors": names[:half],
+              "model-00002-of-00002.safetensors": names[half:]}
+    weight_map = {}
+    for fname, keys in shards.items():
+        safetensors.write_safetensors(str(tmp_path / fname),
+                                      {k: t[k] for k in keys})
+        weight_map.update({k: fname for k in keys})
+    with open(tmp_path / "model.safetensors.index.json", "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(_hf_config_dict(tiny_cfg), f)
+
+    # via the index file AND via the directory entry point
+    for target in [str(tmp_path / "model.safetensors.index.json"),
+                   str(tmp_path)]:
+        data = loader.load_model_data(target, dtype=jnp.float32)
+        assert data.source_format == "safetensors"
+        assert data.config.num_layers == tiny_cfg.num_layers
+        _assert_logits_match(data, tiny_params, tiny_cfg)
+
+
+def test_checkpoint_dir_single_safetensors(tmp_path, tiny_params, tiny_cfg):
+    import json
+    safetensors.write_safetensors(str(tmp_path / "model.safetensors"),
+                                  _hf_named_tensors(tiny_params, tiny_cfg))
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(_hf_config_dict(tiny_cfg), f)
+    data = loader.load_model_data(str(tmp_path), dtype=jnp.float32)
+    _assert_logits_match(data, tiny_params, tiny_cfg)
+
+
+def test_pytorch_real_load(tmp_path, tiny_params, tiny_cfg):
+    """PyTorch .bin loads REAL weights (reference fabricates random
+    ones — model_loader.cpp:1160-1568, quirk #10)."""
+    import json
+    torch = pytest.importorskip("torch")
+    sd = {k: torch.from_numpy(v)
+          for k, v in _hf_named_tensors(tiny_params, tiny_cfg).items()}
+    torch.save(sd, str(tmp_path / "pytorch_model.bin"))
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(_hf_config_dict(tiny_cfg), f)
+    data = loader.load_model_data(str(tmp_path / "pytorch_model.bin"),
+                                  dtype=jnp.float32)
+    assert data.source_format == "pytorch"
+    _assert_logits_match(data, tiny_params, tiny_cfg)
+    # nested {"state_dict": ...} wrapper + directory entry point
+    torch.save({"state_dict": sd}, str(tmp_path / "wrapped.pt"))
+    data2 = loader.load_pytorch(str(tmp_path / "wrapped.pt"),
+                                dtype=jnp.float32)
+    _assert_logits_match(data2, tiny_params, tiny_cfg)
+
+
+def test_pytorch_sharded_dir(tmp_path, tiny_params, tiny_cfg):
+    import json
+    torch = pytest.importorskip("torch")
+    t = _hf_named_tensors(tiny_params, tiny_cfg)
+    names = sorted(t)
+    half = len(names) // 2
+    shards = {"pytorch_model-00001-of-00002.bin": names[:half],
+              "pytorch_model-00002-of-00002.bin": names[half:]}
+    weight_map = {}
+    for fname, keys in shards.items():
+        torch.save({k: torch.from_numpy(t[k]) for k in keys},
+                   str(tmp_path / fname))
+        weight_map.update({k: fname for k in keys})
+    with open(tmp_path / "pytorch_model.bin.index.json", "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(_hf_config_dict(tiny_cfg), f)
+    data = loader.load_model_data(str(tmp_path), dtype=jnp.float32)
+    assert data.source_format == "pytorch"
+    _assert_logits_match(data, tiny_params, tiny_cfg)
+
+
+def test_pytorch_bf16_roundtrip(tmp_path, tiny_params, tiny_cfg):
+    """bf16 torch tensors (no numpy dtype) convert through f32."""
+    import json
+    torch = pytest.importorskip("torch")
+    sd = {k: torch.from_numpy(v).bfloat16()
+          for k, v in _hf_named_tensors(tiny_params, tiny_cfg).items()}
+    torch.save(sd, str(tmp_path / "m.pt"))
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(_hf_config_dict(tiny_cfg), f)
+    data = loader.load_pytorch(str(tmp_path / "m.pt"), dtype=jnp.float32)
+    tokens = jnp.asarray([[1, 5, 42, 7]], jnp.int32)
+    want = llama.forward_no_cache(tiny_params, tiny_cfg, tokens)
+    got = llama.forward_no_cache(data.params, data.config.replace(
+        dtype=jnp.float32, rope_mode=tiny_cfg.rope_mode), tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.05, atol=0.05)   # bf16 rounding
+
+
+def test_checkpoint_dir_no_model_raises(tmp_path):
+    with pytest.raises(ValueError, match="no loadable checkpoint"):
+        loader.load_model_data(str(tmp_path))

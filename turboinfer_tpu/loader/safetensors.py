@@ -78,7 +78,13 @@ class SafeTensorsFile:
         return arr
 
     def close(self):
-        self._mm.close()
+        try:
+            self._mm.close()
+        except BufferError:
+            # zero-copy views handed out by tensor() are still alive
+            # (e.g. an f32 tensor stored as-is in the params pytree);
+            # the mapping is released when the last view is GC'd.
+            pass
         self._fh.close()
 
     def __enter__(self):
