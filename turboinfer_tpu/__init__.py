@@ -16,7 +16,7 @@ from turboinfer_tpu.config import (InferenceConfig, ModelConfig,
                                    tiny_config, llama7b_config)
 from turboinfer_tpu.core.qtensor import QTensor, quantize, dequantize
 from turboinfer_tpu.engine.engine import (GenerationResult, InferenceEngine,
-                                          quick_generate)
+                                          StreamChunk, quick_generate)
 from turboinfer_tpu.utils import logging as tlog
 
 _initialized = False
@@ -107,5 +107,6 @@ __all__ = [
     "is_initialized", "load_model", "tokenize", "detokenize", "generate_text",
     "ModelConfig", "InferenceConfig", "QuantizationConfig", "QuantType",
     "RopeMode", "tiny_config", "llama7b_config", "QTensor", "quantize",
-    "dequantize", "InferenceEngine", "GenerationResult", "quick_generate",
+    "dequantize", "InferenceEngine", "GenerationResult", "StreamChunk",
+    "quick_generate",
 ]

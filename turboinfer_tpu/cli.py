@@ -6,6 +6,7 @@ single console entry with subcommands.
 
 Commands:
   generate   load a model file and generate text
+  chat       interactive chat REPL (chat template + streaming)
   quantize   model file -> INT8/INT4 TINQ checkpoint
   inspect    print a model file's metadata/tensor inventory
   bench      run the inference benchmark suites
@@ -31,6 +32,40 @@ def cmd_generate(args):
         print(f"[{len(res.tokens) - len(tokens)} tokens, "
               f"{res.tokens_per_second:.1f} tok/s, "
               f"TTFT {res.prefill_time_ms:.0f} ms]", file=sys.stderr)
+    return 0
+
+
+def cmd_chat(args):
+    """Interactive multi-turn REPL using the checkpoint's chat template;
+    streams the assistant reply token by token."""
+    import turboinfer_tpu as ti
+    ti.initialize(enable_logging=not args.quiet)
+    eng = ti.load_model(args.model)
+    messages = []
+    if args.system:
+        messages.append({"role": "system", "content": args.system})
+    tpl = getattr(eng.tokenizer, "chat_template", None)
+    if not args.quiet:
+        kind = ("checkpoint template" if tpl is not None
+                and not tpl.is_default else "ChatML fallback")
+        print(f"[chat: {kind}; empty line or Ctrl-D to exit]",
+              file=sys.stderr)
+    while True:
+        try:
+            user = input("> ").strip()
+        except EOFError:
+            break
+        if not user:
+            break
+        messages.append({"role": "user", "content": user})
+        parts = []
+        for c in eng.chat_stream(messages, args.max_tokens,
+                                 temperature=args.temperature):
+            if c.text:
+                print(c.text, end="", flush=True)
+                parts.append(c.text)
+        print()
+        messages.append({"role": "assistant", "content": "".join(parts)})
     return 0
 
 
@@ -98,6 +133,15 @@ def main(argv=None):
     g.add_argument("--greedy", action="store_true")
     g.add_argument("--quiet", action="store_true")
     g.set_defaults(fn=cmd_generate)
+
+    c = sub.add_parser("chat", help="interactive chat (checkpoint's "
+                                    "chat template, streamed replies)")
+    c.add_argument("model")
+    c.add_argument("--system", default=None, help="system prompt")
+    c.add_argument("--max-tokens", type=int, default=256)
+    c.add_argument("--temperature", type=float, default=0.7)
+    c.add_argument("--quiet", action="store_true")
+    c.set_defaults(fn=cmd_chat)
 
     q = sub.add_parser("quantize", help="quantize a model to TINQ")
     q.add_argument("input")

@@ -40,6 +40,18 @@ from turboinfer_tpu.utils.metrics import EngineStats
 
 
 @dataclasses.dataclass
+class StreamChunk:
+    """One token from generate_stream. `text` is the newly-decodable
+    text delta (None when the engine has no tokenizer, "" while a
+    multi-token UTF-8 sequence is still incomplete)."""
+    token: int
+    text: Optional[str] = None
+    index: int = 0                        # 0-based position in the output
+    finished: bool = False
+    stop_reason: Optional[str] = None     # set on the final chunk
+
+
+@dataclasses.dataclass
 class GenerationResult:
     """Per-call result (reference: GenerationResult,
     inference_engine.hpp:41-48)."""
@@ -50,6 +62,7 @@ class GenerationResult:
     prefill_time_ms: float = 0.0          # TTFT proxy (not in the reference)
     finished: bool = True
     stop_reason: str = "length"           # "eos" | "length" | "max_seq"
+    text: Optional[str] = None            # decoded output (chat() sets it)
 
 
 def _bucket(n: int, enable: bool, minimum: int = 16) -> int:
@@ -351,6 +364,111 @@ class InferenceEngine:
                                      batch=B)
         return results
 
+    # -- streaming ---------------------------------------------------------
+
+    def _stream_burst_fn(self, burst: int, params_s: SamplingParams,
+                         eos_id: int, pad_id: int):
+        """`burst` decode steps as ONE jitted scan for streaming: a
+        burst costs a single host round trip (the tunnel charges a fixed
+        dispatch RTT per call, so per-token dispatch would dominate)."""
+        key = ("stream", burst, params_s, eos_id, pad_id)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        cfg = self.model_config
+        model = self._model
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def run(params, token, cache, finished, rng):
+            def body(carry, rng_i):
+                token, cache, finished = carry
+                logits, cache = model.forward(params, cfg, token[:, None],
+                                              cache)
+                nxt = sampling.sample(rng_i, logits[:, 0], params_s)
+                nxt = jnp.where(finished, pad_id, nxt)
+                finished = finished | (nxt == eos_id)
+                return (nxt, cache, finished), nxt
+
+            (token, cache, finished), toks = jax.lax.scan(
+                body, (token, cache, finished), jax.random.split(rng, burst))
+            return toks[:, 0], token, cache, finished
+        self._jit_cache[key] = run
+        return run
+
+    def generate_stream(self, input_tokens: Sequence[int],
+                        max_new_tokens: int = 50, *,
+                        temperature: Optional[float] = None,
+                        top_k: Optional[int] = None,
+                        top_p: Optional[float] = None,
+                        burst: int = 8):
+        """Yield StreamChunk per generated token (no reference analog —
+        its API is blocking-only, inference_engine.hpp:87-160).
+
+        TPU-shaped streaming: tokens are produced in fused `burst`-step
+        scans, one host round trip per burst — burst=1 minimizes
+        per-token latency, larger bursts amortize dispatch overhead
+        (throughput). Greedy output is token-identical to generate().
+        """
+        self._validate(input_tokens)
+        sp = self._sampling_params(temperature, top_k, top_p)
+        eos = self.config.eos_token_id
+        pad = self.config.pad_token_id
+        burst = max(1, int(burst))
+        tokens, seq_lens, _ = self._pad_batch([input_tokens])
+        budget = min(max_new_tokens,
+                     self.config.max_seq_len - len(input_tokens))
+        cache = self._take_cache(1)
+        t0 = time.perf_counter()
+        emitted_text = ""
+        out: List[int] = []
+
+        def chunk(tok: int) -> StreamChunk:
+            nonlocal emitted_text
+            out.append(tok)
+            text = None
+            if self.tokenizer is not None:
+                # decode the whole output each time and emit the stable
+                # delta — a UTF-8 char can span several tokens, so the
+                # tail is withheld while it still decodes to U+FFFD
+                full = self.tokenizer.decode(out)
+                while full.endswith("�"):
+                    full = full[:-1]
+                text = full[len(emitted_text):]
+                emitted_text = full
+            done = tok == eos or len(out) >= budget
+            reason = None
+            if done:
+                reason = "eos" if tok == eos else (
+                    "max_seq" if len(input_tokens) + len(out) >=
+                    self.config.max_seq_len else "length")
+            return StreamChunk(token=tok, text=text, index=len(out) - 1,
+                               finished=done, stop_reason=reason)
+
+        try:
+            last_logits, cache = self._run_prefill(tokens, seq_lens, cache)
+            rng = self.next_rng()
+            rng, r0 = jax.random.split(rng)
+            token = sampling.sample(r0, last_logits, sp)
+            first = chunk(int(token[0]))
+            yield first
+            if first.finished:
+                return
+            finished = token == eos
+            run = self._stream_burst_fn(burst, sp, eos, pad)
+            while len(out) < budget:
+                rng, r_b = jax.random.split(rng)
+                toks, token, cache, finished = run(self.params, token,
+                                                   cache, finished, r_b)
+                for tok in np.asarray(toks).tolist():
+                    c = chunk(int(tok))
+                    yield c
+                    if c.finished:
+                        return
+        finally:
+            self._put_cache(1, cache)
+            self.stats.record_generation(new_tokens=len(out),
+                                         elapsed_s=time.perf_counter() - t0,
+                                         prefill_s=0.0, batch=1)
+
     def _generate_batch_nocache(self, prompts, max_new_tokens, sp, eos, pad,
                                 t0, return_logprobs):
         """use_cache=False path: recompute the full sequence every token
@@ -583,6 +701,37 @@ class InferenceEngine:
         inference_engine.cpp:1129-1220)."""
         return self.stats.report(model_name=self.model_config.name,
                                  memory_bytes=self.memory_usage())
+
+    # -- chat ---------------------------------------------------------------
+
+    def _chat_prompt(self, messages) -> List[int]:
+        if self.tokenizer is None:
+            raise RuntimeError("chat requires a tokenizer (load the model "
+                               "from a checkpoint with a vocab)")
+        return self.tokenizer.apply_chat_template(messages, tokenize=True)
+
+    def chat(self, messages, max_new_tokens: int = 256, *,
+             temperature: Optional[float] = None,
+             top_k: Optional[int] = None,
+             top_p: Optional[float] = None) -> GenerationResult:
+        """One assistant turn: render `messages` with the checkpoint's
+        chat template, generate, and return the result with `.text` set
+        to the decoded assistant reply. (No reference analog — it has no
+        chat/template support at all.)"""
+        ids = self._chat_prompt(messages)
+        res = self.generate(ids, max_new_tokens, temperature=temperature,
+                            top_k=top_k, top_p=top_p)
+        res.text = self.tokenizer.decode(res.tokens[len(ids):])
+        return res
+
+    def chat_stream(self, messages, max_new_tokens: int = 256, *,
+                    temperature: Optional[float] = None,
+                    top_k: Optional[int] = None,
+                    top_p: Optional[float] = None, burst: int = 8):
+        """Streaming chat(): yields StreamChunk with text deltas."""
+        return self.generate_stream(self._chat_prompt(messages),
+                                    max_new_tokens, temperature=temperature,
+                                    top_k=top_k, top_p=top_p, burst=burst)
 
     # -- tokenizer passthrough ----------------------------------------------
 

@@ -23,12 +23,30 @@ class Tokenizer:
     eos_id: int
     unk_id: int
     pad_id: int
+    chat_template = None      # Optional[chat.ChatTemplate], set by loaders
 
     def encode(self, text: str, add_bos: bool = False) -> List[int]:
         raise NotImplementedError
 
     def decode(self, tokens: Sequence[int]) -> str:
         raise NotImplementedError
+
+    def apply_chat_template(self, messages, add_generation_prompt=True,
+                            tokenize=False, add_bos=True, **extra):
+        """Render a [{"role","content"}...] conversation to the model's
+        prompt (string, or token ids with tokenize=True). Uses the
+        checkpoint's own template; ChatML when it ships none."""
+        from turboinfer_tpu.tokenizer import chat as chat_mod
+        tpl = self.chat_template or chat_mod.ChatTemplate()
+        text = tpl.render(messages,
+                          add_generation_prompt=add_generation_prompt,
+                          **extra)
+        if not tokenize:
+            return text
+        # templates that bake the BOS into the text shouldn't get two
+        if add_bos and tpl.bos_token and text.startswith(tpl.bos_token):
+            add_bos = False
+        return self.encode(text, add_bos=add_bos)
 
 
 # ---------------------------------------------------------------------------
@@ -333,10 +351,15 @@ def from_gguf_metadata(md: Dict[str, Any]) -> Optional[Tokenizer]:
     pad = int(md.get("tokenizer.ggml.padding_token_id", -1))
     if model in ("gpt2", "bpe"):
         merges = md.get("tokenizer.ggml.merges", [])
-        return BPETokenizer(tokens, merges, bos_id=bos, eos_id=eos,
-                            unk_id=unk, pad_id=pad)
-    scores = md.get("tokenizer.ggml.scores", [])
-    types = md.get("tokenizer.ggml.token_type")
-    prefix = bool(md.get("tokenizer.ggml.add_space_prefix", True))
-    return SPMTokenizer(tokens, scores, types, bos_id=bos, eos_id=eos,
-                        unk_id=unk, pad_id=pad, add_space_prefix=prefix)
+        tok = BPETokenizer(tokens, merges, bos_id=bos, eos_id=eos,
+                           unk_id=unk, pad_id=pad)
+    else:
+        scores = md.get("tokenizer.ggml.scores", [])
+        types = md.get("tokenizer.ggml.token_type")
+        prefix = bool(md.get("tokenizer.ggml.add_space_prefix", True))
+        tok = SPMTokenizer(tokens, scores, types, bos_id=bos, eos_id=eos,
+                           unk_id=unk, pad_id=pad, add_space_prefix=prefix)
+    if md.get("tokenizer.chat_template"):
+        from turboinfer_tpu.tokenizer import chat as chat_mod
+        tok.chat_template = chat_mod.from_gguf_metadata(md, list(tokens))
+    return tok

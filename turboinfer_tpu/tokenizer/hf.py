@@ -460,7 +460,15 @@ def from_tokenizer_json(path: str,
         if eos is None and hf_config.get("eos_token_id") is not None:
             eid = hf_config["eos_token_id"]
             eos = int(eid[0] if isinstance(eid, (list, tuple)) else eid)
-    return HFTokenizer(tj, bos_id=bos, eos_id=eos)
+    tok = HFTokenizer(tj, bos_id=bos, eos_id=eos)
+    from turboinfer_tpu.tokenizer import chat as chat_mod
+    tok.chat_template = chat_mod.from_tokenizer_config(
+        tokenizer_config,
+        bos_token=(tok.tokens[tok.bos_id]
+                   if 0 <= tok.bos_id < tok.vocab_size else ""),
+        eos_token=(tok.tokens[tok.eos_id]
+                   if 0 <= tok.eos_id < tok.vocab_size else ""))
+    return tok
 
 
 def from_hf_dir(dirname: str) -> Optional[HFTokenizer]:
