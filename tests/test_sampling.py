@@ -79,3 +79,39 @@ def test_token_logprob():
     logits = jnp.asarray([[0.0, jnp.log(3.0)]])  # probs [0.25, 0.75]
     lp = sampling.token_logprob(logits, jnp.asarray([1]))
     np.testing.assert_allclose(np.asarray(lp), np.log(0.75), rtol=1e-5)
+
+
+def test_sample_per_slot_row_isolation():
+    """Per-row knobs: greedy rows, top_k=1 rows, and tiny top_p rows all
+    reduce to argmax; each row's setting must not leak to others."""
+    import jax
+    import jax.numpy as jnp
+    from turboinfer_tpu.engine import sampling as S
+    rng = jax.random.PRNGKey(0)
+    logits = jax.random.normal(jax.random.PRNGKey(1), (4, 64)) * 3.0
+    argmax = jnp.argmax(logits, -1)
+    out = S.sample_per_slot(
+        rng, logits,
+        temperature=jnp.asarray([0.0, 1.0, 1.0, 5.0], jnp.float32),
+        top_k=jnp.asarray([50, 1, 0, 1], jnp.int32),
+        top_p=jnp.asarray([0.9, 1.0, 1e-6, 1.0], jnp.float32))
+    assert out[0] == argmax[0]          # greedy row
+    assert out[1] == argmax[1]          # top_k=1 row
+    assert out[2] == argmax[2]          # top_p→0 row keeps first token
+    assert out[3] == argmax[3]          # hot but top_k=1
+
+
+def test_sample_per_slot_respects_top_k_support():
+    """With top_k=2 every draw must come from the two largest logits."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from turboinfer_tpu.engine import sampling as S
+    logits = jnp.asarray([[0.0, 5.0, 4.9, -1.0, 2.0] + [-10.0] * 11])
+    top2 = {1, 2}
+    temp = jnp.asarray([2.0], jnp.float32)
+    k = jnp.asarray([2], jnp.int32)
+    p = jnp.asarray([1.0], jnp.float32)
+    draws = {int(S.sample_per_slot(jax.random.PRNGKey(i), logits,
+                                   temp, k, p)[0]) for i in range(40)}
+    assert draws <= top2 and len(draws) == 2

@@ -247,3 +247,60 @@ def test_burst_decode_eos(sched_setup):
     (ka, va), (kb, vb) = list(ra.items())[0], list(rb.items())[0]
     assert va.tokens == vb.tokens
     assert va.stop_reason == vb.stop_reason == "eos"
+
+
+# ---------------------------------------------------------------------------
+# Per-request sampling (no reference analog — it has no batching at all)
+# ---------------------------------------------------------------------------
+
+def test_per_request_sampling_mixed_batch(tiny_params, tiny_cfg):
+    """A greedy request in a batch alongside high-temperature requests
+    must still produce the exact greedy trajectory."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    cfg = ti.InferenceConfig(max_seq_len=tiny_cfg.max_seq_len,
+                             temperature=1.0, eos_token_id=-1)
+    eng = ti.InferenceEngine(tiny_params, tiny_cfg, cfg)
+    want = eng.generate([1, 5, 42, 7], 10, temperature=0.0).tokens
+
+    sched = ContinuousBatchingScheduler(tiny_params, tiny_cfg, cfg,
+                                        batch_slots=3)
+    greedy_rid = sched.submit([1, 5, 42, 7], 10, temperature=0.0)
+    hot = [sched.submit([2, 3], 10, temperature=5.0, top_k=0, top_p=1.0)
+           for _ in range(2)]
+    results = sched.run()
+    assert results[greedy_rid].tokens == want
+    for rid in hot:
+        assert len(results[rid].tokens) == 2 + 10
+
+
+def test_per_request_sampling_burst(tiny_params, tiny_cfg):
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    cfg = ti.InferenceConfig(max_seq_len=tiny_cfg.max_seq_len,
+                             temperature=1.0, eos_token_id=-1)
+    eng = ti.InferenceEngine(tiny_params, tiny_cfg, cfg)
+    want = eng.generate([1, 5, 42, 7], 10, temperature=0.0).tokens
+    sched = ContinuousBatchingScheduler(tiny_params, tiny_cfg, cfg,
+                                        batch_slots=2, decode_burst=4)
+    rid = sched.submit([1, 5, 42, 7], 10, temperature=0.0)
+    sched.submit([9, 8], 10, temperature=3.0)
+    assert sched.run()[rid].tokens == want
+
+
+def test_get_request_live_view(tiny_params, tiny_cfg):
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    cfg = ti.InferenceConfig(max_seq_len=tiny_cfg.max_seq_len,
+                             eos_token_id=-1)
+    sched = ContinuousBatchingScheduler(tiny_params, tiny_cfg, cfg,
+                                        batch_slots=2)
+    rid = sched.submit([1, 2, 3], 6, temperature=0.0)
+    req = sched.get_request(rid)
+    assert req is not None and req.out_tokens == []
+    sched.step()
+    assert len(sched.get_request(rid).out_tokens) >= 1
+    while sched.pending:
+        sched.step()
+    assert sched.get_request(rid).finished
+    assert sched.get_request(99999) is None

@@ -7,6 +7,7 @@ single console entry with subcommands.
 Commands:
   generate   load a model file and generate text
   chat       interactive chat REPL (chat template + streaming)
+  serve      OpenAI-compatible HTTP server (continuous batching + SSE)
   quantize   model file -> INT8/INT4 TINQ checkpoint
   inspect    print a model file's metadata/tensor inventory
   bench      run the inference benchmark suites
@@ -66,6 +67,38 @@ def cmd_chat(args):
                 parts.append(c.text)
         print()
         messages.append({"role": "assistant", "content": "".join(parts)})
+    return 0
+
+
+def cmd_serve(args):
+    """OpenAI-compatible HTTP server over continuous batching."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import (
+        ContinuousBatchingScheduler, PagedContinuousScheduler)
+    from turboinfer_tpu.loader import loader as loader_mod
+    from turboinfer_tpu.serve import ServingEngine, serve_forever
+    ti.initialize(enable_logging=not args.quiet)
+    data = loader_mod.load_model_data(args.model)
+    cfg = ti.InferenceConfig(max_seq_len=args.max_seq_len
+                             or data.config.max_seq_len)
+    if data.tokenizer is not None and hasattr(data.tokenizer, "eos_id"):
+        cfg = __import__("dataclasses").replace(
+            cfg, eos_token_id=data.tokenizer.eos_id)
+    cls = PagedContinuousScheduler if args.paged \
+        else ContinuousBatchingScheduler
+    kw = dict(batch_slots=args.slots)
+    if args.paged:
+        kw["page_size"] = args.page_size
+    else:
+        kw["decode_burst"] = args.burst
+    sched = cls(data.params, data.config, cfg, **kw)
+    eng = ServingEngine(sched, tokenizer=data.tokenizer,
+                        model_name=args.served_name
+                        or __import__("os").path.basename(args.model))
+    print(f"serving {eng.model_name} on http://{args.host}:{args.port}/v1 "
+          f"({args.slots} slots{', paged' if args.paged else ''})",
+          file=sys.stderr)
+    serve_forever(eng, args.host, args.port, verbose=not args.quiet)
     return 0
 
 
@@ -142,6 +175,21 @@ def main(argv=None):
     c.add_argument("--temperature", type=float, default=0.7)
     c.add_argument("--quiet", action="store_true")
     c.set_defaults(fn=cmd_chat)
+
+    s = sub.add_parser("serve", help="OpenAI-compatible HTTP server "
+                                     "(continuous batching + streaming)")
+    s.add_argument("model")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--slots", type=int, default=8)
+    s.add_argument("--burst", type=int, default=4)
+    s.add_argument("--paged", action="store_true",
+                   help="paged KV cache + prefix caching")
+    s.add_argument("--page-size", type=int, default=64)
+    s.add_argument("--max-seq-len", type=int, default=None)
+    s.add_argument("--served-name", default=None)
+    s.add_argument("--quiet", action="store_true")
+    s.set_defaults(fn=cmd_serve)
 
     q = sub.add_parser("quantize", help="quantize a model to TINQ")
     q.add_argument("input")

@@ -88,3 +88,41 @@ def token_logprob(logits: jax.Array, token: jax.Array) -> jax.Array:
     lp = log_softmax(logits)
     return jnp.take_along_axis(lp, token[..., None].astype(jnp.int32),
                                axis=-1)[..., 0]
+
+
+def sample_per_slot(rng: jax.Array, logits: jax.Array,
+                    temperature: jax.Array, top_k: jax.Array,
+                    top_p: jax.Array, num_candidates: int = 128
+                    ) -> jax.Array:
+    """Per-ROW sampling knobs — each batch slot gets its own
+    temperature/top_k/top_p (continuous batching serves concurrent
+    requests with different parameters; the reference has no batching
+    at all, let alone per-request sampling).
+
+    logits [B, V]; temperature/top_p [B] f32; top_k [B] i32.
+    temperature<=0 → greedy for that row. Jit-friendly: the filtering
+    runs inside a static `num_candidates`-wide lax.top_k slice (the
+    effective per-row k is clamped to it), so there is no data-dependent
+    shape anywhere.
+    """
+    B, V = logits.shape
+    C = min(num_candidates, V)
+    x = logits.astype(jnp.float32)
+    vals, idx = jax.lax.top_k(x, C)                       # [B, C] desc
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    xs = vals / t
+    # top-k within candidates: row position >= k masked (k<=0 → keep all)
+    pos = jnp.arange(C)[None, :]
+    k = jnp.where(top_k <= 0, C, jnp.minimum(top_k, C))[:, None]
+    xs = jnp.where(pos < k, xs, NEG_INF)
+    # top-p among the kept candidates (same "first token crossing p is
+    # included" convention as apply_top_p)
+    probs = jax.nn.softmax(xs, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    p = jnp.where((top_p <= 0.0) | (top_p >= 1.0), 1.0, top_p)[:, None]
+    xs = jnp.where((cum - probs) < p, xs, NEG_INF)
+    choice = jax.random.categorical(rng, xs, axis=-1)     # [B]
+    drawn = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    greedy = idx[:, 0]
+    return jnp.where(temperature <= 0.0, greedy,
+                     drawn).astype(jnp.int32)

@@ -28,7 +28,6 @@ import numpy as np
 from turboinfer_tpu.config import InferenceConfig, ModelConfig
 from turboinfer_tpu.engine import sampling
 from turboinfer_tpu.engine.engine import GenerationResult, _bucket
-from turboinfer_tpu.engine.sampling import SamplingParams
 from turboinfer_tpu.models import registry
 from turboinfer_tpu.models.common import KVCache
 
@@ -44,6 +43,10 @@ class _Request:
     prefill_ms: float = 0.0
     finished: bool = False
     stop_reason: str = "length"
+    # per-request sampling overrides (None → InferenceConfig defaults)
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
 
 
 class ContinuousBatchingScheduler:
@@ -79,10 +82,6 @@ class ContinuousBatchingScheduler:
         self._active: Dict[int, _Request] = {}       # slot -> request
         self._done: Dict[int, _Request] = {}
         self._next_id = 0
-        self._sp = SamplingParams(temperature=self.config.temperature,
-                                  top_k=self.config.top_k,
-                                  top_p=self.config.top_p)
-
         # Device state: shared cache + per-slot current token / activity.
         from turboinfer_tpu.models.common import resolve_kv_dtype
         self._kv_dtype = resolve_kv_dtype(self.config.kv_cache_dtype,
@@ -93,6 +92,12 @@ class ContinuousBatchingScheduler:
         self.tokens = jnp.zeros((self.B,), jnp.int32)
         self.active = jnp.zeros((self.B,), jnp.bool_)
         self.budget = jnp.zeros((self.B,), jnp.int32)   # remaining tokens
+        # per-slot sampling knobs (requests may override the defaults)
+        self.slot_temp = jnp.full((self.B,), self.config.temperature,
+                                  jnp.float32)
+        self.slot_topk = jnp.full((self.B,), self.config.top_k, jnp.int32)
+        self.slot_topp = jnp.full((self.B,), self.config.top_p,
+                                  jnp.float32)
 
     # -- jitted programs ------------------------------------------------
 
@@ -100,16 +105,16 @@ class ContinuousBatchingScheduler:
     def _decode_fn(self):
         cfg = self.model_config
         model = self._model
-        sp = self._sp
         eos = self.config.eos_token_id
 
         @functools.partial(jax.jit, donate_argnums=(3,))
-        def step(params, tokens, active, cache, rng):
+        def step(params, tokens, active, cache, rng, temp, topk, topp):
             """One decode step for every slot; inactive slots still run
             (fixed shape) but their cache length is frozen."""
             logits, new_cache = model.forward(params, cfg, tokens[:, None],
                                               cache)
-            nxt = sampling.sample(rng, logits[:, 0], sp)
+            nxt = sampling.sample_per_slot(rng, logits[:, 0], temp, topk,
+                                           topp)
             lp = sampling.token_logprob(logits[:, 0], nxt)
             # Inactive slots: keep cache length frozen (writes to their
             # slots are harmless garbage past their length).
@@ -130,17 +135,18 @@ class ContinuousBatchingScheduler:
         """
         cfg = self.model_config
         model = self._model
-        sp = self._sp
         eos = self.config.eos_token_id
         T = self.T
 
         @functools.partial(jax.jit, donate_argnums=(4,))
-        def burst(params, tokens, active, budget, cache, rng):
+        def burst(params, tokens, active, budget, cache, rng,
+                  temp, topk, topp):
             def body(carry, rng_i):
                 tokens, active, budget, cache = carry
                 logits, new_cache = model.forward(params, cfg,
                                                   tokens[:, None], cache)
-                nxt = sampling.sample(rng_i, logits[:, 0], sp)
+                nxt = sampling.sample_per_slot(rng_i, logits[:, 0], temp,
+                                               topk, topp)
                 new_len = jnp.where(active, new_cache.length, cache.length)
                 cache = KVCache(k=new_cache.k, v=new_cache.v, length=new_len)
                 was_active = active
@@ -162,7 +168,7 @@ class ContinuousBatchingScheduler:
         model = self._model
 
         @functools.partial(jax.jit, donate_argnums=(4,))
-        def prefill(params, tokens, seq_len, slot, cache, rng):
+        def prefill(params, tokens, seq_len, slot, cache, rng, t, k, p):
             """Prefill ONE prompt [1, S] into `slot`'s cache region."""
             small = model.init_cache(cfg, 1, max_seq=self.T,
                                      dtype=self._kv_dtype)
@@ -170,7 +176,8 @@ class ContinuousBatchingScheduler:
                                           small, seq_lens=seq_len[None])
             idx = jnp.maximum(seq_len - 1, 0)
             last = logits[0, idx]
-            first = sampling.sample(rng, last, self._sp)
+            first = sampling.sample_per_slot(rng, last[None], t[None],
+                                             k[None], p[None])[0]
             k = jax.lax.dynamic_update_slice_in_dim(
                 cache.k, small.k, slot, axis=1)
             v = jax.lax.dynamic_update_slice_in_dim(
@@ -185,7 +192,10 @@ class ContinuousBatchingScheduler:
 
     # -- public API ------------------------------------------------------
 
-    def submit(self, prompt: Sequence[int], max_new_tokens: int = 50) -> int:
+    def submit(self, prompt: Sequence[int], max_new_tokens: int = 50, *,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None) -> int:
         if len(prompt) == 0:
             raise ValueError("prompt must be non-empty")
         if len(prompt) >= self.T:
@@ -194,8 +204,52 @@ class ContinuousBatchingScheduler:
         self._next_id += 1
         self._queue.append(_Request(rid=rid, prompt=list(prompt),
                                     max_new=max_new_tokens,
-                                    submitted_at=time.perf_counter()))
+                                    submitted_at=time.perf_counter(),
+                                    temperature=temperature, top_k=top_k,
+                                    top_p=top_p))
         return rid
+
+    def cancel(self, rid: int, reason: str = "cancelled") -> bool:
+        """Abort a queued or running request (frees its slot for the
+        next admission). Serving layers use this for client disconnects
+        and stop-sequence hits."""
+        for i, req in enumerate(self._queue):
+            if req.rid == rid:
+                del self._queue[i]
+                req.finished = True
+                req.stop_reason = reason
+                self._done[rid] = req
+                return True
+        for slot, req in list(self._active.items()):
+            if req.rid == rid:
+                self._finish(slot, reason)
+                return True
+        return False
+
+    def get_request(self, rid: int):
+        """Live view of a submitted request (serving layers poll
+        out_tokens for streaming)."""
+        if rid in self._done:
+            return self._done[rid]
+        for req in self._active.values():
+            if req.rid == rid:
+                return req
+        for req in self._queue:
+            if req.rid == rid:
+                return req
+        return None
+
+    def _set_slot_sp(self, slot: int, req: _Request):
+        """Write the request's sampling knobs into the per-slot arrays
+        and return them as device scalars for the prefill sample."""
+        t = (self.config.temperature if req.temperature is None
+             else req.temperature)
+        k = self.config.top_k if req.top_k is None else req.top_k
+        p = self.config.top_p if req.top_p is None else req.top_p
+        self.slot_temp = self.slot_temp.at[slot].set(t)
+        self.slot_topk = self.slot_topk.at[slot].set(k)
+        self.slot_topp = self.slot_topp.at[slot].set(p)
+        return jnp.float32(t), jnp.int32(k), jnp.float32(p)
 
     @property
     def pending(self) -> int:
@@ -221,10 +275,11 @@ class ContinuousBatchingScheduler:
             key = S
             if key not in self._prefill_cache:
                 self._prefill_cache[key] = self._prefill_fn(S)
+            t, k, p = self._set_slot_sp(slot, req)
             first, self.cache = self._prefill_cache[key](
                 self.params, jnp.asarray(arr),
                 jnp.int32(len(req.prompt)), slot, self.cache,
-                self._next_rng())
+                self._next_rng(), t, k, p)
             req.prefill_ms = (time.perf_counter() - t0) * 1e3
             req.slot = slot
             first_i = int(first)
@@ -256,7 +311,8 @@ class ContinuousBatchingScheduler:
             return self._step_burst()
         nxt, lp, hit_eos, self.cache = self._decode_fn(
             self.params, self.tokens, self.active, self.cache,
-            self._next_rng())
+            self._next_rng(), self.slot_temp, self.slot_topk,
+            self.slot_topp)
         self.tokens = nxt
         nxt_np = np.asarray(nxt)
         eos_np = np.asarray(hit_eos)
@@ -282,7 +338,8 @@ class ContinuousBatchingScheduler:
         (self.tokens, self.active, self.budget, self.cache,
          toks, was, eoss) = self._burst_cache[n](
             self.params, self.tokens, self.active, self.budget,
-            self.cache, self._next_rng())
+            self.cache, self._next_rng(), self.slot_temp,
+            self.slot_topk, self.slot_topp)
         toks_np, was_np, eos_np = (np.asarray(a) for a in
                                    jax.device_get((toks, was, eoss)))
         for slot in list(self._active):
@@ -398,15 +455,14 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
     def _decode_fn(self):
         cfg = self.model_config
         model = self._model
-        sp = self._sp
         eos = self.config.eos_token_id
 
         @functools.partial(jax.jit, donate_argnums=(3, 4))
         def step(params, tokens, active, k_pages, v_pages, table, lengths,
-                 rng):
+                 rng, temp, topk, topp):
             logits, k_pages, v_pages = model.forward_paged_decode(
                 params, cfg, tokens, k_pages, v_pages, table, lengths)
-            nxt = sampling.sample(rng, logits, sp)
+            nxt = sampling.sample_per_slot(rng, logits, temp, topk, topp)
             lp = sampling.token_logprob(logits, nxt)
             hit_eos = active & (nxt == eos)
             return nxt, lp, hit_eos, k_pages, v_pages
@@ -431,7 +487,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
 
         @functools.partial(jax.jit, donate_argnums=(5, 6))
         def prefill(params, tokens, seq_len, shared_ids, new_ids, k_pages,
-                    v_pages, rng):
+                    v_pages, rng, t, k_sp, p):
             """tokens: [1, S_suf] suffix; seq_len: TOTAL prompt length;
             shared_ids: [m] pages already holding positions [0, pre);
             new_ids: [n_new] pages to receive the suffix K/V."""
@@ -451,7 +507,9 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             logits, small = model.forward(params, cfg, tokens, small,
                                           seq_lens=suf_len[None])
             idx = jnp.maximum(suf_len - 1, 0)
-            first = sampling.sample(rng, logits[0, idx], self._sp)
+            first = sampling.sample_per_slot(rng, logits[0, idx][None],
+                                             t[None], k_sp[None],
+                                             p[None])[0]
             # [L,1,Hkv,n_new*page,D] suffix region -> [L,n_new,Hkv,page,D]
             kn = small.k[:, 0, :, pre:].reshape(L, Hkv, n_new, page, D)
             vn = small.v[:, 0, :, pre:].reshape(L, Hkv, n_new, page, D)
@@ -532,12 +590,13 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             fkey = (m, S_suf)
             if fkey not in self._prefill_cache:
                 self._prefill_cache[fkey] = self._prefill_fn(*fkey)
+            t, k, p = self._set_slot_sp(slot, req)
             first, kp, vp = self._prefill_cache[fkey](
                 self.params, jnp.asarray(arr), jnp.int32(plen),
                 jnp.asarray(self._table[slot, :m]),
                 jnp.asarray(self._table[slot, m:m + n_new]),
                 self.cache.k_pages, self.cache.v_pages,
-                self._next_rng())
+                self._next_rng(), t, k, p)
             self.cache = self.cache._replace(k_pages=kp, v_pages=vp)
             self._lengths[slot] = len(req.prompt)
             req.prefill_ms = (time.perf_counter() - t0) * 1e3
@@ -576,7 +635,8 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         nxt, lp, hit_eos, kp, vp = self._decode_fn(
             self.params, self.tokens, self.active, self.cache.k_pages,
             self.cache.v_pages, self._device_table(), lengths_dev,
-            self._next_rng())
+            self._next_rng(), self.slot_temp, self.slot_topk,
+            self.slot_topp)
         self.cache = self.cache._replace(k_pages=kp, v_pages=vp)
         self.tokens = nxt
         nxt_np = np.asarray(nxt)

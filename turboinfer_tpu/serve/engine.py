@@ -1,0 +1,144 @@
+"""ServingEngine: thread-safe streaming front over the continuous
+batching scheduler.
+
+One background thread owns the scheduler and drives `step()`
+continuously; HTTP handler threads submit requests and consume
+per-request token queues. The reference framework has no serving layer
+at all (blocking library calls only) — this is the beyond-reference
+subsystem that turns the scheduler into an actual server.
+
+Design for TPU serving:
+  - ONE driver thread touches jax (the scheduler's jitted programs and
+    device state are not thread-safe, and serializing through a single
+    dispatcher avoids interleaved device programs).
+  - Handler threads communicate via `queue.Queue` per request — tokens
+    flow out as soon as the step that produced them completes, so SSE
+    streaming latency is one scheduler step.
+  - Idle wakeup through a condition variable: no busy-spin while the
+    server has nothing to do.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+
+@dataclasses.dataclass
+class StreamEnd:
+    """Sentinel closing a token stream."""
+    stop_reason: str
+    prompt_tokens: int
+    completion_tokens: int
+
+
+class ServingEngine:
+    """Drives a ContinuousBatchingScheduler from a background thread."""
+
+    def __init__(self, scheduler, tokenizer=None, model_name: str = "model"):
+        self.sched = scheduler
+        self.tokenizer = tokenizer
+        self.model_name = model_name
+        self._lock = threading.Lock()
+        self._work = threading.Condition(self._lock)
+        self._streams: Dict[int, queue.Queue] = {}
+        self._emitted: Dict[int, int] = {}
+        self._stats = {"requests": 0, "tokens": 0, "started_at": time.time()}
+        self._shutdown = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="turboinfer-serving")
+        self._thread.start()
+
+    # -- request lifecycle -------------------------------------------------
+
+    def submit(self, prompt: Sequence[int], max_new_tokens: int, *,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None) -> int:
+        with self._work:
+            rid = self.sched.submit(prompt, max_new_tokens,
+                                    temperature=temperature, top_k=top_k,
+                                    top_p=top_p)
+            self._streams[rid] = queue.Queue()
+            self._emitted[rid] = 0
+            self._stats["requests"] += 1
+            self._work.notify()
+        return rid
+
+    def cancel(self, rid: int):
+        with self._work:
+            if self.sched.cancel(rid) and rid in self.sched._done:
+                # the driver only pumps inside step(); a cancel with an
+                # otherwise idle scheduler must deliver StreamEnd itself
+                self._pump(rid, self.sched._done.pop(rid))
+
+    def stream(self, rid: int, timeout: float = 300.0) -> Iterator[Any]:
+        """Yield token ids as they are produced, then one StreamEnd."""
+        q = self._streams[rid]
+        try:
+            while True:
+                item = q.get(timeout=timeout)
+                yield item
+                if isinstance(item, StreamEnd):
+                    return
+        finally:
+            self._streams.pop(rid, None)
+            self._emitted.pop(rid, None)
+
+    def result(self, rid: int, timeout: float = 300.0):
+        """Block until the request finishes; returns (tokens, StreamEnd)."""
+        toks: List[int] = []
+        end = None
+        for item in self.stream(rid, timeout=timeout):
+            if isinstance(item, StreamEnd):
+                end = item
+            else:
+                toks.append(item)
+        return toks, end
+
+    def stats(self) -> Dict[str, Any]:
+        dt = time.time() - self._stats["started_at"]
+        with self._lock:
+            return {**self._stats, "uptime_s": dt,
+                    "pending": self.sched.pending}
+
+    def shutdown(self):
+        with self._work:
+            self._shutdown = True
+            self._work.notify()
+        self._thread.join(timeout=30)
+
+    # -- driver thread -------------------------------------------------------
+
+    def _pump(self, rid: int, req) -> None:
+        """Push any not-yet-emitted tokens of `req` into its stream."""
+        q = self._streams.get(rid)
+        if q is None:
+            return
+        n = self._emitted.get(rid, 0)
+        for tok in req.out_tokens[n:]:
+            q.put(int(tok))
+            self._stats["tokens"] += 1
+        self._emitted[rid] = len(req.out_tokens)
+        if req.finished:
+            q.put(StreamEnd(stop_reason=req.stop_reason,
+                            prompt_tokens=len(req.prompt),
+                            completion_tokens=len(req.out_tokens)))
+
+    def _run(self):
+        sched = self.sched
+        while True:
+            with self._work:
+                while not self._shutdown and not sched.pending:
+                    self._work.wait(timeout=1.0)
+                if self._shutdown:
+                    return
+                sched.step()
+                # pump active slots, then finished requests
+                for req in list(sched._active.values()):
+                    self._pump(req.rid, req)
+                for rid in [r for r in self._streams if r in sched._done]:
+                    self._pump(rid, sched._done.pop(rid))

@@ -1,0 +1,294 @@
+"""OpenAI-compatible HTTP server (stdlib-only, no external deps).
+
+Endpoints:
+  GET  /health               liveness + scheduler stats
+  GET  /v1/models            model listing
+  POST /v1/completions       prompt completion (optional SSE streaming)
+  POST /v1/chat/completions  chat completion via the checkpoint's chat
+                             template (optional SSE streaming)
+
+Request/response shapes follow the OpenAI API closely enough that
+standard clients work (`openai.OpenAI(base_url="http://host:port/v1")`).
+Streaming uses `text/event-stream` with `data: {...}` chunks and a
+final `data: [DONE]`. Stop sequences are honored server-side: the
+stream is cut at the match and the scheduler request cancelled so the
+slot frees immediately.
+
+The reference framework has no server at all — this is a
+beyond-reference subsystem layered on ServingEngine (serve/engine.py).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Tuple
+
+from turboinfer_tpu.serve.engine import ServingEngine, StreamEnd
+
+
+def _now() -> int:
+    return int(time.time())
+
+
+class _TextAssembler:
+    """Incremental UTF-8-safe detokenizer: feed token ids, get text
+    deltas (withholds trailing U+FFFD while a char is split across
+    tokens)."""
+
+    def __init__(self, tokenizer):
+        self.tok = tokenizer
+        self.ids: List[int] = []
+        self.emitted = ""
+
+    def push(self, token: int) -> str:
+        self.ids.append(token)
+        if self.tok is None:
+            return ""
+        full = self.tok.decode(self.ids)
+        while full.endswith("�"):
+            full = full[:-1]
+        delta = full[len(self.emitted):]
+        self.emitted = full
+        return delta
+
+
+def _find_stop(text: str, stops: List[str]) -> Optional[int]:
+    """Earliest index of any stop string in text, or None."""
+    hits = [text.find(s) for s in stops if s and text.find(s) >= 0]
+    return min(hits) if hits else None
+
+
+class Handler(BaseHTTPRequestHandler):
+    server_version = "turboinfer-tpu"
+    protocol_version = "HTTP/1.1"
+    engine: ServingEngine = None      # set by make_server
+
+    # -- plumbing -----------------------------------------------------------
+
+    def log_message(self, fmt, *args):          # quiet by default
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *args)
+
+    def _json(self, code: int, obj: Dict[str, Any]):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, code: int, message: str, etype: str = "invalid_request_error"):
+        self._json(code, {"error": {"message": message, "type": etype}})
+
+    def _read_body(self) -> Optional[Dict[str, Any]]:
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            self._error(400, "request body is not valid JSON")
+            return None
+
+    # -- routes ---------------------------------------------------------------
+
+    def do_GET(self):
+        eng = self.engine
+        if self.path == "/health":
+            self._json(200, {"status": "ok", **eng.stats()})
+        elif self.path in ("/v1/models", "/models"):
+            self._json(200, {"object": "list", "data": [
+                {"id": eng.model_name, "object": "model",
+                 "created": _now(), "owned_by": "turboinfer-tpu"}]})
+        else:
+            self._error(404, f"no route {self.path}")
+
+    def do_POST(self):
+        if self.path in ("/v1/completions", "/completions"):
+            self._completions(chat=False)
+        elif self.path in ("/v1/chat/completions", "/chat/completions"):
+            self._completions(chat=True)
+        else:
+            self._error(404, f"no route {self.path}")
+
+    # -- completion core -----------------------------------------------------
+
+    def _encode_prompt(self, body: Dict[str, Any], chat: bool
+                       ) -> Optional[Tuple[List[int], str]]:
+        tok = self.engine.tokenizer
+        if chat:
+            messages = body.get("messages")
+            if not isinstance(messages, list) or not messages:
+                self._error(400, "'messages' must be a non-empty list")
+                return None
+            if tok is None:
+                self._error(400, "server has no tokenizer; chat endpoint "
+                                 "unavailable")
+                return None
+            ids = tok.apply_chat_template(messages, tokenize=True)
+            return ids, "chat.completion"
+        prompt = body.get("prompt")
+        if isinstance(prompt, list) and all(isinstance(t, int)
+                                            for t in prompt) and prompt:
+            return list(prompt), "text_completion"
+        if isinstance(prompt, str) and prompt:
+            if tok is None:
+                self._error(400, "server has no tokenizer; send token-id "
+                                 "prompts")
+                return None
+            return tok.encode(prompt, add_bos=True), "text_completion"
+        self._error(400, "'prompt' must be a non-empty string or "
+                         "list of token ids")
+        return None
+
+    def _completions(self, chat: bool):
+        body = self._read_body()
+        if body is None:
+            return
+        enc = self._encode_prompt(body, chat)
+        if enc is None:
+            return
+        prompt_ids, obj_kind = enc
+        eng = self.engine
+        max_new = int(body.get("max_tokens") or 128)
+        temperature = body.get("temperature")
+        top_p = body.get("top_p")
+        top_k = body.get("top_k")
+        stops = body.get("stop") or []
+        if isinstance(stops, str):
+            stops = [stops]
+        stream = bool(body.get("stream"))
+        try:
+            rid = eng.submit(prompt_ids, max_new,
+                             temperature=(None if temperature is None
+                                          else float(temperature)),
+                             top_k=None if top_k is None else int(top_k),
+                             top_p=None if top_p is None else float(top_p))
+        except ValueError as e:
+            self._error(400, str(e))
+            return
+        cid = f"cmpl-{uuid.uuid4().hex[:24]}"
+        if stream:
+            self._stream_response(rid, cid, obj_kind, stops, chat)
+        else:
+            self._block_response(rid, cid, obj_kind, stops, chat,
+                                 len(prompt_ids))
+
+    def _block_response(self, rid, cid, kind, stops, chat, n_prompt):
+        eng = self.engine
+        asm = _TextAssembler(eng.tokenizer)
+        text, end = "", None
+        for item in eng.stream(rid):
+            if isinstance(item, StreamEnd):
+                end = item
+                break
+            text += asm.push(item)
+            cut = _find_stop(text, stops)
+            if cut is not None:
+                text = text[:cut]
+                eng.cancel(rid)
+                end = StreamEnd("stop", n_prompt, len(asm.ids))
+                break
+        reason = {"eos": "stop", "stop": "stop"}.get(end.stop_reason,
+                                                     "length")
+        choice = ({"index": 0, "message": {"role": "assistant",
+                                           "content": text},
+                   "finish_reason": reason} if chat else
+                  {"index": 0, "text": text, "finish_reason": reason})
+        self._json(200, {
+            "id": cid, "object": kind, "created": _now(),
+            "model": eng.model_name, "choices": [choice],
+            "usage": {"prompt_tokens": end.prompt_tokens,
+                      "completion_tokens": end.completion_tokens,
+                      "total_tokens": end.prompt_tokens
+                      + end.completion_tokens}})
+
+    def _sse(self, obj: Dict[str, Any]):
+        self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+        self.wfile.flush()
+
+    def _stream_response(self, rid, cid, kind, stops, chat):
+        eng = self.engine
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        # chunked framing helper (we declared HTTP/1.1 + chunked)
+        raw = self.wfile
+
+        class _Chunked:
+            def write(self, b):
+                raw.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
+
+            def flush(self):
+                raw.flush()
+        self.wfile = _Chunked()
+
+        obj_kind = "chat.completion.chunk" if chat else "text_completion"
+
+        def chunk(delta_obj, finish=None):
+            choice = {"index": 0, "finish_reason": finish}
+            if chat:
+                choice["delta"] = delta_obj
+            else:
+                choice["text"] = delta_obj
+            return {"id": cid, "object": obj_kind, "created": _now(),
+                    "model": eng.model_name, "choices": [choice]}
+
+        try:
+            if chat:
+                self._sse(chunk({"role": "assistant", "content": ""}))
+            asm = _TextAssembler(eng.tokenizer)
+            emitted = ""
+            finish = "stop"
+            for item in eng.stream(rid):
+                if isinstance(item, StreamEnd):
+                    finish = {"eos": "stop"}.get(item.stop_reason, "length")
+                    break
+                delta = asm.push(item)
+                if not delta:
+                    continue
+                total = emitted + delta
+                cut = _find_stop(total, stops)
+                if cut is not None:
+                    delta = total[len(emitted):cut]
+                    if delta:
+                        self._sse(chunk({"content": delta} if chat
+                                        else delta))
+                    eng.cancel(rid)
+                    finish = "stop"
+                    break
+                emitted = total
+                self._sse(chunk({"content": delta} if chat else delta))
+            self._sse(chunk({} if chat else "", finish=finish))
+            self.wfile.write(b"data: [DONE]\n\n")
+            raw.write(b"0\r\n\r\n")       # chunked EOF
+            raw.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            eng.cancel(rid)
+        finally:
+            self.wfile = raw
+
+
+def make_server(engine: ServingEngine, host: str = "0.0.0.0",
+                port: int = 8000, verbose: bool = False
+                ) -> ThreadingHTTPServer:
+    handler = type("BoundHandler", (Handler,), {"engine": engine})
+    srv = ThreadingHTTPServer((host, port), handler)
+    srv.verbose = verbose
+    return srv
+
+
+def serve_forever(engine: ServingEngine, host: str = "0.0.0.0",
+                  port: int = 8000, verbose: bool = False):
+    srv = make_server(engine, host, port, verbose)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        engine.shutdown()
