@@ -115,3 +115,102 @@ def test_sample_per_slot_respects_top_k_support():
     draws = {int(S.sample_per_slot(jax.random.PRNGKey(i), logits,
                                    temp, k, p)[0]) for i in range(40)}
     assert draws <= top2 and len(draws) == 2
+
+
+# ---------------------------------------------------------------------------
+# Penalties + min_p (beyond the reference's temperature/top_k/top_p) —
+# golden vs transformers' logits processors
+# ---------------------------------------------------------------------------
+
+def test_repetition_penalty_golden_vs_hf():
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest as _pytest
+    torch = _pytest.importorskip("torch")
+    from transformers import RepetitionPenaltyLogitsProcessor
+    from turboinfer_tpu.engine import sampling as S
+    rng = np.random.default_rng(0)
+    V = 97
+    logits = rng.normal(size=(2, V)).astype(np.float32) * 4
+    ids = np.array([[3, 7, 7, 11], [50, 3, 2, 2]])
+    counts = np.zeros((2, V), np.int32)
+    for b in range(2):
+        np.add.at(counts[b], ids[b], 1)
+    want = RepetitionPenaltyLogitsProcessor(1.7)(
+        torch.tensor(ids), torch.tensor(logits)).numpy()
+    got = np.asarray(S.apply_penalties(jnp.asarray(logits),
+                                       jnp.asarray(counts),
+                                       repetition_penalty=1.7))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_min_p_golden_vs_hf():
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest as _pytest
+    torch = _pytest.importorskip("torch")
+    from transformers import MinPLogitsWarper
+    from turboinfer_tpu.engine import sampling as S
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(3, 64)).astype(np.float32) * 3
+    want = MinPLogitsWarper(0.25)(
+        torch.zeros((3, 1), dtype=torch.long),
+        torch.tensor(logits)).numpy()
+    got = np.asarray(S.apply_min_p(jnp.asarray(logits), 0.25))
+    # both mask with large negatives; compare kept-set and kept values
+    np.testing.assert_array_equal(got > -1e29, want > -1e29)
+    keep = want > -1e29
+    np.testing.assert_allclose(got[keep], want[keep], rtol=1e-6)
+
+
+def test_frequency_presence_penalty_math():
+    import numpy as np
+    import jax.numpy as jnp
+    from turboinfer_tpu.engine import sampling as S
+    logits = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+    all_c = jnp.asarray([[2, 1, 0, 0]], jnp.int32)
+    out_c = jnp.asarray([[2, 0, 0, 0]], jnp.int32)
+    got = np.asarray(S.apply_penalties(
+        logits, all_c, presence_penalty=0.5, frequency_penalty=0.25,
+        out_counts=out_c))
+    # token0: 1 - 0.25*2 - 0.5 = 0.0; token1 out_count=0: unchanged
+    np.testing.assert_allclose(got[0], [0.0, 2.0, 3.0, 4.0], atol=1e-6)
+
+
+def test_repetition_penalty_breaks_greedy_loops(tiny_engine):
+    """Greedy decoding with a strong repetition penalty must produce
+    fewer repeated tokens than plain greedy on the same prompt."""
+    base = tiny_engine.generate([1, 5, 42, 7], 24, temperature=0.0).tokens
+    pen = tiny_engine.generate([1, 5, 42, 7], 24, temperature=0.0,
+                               repetition_penalty=1.8).tokens
+
+    def max_repeat(seq):
+        from collections import Counter
+        return max(Counter(seq).values())
+
+    assert pen != base
+    assert max_repeat(pen[4:]) <= max_repeat(base[4:])
+
+
+def test_penalties_consistent_across_decode_paths(tiny_params, tiny_cfg):
+    """scan, host-loop, stream, and nocache paths must all produce the
+    same greedy trajectory under penalties."""
+    import dataclasses
+    import turboinfer_tpu as ti
+    kw = dict(temperature=0.0, repetition_penalty=1.5,
+              presence_penalty=0.3, frequency_penalty=0.2)
+    cfg = ti.InferenceConfig(max_seq_len=tiny_cfg.max_seq_len,
+                             eos_token_id=-1)
+    eng = ti.InferenceEngine(tiny_params, tiny_cfg, cfg)
+    want = eng.generate([2, 9, 4], 12, **kw).tokens
+    host = ti.InferenceEngine(
+        tiny_params, tiny_cfg,
+        dataclasses.replace(cfg, decode_loop="host"))
+    assert host.generate([2, 9, 4], 12, **kw).tokens == want
+    streamed = [c.token for c in eng.generate_stream([2, 9, 4], 12,
+                                                     burst=5, **kw)]
+    assert [2, 9, 4] + streamed == want
+    nocache = ti.InferenceEngine(
+        tiny_params, tiny_cfg,
+        dataclasses.replace(cfg, use_cache=False))
+    assert nocache.generate([2, 9, 4], 12, **kw).tokens == want

@@ -304,3 +304,26 @@ def test_get_request_live_view(tiny_params, tiny_cfg):
         sched.step()
     assert sched.get_request(rid).finished
     assert sched.get_request(99999) is None
+
+
+def test_per_request_penalties(tiny_params, tiny_cfg):
+    """A repetition-penalized greedy request in the scheduler matches
+    the engine's penalized greedy output; an unpenalized greedy request
+    in the SAME batch matches plain greedy."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    cfg = ti.InferenceConfig(max_seq_len=tiny_cfg.max_seq_len,
+                             eos_token_id=-1)
+    eng = ti.InferenceEngine(tiny_params, tiny_cfg, cfg)
+    plain = eng.generate([1, 5, 42, 7], 12, temperature=0.0).tokens
+    pen = eng.generate([1, 5, 42, 7], 12, temperature=0.0,
+                       repetition_penalty=1.8).tokens
+    assert pen != plain
+    sched = ContinuousBatchingScheduler(tiny_params, tiny_cfg, cfg,
+                                        batch_slots=2)
+    rid_pen = sched.submit([1, 5, 42, 7], 12, temperature=0.0,
+                           repetition_penalty=1.8)
+    rid_plain = sched.submit([1, 5, 42, 7], 12, temperature=0.0)
+    results = sched.run()
+    assert results[rid_pen].tokens == pen
+    assert results[rid_plain].tokens == plain

@@ -148,6 +148,13 @@ class InferenceConfig:
     temperature: float = 1.0
     top_p: float = 0.9
     top_k: int = 50
+    # Beyond the reference's knobs: min-p nucleus floor, HF-convention
+    # repetition penalty, OpenAI-convention presence/frequency penalties
+    # (defaults are no-ops and compile to nothing).
+    min_p: float = 0.0
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     length_penalty: float = 1.0
     eos_token_id: int = 2
     pad_token_id: int = 0

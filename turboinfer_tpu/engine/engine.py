@@ -160,27 +160,38 @@ class InferenceEngine:
         model = self._model
 
         @functools.partial(jax.jit, donate_argnums=(3,))
-        def decode(params, first_token, first_logits, cache, rng):
+        def decode(params, first_token, first_logits, cache, rng,
+                   prompt_counts):
             """first_token [B] was sampled from prefill logits already.
             Returns (tokens [B, num_tokens], logprobs [B, num_tokens])."""
             B = first_token.shape[0]
+            rows = jnp.arange(B)
 
             def body(carry, rng_i):
-                token, cache, finished = carry
+                token, cache, finished, out_counts = carry
                 logits, cache = model.forward(params, cfg, token[:, None],
                                               cache)
                 logits = logits[:, 0]
-                nxt = sampling.sample(rng_i, logits, params_s)
+                counts = ((prompt_counts + out_counts, out_counts)
+                          if params_s.needs_counts else None)
+                nxt = sampling.sample(rng_i, logits, params_s, counts)
                 lp = sampling.token_logprob(logits, nxt)
                 nxt = jnp.where(finished, pad_id, nxt)
                 lp = jnp.where(finished, 0.0, lp)
+                if params_s.needs_counts:
+                    out_counts = out_counts.at[rows, nxt].add(
+                        (~finished).astype(jnp.int32))
                 finished = finished | (nxt == eos_id)
-                return (nxt, cache, finished), (nxt, lp)
+                return (nxt, cache, finished, out_counts), (nxt, lp)
 
             finished0 = first_token == eos_id
+            out_counts0 = (jnp.zeros_like(prompt_counts).at[
+                rows, first_token].add(1)
+                if params_s.needs_counts else jnp.zeros((), jnp.int32))
             rngs = jax.random.split(rng, max(num_tokens - 1, 1))
-            (last, cache, finished), (toks, lps) = jax.lax.scan(
-                body, (first_token, cache, finished0), rngs[:num_tokens - 1])
+            (last, cache, finished, _), (toks, lps) = jax.lax.scan(
+                body, (first_token, cache, finished0, out_counts0),
+                rngs[:num_tokens - 1])
             first_lp = sampling.token_logprob(first_logits, first_token)
             tokens = jnp.concatenate([first_token[:, None], toks.T], axis=1)
             logprobs = jnp.concatenate([first_lp[:, None], lps.T], axis=1)
@@ -242,13 +253,32 @@ class InferenceEngine:
         if bad:
             raise TokenError(f"token ids out of vocab range [0,{V}): {bad[:5]}")
 
-    def _sampling_params(self, temperature=None, top_k=None, top_p=None
+    def _sampling_params(self, temperature=None, top_k=None, top_p=None,
+                         min_p=None, repetition_penalty=None,
+                         presence_penalty=None, frequency_penalty=None
                          ) -> SamplingParams:
         c = self.config
+
+        def pick(v, d):
+            return d if v is None else v
         return SamplingParams(
-            temperature=c.temperature if temperature is None else temperature,
-            top_k=c.top_k if top_k is None else top_k,
-            top_p=c.top_p if top_p is None else top_p)
+            temperature=pick(temperature, c.temperature),
+            top_k=pick(top_k, c.top_k),
+            top_p=pick(top_p, c.top_p),
+            min_p=pick(min_p, c.min_p),
+            repetition_penalty=pick(repetition_penalty,
+                                    c.repetition_penalty),
+            presence_penalty=pick(presence_penalty, c.presence_penalty),
+            frequency_penalty=pick(frequency_penalty, c.frequency_penalty))
+
+    def _prompt_counts(self, tokens, seq_lens):
+        """[B, V] int32 occurrence counts of the (unpadded) prompt."""
+        B, S = tokens.shape
+        V = self.model_config.vocab_size
+        valid = (jnp.arange(S)[None, :] < seq_lens[:, None]).astype(
+            jnp.int32)
+        return jnp.zeros((B, V), jnp.int32).at[
+            jnp.arange(B)[:, None], tokens].add(valid)
 
     def next_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)
@@ -257,29 +287,26 @@ class InferenceEngine:
     # -- generation -------------------------------------------------------
 
     def generate(self, input_tokens: Sequence[int], max_new_tokens: int = 50,
-                 *, temperature: Optional[float] = None,
-                 top_k: Optional[int] = None, top_p: Optional[float] = None,
-                 return_logprobs: bool = False) -> GenerationResult:
+                 *, return_logprobs: bool = False,
+                 **sampling_kw) -> GenerationResult:
         """Single-prompt generation (reference: generate,
-        inference_engine.cpp:734-802)."""
+        inference_engine.cpp:734-802). sampling_kw: temperature, top_k,
+        top_p, min_p, repetition_penalty, presence_penalty,
+        frequency_penalty (None → InferenceConfig defaults)."""
         return self.generate_batch([input_tokens], max_new_tokens,
-                                   temperature=temperature, top_k=top_k,
-                                   top_p=top_p,
-                                   return_logprobs=return_logprobs)[0]
+                                   return_logprobs=return_logprobs,
+                                   **sampling_kw)[0]
 
     def generate_batch(self, prompts: Sequence[Sequence[int]],
                        max_new_tokens: int = 50, *,
-                       temperature: Optional[float] = None,
-                       top_k: Optional[int] = None,
-                       top_p: Optional[float] = None,
-                       return_logprobs: bool = False
-                       ) -> List[GenerationResult]:
+                       return_logprobs: bool = False,
+                       **sampling_kw) -> List[GenerationResult]:
         """True batched generation — one forward per step for ALL
         sequences (the reference loops prompts sequentially,
         inference_engine.cpp:804-828)."""
         for p in prompts:
             self._validate(p)
-        sp = self._sampling_params(temperature, top_k, top_p)
+        sp = self._sampling_params(**sampling_kw)
         eos = self.config.eos_token_id
         pad = self.config.pad_token_id
         t0 = time.perf_counter()
@@ -298,7 +325,11 @@ class InferenceEngine:
         last_logits, cache = self._run_prefill(tokens, seq_lens, cache)
         rng = self.next_rng()
         r_pre, r_dec = jax.random.split(rng)
-        first = sampling.sample(r_pre, last_logits, sp)
+        pc = (self._prompt_counts(tokens, seq_lens) if sp.needs_counts
+              else jnp.zeros((), jnp.int32))
+        first = sampling.sample(
+            r_pre, last_logits, sp,
+            (pc, jnp.zeros_like(pc)) if sp.needs_counts else None)
         first.block_until_ready()
         t_prefill = time.perf_counter()
 
@@ -309,17 +340,25 @@ class InferenceEngine:
         elif self.config.decode_loop == "scan":
             decode = self._decode_scan_fn(max_new, sp, eos, pad)
             toks, lps, cache, finished = decode(self.params, first,
-                                                last_logits, cache, r_dec)
+                                                last_logits, cache, r_dec,
+                                                pc)
         else:  # host loop with early exit on all-finished
             toks_l, lps_l = [first], [sampling.token_logprob(last_logits,
                                                              first)]
             finished = first == eos
             token = first
+            rows = jnp.arange(B)
+            oc = (jnp.zeros_like(pc).at[rows, first].add(1)
+                  if sp.needs_counts else None)
             for i in range(max_new - 1):
                 logits, cache = self._decode_step_fn(self.params, token,
                                                      cache)
                 r_dec, r_i = jax.random.split(r_dec)
-                nxt = sampling.sample(r_i, logits, sp)
+                nxt = sampling.sample(r_i, logits, sp,
+                                      (pc + oc, oc) if sp.needs_counts
+                                      else None)
+                if sp.needs_counts:
+                    oc = oc.at[rows, nxt].add((~finished).astype(jnp.int32))
                 lp = sampling.token_logprob(logits, nxt)
                 nxt = jnp.where(finished, pad, nxt)
                 toks_l.append(nxt)
@@ -378,28 +417,33 @@ class InferenceEngine:
         model = self._model
 
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def run(params, token, cache, finished, rng):
+        def run(params, token, cache, finished, rng, prompt_counts,
+                out_counts):
+            rows = jnp.arange(token.shape[0])
+
             def body(carry, rng_i):
-                token, cache, finished = carry
+                token, cache, finished, oc = carry
                 logits, cache = model.forward(params, cfg, token[:, None],
                                               cache)
-                nxt = sampling.sample(rng_i, logits[:, 0], params_s)
+                counts = ((prompt_counts + oc, oc)
+                          if params_s.needs_counts else None)
+                nxt = sampling.sample(rng_i, logits[:, 0], params_s, counts)
                 nxt = jnp.where(finished, pad_id, nxt)
+                if params_s.needs_counts:
+                    oc = oc.at[rows, nxt].add((~finished).astype(jnp.int32))
                 finished = finished | (nxt == eos_id)
-                return (nxt, cache, finished), nxt
+                return (nxt, cache, finished, oc), nxt
 
-            (token, cache, finished), toks = jax.lax.scan(
-                body, (token, cache, finished), jax.random.split(rng, burst))
-            return toks[:, 0], token, cache, finished
+            (token, cache, finished, out_counts), toks = jax.lax.scan(
+                body, (token, cache, finished, out_counts),
+                jax.random.split(rng, burst))
+            return toks[:, 0], token, cache, finished, out_counts
         self._jit_cache[key] = run
         return run
 
     def generate_stream(self, input_tokens: Sequence[int],
                         max_new_tokens: int = 50, *,
-                        temperature: Optional[float] = None,
-                        top_k: Optional[int] = None,
-                        top_p: Optional[float] = None,
-                        burst: int = 8):
+                        burst: int = 8, **sampling_kw):
         """Yield StreamChunk per generated token (no reference analog —
         its API is blocking-only, inference_engine.hpp:87-160).
 
@@ -409,7 +453,7 @@ class InferenceEngine:
         (throughput). Greedy output is token-identical to generate().
         """
         self._validate(input_tokens)
-        sp = self._sampling_params(temperature, top_k, top_p)
+        sp = self._sampling_params(**sampling_kw)
         eos = self.config.eos_token_id
         pad = self.config.pad_token_id
         burst = max(1, int(burst))
@@ -447,7 +491,13 @@ class InferenceEngine:
             last_logits, cache = self._run_prefill(tokens, seq_lens, cache)
             rng = self.next_rng()
             rng, r0 = jax.random.split(rng)
-            token = sampling.sample(r0, last_logits, sp)
+            pc = (self._prompt_counts(tokens, seq_lens) if sp.needs_counts
+                  else jnp.zeros((), jnp.int32))
+            oc = jnp.zeros_like(pc)
+            token = sampling.sample(r0, last_logits, sp,
+                                    (pc, oc) if sp.needs_counts else None)
+            if sp.needs_counts:
+                oc = oc.at[jnp.arange(1), token].add(1)
             first = chunk(int(token[0]))
             yield first
             if first.finished:
@@ -456,8 +506,8 @@ class InferenceEngine:
             run = self._stream_burst_fn(burst, sp, eos, pad)
             while len(out) < budget:
                 rng, r_b = jax.random.split(rng)
-                toks, token, cache, finished = run(self.params, token,
-                                                   cache, finished, r_b)
+                toks, token, cache, finished, oc = run(
+                    self.params, token, cache, finished, r_b, pc, oc)
                 for tok in np.asarray(toks).tolist():
                     c = chunk(int(tok))
                     yield c
@@ -487,7 +537,17 @@ class InferenceEngine:
             last = jnp.take_along_axis(
                 logits, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
             rng = self.next_rng()
-            nxt = np.asarray(sampling.sample(rng, last, sp))
+            counts = None
+            if sp.needs_counts:
+                V = self.model_config.vocab_size
+                ac = np.zeros((len(seqs), V), np.int32)
+                oc = np.zeros((len(seqs), V), np.int32)
+                for b, s in enumerate(seqs):
+                    np.add.at(ac[b], np.asarray(s, np.int64), 1)
+                    out = np.asarray(s[len(prompts[b]):], np.int64)
+                    np.add.at(oc[b], out, 1)
+                counts = (jnp.asarray(ac), jnp.asarray(oc))
+            nxt = np.asarray(sampling.sample(rng, last, sp, counts))
             lp = np.asarray(sampling.token_logprob(last, jnp.asarray(nxt)))
             for b, s in enumerate(seqs):
                 if finished[b]:
@@ -710,28 +770,23 @@ class InferenceEngine:
                                "from a checkpoint with a vocab)")
         return self.tokenizer.apply_chat_template(messages, tokenize=True)
 
-    def chat(self, messages, max_new_tokens: int = 256, *,
-             temperature: Optional[float] = None,
-             top_k: Optional[int] = None,
-             top_p: Optional[float] = None) -> GenerationResult:
+    def chat(self, messages, max_new_tokens: int = 256,
+             **sampling_kw) -> GenerationResult:
         """One assistant turn: render `messages` with the checkpoint's
         chat template, generate, and return the result with `.text` set
         to the decoded assistant reply. (No reference analog — it has no
         chat/template support at all.)"""
         ids = self._chat_prompt(messages)
-        res = self.generate(ids, max_new_tokens, temperature=temperature,
-                            top_k=top_k, top_p=top_p)
+        res = self.generate(ids, max_new_tokens, **sampling_kw)
         res.text = self.tokenizer.decode(res.tokens[len(ids):])
         return res
 
     def chat_stream(self, messages, max_new_tokens: int = 256, *,
-                    temperature: Optional[float] = None,
-                    top_k: Optional[int] = None,
-                    top_p: Optional[float] = None, burst: int = 8):
+                    burst: int = 8, **sampling_kw):
         """Streaming chat(): yields StreamChunk with text deltas."""
         return self.generate_stream(self._chat_prompt(messages),
-                                    max_new_tokens, temperature=temperature,
-                                    top_k=top_k, top_p=top_p, burst=burst)
+                                    max_new_tokens, burst=burst,
+                                    **sampling_kw)
 
     # -- tokenizer passthrough ----------------------------------------------
 

@@ -20,10 +20,26 @@ NEG_INF = -1e30
 
 
 class SamplingParams(NamedTuple):
-    """Static sampling knobs (subset of InferenceConfig)."""
+    """Static sampling knobs (subset of InferenceConfig).
+
+    Beyond the reference's temperature/top_k/top_p (its whole surface):
+    min_p nucleus floor, HF-convention repetition_penalty, and
+    OpenAI-convention presence/frequency penalties. A default-valued
+    penalty is a no-op and compiles to nothing (static check)."""
     temperature: float = 1.0
     top_k: int = 50
     top_p: float = 0.9
+    min_p: float = 0.0
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+
+    @property
+    def needs_counts(self) -> bool:
+        """True when sampling needs the seen-token count state."""
+        return (self.repetition_penalty != 1.0
+                or self.presence_penalty != 0.0
+                or self.frequency_penalty != 0.0)
 
 
 def apply_temperature(logits: jax.Array, temperature: float) -> jax.Array:
@@ -59,17 +75,72 @@ def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
     return jnp.where(logits < thresh, NEG_INF, logits)
 
 
-def sample(rng: jax.Array, logits: jax.Array, params: SamplingParams
-           ) -> jax.Array:
-    """Full pipeline: temperature → top-k → top-p → categorical draw.
+def apply_min_p(logits: jax.Array, min_p: float) -> jax.Array:
+    """Min-p filtering: drop tokens whose probability is below
+    min_p × P(max) (scales the nucleus with model confidence — matches
+    transformers' MinPLogitsWarper)."""
+    if min_p <= 0.0:
+        return logits
+    probs = jax.nn.softmax(logits, axis=-1)
+    floor = min_p * jnp.max(probs, axis=-1, keepdims=True)
+    return jnp.where(probs < floor, NEG_INF, logits)
 
-    logits: [..., V] -> tokens [...] int32. temperature<=0 → greedy.
+
+def apply_penalties(logits: jax.Array, counts: jax.Array,
+                    repetition_penalty=1.0, presence_penalty=0.0,
+                    frequency_penalty=0.0,
+                    out_counts: Optional[jax.Array] = None) -> jax.Array:
+    """Seen-token penalties over [..., V] logits given per-token
+    occurrence counts [..., V] (int).
+
+    repetition_penalty follows the HF/CTRL convention — divide positive
+    logits, multiply negative ones, for any token in `counts` (prompt +
+    output). presence/frequency follow the OpenAI convention — flat /
+    per-count subtraction over `out_counts` (generated tokens only;
+    defaults to `counts`). Scalars or per-row [...] arrays broadcast.
     """
+    if out_counts is None:
+        out_counts = counts
+    r = jnp.asarray(repetition_penalty, jnp.float32)
+    pres = jnp.asarray(presence_penalty, jnp.float32)
+    freq = jnp.asarray(frequency_penalty, jnp.float32)
+    if r.ndim == logits.ndim - 1:
+        r = r[..., None]
+    if pres.ndim == logits.ndim - 1:
+        pres = pres[..., None]
+    if freq.ndim == logits.ndim - 1:
+        freq = freq[..., None]
+    x = logits.astype(jnp.float32)
+    penalized = jnp.where(x > 0, x / r, x * r)
+    x = jnp.where(counts > 0, penalized, x)
+    return x - freq * out_counts.astype(jnp.float32) \
+        - pres * (out_counts > 0).astype(jnp.float32)
+
+
+def sample(rng: jax.Array, logits: jax.Array, params: SamplingParams,
+           counts=None) -> jax.Array:
+    """Full pipeline: penalties → temperature → top-k → top-p → min-p →
+    categorical draw.
+
+    logits: [..., V] -> tokens [...] int32. temperature<=0 → greedy
+    (penalties still apply — greedy anti-repetition is a real use).
+    `counts` = (all_counts [..., V], out_counts [..., V]) is required
+    iff params.needs_counts (all = prompt+output for repetition, out =
+    generated-only for presence/frequency).
+    """
+    x = logits.astype(jnp.float32)
+    if params.needs_counts:
+        all_counts, out_counts = counts
+        x = apply_penalties(x, all_counts, params.repetition_penalty,
+                            params.presence_penalty,
+                            params.frequency_penalty,
+                            out_counts=out_counts)
     if params.temperature <= 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    x = apply_temperature(logits.astype(jnp.float32), params.temperature)
+        return jnp.argmax(x, axis=-1).astype(jnp.int32)
+    x = apply_temperature(x, params.temperature)
     x = apply_top_k(x, params.top_k)
     x = apply_top_p(x, params.top_p)
+    x = apply_min_p(x, params.min_p)
     return jax.random.categorical(rng, x, axis=-1).astype(jnp.int32)
 
 
@@ -92,8 +163,13 @@ def token_logprob(logits: jax.Array, token: jax.Array) -> jax.Array:
 
 def sample_per_slot(rng: jax.Array, logits: jax.Array,
                     temperature: jax.Array, top_k: jax.Array,
-                    top_p: jax.Array, num_candidates: int = 128
-                    ) -> jax.Array:
+                    top_p: jax.Array, num_candidates: int = 128,
+                    min_p: Optional[jax.Array] = None,
+                    repetition_penalty: Optional[jax.Array] = None,
+                    presence_penalty: Optional[jax.Array] = None,
+                    frequency_penalty: Optional[jax.Array] = None,
+                    counts: Optional[jax.Array] = None,
+                    out_counts: Optional[jax.Array] = None) -> jax.Array:
     """Per-ROW sampling knobs — each batch slot gets its own
     temperature/top_k/top_p (continuous batching serves concurrent
     requests with different parameters; the reference has no batching
@@ -108,6 +184,15 @@ def sample_per_slot(rng: jax.Array, logits: jax.Array,
     B, V = logits.shape
     C = min(num_candidates, V)
     x = logits.astype(jnp.float32)
+    if counts is not None:
+        # per-row penalties over the full vocab BEFORE candidate
+        # selection (greedy rows must respect them too)
+        x = apply_penalties(
+            x, counts,
+            1.0 if repetition_penalty is None else repetition_penalty,
+            0.0 if presence_penalty is None else presence_penalty,
+            0.0 if frequency_penalty is None else frequency_penalty,
+            out_counts=out_counts)
     vals, idx = jax.lax.top_k(x, C)                       # [B, C] desc
     t = jnp.maximum(temperature, 1e-6)[:, None]
     xs = vals / t
@@ -121,6 +206,12 @@ def sample_per_slot(rng: jax.Array, logits: jax.Array,
     cum = jnp.cumsum(probs, axis=-1)
     p = jnp.where((top_p <= 0.0) | (top_p >= 1.0), 1.0, top_p)[:, None]
     xs = jnp.where((cum - probs) < p, xs, NEG_INF)
+    if min_p is not None:
+        # min-p floor within candidates (probs are softmax over the
+        # candidate window — P(max) matches full-vocab up to the tail)
+        floor = min_p[:, None] * jnp.max(probs, axis=-1, keepdims=True)
+        xs = jnp.where((probs < floor) & (min_p[:, None] > 0.0),
+                       NEG_INF, xs)
     choice = jax.random.categorical(rng, xs, axis=-1)     # [B]
     drawn = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
     greedy = idx[:, 0]

@@ -47,6 +47,10 @@ class _Request:
     temperature: Optional[float] = None
     top_k: Optional[int] = None
     top_p: Optional[float] = None
+    min_p: Optional[float] = None
+    repetition_penalty: Optional[float] = None
+    presence_penalty: Optional[float] = None
+    frequency_penalty: Optional[float] = None
 
 
 class ContinuousBatchingScheduler:
@@ -98,6 +102,18 @@ class ContinuousBatchingScheduler:
         self.slot_topk = jnp.full((self.B,), self.config.top_k, jnp.int32)
         self.slot_topp = jnp.full((self.B,), self.config.top_p,
                                   jnp.float32)
+        self.slot_minp = jnp.full((self.B,), self.config.min_p,
+                                  jnp.float32)
+        self.slot_rep = jnp.full((self.B,), self.config.repetition_penalty,
+                                 jnp.float32)
+        self.slot_pres = jnp.full((self.B,), self.config.presence_penalty,
+                                  jnp.float32)
+        self.slot_freq = jnp.full((self.B,), self.config.frequency_penalty,
+                                  jnp.float32)
+        # per-slot seen-token counts for the penalties (prompt / output)
+        V = model_config.vocab_size
+        self.counts_prompt = jnp.zeros((self.B, V), jnp.int32)
+        self.counts_out = jnp.zeros((self.B, V), jnp.int32)
 
     # -- jitted programs ------------------------------------------------
 
@@ -108,20 +124,25 @@ class ContinuousBatchingScheduler:
         eos = self.config.eos_token_id
 
         @functools.partial(jax.jit, donate_argnums=(3,))
-        def step(params, tokens, active, cache, rng, temp, topk, topp):
+        def step(params, tokens, active, cache, rng, temp, topk, topp,
+                 minp, rep, pres, freq, pc, oc):
             """One decode step for every slot; inactive slots still run
             (fixed shape) but their cache length is frozen."""
             logits, new_cache = model.forward(params, cfg, tokens[:, None],
                                               cache)
-            nxt = sampling.sample_per_slot(rng, logits[:, 0], temp, topk,
-                                           topp)
+            nxt = sampling.sample_per_slot(
+                rng, logits[:, 0], temp, topk, topp, min_p=minp,
+                repetition_penalty=rep, presence_penalty=pres,
+                frequency_penalty=freq, counts=pc + oc, out_counts=oc)
             lp = sampling.token_logprob(logits[:, 0], nxt)
+            oc = oc.at[jnp.arange(oc.shape[0]), nxt].add(
+                active.astype(jnp.int32))
             # Inactive slots: keep cache length frozen (writes to their
             # slots are harmless garbage past their length).
             new_len = jnp.where(active, new_cache.length, cache.length)
             cache = KVCache(k=new_cache.k, v=new_cache.v, length=new_len)
             hit_eos = active & (nxt == eos)
-            return nxt, lp, hit_eos, cache
+            return nxt, lp, hit_eos, cache, oc
         return step
 
     def _decode_burst_fn(self, n: int):
@@ -140,13 +161,17 @@ class ContinuousBatchingScheduler:
 
         @functools.partial(jax.jit, donate_argnums=(4,))
         def burst(params, tokens, active, budget, cache, rng,
-                  temp, topk, topp):
+                  temp, topk, topp, minp, rep, pres, freq, pc, oc):
             def body(carry, rng_i):
-                tokens, active, budget, cache = carry
+                tokens, active, budget, cache, oc = carry
                 logits, new_cache = model.forward(params, cfg,
                                                   tokens[:, None], cache)
-                nxt = sampling.sample_per_slot(rng_i, logits[:, 0], temp,
-                                               topk, topp)
+                nxt = sampling.sample_per_slot(
+                    rng_i, logits[:, 0], temp, topk, topp, min_p=minp,
+                    repetition_penalty=rep, presence_penalty=pres,
+                    frequency_penalty=freq, counts=pc + oc, out_counts=oc)
+                oc = oc.at[jnp.arange(oc.shape[0]), nxt].add(
+                    active.astype(jnp.int32))
                 new_len = jnp.where(active, new_cache.length, cache.length)
                 cache = KVCache(k=new_cache.k, v=new_cache.v, length=new_len)
                 was_active = active
@@ -155,12 +180,13 @@ class ContinuousBatchingScheduler:
                 active = (active & ~hit_eos & (budget > 0)
                           & (new_len < T))
                 tokens = jnp.where(was_active, nxt, tokens)
-                return (tokens, active, budget, cache), \
+                return (tokens, active, budget, cache, oc), \
                     (nxt, was_active, hit_eos)
             rngs = jax.random.split(rng, n)
-            (tokens, active, budget, cache), (toks, was, eoss) = \
-                jax.lax.scan(body, (tokens, active, budget, cache), rngs)
-            return tokens, active, budget, cache, toks, was, eoss
+            (tokens, active, budget, cache, oc), (toks, was, eoss) = \
+                jax.lax.scan(body, (tokens, active, budget, cache, oc),
+                             rngs)
+            return tokens, active, budget, cache, oc, toks, was, eoss
         return burst
 
     def _prefill_fn(self, S: int):
@@ -168,7 +194,8 @@ class ContinuousBatchingScheduler:
         model = self._model
 
         @functools.partial(jax.jit, donate_argnums=(4,))
-        def prefill(params, tokens, seq_len, slot, cache, rng, t, k, p):
+        def prefill(params, tokens, seq_len, slot, cache, rng, t, k, p,
+                    pen, pc_row):
             """Prefill ONE prompt [1, S] into `slot`'s cache region."""
             small = model.init_cache(cfg, 1, max_seq=self.T,
                                      dtype=self._kv_dtype)
@@ -176,8 +203,12 @@ class ContinuousBatchingScheduler:
                                           small, seq_lens=seq_len[None])
             idx = jnp.maximum(seq_len - 1, 0)
             last = logits[0, idx]
-            first = sampling.sample_per_slot(rng, last[None], t[None],
-                                             k[None], p[None])[0]
+            minp, rep, pres, freq = pen
+            first = sampling.sample_per_slot(
+                rng, last[None], t[None], k[None], p[None],
+                min_p=minp[None], repetition_penalty=rep[None],
+                presence_penalty=pres[None], frequency_penalty=freq[None],
+                counts=pc_row, out_counts=jnp.zeros_like(pc_row))[0]
             k = jax.lax.dynamic_update_slice_in_dim(
                 cache.k, small.k, slot, axis=1)
             v = jax.lax.dynamic_update_slice_in_dim(
@@ -195,18 +226,24 @@ class ContinuousBatchingScheduler:
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 50, *,
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
-               top_p: Optional[float] = None) -> int:
+               top_p: Optional[float] = None,
+               min_p: Optional[float] = None,
+               repetition_penalty: Optional[float] = None,
+               presence_penalty: Optional[float] = None,
+               frequency_penalty: Optional[float] = None) -> int:
         if len(prompt) == 0:
             raise ValueError("prompt must be non-empty")
         if len(prompt) >= self.T:
             raise ValueError(f"prompt length {len(prompt)} >= max_seq_len")
         rid = self._next_id
         self._next_id += 1
-        self._queue.append(_Request(rid=rid, prompt=list(prompt),
-                                    max_new=max_new_tokens,
-                                    submitted_at=time.perf_counter(),
-                                    temperature=temperature, top_k=top_k,
-                                    top_p=top_p))
+        self._queue.append(_Request(
+            rid=rid, prompt=list(prompt), max_new=max_new_tokens,
+            submitted_at=time.perf_counter(), temperature=temperature,
+            top_k=top_k, top_p=top_p, min_p=min_p,
+            repetition_penalty=repetition_penalty,
+            presence_penalty=presence_penalty,
+            frequency_penalty=frequency_penalty))
         return rid
 
     def cancel(self, rid: int, reason: str = "cancelled") -> bool:
@@ -240,16 +277,36 @@ class ContinuousBatchingScheduler:
         return None
 
     def _set_slot_sp(self, slot: int, req: _Request):
-        """Write the request's sampling knobs into the per-slot arrays
-        and return them as device scalars for the prefill sample."""
-        t = (self.config.temperature if req.temperature is None
-             else req.temperature)
-        k = self.config.top_k if req.top_k is None else req.top_k
-        p = self.config.top_p if req.top_p is None else req.top_p
+        """Write the request's sampling knobs + prompt token counts
+        into the per-slot arrays and return the knobs as device scalars
+        for the prefill sample."""
+        c = self.config
+
+        def pick(v, d):
+            return d if v is None else v
+        t = pick(req.temperature, c.temperature)
+        k = pick(req.top_k, c.top_k)
+        p = pick(req.top_p, c.top_p)
+        mp = pick(req.min_p, c.min_p)
+        rep = pick(req.repetition_penalty, c.repetition_penalty)
+        pres = pick(req.presence_penalty, c.presence_penalty)
+        freq = pick(req.frequency_penalty, c.frequency_penalty)
         self.slot_temp = self.slot_temp.at[slot].set(t)
         self.slot_topk = self.slot_topk.at[slot].set(k)
         self.slot_topp = self.slot_topp.at[slot].set(p)
-        return jnp.float32(t), jnp.int32(k), jnp.float32(p)
+        self.slot_minp = self.slot_minp.at[slot].set(mp)
+        self.slot_rep = self.slot_rep.at[slot].set(rep)
+        self.slot_pres = self.slot_pres.at[slot].set(pres)
+        self.slot_freq = self.slot_freq.at[slot].set(freq)
+        row = np.bincount(np.asarray(req.prompt, np.int64),
+                          minlength=self.model_config.vocab_size
+                          ).astype(np.int32)
+        self.counts_prompt = self.counts_prompt.at[slot].set(
+            jnp.asarray(row))
+        self.counts_out = self.counts_out.at[slot].set(0)
+        return ((jnp.float32(t), jnp.int32(k), jnp.float32(p)),
+                (jnp.float32(mp), jnp.float32(rep), jnp.float32(pres),
+                 jnp.float32(freq)), jnp.asarray(row)[None])
 
     @property
     def pending(self) -> int:
@@ -275,15 +332,16 @@ class ContinuousBatchingScheduler:
             key = S
             if key not in self._prefill_cache:
                 self._prefill_cache[key] = self._prefill_fn(S)
-            t, k, p = self._set_slot_sp(slot, req)
+            (t, k, p), pen, pc_row = self._set_slot_sp(slot, req)
             first, self.cache = self._prefill_cache[key](
                 self.params, jnp.asarray(arr),
                 jnp.int32(len(req.prompt)), slot, self.cache,
-                self._next_rng(), t, k, p)
+                self._next_rng(), t, k, p, pen, pc_row)
             req.prefill_ms = (time.perf_counter() - t0) * 1e3
             req.slot = slot
             first_i = int(first)
             req.out_tokens.append(first_i)
+            self.counts_out = self.counts_out.at[slot, first_i].add(1)
             self.tokens = self.tokens.at[slot].set(first_i)
             self.active = self.active.at[slot].set(True)
             self.budget = self.budget.at[slot].set(
@@ -309,10 +367,12 @@ class ContinuousBatchingScheduler:
             return 0
         if self.decode_burst > 1:
             return self._step_burst()
-        nxt, lp, hit_eos, self.cache = self._decode_fn(
+        nxt, lp, hit_eos, self.cache, self.counts_out = self._decode_fn(
             self.params, self.tokens, self.active, self.cache,
             self._next_rng(), self.slot_temp, self.slot_topk,
-            self.slot_topp)
+            self.slot_topp, self.slot_minp, self.slot_rep,
+            self.slot_pres, self.slot_freq, self.counts_prompt,
+            self.counts_out)
         self.tokens = nxt
         nxt_np = np.asarray(nxt)
         eos_np = np.asarray(hit_eos)
@@ -336,10 +396,12 @@ class ContinuousBatchingScheduler:
         if n not in self._burst_cache:
             self._burst_cache[n] = self._decode_burst_fn(n)
         (self.tokens, self.active, self.budget, self.cache,
-         toks, was, eoss) = self._burst_cache[n](
+         self.counts_out, toks, was, eoss) = self._burst_cache[n](
             self.params, self.tokens, self.active, self.budget,
             self.cache, self._next_rng(), self.slot_temp,
-            self.slot_topk, self.slot_topp)
+            self.slot_topk, self.slot_topp, self.slot_minp,
+            self.slot_rep, self.slot_pres, self.slot_freq,
+            self.counts_prompt, self.counts_out)
         toks_np, was_np, eos_np = (np.asarray(a) for a in
                                    jax.device_get((toks, was, eoss)))
         for slot in list(self._active):
@@ -459,13 +521,18 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
 
         @functools.partial(jax.jit, donate_argnums=(3, 4))
         def step(params, tokens, active, k_pages, v_pages, table, lengths,
-                 rng, temp, topk, topp):
+                 rng, temp, topk, topp, minp, rep, pres, freq, pc, oc):
             logits, k_pages, v_pages = model.forward_paged_decode(
                 params, cfg, tokens, k_pages, v_pages, table, lengths)
-            nxt = sampling.sample_per_slot(rng, logits, temp, topk, topp)
+            nxt = sampling.sample_per_slot(
+                rng, logits, temp, topk, topp, min_p=minp,
+                repetition_penalty=rep, presence_penalty=pres,
+                frequency_penalty=freq, counts=pc + oc, out_counts=oc)
             lp = sampling.token_logprob(logits, nxt)
+            oc = oc.at[jnp.arange(oc.shape[0]), nxt].add(
+                active.astype(jnp.int32))
             hit_eos = active & (nxt == eos)
-            return nxt, lp, hit_eos, k_pages, v_pages
+            return nxt, lp, hit_eos, k_pages, v_pages, oc
         return step
 
     def _prefill_fn(self, m: int, S_suf: int):
@@ -487,7 +554,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
 
         @functools.partial(jax.jit, donate_argnums=(5, 6))
         def prefill(params, tokens, seq_len, shared_ids, new_ids, k_pages,
-                    v_pages, rng, t, k_sp, p):
+                    v_pages, rng, t, k_sp, p, pen, pc_row):
             """tokens: [1, S_suf] suffix; seq_len: TOTAL prompt length;
             shared_ids: [m] pages already holding positions [0, pre);
             new_ids: [n_new] pages to receive the suffix K/V."""
@@ -507,9 +574,12 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             logits, small = model.forward(params, cfg, tokens, small,
                                           seq_lens=suf_len[None])
             idx = jnp.maximum(suf_len - 1, 0)
-            first = sampling.sample_per_slot(rng, logits[0, idx][None],
-                                             t[None], k_sp[None],
-                                             p[None])[0]
+            minp, rep, pres, freq = pen
+            first = sampling.sample_per_slot(
+                rng, logits[0, idx][None], t[None], k_sp[None], p[None],
+                min_p=minp[None], repetition_penalty=rep[None],
+                presence_penalty=pres[None], frequency_penalty=freq[None],
+                counts=pc_row, out_counts=jnp.zeros_like(pc_row))[0]
             # [L,1,Hkv,n_new*page,D] suffix region -> [L,n_new,Hkv,page,D]
             kn = small.k[:, 0, :, pre:].reshape(L, Hkv, n_new, page, D)
             vn = small.v[:, 0, :, pre:].reshape(L, Hkv, n_new, page, D)
@@ -590,19 +660,20 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             fkey = (m, S_suf)
             if fkey not in self._prefill_cache:
                 self._prefill_cache[fkey] = self._prefill_fn(*fkey)
-            t, k, p = self._set_slot_sp(slot, req)
+            (t, k, p), pen, pc_row = self._set_slot_sp(slot, req)
             first, kp, vp = self._prefill_cache[fkey](
                 self.params, jnp.asarray(arr), jnp.int32(plen),
                 jnp.asarray(self._table[slot, :m]),
                 jnp.asarray(self._table[slot, m:m + n_new]),
                 self.cache.k_pages, self.cache.v_pages,
-                self._next_rng(), t, k, p)
+                self._next_rng(), t, k, p, pen, pc_row)
             self.cache = self.cache._replace(k_pages=kp, v_pages=vp)
             self._lengths[slot] = len(req.prompt)
             req.prefill_ms = (time.perf_counter() - t0) * 1e3
             req.slot = slot
             first_i = int(first)
             req.out_tokens.append(first_i)
+            self.counts_out = self.counts_out.at[slot, first_i].add(1)
             self.tokens = self.tokens.at[slot].set(first_i)
             self.active = self.active.at[slot].set(True)
             self.budget = self.budget.at[slot].set(
@@ -632,11 +703,13 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                     "KV page pool exhausted mid-decode; raise num_pages "
                     "or lower batch_slots")
         lengths_dev = jnp.asarray(self._lengths.astype(np.int32))
-        nxt, lp, hit_eos, kp, vp = self._decode_fn(
+        nxt, lp, hit_eos, kp, vp, self.counts_out = self._decode_fn(
             self.params, self.tokens, self.active, self.cache.k_pages,
             self.cache.v_pages, self._device_table(), lengths_dev,
             self._next_rng(), self.slot_temp, self.slot_topk,
-            self.slot_topp)
+            self.slot_topp, self.slot_minp, self.slot_rep,
+            self.slot_pres, self.slot_freq, self.counts_prompt,
+            self.counts_out)
         self.cache = self.cache._replace(k_pages=kp, v_pages=vp)
         self.tokens = nxt
         nxt_np = np.asarray(nxt)

@@ -54,14 +54,10 @@ class ServingEngine:
 
     # -- request lifecycle -------------------------------------------------
 
-    def submit(self, prompt: Sequence[int], max_new_tokens: int, *,
-               temperature: Optional[float] = None,
-               top_k: Optional[int] = None,
-               top_p: Optional[float] = None) -> int:
+    def submit(self, prompt: Sequence[int], max_new_tokens: int,
+               **sampling_kw) -> int:
         with self._work:
-            rid = self.sched.submit(prompt, max_new_tokens,
-                                    temperature=temperature, top_k=top_k,
-                                    top_p=top_p)
+            rid = self.sched.submit(prompt, max_new_tokens, **sampling_kw)
             self._streams[rid] = queue.Queue()
             self._emitted[rid] = 0
             self._stats["requests"] += 1

@@ -153,8 +153,10 @@ class Handler(BaseHTTPRequestHandler):
         prompt_ids, obj_kind = enc
         eng = self.engine
         max_new = int(body.get("max_tokens") or 128)
-        temperature = body.get("temperature")
-        top_p = body.get("top_p")
+
+        def fget(key):
+            v = body.get(key)
+            return None if v is None else float(v)
         top_k = body.get("top_k")
         stops = body.get("stop") or []
         if isinstance(stops, str):
@@ -162,10 +164,12 @@ class Handler(BaseHTTPRequestHandler):
         stream = bool(body.get("stream"))
         try:
             rid = eng.submit(prompt_ids, max_new,
-                             temperature=(None if temperature is None
-                                          else float(temperature)),
+                             temperature=fget("temperature"),
                              top_k=None if top_k is None else int(top_k),
-                             top_p=None if top_p is None else float(top_p))
+                             top_p=fget("top_p"), min_p=fget("min_p"),
+                             repetition_penalty=fget("repetition_penalty"),
+                             presence_penalty=fget("presence_penalty"),
+                             frequency_penalty=fget("frequency_penalty"))
         except ValueError as e:
             self._error(400, str(e))
             return
