@@ -112,21 +112,23 @@ def _qtensor_spec(spec: P) -> P:
     return spec
 
 
+def fit_spec(spec: P, ndim: int) -> P:
+    """Adapt a spec to an array of higher rank (e.g. pre-tiled 4-D
+    scales [L, nk, gk, N]): keep the first and last axis specs,
+    replicate the inserted middle axes."""
+    if len(spec) == ndim:
+        return spec
+    return P(*(list(spec[:-1]) + [None] * (ndim - len(spec))
+               + [spec[-1]]))
+
+
 def shard_params(params: Dict[str, Any], mesh: Mesh,
                  specs: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Place a param pytree on the mesh with NamedShardings. QTensor
     leaves get their spec applied to data/scales/zero_points with the
     group axis following K."""
     specs = specs or param_specs()
-
-    def fit(spec: P, ndim: int) -> P:
-        """Adapt a spec to an array of higher rank (e.g. pre-tiled 4-D
-        scales [L, nk, gk, N]): keep the first and last axis specs,
-        replicate the inserted middle axes."""
-        if len(spec) == ndim:
-            return spec
-        return P(*(list(spec[:-1]) + [None] * (ndim - len(spec))
-                   + [spec[-1]]))
+    fit = fit_spec
 
     def place(leaf, spec):
         if isinstance(leaf, QTensor):
