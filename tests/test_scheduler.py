@@ -327,3 +327,20 @@ def test_per_request_penalties(tiny_params, tiny_cfg):
     results = sched.run()
     assert results[rid_pen].tokens == pen
     assert results[rid_plain].tokens == plain
+
+
+def test_scheduler_logprobs_match_engine(tiny_params, tiny_cfg):
+    import numpy as np
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    cfg = ti.InferenceConfig(max_seq_len=tiny_cfg.max_seq_len,
+                             eos_token_id=-1)
+    eng = ti.InferenceEngine(tiny_params, tiny_cfg, cfg)
+    want = eng.generate([1, 5, 42, 7], 8, temperature=0.0,
+                        return_logprobs=True)
+    sched = ContinuousBatchingScheduler(tiny_params, tiny_cfg, cfg,
+                                        batch_slots=2)
+    rid = sched.submit([1, 5, 42, 7], 8, temperature=0.0)
+    res = sched.run()[rid]
+    assert res.tokens == want.tokens
+    np.testing.assert_allclose(res.logprobs, want.logprobs, atol=1e-4)

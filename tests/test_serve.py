@@ -232,3 +232,30 @@ def test_concurrent_requests(served):
     assert len(results) == 6
     for body in results.values():
         assert body["usage"]["completion_tokens"] == 6
+
+
+def test_metrics_endpoint(served):
+    _, port, _, _ = served
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/metrics")
+    r = conn.getresponse()
+    body = r.read().decode()
+    conn.close()
+    assert r.status == 200
+    assert "turboinfer_requests_total" in body
+    assert "turboinfer_pending_requests" in body
+
+
+def test_logprobs_field(served):
+    _, port, _, _ = served
+    status, body = _post_json(port, "/v1/completions", {
+        "prompt": [1, 5, 9], "max_tokens": 5, "temperature": 0,
+        "logprobs": True})
+    assert status == 200
+    lp = body["choices"][0]["logprobs"]
+    assert len(lp["token_logprobs"]) == 5
+    assert all(v <= 0.0 for v in lp["token_logprobs"])
+    status, body = _post_json(port, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 4, "temperature": 0, "logprobs": True})
+    assert len(body["choices"][0]["logprobs"]["content"]) == 4

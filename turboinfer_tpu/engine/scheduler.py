@@ -39,6 +39,7 @@ class _Request:
     max_new: int
     submitted_at: float
     out_tokens: List[int] = dataclasses.field(default_factory=list)
+    out_logprobs: List[float] = dataclasses.field(default_factory=list)
     slot: int = -1
     prefill_ms: float = 0.0
     finished: bool = False
@@ -170,6 +171,7 @@ class ContinuousBatchingScheduler:
                     rng_i, logits[:, 0], temp, topk, topp, min_p=minp,
                     repetition_penalty=rep, presence_penalty=pres,
                     frequency_penalty=freq, counts=pc + oc, out_counts=oc)
+                lp = sampling.token_logprob(logits[:, 0], nxt)
                 oc = oc.at[jnp.arange(oc.shape[0]), nxt].add(
                     active.astype(jnp.int32))
                 new_len = jnp.where(active, new_cache.length, cache.length)
@@ -181,12 +183,14 @@ class ContinuousBatchingScheduler:
                           & (new_len < T))
                 tokens = jnp.where(was_active, nxt, tokens)
                 return (tokens, active, budget, cache, oc), \
-                    (nxt, was_active, hit_eos)
+                    (nxt, was_active, hit_eos, lp)
             rngs = jax.random.split(rng, n)
-            (tokens, active, budget, cache, oc), (toks, was, eoss) = \
+            (tokens, active, budget, cache, oc), \
+                (toks, was, eoss, lps) = \
                 jax.lax.scan(body, (tokens, active, budget, cache, oc),
                              rngs)
-            return tokens, active, budget, cache, oc, toks, was, eoss
+            return (tokens, active, budget, cache, oc, toks, was, eoss,
+                    lps)
         return burst
 
     def _prefill_fn(self, S: int):
@@ -209,12 +213,13 @@ class ContinuousBatchingScheduler:
                 min_p=minp[None], repetition_penalty=rep[None],
                 presence_penalty=pres[None], frequency_penalty=freq[None],
                 counts=pc_row, out_counts=jnp.zeros_like(pc_row))[0]
+            first_lp = sampling.token_logprob(last, first)
             k = jax.lax.dynamic_update_slice_in_dim(
                 cache.k, small.k, slot, axis=1)
             v = jax.lax.dynamic_update_slice_in_dim(
                 cache.v, small.v, slot, axis=1)
             length = cache.length.at[slot].set(seq_len)
-            return first, KVCache(k=k, v=v, length=length)
+            return first, first_lp, KVCache(k=k, v=v, length=length)
         return prefill
 
     @functools.cached_property
@@ -333,7 +338,7 @@ class ContinuousBatchingScheduler:
             if key not in self._prefill_cache:
                 self._prefill_cache[key] = self._prefill_fn(S)
             (t, k, p), pen, pc_row = self._set_slot_sp(slot, req)
-            first, self.cache = self._prefill_cache[key](
+            first, first_lp, self.cache = self._prefill_cache[key](
                 self.params, jnp.asarray(arr),
                 jnp.int32(len(req.prompt)), slot, self.cache,
                 self._next_rng(), t, k, p, pen, pc_row)
@@ -341,6 +346,7 @@ class ContinuousBatchingScheduler:
             req.slot = slot
             first_i = int(first)
             req.out_tokens.append(first_i)
+            req.out_logprobs.append(float(first_lp))
             self.counts_out = self.counts_out.at[slot, first_i].add(1)
             self.tokens = self.tokens.at[slot].set(first_i)
             self.active = self.active.at[slot].set(True)
@@ -375,10 +381,12 @@ class ContinuousBatchingScheduler:
             self.counts_out)
         self.tokens = nxt
         nxt_np = np.asarray(nxt)
+        lp_np = np.asarray(lp)
         eos_np = np.asarray(hit_eos)
         for slot in list(self._active):
             req = self._active[slot]
             req.out_tokens.append(int(nxt_np[slot]))
+            req.out_logprobs.append(float(lp_np[slot]))
             if eos_np[slot]:
                 self._finish(slot, "eos")
             elif len(req.out_tokens) >= req.max_new:
@@ -396,20 +404,21 @@ class ContinuousBatchingScheduler:
         if n not in self._burst_cache:
             self._burst_cache[n] = self._decode_burst_fn(n)
         (self.tokens, self.active, self.budget, self.cache,
-         self.counts_out, toks, was, eoss) = self._burst_cache[n](
+         self.counts_out, toks, was, eoss, lps) = self._burst_cache[n](
             self.params, self.tokens, self.active, self.budget,
             self.cache, self._next_rng(), self.slot_temp,
             self.slot_topk, self.slot_topp, self.slot_minp,
             self.slot_rep, self.slot_pres, self.slot_freq,
             self.counts_prompt, self.counts_out)
-        toks_np, was_np, eos_np = (np.asarray(a) for a in
-                                   jax.device_get((toks, was, eoss)))
+        toks_np, was_np, eos_np, lps_np = (
+            np.asarray(a) for a in jax.device_get((toks, was, eoss, lps)))
         for slot in list(self._active):
             req = self._active[slot]
             for i in range(n):
                 if not was_np[i, slot]:
                     break
                 req.out_tokens.append(int(toks_np[i, slot]))
+                req.out_logprobs.append(float(lps_np[i, slot]))
                 if eos_np[i, slot]:
                     self._finish(slot, "eos")
                     break
@@ -437,6 +446,7 @@ class ContinuousBatchingScheduler:
             n = len(req.out_tokens)
             out[rid] = GenerationResult(
                 tokens=req.prompt + req.out_tokens,
+                logprobs=list(req.out_logprobs),
                 total_time_ms=dt_ms,
                 tokens_per_second=n / max(dt_ms / 1e3, 1e-9),
                 prefill_time_ms=req.prefill_ms,
@@ -580,6 +590,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                 min_p=minp[None], repetition_penalty=rep[None],
                 presence_penalty=pres[None], frequency_penalty=freq[None],
                 counts=pc_row, out_counts=jnp.zeros_like(pc_row))[0]
+            first_lp = sampling.token_logprob(logits[0, idx], first)
             # [L,1,Hkv,n_new*page,D] suffix region -> [L,n_new,Hkv,page,D]
             kn = small.k[:, 0, :, pre:].reshape(L, Hkv, n_new, page, D)
             vn = small.v[:, 0, :, pre:].reshape(L, Hkv, n_new, page, D)
@@ -587,7 +598,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                 kn.transpose(0, 2, 1, 3, 4).astype(k_pages.dtype))
             v_pages = v_pages.at[:, new_ids].set(
                 vn.transpose(0, 2, 1, 3, 4).astype(v_pages.dtype))
-            return first, k_pages, v_pages
+            return first, first_lp, k_pages, v_pages
         return prefill
 
     # -- host-side page bookkeeping ------------------------------------
@@ -661,7 +672,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             if fkey not in self._prefill_cache:
                 self._prefill_cache[fkey] = self._prefill_fn(*fkey)
             (t, k, p), pen, pc_row = self._set_slot_sp(slot, req)
-            first, kp, vp = self._prefill_cache[fkey](
+            first, first_lp, kp, vp = self._prefill_cache[fkey](
                 self.params, jnp.asarray(arr), jnp.int32(plen),
                 jnp.asarray(self._table[slot, :m]),
                 jnp.asarray(self._table[slot, m:m + n_new]),
@@ -673,6 +684,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             req.slot = slot
             first_i = int(first)
             req.out_tokens.append(first_i)
+            req.out_logprobs.append(float(first_lp))
             self.counts_out = self.counts_out.at[slot, first_i].add(1)
             self.tokens = self.tokens.at[slot].set(first_i)
             self.active = self.active.at[slot].set(True)
@@ -713,11 +725,13 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         self.cache = self.cache._replace(k_pages=kp, v_pages=vp)
         self.tokens = nxt
         nxt_np = np.asarray(nxt)
+        lp_np = np.asarray(lp)
         eos_np = np.asarray(hit_eos)
         for slot in list(self._active):
             self._lengths[slot] += 1
             req = self._active[slot]
             req.out_tokens.append(int(nxt_np[slot]))
+            req.out_logprobs.append(float(lp_np[slot]))
             if eos_np[slot]:
                 self._finish(slot, "eos")
             elif len(req.out_tokens) >= req.max_new:

@@ -33,6 +33,7 @@ class StreamEnd:
     stop_reason: str
     prompt_tokens: int
     completion_tokens: int
+    logprobs: Optional[List[float]] = None
 
 
 class ServingEngine:
@@ -122,7 +123,8 @@ class ServingEngine:
         if req.finished:
             q.put(StreamEnd(stop_reason=req.stop_reason,
                             prompt_tokens=len(req.prompt),
-                            completion_tokens=len(req.out_tokens)))
+                            completion_tokens=len(req.out_tokens),
+                            logprobs=list(req.out_logprobs)))
 
     def _run(self):
         sched = self.sched

@@ -98,6 +98,25 @@ class Handler(BaseHTTPRequestHandler):
         eng = self.engine
         if self.path == "/health":
             self._json(200, {"status": "ok", **eng.stats()})
+        elif self.path == "/metrics":
+            st = eng.stats()
+            lines = [
+                "# TYPE turboinfer_requests_total counter",
+                f"turboinfer_requests_total {st['requests']}",
+                "# TYPE turboinfer_tokens_generated_total counter",
+                f"turboinfer_tokens_generated_total {st['tokens']}",
+                "# TYPE turboinfer_pending_requests gauge",
+                f"turboinfer_pending_requests {st['pending']}",
+                "# TYPE turboinfer_uptime_seconds gauge",
+                f"turboinfer_uptime_seconds {st['uptime_s']:.1f}",
+            ]
+            body = ("\n".join(lines) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif self.path in ("/v1/models", "/models"):
             self._json(200, {"object": "list", "data": [
                 {"id": eng.model_name, "object": "model",
@@ -174,13 +193,15 @@ class Handler(BaseHTTPRequestHandler):
             self._error(400, str(e))
             return
         cid = f"cmpl-{uuid.uuid4().hex[:24]}"
+        want_lp = bool(body.get("logprobs"))
         if stream:
             self._stream_response(rid, cid, obj_kind, stops, chat)
         else:
             self._block_response(rid, cid, obj_kind, stops, chat,
-                                 len(prompt_ids))
+                                 len(prompt_ids), want_lp)
 
-    def _block_response(self, rid, cid, kind, stops, chat, n_prompt):
+    def _block_response(self, rid, cid, kind, stops, chat, n_prompt,
+                        want_lp=False):
         eng = self.engine
         asm = _TextAssembler(eng.tokenizer)
         text, end = "", None
@@ -201,6 +222,17 @@ class Handler(BaseHTTPRequestHandler):
                                            "content": text},
                    "finish_reason": reason} if chat else
                   {"index": 0, "text": text, "finish_reason": reason})
+        if want_lp and end.logprobs is not None:
+            tok = eng.tokenizer
+            toks = [tok.decode([t]) if tok else str(t) for t in asm.ids]
+            lps = end.logprobs[:len(asm.ids)]
+            if chat:
+                choice["logprobs"] = {"content": [
+                    {"token": t, "logprob": l}
+                    for t, l in zip(toks, lps)]}
+            else:
+                choice["logprobs"] = {"tokens": toks,
+                                      "token_logprobs": lps}
         self._json(200, {
             "id": cid, "object": kind, "created": _now(),
             "model": eng.model_name, "choices": [choice],
