@@ -259,3 +259,29 @@ def test_logprobs_field(served):
         "messages": [{"role": "user", "content": "hi"}],
         "max_tokens": 4, "temperature": 0, "logprobs": True})
     assert len(body["choices"][0]["logprobs"]["content"]) == 4
+
+
+def test_logit_bias_forces_token(served):
+    """+100 bias on one token makes greedy pick it every step."""
+    _, port, _, _ = served
+    forced = 123
+    status, body = _post_json(port, "/v1/completions", {
+        "prompt": [1, 5, 9], "max_tokens": 5, "temperature": 0,
+        "logit_bias": {str(forced): 100.0}})
+    assert status == 200
+    # decode the produced ids via a fresh request with logprobs? simpler:
+    # the text of token 123 five times == decoded output
+    eng, _, tok, _ = served
+    assert body["choices"][0]["text"] == tok.decode([forced] * 5)
+
+
+def test_n_choices(served):
+    _, port, _, _ = served
+    status, body = _post_json(port, "/v1/completions", {
+        "prompt": [1, 5, 9], "max_tokens": 4, "temperature": 1.0, "n": 3})
+    assert status == 200
+    assert [c["index"] for c in body["choices"]] == [0, 1, 2]
+    assert body["usage"]["completion_tokens"] == 12
+    status, body = _post_json(port, "/v1/completions", {
+        "prompt": [1], "max_tokens": 2, "n": 2, "stream": True})
+    assert status == 400

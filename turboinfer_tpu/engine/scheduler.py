@@ -52,6 +52,7 @@ class _Request:
     repetition_penalty: Optional[float] = None
     presence_penalty: Optional[float] = None
     frequency_penalty: Optional[float] = None
+    logit_bias: Optional[Dict[int, float]] = None
 
 
 class ContinuousBatchingScheduler:
@@ -115,6 +116,8 @@ class ContinuousBatchingScheduler:
         V = model_config.vocab_size
         self.counts_prompt = jnp.zeros((self.B, V), jnp.int32)
         self.counts_out = jnp.zeros((self.B, V), jnp.int32)
+        # per-slot additive logit bias (OpenAI logit_bias)
+        self.slot_bias = jnp.zeros((self.B, V), jnp.float32)
 
     # -- jitted programs ------------------------------------------------
 
@@ -126,11 +129,12 @@ class ContinuousBatchingScheduler:
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def step(params, tokens, active, cache, rng, temp, topk, topp,
-                 minp, rep, pres, freq, pc, oc):
+                 minp, rep, pres, freq, pc, oc, bias):
             """One decode step for every slot; inactive slots still run
             (fixed shape) but their cache length is frozen."""
             logits, new_cache = model.forward(params, cfg, tokens[:, None],
                                               cache)
+            logits = logits.at[:, 0].add(bias)
             nxt = sampling.sample_per_slot(
                 rng, logits[:, 0], temp, topk, topp, min_p=minp,
                 repetition_penalty=rep, presence_penalty=pres,
@@ -162,11 +166,12 @@ class ContinuousBatchingScheduler:
 
         @functools.partial(jax.jit, donate_argnums=(4,))
         def burst(params, tokens, active, budget, cache, rng,
-                  temp, topk, topp, minp, rep, pres, freq, pc, oc):
+                  temp, topk, topp, minp, rep, pres, freq, pc, oc, bias):
             def body(carry, rng_i):
                 tokens, active, budget, cache, oc = carry
                 logits, new_cache = model.forward(params, cfg,
                                                   tokens[:, None], cache)
+                logits = logits.at[:, 0].add(bias)
                 nxt = sampling.sample_per_slot(
                     rng_i, logits[:, 0], temp, topk, topp, min_p=minp,
                     repetition_penalty=rep, presence_penalty=pres,
@@ -199,14 +204,14 @@ class ContinuousBatchingScheduler:
 
         @functools.partial(jax.jit, donate_argnums=(4,))
         def prefill(params, tokens, seq_len, slot, cache, rng, t, k, p,
-                    pen, pc_row):
+                    pen, pc_row, bias_row):
             """Prefill ONE prompt [1, S] into `slot`'s cache region."""
             small = model.init_cache(cfg, 1, max_seq=self.T,
                                      dtype=self._kv_dtype)
             logits, small = model.forward(params, cfg, tokens,
                                           small, seq_lens=seq_len[None])
             idx = jnp.maximum(seq_len - 1, 0)
-            last = logits[0, idx]
+            last = logits[0, idx] + bias_row[0]
             minp, rep, pres, freq = pen
             first = sampling.sample_per_slot(
                 rng, last[None], t[None], k[None], p[None],
@@ -235,7 +240,8 @@ class ContinuousBatchingScheduler:
                min_p: Optional[float] = None,
                repetition_penalty: Optional[float] = None,
                presence_penalty: Optional[float] = None,
-               frequency_penalty: Optional[float] = None) -> int:
+               frequency_penalty: Optional[float] = None,
+               logit_bias: Optional[Dict[int, float]] = None) -> int:
         if len(prompt) == 0:
             raise ValueError("prompt must be non-empty")
         if len(prompt) >= self.T:
@@ -248,7 +254,7 @@ class ContinuousBatchingScheduler:
             top_k=top_k, top_p=top_p, min_p=min_p,
             repetition_penalty=repetition_penalty,
             presence_penalty=presence_penalty,
-            frequency_penalty=frequency_penalty))
+            frequency_penalty=frequency_penalty, logit_bias=logit_bias))
         return rid
 
     def cancel(self, rid: int, reason: str = "cancelled") -> bool:
@@ -303,15 +309,23 @@ class ContinuousBatchingScheduler:
         self.slot_rep = self.slot_rep.at[slot].set(rep)
         self.slot_pres = self.slot_pres.at[slot].set(pres)
         self.slot_freq = self.slot_freq.at[slot].set(freq)
+        V = self.model_config.vocab_size
         row = np.bincount(np.asarray(req.prompt, np.int64),
-                          minlength=self.model_config.vocab_size
-                          ).astype(np.int32)
+                          minlength=V).astype(np.int32)
         self.counts_prompt = self.counts_prompt.at[slot].set(
             jnp.asarray(row))
         self.counts_out = self.counts_out.at[slot].set(0)
+        bias = np.zeros((V,), np.float32)
+        if req.logit_bias:
+            for tid, b in req.logit_bias.items():
+                tid = int(tid)
+                if 0 <= tid < V:
+                    bias[tid] = float(b)
+        self.slot_bias = self.slot_bias.at[slot].set(jnp.asarray(bias))
         return ((jnp.float32(t), jnp.int32(k), jnp.float32(p)),
                 (jnp.float32(mp), jnp.float32(rep), jnp.float32(pres),
-                 jnp.float32(freq)), jnp.asarray(row)[None])
+                 jnp.float32(freq)), jnp.asarray(row)[None],
+                jnp.asarray(bias)[None])
 
     @property
     def pending(self) -> int:
@@ -337,11 +351,11 @@ class ContinuousBatchingScheduler:
             key = S
             if key not in self._prefill_cache:
                 self._prefill_cache[key] = self._prefill_fn(S)
-            (t, k, p), pen, pc_row = self._set_slot_sp(slot, req)
+            (t, k, p), pen, pc_row, bias_row = self._set_slot_sp(slot, req)
             first, first_lp, self.cache = self._prefill_cache[key](
                 self.params, jnp.asarray(arr),
                 jnp.int32(len(req.prompt)), slot, self.cache,
-                self._next_rng(), t, k, p, pen, pc_row)
+                self._next_rng(), t, k, p, pen, pc_row, bias_row)
             req.prefill_ms = (time.perf_counter() - t0) * 1e3
             req.slot = slot
             first_i = int(first)
@@ -378,7 +392,7 @@ class ContinuousBatchingScheduler:
             self._next_rng(), self.slot_temp, self.slot_topk,
             self.slot_topp, self.slot_minp, self.slot_rep,
             self.slot_pres, self.slot_freq, self.counts_prompt,
-            self.counts_out)
+            self.counts_out, self.slot_bias)
         self.tokens = nxt
         nxt_np = np.asarray(nxt)
         lp_np = np.asarray(lp)
@@ -409,7 +423,7 @@ class ContinuousBatchingScheduler:
             self.cache, self._next_rng(), self.slot_temp,
             self.slot_topk, self.slot_topp, self.slot_minp,
             self.slot_rep, self.slot_pres, self.slot_freq,
-            self.counts_prompt, self.counts_out)
+            self.counts_prompt, self.counts_out, self.slot_bias)
         toks_np, was_np, eos_np, lps_np = (
             np.asarray(a) for a in jax.device_get((toks, was, eoss, lps)))
         for slot in list(self._active):
@@ -531,9 +545,11 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
 
         @functools.partial(jax.jit, donate_argnums=(3, 4))
         def step(params, tokens, active, k_pages, v_pages, table, lengths,
-                 rng, temp, topk, topp, minp, rep, pres, freq, pc, oc):
+                 rng, temp, topk, topp, minp, rep, pres, freq, pc, oc,
+                 bias):
             logits, k_pages, v_pages = model.forward_paged_decode(
                 params, cfg, tokens, k_pages, v_pages, table, lengths)
+            logits = logits + bias
             nxt = sampling.sample_per_slot(
                 rng, logits, temp, topk, topp, min_p=minp,
                 repetition_penalty=rep, presence_penalty=pres,
@@ -564,7 +580,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
 
         @functools.partial(jax.jit, donate_argnums=(5, 6))
         def prefill(params, tokens, seq_len, shared_ids, new_ids, k_pages,
-                    v_pages, rng, t, k_sp, p, pen, pc_row):
+                    v_pages, rng, t, k_sp, p, pen, pc_row, bias_row):
             """tokens: [1, S_suf] suffix; seq_len: TOTAL prompt length;
             shared_ids: [m] pages already holding positions [0, pre);
             new_ids: [n_new] pages to receive the suffix K/V."""
@@ -586,11 +602,13 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             idx = jnp.maximum(suf_len - 1, 0)
             minp, rep, pres, freq = pen
             first = sampling.sample_per_slot(
-                rng, logits[0, idx][None], t[None], k_sp[None], p[None],
+                rng, logits[0, idx][None] + bias_row, t[None], k_sp[None],
+                p[None],
                 min_p=minp[None], repetition_penalty=rep[None],
                 presence_penalty=pres[None], frequency_penalty=freq[None],
                 counts=pc_row, out_counts=jnp.zeros_like(pc_row))[0]
-            first_lp = sampling.token_logprob(logits[0, idx], first)
+            first_lp = sampling.token_logprob(logits[0, idx] + bias_row[0],
+                                              first)
             # [L,1,Hkv,n_new*page,D] suffix region -> [L,n_new,Hkv,page,D]
             kn = small.k[:, 0, :, pre:].reshape(L, Hkv, n_new, page, D)
             vn = small.v[:, 0, :, pre:].reshape(L, Hkv, n_new, page, D)
@@ -671,13 +689,13 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             fkey = (m, S_suf)
             if fkey not in self._prefill_cache:
                 self._prefill_cache[fkey] = self._prefill_fn(*fkey)
-            (t, k, p), pen, pc_row = self._set_slot_sp(slot, req)
+            (t, k, p), pen, pc_row, bias_row = self._set_slot_sp(slot, req)
             first, first_lp, kp, vp = self._prefill_cache[fkey](
                 self.params, jnp.asarray(arr), jnp.int32(plen),
                 jnp.asarray(self._table[slot, :m]),
                 jnp.asarray(self._table[slot, m:m + n_new]),
                 self.cache.k_pages, self.cache.v_pages,
-                self._next_rng(), t, k, p, pen, pc_row)
+                self._next_rng(), t, k, p, pen, pc_row, bias_row)
             self.cache = self.cache._replace(k_pages=kp, v_pages=vp)
             self._lengths[slot] = len(req.prompt)
             req.prefill_ms = (time.perf_counter() - t0) * 1e3
@@ -721,7 +739,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             self._next_rng(), self.slot_temp, self.slot_topk,
             self.slot_topp, self.slot_minp, self.slot_rep,
             self.slot_pres, self.slot_freq, self.counts_prompt,
-            self.counts_out)
+            self.counts_out, self.slot_bias)
         self.cache = self.cache._replace(k_pages=kp, v_pages=vp)
         self.tokens = nxt
         nxt_np = np.asarray(nxt)

@@ -181,65 +181,86 @@ class Handler(BaseHTTPRequestHandler):
         if isinstance(stops, str):
             stops = [stops]
         stream = bool(body.get("stream"))
+        n = max(1, int(body.get("n") or 1))
+        if stream and n > 1:
+            self._error(400, "streaming with n>1 is not supported")
+            return
+        lb = body.get("logit_bias") or None
+        if lb is not None:
+            try:
+                lb = {int(k): float(v) for k, v in lb.items()}
+            except (ValueError, AttributeError):
+                self._error(400, "'logit_bias' must map token ids to "
+                                 "biases")
+                return
+        kw = dict(temperature=fget("temperature"),
+                  top_k=None if top_k is None else int(top_k),
+                  top_p=fget("top_p"), min_p=fget("min_p"),
+                  repetition_penalty=fget("repetition_penalty"),
+                  presence_penalty=fget("presence_penalty"),
+                  frequency_penalty=fget("frequency_penalty"),
+                  logit_bias=lb)
         try:
-            rid = eng.submit(prompt_ids, max_new,
-                             temperature=fget("temperature"),
-                             top_k=None if top_k is None else int(top_k),
-                             top_p=fget("top_p"), min_p=fget("min_p"),
-                             repetition_penalty=fget("repetition_penalty"),
-                             presence_penalty=fget("presence_penalty"),
-                             frequency_penalty=fget("frequency_penalty"))
+            rids = [eng.submit(prompt_ids, max_new, **kw)
+                    for _ in range(n)]
         except ValueError as e:
             self._error(400, str(e))
             return
         cid = f"cmpl-{uuid.uuid4().hex[:24]}"
         want_lp = bool(body.get("logprobs"))
         if stream:
-            self._stream_response(rid, cid, obj_kind, stops, chat)
+            self._stream_response(rids[0], cid, obj_kind, stops, chat)
         else:
-            self._block_response(rid, cid, obj_kind, stops, chat,
+            self._block_response(rids, cid, obj_kind, stops, chat,
                                  len(prompt_ids), want_lp)
 
-    def _block_response(self, rid, cid, kind, stops, chat, n_prompt,
+    def _block_response(self, rids, cid, kind, stops, chat, n_prompt,
                         want_lp=False):
         eng = self.engine
-        asm = _TextAssembler(eng.tokenizer)
-        text, end = "", None
-        for item in eng.stream(rid):
-            if isinstance(item, StreamEnd):
-                end = item
-                break
-            text += asm.push(item)
-            cut = _find_stop(text, stops)
-            if cut is not None:
-                text = text[:cut]
-                eng.cancel(rid)
-                end = StreamEnd("stop", n_prompt, len(asm.ids))
-                break
-        reason = {"eos": "stop", "stop": "stop"}.get(end.stop_reason,
-                                                     "length")
-        choice = ({"index": 0, "message": {"role": "assistant",
-                                           "content": text},
-                   "finish_reason": reason} if chat else
-                  {"index": 0, "text": text, "finish_reason": reason})
-        if want_lp and end.logprobs is not None:
-            tok = eng.tokenizer
-            toks = [tok.decode([t]) if tok else str(t) for t in asm.ids]
-            lps = end.logprobs[:len(asm.ids)]
-            if chat:
-                choice["logprobs"] = {"content": [
-                    {"token": t, "logprob": l}
-                    for t, l in zip(toks, lps)]}
-            else:
-                choice["logprobs"] = {"tokens": toks,
-                                      "token_logprobs": lps}
+        choices = []
+        usage = {"prompt_tokens": 0, "completion_tokens": 0}
+        for index, rid in enumerate(rids):
+            asm = _TextAssembler(eng.tokenizer)
+            text, end = "", None
+            for item in eng.stream(rid):
+                if isinstance(item, StreamEnd):
+                    end = item
+                    break
+                text += asm.push(item)
+                cut = _find_stop(text, stops)
+                if cut is not None:
+                    text = text[:cut]
+                    eng.cancel(rid)
+                    end = StreamEnd("stop", n_prompt, len(asm.ids))
+                    break
+            reason = {"eos": "stop", "stop": "stop"}.get(end.stop_reason,
+                                                         "length")
+            choice = ({"index": index,
+                       "message": {"role": "assistant", "content": text},
+                       "finish_reason": reason} if chat else
+                      {"index": index, "text": text,
+                       "finish_reason": reason})
+            if want_lp and end.logprobs is not None:
+                tok = eng.tokenizer
+                toks = [tok.decode([t]) if tok else str(t)
+                        for t in asm.ids]
+                lps = end.logprobs[:len(asm.ids)]
+                if chat:
+                    choice["logprobs"] = {"content": [
+                        {"token": t, "logprob": l}
+                        for t, l in zip(toks, lps)]}
+                else:
+                    choice["logprobs"] = {"tokens": toks,
+                                          "token_logprobs": lps}
+            choices.append(choice)
+            usage["prompt_tokens"] = end.prompt_tokens
+            usage["completion_tokens"] += end.completion_tokens
         self._json(200, {
             "id": cid, "object": kind, "created": _now(),
-            "model": eng.model_name, "choices": [choice],
-            "usage": {"prompt_tokens": end.prompt_tokens,
-                      "completion_tokens": end.completion_tokens,
-                      "total_tokens": end.prompt_tokens
-                      + end.completion_tokens}})
+            "model": eng.model_name, "choices": choices,
+            "usage": {**usage,
+                      "total_tokens": usage["prompt_tokens"]
+                      + usage["completion_tokens"]}})
 
     def _sse(self, obj: Dict[str, Any]):
         self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
