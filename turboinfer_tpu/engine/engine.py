@@ -403,6 +403,75 @@ class InferenceEngine:
                                      batch=B)
         return results
 
+    # -- structured (grammar-constrained) generation -------------------------
+
+    def generate_structured(self, input_tokens: Sequence[int],
+                            max_new_tokens: int = 256, *,
+                            response_format: str = "json_object",
+                            temperature: Optional[float] = None,
+                            token_filter=None) -> GenerationResult:
+        """Grammar-constrained generation: every emitted token must be a
+        legal continuation of the active grammar, so the output is
+        guaranteed to parse. response_format="json_object" constrains to
+        a single top-level JSON object (OpenAI semantics); pass a custom
+        `token_filter` (see structured/filter.py) for other grammars.
+
+        Runs the host decode loop — the grammar state machine needs the
+        logits each step, so the fused scan doesn't apply. No reference
+        analog (it has no constrained decoding).
+        """
+        self._validate(input_tokens)
+        if token_filter is None:
+            if self.tokenizer is None:
+                raise RuntimeError("structured generation requires a "
+                                   "tokenizer (or an explicit "
+                                   "token_filter)")
+            from turboinfer_tpu.structured import JsonTokenFilter
+            token_filter = JsonTokenFilter(
+                self.tokenizer,
+                require_object=(response_format == "json_object"))
+        temp = (self.config.temperature if temperature is None
+                else temperature)
+        t0 = time.perf_counter()
+        tokens, seq_lens, _ = self._pad_batch([input_tokens])
+        budget = min(max_new_tokens,
+                     self.config.max_seq_len - len(input_tokens))
+        cache = self._take_cache(1)
+        rng_np = np.random.default_rng(
+            int(jax.random.randint(self.next_rng(), (), 0, 2**31 - 1)))
+        out: List[int] = []
+        try:
+            last_logits, cache = self._run_prefill(tokens, seq_lens, cache)
+            logits_np = np.asarray(last_logits[0], np.float32)
+            t_prefill = time.perf_counter()
+            while len(out) < budget and not token_filter.done:
+                tid = token_filter.pick(logits_np, temperature=temp,
+                                        rng=rng_np)
+                if tid is None:
+                    break
+                out.append(tid)
+                if token_filter.done or len(out) >= budget:
+                    break
+                logits_dev, cache = self._decode_step_fn(
+                    self.params, jnp.asarray([tid], jnp.int32), cache)
+                logits_np = np.asarray(logits_dev[0], np.float32)
+        finally:
+            self._put_cache(1, cache)
+        t1 = time.perf_counter()
+        self.stats.record_generation(new_tokens=len(out),
+                                     elapsed_s=(t1 - t0),
+                                     prefill_s=(t_prefill - t0), batch=1)
+        text = (self.tokenizer.decode(out)
+                if self.tokenizer is not None else None)
+        return GenerationResult(
+            tokens=list(input_tokens) + out,
+            total_time_ms=(t1 - t0) * 1e3,
+            tokens_per_second=len(out) / max(t1 - t0, 1e-9),
+            prefill_time_ms=(t_prefill - t0) * 1e3,
+            finished=token_filter.done,
+            stop_reason="stop" if token_filter.done else "length",
+            text=text)
+
     # -- streaming ---------------------------------------------------------
 
     def _stream_burst_fn(self, burst: int, params_s: SamplingParams,

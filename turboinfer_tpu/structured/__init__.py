@@ -1,0 +1,8 @@
+"""Constrained (structured) decoding: grammar-masked token selection.
+Beyond-reference subsystem — guarantees outputs parse (JSON today)."""
+
+from turboinfer_tpu.structured.filter import JsonTokenFilter, \
+    token_bytes_table
+from turboinfer_tpu.structured import json_fsm
+
+__all__ = ["JsonTokenFilter", "token_bytes_table", "json_fsm"]
