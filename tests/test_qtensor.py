@@ -108,3 +108,60 @@ def test_odd_k_int8_and_padding_groups():
     assert qt.num_groups == 2
     err = quantization_error(w, qt)
     assert err < 0.01
+
+
+# ---------------------------------------------------------------------------
+# MSE-optimal scale search (scale_method="mse")
+# ---------------------------------------------------------------------------
+
+def test_mse_scale_never_worse_than_absmax():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from turboinfer_tpu.core import qtensor
+    from turboinfer_tpu.config import QuantType
+    rng = np.random.default_rng(0)
+    # heavy-tailed weights: outliers make absmax scaling lossy
+    w = rng.standard_t(df=3, size=(256, 128)).astype(np.float32)
+    for qtype in (QuantType.INT4, QuantType.INT8):
+        qa = qtensor.quantize(jnp.asarray(w), qtype, group_size=64,
+                              scale_dtype=jnp.float32)
+        qm = qtensor.quantize(jnp.asarray(w), qtype, group_size=64,
+                              scale_dtype=jnp.float32,
+                              scale_method="mse")
+        ea = float(jnp.sum(jnp.square(
+            qtensor.dequantize(qa) - w)))
+        em = float(jnp.sum(jnp.square(
+            qtensor.dequantize(qm) - w)))
+        assert em <= ea * (1 + 1e-6)
+        if qtype == QuantType.INT4:
+            # 15 levels + heavy tails: clipping buys a real win
+            # (int8's 255 levels make absmax already near-optimal)
+            assert em < ea * 0.95, (em, ea)
+
+
+def test_mse_scale_model_accuracy(tiny_params, tiny_cfg):
+    """Whole-model check: int4 MSE scales give a logprob delta at least
+    as good as absmax on the same prompts."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.config import QuantizationConfig, QuantType
+    from turboinfer_tpu.quant.quantizer import (
+        quantize_params, validate_quantization_accuracy)
+    prompts = [[1, 5, 42, 7, 9, 3], [2, 8, 4, 6]]
+    qa = quantize_params(tiny_params, QuantizationConfig(
+        type=QuantType.INT4, group_size=32))
+    qm = quantize_params(tiny_params, QuantizationConfig(
+        type=QuantType.INT4, group_size=32, scale_method="mse"))
+    ra = validate_quantization_accuracy(tiny_params, qa, tiny_cfg, prompts)
+    rm = validate_quantization_accuracy(tiny_params, qm, tiny_cfg, prompts)
+    assert rm.mean_abs_logprob_delta <= ra.mean_abs_logprob_delta * 1.2
+
+
+def test_mse_scale_unknown_method_raises():
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from turboinfer_tpu.core import qtensor
+    from turboinfer_tpu.config import QuantType
+    with _pytest.raises(Exception, match="scale_method"):
+        qtensor.quantize(jnp.ones((8, 8)), QuantType.INT8, group_size=8,
+                         scale_method="banana")

@@ -106,6 +106,7 @@ def cmd_quantize(args):
     from turboinfer_tpu.config import QuantizationConfig, QuantType
     from turboinfer_tpu.quant.quantizer import quantize_model_file
     cfg = QuantizationConfig(type=QuantType(args.type),
+                             scale_method=args.scale_method,
                              group_size=args.group_size,
                              symmetric=not args.asymmetric)
     quantize_model_file(args.input, args.output, cfg)
@@ -197,6 +198,10 @@ def main(argv=None):
     q.add_argument("--type", choices=["int8", "int4"], default="int4")
     q.add_argument("--group-size", type=int, default=64)
     q.add_argument("--asymmetric", action="store_true")
+    q.add_argument("--scale-method", choices=["absmax", "mse"],
+                   default="absmax",
+                   help="mse: per-group clipping-threshold search "
+                        "(lower quantization error)")
     q.set_defaults(fn=cmd_quantize)
 
     i = sub.add_parser("inspect", help="print model file metadata")

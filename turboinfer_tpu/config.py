@@ -192,6 +192,11 @@ class QuantizationConfig:
     symmetric: bool = True
     group_size: int = 64          # elements per scale group along contraction dim
     skip_embeddings: bool = False # quantize embed/lm_head too when False
+    # "absmax": scale = group absmax / qmax (the reference's convention);
+    # "mse": per-group grid search over shrink factors for the scale
+    # minimizing round-trip squared error (clips outliers when that buys
+    # finer resolution for the bulk — strictly <= absmax error).
+    scale_method: str = "absmax"
     calibration_samples: int = 128
     calibration_max_len: int = 512
 

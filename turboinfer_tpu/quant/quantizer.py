@@ -46,7 +46,8 @@ def _quantize_stacked(w: jax.Array, cfg: QuantizationConfig) -> QTensor:
     lax.scan over layers sees per-layer QTensors."""
     L = w.shape[0]
     qts = [quantize(w[i], cfg.type, group_size=cfg.group_size,
-                    symmetric=cfg.symmetric) for i in range(L)]
+                    symmetric=cfg.symmetric,
+                    scale_method=cfg.scale_method) for i in range(L)]
     data = jnp.stack([q.data for q in qts])
     scales = jnp.stack([q.scales for q in qts])
     zp = (None if qts[0].zero_points is None
@@ -81,7 +82,8 @@ def quantize_params(params: Dict[str, Any], cfg: QuantizationConfig
     else:
         out["lm_head"] = quantize(head, cfg.type,
                                   group_size=cfg.group_size,
-                                  symmetric=cfg.symmetric)
+                                  symmetric=cfg.symmetric,
+                                  scale_method=cfg.scale_method)
     return out
 
 
