@@ -107,9 +107,11 @@ def test_completions_text_prompt(served, tiny_params_mod, tiny_cfg_mod):
                                  eos_token_id=-1),
                              tokenizer=tok)
     want = eng.generate(ids, 8, temperature=0.0).tokens[len(ids):]
-    want_text = tok.decode(want)
-    while want_text.endswith("�"):      # server withholds trailing
-        want_text = want_text[:-1]      # incomplete UTF-8 sequences
+    # the server streams through IncrementalDecoder (invalid bytes →
+    # U+FFFD immediately, incomplete UTF-8 tails withheld)
+    from turboinfer_tpu.tokenizer.stream import IncrementalDecoder
+    dec = IncrementalDecoder(tok)
+    want_text = "".join(dec.push(t) for t in want)
     assert body["choices"][0]["text"] == want_text
     assert body["choices"][0]["finish_reason"] == "length"
 
@@ -285,3 +287,62 @@ def test_n_choices(served):
     status, body = _post_json(port, "/v1/completions", {
         "prompt": [1], "max_tokens": 2, "n": 2, "stream": True})
     assert status == 400
+
+
+def test_invalid_token_ids_rejected(served):
+    _, port, _, _ = served
+    for bad in ([-5], [10**9], [1, "x"]):
+        status, body = _post_json(port, "/v1/completions", {
+            "prompt": bad, "max_tokens": 4})
+        assert status == 400, bad
+    status, _ = _post_json(port, "/v1/completions", {
+        "prompt": [1, 2], "max_tokens": 4, "repetition_penalty": 0})
+    assert status == 400
+
+
+def test_driver_survives_step_exception(tiny_params_mod, tiny_cfg_mod):
+    """One failing step() must fail the affected requests with an error
+    StreamEnd, not kill the serving thread."""
+    cfg = ti.InferenceConfig(max_seq_len=tiny_cfg_mod.max_seq_len,
+                             eos_token_id=-1)
+    sched = ContinuousBatchingScheduler(tiny_params_mod, tiny_cfg_mod, cfg,
+                                        batch_slots=2)
+    eng = ServingEngine(sched)
+    real_step = sched.step
+    calls = {"n": 0}
+
+    def flaky_step():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected failure")
+        return real_step()
+
+    sched.step = flaky_step
+    rid = eng.submit([1, 2, 3], 4, temperature=0.0)
+    toks, end = eng.result(rid, timeout=60)
+    assert end.stop_reason.startswith("error")
+    # the driver is still alive: a new request completes normally
+    rid2 = eng.submit([1, 2, 3], 4, temperature=0.0)
+    toks2, end2 = eng.result(rid2, timeout=60)
+    assert len(toks2) == 4 and end2.stop_reason in ("length", "eos")
+    eng.shutdown()
+
+
+def test_abandoned_stream_cancels_and_reclaims(tiny_params_mod,
+                                               tiny_cfg_mod):
+    cfg = ti.InferenceConfig(max_seq_len=tiny_cfg_mod.max_seq_len,
+                             eos_token_id=-1)
+    sched = ContinuousBatchingScheduler(tiny_params_mod, tiny_cfg_mod, cfg,
+                                        batch_slots=2)
+    eng = ServingEngine(sched)
+    rid = eng.submit([1, 2, 3], 200, temperature=0.0)
+    it = eng.stream(rid, timeout=60)
+    next(it)                      # consume one token, then walk away
+    it.close()                    # generator finalizer → cancel
+    import time as _t
+    deadline = _t.time() + 30
+    while _t.time() < deadline and (sched._active or sched._done):
+        _t.sleep(0.2)
+    assert not sched._active      # slot reclaimed
+    assert not sched._done        # no leaked finished request
+    eng.shutdown()

@@ -147,3 +147,18 @@ def test_generate_structured_prefix_always_legal(tiny_params, tiny_cfg):
 def test_generate_structured_requires_tokenizer(tiny_engine):
     with pytest.raises(RuntimeError, match="tokenizer"):
         tiny_engine.generate_structured([1, 2, 3])
+
+
+def test_token_bytes_table_gguf_byte_level():
+    """GGUF gpt2-family BPETokenizer pieces live in the b2u alphabet;
+    the table must map them back to raw bytes ('Ġ{' → b' {')."""
+    from turboinfer_tpu.structured import token_bytes_table
+    from turboinfer_tpu.tokenizer.bpe import BPETokenizer, \
+        _bytes_to_unicode
+    b2u = _bytes_to_unicode()
+    pieces = ["<unk>", b2u[ord(" ")] + "{", b2u[ord("\n")], "ab"]
+    tok = BPETokenizer(pieces, merges=[], bos_id=0, eos_id=0, unk_id=0)
+    table = token_bytes_table(tok)
+    assert table[1] == b" {"
+    assert table[2] == b"\n"
+    assert table[3] == b"ab"

@@ -218,6 +218,11 @@ def quantize(w: jax.Array, qtype: QuantType, *, group_size: int = 64,
             raise ValueError(
                 f"int4 needs even K and even group_size dividing K "
                 f"(K={K}, group_size={g_eff})")
+    if scale_method not in ("absmax", "mse"):
+        raise QuantizationError(f"unknown scale_method '{scale_method}'")
+    if scale_method == "mse" and not symmetric:
+        raise QuantizationError(
+            "scale_method='mse' requires symmetric quantization")
     wf = w.astype(jnp.float32)
     xg, G, pad = _group_reduce(wf, group_size)
     g = xg.shape[1]
@@ -228,9 +233,6 @@ def quantize(w: jax.Array, qtype: QuantType, *, group_size: int = 64,
         scale = jnp.where(absmax > 0, absmax / qmax, 1.0)         # [G, N]
         if scale_method == "mse":
             scale = _mse_scale(xg, scale, qmax)
-        elif scale_method != "absmax":
-            raise QuantizationError(
-                f"unknown scale_method '{scale_method}'")
         q = jnp.round(xg / scale[:, None, :])
         q = jnp.clip(q, -qmax, qmax)
         zp = None

@@ -531,22 +531,16 @@ class InferenceEngine:
                      self.config.max_seq_len - len(input_tokens))
         cache = self._take_cache(1)
         t0 = time.perf_counter()
-        emitted_text = ""
+        from turboinfer_tpu.tokenizer.stream import IncrementalDecoder
+        decoder = IncrementalDecoder(self.tokenizer)
         out: List[int] = []
 
         def chunk(tok: int) -> StreamChunk:
-            nonlocal emitted_text
             out.append(tok)
-            text = None
-            if self.tokenizer is not None:
-                # decode the whole output each time and emit the stable
-                # delta — a UTF-8 char can span several tokens, so the
-                # tail is withheld while it still decodes to U+FFFD
-                full = self.tokenizer.decode(out)
-                while full.endswith("�"):
-                    full = full[:-1]
-                text = full[len(emitted_text):]
-                emitted_text = full
+            # O(1) incremental detokenization (a UTF-8 char can span
+            # several tokens; the decoder withholds incomplete tails)
+            text = (decoder.push(tok) if self.tokenizer is not None
+                    else None)
             done = tok == eos or len(out) >= budget
             reason = None
             if done:

@@ -101,7 +101,9 @@ def apply_penalties(logits: jax.Array, counts: jax.Array,
     """
     if out_counts is None:
         out_counts = counts
-    r = jnp.asarray(repetition_penalty, jnp.float32)
+    # clamp: r<=0 would produce inf/NaN logits (client input reaches
+    # this path via the serving API)
+    r = jnp.maximum(jnp.asarray(repetition_penalty, jnp.float32), 1e-3)
     pres = jnp.asarray(presence_penalty, jnp.float32)
     freq = jnp.asarray(frequency_penalty, jnp.float32)
     if r.ndim == logits.ndim - 1:

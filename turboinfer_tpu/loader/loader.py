@@ -276,7 +276,15 @@ def load_checkpoint_dir(path: str, dtype=None) -> ModelData:
             return t.detach().numpy()
 
         names = list(weight_map)
-        shapes = {n: list(get(n).shape) for n in names}
+
+        def shape_of(name):
+            fname = weight_map[name]
+            if fname not in shards:
+                shards[fname] = torch.load(p(fname), map_location="cpu",
+                                           weights_only=True)
+            return list(shards[fname][name].shape)
+
+        shapes = {n: shape_of(n) for n in names}
         data = _finish_hf_load(get, names, shapes, path, None, dtype,
                                "pytorch")
         tlog.log_info("loaded sharded PyTorch %s: %d tensors", path,

@@ -57,6 +57,15 @@ class ServingEngine:
 
     def submit(self, prompt: Sequence[int], max_new_tokens: int,
                **sampling_kw) -> int:
+        V = self.sched.model_config.vocab_size
+        bad = [t for t in prompt if not (isinstance(t, int)
+                                         and 0 <= t < V)]
+        if bad:
+            raise ValueError(f"prompt token ids out of vocab range "
+                             f"[0,{V}): {bad[:5]}")
+        rp = sampling_kw.get("repetition_penalty")
+        if rp is not None and rp <= 0:
+            raise ValueError("repetition_penalty must be > 0")
         with self._work:
             rid = self.sched.submit(prompt, max_new_tokens, **sampling_kw)
             self._streams[rid] = queue.Queue()
@@ -73,17 +82,23 @@ class ServingEngine:
                 self._pump(rid, self.sched._done.pop(rid))
 
     def stream(self, rid: int, timeout: float = 300.0) -> Iterator[Any]:
-        """Yield token ids as they are produced, then one StreamEnd."""
+        """Yield token ids as they are produced, then one StreamEnd.
+        Abandoning the iterator (client disconnect, queue timeout)
+        cancels the request so its slot frees immediately."""
         q = self._streams[rid]
+        finished = False
         try:
             while True:
                 item = q.get(timeout=timeout)
                 yield item
                 if isinstance(item, StreamEnd):
+                    finished = True
                     return
         finally:
             self._streams.pop(rid, None)
             self._emitted.pop(rid, None)
+            if not finished:
+                self.cancel(rid)
 
     def result(self, rid: int, timeout: float = 300.0):
         """Block until the request finishes; returns (tokens, StreamEnd)."""
@@ -126,6 +141,18 @@ class ServingEngine:
                             completion_tokens=len(req.out_tokens),
                             logprobs=list(req.out_logprobs)))
 
+    def _fail_all(self, message: str):
+        """Deliver an error StreamEnd to every open stream (a step()
+        exception must fail the affected requests, not brick the
+        server)."""
+        for rid, q in list(self._streams.items()):
+            q.put(StreamEnd(stop_reason=f"error: {message}",
+                            prompt_tokens=0, completion_tokens=0))
+        for req in list(self.sched._active.values()):
+            self.sched.cancel(req.rid, reason="error")
+        self.sched._queue.clear()
+        self.sched._done.clear()
+
     def _run(self):
         sched = self.sched
         while True:
@@ -134,9 +161,18 @@ class ServingEngine:
                     self._work.wait(timeout=1.0)
                 if self._shutdown:
                     return
-                sched.step()
+                try:
+                    sched.step()
+                except Exception as e:     # noqa: BLE001 — driver must
+                    self._fail_all(str(e))  # survive any request error
+                    continue
                 # pump active slots, then finished requests
                 for req in list(sched._active.values()):
                     self._pump(req.rid, req)
                 for rid in [r for r in self._streams if r in sched._done]:
                     self._pump(rid, sched._done.pop(rid))
+                # finished requests nobody is listening to: drop (their
+                # stream was abandoned/timed out)
+                for rid in [r for r in sched._done
+                            if r not in self._streams]:
+                    sched._done.pop(rid)

@@ -35,25 +35,20 @@ def _now() -> int:
 
 
 class _TextAssembler:
-    """Incremental UTF-8-safe detokenizer: feed token ids, get text
-    deltas (withholds trailing U+FFFD while a char is split across
-    tokens)."""
+    """Incremental UTF-8-safe detokenizer: O(1) per token (see
+    tokenizer/stream.py — full re-decode per token is quadratic in
+    stream length)."""
 
     def __init__(self, tokenizer):
-        self.tok = tokenizer
-        self.ids: List[int] = []
-        self.emitted = ""
+        from turboinfer_tpu.tokenizer.stream import IncrementalDecoder
+        self._dec = IncrementalDecoder(tokenizer)
+
+    @property
+    def ids(self):
+        return self._dec.ids
 
     def push(self, token: int) -> str:
-        self.ids.append(token)
-        if self.tok is None:
-            return ""
-        full = self.tok.decode(self.ids)
-        while full.endswith("�"):
-            full = full[:-1]
-        delta = full[len(self.emitted):]
-        self.emitted = full
-        return delta
+        return self._dec.push(token)
 
 
 def _find_stop(text: str, stops: List[str]) -> Optional[int]:

@@ -178,8 +178,27 @@ def _bytes_to_unicode() -> Dict[int, str]:
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+def bpe_merge(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
+    """Greedy lowest-rank merge loop shared by the GGUF and HF BPE
+    paths (identical semantics; one implementation to fix)."""
+    parts = list(word)
+    while len(parts) > 1:
+        best, best_rank = None, None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        parts[best: best + 2] = [parts[best] + parts[best + 1]]
+    return parts
+
+
 class BPETokenizer(Tokenizer):
     """Merge-rank byte-level BPE (gpt2-family GGUF / HF vocab+merges)."""
+
+    byte_level = True   # pieces live in the b2u alphabet (constrained
+                        # decoding maps them back through _u2b)
 
     def __init__(self, tokens: Sequence[str], merges: Sequence[str],
                  bos_id: int = 0, eos_id: int = 0, unk_id: int = 0,
@@ -197,17 +216,7 @@ class BPETokenizer(Tokenizer):
         self._u2b = {u: b for b, u in self._b2u.items()}
 
     def _bpe(self, word: str) -> List[str]:
-        parts = list(word)
-        while len(parts) > 1:
-            best, best_rank = None, None
-            for i in range(len(parts) - 1):
-                r = self.ranks.get((parts[i], parts[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best, best_rank = i, r
-            if best is None:
-                break
-            parts[best: best + 2] = [parts[best] + parts[best + 1]]
-        return parts
+        return bpe_merge(word, self.ranks)
 
     def encode(self, text: str, add_bos: bool = False) -> List[int]:
         ids: List[int] = [self.bos_id] if add_bos else []

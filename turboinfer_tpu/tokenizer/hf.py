@@ -32,7 +32,8 @@ from __future__ import annotations
 import json
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
-from turboinfer_tpu.tokenizer.bpe import Tokenizer, _bytes_to_unicode
+from turboinfer_tpu.tokenizer.bpe import Tokenizer, _bytes_to_unicode, \
+    bpe_merge
 
 # The GPT-2 pretokenization pattern (what ByteLevel(use_regex=True)
 # applies); requires the `regex` module for \p classes.
@@ -156,9 +157,11 @@ class HFTokenizer(Tokenizer):
                       else None) or (pat.get("String") and
                                      _escape(pat["String"]))
                 if rx:
-                    self._splits.insert(
-                        0, (_compile(rx),
-                            str(p.get("behavior", "Isolated")).lower()))
+                    # file order == application order (HF Sequence
+                    # semantics; chained Split entries must not swap)
+                    self._splits.append(
+                        (_compile(rx),
+                         str(p.get("behavior", "Isolated")).lower()))
             elif t == "Digits":
                 self._digits_individual = bool(p.get("individual_digits"))
 
@@ -176,9 +179,14 @@ class HFTokenizer(Tokenizer):
 
     # -- pretokenization -----------------------------------------------
 
-    def _pretokenize(self, text: str) -> List[str]:
+    def _pretokenize(self, text: str,
+                     metaspace: Optional[Dict[str, Any]] = None
+                     ) -> List[str]:
         """Normalizers + pre_tokenizer chain → pieces the model encodes
-        independently."""
+        independently. `metaspace` overrides self._metaspace (encode()
+        passes a chunk-local variant for prepend_scheme='first' — must
+        not mutate shared state, encode is called from server handler
+        threads concurrently)."""
         if self._prepend and text and not text.startswith(self._prepend):
             text = self._prepend + text
         for src, dst in self._replace:
@@ -201,7 +209,7 @@ class HFTokenizer(Tokenizer):
                     nxt.append(piece[last:])
             pieces = nxt
 
-        ms = self._metaspace
+        ms = self._metaspace if metaspace is None else metaspace
         if ms is not None:
             rep = ms.get("replacement", "▁")
             scheme = ms.get("prepend_scheme",
@@ -259,17 +267,7 @@ class HFTokenizer(Tokenizer):
     def _bpe(self, word: str) -> List[str]:
         if self.ignore_merges and word in self.vocab:
             return [word]
-        parts = list(word)
-        while len(parts) > 1:
-            best, best_rank = None, None
-            for i in range(len(parts) - 1):
-                r = self.ranks.get((parts[i], parts[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best, best_rank = i, r
-            if best is None:
-                break
-            parts[best: best + 2] = [parts[best] + parts[best + 1]]
-        return parts
+        return bpe_merge(word, self.ranks)
 
     # -- Unigram Viterbi --------------------------------------------------
 
@@ -363,16 +361,13 @@ class HFTokenizer(Tokenizer):
             if tid is not None:
                 ids.append(tid)
                 continue
-            saved = self._metaspace
-            if not first and saved is not None \
-                    and saved.get("prepend_scheme") == "first":
+            ms = self._metaspace
+            if not first and ms is not None \
+                    and ms.get("prepend_scheme") == "first":
                 # only the first text chunk gets the prepended space
-                self._metaspace = {**saved, "prepend_scheme": "never"}
-            try:
-                for piece in self._pretokenize(chunk):
-                    self._encode_piece(piece, ids)
-            finally:
-                self._metaspace = saved
+                ms = {**ms, "prepend_scheme": "never"}
+            for piece in self._pretokenize(chunk, metaspace=ms):
+                self._encode_piece(piece, ids)
             first = False
         return ids
 
