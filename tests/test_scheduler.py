@@ -344,3 +344,25 @@ def test_scheduler_logprobs_match_engine(tiny_params, tiny_cfg):
     res = sched.run()[rid]
     assert res.tokens == want.tokens
     np.testing.assert_allclose(res.logprobs, want.logprobs, atol=1e-4)
+
+
+def test_batched_admission_matches_solo(tiny_params, tiny_cfg):
+    """A burst of same-width submissions prefills as ONE batched call
+    (compile key (m, S)) and every request still matches the engine's
+    solo greedy output."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    cfg = ti.InferenceConfig(max_seq_len=tiny_cfg.max_seq_len,
+                             eos_token_id=-1)
+    eng = ti.InferenceEngine(tiny_params, tiny_cfg, cfg)
+    prompts = [[1, 5, 42, 7], [2, 9, 4], [8, 8, 1, 3], [6, 2]]
+    want = [eng.generate(p, 8, temperature=0.0).tokens for p in prompts]
+    sched = ContinuousBatchingScheduler(tiny_params, tiny_cfg, cfg,
+                                        batch_slots=4)
+    rids = [sched.submit(p, 8, temperature=0.0) for p in prompts]
+    results = sched.run()
+    for rid, w in zip(rids, want):
+        assert results[rid].tokens == w
+    # all four prompts bucket to S=16 → one (4, 16) prefill variant
+    assert (4, 16) in sched._prefill_cache
+    assert (1, 16) not in sched._prefill_cache

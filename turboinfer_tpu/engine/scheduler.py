@@ -198,33 +198,37 @@ class ContinuousBatchingScheduler:
                     lps)
         return burst
 
-    def _prefill_fn(self, S: int):
+    def _prefill_fn(self, m: int, S: int):
+        """Jitted m-prompt prefill: burst admissions share ONE forward
+        and one host round trip (m is bucketed to powers of two to
+        bound compile variants)."""
         cfg = self.model_config
         model = self._model
 
         @functools.partial(jax.jit, donate_argnums=(4,))
-        def prefill(params, tokens, seq_len, slot, cache, rng, t, k, p,
-                    pen, pc_row, bias_row):
-            """Prefill ONE prompt [1, S] into `slot`'s cache region."""
-            small = model.init_cache(cfg, 1, max_seq=self.T,
+        def prefill(params, tokens, seq_lens, slots, cache, rng, t, k, p,
+                    pen, pc_rows, bias_rows):
+            """tokens [m, S] → each row written into its slot's cache
+            region; per-row first token sampled with its own params."""
+            small = model.init_cache(cfg, m, max_seq=self.T,
                                      dtype=self._kv_dtype)
             logits, small = model.forward(params, cfg, tokens,
-                                          small, seq_lens=seq_len[None])
-            idx = jnp.maximum(seq_len - 1, 0)
-            last = logits[0, idx] + bias_row[0]
+                                          small, seq_lens=seq_lens)
+            idx = jnp.maximum(seq_lens - 1, 0)
+            last = jnp.take_along_axis(
+                logits, idx[:, None, None].astype(jnp.int32),
+                axis=1)[:, 0] + bias_rows                        # [m, V]
             minp, rep, pres, freq = pen
             first = sampling.sample_per_slot(
-                rng, last[None], t[None], k[None], p[None],
-                min_p=minp[None], repetition_penalty=rep[None],
-                presence_penalty=pres[None], frequency_penalty=freq[None],
-                counts=pc_row, out_counts=jnp.zeros_like(pc_row))[0]
+                rng, last, t, k, p, min_p=minp,
+                repetition_penalty=rep, presence_penalty=pres,
+                frequency_penalty=freq, counts=pc_rows,
+                out_counts=jnp.zeros_like(pc_rows))
             first_lp = sampling.token_logprob(last, first)
-            k = jax.lax.dynamic_update_slice_in_dim(
-                cache.k, small.k, slot, axis=1)
-            v = jax.lax.dynamic_update_slice_in_dim(
-                cache.v, small.v, slot, axis=1)
-            length = cache.length.at[slot].set(seq_len)
-            return first, first_lp, KVCache(k=k, v=v, length=length)
+            kc = cache.k.at[:, slots].set(small.k.astype(cache.k.dtype))
+            vc = cache.v.at[:, slots].set(small.v.astype(cache.v.dtype))
+            length = cache.length.at[slots].set(seq_lens)
+            return first, first_lp, KVCache(k=kc, v=vc, length=length)
         return prefill
 
     @functools.cached_property
@@ -339,38 +343,76 @@ class ContinuousBatchingScheduler:
         return sub
 
     def _admit(self):
-        """Fill free slots from the queue (prefill each prompt)."""
-        for slot in self._free_slots():
-            if not self._queue:
+        """Fill free slots from the queue. Consecutive queued requests
+        with the same (bucketed) prompt width prefill as ONE batched
+        forward — under burst load this collapses m admissions into a
+        single device call (strict FIFO is preserved: only a same-width
+        run at the queue head batches)."""
+        while self._queue:
+            free = self._free_slots()
+            if not free:
                 break
-            req = self._queue.popleft()
+            m_cap = 1
+            while m_cap * 2 <= len(free):
+                m_cap *= 2
+            S = _bucket(len(self._queue[0].prompt),
+                        self.config.prefill_bucket)
+            group: List[_Request] = []
+            while self._queue and len(group) < m_cap and _bucket(
+                    len(self._queue[0].prompt),
+                    self.config.prefill_bucket) == S:
+                group.append(self._queue.popleft())
+            m = 1
+            while m * 2 <= len(group):
+                m *= 2
+            for req in reversed(group[m:]):
+                self._queue.appendleft(req)
+            group = group[:m]
             t0 = time.perf_counter()
-            S = _bucket(len(req.prompt), self.config.prefill_bucket)
-            arr = np.full((1, S), self.config.pad_token_id, np.int32)
-            arr[0, : len(req.prompt)] = req.prompt
-            key = S
+            slots = free[:m]
+            arr = np.full((m, S), self.config.pad_token_id, np.int32)
+            sps, pens, pc_rows, bias_rows = [], [], [], []
+            for i, req in enumerate(group):
+                arr[i, : len(req.prompt)] = req.prompt
+                sp, pen, pc_row, bias_row = self._set_slot_sp(slots[i],
+                                                              req)
+                sps.append(sp)
+                pens.append(pen)
+                pc_rows.append(pc_row)
+                bias_rows.append(bias_row)
+            key = (m, S)
             if key not in self._prefill_cache:
-                self._prefill_cache[key] = self._prefill_fn(S)
-            (t, k, p), pen, pc_row, bias_row = self._set_slot_sp(slot, req)
+                self._prefill_cache[key] = self._prefill_fn(m, S)
+            stack = jnp.stack
             first, first_lp, self.cache = self._prefill_cache[key](
                 self.params, jnp.asarray(arr),
-                jnp.int32(len(req.prompt)), slot, self.cache,
-                self._next_rng(), t, k, p, pen, pc_row, bias_row)
-            req.prefill_ms = (time.perf_counter() - t0) * 1e3
-            req.slot = slot
-            first_i = int(first)
-            req.out_tokens.append(first_i)
-            req.out_logprobs.append(float(first_lp))
-            self.counts_out = self.counts_out.at[slot, first_i].add(1)
-            self.tokens = self.tokens.at[slot].set(first_i)
-            self.active = self.active.at[slot].set(True)
-            self.budget = self.budget.at[slot].set(
-                req.max_new - len(req.out_tokens))
-            self._active[slot] = req
-            if first_i == self.config.eos_token_id:
-                self._finish(slot, "eos")
-            elif len(req.out_tokens) >= req.max_new:
-                self._finish(slot, "length")
+                jnp.asarray([len(r.prompt) for r in group], jnp.int32),
+                jnp.asarray(slots, jnp.int32), self.cache,
+                self._next_rng(),
+                stack([s[0] for s in sps]), stack([s[1] for s in sps]),
+                stack([s[2] for s in sps]),
+                tuple(stack([p[j] for p in pens]) for j in range(4)),
+                jnp.concatenate(pc_rows), jnp.concatenate(bias_rows))
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            first_np = np.asarray(first)
+            lp_np = np.asarray(first_lp)
+            for i, req in enumerate(group):
+                slot = slots[i]
+                req.prefill_ms = dt_ms
+                req.slot = slot
+                first_i = int(first_np[i])
+                req.out_tokens.append(first_i)
+                req.out_logprobs.append(float(lp_np[i]))
+                self.counts_out = self.counts_out.at[slot, first_i].add(1)
+                self.tokens = self.tokens.at[slot].set(first_i)
+                self.active = self.active.at[slot].set(True)
+                self.budget = self.budget.at[slot].set(
+                    req.max_new - len(req.out_tokens))
+                self._active[slot] = req
+                if first_i == self.config.eos_token_id:
+                    self._finish(slot, "eos")
+                elif len(req.out_tokens) >= req.max_new:
+                    self._finish(slot, "length")
 
     def _finish(self, slot: int, reason: str):
         req = self._active.pop(slot)
