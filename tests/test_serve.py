@@ -346,3 +346,44 @@ def test_abandoned_stream_cancels_and_reclaims(tiny_params_mod,
     assert not sched._active      # slot reclaimed
     assert not sched._done        # no leaked finished request
     eng.shutdown()
+
+
+def test_queue_full_429(tiny_params_mod, tiny_cfg_mod):
+    cfg = ti.InferenceConfig(max_seq_len=tiny_cfg_mod.max_seq_len,
+                             eos_token_id=-1)
+    sched = ContinuousBatchingScheduler(tiny_params_mod, tiny_cfg_mod, cfg,
+                                        batch_slots=1, max_queue=1)
+    eng = ServingEngine(sched)
+    srv = make_server(eng, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        # saturate: one running + one queued + one rejected. Submit
+        # directly (bypassing HTTP) to control timing deterministically.
+        from turboinfer_tpu.utils.errors import SchedulerFullError
+        import queue as _q
+        r1 = eng.submit([1, 2, 3], 50, temperature=0.0)
+        # wait until r1 occupies the slot so r2 stays queued
+        import time as _t
+        deadline = _t.time() + 30
+        while _t.time() < deadline and not sched._active:
+            _t.sleep(0.05)
+        eng.submit([1, 2, 3], 50, temperature=0.0)
+        status, body = _post_json(port, "/v1/completions", {
+            "prompt": [1, 2], "max_tokens": 4})
+        assert status == 429
+        assert body["error"]["type"] == "rate_limit_exceeded"
+    finally:
+        srv.shutdown()
+        eng.shutdown()
+
+
+def test_echo_prepends_prompt(served):
+    _, port, tok, _ = served
+    ids = [1, 5, 42, 7]
+    _, plain = _post_json(port, "/v1/completions", {
+        "prompt": ids, "max_tokens": 4, "temperature": 0})
+    _, echoed = _post_json(port, "/v1/completions", {
+        "prompt": ids, "max_tokens": 4, "temperature": 0, "echo": True})
+    assert echoed["choices"][0]["text"] == \
+        tok.decode(ids) + plain["choices"][0]["text"]

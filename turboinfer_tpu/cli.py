@@ -86,7 +86,7 @@ def cmd_serve(args):
             cfg, eos_token_id=data.tokenizer.eos_id)
     cls = PagedContinuousScheduler if args.paged \
         else ContinuousBatchingScheduler
-    kw = dict(batch_slots=args.slots)
+    kw = dict(batch_slots=args.slots, max_queue=args.max_queue)
     if args.paged:
         kw["page_size"] = args.page_size
     else:
@@ -188,6 +188,8 @@ def main(argv=None):
                    help="paged KV cache + prefix caching")
     s.add_argument("--page-size", type=int, default=64)
     s.add_argument("--max-seq-len", type=int, default=None)
+    s.add_argument("--max-queue", type=int, default=256,
+                   help="waiting-request cap before 429s")
     s.add_argument("--served-name", default=None)
     s.add_argument("--quiet", action="store_true")
     s.set_defaults(fn=cmd_serve)

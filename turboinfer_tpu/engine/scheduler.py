@@ -67,7 +67,8 @@ class ContinuousBatchingScheduler:
 
     def __init__(self, params: Dict[str, Any], model_config: ModelConfig,
                  config: Optional[InferenceConfig] = None,
-                 batch_slots: int = 8, decode_burst: int = 1):
+                 batch_slots: int = 8, decode_burst: int = 1,
+                 max_queue: Optional[int] = None):
         from turboinfer_tpu.kernels import dispatch as _dispatch
         self.params = _dispatch.prepare_params(params)
         self.model_config = model_config
@@ -83,6 +84,9 @@ class ContinuousBatchingScheduler:
         # between bursts, and a slot finishing mid-burst idles for the
         # remainder, so keep bursts small relative to typical outputs.
         self.decode_burst = max(1, int(decode_burst))
+        # admission control: reject new work beyond this queue depth
+        # (None = unbounded); serving maps the rejection to HTTP 429.
+        self.max_queue = max_queue
         self._rng = jax.random.PRNGKey(self.config.seed)
         self._queue: Deque[_Request] = deque()
         self._active: Dict[int, _Request] = {}       # slot -> request
@@ -250,6 +254,10 @@ class ContinuousBatchingScheduler:
             raise ValueError("prompt must be non-empty")
         if len(prompt) >= self.T:
             raise ValueError(f"prompt length {len(prompt)} >= max_seq_len")
+        if self.max_queue is not None and len(self._queue) >= self.max_queue:
+            from turboinfer_tpu.utils.errors import SchedulerFullError
+            raise SchedulerFullError(
+                f"request queue full ({self.max_queue} waiting)")
         rid = self._next_id
         self._next_id += 1
         self._queue.append(_Request(

@@ -201,16 +201,24 @@ class Handler(BaseHTTPRequestHandler):
         except ValueError as e:
             self._error(400, str(e))
             return
+        except Exception as e:
+            from turboinfer_tpu.utils.errors import SchedulerFullError
+            if isinstance(e, SchedulerFullError):
+                self._error(429, str(e), etype="rate_limit_exceeded")
+                return
+            raise
         cid = f"cmpl-{uuid.uuid4().hex[:24]}"
         want_lp = bool(body.get("logprobs"))
+        echo = bool(body.get("echo")) and not chat
         if stream:
             self._stream_response(rids[0], cid, obj_kind, stops, chat)
         else:
             self._block_response(rids, cid, obj_kind, stops, chat,
-                                 len(prompt_ids), want_lp)
+                                 len(prompt_ids), want_lp,
+                                 prompt_ids if echo else None)
 
     def _block_response(self, rids, cid, kind, stops, chat, n_prompt,
-                        want_lp=False):
+                        want_lp=False, echo_ids=None):
         eng = self.engine
         choices = []
         usage = {"prompt_tokens": 0, "completion_tokens": 0}
@@ -230,6 +238,8 @@ class Handler(BaseHTTPRequestHandler):
                     break
             reason = {"eos": "stop", "stop": "stop"}.get(end.stop_reason,
                                                          "length")
+            if echo_ids is not None and eng.tokenizer is not None:
+                text = eng.tokenizer.decode(echo_ids) + text
             choice = ({"index": index,
                        "message": {"role": "assistant", "content": text},
                        "finish_reason": reason} if chat else

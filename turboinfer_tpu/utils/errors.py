@@ -37,3 +37,8 @@ class TokenError(TurboInferError, ValueError):
 class QuantizationError(TurboInferError, ValueError):
     """Invalid quantization request (odd K for int4, group size not
     dividing K, unsupported type)."""
+
+
+class SchedulerFullError(TurboInferError, RuntimeError):
+    """Admission control: the request queue is at max_queue depth
+    (serving layer surfaces this as HTTP 429)."""
