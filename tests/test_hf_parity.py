@@ -39,8 +39,8 @@ def _ours_from_hf(model, hf_cfg, tokens):
     sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
     config = mapping.config_from_hf_dict(hf_cfg.to_dict(),
                                          dtype=jnp.float32)
-    params = mapping.assemble_params(lambda n: sd[n], list(sd), config,
-                                     dtype=jnp.float32)
+    params = mapping.assemble_for(config)(lambda n: sd[n], list(sd),
+                                          config, dtype=jnp.float32)
     mod = registry.get_model(config.architecture)
     logits = mod.forward_no_cache(params, config,
                                   jnp.asarray(tokens, jnp.int32))
@@ -198,3 +198,45 @@ def test_phi3_fused_weights_parity():
     config, params, tokens, want = _check(model, cfg)
     assert config.architecture == "phi3"
     _decode_check(config, params, tokens, want)
+
+
+def test_gpt_neox_parity():
+    """GPT-NeoX/Pythia: parallel residual + partial rotary (0.25) +
+    LayerNorm/bias block — a structurally distinct third family."""
+    torch.manual_seed(7)
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=64, rotary_pct=0.25,
+        use_parallel_residual=True, attn_implementation="eager")
+    model = transformers.GPTNeoXForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.architecture == "gpt_neox"
+    assert config.parallel_residual and config.rotary_pct == 0.25
+
+    # prefill + per-token decode through the KV cache
+    from turboinfer_tpu.models import neox
+    B, S = tokens.shape
+    cache = neox.init_cache(config, B, max_seq=S, dtype=jnp.float32)
+    logits, cache = neox.forward(
+        params, config, jnp.asarray(tokens[:, :S - 3], jnp.int32), cache)
+    np.testing.assert_allclose(np.asarray(logits), want[:, :S - 3],
+                               atol=ATOL, rtol=RTOL)
+    for s in range(S - 3, S):
+        logits, cache = neox.forward(
+            params, config, jnp.asarray(tokens[:, s:s + 1], jnp.int32),
+            cache)
+        np.testing.assert_allclose(np.asarray(logits[:, 0]), want[:, s],
+                                   atol=ATOL, rtol=RTOL)
+
+
+def test_gpt_neox_sequential_residual_parity():
+    torch.manual_seed(8)
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=64, rotary_pct=1.0,
+        use_parallel_residual=False, attn_implementation="eager")
+    model = transformers.GPTNeoXForCausalLM(cfg)
+    config, _, _, _ = _check(model, cfg)
+    assert not config.parallel_residual

@@ -348,34 +348,36 @@ def test_abandoned_stream_cancels_and_reclaims(tiny_params_mod,
     eng.shutdown()
 
 
-def test_queue_full_429(tiny_params_mod, tiny_cfg_mod):
+def test_queue_full_raises(tiny_params_mod, tiny_cfg_mod):
+    """max_queue admission control, no driver thread (deterministic:
+    nothing drains the queue between submits)."""
+    from turboinfer_tpu.utils.errors import SchedulerFullError
     cfg = ti.InferenceConfig(max_seq_len=tiny_cfg_mod.max_seq_len,
                              eos_token_id=-1)
     sched = ContinuousBatchingScheduler(tiny_params_mod, tiny_cfg_mod, cfg,
                                         batch_slots=1, max_queue=1)
-    eng = ServingEngine(sched)
-    srv = make_server(eng, host="127.0.0.1", port=0)
-    port = srv.server_address[1]
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    sched.submit([1, 2, 3], 4)
+    with pytest.raises(SchedulerFullError):
+        sched.submit([1, 2, 3], 4)
+
+
+def test_queue_full_maps_to_429(served):
+    """HTTP layer turns SchedulerFullError into 429."""
+    from turboinfer_tpu.utils.errors import SchedulerFullError
+    eng, port, _, _ = served
+    real = eng.submit
+
+    def full(*a, **k):
+        raise SchedulerFullError("request queue full (test)")
+
+    eng.submit = full
     try:
-        # saturate: one running + one queued + one rejected. Submit
-        # directly (bypassing HTTP) to control timing deterministically.
-        from turboinfer_tpu.utils.errors import SchedulerFullError
-        import queue as _q
-        r1 = eng.submit([1, 2, 3], 50, temperature=0.0)
-        # wait until r1 occupies the slot so r2 stays queued
-        import time as _t
-        deadline = _t.time() + 30
-        while _t.time() < deadline and not sched._active:
-            _t.sleep(0.05)
-        eng.submit([1, 2, 3], 50, temperature=0.0)
         status, body = _post_json(port, "/v1/completions", {
             "prompt": [1, 2], "max_tokens": 4})
-        assert status == 429
-        assert body["error"]["type"] == "rate_limit_exceeded"
     finally:
-        srv.shutdown()
-        eng.shutdown()
+        eng.submit = real
+    assert status == 429
+    assert body["error"]["type"] == "rate_limit_exceeded"
 
 
 def test_echo_prepends_prompt(served):

@@ -98,6 +98,11 @@ class ModelConfig:
     # HF-style rope_scaling as a hashable (key, value) tuple, e.g.
     # (("rope_type", "llama3"), ("factor", 8.0), ...). () = unscaled.
     rope_scaling: Tuple[Tuple[str, Any], ...] = ()
+    # Partial rotary embedding: RoPE covers the first rotary_pct·D dims
+    # of each head (GPT-NeoX/Pythia ship 0.25); 1.0 = full-head RoPE.
+    rotary_pct: float = 1.0
+    # Parallel residual (GPT-NeoX): x + attn(ln1(x)) + mlp(ln2(x)).
+    parallel_residual: bool = False
     name: str = "llama"
     architecture: str = "llama"
     # dtype for activations / fp weights. bfloat16 is the TPU-native default.

@@ -103,9 +103,7 @@ def load_gguf(path: str, dtype=None) -> ModelData:
             if emb:
                 config = config.replace(
                     vocab_size=gf.tensors[emb].shape[0])
-        assemble = (mapping.assemble_params_gpt2
-                    if config.architecture == "gpt2"
-                    else mapping.assemble_params)
+        assemble = mapping.assemble_for(config)
         params = assemble(
             lambda name: gf.tensor(name), list(gf.tensors), config,
             dtype=dtype or config.dtype)
@@ -132,8 +130,8 @@ def _finish_hf_load(get, names, shapes, dirname: str, config, dtype,
                           config.architecture)
         else:
             config = _infer_config_from_shapes(shapes, names, dtype)
-    params = mapping.assemble_params(get, names, config,
-                                     dtype=dtype or config.dtype)
+    params = mapping.assemble_for(config)(get, names, config,
+                                          dtype=dtype or config.dtype)
     tokenizer = None
     try:
         from turboinfer_tpu.tokenizer import hf as hf_tok

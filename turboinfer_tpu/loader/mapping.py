@@ -332,6 +332,87 @@ def assemble_params_gpt2(get: Callable[[str], np.ndarray],
     return params
 
 
+def assemble_params_neox(get: Callable[[str], np.ndarray],
+                         names: Sequence[str], config: ModelConfig,
+                         dtype=None) -> Dict[str, Any]:
+    """Build the GPT-NeoX stacked pytree (models/neox.py structure).
+
+    HF's fused query_key_value is HEAD-INTERLEAVED: rows grouped as
+    [Hq, 3, D]. The runtime wants q|k|v contiguous along the output
+    axis, so the fused weight/bias are de-interleaved here once at
+    load."""
+    dtype = dtype or config.dtype
+    nameset = set(names)
+    L = config.num_layers
+    Hq, D = config.num_heads, config.head_dim_
+    H = config.hidden_size
+
+    def fetch(prefix, layer=None, required=True):
+        cand = (f"gpt_neox.layers.{layer}.{prefix}" if layer is not None
+                else f"gpt_neox.{prefix}")
+        for name in (cand, cand.replace("gpt_neox.", "", 1)):
+            if name in nameset:
+                return get(name)
+        if required:
+            raise KeyError(f"no tensor for neox slot '{prefix}' "
+                           f"(layer {layer})")
+        return None
+
+    def deinterleave_w(w):
+        # [3*H, H] rows [Hq, 3, D] -> q|k|v rows, then [in, out]
+        w = w.reshape(Hq, 3, D, H)
+        return np.concatenate([w[:, j].reshape(Hq * D, H)
+                               for j in range(3)], axis=0).T
+
+    def deinterleave_b(b):
+        b = b.reshape(Hq, 3, D)
+        return np.concatenate([b[:, j].reshape(Hq * D)
+                               for j in range(3)], axis=0)
+
+    def stack(fn, prefix):
+        return jnp.asarray(np.stack([fn(fetch(prefix, i))
+                                     for i in range(L)]), dtype=dtype)
+
+    ident = np.asarray
+    layers = {
+        "ln1_w": stack(ident, "input_layernorm.weight"),
+        "ln1_b": stack(ident, "input_layernorm.bias"),
+        "ln2_w": stack(ident, "post_attention_layernorm.weight"),
+        "ln2_b": stack(ident, "post_attention_layernorm.bias"),
+        "w_qkv": stack(deinterleave_w, "attention.query_key_value.weight"),
+        "b_qkv": stack(deinterleave_b, "attention.query_key_value.bias"),
+        "wo": stack(lambda w: w.T, "attention.dense.weight"),
+        "bo": stack(ident, "attention.dense.bias"),
+        "w_fc": stack(lambda w: w.T, "mlp.dense_h_to_4h.weight"),
+        "b_fc": stack(ident, "mlp.dense_h_to_4h.bias"),
+        "w_proj": stack(lambda w: w.T, "mlp.dense_4h_to_h.weight"),
+        "b_proj": stack(ident, "mlp.dense_4h_to_h.bias"),
+    }
+    embed = jnp.asarray(fetch("embed_in.weight"), dtype=dtype)
+    head = None
+    for name in ("embed_out.weight", "lm_head.weight"):
+        if name in nameset:
+            head = get(name)
+            break
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_norm_w": jnp.asarray(fetch("final_layer_norm.weight"),
+                                    dtype=dtype),
+        "final_norm_b": jnp.asarray(fetch("final_layer_norm.bias"),
+                                    dtype=dtype),
+        "lm_head": (embed.T if head is None
+                    else jnp.asarray(head.T, dtype=dtype)),
+    }
+
+
+def assemble_for(config: ModelConfig):
+    """Architecture-appropriate assembler (loaders dispatch here)."""
+    return {"gpt2": assemble_params_gpt2,
+            "gpt_neox": assemble_params_neox}.get(config.architecture,
+                                                  assemble_params)
+
+
 # ---------------------------------------------------------------------------
 # GGUF metadata -> ModelConfig (reference: model_loader.cpp:752-771)
 # ---------------------------------------------------------------------------
@@ -514,8 +595,12 @@ def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
         rope_scaling=rope_scaling,
         rope_local_theta=(float(hf["rope_local_base_freq"])
                           if "rope_local_base_freq" in hf else None),
-        rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        rms_norm_eps=float(hf.get("rms_norm_eps",
+                                  hf.get("layer_norm_eps", 1e-5))),
         max_seq_len=int(hf.get("max_position_embeddings", 2048)),
+        rotary_pct=float(hf.get("rotary_pct", 1.0)),
+        parallel_residual=bool(hf.get("use_parallel_residual",
+                                      arch == "gpt_neox")),
         sliding_window=sliding,
         sliding_window_pattern=pattern,
         tie_embeddings=bool(hf.get("tie_word_embeddings", is_gemma)),

@@ -1,0 +1,199 @@
+"""GPT-NeoX / Pythia decoder.
+
+A third distinct block structure (the reference's single layer is
+LLaMA-shaped — src/model/inference_engine.cpp:203-233):
+  - PARALLEL residual (default): x + attn(ln1(x)) + mlp(ln2(x)) — the
+    MLP reads ln2 of the ORIGINAL x, not of the attention output;
+    use_parallel_residual=False falls back to sequential pre-LN.
+  - partial rotary: RoPE on the first rotary_pct·D dims of each head,
+    the tail passes through unrotated (Pythia ships rotary_pct=0.25).
+  - LayerNorm (+bias) everywhere, biased projections, GELU MLP,
+    untied embed_out head.
+
+Same runtime conventions as models/llama.py: weights [in, out], layers
+stacked on a leading L axis under lax.scan, head-major KV cache shared
+with the Pallas attention kernels. The fused qkv weight is stored
+q|k|v-contiguous (mapping.assemble_params_neox de-interleaves HF's
+per-head [Hq, 3, D] layout at load).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from turboinfer_tpu.config import ModelConfig
+from turboinfer_tpu.kernels import ops
+from turboinfer_tpu.models.common import (KVCache, init_cache,  # noqa: F401
+                                          param_bytes, param_count,
+                                          reset_cache)
+
+
+def init_params(rng: jax.Array, config: ModelConfig,
+                dtype=None) -> Dict[str, Any]:
+    dtype = dtype or config.dtype
+    H, V, L = config.hidden_size, config.vocab_size, config.num_layers
+    F = config.intermediate_size or 4 * H
+    keys = jax.random.split(rng, 6)
+
+    def w(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32)
+                * (1.0 / jnp.sqrt(fan_in))).astype(dtype)
+
+    return {
+        "embed": w(keys[0], (V, H), H),
+        "layers": {
+            "ln1_w": jnp.ones((L, H), dtype),
+            "ln1_b": jnp.zeros((L, H), dtype),
+            "ln2_w": jnp.ones((L, H), dtype),
+            "ln2_b": jnp.zeros((L, H), dtype),
+            "w_qkv": w(keys[2], (L, H, 3 * H), H),
+            "b_qkv": jnp.zeros((L, 3 * H), dtype),
+            "wo": w(keys[3], (L, H, H), H),
+            "bo": jnp.zeros((L, H), dtype),
+            "w_fc": w(keys[4], (L, H, F), H),
+            "b_fc": jnp.zeros((L, F), dtype),
+            "w_proj": w(keys[5], (L, F, H), F),
+            "b_proj": jnp.zeros((L, H), dtype),
+        },
+        "final_norm_w": jnp.ones((H,), dtype),
+        "final_norm_b": jnp.zeros((H,), dtype),
+        "lm_head": w(keys[1], (H, V), H),
+    }
+
+
+def _partial_rope(x: jax.Array, positions: jax.Array,
+                  config: ModelConfig) -> jax.Array:
+    """RoPE on the first rotary_pct·D dims; tail unrotated."""
+    D = x.shape[-1]
+    r = int(D * config.rotary_pct)
+    r -= r % 2
+    if r <= 0:
+        return x
+    rot = ops.apply_rope(x[..., :r], positions, config.rope_theta,
+                         config.rope_mode)
+    if r == D:
+        return rot
+    return jnp.concatenate([rot, x[..., r:]], axis=-1)
+
+
+def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
+                   start, kv_len, layer_index=None):
+    B, S, H = x.shape
+    Hq = config.num_heads
+    D = H // Hq
+    li = layer_index
+
+    def w1(name):
+        w = lw[name]
+        if li is not None and w.ndim >= 2 \
+                and w.shape[0] == config.num_layers \
+                and name not in ("w_qkv", "wo", "w_fc", "w_proj"):
+            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        return w
+
+    h1 = ops.layer_norm(x, w1("ln1_w"), w1("ln1_b"), config.rms_norm_eps)
+    qkv = ops.qmatmul(h1, lw["w_qkv"], layer_index=li) + w1("b_qkv")
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _partial_rope(q.reshape(B, S, Hq, D), positions, config)
+    k = _partial_rope(k.reshape(B, S, Hq, D), positions, config)
+    v = v.reshape(B, S, Hq, D)
+
+    if k_cache.ndim == 5:
+        newk = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)
+        newv = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+        for b in range(B):
+            idx = (li, b, 0, start[b], 0)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, newk[b][None, None], idx)
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, newv[b][None, None], idx)
+        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
+                                    layer_index=li)[:, None]
+    else:
+        def write_one(cache_b, new_b, start_b):
+            return jax.lax.dynamic_update_slice(
+                cache_b, new_b.transpose(1, 0, 2).astype(cache_b.dtype),
+                (0, start_b, 0))
+        k_cache = jax.vmap(write_one)(k_cache, k, start)
+        v_cache = jax.vmap(write_one)(v_cache, v, start)
+        if S == 1:
+            attn = ops.attention_decode(q[:, 0], k_cache, v_cache,
+                                        kv_len)[:, None]
+        else:
+            attn = ops.attention_prefill(
+                q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                causal=True, kv_len=kv_len, q_start=start)
+    attn = attn.reshape(B, S, H)
+    attn_out = ops.qmatmul(attn.astype(x.dtype), lw["wo"],
+                           layer_index=li) + w1("bo")
+
+    def mlp(inp):
+        h = ops.layer_norm(inp, w1("ln2_w"), w1("ln2_b"),
+                           config.rms_norm_eps)
+        h = ops.gelu(ops.qmatmul(h, lw["w_fc"], layer_index=li)
+                     + w1("b_fc"))
+        return ops.qmatmul(h.astype(x.dtype), lw["w_proj"],
+                           layer_index=li) + w1("b_proj")
+
+    if config.parallel_residual:
+        # x + attn(ln1(x)) + mlp(ln2(x)) — mlp reads the ORIGINAL x
+        x = x + attn_out + mlp(x)
+    else:
+        x = x + attn_out
+        x = x + mlp(x)
+    return x, k_cache, v_cache
+
+
+def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
+            cache: KVCache, *, positions: Optional[jax.Array] = None,
+            seq_lens: Optional[jax.Array] = None
+            ) -> Tuple[jax.Array, KVCache]:
+    """Same contract as llama.forward."""
+    B, S = tokens.shape
+    start = cache.length
+    if positions is None:
+        positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    if seq_lens is None:
+        seq_lens = jnp.full((B,), S, jnp.int32)
+    kv_len = start + seq_lens
+
+    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    layers = params["layers"]
+
+    if S == 1:
+        def body(carry, i):
+            x, k_full, v_full = carry
+            x, k_full, v_full = _layer_forward(
+                config, x, layers, positions, k_full, v_full, start,
+                kv_len, layer_index=i)
+            return (x, k_full, v_full), None
+    else:
+        def body(carry, i):
+            x, k_full, v_full = carry
+            kc = jax.lax.dynamic_index_in_dim(k_full, i, 0, keepdims=False)
+            vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
+            x, kc, vc = _layer_forward(config, x, layers, positions, kc,
+                                       vc, start, kv_len, layer_index=i)
+            k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
+            v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
+            return (x, k_full, v_full), None
+
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        jnp.arange(config.num_layers, dtype=jnp.int32))
+
+    x = ops.layer_norm(x, params["final_norm_w"], params["final_norm_b"],
+                       config.rms_norm_eps)
+    logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
+    return logits.astype(jnp.float32), KVCache(k=k_new, v=v_new,
+                                               length=kv_len)
+
+
+def forward_no_cache(params, config, tokens, seq_lens=None) -> jax.Array:
+    B, S = tokens.shape
+    cache = init_cache(config, B, max_seq=S)
+    logits, _ = forward(params, config, tokens, cache, seq_lens=seq_lens)
+    return logits

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from turboinfer_tpu.models import gpt2, llama, moe
+from turboinfer_tpu.models import gpt2, llama, moe, neox
 from turboinfer_tpu.utils.errors import ConfigError
 
 _REGISTRY = {
@@ -26,6 +26,7 @@ _REGISTRY = {
     "gemma2": llama,       # + sandwich norms, softcaps, alternating window
     "gemma3": llama,       # + qk-norm, local/global RoPE bases
     "gpt2": gpt2,
+    "gpt_neox": neox,
     "mixtral": moe,
     "moe": moe,
 }
