@@ -240,3 +240,32 @@ def test_gpt_neox_sequential_residual_parity():
     model = transformers.GPTNeoXForCausalLM(cfg)
     config, _, _, _ = _check(model, cfg)
     assert not config.parallel_residual
+
+
+def test_phi_parity():
+    """Phi-1.5/2: NeoX-parallel block with a SHARED layernorm,
+    partial rotary, biased projections and a biased lm_head."""
+    torch.manual_seed(9)
+    cfg = transformers.PhiConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=64, partial_rotary_factor=0.5,
+        attn_implementation="eager")
+    model = transformers.PhiForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.architecture == "phi"
+    assert config.parallel_residual and config.rotary_pct == 0.5
+    assert "lm_head_b" in params
+    from turboinfer_tpu.models import neox
+    B, S = tokens.shape
+    cache = neox.init_cache(config, B, max_seq=S, dtype=jnp.float32)
+    logits, cache = neox.forward(
+        params, config, jnp.asarray(tokens[:, :S - 3], jnp.int32), cache)
+    np.testing.assert_allclose(np.asarray(logits), want[:, :S - 3],
+                               atol=ATOL, rtol=RTOL)
+    for s in range(S - 3, S):
+        logits, cache = neox.forward(
+            params, config, jnp.asarray(tokens[:, s:s + 1], jnp.int32),
+            cache)
+        np.testing.assert_allclose(np.asarray(logits[:, 0]), want[:, s],
+                                   atol=ATOL, rtol=RTOL)

@@ -406,11 +406,79 @@ def assemble_params_neox(get: Callable[[str], np.ndarray],
     }
 
 
+def assemble_params_phi(get: Callable[[str], np.ndarray],
+                        names: Sequence[str], config: ModelConfig,
+                        dtype=None) -> Dict[str, Any]:
+    """Phi-1/1.5/2 → the models/neox.py structure.
+
+    Phi's block is NeoX-parallel with a SHARED layernorm — attention
+    and MLP both read input_layernorm(x) — so ln2 is aliased to ln1 at
+    load. q/k/v ship as separate biased projections (concatenated to
+    the fused q|k|v layout); lm_head carries a bias."""
+    dtype = dtype or config.dtype
+    nameset = set(names)
+    L = config.num_layers
+
+    def fetch(suffix, layer=None):
+        cand = (f"model.layers.{layer}.{suffix}" if layer is not None
+                else f"model.{suffix}")
+        for name in (cand, cand.replace("model.", "", 1)):
+            if name in nameset:
+                return get(name)
+        raise KeyError(f"no tensor for phi slot '{suffix}' ({layer})")
+
+    def stack(fn, suffix):
+        return jnp.asarray(np.stack([fn(fetch(suffix, i))
+                                     for i in range(L)]), dtype=dtype)
+
+    def qkv_w(i):
+        return np.concatenate(
+            [fetch(f"self_attn.{n}_proj.weight", i).T
+             for n in ("q", "k", "v")], axis=1)
+
+    def qkv_b(i):
+        return np.concatenate(
+            [fetch(f"self_attn.{n}_proj.bias", i)
+             for n in ("q", "k", "v")], axis=0)
+
+    ident = np.asarray
+    ln_w = stack(ident, "input_layernorm.weight")
+    ln_b = stack(ident, "input_layernorm.bias")
+    layers = {
+        "ln1_w": ln_w, "ln1_b": ln_b,
+        "ln2_w": ln_w, "ln2_b": ln_b,       # shared LN (Phi parallel)
+        "w_qkv": jnp.asarray(np.stack([qkv_w(i) for i in range(L)]),
+                             dtype=dtype),
+        "b_qkv": jnp.asarray(np.stack([qkv_b(i) for i in range(L)]),
+                             dtype=dtype),
+        "wo": stack(lambda w: w.T, "self_attn.dense.weight"),
+        "bo": stack(ident, "self_attn.dense.bias"),
+        "w_fc": stack(lambda w: w.T, "mlp.fc1.weight"),
+        "b_fc": stack(ident, "mlp.fc1.bias"),
+        "w_proj": stack(lambda w: w.T, "mlp.fc2.weight"),
+        "b_proj": stack(ident, "mlp.fc2.bias"),
+    }
+    params = {
+        "embed": jnp.asarray(fetch("embed_tokens.weight"), dtype=dtype),
+        "layers": layers,
+        "final_norm_w": jnp.asarray(fetch("final_layernorm.weight"),
+                                    dtype=dtype),
+        "final_norm_b": jnp.asarray(fetch("final_layernorm.bias"),
+                                    dtype=dtype),
+        "lm_head": jnp.asarray(get("lm_head.weight").T, dtype=dtype),
+    }
+    if "lm_head.bias" in nameset:
+        params["lm_head_b"] = jnp.asarray(get("lm_head.bias"),
+                                          dtype=dtype)
+    return params
+
+
 def assemble_for(config: ModelConfig):
     """Architecture-appropriate assembler (loaders dispatch here)."""
     return {"gpt2": assemble_params_gpt2,
-            "gpt_neox": assemble_params_neox}.get(config.architecture,
-                                                  assemble_params)
+            "gpt_neox": assemble_params_neox,
+            "phi": assemble_params_phi}.get(config.architecture,
+                                            assemble_params)
 
 
 # ---------------------------------------------------------------------------
@@ -598,9 +666,10 @@ def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
         rms_norm_eps=float(hf.get("rms_norm_eps",
                                   hf.get("layer_norm_eps", 1e-5))),
         max_seq_len=int(hf.get("max_position_embeddings", 2048)),
-        rotary_pct=float(hf.get("rotary_pct", 1.0)),
+        rotary_pct=float(hf.get("rotary_pct",
+                                hf.get("partial_rotary_factor", 1.0))),
         parallel_residual=bool(hf.get("use_parallel_residual",
-                                      arch == "gpt_neox")),
+                                      arch in ("gpt_neox", "phi"))),
         sliding_window=sliding,
         sliding_window_pattern=pattern,
         tie_embeddings=bool(hf.get("tie_word_embeddings", is_gemma)),

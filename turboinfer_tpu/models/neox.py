@@ -188,6 +188,8 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     x = ops.layer_norm(x, params["final_norm_w"], params["final_norm_b"],
                        config.rms_norm_eps)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
+    if "lm_head_b" in params:                     # Phi: biased head
+        logits = logits + params["lm_head_b"]
     return logits.astype(jnp.float32), KVCache(k=k_new, v=v_new,
                                                length=kv_len)
 

@@ -27,6 +27,7 @@ _REGISTRY = {
     "gemma3": llama,       # + qk-norm, local/global RoPE bases
     "gpt2": gpt2,
     "gpt_neox": neox,
+    "phi": neox,
     "mixtral": moe,
     "moe": moe,
 }
