@@ -32,7 +32,31 @@ import jax.numpy as jnp
 REFERENCE_TOKS_PER_S = 160.0   # midpoint of README.md:58's 156-163 tok/s
 
 
+def _device_watchdog(timeout_s: float = 300.0):
+    """Fail LOUDLY (one honest JSON error line) instead of hanging
+    forever when the TPU tunnel is down — even jax.devices() blocks
+    indefinitely during an outage (observed: multi-hour tunnel drops).
+    Probes device init in a daemon thread; on timeout, prints the error
+    line and hard-exits."""
+    import threading
+    ok = threading.Event()
+
+    def probe():
+        jax.devices()
+        ok.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ok.wait(timeout_s):
+        print(json.dumps({"metric": "decode_tokens_per_s", "value": 0.0,
+                          "unit": "tok/s", "vs_baseline": 0.0,
+                          "error": f"device init timed out after "
+                                   f"{timeout_s:.0f}s (TPU tunnel down)"}),
+              flush=True)
+        os._exit(2)
+
+
 def main():
+    _device_watchdog(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "300")))
     from turboinfer_tpu.config import (InferenceConfig, ModelConfig,
                                        QuantizationConfig, QuantType,
                                        llama7b_config, tiny_config)
