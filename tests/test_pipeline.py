@@ -85,3 +85,57 @@ def test_pipeline_rejects_indivisible(pp_setup):
                                   jnp.ones((1, 4), jnp.int32),
                                   llama.init_cache(cfg, 1, max_seq=16),
                                   mesh=mesh)
+
+
+def test_pipeline_gemma_flags_match_single():
+    """Embedding scaling, (1+w) norm offset, and final logit softcap
+    must survive pipeline staging (they are applied outside the layer
+    loop and were previously dropped)."""
+    n_stage = 4 if len(jax.devices()) >= 4 else 2
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg = ModelConfig(vocab_size=300, hidden_size=64,
+                      num_layers=n_stage * 2, num_heads=4, num_kv_heads=4,
+                      intermediate_size=128, max_seq_len=64,
+                      dtype=jnp.float32, scale_embeddings=True,
+                      norm_offset=True, final_logit_softcap=30.0,
+                      hidden_act="gelu", tie_embeddings=True,
+                      architecture="gemma", name="pp-gemma")
+    params = llama.init_params(jax.random.PRNGKey(1), cfg)
+    tokens = jnp.asarray([[1, 5, 42, 7]], jnp.int32)
+    want, _ = llama.forward(params, cfg, tokens,
+                            llama.init_cache(cfg, 1, max_seq=32))
+    mesh = pmesh.make_mesh((n_stage, 1), axis_names=("pp", "tp"),
+                           devices=jax.devices()[:n_stage])
+    pparams, pcache = pipeline.shard_for_pipeline(
+        params, llama.init_cache(cfg, 1, max_seq=32), mesh)
+    with mesh:
+        got, _ = jax.jit(
+            lambda p, t, c: pipeline.pipeline_forward(p, cfg, t, c,
+                                                      mesh=mesh))(
+            pparams, tokens, pcache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_decode_matches_single(pp_setup):
+    """S==1 decode path (stacked cache flows whole) matches the
+    single-device decode trajectory."""
+    cfg, params, mesh = pp_setup
+    tokens = jnp.asarray([[1, 5, 42, 7]], jnp.int32)
+    cache = llama.init_cache(cfg, 1, max_seq=32)
+    want, cache = llama.forward(params, cfg, tokens, cache)
+    pparams, pcache = pipeline.shard_for_pipeline(
+        params, llama.init_cache(cfg, 1, max_seq=32), mesh)
+    with mesh:
+        fn = jax.jit(lambda p, t, c: pipeline.pipeline_forward(
+            p, cfg, t, c, mesh=mesh))
+        got, pcache = fn(pparams, tokens, pcache)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+        for step in range(3):
+            nxt = jnp.argmax(want[:, -1:], -1).astype(jnp.int32)
+            want, cache = llama.forward(params, cfg, nxt, cache)
+            got, pcache = fn(pparams, nxt, pcache)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-4, atol=2e-4)

@@ -202,13 +202,17 @@ def append_token(cache: PagedKVCache, layer_k: jax.Array, layer_v: jax.Array,
                                    axis=1)[:, 0]          # [B]
 
     def write_b(kp, vp, pid, off, kb, vb):
-        # kp/vp: [L, P, Hkv, page, D]; kb/vb: [L, Hkv, D]
-        kp = jax.lax.dynamic_update_slice(
-            kp, kb[:, None, :, None, :].astype(kp.dtype),
-            (0, pid, 0, off, 0))
-        vp = jax.lax.dynamic_update_slice(
-            vp, vb[:, None, :, None, :].astype(vp.dtype),
-            (0, pid, 0, off, 0))
+        # kp/vp: [L, P, Hkv, page, D]; kb/vb: [L, Hkv, D].
+        # An UNASSIGNED destination (block_table -1, e.g. a slot past
+        # its granted pages) must not write at all — dynamic_update_slice
+        # would clamp -1 to page 0 and negative .at[] indices WRAP, both
+        # silently corrupting another sequence's K/V. Remap to P (out of
+        # bounds) so mode="drop" really drops the write.
+        pid = jnp.where(pid < 0, P, pid)
+        kp = kp.at[:, pid, :, off, :].set(
+            kb.astype(kp.dtype), mode="drop")
+        vp = vp.at[:, pid, :, off, :].set(
+            vb.astype(vp.dtype), mode="drop")
         return kp, vp
 
     kp, vp = cache.k_pages, cache.v_pages
@@ -248,11 +252,13 @@ def paged_attention_decode_ref(q: jax.Array, cache: PagedKVCache,
     decode reference.
     """
     from turboinfer_tpu.kernels import ops
+    from turboinfer_tpu.models.common import decode_kv
     B = q.shape[0]
     max_seq = cache.block_table.shape[1] * cache.page_size
     ks, vs = gather_sequence(cache, max_seq)
-    return ops.attention_decode_ref(q, ks[layer].astype(q.dtype),
-                                    vs[layer].astype(q.dtype),
+    # decode_kv, not astype: an fp8 pool stores RAW e4m3 bytes as uint8
+    return ops.attention_decode_ref(q, decode_kv(ks[layer], q.dtype),
+                                    decode_kv(vs[layer], q.dtype),
                                     cache.lengths)
 
 

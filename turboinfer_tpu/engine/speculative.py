@@ -221,16 +221,20 @@ def speculative_generate(params_t: Dict[str, Any], cfg_t: ModelConfig,
                 continue
             room = max_new_tokens - (len(out[b]) - len(prompts[b]))
             take = min(int(counts_np[b]), room)
+            delivered = 0
             for t in toks_np[b, :take]:
                 out[b].append(int(t))
+                delivered += 1
                 if int(t) == config.eos_token_id:
                     done[b] = True
                     break
             if len(out[b]) - len(prompts[b]) >= max_new_tokens:
                 done[b] = True
-            accepted += int(counts_np[b]) - 1
+            # metrics count what was actually DELIVERED (room caps and
+            # mid-round EOS drop the tail of a round's tokens)
+            accepted += max(delivered - 1, 0)
             proposed += k
-            emitted += int(counts_np[b])
+            emitted += delivered
     dt = (time.perf_counter() - t0) * 1e3
     return SpecResult(tokens=out,
                       acceptance_rate=accepted / max(proposed, 1),

@@ -212,7 +212,11 @@ def read_gguf(path: str) -> GGUFFile:
         except Exception:
             native_idx = None
     fh = open(path, "rb")
-    mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+    try:
+        mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+    except Exception:
+        fh.close()
+        raise
     if native_idx is not None:
         tensors = {
             name: GGUFTensorInfo(
@@ -479,6 +483,11 @@ def write_gguf(path: str, metadata: Dict[str, Any],
                alignment: int = DEFAULT_ALIGNMENT) -> None:
     """Write a GGUF v3 file. Tensors are written as F32 or F16 based on
     their numpy dtype; `dims` are stored GGUF-order (reversed shape)."""
+    # a caller-supplied general.alignment WINS (emitting both the
+    # argument and the metadata copy would duplicate the key: readers
+    # keep the later one while the data was padded with the former)
+    metadata = dict(metadata)
+    alignment = int(metadata.pop("general.alignment", alignment))
     with open(path, "wb") as f:
         f.write(struct.pack("<II", GGUF_MAGIC, GGUF_VERSION))
         f.write(struct.pack("<QQ", len(tensors), len(metadata) + 1))

@@ -93,10 +93,12 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     seq_spec = P(None, axis, None, None)
 
     def local(q_c, k_c, v_c):
-        # q_c/k_c/v_c: [B, s_loc, H*, D] local chunks.
+        # q_c/k_c/v_c: [B, s_loc, H*, D] local chunks. K/V rotate at
+        # their RAW Hkv width — repeating to Hq heads happens inside the
+        # body (a local broadcast), not before the ring: rotating
+        # repeated heads would inflate per-hop ICI bytes and carry HBM
+        # by Hq/Hkv (4x on Llama-3-style GQA).
         me = jax.lax.axis_index(axis)
-        k_rep = _repeat_heads(k_c, Hq)
-        v_rep = _repeat_heads(v_c, Hq)
         q_off = me * s_loc
 
         m0 = jnp.full((B, Hq, s_loc), NEG_INF, jnp.float32)
@@ -107,15 +109,28 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         def body(step, carry):
             kc, vc, m, l, a = carry
             src = (me - step) % p_sz          # global chunk index we hold
-            mi, li, ai = _chunk_attention(
-                q_c, kc, vc, q_off, src * s_loc, causal=causal)
-            m, l, a = _combine(m, l, a, mi, li, ai)
+
+            def compute(mla):
+                m, l, a = mla
+                mi, li, ai = _chunk_attention(
+                    q_c, _repeat_heads(kc, Hq), _repeat_heads(vc, Hq),
+                    q_off, src * s_loc, causal=causal)
+                return _combine(m, l, a, mi, li, ai)
+
+            if causal:
+                # Block-causal skip: a chunk entirely in this device's
+                # future contributes nothing — don't compute it.
+                needed = src * s_loc <= q_off + s_loc - 1
+                m, l, a = jax.lax.cond(needed, compute,
+                                       lambda mla: mla, (m, l, a))
+            else:
+                m, l, a = compute((m, l, a))
             kc = jax.lax.ppermute(kc, axis, perm)
             vc = jax.lax.ppermute(vc, axis, perm)
             return (kc, vc, m, l, a)
 
         _, _, m, l, a = jax.lax.fori_loop(
-            0, p_sz, body, (k_rep, v_rep, m0, l0, a0))
+            0, p_sz, body, (k_c, v_c, m0, l0, a0))
         denom = jnp.maximum(l, 1e-30).transpose(0, 2, 1)[..., None]
         return (a / denom).astype(q_c.dtype)
 

@@ -50,13 +50,20 @@ def make_mesh(shape: Optional[Tuple[int, int]] = None,
 def pick_mesh_shape(n_devices: int, num_kv_heads: int,
                     batch_size: int = 1) -> Tuple[int, int]:
     """Choose (data, tp): tp = largest divisor of n that also divides
-    num_kv_heads (KV cache shards evenly over heads); rest goes to data."""
-    tp = 1
-    for cand in range(min(n_devices, num_kv_heads), 0, -1):
-        if n_devices % cand == 0 and num_kv_heads % cand == 0:
-            tp = cand
-            break
-    return (n_devices // tp, tp)
+    num_kv_heads (KV cache shards evenly over heads), except that the
+    data axis never exceeds what the batch can fill — a data degree
+    bigger than batch_size would leave devices idle, so spare devices
+    stay on tp when heads allow."""
+    best = None
+    for tp in range(min(n_devices, num_kv_heads), 0, -1):
+        if n_devices % tp or num_kv_heads % tp:
+            continue
+        data = n_devices // tp
+        if best is None:
+            best = (data, tp)
+        if data <= max(1, batch_size):
+            return (data, tp)
+    return best or (n_devices, 1)
 
 
 def single_device_mesh() -> Mesh:

@@ -84,6 +84,13 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
     if config.num_layers % n_stage:
         raise ValueError(f"{config.num_layers} layers not divisible by "
                          f"{n_stage} pipeline stages")
+    if config.sliding_window_pattern and config.sliding_window_pattern > 1:
+        # the per-layer local/global choice keys off the GLOBAL layer id,
+        # but staged weights/caches use local ids — refuse rather than
+        # silently window the wrong layers (Gemma2/3 + PP).
+        raise NotImplementedError(
+            "pipeline_forward does not support alternating "
+            "sliding-window patterns yet")
 
     lspec = pipeline_param_specs(axis)
     cspec = pipeline_cache_spec(axis)
@@ -97,21 +104,36 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
         kv_len = start + S
 
         x = jnp.take(embed, toks, axis=0).astype(config.dtype)
+        if config.scale_embeddings:          # Gemma family
+            x = x * jnp.asarray(config.hidden_size ** 0.5, x.dtype)
 
         def run_stage(args):
             x, kc, vc = args
             n_local = kc.shape[0]
 
-            def body(carry, i):
-                x, kf, vf = carry
-                k1 = jax.lax.dynamic_index_in_dim(kf, i, 0, keepdims=False)
-                v1 = jax.lax.dynamic_index_in_dim(vf, i, 0, keepdims=False)
-                x, k1, v1 = llama._layer_forward(
-                    config, x, layers_local, positions, k1, v1, start,
-                    kv_len, contiguous=True, layer_index=i)
-                kf = jax.lax.dynamic_update_index_in_dim(kf, k1, i, 0)
-                vf = jax.lax.dynamic_update_index_in_dim(vf, v1, i, 0)
-                return (x, kf, vf), None
+            if S == 1:
+                # Decode: the stacked local cache flows through WHOLE
+                # (slicing layer i per step copies the full [B,Hkv,T,D]
+                # slab each layer — see llama.forward / CLAUDE.md).
+                def body(carry, i):
+                    x, kf, vf = carry
+                    x, kf, vf = llama._layer_forward(
+                        config, x, layers_local, positions, kf, vf,
+                        start, kv_len, contiguous=True, layer_index=i)
+                    return (x, kf, vf), None
+            else:
+                def body(carry, i):
+                    x, kf, vf = carry
+                    k1 = jax.lax.dynamic_index_in_dim(kf, i, 0,
+                                                      keepdims=False)
+                    v1 = jax.lax.dynamic_index_in_dim(vf, i, 0,
+                                                      keepdims=False)
+                    x, k1, v1 = llama._layer_forward(
+                        config, x, layers_local, positions, k1, v1, start,
+                        kv_len, contiguous=True, layer_index=i)
+                    kf = jax.lax.dynamic_update_index_in_dim(kf, k1, i, 0)
+                    vf = jax.lax.dynamic_update_index_in_dim(vf, v1, i, 0)
+                    return (x, kf, vf), None
 
             (x, kc, vc), _ = jax.lax.scan(
                 body, (x, kc, vc), jnp.arange(n_local, dtype=jnp.int32))
@@ -132,9 +154,11 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
             0, n_stage, stage_step, (x, k_loc, v_loc))
         # After n_stage rotations the fully-processed x landed back on
         # stage 0; stage 0 computes the head and a psum broadcasts.
-        x = ops.rms_norm(x, final_norm, config.rms_norm_eps)
+        x = ops.rms_norm(x, final_norm, config.rms_norm_eps,
+                         1.0 if config.norm_offset else 0.0)
         logits = ops.qmatmul(x, lm_head,
                              preferred_dtype=jnp.float32).astype(jnp.float32)
+        logits = ops.apply_softcap(logits, config.final_logit_softcap)
         logits = jnp.where(me == 0, logits, 0.0)
         logits = jax.lax.psum(logits, axis)
         return logits, k_loc, v_loc, kv_len
