@@ -1,0 +1,132 @@
+"""LoRA adapter tests — golden vs PEFT on a tiny HF llama.
+
+Beyond-reference subsystem; correctness pinned to
+peft.get_peft_model(...)'s merged outputs, loading the adapter through
+the real PEFT-format file path.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+peft = pytest.importorskip("peft")
+
+from turboinfer_tpu.loader import lora as lora_mod, mapping  # noqa: E402
+from turboinfer_tpu.models import llama  # noqa: E402
+
+ATOL = 3e-3
+RTOL = 3e-3
+
+
+@pytest.fixture(scope="module")
+def peft_setup(tmp_path_factory):
+    torch.manual_seed(11)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, attn_implementation="eager")
+    base = transformers.LlamaForCausalLM(hf_cfg)
+    lcfg = peft.LoraConfig(
+        r=4, lora_alpha=8, init_lora_weights=False,   # random B: real delta
+        target_modules=["q_proj", "k_proj", "v_proj", "o_proj",
+                        "gate_proj", "up_proj", "down_proj"])
+    model = peft.get_peft_model(base, lcfg)
+    d = str(tmp_path_factory.mktemp("lora"))
+    model.save_pretrained(d)
+
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, 256, size=(2, 12))
+    model.eval()
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.float().numpy()
+
+    # our base params from the UNDERLYING model's state dict
+    sd = {k: v.float().numpy()
+          for k, v in model.get_base_model().state_dict().items()}
+    # peft wraps Linears; strip its prefixes and adapter keys
+    sd = {k.replace("base_model.model.", "").replace(".base_layer", ""): v
+          for k, v in sd.items() if "lora_" not in k}
+    config = mapping.config_from_hf_dict(hf_cfg.to_dict(),
+                                         dtype=jnp.float32)
+    params = mapping.assemble_params(lambda n: sd[n], list(sd), config,
+                                     dtype=jnp.float32)
+    return d, config, params, tokens, want
+
+
+def test_lora_golden_vs_peft(peft_setup):
+    d, config, params, tokens, want = peft_setup
+    adapter = lora_mod.load_lora(d, config, dtype=jnp.float32)
+    assert "lora_wq_a" in adapter and "lora_w_down_b" in adapter
+    p = lora_mod.apply_lora(params, adapter)
+    got = np.asarray(llama.forward_no_cache(
+        p, config, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+    # base WITHOUT the adapter must differ (the adapter is non-trivial)
+    base = np.asarray(llama.forward_no_cache(
+        params, config, jnp.asarray(tokens, jnp.int32)))
+    assert np.abs(base - want).max() > 1e-2
+
+
+def test_lora_merge_matches_runtime(peft_setup):
+    d, config, params, tokens, want = peft_setup
+    adapter = lora_mod.load_lora(d, config, dtype=jnp.float32)
+    merged = lora_mod.merge_lora(params, adapter)
+    got = np.asarray(llama.forward_no_cache(
+        merged, config, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+
+
+def test_lora_on_quantized_base(peft_setup):
+    """The runtime adapter path must compose with a quantized base
+    (the whole point of LoRA serving): int8-quantized weights + adapter
+    ≈ fp weights + adapter within quantization error."""
+    d, config, params, tokens, want = peft_setup
+    from turboinfer_tpu.config import QuantizationConfig, QuantType
+    from turboinfer_tpu.quant.quantizer import quantize_params
+    adapter = lora_mod.load_lora(d, config, dtype=jnp.float32)
+    qp = quantize_params(params, QuantizationConfig(type=QuantType.INT8,
+                                                    group_size=32))
+    p = lora_mod.apply_lora(qp, adapter)
+    got = np.asarray(llama.forward_no_cache(
+        p, config, jnp.asarray(tokens, jnp.int32)))
+    # int8 g=32 keeps logits close; adapter effect must dominate the
+    # difference from the NO-adapter quantized base
+    base_q = np.asarray(llama.forward_no_cache(
+        qp, config, jnp.asarray(tokens, jnp.int32)))
+    assert np.abs(got - want).max() < np.abs(base_q - want).max()
+    np.testing.assert_allclose(got, want, atol=0.25, rtol=0.25)
+    # merging into a quantized base is refused
+    with pytest.raises(Exception, match="quantized"):
+        lora_mod.merge_lora(qp, adapter)
+
+
+def test_lora_engine_and_fused_path(peft_setup):
+    """Engines fuse wqkv/w_gateup at setup; adapters keyed by the
+    original slots must still apply."""
+    import turboinfer_tpu as ti
+    d, config, params, tokens, want = peft_setup
+    adapter = lora_mod.load_lora(d, config, dtype=jnp.float32)
+    p = lora_mod.apply_lora(params, adapter)
+    eng = ti.InferenceEngine(p, config)          # prepare_params fuses
+    assert "wqkv" in eng.params["layers"]
+    assert "lora_wq_a" in eng.params["layers"]
+    got = np.asarray(llama.forward_no_cache(
+        eng.params, config, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, want, atol=ATOL, rtol=RTOL)
+    res = eng.generate([1, 5, 9], 6, temperature=0.0)
+    assert len(res.tokens) == 9
+
+
+def test_strip_lora(peft_setup):
+    d, config, params, tokens, _ = peft_setup
+    adapter = lora_mod.load_lora(d, config, dtype=jnp.float32)
+    p = lora_mod.apply_lora(params, adapter)
+    stripped = lora_mod.strip_lora(p)
+    a = np.asarray(llama.forward_no_cache(
+        stripped, config, jnp.asarray(tokens, jnp.int32)))
+    b = np.asarray(llama.forward_no_cache(
+        params, config, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_array_equal(a, b)

@@ -66,6 +66,26 @@ def _slot_w(lw, name, li, stacked_ndim=2):
     return w
 
 
+def _lora_delta(h, lw, slot, li):
+    """Low-rank LoRA update for `slot`: (h @ A) @ B — the alpha/r
+    scaling is folded into B at load (loader/lora.py). Returns None
+    when no adapter targets the slot, so the base path compiles
+    unchanged. Runs in f32 (r is tiny; precision beats speed here) and
+    works on QUANTIZED bases — the adapter adds to the qmm output, no
+    dequantized merge needed."""
+    if f"lora_{slot}_a" not in lw:
+        return None
+    a = _slot_w(lw, f"lora_{slot}_a", li, stacked_ndim=3)
+    b = _slot_w(lw, f"lora_{slot}_b", li, stacked_ndim=3)
+    hf = h.astype(jnp.float32)
+    return (hf @ a.astype(jnp.float32)) @ b.astype(jnp.float32)
+
+
+def _add_lora(y, h, lw, slot, li):
+    d = _lora_delta(h, lw, slot, li)
+    return y if d is None else y + d.astype(y.dtype)
+
+
 def qkv_proj(h, lw, li, B, S, Hq, Hkv, D, config=None):
     """q/k/v projections — one fused qmm when the params carry the
     "wqkv" slot (see common.fuse_projections), else three. Adds the
@@ -86,6 +106,9 @@ def qkv_proj(h, lw, li, B, S, Hq, Hkv, D, config=None):
             q = q + _slot_w(lw, "b_q", li).astype(q.dtype)
             k = k + _slot_w(lw, "b_k", li).astype(k.dtype)
             v = v + _slot_w(lw, "b_v", li).astype(v.dtype)
+    q = _add_lora(q, h, lw, "wq", li)
+    k = _add_lora(k, h, lw, "wk", li)
+    v = _add_lora(v, h, lw, "wv", li)
     q = q.reshape(B, S, Hq, D)
     k = k.reshape(B, S, Hkv, D)
     v = v.reshape(B, S, Hkv, D)
@@ -103,9 +126,12 @@ def gate_up_proj(h, lw, li):
     if "w_gateup" in lw:
         gu = ops.qmatmul(h, lw["w_gateup"], layer_index=li)
         F = gu.shape[-1] // 2
-        return gu[..., :F], gu[..., F:]
-    return (ops.qmatmul(h, lw["w_gate"], layer_index=li),
-            ops.qmatmul(h, lw["w_up"], layer_index=li))
+        gate, up = gu[..., :F], gu[..., F:]
+    else:
+        gate = ops.qmatmul(h, lw["w_gate"], layer_index=li)
+        up = ops.qmatmul(h, lw["w_up"], layer_index=li)
+    return (_add_lora(gate, h, lw, "w_gate", li),
+            _add_lora(up, h, lw, "w_up", li))
 
 
 # ---------------------------------------------------------------------------
@@ -299,16 +325,18 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
             else:
                 attn = pre(config.sliding_window)()
 
-    attn = attn.reshape(B, S, Hq * D)
-    attn_out = ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
+    attn = attn.reshape(B, S, Hq * D).astype(x.dtype)
+    attn_out = _add_lora(
+        ops.qmatmul(attn, lw["wo"], layer_index=li), attn, lw, "wo", li)
     if config.post_norms:
         attn_out = norm(attn_out, "post_attn_norm")
     x = x + attn_out
 
     h = norm(x, "ffn_norm")
     gate, up = gate_up_proj(h, lw, li)
-    ffn_out = ops.qmatmul(ops.glu(gate, up, config.hidden_act)
-                          .astype(x.dtype), lw["w_down"], layer_index=li)
+    g = ops.glu(gate, up, config.hidden_act).astype(x.dtype)
+    ffn_out = _add_lora(
+        ops.qmatmul(g, lw["w_down"], layer_index=li), g, lw, "w_down", li)
     if config.post_norms:
         ffn_out = norm(ffn_out, "post_ffn_norm")
     x = x + ffn_out
