@@ -157,3 +157,26 @@ def test_cli_quantize_inspect_generate(tmp_path, tiny_params, tiny_cfg,
     assert "int8" in out
     assert cli.main(["generate", dst, "hello", "--max-tokens", "5",
                      "--greedy", "--quiet"]) == 0
+
+
+def test_cli_eval_perplexity(tmp_path, tiny_params, tiny_cfg, capsys):
+    import json as _json
+
+    from tests.test_loader import _export_tiny_gguf
+    from turboinfer_tpu import cli
+    src = _export_tiny_gguf(tmp_path, tiny_params, tiny_cfg, "gguf")
+    txt = tmp_path / "sample.txt"
+    txt.write_text("the quick brown fox jumps over the lazy dog " * 6)
+
+    assert cli.main(["eval", src, str(txt), "--quiet"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip())
+    assert rep["scored"] == rep["tokens"] - 1
+    assert rep["perplexity"] > 0 and rep["avg_logprob"] <= 0
+
+    # Sliding windows cover every token exactly once and agree with the
+    # single-window total on scored-token count.
+    assert cli.main(["eval", src, str(txt), "--quiet",
+                     "--window", "16", "--stride", "8"]) == 0
+    rep2 = _json.loads(capsys.readouterr().out.strip())
+    assert rep2["scored"] == rep2["tokens"] - 1
+    assert rep2["perplexity"] > 0

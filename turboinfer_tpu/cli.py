@@ -10,6 +10,7 @@ Commands:
   serve      OpenAI-compatible HTTP server (continuous batching + SSE)
   quantize   model file -> INT8/INT4 TINQ checkpoint
   inspect    print a model file's metadata/tensor inventory
+  eval       perplexity of a model over a text file
   bench      run the inference benchmark suites
 """
 
@@ -146,6 +147,61 @@ def cmd_inspect(args):
     return 0
 
 
+def cmd_eval(args):
+    """Perplexity of a model over a text file (or stdin).
+
+    The text is tokenized once and scored in fixed windows of
+    --window tokens with --stride overlap (stride < window gives each
+    scored token more context, like HF's sliding-window perplexity
+    evaluation); only the non-overlapping tail of each window is
+    scored, so every token is counted exactly once."""
+    import math
+    import time
+
+    import turboinfer_tpu as ti
+    ti.initialize(enable_logging=not args.quiet)
+    eng = ti.load_model(args.model)
+    if args.text_file == "-":
+        text = sys.stdin.read()
+    else:
+        with open(args.text_file, encoding="utf-8") as f:
+            text = f.read()
+    tokens = eng.encode(text)
+    if len(tokens) < 2:
+        print("need at least 2 tokens to score", file=sys.stderr)
+        return 1
+    # _validate requires prompts strictly under max_seq_len.
+    window = min(args.window or eng.config.max_seq_len - 1,
+                 eng.config.max_seq_len - 1)
+    stride = args.stride or window
+    if not 0 < stride <= window:
+        print("--stride must be in (0, window]", file=sys.stderr)
+        return 1
+    total_lp, count = 0.0, 0
+    t0 = time.perf_counter()
+    start = 0
+    while start < len(tokens) - 1:
+        end = min(start + window, len(tokens))
+        lps = eng.compute_logprobs(tokens[start:end])
+        # Score only positions not already scored by the previous window
+        # (the first window - stride positions are context overlap).
+        first = 1 if start == 0 else window - stride
+        total_lp += sum(lps[first:])
+        count += len(lps) - first
+        if end == len(tokens):
+            break
+        start = end - (window - stride)
+    dt = time.perf_counter() - t0
+    ppl = math.exp(-total_lp / max(count, 1))
+    print(json.dumps({
+        "tokens": len(tokens), "scored": count,
+        "avg_logprob": total_lp / max(count, 1),
+        "perplexity": ppl, "seconds": round(dt, 3),
+        "tokens_per_second": round(len(tokens) / dt, 1),
+    }))
+    return 0
+
+
 def cmd_bench(args):
     from benchmarks import benchmark_inference  # noqa: F401 (repo-root run)
     sys.argv = ["bench"] + (["--quick"] if args.quick else [])
@@ -210,6 +266,16 @@ def main(argv=None):
     i.add_argument("model")
     i.add_argument("--tensors", action="store_true")
     i.set_defaults(fn=cmd_inspect)
+
+    e = sub.add_parser("eval", help="perplexity over a text file")
+    e.add_argument("model")
+    e.add_argument("text_file", help="UTF-8 text file, or - for stdin")
+    e.add_argument("--window", type=int, default=None,
+                   help="scoring window in tokens (default: model max)")
+    e.add_argument("--stride", type=int, default=None,
+                   help="window advance; < window adds context overlap")
+    e.add_argument("--quiet", action="store_true")
+    e.set_defaults(fn=cmd_eval)
 
     b = sub.add_parser("bench", help="run benchmark suites")
     b.add_argument("--quick", action="store_true")
