@@ -269,3 +269,72 @@ def test_phi_parity():
             cache)
         np.testing.assert_allclose(np.asarray(logits[:, 0]), want[:, s],
                                    atol=ATOL, rtol=RTOL)
+
+
+def _neox_decode_check(config, params, tokens, want):
+    from turboinfer_tpu.models import neox
+    B, S = tokens.shape
+    cache = neox.init_cache(config, B, max_seq=S, dtype=jnp.float32)
+    logits, cache = neox.forward(
+        params, config, jnp.asarray(tokens[:, :S - 3], jnp.int32), cache)
+    np.testing.assert_allclose(np.asarray(logits), want[:, :S - 3],
+                               atol=ATOL, rtol=RTOL)
+    for s in range(S - 3, S):
+        logits, cache = neox.forward(
+            params, config, jnp.asarray(tokens[:, s:s + 1], jnp.int32),
+            cache)
+        np.testing.assert_allclose(np.asarray(logits[:, 0]), want[:, s],
+                                   atol=ATOL, rtol=RTOL)
+
+
+def test_falcon_new_arch_gqa_parity():
+    """Falcon-40B/180B style: new_decoder_architecture — GQA with
+    per-kv-head grouped fused qkv, parallel ln_attn/ln_mlp block."""
+    torch.manual_seed(10)
+    cfg = transformers.FalconConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=8, num_kv_heads=2,
+        new_decoder_architecture=True, bias=False, alibi=False,
+        parallel_attn=True, attn_implementation="eager")
+    model = transformers.FalconForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.architecture == "falcon"
+    assert config.kv_heads == 2 and config.parallel_residual
+    _neox_decode_check(config, params, tokens, want)
+
+
+def test_falcon_7b_multi_query_parity():
+    """Falcon-7B style: legacy multi_query (1 kv head), single shared
+    input_layernorm feeding both attention and MLP (parallel)."""
+    torch.manual_seed(11)
+    cfg = transformers.FalconConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, new_decoder_architecture=False,
+        multi_query=True, parallel_attn=True, bias=False, alibi=False,
+        attn_implementation="eager")
+    model = transformers.FalconForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.kv_heads == 1
+    _neox_decode_check(config, params, tokens, want)
+
+
+def test_falcon_rw_alibi_parity():
+    """Falcon-RW style: sequential residual, MHA head-interleaved fused
+    qkv, biased projections, ALiBi instead of RoPE.
+
+    Golden vs HF's sdpa path: transformers' falcon EAGER path adds the
+    ALiBi bias twice (once baked into the causal mask by
+    _update_causal_mask, once again in the attention forward) — the
+    sdpa path applies it once, which is the convention the RW models
+    were trained with and what this framework implements."""
+    torch.manual_seed(12)
+    cfg = transformers.FalconConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, new_decoder_architecture=False,
+        multi_query=False, parallel_attn=False, bias=True, alibi=True,
+        attn_implementation="sdpa")
+    model = transformers.FalconForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.alibi and config.rotary_pct == 0.0
+    assert not config.parallel_residual
+    _neox_decode_check(config, params, tokens, want)

@@ -559,3 +559,33 @@ def test_pytorch_bf16_roundtrip(tmp_path, tiny_params, tiny_cfg):
 def test_checkpoint_dir_no_model_raises(tmp_path):
     with pytest.raises(ValueError, match="no loadable checkpoint"):
         loader.load_model_data(str(tmp_path))
+
+
+def test_config_dict_roundtrip_all_fields():
+    """Every ModelConfig field must survive config_to_dict/from_dict —
+    rotary_pct/parallel_residual/alibi/num_experts were silently dropped
+    once (TINQ checkpoints of NeoX/Phi/Falcon/MoE models would load with
+    defaults)."""
+    import dataclasses
+
+    from turboinfer_tpu.config import ModelConfig, RopeMode
+    from turboinfer_tpu.loader.mapping import (config_from_dict,
+                                               config_to_dict)
+    cfg = ModelConfig(
+        vocab_size=123, hidden_size=64, num_layers=3, num_heads=4,
+        num_kv_heads=2, intermediate_size=256, head_dim=16,
+        rope_theta=12345.0, rope_mode=RopeMode.INTERLEAVED,
+        rms_norm_eps=1e-6, max_seq_len=77, tie_embeddings=True,
+        sliding_window=32, sliding_window_pattern=2, num_experts=4,
+        experts_per_token=2, attn_bias=True, qk_norm=True,
+        scale_embeddings=True, norm_offset=True, hidden_act="gelu",
+        post_norms=True, attn_scale=0.25, attn_logit_softcap=50.0,
+        final_logit_softcap=30.0, rope_local_theta=10000.0,
+        rope_scaling=(("factor", 8.0), ("rope_type", "linear")),
+        rotary_pct=0.25, parallel_residual=True, alibi=True,
+        name="roundtrip", architecture="falcon")
+    back = config_from_dict(config_to_dict(cfg))
+    for f in dataclasses.fields(ModelConfig):
+        if f.name in ("dtype", "extra"):
+            continue
+        assert getattr(back, f.name) == getattr(cfg, f.name), f.name

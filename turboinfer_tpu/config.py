@@ -103,6 +103,9 @@ class ModelConfig:
     rotary_pct: float = 1.0
     # Parallel residual (GPT-NeoX): x + attn(ln1(x)) + mlp(ln2(x)).
     parallel_residual: bool = False
+    # ALiBi position encoding (Falcon-RW / BLOOM): per-head linear score
+    # bias slope*key_pos instead of RoPE (rotary_pct should be 0).
+    alibi: bool = False
     name: str = "llama"
     architecture: str = "llama"
     # dtype for activations / fp weights. bfloat16 is the TPU-native default.

@@ -80,8 +80,15 @@ def _qmm_small(x, qt, preferred_dtype, layer_index, stacked):
 # -- attention ---------------------------------------------------------------
 
 def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
-                      q_start=None, window=None, softcap=None):
+                      q_start=None, window=None, softcap=None, alibi=None):
     from turboinfer_tpu.kernels import ops
+    if alibi is not None:
+        # ALiBi (Falcon-RW/BLOOM) runs the jnp path; the Pallas kernels
+        # do not carry the per-head score bias (yet).
+        return ops.attention_prefill_ref(q, k, v, causal=causal,
+                                         positions=positions, kv_len=kv_len,
+                                         window=window, softcap=softcap,
+                                         alibi=alibi)
     if pallas_enabled():
         from turboinfer_tpu.kernels.pallas import flash_attention
         y = flash_attention.prefill_pallas(q, k, v, causal=causal,
@@ -96,13 +103,13 @@ def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
 
 
 def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
-                     window=None, softcap=None):
+                     window=None, softcap=None, alibi=None):
     """k/v_cache: [B, Hkv, T, D], or the full stacked [L, B, Hkv, T, D]
     when `layer_index` is given — the Pallas kernel then reads layer
     `layer_index` directly from HBM (no per-layer slice copy; same
     copy-insertion trap as scan-sliced weights, see qmm stacked path)."""
     from turboinfer_tpu.kernels import ops
-    if pallas_enabled():
+    if alibi is None and pallas_enabled():
         from turboinfer_tpu.kernels.pallas import decode_attention
         y = decode_attention.decode_pallas(q, k_cache, v_cache, kv_len,
                                            layer_index=layer_index,
@@ -117,7 +124,8 @@ def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
     from turboinfer_tpu.models.common import decode_kv
     return ops.attention_decode_ref(q, decode_kv(k_cache, q.dtype),
                                     decode_kv(v_cache, q.dtype), kv_len,
-                                    window=window, softcap=softcap)
+                                    window=window, softcap=softcap,
+                                    alibi=alibi)
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,

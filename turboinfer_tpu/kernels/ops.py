@@ -105,6 +105,25 @@ def apply_softcap(s: jax.Array, cap: Optional[float]) -> jax.Array:
     return cap * jnp.tanh(s / cap)
 
 
+def alibi_slopes(num_heads: int) -> jax.Array:
+    """Per-head ALiBi slopes (Press et al.; the HF build_alibi_tensor
+    convention used by Falcon-RW and BLOOM): geometric sequence
+    2**(-8i/n) over the largest power-of-two head count, with odd
+    intermediate slopes appended for non-power-of-two head counts.
+    The score bias is slope * key_position — ALiBi's relative form
+    slope*(j - i) differs from this per query row only by a constant,
+    which softmax cancels."""
+    import math
+    closest = 2 ** math.floor(math.log2(num_heads))
+    base = 2.0 ** -(2.0 ** -(math.log2(closest) - 3))
+    slopes = [base ** i for i in range(1, closest + 1)]
+    if closest != num_heads:
+        extra_base = 2.0 ** -(2.0 ** -(math.log2(2 * closest) - 3))
+        slopes += [extra_base ** i
+                   for i in range(1, 2 * (num_heads - closest) + 1, 2)]
+    return jnp.asarray(slopes, jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # RoPE (reference: tensor_engine.cpp:1510-1624 — interleaved convention;
 # the HALF convention is what HF-exported SafeTensors weights expect)
@@ -277,7 +296,8 @@ def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
                           positions: Optional[jax.Array] = None,
                           kv_len: Optional[jax.Array] = None,
                           window: Optional[int] = None,
-                          softcap: Optional[float] = None) -> jax.Array:
+                          softcap: Optional[float] = None,
+                          alibi: Optional[jax.Array] = None) -> jax.Array:
     """Full scaled-dot-product attention.
 
     q: [B, S, Hq, D], k/v: [B, Hkv, T, D] (head-major cache layout)
@@ -285,6 +305,7 @@ def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
     `positions` ([B, S]) gives absolute positions of the queries for causal
     masking against cache slots 0..T-1; defaults to arange (fresh prefill).
     `kv_len` ([B]) optionally masks cache slots >= kv_len (padded cache).
+    `alibi` ([Hq]) adds slope*key_position per head (see alibi_slopes).
     """
     B, S, Hq, D = q.shape
     T = k.shape[2]
@@ -295,6 +316,9 @@ def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
     # [B, Hq, S, T]
     scores = jnp.einsum("bshd,bhtd->bhst", qf, k.astype(jnp.float32))
     scores = apply_softcap(scores, softcap)
+    if alibi is not None:
+        scores = scores + (alibi[None, :, None, None]
+                           * jnp.arange(T, dtype=jnp.float32))
     mask = None
     if causal:
         if positions is None:
@@ -322,13 +346,15 @@ def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
 def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                          kv_len: jax.Array,
                          window: Optional[int] = None,
-                         softcap: Optional[float] = None) -> jax.Array:
+                         softcap: Optional[float] = None,
+                         alibi: Optional[jax.Array] = None) -> jax.Array:
     """Single-token attention against the KV cache — golden model for the
     Pallas decode kernel (reference counterpart:
     tensor_engine.cpp:1254-1388 attention_fast_incremental).
 
     q: [B, Hq, D]; k_cache/v_cache: [B, Hkv, Tmax, D]; kv_len: [B] number
     of valid slots (includes the current token, already written).
+    `alibi` ([Hq]) adds slope*key_position per head (see alibi_slopes).
     """
     B, Hq, D = q.shape
     Tmax = k_cache.shape[2]
@@ -338,6 +364,9 @@ def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     qf = q.astype(jnp.float32) * scale
     scores = jnp.einsum("bhd,bhtd->bht", qf, k.astype(jnp.float32))
     scores = apply_softcap(scores, softcap)
+    if alibi is not None:
+        scores = scores + (alibi[None, :, None]
+                           * jnp.arange(Tmax, dtype=jnp.float32))
     valid = jnp.arange(Tmax)[None, None, :] < kv_len[:, None, None]
     if window is not None:
         # Query position is kv_len-1; it sees positions > kv_len-1-window.
@@ -376,20 +405,20 @@ def attention_paged_decode_ref(q: jax.Array, k_pages: jax.Array,
 # ---------------------------------------------------------------------------
 
 def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
-                      q_start=None, window=None, softcap=None):
+                      q_start=None, window=None, softcap=None, alibi=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_prefill(q, k, v, causal=causal,
                                       positions=positions, kv_len=kv_len,
                                       q_start=q_start, window=window,
-                                      softcap=softcap)
+                                      softcap=softcap, alibi=alibi)
 
 
 def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
-                     window=None, softcap=None):
+                     window=None, softcap=None, alibi=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_decode(q, k_cache, v_cache, kv_len,
                                      layer_index=layer_index, window=window,
-                                     softcap=softcap)
+                                     softcap=softcap, alibi=alibi)
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,

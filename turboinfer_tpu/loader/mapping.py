@@ -473,10 +473,124 @@ def assemble_params_phi(get: Callable[[str], np.ndarray],
     return params
 
 
+def assemble_params_falcon(get: Callable[[str], np.ndarray],
+                           names: Sequence[str], config: ModelConfig,
+                           dtype=None) -> Dict[str, Any]:
+    """Falcon (7B/40B/180B/RW) → the models/neox.py structure.
+
+    Three fused-qkv layouts in HF checkpoints:
+      - new_decoder_architecture (40B/180B): rows grouped PER KV HEAD as
+        [m q-heads | k | v] with m = Hq/Hkv — de-grouped to contiguous
+        q|k|v here;
+      - legacy multi_query (7B): [Hq q-heads | k | v] — already
+        contiguous (Hkv = 1);
+      - legacy MHA (RW): head-interleaved [Hq, 3, D] like GPT-NeoX.
+    Norms: ln_attn/ln_mlp (new arch, parallel) or input_layernorm
+    (legacy; aliased to both slots when parallel_attn, with
+    post_attention_layernorm as ln2 for the sequential RW models).
+    Projections carry biases only when config.bias (RW); zero biases
+    keep the runtime layout uniform."""
+    dtype = dtype or config.dtype
+    nameset = set(names)
+    L = config.num_layers
+    Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
+    H = config.hidden_size
+    F = config.ffn_dim
+
+    def fetch(suffix, layer=None, required=True):
+        cand = (f"transformer.h.{layer}.{suffix}" if layer is not None
+                else f"transformer.{suffix}")
+        for name in (cand, cand.replace("transformer.", "", 1)):
+            if name in nameset:
+                return get(name)
+        if required:
+            raise KeyError(f"no tensor for falcon slot '{suffix}' "
+                           f"(layer {layer})")
+        return None
+
+    def split_qkv(w):
+        """[out, in] fused rows -> contiguous q|k|v rows, then [in, out]."""
+        if Hkv == Hq and w.shape[0] == 3 * Hq * D:
+            w = w.reshape(Hq, 3, D, -1)          # legacy MHA: interleaved
+            w = np.concatenate([w[:, j].reshape(Hq * D, -1)
+                                for j in range(3)], axis=0)
+        elif w.shape[0] == (Hq + 2 * Hkv) * D and Hkv > 1:
+            m = Hq // Hkv                        # new arch: per-kv groups
+            w = w.reshape(Hkv, m + 2, D, -1)
+            q = w[:, :m].reshape(Hq * D, -1)
+            k = w[:, m].reshape(Hkv * D, -1)
+            v = w[:, m + 1].reshape(Hkv * D, -1)
+            w = np.concatenate([q, k, v], axis=0)
+        # else: legacy multi_query — already q|k|v contiguous
+        return w.T if w.ndim == 2 else w
+
+    def qkv_b(i):
+        b = fetch("self_attention.query_key_value.bias", i, required=False)
+        if b is None:
+            return np.zeros((Hq + 2 * Hkv) * D, np.float32)
+        return split_qkv(b[:, None])[0] if b.ndim == 1 else b
+
+    def bias_or_zero(suffix, i, n):
+        b = fetch(suffix, i, required=False)
+        return b if b is not None else np.zeros(n, np.float32)
+
+    def ln(i):
+        """(ln1_w, ln1_b, ln2_w, ln2_b) per the checkpoint's norm layout."""
+        w = fetch("ln_attn.weight", i, required=False)
+        if w is not None:                        # new arch: two parallel LNs
+            return (w, fetch("ln_attn.bias", i),
+                    fetch("ln_mlp.weight", i), fetch("ln_mlp.bias", i))
+        w = fetch("input_layernorm.weight", i)
+        b = fetch("input_layernorm.bias", i)
+        w2 = fetch("post_attention_layernorm.weight", i, required=False)
+        if w2 is not None:                       # RW sequential
+            return (w, b, w2, fetch("post_attention_layernorm.bias", i))
+        return (w, b, w, b)                      # 7B: shared LN (parallel)
+
+    lns = [ln(i) for i in range(L)]
+
+    def stack(rows):
+        return jnp.asarray(np.stack(rows), dtype=dtype)
+
+    layers = {
+        "ln1_w": stack([r[0] for r in lns]),
+        "ln1_b": stack([r[1] for r in lns]),
+        "ln2_w": stack([r[2] for r in lns]),
+        "ln2_b": stack([r[3] for r in lns]),
+        "w_qkv": stack([split_qkv(
+            fetch("self_attention.query_key_value.weight", i))
+            for i in range(L)]),
+        "b_qkv": stack([qkv_b(i) for i in range(L)]),
+        "wo": stack([fetch("self_attention.dense.weight", i).T
+                     for i in range(L)]),
+        "bo": stack([bias_or_zero("self_attention.dense.bias", i, H)
+                     for i in range(L)]),
+        "w_fc": stack([fetch("mlp.dense_h_to_4h.weight", i).T
+                       for i in range(L)]),
+        "b_fc": stack([bias_or_zero("mlp.dense_h_to_4h.bias", i, F)
+                       for i in range(L)]),
+        "w_proj": stack([fetch("mlp.dense_4h_to_h.weight", i).T
+                         for i in range(L)]),
+        "b_proj": stack([bias_or_zero("mlp.dense_4h_to_h.bias", i, H)
+                         for i in range(L)]),
+    }
+    embed = jnp.asarray(fetch("word_embeddings.weight"), dtype=dtype)
+    head = get("lm_head.weight") if "lm_head.weight" in nameset else None
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_norm_w": jnp.asarray(fetch("ln_f.weight"), dtype=dtype),
+        "final_norm_b": jnp.asarray(fetch("ln_f.bias"), dtype=dtype),
+        "lm_head": (embed.T if head is None
+                    else jnp.asarray(head.T, dtype=dtype)),
+    }
+
+
 def assemble_for(config: ModelConfig):
     """Architecture-appropriate assembler (loaders dispatch here)."""
     return {"gpt2": assemble_params_gpt2,
             "gpt_neox": assemble_params_neox,
+            "falcon": assemble_params_falcon,
             "phi": assemble_params_phi}.get(config.architecture,
                                             assemble_params)
 
@@ -588,6 +702,11 @@ def config_to_dict(config: ModelConfig) -> Dict[str, Any]:
         "final_logit_softcap": config.final_logit_softcap,
         "rope_local_theta": config.rope_local_theta,
         "rope_scaling": list(list(kv) for kv in config.rope_scaling),
+        "rotary_pct": config.rotary_pct,
+        "parallel_residual": config.parallel_residual,
+        "alibi": config.alibi,
+        "num_experts": config.num_experts,
+        "experts_per_token": config.experts_per_token,
         "name": config.name,
         "architecture": config.architecture,
         "dtype": jnp.dtype(config.dtype).name,
@@ -621,6 +740,39 @@ def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
     if mt == "gemma3" and "text_config" in hf:      # multimodal wrapper
         hf = {**hf["text_config"], "model_type": "gemma3"}
     arch = {"gemma3_text": "gemma3", "qwen2_moe": "qwen2"}.get(mt, mt)
+
+    if arch == "falcon":
+        heads = int(hf.get("num_attention_heads", 71))
+        hidden = int(hf.get("hidden_size", 4544))
+        new_arch = bool(hf.get("new_decoder_architecture", False))
+        if new_arch:
+            kv = int(hf.get("num_kv_heads") or heads)
+        else:
+            kv = 1 if bool(hf.get("multi_query", True)) else heads
+        use_alibi = bool(hf.get("alibi", False))
+        return ModelConfig(
+            vocab_size=int(hf.get("vocab_size", 65024)),
+            hidden_size=hidden,
+            num_layers=int(hf.get("num_hidden_layers", 32)),
+            num_heads=heads,
+            num_kv_heads=kv,
+            head_dim=int(hf.get("head_dim") or hidden // heads),
+            intermediate_size=int(hf.get("ffn_hidden_size") or 4 * hidden),
+            rope_theta=float(hf.get("rope_theta", 10000.0)),
+            rope_mode=RopeMode.HALF,
+            rms_norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+            max_seq_len=int(hf.get("max_position_embeddings", 2048)),
+            # new_decoder_architecture always takes the parallel path in
+            # HF regardless of the parallel_attn flag.
+            parallel_residual=new_arch or bool(hf.get("parallel_attn",
+                                                      True)),
+            alibi=use_alibi,
+            rotary_pct=0.0 if use_alibi else 1.0,
+            tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+            name=str(hf.get("_name_or_path", "falcon")) or "falcon",
+            architecture="falcon",
+            dtype=dtype or jnp.bfloat16,
+        )
 
     hidden = int(hf.get("hidden_size", 4096))
     heads = int(hf.get("num_attention_heads", max(hidden // 128, 1)))

@@ -1,4 +1,4 @@
-"""GPT-NeoX / Pythia decoder.
+"""GPT-NeoX / Pythia / Phi-1/2 / Falcon decoder.
 
 A third distinct block structure (the reference's single layer is
 LLaMA-shaped — src/model/inference_engine.cpp:203-233):
@@ -6,7 +6,11 @@ LLaMA-shaped — src/model/inference_engine.cpp:203-233):
     MLP reads ln2 of the ORIGINAL x, not of the attention output;
     use_parallel_residual=False falls back to sequential pre-LN.
   - partial rotary: RoPE on the first rotary_pct·D dims of each head,
-    the tail passes through unrotated (Pythia ships rotary_pct=0.25).
+    the tail passes through unrotated (Pythia ships rotary_pct=0.25);
+    rotary_pct=0 (Falcon-RW/BLOOM) disables RoPE and config.alibi adds
+    the per-head linear score bias instead.
+  - GQA/MQA: the fused qkv splits at q_dim/kv_dim (Falcon 7B runs one
+    kv head, 40B/180B grouped kv heads); MHA is the degenerate case.
   - LayerNorm (+bias) everywhere, biased projections, GELU MLP,
     untied embed_out head.
 
@@ -36,6 +40,7 @@ def init_params(rng: jax.Array, config: ModelConfig,
     dtype = dtype or config.dtype
     H, V, L = config.hidden_size, config.vocab_size, config.num_layers
     F = config.intermediate_size or 4 * H
+    QKV = config.q_dim + 2 * config.kv_dim
     keys = jax.random.split(rng, 6)
 
     def w(key, shape, fan_in):
@@ -49,8 +54,8 @@ def init_params(rng: jax.Array, config: ModelConfig,
             "ln1_b": jnp.zeros((L, H), dtype),
             "ln2_w": jnp.ones((L, H), dtype),
             "ln2_b": jnp.zeros((L, H), dtype),
-            "w_qkv": w(keys[2], (L, H, 3 * H), H),
-            "b_qkv": jnp.zeros((L, 3 * H), dtype),
+            "w_qkv": w(keys[2], (L, H, QKV), H),
+            "b_qkv": jnp.zeros((L, QKV), dtype),
             "wo": w(keys[3], (L, H, H), H),
             "bo": jnp.zeros((L, H), dtype),
             "w_fc": w(keys[4], (L, H, F), H),
@@ -82,9 +87,18 @@ def _partial_rope(x: jax.Array, positions: jax.Array,
 def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
                    start, kv_len, layer_index=None):
     B, S, H = x.shape
-    Hq = config.num_heads
-    D = H // Hq
+    Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
     li = layer_index
+    alibi = None
+    if config.alibi:
+        alibi = ops.alibi_slopes(Hq)
+        if config.architecture == "falcon":
+            # HF Falcon computes softmax((scores + slope*kpos)/sqrt(D))
+            # — the slope is scaled too (BLOOM and the ALiBi paper add
+            # the bias AFTER scaling, which is what ops expects) — and
+            # rounds the slopes to bfloat16 (build_alibi_tensor).
+            alibi = (alibi.astype(jnp.bfloat16).astype(jnp.float32)
+                     * float(D) ** -0.5)
 
     def w1(name):
         w = lw[name]
@@ -96,10 +110,13 @@ def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
 
     h1 = ops.layer_norm(x, w1("ln1_w"), w1("ln1_b"), config.rms_norm_eps)
     qkv = ops.qmatmul(h1, lw["w_qkv"], layer_index=li) + w1("b_qkv")
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    # q|k|v contiguous along the output axis; GQA/MQA (Falcon) splits at
+    # q_dim / kv_dim, the MHA case degenerates to three equal parts.
+    q, k, v = jnp.split(qkv, [config.q_dim, config.q_dim + config.kv_dim],
+                        axis=-1)
     q = _partial_rope(q.reshape(B, S, Hq, D), positions, config)
-    k = _partial_rope(k.reshape(B, S, Hq, D), positions, config)
-    v = v.reshape(B, S, Hq, D)
+    k = _partial_rope(k.reshape(B, S, Hkv, D), positions, config)
+    v = v.reshape(B, S, Hkv, D)
 
     if k_cache.ndim == 5:
         newk = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)
@@ -111,7 +128,7 @@ def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, newv[b][None, None], idx)
         attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
-                                    layer_index=li)[:, None]
+                                    layer_index=li, alibi=alibi)[:, None]
     else:
         def write_one(cache_b, new_b, start_b):
             return jax.lax.dynamic_update_slice(
@@ -121,12 +138,12 @@ def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
         v_cache = jax.vmap(write_one)(v_cache, v, start)
         if S == 1:
             attn = ops.attention_decode(q[:, 0], k_cache, v_cache,
-                                        kv_len)[:, None]
+                                        kv_len, alibi=alibi)[:, None]
         else:
             attn = ops.attention_prefill(
                 q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
-                causal=True, kv_len=kv_len, q_start=start)
-    attn = attn.reshape(B, S, H)
+                causal=True, kv_len=kv_len, q_start=start, alibi=alibi)
+    attn = attn.reshape(B, S, Hq * D)
     attn_out = ops.qmatmul(attn.astype(x.dtype), lw["wo"],
                            layer_index=li) + w1("bo")
 

@@ -28,6 +28,7 @@ _REGISTRY = {
     "gpt2": gpt2,
     "gpt_neox": neox,
     "phi": neox,
+    "falcon": neox,        # parallel block + GQA/MQA fused qkv (+ ALiBi RW)
     "mixtral": moe,
     "moe": moe,
 }
