@@ -338,3 +338,18 @@ def test_falcon_rw_alibi_parity():
     assert config.alibi and config.rotary_pct == 0.0
     assert not config.parallel_residual
     _neox_decode_check(config, params, tokens, want)
+
+
+def test_bloom_alibi_parity():
+    """BLOOM: sequential pre-LN block, embedding LayerNorm, ALiBi added
+    UNscaled to scaled scores (beta=1.0 baddbmm — unlike Falcon's
+    jointly-scaled convention), head-interleaved fused qkv, GELU."""
+    torch.manual_seed(13)
+    cfg = transformers.BloomConfig(
+        vocab_size=256, hidden_size=64, n_layer=2, n_head=4,
+        attn_implementation="eager")
+    model = transformers.BloomForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.architecture == "bloom" and config.alibi
+    assert "embed_norm_w" in params
+    _neox_decode_check(config, params, tokens, want)

@@ -586,11 +586,77 @@ def assemble_params_falcon(get: Callable[[str], np.ndarray],
     }
 
 
+def assemble_params_bloom(get: Callable[[str], np.ndarray],
+                          names: Sequence[str], config: ModelConfig,
+                          dtype=None) -> Dict[str, Any]:
+    """BLOOM → the models/neox.py structure: sequential pre-LN block,
+    head-interleaved fused qkv (de-interleaved like GPT-NeoX), ALiBi,
+    GELU MLP, plus a LayerNorm over the embeddings
+    (word_embeddings_layernorm → the embed_norm slots)."""
+    dtype = dtype or config.dtype
+    nameset = set(names)
+    L = config.num_layers
+    Hq, D = config.num_heads, config.head_dim_
+
+    def fetch(suffix, layer=None):
+        cand = (f"transformer.h.{layer}.{suffix}" if layer is not None
+                else f"transformer.{suffix}")
+        for name in (cand, cand.replace("transformer.", "", 1)):
+            if name in nameset:
+                return get(name)
+        raise KeyError(f"no tensor for bloom slot '{suffix}' ({layer})")
+
+    def deinterleave_w(w):
+        w = w.reshape(Hq, 3, D, -1)
+        return np.concatenate([w[:, j].reshape(Hq * D, -1)
+                               for j in range(3)], axis=0).T
+
+    def deinterleave_b(b):
+        b = b.reshape(Hq, 3, D)
+        return np.concatenate([b[:, j].reshape(Hq * D)
+                               for j in range(3)], axis=0)
+
+    def stack(fn, suffix):
+        return jnp.asarray(np.stack([fn(fetch(suffix, i))
+                                     for i in range(L)]), dtype=dtype)
+
+    ident = np.asarray
+    layers = {
+        "ln1_w": stack(ident, "input_layernorm.weight"),
+        "ln1_b": stack(ident, "input_layernorm.bias"),
+        "ln2_w": stack(ident, "post_attention_layernorm.weight"),
+        "ln2_b": stack(ident, "post_attention_layernorm.bias"),
+        "w_qkv": stack(deinterleave_w, "self_attention.query_key_value.weight"),
+        "b_qkv": stack(deinterleave_b, "self_attention.query_key_value.bias"),
+        "wo": stack(lambda w: w.T, "self_attention.dense.weight"),
+        "bo": stack(ident, "self_attention.dense.bias"),
+        "w_fc": stack(lambda w: w.T, "mlp.dense_h_to_4h.weight"),
+        "b_fc": stack(ident, "mlp.dense_h_to_4h.bias"),
+        "w_proj": stack(lambda w: w.T, "mlp.dense_4h_to_h.weight"),
+        "b_proj": stack(ident, "mlp.dense_4h_to_h.bias"),
+    }
+    embed = jnp.asarray(fetch("word_embeddings.weight"), dtype=dtype)
+    head = get("lm_head.weight") if "lm_head.weight" in nameset else None
+    return {
+        "embed": embed,
+        "embed_norm_w": jnp.asarray(
+            fetch("word_embeddings_layernorm.weight"), dtype=dtype),
+        "embed_norm_b": jnp.asarray(
+            fetch("word_embeddings_layernorm.bias"), dtype=dtype),
+        "layers": layers,
+        "final_norm_w": jnp.asarray(fetch("ln_f.weight"), dtype=dtype),
+        "final_norm_b": jnp.asarray(fetch("ln_f.bias"), dtype=dtype),
+        "lm_head": (embed.T if head is None
+                    else jnp.asarray(head.T, dtype=dtype)),
+    }
+
+
 def assemble_for(config: ModelConfig):
     """Architecture-appropriate assembler (loaders dispatch here)."""
     return {"gpt2": assemble_params_gpt2,
             "gpt_neox": assemble_params_neox,
             "falcon": assemble_params_falcon,
+            "bloom": assemble_params_bloom,
             "phi": assemble_params_phi}.get(config.architecture,
                                             assemble_params)
 
@@ -740,6 +806,29 @@ def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
     if mt == "gemma3" and "text_config" in hf:      # multimodal wrapper
         hf = {**hf["text_config"], "model_type": "gemma3"}
     arch = {"gemma3_text": "gemma3", "qwen2_moe": "qwen2"}.get(mt, mt)
+
+    if arch == "bloom":
+        hidden = int(hf.get("hidden_size", hf.get("n_embed", 4096)))
+        heads = int(hf.get("n_head", hf.get("num_attention_heads", 32)))
+        return ModelConfig(
+            vocab_size=int(hf.get("vocab_size", 250880)),
+            hidden_size=hidden,
+            num_layers=int(hf.get("n_layer",
+                                  hf.get("num_hidden_layers", 30))),
+            num_heads=heads,
+            num_kv_heads=heads,
+            head_dim=hidden // heads,
+            intermediate_size=4 * hidden,
+            rms_norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+            max_seq_len=int(hf.get("max_position_embeddings", 2048)),
+            parallel_residual=False,
+            alibi=True,
+            rotary_pct=0.0,
+            tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+            name=str(hf.get("_name_or_path", "bloom")) or "bloom",
+            architecture="bloom",
+            dtype=dtype or jnp.bfloat16,
+        )
 
     if arch == "falcon":
         heads = int(hf.get("num_attention_heads", 71))

@@ -91,14 +91,15 @@ def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
     li = layer_index
     alibi = None
     if config.alibi:
-        alibi = ops.alibi_slopes(Hq)
+        # HF's build_alibi_tensor rounds the slopes to bfloat16 (exact
+        # for power-of-two head counts).
+        alibi = ops.alibi_slopes(Hq).astype(jnp.bfloat16) \
+            .astype(jnp.float32)
         if config.architecture == "falcon":
             # HF Falcon computes softmax((scores + slope*kpos)/sqrt(D))
-            # — the slope is scaled too (BLOOM and the ALiBi paper add
-            # the bias AFTER scaling, which is what ops expects) — and
-            # rounds the slopes to bfloat16 (build_alibi_tensor).
-            alibi = (alibi.astype(jnp.bfloat16).astype(jnp.float32)
-                     * float(D) ** -0.5)
+            # — the slope is scaled too. BLOOM and the ALiBi paper add
+            # the bias AFTER scaling, which is what ops expects.
+            alibi = alibi * float(D) ** -0.5
 
     def w1(name):
         w = lw[name]
@@ -178,6 +179,10 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     kv_len = start + seq_lens
 
     x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    if "embed_norm_w" in params:
+        # BLOOM: LayerNorm over the embeddings before the first block.
+        x = ops.layer_norm(x, params["embed_norm_w"],
+                           params["embed_norm_b"], config.rms_norm_eps)
     layers = params["layers"]
 
     if S == 1:

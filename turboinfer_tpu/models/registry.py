@@ -29,6 +29,7 @@ _REGISTRY = {
     "gpt_neox": neox,
     "phi": neox,
     "falcon": neox,        # parallel block + GQA/MQA fused qkv (+ ALiBi RW)
+    "bloom": neox,         # sequential block + ALiBi + embedding LayerNorm
     "mixtral": moe,
     "moe": moe,
 }
