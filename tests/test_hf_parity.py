@@ -56,19 +56,19 @@ def _check(model, hf_cfg, *, B=2, S=24, seed=0):
     return config, params, tokens, want
 
 
-def _decode_check(config, params, tokens, want):
+def _decode_check(config, params, tokens, want, mod=llama):
     """Prefill all-but-last + single-token decode steps must match the
     full-sequence logits at each decoded position."""
     B, S = tokens.shape
     split = S - 4
-    cache = llama.init_cache(config, B, max_seq=S, dtype=jnp.float32)
-    logits, cache = llama.forward(params, config,
-                                  jnp.asarray(tokens[:, :split], jnp.int32),
-                                  cache)
+    cache = mod.init_cache(config, B, max_seq=S, dtype=jnp.float32)
+    logits, cache = mod.forward(params, config,
+                                jnp.asarray(tokens[:, :split], jnp.int32),
+                                cache)
     np.testing.assert_allclose(np.asarray(logits), want[:, :split],
                                atol=ATOL, rtol=RTOL)
     for s in range(split, S):
-        logits, cache = llama.forward(
+        logits, cache = mod.forward(
             params, config, jnp.asarray(tokens[:, s:s + 1], jnp.int32),
             cache)
         np.testing.assert_allclose(np.asarray(logits[:, 0]), want[:, s],
@@ -353,3 +353,65 @@ def test_bloom_alibi_parity():
     assert config.architecture == "bloom" and config.alibi
     assert "embed_norm_w" in params
     _neox_decode_check(config, params, tokens, want)
+
+
+def test_mixtral_moe_parity():
+    """Mixtral: top-2 routed SwiGLU experts, gates renormalized over
+    the selected k (config.norm_topk_prob=True)."""
+    torch.manual_seed(14)
+    cfg = transformers.MixtralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64, attn_implementation="eager")
+    model = transformers.MixtralForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.architecture == "mixtral" and config.num_experts == 4
+    assert config.norm_topk_prob and config.shared_expert_size is None
+    assert params["layers"]["we_gate"].shape == (2, 4, 64, 96)
+    from turboinfer_tpu.models import moe
+    _decode_check(config, params, tokens, want, mod=moe)
+
+
+def test_qwen2_moe_parity():
+    """Qwen2-MoE: raw-softmax top-k gates (norm_topk_prob=False),
+    shared expert with sigmoid gate, q/k/v biases, separate
+    moe_intermediate_size."""
+    torch.manual_seed(15)
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, shared_expert_intermediate_size=80,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=64, use_sliding_window=False,
+        attn_implementation="eager")
+    model = transformers.Qwen2MoeForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.architecture == "qwen2_moe" and config.attn_bias
+    assert not config.norm_topk_prob
+    assert config.shared_expert_size == 80
+    assert params["layers"]["we_gate"].shape == (2, 4, 64, 48)
+    assert params["layers"]["ws_gate"].shape == (2, 64, 80)
+    assert params["layers"]["shared_gate"].shape == (2, 64, 1)
+    from turboinfer_tpu.models import moe
+    _decode_check(config, params, tokens, want, mod=moe)
+
+
+def test_qwen3_moe_parity():
+    """Qwen3-MoE: per-head q/k RMSNorm + renormalized top-k gates, no
+    shared expert."""
+    torch.manual_seed(16)
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=64, attn_implementation="eager")
+    model = transformers.Qwen3MoeForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.architecture == "qwen3_moe" and config.qk_norm
+    assert config.norm_topk_prob and not config.attn_bias
+    from turboinfer_tpu.models import moe
+    _decode_check(config, params, tokens, want, mod=moe)

@@ -105,3 +105,113 @@ def test_moe_quantization(moe_params, moe_cfg):
     assert not isinstance(q["layers"]["we_gate"], QTensor)
     eng = ti.InferenceEngine(q, moe_cfg)
     assert len(eng.generate([1, 5], 6, temperature=0.0).tokens) == 8
+
+
+@pytest.fixture(scope="module")
+def qwen_moe_cfg():
+    return ModelConfig(vocab_size=500, hidden_size=64, num_layers=2,
+                       num_heads=4, num_kv_heads=2, intermediate_size=128,
+                       moe_intermediate_size=48, shared_expert_size=80,
+                       norm_topk_prob=False, attn_bias=True,
+                       max_seq_len=64, architecture="qwen2_moe",
+                       num_experts=4, experts_per_token=2,
+                       name="tiny-qwen-moe", dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def qwen_moe_params(qwen_moe_cfg):
+    return moe.init_params(jax.random.PRNGKey(1), qwen_moe_cfg)
+
+
+def test_registry_qwen_moe():
+    assert registry.get_model("qwen2_moe") is moe
+    assert registry.get_model("qwen3_moe") is moe
+
+
+def test_qwen_moe_param_shapes(qwen_moe_params):
+    lw = qwen_moe_params["layers"]
+    assert lw["we_gate"].shape == (2, 4, 64, 48)
+    assert lw["ws_gate"].shape == (2, 64, 80)
+    assert lw["shared_gate"].shape == (2, 64, 1)
+    assert "b_q" in lw
+
+
+def test_qwen_moe_shared_expert_contributes(qwen_moe_cfg, qwen_moe_params):
+    """Zeroing the shared expert's down-projection must change the
+    output (i.e. the shared expert is actually wired into forward)."""
+    tokens = jnp.asarray([[1, 5, 42, 7]], jnp.int32)
+    full = moe.forward_no_cache(qwen_moe_params, qwen_moe_cfg, tokens)
+    p2 = {**qwen_moe_params,
+          "layers": {**qwen_moe_params["layers"],
+                     "ws_down": jnp.zeros_like(
+                         qwen_moe_params["layers"]["ws_down"])}}
+    cut = moe.forward_no_cache(p2, qwen_moe_cfg, tokens)
+    assert not np.allclose(np.asarray(full), np.asarray(cut))
+
+
+def test_qwen_moe_raw_softmax_gates(qwen_moe_cfg, qwen_moe_params):
+    """norm_topk_prob=False: gates are the raw full-softmax probs of
+    the selected experts (sum < 1), not renormalized."""
+    lw = {k: v[0] for k, v in qwen_moe_params["layers"].items()}
+    h = jnp.asarray(np.random.RandomState(1).randn(1, 3, 64), jnp.float32)
+    got = moe._moe_ffn(qwen_moe_cfg, h, lw)
+
+    # manual reference
+    from turboinfer_tpu.kernels import ops
+    hf32 = np.asarray(h, np.float64)
+    logits = hf32 @ np.asarray(lw["router"], np.float64)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    top = np.argsort(-probs, axis=-1)[..., :2]
+    out = np.zeros_like(hf32)
+    for b in range(1):
+        for s in range(3):
+            for e in top[b, s]:
+                g = hf32[b, s] @ np.asarray(lw["we_gate"], np.float64)[e]
+                u = hf32[b, s] @ np.asarray(lw["we_up"], np.float64)[e]
+                act = (g / (1 + np.exp(-g))) * u
+                out[b, s] += probs[b, s, e] * (
+                    act @ np.asarray(lw["we_down"], np.float64)[e])
+    sg = 1 / (1 + np.exp(-(hf32 @ np.asarray(lw["shared_gate"],
+                                             np.float64))))
+    gsh = hf32 @ np.asarray(lw["ws_gate"], np.float64)
+    ush = hf32 @ np.asarray(lw["ws_up"], np.float64)
+    shared = ((gsh / (1 + np.exp(-gsh))) * ush) @ np.asarray(
+        lw["ws_down"], np.float64)
+    out = out + sg * shared
+    np.testing.assert_allclose(np.asarray(got), out, rtol=1e-3, atol=1e-4)
+
+
+def test_qwen_moe_engine_and_decode(qwen_moe_cfg, qwen_moe_params):
+    tokens = jnp.asarray([[1, 5, 42, 7, 99, 3]], jnp.int32)
+    full = moe.forward_no_cache(qwen_moe_params, qwen_moe_cfg, tokens)
+    cache = moe.init_cache(qwen_moe_cfg, 1, max_seq=32)
+    _, cache = moe.forward(qwen_moe_params, qwen_moe_cfg,
+                           tokens[:, :5], cache)
+    lg, cache = moe.forward(qwen_moe_params, qwen_moe_cfg,
+                            tokens[:, 5:6], cache)
+    np.testing.assert_allclose(np.asarray(lg[:, 0]), np.asarray(full[:, 5]),
+                               rtol=1e-4, atol=1e-4)
+    eng = ti.InferenceEngine(qwen_moe_params, qwen_moe_cfg)
+    res = eng.generate([1, 5, 9], 8, temperature=0.0)
+    assert len(res.tokens) == 11
+
+
+def test_qwen_moe_sharding(qwen_moe_cfg, qwen_moe_params):
+    """Expert-parallel specs with shared-expert TP slots on the virtual
+    mesh must match the unsharded forward."""
+    from turboinfer_tpu.parallel import mesh as pmesh, shardings
+    n = min(len(jax.devices()), 4)
+    if n < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = pmesh.make_mesh((1, n), devices=jax.devices()[:n])
+    sharded = shardings.shard_params(qwen_moe_params, mesh,
+                                     specs=shardings.moe_param_specs())
+    tokens = jnp.asarray([[1, 5, 42, 7]], jnp.int32)
+    want = moe.forward_no_cache(qwen_moe_params, qwen_moe_cfg, tokens)
+    with mesh:
+        got = jax.jit(
+            lambda p, t: moe.forward_no_cache(p, qwen_moe_cfg, t))(
+            sharded, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

@@ -71,6 +71,14 @@ class ModelConfig:
     # Mixture-of-experts (0 = dense FFN). experts_per_token = router top-k.
     num_experts: int = 0
     experts_per_token: int = 2
+    # Expert FFN width (Qwen-MoE's moe_intermediate_size); None = ffn_dim.
+    moe_intermediate_size: Optional[int] = None
+    # True (Mixtral): top-k gate weights renormalized to sum 1. False
+    # (Qwen2-MoE default): raw full-softmax probabilities of the top-k.
+    norm_topk_prob: bool = True
+    # Qwen2-MoE shared expert: a dense SwiGLU FFN of this width runs on
+    # every token, scaled by sigmoid(shared_expert_gate(x)). None = off.
+    shared_expert_size: Optional[int] = None
     # q/k/v projection biases (Qwen2 / Qwen2.5).
     attn_bias: bool = False
     # Per-head RMSNorm on q and k before RoPE (Qwen3, Gemma3).

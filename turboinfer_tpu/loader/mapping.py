@@ -130,6 +130,30 @@ SLOT_TEMPLATES: Dict[str, List[str]] = {
         "layers.{i}.mlp.down_proj.weight",
         "layers.{i}.feed_forward.w2.weight",
     ],
+    # MoE slots ({e} = expert index). Covers Mixtral's block_sparse_moe
+    # naming (w1=gate, w3=up, w2=down) and Qwen2/Qwen3-MoE's mlp.experts.
+    "router": [
+        "blk.{i}.ffn_gate_inp.weight",
+        "model.layers.{i}.block_sparse_moe.gate.weight",
+        "model.layers.{i}.mlp.gate.weight",
+    ],
+    "we_gate": [
+        "model.layers.{i}.block_sparse_moe.experts.{e}.w1.weight",
+        "model.layers.{i}.mlp.experts.{e}.gate_proj.weight",
+    ],
+    "we_up": [
+        "model.layers.{i}.block_sparse_moe.experts.{e}.w3.weight",
+        "model.layers.{i}.mlp.experts.{e}.up_proj.weight",
+    ],
+    "we_down": [
+        "model.layers.{i}.block_sparse_moe.experts.{e}.w2.weight",
+        "model.layers.{i}.mlp.experts.{e}.down_proj.weight",
+    ],
+    # Qwen2-MoE shared expert (dense SwiGLU on every token).
+    "ws_gate": ["model.layers.{i}.mlp.shared_expert.gate_proj.weight"],
+    "ws_up": ["model.layers.{i}.mlp.shared_expert.up_proj.weight"],
+    "ws_down": ["model.layers.{i}.mlp.shared_expert.down_proj.weight"],
+    "shared_gate": ["model.layers.{i}.mlp.shared_expert_gate.weight"],
     "final_norm": [
         "output_norm.weight",
         "model.norm.weight",
@@ -143,18 +167,21 @@ SLOT_TEMPLATES: Dict[str, List[str]] = {
 }
 
 # Slots whose file layout is [out, in] and must be transposed to [in, out].
-_TRANSPOSED = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head"}
+_TRANSPOSED = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "lm_head",
+               "router", "we_gate", "we_up", "we_down",
+               "ws_gate", "ws_up", "ws_down", "shared_gate"}
 _PER_LAYER = {"attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
               "w_gate", "w_up", "w_down"}
 
 
-def resolve_name(names: Sequence[str], slot: str, layer: Optional[int] = None
-                 ) -> Optional[str]:
+def resolve_name(names: Sequence[str], slot: str, layer: Optional[int] = None,
+                 expert: Optional[int] = None) -> Optional[str]:
     """First matching concrete name for a slot (reference behavior:
     try conventions in order, inference_engine.cpp:483-564)."""
     nameset = set(names)
     for tmpl in SLOT_TEMPLATES[slot]:
-        cand = tmpl.format(i=layer) if "{i}" in tmpl else tmpl
+        cand = tmpl.format(i=layer, e=expert) \
+            if "{" in tmpl else tmpl
         if cand in nameset:
             return cand
     return None
@@ -222,11 +249,38 @@ def assemble_params(get: Callable[[str], np.ndarray], names: Sequence[str],
         per_layer |= {"q_norm", "k_norm"}
     if config.post_norms:
         per_layer |= {"post_attn_norm", "post_ffn_norm"}
+    if config.num_experts:
+        # MoE: the dense FFN slots are replaced by router + per-expert
+        # weights stacked to [L, E, in, out] (models/moe.py layout).
+        per_layer -= {"w_gate", "w_up", "w_down"}
+        per_layer |= {"router"}
+        if config.shared_expert_size:
+            per_layer |= {"ws_gate", "ws_up", "ws_down", "shared_gate"}
+
+    def stack_experts(slot: str) -> jnp.ndarray:
+        E = config.num_experts
+        per_l = []
+        for i in range(L):
+            rows = []
+            for e in range(E):
+                name = resolve_name(names, slot, i, e)
+                if name is None:
+                    raise KeyError(
+                        f"no tensor for MoE slot '{slot}' "
+                        f"(layer {i}, expert {e})")
+                rows.append(get(name).T)
+            per_l.append(np.stack(rows))
+        return jnp.asarray(np.stack(per_l), dtype=dtype)
 
     embed = jnp.asarray(fetch("embed"), dtype=dtype)
+    layers: Dict[str, Any] = {slot: stack(slot)
+                              for slot in sorted(per_layer)}
+    if config.num_experts:
+        for slot in ("we_gate", "we_up", "we_down"):
+            layers[slot] = stack_experts(slot)
     params: Dict[str, Any] = {
         "embed": embed,
-        "layers": {slot: stack(slot) for slot in sorted(per_layer)},
+        "layers": layers,
         "final_norm": jnp.asarray(fetch("final_norm"), dtype=dtype),
     }
     head = fetch("lm_head", required=False)
@@ -773,6 +827,9 @@ def config_to_dict(config: ModelConfig) -> Dict[str, Any]:
         "alibi": config.alibi,
         "num_experts": config.num_experts,
         "experts_per_token": config.experts_per_token,
+        "moe_intermediate_size": config.moe_intermediate_size,
+        "norm_topk_prob": config.norm_topk_prob,
+        "shared_expert_size": config.shared_expert_size,
         "name": config.name,
         "architecture": config.architecture,
         "dtype": jnp.dtype(config.dtype).name,
@@ -805,7 +862,7 @@ def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
     mt = str(hf.get("model_type", "llama")).lower()
     if mt == "gemma3" and "text_config" in hf:      # multimodal wrapper
         hf = {**hf["text_config"], "model_type": "gemma3"}
-    arch = {"gemma3_text": "gemma3", "qwen2_moe": "qwen2"}.get(mt, mt)
+    arch = {"gemma3_text": "gemma3"}.get(mt, mt)
 
     if arch == "bloom":
         hidden = int(hf.get("hidden_size", hf.get("n_embed", 4096)))
@@ -914,8 +971,18 @@ def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
         sliding_window=sliding,
         sliding_window_pattern=pattern,
         tie_embeddings=bool(hf.get("tie_word_embeddings", is_gemma)),
-        attn_bias=bool(hf.get("attention_bias", arch == "qwen2")),
-        qk_norm=arch in ("qwen3", "gemma3"),
+        attn_bias=bool(hf.get("attention_bias",
+                              arch in ("qwen2", "qwen2_moe"))),
+        qk_norm=arch in ("qwen3", "qwen3_moe", "gemma3"),
+        # MoE (mixtral / qwen2_moe / qwen3_moe). Mixtral renormalizes
+        # the top-k gates; Qwen2-MoE defaults to raw softmax probs.
+        num_experts=int(hf.get("num_local_experts",
+                               hf.get("num_experts", 0)) or 0),
+        experts_per_token=int(hf.get("num_experts_per_tok", 2)),
+        moe_intermediate_size=hf.get("moe_intermediate_size"),
+        shared_expert_size=hf.get("shared_expert_intermediate_size"),
+        norm_topk_prob=bool(hf.get("norm_topk_prob",
+                                   arch != "qwen2_moe")),
         scale_embeddings=is_gemma,
         norm_offset=is_gemma,
         hidden_act="gelu" if is_gemma else "silu",

@@ -1,9 +1,13 @@
-"""Mixtral-class sparse Mixture-of-Experts decoder.
+"""Sparse Mixture-of-Experts decoders: Mixtral, Qwen2-MoE, Qwen3-MoE.
 
 No reference counterpart — the reference is a dense-only LLaMA-shaped
 stack (SURVEY.md §2 row 5); this is a TPU-native model-family addition:
-the LLaMA attention block (RoPE + GQA, shared with models/llama.py)
-with a top-k routed MoE FFN.
+the LLaMA attention block (RoPE + GQA, q/k/v biases, per-head qk-norm —
+shared with models/llama.py) with a top-k routed MoE FFN. Covers the
+Mixtral gate convention (renormalized top-k softmax), the Qwen2-MoE one
+(raw full-softmax probabilities, config.norm_topk_prob=False), and the
+Qwen2-MoE shared expert (dense SwiGLU on every token scaled by a
+sigmoid gate, config.shared_expert_size).
 
 Expert parallelism falls out of sharding: expert weights carry a
 leading E axis annotated with the `tp` mesh axis
@@ -38,9 +42,10 @@ def init_params(rng: jax.Array, config: ModelConfig,
         raise ValueError("moe model needs config.num_experts > 0")
     dtype = dtype or config.dtype
     H, V, L = config.hidden_size, config.vocab_size, config.num_layers
-    QD, KVD, F = config.q_dim, config.kv_dim, config.ffn_dim
+    QD, KVD = config.q_dim, config.kv_dim
+    F = config.moe_intermediate_size or config.ffn_dim
     E = config.num_experts
-    keys = jax.random.split(rng, 10)
+    keys = jax.random.split(rng, 12)
 
     def w(key, shape, fan_in):
         return (jax.random.normal(key, shape, jnp.float32)
@@ -63,23 +68,57 @@ def init_params(rng: jax.Array, config: ModelConfig,
         "final_norm": jnp.ones((H,), dtype),
         "lm_head": w(keys[9], (H, V), H),
     }
+    layers = params["layers"]
+    if config.attn_bias:
+        bk = jax.random.split(keys[10], 3)
+        layers["b_q"] = (0.02 * jax.random.normal(bk[0], (L, QD))
+                         ).astype(dtype)
+        layers["b_k"] = (0.02 * jax.random.normal(bk[1], (L, KVD))
+                         ).astype(dtype)
+        layers["b_v"] = (0.02 * jax.random.normal(bk[2], (L, KVD))
+                         ).astype(dtype)
+    if config.qk_norm:
+        D = config.head_dim_
+        layers["q_norm"] = jnp.ones((L, D), dtype)
+        layers["k_norm"] = jnp.ones((L, D), dtype)
+    if config.shared_expert_size:
+        Fs = config.shared_expert_size
+        sk = jax.random.split(keys[11], 4)
+        layers["ws_gate"] = w(sk[0], (L, H, Fs), H)
+        layers["ws_up"] = w(sk[1], (L, H, Fs), H)
+        layers["ws_down"] = w(sk[2], (L, Fs, H), Fs)
+        layers["shared_gate"] = w(sk[3], (L, H, 1), H)
     if config.tie_embeddings:
         params["lm_head"] = params["embed"].T
     return params
+
+
+# FFN weight slots _layer_forward gathers per layer (shared-expert
+# slots present only when config.shared_expert_size is set).
+_FFN_SLOTS = ("router", "we_gate", "we_up", "we_down",
+              "ws_gate", "ws_up", "ws_down", "shared_gate")
 
 
 def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any]
              ) -> jax.Array:
     """Top-k routed SwiGLU experts. h: [B, S, H] -> [B, S, H].
 
-    Router softmax is over the selected top-k (Mixtral convention).
+    Gate convention per config.norm_topk_prob: True renormalizes the
+    top-k softmax weights to sum 1 (Mixtral; equals softmax over the
+    selected logits); False keeps the raw full-softmax probabilities
+    (Qwen2-MoE default). A shared expert (Qwen2-MoE) adds a dense
+    SwiGLU FFN on every token, scaled by sigmoid(shared_expert_gate).
     """
     E, k = config.num_experts, config.experts_per_token
     hf = h.astype(jnp.float32)
     logits = jnp.einsum("bsh,he->bse", hf,
                         lw["router"].astype(jnp.float32))
-    top_v, top_i = jax.lax.top_k(logits, k)               # [B, S, k]
-    gates = jax.nn.softmax(top_v, axis=-1)                # [B, S, k]
+    if config.norm_topk_prob:
+        top_v, top_i = jax.lax.top_k(logits, k)           # [B, S, k]
+        gates = jax.nn.softmax(top_v, axis=-1)            # [B, S, k]
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+        gates, top_i = jax.lax.top_k(probs, k)            # raw probs
     # Scatter top-k gates into a dense [B, S, E] mixing vector.
     onehot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)  # [B, S, k, E]
     mix = jnp.einsum("bsk,bske->bse", gates, onehot)      # [B, S, E]
@@ -91,6 +130,15 @@ def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any]
     out_e = jnp.einsum("bsef,efh->bseh", act.astype(h.dtype),
                        lw["we_down"])
     out = jnp.einsum("bseh,bse->bsh", out_e.astype(jnp.float32), mix)
+
+    if "ws_gate" in lw:                                   # shared expert
+        s = ops.swiglu(ops.qmatmul(h, lw["ws_gate"]),
+                       ops.qmatmul(h, lw["ws_up"]))
+        s = ops.qmatmul(s.astype(h.dtype), lw["ws_down"])
+        sg = jax.nn.sigmoid(
+            ops.qmatmul(h, lw["shared_gate"],
+                        preferred_dtype=jnp.float32))     # [B, S, 1]
+        out = out + sg * s.astype(jnp.float32)
     return out.astype(h.dtype)
 
 
@@ -110,7 +158,7 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
 
     h = ops.rms_norm(x, w1("attn_norm"), config.rms_norm_eps)
     from turboinfer_tpu.models.llama import qkv_proj
-    q, k, v = qkv_proj(h, lw, li, B, S, Hq, Hkv, D)
+    q, k, v = qkv_proj(h, lw, li, B, S, Hq, Hkv, D, config)
     q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode)
     k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
 
@@ -132,8 +180,7 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
         attn = attn.reshape(B, S, Hq * D)
         x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
         h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
-        lw_ffn = {k2: w1(k2) for k2 in ("router", "we_gate", "we_up",
-                                        "we_down")}
+        lw_ffn = {k2: w1(k2) for k2 in _FFN_SLOTS if k2 in lw}
         x = x + _moe_ffn(config, h, lw_ffn)
         return x, k_cache, v_cache
 
@@ -159,7 +206,7 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
 
     h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
     lw_ffn = (lw if li is None else
-              {k: w1(k) for k in ("router", "we_gate", "we_up", "we_down")})
+              {k: w1(k) for k in _FFN_SLOTS if k in lw})
     x = x + _moe_ffn(config, h, lw_ffn)
     return x, k_cache, v_cache
 

@@ -31,6 +31,8 @@ _REGISTRY = {
     "falcon": neox,        # parallel block + GQA/MQA fused qkv (+ ALiBi RW)
     "bloom": neox,         # sequential block + ALiBi + embedding LayerNorm
     "mixtral": moe,
+    "qwen2_moe": moe,      # + shared expert, raw-softmax top-k gates
+    "qwen3_moe": moe,      # + per-head q/k RMSNorm
     "moe": moe,
 }
 

@@ -66,6 +66,12 @@ def moe_param_specs(tp: str = TP_AXIS) -> Dict[str, Any]:
             "we_gate": P(None, tp, None, None),
             "we_up": P(None, tp, None, None),
             "we_down": P(None, tp, None, None),
+            # Qwen2-MoE shared expert: dense SwiGLU, classic TP
+            # (column-shard gate/up, row-shard down -> psum).
+            "ws_gate": P(None, None, tp),
+            "ws_up": P(None, None, tp),
+            "ws_down": P(None, tp, None),
+            "shared_gate": P(None, None, None),
         },
         "final_norm": P(None),
         "lm_head": P(None, tp),
@@ -116,7 +122,7 @@ def fit_spec(spec: P, ndim: int) -> P:
     """Adapt a spec to an array of higher rank (e.g. pre-tiled 4-D
     scales [L, nk, gk, N]): keep the first and last axis specs,
     replicate the inserted middle axes."""
-    if len(spec) == ndim:
+    if len(spec) == ndim or len(spec) == 0:
         return spec
     return P(*(list(spec[:-1]) + [None] * (ndim - len(spec))
                + [spec[-1]]))
@@ -131,6 +137,8 @@ def shard_params(params: Dict[str, Any], mesh: Mesh,
     fit = fit_spec
 
     def place(leaf, spec):
+        if leaf is None:
+            return None
         if isinstance(leaf, QTensor):
             # data: same rank as logical weight ([(L,) K(/2), N]);
             # scales/zp: [(L,) G(*), N] — same spec (K position holds G).
@@ -150,9 +158,16 @@ def shard_params(params: Dict[str, Any], mesh: Mesh,
                            shape=leaf.shape)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(
-        place, params, specs,
-        is_leaf=lambda x: isinstance(x, QTensor) or x is None)
+    def walk(p, s):
+        """Align specs to the params structure; slots the spec dict
+        doesn't mention (optional: biases, qk-norms, shared expert,
+        LoRA) replicate."""
+        if isinstance(p, dict):
+            return {k: walk(v, s.get(k) if isinstance(s, dict) else None)
+                    for k, v in p.items()}
+        return place(p, s if isinstance(s, P) else P())
+
+    return walk(params, specs)
 
 
 def shard_cache(cache, mesh: Mesh):
