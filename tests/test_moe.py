@@ -215,3 +215,30 @@ def test_qwen_moe_sharding(qwen_moe_cfg, qwen_moe_params):
             sharded, tokens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gather_path_matches_dense(qwen_moe_cfg, qwen_moe_params):
+    """The decode weight-gather regime (B*S*k < E) must agree with the
+    dense all-experts einsum: run the same token once alone (gather)
+    and once inside a longer row (dense); per-token outputs match."""
+    lw = {k: v[0] for k, v in qwen_moe_params["layers"].items()}
+    h = jnp.asarray(np.random.RandomState(7).randn(1, 4, 64), jnp.float32)
+    dense = moe._moe_ffn(qwen_moe_cfg, h, lw)          # 4*2 >= 4 experts
+    single = moe._moe_ffn(qwen_moe_cfg, h[:, :1], lw)  # 1*2 < 4: gather
+    np.testing.assert_allclose(np.asarray(single[:, 0]),
+                               np.asarray(dense[:, 0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gather_path_stacked_layer_index(qwen_moe_cfg, qwen_moe_params):
+    """Stacked-weights + traced layer_index (what the decode scan runs)
+    must equal the per-layer-slice call for every layer."""
+    layers = qwen_moe_params["layers"]
+    h = jnp.asarray(np.random.RandomState(8).randn(1, 1, 64), jnp.float32)
+    for i in range(qwen_moe_cfg.num_layers):
+        lw_i = {k: v[i] for k, v in layers.items()}
+        want = moe._moe_ffn(qwen_moe_cfg, h, lw_i)
+        got = jax.jit(lambda li: moe._moe_ffn(
+            qwen_moe_cfg, h, layers, layer_index=li))(jnp.int32(i))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

@@ -15,8 +15,9 @@ leading E axis annotated with the `tp` mesh axis
 einsum over E, and XLA partitions it so each device computes only its
 local experts and psums the router-weighted combination. The dense
 einsum (every expert on every token) is exact and compiles to clean
-MXU work; a capacity-based gather/scatter kernel is the follow-up
-optimization for large-scale serving.
+MXU work for prefill; decode takes a top-k weight-gather fast path
+instead (see _moe_ffn) so per-step HBM traffic is k expert FFNs, not
+E. Both regimes are exact — no capacity-factor token dropping.
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from turboinfer_tpu.config import ModelConfig
+from turboinfer_tpu.core.qtensor import QTensor
 from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models import llama
 from turboinfer_tpu.models.common import (KVCache, cache_bits_view,  # noqa: F401
@@ -93,50 +95,84 @@ def init_params(rng: jax.Array, config: ModelConfig,
     return params
 
 
-# FFN weight slots _layer_forward gathers per layer (shared-expert
-# slots present only when config.shared_expert_size is set).
-_FFN_SLOTS = ("router", "we_gate", "we_up", "we_down",
-              "ws_gate", "ws_up", "ws_down", "shared_gate")
-
-
-def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any]
-             ) -> jax.Array:
+def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any],
+             layer_index=None) -> jax.Array:
     """Top-k routed SwiGLU experts. h: [B, S, H] -> [B, S, H].
+
+    `lw` holds FULL stacked [L, ...] weights when `layer_index` is a
+    traced layer id (decode scan), per-layer weights otherwise.
 
     Gate convention per config.norm_topk_prob: True renormalizes the
     top-k softmax weights to sum 1 (Mixtral; equals softmax over the
     selected logits); False keeps the raw full-softmax probabilities
     (Qwen2-MoE default). A shared expert (Qwen2-MoE) adds a dense
     SwiGLU FFN on every token, scaled by sigmoid(shared_expert_gate).
+
+    Two expert-compute regimes, both exact (no capacity drops):
+      - few tokens (B*S*k < E, i.e. decode): gather ONLY the selected
+        experts' weights from the stacked array — HBM traffic per step
+        is k expert FFNs instead of E (4x less for Mixtral top-2/8).
+      - many tokens (prefill/large batch): dense einsum over all E
+        experts — every weight is read once regardless, the MXU stays
+        on large matmuls, and the E axis partitions over `tp` for
+        expert parallelism.
     """
     E, k = config.num_experts, config.experts_per_token
+    li = layer_index
+    B, S, _ = h.shape
+
+    def w1(name):
+        w = lw[name]
+        if li is not None:
+            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        return w
+
     hf = h.astype(jnp.float32)
     logits = jnp.einsum("bsh,he->bse", hf,
-                        lw["router"].astype(jnp.float32))
+                        w1("router").astype(jnp.float32))
     if config.norm_topk_prob:
         top_v, top_i = jax.lax.top_k(logits, k)           # [B, S, k]
         gates = jax.nn.softmax(top_v, axis=-1)            # [B, S, k]
     else:
         probs = jax.nn.softmax(logits, axis=-1)
         gates, top_i = jax.lax.top_k(probs, k)            # raw probs
-    # Scatter top-k gates into a dense [B, S, E] mixing vector.
-    onehot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)  # [B, S, k, E]
-    mix = jnp.einsum("bsk,bske->bse", gates, onehot)      # [B, S, E]
 
-    # Dense expert computation, partitionable over E.
-    g = jnp.einsum("bsh,ehf->bsef", h, lw["we_gate"])
-    u = jnp.einsum("bsh,ehf->bsef", h, lw["we_up"])
-    act = ops.swiglu(g, u)
-    out_e = jnp.einsum("bsef,efh->bseh", act.astype(h.dtype),
-                       lw["we_down"])
-    out = jnp.einsum("bseh,bse->bsh", out_e.astype(jnp.float32), mix)
+    if B * S * k < E and not isinstance(lw["we_gate"], QTensor):
+        # Decode fast path: gather the k selected experts per token.
+        wg, wu, wd = lw["we_gate"], lw["we_up"], lw["we_down"]
+        if li is not None:
+            # One flat (layer, expert) gather off the stacked array —
+            # never slice the [E, H, F] layer block out first.
+            idx = li * E + top_i                          # [B, S, k]
+            wg = wg.reshape((-1,) + wg.shape[2:])
+            wu = wu.reshape((-1,) + wu.shape[2:])
+            wd = wd.reshape((-1,) + wd.shape[2:])
+        else:
+            idx = top_i
+        g = jnp.einsum("bsh,bskhf->bskf", h, jnp.take(wg, idx, axis=0))
+        u = jnp.einsum("bsh,bskhf->bskf", h, jnp.take(wu, idx, axis=0))
+        act = ops.swiglu(g, u)
+        out_e = jnp.einsum("bskf,bskfh->bskh", act.astype(h.dtype),
+                           jnp.take(wd, idx, axis=0))
+        out = jnp.einsum("bskh,bsk->bsh", out_e.astype(jnp.float32),
+                         gates)
+    else:
+        # Scatter top-k gates into a dense [B, S, E] mixing vector.
+        onehot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)
+        mix = jnp.einsum("bsk,bske->bse", gates, onehot)  # [B, S, E]
+        g = jnp.einsum("bsh,ehf->bsef", h, w1("we_gate"))
+        u = jnp.einsum("bsh,ehf->bsef", h, w1("we_up"))
+        act = ops.swiglu(g, u)
+        out_e = jnp.einsum("bsef,efh->bseh", act.astype(h.dtype),
+                           w1("we_down"))
+        out = jnp.einsum("bseh,bse->bsh", out_e.astype(jnp.float32), mix)
 
     if "ws_gate" in lw:                                   # shared expert
-        s = ops.swiglu(ops.qmatmul(h, lw["ws_gate"]),
-                       ops.qmatmul(h, lw["ws_up"]))
-        s = ops.qmatmul(s.astype(h.dtype), lw["ws_down"])
+        s = ops.swiglu(ops.qmatmul(h, lw["ws_gate"], layer_index=li),
+                       ops.qmatmul(h, lw["ws_up"], layer_index=li))
+        s = ops.qmatmul(s.astype(h.dtype), lw["ws_down"], layer_index=li)
         sg = jax.nn.sigmoid(
-            ops.qmatmul(h, lw["shared_gate"],
+            ops.qmatmul(h, lw["shared_gate"], layer_index=li,
                         preferred_dtype=jnp.float32))     # [B, S, 1]
         out = out + sg * s.astype(jnp.float32)
     return out.astype(h.dtype)
@@ -180,8 +216,7 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
         attn = attn.reshape(B, S, Hq * D)
         x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
         h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
-        lw_ffn = {k2: w1(k2) for k2 in _FFN_SLOTS if k2 in lw}
-        x = x + _moe_ffn(config, h, lw_ffn)
+        x = x + _moe_ffn(config, h, lw, layer_index=li)
         return x, k_cache, v_cache
 
     def write_one(cache_b, new_b, start_b):
@@ -205,9 +240,7 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
     x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
 
     h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
-    lw_ffn = (lw if li is None else
-              {k: w1(k) for k in _FFN_SLOTS if k in lw})
-    x = x + _moe_ffn(config, h, lw_ffn)
+    x = x + _moe_ffn(config, h, lw, layer_index=li)
     return x, k_cache, v_cache
 
 
