@@ -95,15 +95,62 @@ def test_expert_parallel_sharding(moe_params, moe_cfg):
 
 
 def test_moe_quantization(moe_params, moe_cfg):
-    """Attention weights quantize; expert weights stay fp for now."""
+    """Attention AND expert weights quantize; experts become a 4-D
+    stacked QTensor and the engine decodes through the flat-stack qmm
+    path."""
     from turboinfer_tpu.config import QuantizationConfig, QuantType
     from turboinfer_tpu.core.qtensor import QTensor
     from turboinfer_tpu.quant.quantizer import quantize_params
     q = quantize_params(moe_params, QuantizationConfig(
         type=QuantType.INT8, group_size=32))
     assert isinstance(q["layers"]["wq"], QTensor)
-    assert not isinstance(q["layers"]["we_gate"], QTensor)
+    qe = q["layers"]["we_gate"]
+    assert isinstance(qe, QTensor) and qe.data.ndim == 4
+    assert qe.data.shape[:2] == (2, 4)          # [L, E, ...]
     eng = ti.InferenceEngine(q, moe_cfg)
+    assert len(eng.generate([1, 5], 6, temperature=0.0).tokens) == 8
+
+
+def test_moe_quantization_roundtrip_accuracy(moe_params, moe_cfg):
+    """int8 g=32 quantized MoE logits stay close to fp logits, through
+    both expert regimes (prefill dense-mask loop + B=1 decode top-k
+    slots), and dequantize_params restores the [L, E, K, N] layout."""
+    from turboinfer_tpu.config import QuantizationConfig, QuantType
+    from turboinfer_tpu.quant.quantizer import (dequantize_params,
+                                                quantize_params)
+    q = quantize_params(moe_params, QuantizationConfig(
+        type=QuantType.INT8, group_size=32))
+    deq = dequantize_params(q)
+    assert deq["layers"]["we_gate"].shape == \
+        moe_params["layers"]["we_gate"].shape
+    np.testing.assert_allclose(
+        np.asarray(deq["layers"]["we_gate"]),
+        np.asarray(moe_params["layers"]["we_gate"]), atol=0.02)
+
+    tokens = jnp.asarray([[1, 5, 42, 7]], jnp.int32)
+    want = moe.forward_no_cache(moe_params, moe_cfg, tokens)
+    got = moe.forward_no_cache(q, moe_cfg, tokens)
+    assert np.mean(np.argmax(np.asarray(got), -1)
+                   == np.argmax(np.asarray(want), -1)) >= 0.75
+
+    cache = moe.init_cache(moe_cfg, 1, max_seq=16)
+    _, cache = moe.forward(q, moe_cfg, tokens[:, :3], cache)
+    lg, _ = moe.forward(q, moe_cfg, tokens[:, 3:4], cache)
+    np.testing.assert_allclose(np.asarray(lg[:, 0]), np.asarray(got[:, 3]),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_qwen_moe_quantization(qwen_moe_cfg, qwen_moe_params):
+    """Shared-expert stacks quantize too; engine still decodes."""
+    from turboinfer_tpu.config import QuantizationConfig, QuantType
+    from turboinfer_tpu.core.qtensor import QTensor
+    from turboinfer_tpu.quant.quantizer import quantize_params
+    q = quantize_params(qwen_moe_params, QuantizationConfig(
+        type=QuantType.INT4, group_size=16))
+    assert isinstance(q["layers"]["ws_gate"], QTensor)
+    assert isinstance(q["layers"]["we_down"], QTensor)
+    assert not isinstance(q["layers"]["shared_gate"], QTensor)
+    eng = ti.InferenceEngine(q, qwen_moe_cfg)
     assert len(eng.generate([1, 5], 6, temperature=0.0).tokens) == 8
 
 
@@ -242,3 +289,26 @@ def test_gather_path_stacked_layer_index(qwen_moe_cfg, qwen_moe_params):
             qwen_moe_cfg, h, layers, layer_index=li))(jnp.int32(i))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_moe_tinq_roundtrip(tmp_path, moe_params, moe_cfg):
+    """Quantized MoE params (4-D expert QTensors) survive TINQ
+    save/load bit-exactly."""
+    from turboinfer_tpu.config import QuantizationConfig, QuantType
+    from turboinfer_tpu.loader import tinq
+    from turboinfer_tpu.quant.quantizer import quantize_params
+    qc = QuantizationConfig(type=QuantType.INT8, group_size=32)
+    q = quantize_params(moe_params, qc)
+    p = str(tmp_path / "moe.tinq")
+    tinq.save(p, q, moe_cfg, qc)
+    loaded, cfg2, qc2, _ = tinq.load(p)
+    assert cfg2.num_experts == moe_cfg.num_experts
+    qe, le = q["layers"]["we_gate"], loaded["layers"]["we_gate"]
+    assert le.data.shape == qe.data.shape        # [L, E, K, N] kept
+    np.testing.assert_array_equal(np.asarray(le.data),
+                                  np.asarray(qe.data))
+    tokens = jnp.asarray([[1, 5, 42]], jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(moe.forward_no_cache(loaded, moe_cfg, tokens)),
+        np.asarray(moe.forward_no_cache(q, moe_cfg, tokens)),
+        rtol=1e-5, atol=1e-5)

@@ -581,6 +581,14 @@ def prepare_scales(qt: QTensor) -> QTensor:
     it free at decode time. No-op for 2-D or non-kernel-eligible
     weights.
     """
+    if qt.data.ndim == 4 and qt.zero_points is None:
+        # Stacked [L, E] MoE experts (quant/quantizer._quantize_experts):
+        # flatten to the [L*E] stack the kernel indexes (layer*E + e,
+        # models/moe._expert_ffn_quant), then tile scales as usual.
+        flat = lambda a: a.reshape((-1,) + a.shape[2:])
+        qt = QTensor(data=flat(qt.data), scales=flat(qt.scales),
+                     zero_points=None, bits=qt.bits,
+                     group_size=qt.group_size, shape=qt.shape)
     if qt.data.ndim != 3 or qt.zero_points is not None:
         return qt
     K, N = qt.shape

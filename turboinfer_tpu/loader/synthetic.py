@@ -62,14 +62,14 @@ def create_synthetic_quantized_model(config: ModelConfig, bits: int = 4,
     QD, KVD, G = c.q_dim, c.kv_dim, group_size
     key = jax.random.PRNGKey(seed)
 
-    def rq(K, N, stacked=True):
-        lead = (L,) if stacked else ()
+    def rq(K, N, lead=None):
+        lead = (L,) if lead is None else lead
         if bits == 4:
             data = jax.random.randint(key, lead + (K // 2, N), 0, 255,
-                                      jnp.int32).astype(jnp.uint8)
+                                      dtype=jnp.uint8)
         else:
             data = jax.random.randint(key, lead + (K, N), -127, 127,
-                                      jnp.int32).astype(jnp.int8)
+                                      dtype=jnp.int8)
         scales = jnp.full(lead + (K // G, N), 0.01, jnp.bfloat16)
         return QTensor(data=data, scales=scales, zero_points=None,
                        bits=bits, group_size=G, shape=(K, N))
@@ -82,11 +82,32 @@ def create_synthetic_quantized_model(config: ModelConfig, bits: int = 4,
             "ffn_norm": jnp.ones((L, H), jnp.bfloat16),
             "wq": rq(H, QD), "wk": rq(H, KVD), "wv": rq(H, KVD),
             "wo": rq(QD, H),
-            "w_gate": rq(H, F), "w_up": rq(H, F), "w_down": rq(F, H),
         },
         "final_norm": jnp.ones((H,), jnp.bfloat16),
-        "lm_head": rq(H, V, stacked=False),
+        "lm_head": rq(H, V, lead=()),
     }
+    E = c.num_experts
+    if E:
+        # MoE: router fp + 4-D stacked expert QTensors ([L, E, ...],
+        # the layout quant/quantizer._quantize_experts produces).
+        Fe = c.moe_intermediate_size or F
+        params["layers"]["router"] = (
+            0.02 * jax.random.normal(key, (L, H, E), jnp.float32)
+        ).astype(jnp.bfloat16)
+        params["layers"]["we_gate"] = rq(H, Fe, lead=(L, E))
+        params["layers"]["we_up"] = rq(H, Fe, lead=(L, E))
+        params["layers"]["we_down"] = rq(Fe, H, lead=(L, E))
+        if c.shared_expert_size:
+            Fs = c.shared_expert_size
+            params["layers"]["ws_gate"] = rq(H, Fs)
+            params["layers"]["ws_up"] = rq(H, Fs)
+            params["layers"]["ws_down"] = rq(Fs, H)
+            params["layers"]["shared_gate"] = jnp.full(
+                (L, H, 1), 0.01, jnp.bfloat16)
+    else:
+        params["layers"]["w_gate"] = rq(H, F)
+        params["layers"]["w_up"] = rq(H, F)
+        params["layers"]["w_down"] = rq(F, H)
     return ModelData(params=params, config=config,
                      tokenizer=BuiltinTokenizer(vocab_size=c.vocab_size),
                      source_format="synthetic-quantized")

@@ -137,7 +137,9 @@ def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any],
         probs = jax.nn.softmax(logits, axis=-1)
         gates, top_i = jax.lax.top_k(probs, k)            # raw probs
 
-    if B * S * k < E and not isinstance(lw["we_gate"], QTensor):
+    if isinstance(lw["we_gate"], QTensor):
+        out = _expert_ffn_quant(config, h, lw, li, gates, top_i)
+    elif B * S * k < E:
         # Decode fast path: gather the k selected experts per token.
         wg, wu, wd = lw["we_gate"], lw["we_up"], lw["we_down"]
         if li is not None:
@@ -176,6 +178,55 @@ def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any],
                         preferred_dtype=jnp.float32))     # [B, S, 1]
         out = out + sg * s.astype(jnp.float32)
     return out.astype(h.dtype)
+
+
+def _flat_expert_qt(qt: QTensor) -> QTensor:
+    """View a 4-D stacked expert QTensor ([L, E, ...] data/scales, see
+    quant/quantizer._quantize_experts) as the flat [L*E] stack the qmm
+    kernel indexes via scalar prefetch. Free (leading-dim reshape)."""
+    if qt.data.ndim != 4:
+        return qt               # already flat (engine prepare_scales)
+    flat = lambda a: (None if a is None
+                      else a.reshape((-1,) + a.shape[2:]))
+    return QTensor(data=flat(qt.data), scales=flat(qt.scales),
+                   zero_points=flat(qt.zero_points), bits=qt.bits,
+                   group_size=qt.group_size, shape=qt.shape)
+
+
+def _expert_ffn_quant(config: ModelConfig, h: jax.Array,
+                      lw: Dict[str, Any], li, gates: jax.Array,
+                      top_i: jax.Array) -> jax.Array:
+    """Routed experts with QUANTIZED weights -> [B, S, H] float32.
+
+    The experts live in a flat [L*E] qmm stack; slot layer*E + e is
+    read directly from HBM via scalar prefetch (no dequantized or
+    sliced copy). Decode (B=S=1) launches k qmm triples with the
+    data-dependent selected-expert slots — per-step weight traffic is k
+    packed expert FFNs. Larger token counts loop the E static slots and
+    mask with the dense [B, S, E] mixing vector (weights read once)."""
+    E, k = config.num_experts, config.experts_per_token
+    B, S, _ = h.shape
+    wg, wu, wd = (_flat_expert_qt(lw[n])
+                  for n in ("we_gate", "we_up", "we_down"))
+    base = 0 if li is None else li * E
+
+    def expert(slot):
+        g = ops.qmatmul(h, wg, layer_index=slot)
+        u = ops.qmatmul(h, wu, layer_index=slot)
+        act = ops.swiglu(g, u)
+        return ops.qmatmul(act.astype(h.dtype), wd,
+                           layer_index=slot).astype(jnp.float32)
+
+    if B == 1 and S == 1:
+        parts = [gates[:, :, j:j + 1] * expert(base + top_i[0, 0, j])
+                 for j in range(k)]
+        return sum(parts)
+    onehot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)
+    mix = jnp.einsum("bsk,bske->bse", gates, onehot)      # [B, S, E]
+    out = jnp.zeros(h.shape, jnp.float32)
+    for e in range(E):
+        out = out + mix[..., e:e + 1] * expert(base + e)
+    return out
 
 
 def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,

@@ -21,14 +21,19 @@ from turboinfer_tpu.config import (ModelConfig, QuantizationConfig, QuantType)
 from turboinfer_tpu.core.qtensor import QTensor, dequantize, quantize
 
 # Per-layer matmul weight slots that get quantized, per architecture.
-# Stacked [L, K, N]. MoE expert weights ([L, E, K, N]) stay fp until the
-# qmm kernel grows a 3-D batch mode.
+# Stacked [L, K, N]. MoE expert weights are [L, E, K, N] and quantize
+# to a 4-D stacked QTensor (handled separately in quantize_params; the
+# qmm kernel reads them as a flat [L*E] stack via layer_index).
 _ARCH_MATMULS = {
     "llama": ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"),
     "gpt2": ("w_qkv", "wo", "w_fc", "w_proj"),
     "moe": ("wq", "wk", "wv", "wo"),
 }
 _LAYER_MATMULS = _ARCH_MATMULS["llama"]
+_MOE_EXPERT_SLOTS = ("we_gate", "we_up", "we_down")
+# Qwen2-MoE shared expert: plain [L, K, N] stacks (shared_gate's N=1
+# output stays fp — too small to matter).
+_MOE_SHARED_SLOTS = ("ws_gate", "ws_up", "ws_down")
 
 
 def _matmul_slots(params: Dict[str, Any]) -> tuple:
@@ -36,6 +41,9 @@ def _matmul_slots(params: Dict[str, Any]) -> tuple:
     layers = params.get("layers", {})
     for arch, slots in _ARCH_MATMULS.items():
         if all(s in layers for s in slots):
+            if arch == "moe":
+                slots += tuple(s for s in _MOE_SHARED_SLOTS
+                               if s in layers)
             return slots
     return tuple(k for k, v in layers.items()
                  if hasattr(v, "ndim") and v.ndim == 3)
@@ -57,6 +65,28 @@ def _quantize_stacked(w: jax.Array, cfg: QuantizationConfig) -> QTensor:
                    shape=qts[0].shape)
 
 
+def _quantize_experts(w: jax.Array, cfg: QuantizationConfig) -> QTensor:
+    """Quantize a stacked MoE expert weight [L, E, K, N] into a 4-D
+    stacked QTensor (data [L, E, K(/2), N], scales [L, E, G, N]).
+    models/moe.py flattens the leading two axes into the qmm kernel's
+    [L*E] stack and indexes slot layer*E + expert via scalar prefetch."""
+    L, E = w.shape[:2]
+    qts = [quantize(w[i, e], cfg.type, group_size=cfg.group_size,
+                    symmetric=cfg.symmetric,
+                    scale_method=cfg.scale_method)
+           for i in range(L) for e in range(E)]
+
+    def restack(xs):
+        x = jnp.stack(xs)
+        return x.reshape((L, E) + x.shape[1:])
+    zp = (None if qts[0].zero_points is None
+          else restack([q.zero_points for q in qts]))
+    return QTensor(data=restack([q.data for q in qts]),
+                   scales=restack([q.scales for q in qts]),
+                   zero_points=zp, bits=qts[0].bits,
+                   group_size=qts[0].group_size, shape=qts[0].shape)
+
+
 def quantize_params(params: Dict[str, Any], cfg: QuantizationConfig
                     ) -> Dict[str, Any]:
     """Quantize every matmul weight (reference: quantize_model,
@@ -75,6 +105,10 @@ def quantize_params(params: Dict[str, Any], cfg: QuantizationConfig
     layers = dict(params["layers"])
     for name in _matmul_slots(params):
         layers[name] = _quantize_stacked(layers[name], cfg)
+    for name in _MOE_EXPERT_SLOTS:
+        w = layers.get(name)
+        if w is not None and not isinstance(w, QTensor) and w.ndim == 4:
+            layers[name] = _quantize_experts(w, cfg)
     out["layers"] = layers
     head = params["lm_head"]
     if cfg.skip_embeddings or isinstance(head, QTensor) or head.ndim != 2:
@@ -92,6 +126,16 @@ def dequantize_params(params: Dict[str, Any], dtype=jnp.float32
     """Reconstruct fp params from a quantized tree (round-trip tests)."""
     def deq(leaf):
         if isinstance(leaf, QTensor):
+            if leaf.data.ndim == 4:   # stacked [L, E] MoE experts
+                L, E = leaf.data.shape[:2]
+                per = [dequantize(QTensor(
+                    data=leaf.data[i, e], scales=leaf.scales[i, e],
+                    zero_points=None if leaf.zero_points is None
+                    else leaf.zero_points[i, e],
+                    bits=leaf.bits, group_size=leaf.group_size,
+                    shape=leaf.shape), dtype)
+                    for i in range(L) for e in range(E)]
+                return jnp.stack(per).reshape((L, E) + per[0].shape)
             if leaf.data.ndim == 3:   # stacked layers
                 L = leaf.data.shape[0]
                 per = [dequantize(QTensor(
