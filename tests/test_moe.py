@@ -312,3 +312,117 @@ def test_moe_tinq_roundtrip(tmp_path, moe_params, moe_cfg):
         np.asarray(moe.forward_no_cache(loaded, moe_cfg, tokens)),
         np.asarray(moe.forward_no_cache(q, moe_cfg, tokens)),
         rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("style", ["exps", "split"])
+def test_moe_gguf_roundtrip(tmp_path, moe_params, moe_cfg, style):
+    """Mixtral GGUF: llama.cpp keeps arch 'llama' + expert_count
+    metadata; experts ship either as one stacked ffn_*_exps tensor
+    ([E, out, in] after dim reversal) or per-expert ffn_*.{e} splits.
+    Loaded params must match the originals bit-for-bit (f32)."""
+    from turboinfer_tpu.loader import gguf, loader
+    p, layers = moe_params, moe_params["layers"]
+    np32 = lambda x: np.asarray(x, np.float32)
+    t = {"token_embd.weight": np32(p["embed"]),
+         "output_norm.weight": np32(p["final_norm"]),
+         "output.weight": np32(p["lm_head"]).T}
+    for i in range(moe_cfg.num_layers):
+        t[f"blk.{i}.attn_norm.weight"] = np32(layers["attn_norm"][i])
+        t[f"blk.{i}.ffn_norm.weight"] = np32(layers["ffn_norm"][i])
+        for slot, nm in [("wq", "attn_q"), ("wk", "attn_k"),
+                         ("wv", "attn_v"), ("wo", "attn_output")]:
+            t[f"blk.{i}.{nm}.weight"] = np32(layers[slot][i]).T
+        t[f"blk.{i}.ffn_gate_inp.weight"] = np32(layers["router"][i]).T
+        for slot, nm in [("we_gate", "gate"), ("we_up", "up"),
+                         ("we_down", "down")]:
+            w = np32(layers[slot][i])               # [E, in, out]
+            if style == "exps":
+                t[f"blk.{i}.ffn_{nm}_exps.weight"] = w.transpose(0, 2, 1)
+            else:
+                for e in range(moe_cfg.num_experts):
+                    t[f"blk.{i}.ffn_{nm}.{e}.weight"] = w[e].T
+    md = {
+        "general.architecture": "llama",
+        "general.name": "tiny-mixtral",
+        "llama.embedding_length": moe_cfg.hidden_size,
+        "llama.block_count": moe_cfg.num_layers,
+        "llama.attention.head_count": moe_cfg.num_heads,
+        "llama.attention.head_count_kv": moe_cfg.kv_heads,
+        "llama.feed_forward_length": moe_cfg.ffn_dim,
+        "llama.expert_count": moe_cfg.num_experts,
+        "llama.expert_used_count": moe_cfg.experts_per_token,
+        "llama.rope.freq_base": moe_cfg.rope_theta,
+        "llama.attention.layer_norm_rms_epsilon": moe_cfg.rms_norm_eps,
+        "llama.context_length": moe_cfg.max_seq_len,
+    }
+    path = str(tmp_path / f"moe_{style}.gguf")
+    gguf.write_gguf(path, md, t)
+    data = loader.load_gguf(path, dtype=jnp.float32)
+    assert data.config.architecture == "mixtral"
+    assert data.config.num_experts == moe_cfg.num_experts
+    assert data.config.experts_per_token == moe_cfg.experts_per_token
+    assert data.config.norm_topk_prob
+    for slot in ("router", "we_gate", "we_up", "we_down", "wq", "wo"):
+        np.testing.assert_array_equal(
+            np.asarray(data.params["layers"][slot]),
+            np.asarray(layers[slot], np.float32), err_msg=slot)
+
+
+def test_qwen_moe_gguf_roundtrip(tmp_path, qwen_moe_cfg, qwen_moe_params):
+    """qwen2moe GGUF: shared-expert tensors (ffn_*_shexp), q/k/v biases,
+    expert_feed_forward_length metadata, raw-softmax gates."""
+    from turboinfer_tpu.loader import gguf, loader
+    p, layers = qwen_moe_params, qwen_moe_params["layers"]
+    cfg = qwen_moe_cfg
+    np32 = lambda x: np.asarray(x, np.float32)
+    t = {"token_embd.weight": np32(p["embed"]),
+         "output_norm.weight": np32(p["final_norm"]),
+         "output.weight": np32(p["lm_head"]).T}
+    for i in range(cfg.num_layers):
+        t[f"blk.{i}.attn_norm.weight"] = np32(layers["attn_norm"][i])
+        t[f"blk.{i}.ffn_norm.weight"] = np32(layers["ffn_norm"][i])
+        for slot, nm in [("wq", "attn_q"), ("wk", "attn_k"),
+                         ("wv", "attn_v"), ("wo", "attn_output")]:
+            t[f"blk.{i}.{nm}.weight"] = np32(layers[slot][i]).T
+        for slot, nm in [("b_q", "attn_q"), ("b_k", "attn_k"),
+                         ("b_v", "attn_v")]:
+            t[f"blk.{i}.{nm}.bias"] = np32(layers[slot][i])
+        t[f"blk.{i}.ffn_gate_inp.weight"] = np32(layers["router"][i]).T
+        for slot, nm in [("we_gate", "gate"), ("we_up", "up"),
+                         ("we_down", "down")]:
+            t[f"blk.{i}.ffn_{nm}_exps.weight"] = \
+                np32(layers[slot][i]).transpose(0, 2, 1)
+        for slot, nm in [("ws_gate", "ffn_gate_shexp"),
+                         ("ws_up", "ffn_up_shexp"),
+                         ("ws_down", "ffn_down_shexp"),
+                         ("shared_gate", "ffn_gate_inp_shexp")]:
+            t[f"blk.{i}.{nm}.weight"] = np32(layers[slot][i]).T
+    md = {
+        "general.architecture": "qwen2moe",
+        "general.name": "tiny-qwen2moe",
+        "qwen2moe.embedding_length": cfg.hidden_size,
+        "qwen2moe.block_count": cfg.num_layers,
+        "qwen2moe.attention.head_count": cfg.num_heads,
+        "qwen2moe.attention.head_count_kv": cfg.kv_heads,
+        "qwen2moe.feed_forward_length": cfg.ffn_dim,
+        "qwen2moe.expert_count": cfg.num_experts,
+        "qwen2moe.expert_used_count": cfg.experts_per_token,
+        "qwen2moe.expert_feed_forward_length": cfg.moe_intermediate_size,
+        "qwen2moe.expert_shared_feed_forward_length":
+            cfg.shared_expert_size,
+        "qwen2moe.rope.freq_base": cfg.rope_theta,
+        "qwen2moe.attention.layer_norm_rms_epsilon": cfg.rms_norm_eps,
+        "qwen2moe.context_length": cfg.max_seq_len,
+    }
+    path = str(tmp_path / "qwen_moe.gguf")
+    gguf.write_gguf(path, md, t)
+    data = loader.load_gguf(path, dtype=jnp.float32)
+    c = data.config
+    assert c.architecture == "qwen2_moe" and c.attn_bias
+    assert not c.norm_topk_prob
+    assert c.moe_intermediate_size == cfg.moe_intermediate_size
+    assert c.shared_expert_size == cfg.shared_expert_size
+    for slot in ("we_gate", "ws_gate", "ws_down", "shared_gate", "b_q"):
+        np.testing.assert_array_equal(
+            np.asarray(data.params["layers"][slot]),
+            np.asarray(layers[slot], np.float32), err_msg=slot)

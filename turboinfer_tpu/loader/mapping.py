@@ -137,23 +137,33 @@ SLOT_TEMPLATES: Dict[str, List[str]] = {
         "model.layers.{i}.block_sparse_moe.gate.weight",
         "model.layers.{i}.mlp.gate.weight",
     ],
+    # Per-expert split names; modern GGUFs instead pack all experts in
+    # one stacked blk.{i}.ffn_*_exps.weight tensor (assemble_params
+    # handles those directly).
     "we_gate": [
+        "blk.{i}.ffn_gate.{e}.weight",
         "model.layers.{i}.block_sparse_moe.experts.{e}.w1.weight",
         "model.layers.{i}.mlp.experts.{e}.gate_proj.weight",
     ],
     "we_up": [
+        "blk.{i}.ffn_up.{e}.weight",
         "model.layers.{i}.block_sparse_moe.experts.{e}.w3.weight",
         "model.layers.{i}.mlp.experts.{e}.up_proj.weight",
     ],
     "we_down": [
+        "blk.{i}.ffn_down.{e}.weight",
         "model.layers.{i}.block_sparse_moe.experts.{e}.w2.weight",
         "model.layers.{i}.mlp.experts.{e}.down_proj.weight",
     ],
     # Qwen2-MoE shared expert (dense SwiGLU on every token).
-    "ws_gate": ["model.layers.{i}.mlp.shared_expert.gate_proj.weight"],
-    "ws_up": ["model.layers.{i}.mlp.shared_expert.up_proj.weight"],
-    "ws_down": ["model.layers.{i}.mlp.shared_expert.down_proj.weight"],
-    "shared_gate": ["model.layers.{i}.mlp.shared_expert_gate.weight"],
+    "ws_gate": ["blk.{i}.ffn_gate_shexp.weight",
+                "model.layers.{i}.mlp.shared_expert.gate_proj.weight"],
+    "ws_up": ["blk.{i}.ffn_up_shexp.weight",
+              "model.layers.{i}.mlp.shared_expert.up_proj.weight"],
+    "ws_down": ["blk.{i}.ffn_down_shexp.weight",
+                "model.layers.{i}.mlp.shared_expert.down_proj.weight"],
+    "shared_gate": ["blk.{i}.ffn_gate_inp_shexp.weight",
+                    "model.layers.{i}.mlp.shared_expert_gate.weight"],
     "final_norm": [
         "output_norm.weight",
         "model.norm.weight",
@@ -259,8 +269,15 @@ def assemble_params(get: Callable[[str], np.ndarray], names: Sequence[str],
 
     def stack_experts(slot: str) -> jnp.ndarray:
         E = config.num_experts
+        kind = {"we_gate": "gate", "we_up": "up", "we_down": "down"}[slot]
         per_l = []
         for i in range(L):
+            stacked = f"blk.{i}.ffn_{kind}_exps.weight"
+            if stacked in nameset:
+                # GGUF expert-stacked tensor: reversed dims give
+                # [E, out, in]; transpose each expert to [in, out].
+                per_l.append(get(stacked).transpose(0, 2, 1))
+                continue
             rows = []
             for e in range(E):
                 name = resolve_name(names, slot, i, e)
@@ -747,6 +764,14 @@ def config_from_gguf_metadata(md: Dict[str, Any],
     # ("NORM" rope = interleaved pairs); qwen/gemma/phi3 use "NEOX" rope
     # (half-split pairs, no permutation).
     interleaved = arch in ("llama", "mistral", "mixtral", "moe")
+
+    # MoE: llama.cpp keeps arch "llama" for Mixtral and uses dedicated
+    # qwen2moe/qwen3moe arch strings; expert_count>0 selects models/moe.
+    num_experts = geti("expert_count", 0)
+    arch_out = arch
+    if num_experts:
+        arch_out = {"llama": "mixtral", "qwen2moe": "qwen2_moe",
+                    "qwen3moe": "qwen3_moe"}.get(arch, arch)
     pattern = None
     if arch == "gemma2":
         pattern = 2
@@ -778,8 +803,16 @@ def config_from_gguf_metadata(md: Dict[str, Any],
         # (llama.cpp convention); 0/absent = full causal attention.
         sliding_window=geti("attention.sliding_window", 0) or None,
         sliding_window_pattern=pattern,
-        attn_bias=(arch == "qwen2"),
-        qk_norm=arch in ("qwen3", "gemma3"),
+        attn_bias=arch in ("qwen2", "qwen2moe"),
+        qk_norm=arch in ("qwen3", "qwen3moe", "gemma3"),
+        num_experts=num_experts,
+        experts_per_token=geti("expert_used_count", 2),
+        moe_intermediate_size=geti("expert_feed_forward_length", 0)
+        or None,
+        shared_expert_size=geti("expert_shared_feed_forward_length", 0)
+        or None,
+        norm_topk_prob=bool(md.get(f"{p}.expert_weights_norm",
+                                   arch != "qwen2moe")),
         scale_embeddings=is_gemma,
         norm_offset=is_gemma,
         hidden_act="gelu" if is_gemma else "silu",
@@ -788,7 +821,7 @@ def config_from_gguf_metadata(md: Dict[str, Any],
         attn_logit_softcap=softcap_a,
         final_logit_softcap=softcap_f,
         name=str(md.get("general.name", arch)),
-        architecture=arch,
+        architecture=arch_out,
         dtype=dtype,
         extra=extra,
     )
