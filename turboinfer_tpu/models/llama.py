@@ -423,10 +423,19 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     return logits, KVCache(k=k_new, v=v_new, length=kv_len)
 
 
+def _dense_ffn(config: ModelConfig, h: jax.Array, layers: Dict[str, Any],
+               i) -> jax.Array:
+    """The dense GLU FFN block (paged-decode ffn_fn hook default)."""
+    gate, up = gate_up_proj(h, layers, i)
+    return ops.qmatmul(ops.glu(gate, up, config.hidden_act).astype(h.dtype),
+                       layers["w_down"], layer_index=i)
+
+
 def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
                          tokens: jax.Array, k_pages: jax.Array,
                          v_pages: jax.Array, block_table: jax.Array,
-                         lengths: jax.Array
+                         lengths: jax.Array, *,
+                         ffn_fn=_dense_ffn
                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One decode step over a PAGED KV cache (engine/paged_cache.py).
 
@@ -518,10 +527,7 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
 
         h = ops.rms_norm(x, norm_w(layers["ffn_norm"], i),
                          config.rms_norm_eps, off)
-        gate, up = gate_up_proj(h, layers, i)
-        ffn_out = ops.qmatmul(
-            ops.glu(gate, up, config.hidden_act).astype(x.dtype),
-            layers["w_down"], layer_index=i)
+        ffn_out = ffn_fn(config, h, layers, i)
         if config.post_norms:
             ffn_out = ops.rms_norm(ffn_out,
                                    norm_w(layers["post_ffn_norm"], i),

@@ -347,6 +347,21 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
                                                length=kv_len)
 
 
+def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
+                         tokens: jax.Array, k_pages: jax.Array,
+                         v_pages: jax.Array, block_table: jax.Array,
+                         lengths: jax.Array):
+    """One paged-cache decode step (same contract as
+    llama.forward_paged_decode): the shared paged decoder body with the
+    MoE FFN swapped in, so MoE models run under the paged continuous
+    scheduler and prefix caching like dense ones."""
+    def moe_ffn(cfg, h, layers, i):
+        return _moe_ffn(cfg, h, layers, layer_index=i)
+    return llama.forward_paged_decode(params, config, tokens, k_pages,
+                                      v_pages, block_table, lengths,
+                                      ffn_fn=moe_ffn)
+
+
 def forward_no_cache(params, config, tokens, seq_lens=None) -> jax.Array:
     B, S = tokens.shape
     cache = init_cache(config, B, max_seq=S)
