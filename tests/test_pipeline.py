@@ -139,3 +139,104 @@ def test_pipeline_decode_matches_single(pp_setup):
             got, pcache = fn(pparams, nxt, pcache)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_gemma2_alternating_window():
+    """Gemma2-style alternating local/global layers: the local/global
+    choice keys off the GLOBAL layer id, which pipeline staging must
+    reconstruct (stage*n_local + i). Prefill+decode vs single device."""
+    n_stage = 4 if len(jax.devices()) >= 4 else 2
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    # ODD layers per stage: with pattern 2, stage-local and global layer
+    # ids then differ in parity, so a local-id bug would window the
+    # wrong layers (n_local even would mask it).
+    cfg = ModelConfig(vocab_size=300, hidden_size=64,
+                      num_layers=n_stage * 3, num_heads=4, num_kv_heads=2,
+                      intermediate_size=128, max_seq_len=64,
+                      dtype=jnp.float32, sliding_window=8,
+                      sliding_window_pattern=2, post_norms=True,
+                      attn_logit_softcap=50.0, final_logit_softcap=30.0,
+                      architecture="gemma2", name="pp-gemma2")
+    params = llama.init_params(jax.random.PRNGKey(2), cfg)
+    tokens = jnp.asarray([[1, 5, 42, 7, 9, 2, 11, 13, 21, 30, 44, 3]],
+                         jnp.int32)
+    cache = llama.init_cache(cfg, 1, max_seq=32)
+    want, want_cache = llama.forward(params, cfg, tokens, cache)
+    mesh = pmesh.make_mesh((n_stage, 1), axis_names=("pp", "tp"),
+                           devices=jax.devices()[:n_stage])
+    pparams, pcache = pipeline.shard_for_pipeline(
+        params, llama.init_cache(cfg, 1, max_seq=32), mesh)
+    with mesh:
+        fwd = jax.jit(lambda p, t, c: pipeline.pipeline_forward(
+            p, cfg, t, c, mesh=mesh))
+        got, pcache = fwd(pparams, tokens, pcache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # one decode step
+    tok = jnp.argmax(want[:, -1], -1).astype(jnp.int32)[:, None]
+    want2, _ = llama.forward(params, cfg, tok, want_cache)
+    with mesh:
+        got2, _ = fwd(pparams, tok, pcache)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_qwen2_optional_slots():
+    """q/k/v bias slots (and any optional per-layer slot) must stage
+    over pp via the leaf-derived specs."""
+    n_stage = 2
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg = ModelConfig(vocab_size=300, hidden_size=64, num_layers=4,
+                      num_heads=4, num_kv_heads=2, intermediate_size=128,
+                      max_seq_len=64, dtype=jnp.float32, attn_bias=True,
+                      qk_norm=True, architecture="qwen3",
+                      name="pp-qwen")
+    params = llama.init_params(jax.random.PRNGKey(3), cfg)
+    assert "b_q" in params["layers"] and "q_norm" in params["layers"]
+    tokens = jnp.asarray([[1, 5, 42, 7]], jnp.int32)
+    want, _ = llama.forward(params, cfg, tokens,
+                            llama.init_cache(cfg, 1, max_seq=32))
+    mesh = pmesh.make_mesh((n_stage, 1), axis_names=("pp", "tp"),
+                           devices=jax.devices()[:n_stage])
+    pparams, pcache = pipeline.shard_for_pipeline(
+        params, llama.init_cache(cfg, 1, max_seq=32), mesh)
+    with mesh:
+        got, _ = jax.jit(lambda p, t, c: pipeline.pipeline_forward(
+            p, cfg, t, c, mesh=mesh))(pparams, tokens, pcache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_moe():
+    """Mixtral-family layers (router + expert stacks) stage over pp."""
+    n_stage = 2
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    from turboinfer_tpu.models import moe
+    cfg = ModelConfig(vocab_size=300, hidden_size=64, num_layers=4,
+                      num_heads=4, num_kv_heads=2, intermediate_size=96,
+                      max_seq_len=64, dtype=jnp.float32,
+                      num_experts=4, experts_per_token=2,
+                      architecture="mixtral", name="pp-moe")
+    params = moe.init_params(jax.random.PRNGKey(4), cfg)
+    tokens = jnp.asarray([[1, 5, 42, 7, 9, 2]], jnp.int32)
+    cache = moe.init_cache(cfg, 1, max_seq=32)
+    want, want_cache = moe.forward(params, cfg, tokens, cache)
+    mesh = pmesh.make_mesh((n_stage, 1), axis_names=("pp", "tp"),
+                           devices=jax.devices()[:n_stage])
+    pparams, pcache = pipeline.shard_for_pipeline(
+        params, moe.init_cache(cfg, 1, max_seq=32), mesh)
+    with mesh:
+        fwd = jax.jit(lambda p, t, c: pipeline.pipeline_forward(
+            p, cfg, t, c, mesh=mesh))
+        got, pcache = fwd(pparams, tokens, pcache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    tok = jnp.argmax(want[:, -1], -1).astype(jnp.int32)[:, None]
+    want2, _ = moe.forward(params, cfg, tok, want_cache)
+    with mesh:
+        got2, _ = fwd(pparams, tok, pcache)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-4, atol=2e-4)

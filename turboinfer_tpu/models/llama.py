@@ -201,7 +201,8 @@ def init_params(rng: jax.Array, config: ModelConfig,
 def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
                    positions: jax.Array, k_cache: jax.Array,
                    v_cache: jax.Array, start: jax.Array, kv_len: jax.Array,
-                   contiguous: bool = True, layer_index=None
+                   contiguous: bool = True, layer_index=None,
+                   global_layer_index=None
                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One decoder block (reference: TransformerLayer::forward,
     inference_engine.cpp:203-233 — RMSNorm → attn → residual → RMSNorm →
@@ -233,12 +234,16 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
     # scan, the window/RoPE choice runs as a lax.cond over two
     # statically-shaped branches (each attention kernel keeps its
     # static window — only one branch executes per layer).
+    # Under pipeline parallelism weights index by LOCAL stage layer id
+    # while the local/global choice keys off the GLOBAL id —
+    # global_layer_index carries the latter (parallel/pipeline.py).
+    gli = li if global_layer_index is None else global_layer_index
     pattern = config.sliding_window_pattern
     alternating = bool(pattern and pattern > 1 and config.sliding_window)
-    if alternating and li is None:
+    if alternating and gli is None:
         raise ValueError("sliding_window_pattern needs stacked weights "
                          "with a layer_index")
-    is_global = ((li + 1) % pattern == 0) if alternating else None
+    is_global = ((gli + 1) % pattern == 0) if alternating else None
 
     h = norm(x, "attn_norm")
     q, k, v = qkv_proj(h, lw, li, B, S, Hq, Hkv, D, config)

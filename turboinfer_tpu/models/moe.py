@@ -230,9 +230,12 @@ def _expert_ffn_quant(config: ModelConfig, h: jax.Array,
 
 
 def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
-                   kv_len, contiguous=True, layer_index=None):
+                   kv_len, contiguous=True, layer_index=None,
+                   global_layer_index=None):
     """LLaMA attention block + MoE FFN. lw is the FULL stacked layer
-    dict when layer_index is given."""
+    dict when layer_index is given. global_layer_index is accepted for
+    pipeline-parallel signature parity (MoE windows are uniform across
+    layers, so only the local id matters here)."""
     B, S, H = x.shape
     Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
     li = layer_index

@@ -32,25 +32,40 @@ from turboinfer_tpu.models.common import KVCache
 PP_AXIS = "pp"
 
 
-def pipeline_param_specs(pp: str = PP_AXIS) -> Dict[str, Any]:
+def pipeline_param_specs(pp: str = PP_AXIS,
+                         layers: Optional[Dict[str, Any]] = None
+                         ) -> Dict[str, Any]:
     """Layer-stacked weights shard on the leading L axis over `pp`;
-    embeddings/norms/head replicated (the last stage uses them)."""
+    embeddings/norms/head replicated (the last stage uses them).
+
+    With `layers` (the params' stacked layer dict) the layer specs are
+    derived per leaf — every slot, including optional ones (biases,
+    qk-norms, post-norms, MoE experts) and QTensor data/scales, shards
+    its leading L axis over `pp`."""
+    if layers is not None:
+        lspecs = jax.tree_util.tree_map(
+            lambda w: P(pp, *([None] * (w.ndim - 1))), layers)
+    else:
+        lspecs = {s: P(pp, None, None) for s in
+                  ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")}
+        lspecs.update(attn_norm=P(pp, None), ffn_norm=P(pp, None))
     return {
         "embed": P(None, None),
-        "layers": {
-            "attn_norm": P(pp, None),
-            "ffn_norm": P(pp, None),
-            "wq": P(pp, None, None),
-            "wk": P(pp, None, None),
-            "wv": P(pp, None, None),
-            "wo": P(pp, None, None),
-            "w_gate": P(pp, None, None),
-            "w_up": P(pp, None, None),
-            "w_down": P(pp, None, None),
-        },
+        "layers": lspecs,
         "final_norm": P(None),
         "lm_head": P(None, None),
     }
+
+
+def _pp_spec_tree(params, pp: str = PP_AXIS) -> Dict[str, Any]:
+    """Leaf-wise PartitionSpec tree for a whole param pytree: stacked
+    layer weights (incl. QTensor data/scales and MoE expert stacks)
+    shard their leading L axis over `pp`; everything else replicates."""
+    rep = lambda w: P(*([None] * w.ndim))
+    return {k: (jax.tree_util.tree_map(
+                    lambda w: P(pp, *([None] * (w.ndim - 1))), v)
+                if k == "layers" else jax.tree_util.tree_map(rep, v))
+            for k, v in params.items()}
 
 
 def pipeline_cache_spec(pp: str = PP_AXIS) -> P:
@@ -61,8 +76,10 @@ def pipeline_cache_spec(pp: str = PP_AXIS) -> P:
 def shard_for_pipeline(params, cache: KVCache, mesh: Mesh,
                        pp: str = PP_AXIS):
     """Place params + cache with the pipeline shardings."""
-    from turboinfer_tpu.parallel.shardings import shard_params
-    params = shard_params(params, mesh, specs=pipeline_param_specs(pp))
+    specs = _pp_spec_tree(params, pp)
+    params = jax.tree_util.tree_map(
+        lambda w, s: jax.device_put(w, NamedSharding(mesh, s)),
+        params, specs)
     ns = NamedSharding(mesh, pipeline_cache_spec(pp))
     cache = KVCache(
         k=jax.device_put(cache.k, ns),
@@ -84,15 +101,16 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
     if config.num_layers % n_stage:
         raise ValueError(f"{config.num_layers} layers not divisible by "
                          f"{n_stage} pipeline stages")
-    if config.sliding_window_pattern and config.sliding_window_pattern > 1:
-        # the per-layer local/global choice keys off the GLOBAL layer id,
-        # but staged weights/caches use local ids — refuse rather than
-        # silently window the wrong layers (Gemma2/3 + PP).
+    from turboinfer_tpu.models import registry
+    mod = registry.get_model(config.architecture)
+    family = mod.__name__.rsplit(".", 1)[-1]
+    if family not in ("llama", "moe"):
         raise NotImplementedError(
-            "pipeline_forward does not support alternating "
-            "sliding-window patterns yet")
+            f"pipeline_forward supports llama/moe-family decoders, not "
+            f"'{config.architecture}' ({family})")
+    layer_fwd = mod._layer_forward
 
-    lspec = pipeline_param_specs(axis)
+    lspec = _pp_spec_tree(params, axis)
     cspec = pipeline_cache_spec(axis)
     rep2 = P(None, None)
 
@@ -110,6 +128,9 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
         def run_stage(args):
             x, kc, vc = args
             n_local = kc.shape[0]
+            # Gemma2/3 local/global alternation keys off the GLOBAL
+            # layer id; local weights/caches index by the stage-local id.
+            base = me * n_local
 
             if S == 1:
                 # Decode: the stacked local cache flows through WHOLE
@@ -117,9 +138,10 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
                 # slab each layer — see llama.forward / CLAUDE.md).
                 def body(carry, i):
                     x, kf, vf = carry
-                    x, kf, vf = llama._layer_forward(
+                    x, kf, vf = layer_fwd(
                         config, x, layers_local, positions, kf, vf,
-                        start, kv_len, contiguous=True, layer_index=i)
+                        start, kv_len, contiguous=True, layer_index=i,
+                        global_layer_index=base + i)
                     return (x, kf, vf), None
             else:
                 def body(carry, i):
@@ -128,9 +150,10 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
                                                       keepdims=False)
                     v1 = jax.lax.dynamic_index_in_dim(vf, i, 0,
                                                       keepdims=False)
-                    x, k1, v1 = llama._layer_forward(
+                    x, k1, v1 = layer_fwd(
                         config, x, layers_local, positions, k1, v1, start,
-                        kv_len, contiguous=True, layer_index=i)
+                        kv_len, contiguous=True, layer_index=i,
+                        global_layer_index=base + i)
                     kf = jax.lax.dynamic_update_index_in_dim(kf, k1, i, 0)
                     vf = jax.lax.dynamic_update_index_in_dim(vf, v1, i, 0)
                     return (x, kf, vf), None
