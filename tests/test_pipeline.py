@@ -240,3 +240,44 @@ def test_pipeline_moe():
         got2, _ = fwd(pparams, tok, pcache)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mb", [2, 4])
+def test_pipeline_microbatch_matches_single(pp_setup, mb):
+    """GPipe-staggered pipeline must equal the single-device forward
+    for prefill and a decode step (B=4 split into M microbatches)."""
+    cfg, params, mesh = pp_setup
+    B = 4
+    rng = np.random.RandomState(3)
+    tokens = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, 6)), jnp.int32)
+    cache = llama.init_cache(cfg, B, max_seq=32)
+    want, want_cache = llama.forward(params, cfg, tokens, cache)
+
+    pparams, pcache = pipeline.shard_for_pipeline(
+        params, llama.init_cache(cfg, B, max_seq=32), mesh)
+    with mesh:
+        fwd = jax.jit(lambda p, t, c: pipeline.pipeline_forward_microbatch(
+            p, cfg, t, c, mesh=mesh, microbatches=mb))
+        got, pcache = fwd(pparams, tokens, pcache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pcache.k),
+                               np.asarray(want_cache.k),
+                               rtol=2e-4, atol=2e-4)
+    # decode step through the staggered path
+    tok = jnp.argmax(want[:, -1], -1).astype(jnp.int32)[:, None]
+    want2, _ = llama.forward(params, cfg, tok, want_cache)
+    with mesh:
+        got2, _ = fwd(pparams, tok, pcache)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_microbatch_rejects_indivisible(pp_setup):
+    cfg, params, mesh = pp_setup
+    pparams, pcache = pipeline.shard_for_pipeline(
+        params, llama.init_cache(cfg, 3, max_seq=32), mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        pipeline.pipeline_forward_microbatch(
+            pparams, cfg, jnp.ones((3, 2), jnp.int32), pcache,
+            mesh=mesh, microbatches=2)
