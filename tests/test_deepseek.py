@@ -1,0 +1,105 @@
+"""DeepSeek V2/V3 model tests: MLA compressed cache, routing semantics,
+engine integration. HF numeric parity lives in test_hf_parity.py."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import turboinfer_tpu as ti
+from turboinfer_tpu.config import ModelConfig
+from turboinfer_tpu.models import deepseek, registry
+
+
+@pytest.fixture(scope="module")
+def ds_cfg():
+    return ModelConfig(vocab_size=400, hidden_size=64, num_layers=3,
+                       num_heads=4, intermediate_size=96,
+                       moe_intermediate_size=32, num_experts=8,
+                       experts_per_token=3, shared_expert_size=32,
+                       scoring_func="sigmoid", topk_method="noaux_tc",
+                       n_group=4, topk_group=2,
+                       routed_scaling_factor=2.5, norm_topk_prob=True,
+                       first_k_dense_replace=1, kv_lora_rank=32,
+                       q_lora_rank=48, qk_nope_head_dim=16,
+                       qk_rope_head_dim=8, v_head_dim=16,
+                       max_seq_len=64, architecture="deepseek_v3",
+                       name="tiny-deepseek", dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def ds_params(ds_cfg):
+    return deepseek.init_params(jax.random.PRNGKey(0), ds_cfg)
+
+
+def test_registry():
+    assert registry.get_model("deepseek_v2") is deepseek
+    assert registry.get_model("deepseek_v3") is deepseek
+
+
+def test_compressed_cache_shapes(ds_cfg):
+    """The MLA cache stores the latent + shared rope key, NOT per-head
+    K/V: [L,B,1,T,kv_lora_rank] and [L,B,1,T,qk_rope_head_dim]."""
+    cache = deepseek.init_cache(ds_cfg, 2, max_seq=16)
+    assert cache.k.shape == (3, 2, 1, 16, 32)
+    assert cache.v.shape == (3, 2, 1, 16, 8)
+    # vs naive per-head cache: heads*(qk_head + v_head) floats/token
+    naive = ds_cfg.num_heads * ((16 + 8) + 16)
+    assert 32 + 8 < naive
+
+
+def test_incremental_matches_full(ds_params, ds_cfg):
+    tokens = jnp.asarray([[7, 23, 301, 5, 99, 42]], jnp.int32)
+    full = deepseek.forward_no_cache(ds_params, ds_cfg, tokens)
+    cache = deepseek.init_cache(ds_cfg, 1, max_seq=32)
+    lg, cache = deepseek.forward(ds_params, ds_cfg, tokens[:, :4], cache)
+    np.testing.assert_allclose(np.asarray(lg[:, 3]), np.asarray(full[:, 3]),
+                               rtol=1e-4, atol=1e-4)
+    for s in range(4, 6):
+        lg, cache = deepseek.forward(ds_params, ds_cfg,
+                                     tokens[:, s:s + 1], cache)
+        np.testing.assert_allclose(np.asarray(lg[:, 0]),
+                                   np.asarray(full[:, s]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_routing_group_limit(ds_cfg, ds_params):
+    """noaux_tc: all selected experts must come from the topk_group
+    best groups (by top-2-sum of bias-corrected scores)."""
+    h = jnp.asarray(np.random.RandomState(0).randn(2, 3, 64), jnp.float32)
+    router = ds_params["layers"]["router"][0]
+    bias = ds_params["layers"]["router_bias"][0]
+    gates, top_i = deepseek._route(ds_cfg, h, router, bias)
+    E, G = ds_cfg.num_experts, ds_cfg.n_group
+    scores = jax.nn.sigmoid(h.astype(jnp.float32) @ router.astype(
+        jnp.float32)) + bias
+    gs = np.asarray(scores).reshape(2, 3, G, E // G)
+    g2 = np.sort(gs, -1)[..., -2:].sum(-1)
+    for b in range(2):
+        for s in range(3):
+            keep = set(np.argsort(-g2[b, s])[:ds_cfg.topk_group])
+            for e in np.asarray(top_i)[b, s]:
+                assert int(e) // (E // G) in keep
+    # gates normalized then scaled
+    np.testing.assert_allclose(np.asarray(gates).sum(-1),
+                               ds_cfg.routed_scaling_factor, rtol=1e-5)
+
+
+def test_engine_generates(ds_params, ds_cfg):
+    eng = ti.InferenceEngine(ds_params, ds_cfg)
+    res = eng.generate([1, 5, 9], 10, temperature=0.0)
+    assert len(res.tokens) == 13
+    assert res.tokens == eng.generate([1, 5, 9], 10, temperature=0.0).tokens
+
+
+def test_continuous_scheduler_serves(ds_params, ds_cfg):
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    icfg = ti.InferenceConfig(max_seq_len=64)
+    eng = ti.InferenceEngine(ds_params, ds_cfg, icfg)
+    want = eng.generate([1, 5, 9, 20], 6, temperature=0.0).tokens
+    sched = ContinuousBatchingScheduler(ds_params, ds_cfg, icfg,
+                                        batch_slots=2)
+    rid = sched.submit([1, 5, 9, 20], max_new_tokens=6, temperature=0.0)
+    while sched.pending:
+        sched.step()
+    assert [1, 5, 9, 20] + sched.get_request(rid).out_tokens == list(want)

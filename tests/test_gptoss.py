@@ -1,0 +1,83 @@
+"""GPT-OSS model tests: sinks, clamped GLU, engine integration.
+HF numeric parity lives in test_hf_parity.py."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import turboinfer_tpu as ti
+from turboinfer_tpu.config import ModelConfig
+from turboinfer_tpu.models import gptoss, registry
+
+
+@pytest.fixture(scope="module")
+def go_cfg():
+    return ModelConfig(vocab_size=300, hidden_size=64, num_layers=4,
+                       num_heads=4, num_kv_heads=2, head_dim=16,
+                       intermediate_size=48, num_experts=4,
+                       experts_per_token=2, attn_bias=True,
+                       sliding_window=8, sliding_window_pattern=2,
+                       max_seq_len=64, architecture="gpt_oss",
+                       name="tiny-gptoss", dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def go_params(go_cfg):
+    return gptoss.init_params(jax.random.PRNGKey(0), go_cfg)
+
+
+def test_registry():
+    assert registry.get_model("gpt_oss") is gptoss
+
+
+def test_glu_clamps():
+    g = jnp.asarray([-100.0, 0.0, 100.0])
+    u = jnp.asarray([-100.0, 0.0, 100.0])
+    out = np.asarray(gptoss._glu(g, u))
+    # gate clamped to 7, up to [-7, 7]
+    assert out[2] == pytest.approx((7 + 1) * 7 / (1 + np.exp(-1.702 * 7)),
+                                   rel=1e-5)
+    assert out[0] == pytest.approx(0.0, abs=1e-5)   # sigmoid(-170)≈0
+
+
+def test_sink_soaks_probability(go_cfg, go_params):
+    """Raising a head's sink logit must shrink that head's attention
+    output magnitude (probability mass leaks to the dropped sink)."""
+    tokens = jnp.asarray([[1, 5, 9, 20]], jnp.int32)
+    base = gptoss.forward_no_cache(go_params, go_cfg, tokens)
+    boosted = {**go_params,
+               "layers": {**go_params["layers"],
+                          "sinks": go_params["layers"]["sinks"] + 50.0}}
+    out = gptoss.forward_no_cache(boosted, go_cfg, tokens)
+    assert not np.allclose(np.asarray(base), np.asarray(out))
+
+
+def test_incremental_matches_full(go_params, go_cfg):
+    tokens = jnp.asarray([[7, 23, 200, 5, 99, 42, 3, 150, 31, 77, 12,
+                           251]], jnp.int32)   # > window: exercises both
+    full = gptoss.forward_no_cache(go_params, go_cfg, tokens)
+    cache = gptoss.init_cache(go_cfg, 1, max_seq=32)
+    lg, cache = gptoss.forward(go_params, go_cfg, tokens[:, :10], cache)
+    np.testing.assert_allclose(np.asarray(lg[:, 9]), np.asarray(full[:, 9]),
+                               rtol=1e-4, atol=1e-4)
+    for s in range(10, 12):
+        lg, cache = gptoss.forward(go_params, go_cfg,
+                                   tokens[:, s:s + 1], cache)
+        np.testing.assert_allclose(np.asarray(lg[:, 0]),
+                                   np.asarray(full[:, s]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_engine_and_scheduler(go_params, go_cfg):
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    icfg = ti.InferenceConfig(max_seq_len=64)
+    eng = ti.InferenceEngine(go_params, go_cfg, icfg)
+    want = eng.generate([1, 5, 9, 20], 6, temperature=0.0).tokens
+    assert want == eng.generate([1, 5, 9, 20], 6, temperature=0.0).tokens
+    sched = ContinuousBatchingScheduler(go_params, go_cfg, icfg,
+                                        batch_slots=2)
+    rid = sched.submit([1, 5, 9, 20], max_new_tokens=6, temperature=0.0)
+    while sched.pending:
+        sched.step()
+    assert [1, 5, 9, 20] + sched.get_request(rid).out_tokens == list(want)

@@ -415,3 +415,128 @@ def test_qwen3_moe_parity():
     assert config.norm_topk_prob and not config.attn_bias
     from turboinfer_tpu.models import moe
     _decode_check(config, params, tokens, want, mod=moe)
+
+
+def _deepseek_decode_check(config, params, tokens, want):
+    from turboinfer_tpu.models import deepseek
+    _decode_check(config, params, tokens, want, mod=deepseek)
+
+
+def test_deepseek_v2_parity():
+    """DeepSeek-V2: MLA with q-LoRA, softmax routing with group-limited
+    greedy top-k, gateless shared experts, first dense layer."""
+    torch.manual_seed(17)
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=48, kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=2,
+        n_group=4, topk_group=2, topk_method="group_limited_greedy",
+        routed_scaling_factor=1.5, norm_topk_prob=False,
+        first_k_dense_replace=1, aux_loss_alpha=0.0, seq_aux=False,
+        max_position_embeddings=64, attn_implementation="eager")
+    model = transformers.DeepseekV2ForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.architecture == "deepseek_v2"
+    assert config.q_lora_rank == 48 and config.kv_lora_rank == 32
+    assert config.first_k_dense_replace == 1
+    assert config.shared_expert_size == 64          # 2 * moe_inter
+    assert "dense_layers" in params
+    assert params["layers"]["we_gate"].shape == (2, 8, 64, 32)
+    _deepseek_decode_check(config, params, tokens, want)
+
+
+def test_deepseek_v2_lite_parity():
+    """V2-Lite shape: no q-LoRA (full q_proj), plain greedy top-k."""
+    torch.manual_seed(18)
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=None, kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        topk_method="greedy", routed_scaling_factor=1.0,
+        norm_topk_prob=False, first_k_dense_replace=1,
+        aux_loss_alpha=0.0, seq_aux=False,
+        max_position_embeddings=64, attn_implementation="eager")
+    model = transformers.DeepseekV2ForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.q_lora_rank is None
+    assert "wq" in params["layers"] and "wq_a" not in params["layers"]
+    _deepseek_decode_check(config, params, tokens, want)
+
+
+def test_deepseek_v3_parity():
+    """DeepSeek-V3: sigmoid scores + e_score_correction_bias selection,
+    top-2-sum group limiting (noaux_tc), normalized gates * scaling."""
+    torch.manual_seed(19)
+    cfg = transformers.DeepseekV3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=48, kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=3, n_shared_experts=1,
+        n_group=4, topk_group=2, routed_scaling_factor=2.5,
+        norm_topk_prob=True, first_k_dense_replace=1,
+        max_position_embeddings=64, attn_implementation="eager")
+    model = transformers.DeepseekV3ForCausalLM(cfg)
+    # give the selection bias a real effect
+    with torch.no_grad():
+        for lyr in model.model.layers[1:]:
+            lyr.mlp.gate.e_score_correction_bias.uniform_(-0.2, 0.2)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.scoring_func == "sigmoid"
+    assert config.topk_method == "noaux_tc"
+    assert config.routed_scaling_factor == 2.5
+    assert params["layers"]["router_bias"].shape == (2, 8)
+    assert float(np.abs(np.asarray(
+        params["layers"]["router_bias"])).max()) > 0
+    _deepseek_decode_check(config, params, tokens, want)
+
+
+def test_gpt_oss_parity():
+    """GPT-OSS: attention sinks in the softmax, alternating
+    sliding/full layers, biased router with softmax over selected
+    logits, biased experts with the clamped GLU, q/k/v/o biases."""
+    torch.manual_seed(20)
+    cfg = transformers.GptOssConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=4, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, sliding_window=8,
+        num_local_experts=4, num_experts_per_tok=2,
+        rope_theta=10000.0, rope_scaling=None,
+        max_position_embeddings=64, attn_implementation="eager")
+    model = transformers.GptOssForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.architecture == "gpt_oss"
+    assert config.attn_bias and config.sliding_window == 8
+    assert config.sliding_window_pattern == 2
+    assert params["layers"]["sinks"].shape == (4, 4)
+    assert params["layers"]["we_gate"].shape == (4, 4, 64, 48)
+    from turboinfer_tpu.models import gptoss
+    _decode_check(config, params, tokens, want, mod=gptoss)
+
+
+def test_gpt_oss_yarn_parity():
+    """YaRN rope scaling (NTK-by-parts freqs + attention-factor on
+    cos/sin) must match HF at positions beyond the original window."""
+    torch.manual_seed(21)
+    cfg = transformers.GptOssConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, sliding_window=8,
+        num_local_experts=2, num_experts_per_tok=1,
+        rope_theta=10000.0,
+        rope_scaling={"rope_type": "yarn", "factor": 8.0,
+                      "beta_fast": 32.0, "beta_slow": 1.0,
+                      "truncate": False,
+                      "original_max_position_embeddings": 16},
+        max_position_embeddings=128, attn_implementation="eager")
+    model = transformers.GptOssForCausalLM(cfg)
+    config, *_ = _check(model, cfg, S=40)
+    d = dict(config.rope_scaling)
+    assert d["rope_type"] == "yarn" and d["factor"] == 8.0

@@ -78,7 +78,28 @@ class ModelConfig:
     norm_topk_prob: bool = True
     # Qwen2-MoE shared expert: a dense SwiGLU FFN of this width runs on
     # every token, scaled by sigmoid(shared_expert_gate(x)). None = off.
+    # DeepSeek shared experts use the same slot sizes but no gate (the
+    # gateless variant is selected by the deepseek architecture).
     shared_expert_size: Optional[int] = None
+    # DeepSeek MoE routing. scoring_func: "softmax" (V2) or "sigmoid"
+    # (V3, with the e_score_correction_bias selection bias and top-2-sum
+    # group scores). topk_method: "greedy" | "group_limited_greedy" (V2
+    # group max) | "noaux_tc" (V3). n_group/topk_group: expert-group
+    # limiting; routed_scaling_factor multiplies the final gates.
+    scoring_func: str = "softmax"
+    topk_method: str = "greedy"
+    n_group: int = 1
+    topk_group: int = 1
+    routed_scaling_factor: float = 1.0
+    # First k layers use the DENSE FFN (DeepSeek first_k_dense_replace).
+    first_k_dense_replace: int = 0
+    # Multi-head Latent Attention (DeepSeek V2/V3). None kv_lora_rank =
+    # standard attention. q_lora_rank None = full q projection (V2-Lite).
+    kv_lora_rank: Optional[int] = None
+    q_lora_rank: Optional[int] = None
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
     # q/k/v projection biases (Qwen2 / Qwen2.5).
     attn_bias: bool = False
     # Per-head RMSNorm on q and k before RoPE (Qwen3, Gemma3).

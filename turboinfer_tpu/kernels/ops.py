@@ -129,7 +129,7 @@ def alibi_slopes(num_heads: int) -> jax.Array:
 # the HALF convention is what HF-exported SafeTensors weights expect)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def rope_freqs(head_dim: int, theta: float = 10000.0,
                dtype=jnp.float32,
                scaling: Tuple[Tuple[str, float], ...] = ()) -> jax.Array:
@@ -137,10 +137,14 @@ def rope_freqs(head_dim: int, theta: float = 10000.0,
 
     `scaling` is a hashable (key, value) tuple encoding HF-style
     rope_scaling. Supported rope_type values: "linear" (divide all
-    freqs by `factor`) and "llama3" (Llama-3.1 frequency-banded
+    freqs by `factor`), "llama3" (Llama-3.1 frequency-banded
     scaling: low-frequency bands divided by `factor`, high-frequency
     bands untouched, smooth ramp between — keys factor,
-    low_freq_factor, high_freq_factor, original_max_position_embeddings).
+    low_freq_factor, high_freq_factor, original_max_position_embeddings)
+    and "yarn" (NTK-by-parts: per-dim blend of interpolated and
+    original freqs over the beta_fast/beta_slow correction range, used
+    by GPT-OSS and DeepSeek long-context; pair with
+    rope_attention_factor for the cos/sin amplitude correction).
     """
     i = jnp.arange(0, head_dim // 2, dtype=jnp.float32)
     freqs = theta ** (-2.0 * i / head_dim)
@@ -163,10 +167,54 @@ def rope_freqs(head_dim: int, theta: float = 10000.0,
             freqs = jnp.where(wavelen > orig / low, freqs / factor,
                               jnp.where(wavelen < orig / high, freqs,
                                         scaled))
+        elif kind == "yarn":
+            import math
+            beta_fast = float(d.get("beta_fast") or 32.0)
+            beta_slow = float(d.get("beta_slow") or 1.0)
+            orig = float(d.get("original_max_position_embeddings", 4096))
+            truncate = bool(d.get("truncate", True))
+            dim = head_dim
+
+            def corr_dim(rot):
+                return (dim * math.log(orig / (rot * 2 * math.pi))
+                        / (2 * math.log(theta)))
+            low, high = corr_dim(beta_fast), corr_dim(beta_slow)
+            if truncate:
+                low, high = math.floor(low), math.ceil(high)
+            low, high = max(low, 0.0), min(high, dim - 1.0)
+            if low == high:
+                high += 0.001
+            ramp = jnp.clip(
+                (jnp.arange(dim // 2, dtype=jnp.float32) - low)
+                / (high - low), 0.0, 1.0)
+            extrap_w = 1.0 - ramp
+            freqs = (freqs / factor) * (1 - extrap_w) + freqs * extrap_w
         else:
             raise ValueError(f"unsupported rope_scaling type '{kind}' "
-                             "(supported: linear, llama3)")
+                             "(supported: linear, llama3, yarn)")
     return freqs.astype(dtype)
+
+
+def rope_attention_factor(scaling: Tuple[Tuple[str, float], ...]) -> float:
+    """YaRN cos/sin amplitude correction ("attention_factor" /
+    inferred 0.1*mscale*ln(factor)+1). 1.0 for every other scaling."""
+    if not scaling:
+        return 1.0
+    d = dict(scaling)
+    if str(d.get("rope_type", d.get("type", ""))) != "yarn":
+        return 1.0
+    if d.get("attention_factor") is not None:
+        return float(d["attention_factor"])
+    import math
+    factor = float(d.get("factor", 1.0))
+
+    def get_mscale(scale, m=1.0):
+        return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+    mscale, mscale_all = d.get("mscale"), d.get("mscale_all_dim")
+    if mscale and mscale_all:
+        return float(get_mscale(factor, float(mscale))
+                     / get_mscale(factor, float(mscale_all)))
+    return float(get_mscale(factor))
 
 
 def apply_rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0,
@@ -188,6 +236,9 @@ def apply_rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0,
     angles = positions.astype(jnp.float32)[..., None] * freqs  # [..., seq, d/2]
     cos = jnp.cos(angles)[..., None, :]                        # [..., seq, 1, d/2]
     sin = jnp.sin(angles)[..., None, :]
+    mscale = rope_attention_factor(scaling)                    # yarn only
+    if mscale != 1.0:
+        cos, sin = cos * mscale, sin * mscale
     xf = x.astype(jnp.float32)
     if mode == RopeMode.INTERLEAVED:
         x_even = xf[..., 0::2]

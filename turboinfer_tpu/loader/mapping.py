@@ -722,14 +722,173 @@ def assemble_params_bloom(get: Callable[[str], np.ndarray],
     }
 
 
+def assemble_params_deepseek(get: Callable[[str], np.ndarray],
+                             names: Sequence[str], config: ModelConfig,
+                             dtype=None) -> Dict[str, Any]:
+    """DeepSeek V2/V3 (models/deepseek.py structure): MLA projections,
+    router (+ V3 e_score_correction_bias), per-expert stacks, gateless
+    shared experts, and the first_k_dense_replace dense-FFN group."""
+    dtype = dtype or config.dtype
+    nameset = set(names)
+    L, kd = config.num_layers, config.first_k_dense_replace
+    E = config.num_experts
+
+    def pref(i):
+        return f"model.layers.{i}"
+
+    def fetch(name, transpose=True, required=True):
+        if name not in nameset:
+            if required:
+                raise KeyError(f"no tensor '{name}' in checkpoint")
+            return None
+        arr = get(name)
+        return arr.T if transpose else arr
+
+    def attn_group(rng):
+        g: Dict[str, List[np.ndarray]] = {}
+
+        def add(slot, arr):
+            g.setdefault(slot, []).append(arr)
+        for i in rng:
+            p = pref(i)
+            add("attn_norm", fetch(f"{p}.input_layernorm.weight", False))
+            add("ffn_norm",
+                fetch(f"{p}.post_attention_layernorm.weight", False))
+            if config.q_lora_rank:
+                add("wq_a", fetch(f"{p}.self_attn.q_a_proj.weight"))
+                add("q_a_norm",
+                    fetch(f"{p}.self_attn.q_a_layernorm.weight", False))
+                add("wq_b", fetch(f"{p}.self_attn.q_b_proj.weight"))
+            else:
+                add("wq", fetch(f"{p}.self_attn.q_proj.weight"))
+            add("wkv_a",
+                fetch(f"{p}.self_attn.kv_a_proj_with_mqa.weight"))
+            add("kv_a_norm",
+                fetch(f"{p}.self_attn.kv_a_layernorm.weight", False))
+            add("wkv_b", fetch(f"{p}.self_attn.kv_b_proj.weight"))
+            add("wo", fetch(f"{p}.self_attn.o_proj.weight"))
+        return g
+
+    def stacked(g):
+        return {k: jnp.asarray(np.stack(v), dtype=dtype)
+                for k, v in g.items()}
+
+    moe_g = attn_group(range(kd, L))
+    for i in range(kd, L):
+        p = pref(i)
+        moe_g.setdefault("router", []).append(
+            fetch(f"{p}.mlp.gate.weight"))
+        bias = fetch(f"{p}.mlp.gate.e_score_correction_bias",
+                     False, required=False)
+        moe_g.setdefault("router_bias", []).append(
+            np.zeros((E,), np.float32) if bias is None
+            else np.asarray(bias, np.float32))
+        for slot, nm in (("we_gate", "gate_proj"), ("we_up", "up_proj"),
+                         ("we_down", "down_proj")):
+            moe_g.setdefault(slot, []).append(np.stack(
+                [fetch(f"{p}.mlp.experts.{e}.{nm}.weight")
+                 for e in range(E)]))
+        if config.shared_expert_size:
+            for slot, nm in (("ws_gate", "gate_proj"),
+                             ("ws_up", "up_proj"),
+                             ("ws_down", "down_proj")):
+                moe_g.setdefault(slot, []).append(
+                    fetch(f"{p}.mlp.shared_experts.{nm}.weight"))
+    layers = stacked(moe_g)
+    layers["router_bias"] = jnp.asarray(
+        np.stack(moe_g["router_bias"]), jnp.float32)
+
+    embed = jnp.asarray(fetch("model.embed_tokens.weight", False),
+                        dtype=dtype)
+    params: Dict[str, Any] = {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": jnp.asarray(fetch("model.norm.weight", False),
+                                  dtype=dtype),
+    }
+    if kd:
+        dense_g = attn_group(range(kd))
+        for i in range(kd):
+            p = pref(i)
+            for slot, nm in (("w_gate", "gate_proj"), ("w_up", "up_proj"),
+                             ("w_down", "down_proj")):
+                dense_g.setdefault(slot, []).append(
+                    fetch(f"{p}.mlp.{nm}.weight"))
+        params["dense_layers"] = stacked(dense_g)
+    head = fetch("lm_head.weight", required=False)
+    params["lm_head"] = (embed.T if head is None
+                         else jnp.asarray(head, dtype=dtype))
+    return params
+
+
+def assemble_params_gptoss(get: Callable[[str], np.ndarray],
+                           names: Sequence[str], config: ModelConfig,
+                           dtype=None) -> Dict[str, Any]:
+    """GPT-OSS (models/gptoss.py structure). HF stores expert weights
+    as [E, in, out] Parameters (no transpose) with gate/up INTERLEAVED
+    along the fused gate_up output axis (even=gate, odd=up) — they are
+    de-interleaved into separate slots here, once, at load."""
+    dtype = dtype or config.dtype
+    nameset = set(names)
+    L = config.num_layers
+
+    def fetch(name, transpose=False, required=True):
+        if name not in nameset:
+            if required:
+                raise KeyError(f"no tensor '{name}' in checkpoint")
+            return None
+        arr = get(name)
+        return arr.T if transpose else arr
+
+    g: Dict[str, List[np.ndarray]] = {}
+
+    def add(slot, arr):
+        g.setdefault(slot, []).append(arr)
+
+    for i in range(L):
+        p = f"model.layers.{i}"
+        add("attn_norm", fetch(f"{p}.input_layernorm.weight"))
+        add("ffn_norm", fetch(f"{p}.post_attention_layernorm.weight"))
+        for slot, nm in (("wq", "q_proj"), ("wk", "k_proj"),
+                         ("wv", "v_proj"), ("wo", "o_proj")):
+            add(slot, fetch(f"{p}.self_attn.{nm}.weight", transpose=True))
+            add("b_" + slot[1], fetch(f"{p}.self_attn.{nm}.bias"))
+        add("sinks", fetch(f"{p}.self_attn.sinks"))
+        add("router", fetch(f"{p}.mlp.router.weight", transpose=True))
+        add("router_bias", fetch(f"{p}.mlp.router.bias"))
+        gu = fetch(f"{p}.mlp.experts.gate_up_proj")       # [E, H, 2F]
+        gub = fetch(f"{p}.mlp.experts.gate_up_proj_bias")  # [E, 2F]
+        add("we_gate", gu[..., 0::2])
+        add("we_up", gu[..., 1::2])
+        add("be_gate", gub[..., 0::2])
+        add("be_up", gub[..., 1::2])
+        add("we_down", fetch(f"{p}.mlp.experts.down_proj"))  # [E, F, H]
+        add("be_down", fetch(f"{p}.mlp.experts.down_proj_bias"))
+    layers = {k: jnp.asarray(np.stack(v), dtype=dtype)
+              for k, v in g.items()}
+    embed = jnp.asarray(fetch("model.embed_tokens.weight"), dtype=dtype)
+    head = fetch("lm_head.weight", transpose=True, required=False)
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": jnp.asarray(fetch("model.norm.weight"),
+                                  dtype=dtype),
+        "lm_head": (embed.T if head is None
+                    else jnp.asarray(head, dtype=dtype)),
+    }
+
+
 def assemble_for(config: ModelConfig):
     """Architecture-appropriate assembler (loaders dispatch here)."""
     return {"gpt2": assemble_params_gpt2,
             "gpt_neox": assemble_params_neox,
             "falcon": assemble_params_falcon,
             "bloom": assemble_params_bloom,
-            "phi": assemble_params_phi}.get(config.architecture,
-                                            assemble_params)
+            "phi": assemble_params_phi,
+            "deepseek_v2": assemble_params_deepseek,
+            "deepseek_v3": assemble_params_deepseek,
+            "gpt_oss": assemble_params_gptoss}.get(
+                config.architecture, assemble_params)
 
 
 # ---------------------------------------------------------------------------
@@ -863,6 +1022,17 @@ def config_to_dict(config: ModelConfig) -> Dict[str, Any]:
         "moe_intermediate_size": config.moe_intermediate_size,
         "norm_topk_prob": config.norm_topk_prob,
         "shared_expert_size": config.shared_expert_size,
+        "scoring_func": config.scoring_func,
+        "topk_method": config.topk_method,
+        "n_group": config.n_group,
+        "topk_group": config.topk_group,
+        "routed_scaling_factor": config.routed_scaling_factor,
+        "first_k_dense_replace": config.first_k_dense_replace,
+        "kv_lora_rank": config.kv_lora_rank,
+        "q_lora_rank": config.q_lora_rank,
+        "qk_nope_head_dim": config.qk_nope_head_dim,
+        "qk_rope_head_dim": config.qk_rope_head_dim,
+        "v_head_dim": config.v_head_dim,
         "name": config.name,
         "architecture": config.architecture,
         "dtype": jnp.dtype(config.dtype).name,
@@ -950,6 +1120,49 @@ def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
             tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
             name=str(hf.get("_name_or_path", "falcon")) or "falcon",
             architecture="falcon",
+            dtype=dtype or jnp.bfloat16,
+        )
+
+    if arch in ("deepseek_v2", "deepseek_v3"):
+        v3 = arch == "deepseek_v3"
+        n_shared = hf.get("n_shared_experts")
+        moe_inter = int(hf.get("moe_intermediate_size", 1024))
+        return ModelConfig(
+            vocab_size=int(hf.get("vocab_size", 102400)),
+            hidden_size=int(hf.get("hidden_size", 4096)),
+            num_layers=int(hf.get("num_hidden_layers", 30)),
+            num_heads=int(hf.get("num_attention_heads", 32)),
+            num_kv_heads=int(hf.get("num_key_value_heads",
+                                    hf.get("num_attention_heads", 32))),
+            intermediate_size=hf.get("intermediate_size"),
+            rope_theta=float(hf.get("rope_theta", 10000.0)),
+            rope_mode=RopeMode.INTERLEAVED,
+            rms_norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+            max_seq_len=int(hf.get("max_position_embeddings", 4096)),
+            tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+            num_experts=int(hf.get("n_routed_experts", 64)),
+            experts_per_token=int(hf.get("num_experts_per_tok", 6)),
+            moe_intermediate_size=moe_inter,
+            shared_expert_size=(moe_inter * int(n_shared)
+                                if n_shared else None),
+            norm_topk_prob=bool(hf.get("norm_topk_prob", v3)),
+            scoring_func=str(hf.get("scoring_func",
+                                    "sigmoid" if v3 else "softmax")),
+            topk_method=str(hf.get("topk_method",
+                                   "noaux_tc" if v3 else "greedy")),
+            n_group=int(hf.get("n_group") or 1),
+            topk_group=int(hf.get("topk_group") or 1),
+            routed_scaling_factor=float(hf.get("routed_scaling_factor",
+                                               1.0)),
+            first_k_dense_replace=int(hf.get("first_k_dense_replace", 0)),
+            kv_lora_rank=int(hf.get("kv_lora_rank", 512)),
+            q_lora_rank=(int(hf["q_lora_rank"])
+                         if hf.get("q_lora_rank") else None),
+            qk_nope_head_dim=int(hf.get("qk_nope_head_dim", 128)),
+            qk_rope_head_dim=int(hf.get("qk_rope_head_dim", 64)),
+            v_head_dim=int(hf.get("v_head_dim", 128)),
+            name=str(hf.get("_name_or_path", arch)) or arch,
+            architecture=arch,
             dtype=dtype or jnp.bfloat16,
         )
 

@@ -1,0 +1,348 @@
+"""DeepSeek V2/V3: Multi-head Latent Attention + DeepSeek-MoE.
+
+No reference counterpart (the reference is a dense LLaMA-shaped stack,
+SURVEY.md §2 row 5); model-family addition pinned against HuggingFace
+DeepseekV2/DeepseekV3ForCausalLM (tests/test_hf_parity.py).
+
+TPU-native design decisions:
+
+- **Compressed KV cache (the MLA point).** The cache stores, per token,
+  only the kv_lora_rank latent c_kv (post kv_a_layernorm) and the
+  shared qk_rope_head_dim k_pe — NOT per-head K/V. For V3 shapes that
+  is 512+64 floats/token vs 128 heads x (192+128): a ~70x cache
+  reduction, which is what makes long-context MLA serving fit in HBM.
+- **Absorbed attention.** Scores are computed directly against the
+  latent: q_nope is absorbed through the k-half of kv_b
+  (q_abs[b,s,n,r] = q_nope . W_kc[:, n, :]), scores =
+  q_abs.c_kv + q_pe.k_pe, and the value path re-expands the
+  probability-weighted latent through the v-half (W_vc). No per-head
+  K/V is ever materialized, so decode streams the latent cache once.
+- **MoE.** Router per config.scoring_func/topk_method: V2 softmax with
+  greedy or group-limited-max top-k; V3 sigmoid scores with the
+  e_score_correction_bias selection bias and top-2-sum group scores
+  (HF DeepseekV3TopkRouter semantics, incl. masked-to-0.0 group fill).
+  Expert compute reuses models/moe.expert_mix (gather fast path on
+  decode: k of E expert FFNs streamed, 32x less HBM traffic at V3's
+  8/256). Shared experts are gateless (added unconditionally). The
+  first config.first_k_dense_replace layers use a dense SwiGLU FFN and
+  live in a separate stacked group ("dense_layers") so both groups scan
+  cleanly.
+
+Both rope conventions (V2 complex-pair, V3 interleave-trick) reduce to
+interleaved-pair rotation — RopeMode.INTERLEAVED here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from turboinfer_tpu.config import ModelConfig, RopeMode
+from turboinfer_tpu.kernels import ops
+from turboinfer_tpu.models.common import (KVCache, param_bytes,  # noqa: F401
+                                          param_count)
+from turboinfer_tpu.models import moe as moe_mod
+
+
+def _dims(config: ModelConfig):
+    nH = config.num_heads
+    dn, dr = config.qk_nope_head_dim, config.qk_rope_head_dim
+    dv, lr = config.v_head_dim, config.kv_lora_rank
+    return nH, dn, dr, dv, lr
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, config: ModelConfig,
+                dtype=None) -> Dict[str, Any]:
+    if not config.kv_lora_rank:
+        raise ValueError("deepseek model needs config.kv_lora_rank (MLA)")
+    if config.num_experts <= 0:
+        raise ValueError("deepseek model needs config.num_experts > 0")
+    dtype = dtype or config.dtype
+    H, V, L = config.hidden_size, config.vocab_size, config.num_layers
+    nH, dn, dr, dv, lr = _dims(config)
+    E = config.num_experts
+    Fd = config.ffn_dim                        # dense-layer FFN width
+    Fm = config.moe_intermediate_size or Fd    # per-expert width
+    kd = config.first_k_dense_replace
+    Lm = L - kd
+    if Lm <= 0:
+        raise ValueError("first_k_dense_replace must leave MoE layers")
+    key = iter(jax.random.split(rng, 48))
+
+    def w(shape, fan_in):
+        return (jax.random.normal(next(key), shape, jnp.float32)
+                * (1.0 / jnp.sqrt(fan_in))).astype(dtype)
+
+    def attn_slots(n):
+        slots = {
+            "attn_norm": jnp.ones((n, H), dtype),
+            "ffn_norm": jnp.ones((n, H), dtype),
+            "wkv_a": w((n, H, lr + dr), H),
+            "kv_a_norm": jnp.ones((n, lr), dtype),
+            "wkv_b": w((n, lr, nH * (dn + dv)), lr),
+            "wo": w((n, nH * dv, H), nH * dv),
+        }
+        if config.q_lora_rank:
+            qr = config.q_lora_rank
+            slots["wq_a"] = w((n, H, qr), H)
+            slots["q_a_norm"] = jnp.ones((n, qr), dtype)
+            slots["wq_b"] = w((n, qr, nH * (dn + dr)), qr)
+        else:
+            slots["wq"] = w((n, H, nH * (dn + dr)), H)
+        return slots
+
+    layers = attn_slots(Lm)
+    layers.update({
+        "router": w((Lm, H, E), H),
+        "router_bias": jnp.zeros((Lm, E), jnp.float32),
+        "we_gate": w((Lm, E, H, Fm), H),
+        "we_up": w((Lm, E, H, Fm), H),
+        "we_down": w((Lm, E, Fm, H), Fm),
+    })
+    if config.shared_expert_size:
+        Fs = config.shared_expert_size
+        layers.update({
+            "ws_gate": w((Lm, H, Fs), H),
+            "ws_up": w((Lm, H, Fs), H),
+            "ws_down": w((Lm, Fs, H), Fs),
+        })
+    params: Dict[str, Any] = {
+        "embed": w((V, H), H),
+        "layers": layers,
+        "final_norm": jnp.ones((H,), dtype),
+        "lm_head": w((H, V), H),
+    }
+    if kd:
+        dense = attn_slots(kd)
+        dense.update({
+            "w_gate": w((kd, H, Fd), H),
+            "w_up": w((kd, H, Fd), H),
+            "w_down": w((kd, Fd, H), Fd),
+        })
+        params["dense_layers"] = dense
+    if config.tie_embeddings:
+        params["lm_head"] = params["embed"].T
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Compressed-latent KV cache: k slot holds c_kv [L, B, 1, T, lr], v slot
+# holds the shared roped k_pe [L, B, 1, T, dr].
+# ---------------------------------------------------------------------------
+
+def init_cache(config: ModelConfig, batch_size: int,
+               max_seq: Optional[int] = None, dtype=None) -> KVCache:
+    T = max_seq or config.max_seq_len
+    L, B = config.num_layers, batch_size
+    _, _, dr, _, lr = _dims(config)
+    dtype = dtype or config.dtype
+    if dtype == jnp.uint8:          # fp8 latents unsupported; keep model
+        dtype = config.dtype
+    return KVCache(k=jnp.zeros((L, B, 1, T, lr), dtype),
+                   v=jnp.zeros((L, B, 1, T, dr), dtype),
+                   length=jnp.zeros((B,), jnp.int32))
+
+
+def reset_cache(cache: KVCache) -> KVCache:
+    return KVCache(k=jnp.zeros_like(cache.k), v=jnp.zeros_like(cache.v),
+                   length=jnp.zeros_like(cache.length))
+
+
+# ---------------------------------------------------------------------------
+# Router (HF DeepseekV2MoEGate / DeepseekV3TopkRouter semantics)
+# ---------------------------------------------------------------------------
+
+def _route(config: ModelConfig, h: jax.Array, router: jax.Array,
+           bias: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """-> (gates [B,S,k] f32, top_i [B,S,k] i32)."""
+    E, k = config.num_experts, config.experts_per_token
+    logits = jnp.einsum("bsh,he->bse", h.astype(jnp.float32),
+                        router.astype(jnp.float32))
+    if config.scoring_func == "sigmoid":                  # V3
+        scores = jax.nn.sigmoid(logits)
+        choice = scores + bias.astype(jnp.float32)        # selection only
+    else:                                                 # V2 softmax
+        scores = jax.nn.softmax(logits, axis=-1)
+        choice = scores
+    G = config.n_group
+    if G > 1 and config.topk_method != "greedy":
+        gsc = choice.reshape(choice.shape[:-1] + (G, E // G))
+        if config.topk_method == "noaux_tc":              # V3: top-2 sum
+            group_scores = jax.lax.top_k(gsc, 2)[0].sum(-1)
+        else:                                             # V2: group max
+            group_scores = gsc.max(-1)
+        _, gidx = jax.lax.top_k(group_scores, config.topk_group)
+        gmask = jax.nn.one_hot(gidx, G, dtype=jnp.bool_).any(-2)
+        mask = jnp.repeat(gmask, E // G, axis=-1)
+        # HF masks non-selected groups to 0.0 (not -inf) — replicate.
+        choice = jnp.where(mask, choice, 0.0)
+    _, top_i = jax.lax.top_k(choice, k)
+    gates = jnp.take_along_axis(scores, top_i, axis=-1)   # bias-free
+    if config.norm_topk_prob:
+        gates = gates / (gates.sum(-1, keepdims=True) + 1e-20)
+    return gates * config.routed_scaling_factor, top_i
+
+
+# ---------------------------------------------------------------------------
+# Layer forward
+# ---------------------------------------------------------------------------
+
+def _mla_attention(config: ModelConfig, h: jax.Array, lw, li,
+                   positions, c_cache, pe_cache, start, kv_len):
+    """Absorbed MLA. h: [B,S,H] (normed); c_cache [B,1,T,lr],
+    pe_cache [B,1,T,dr] for THIS layer. Returns (attn_out [B,S,nH*dv],
+    c_cache', pe_cache')."""
+    B, S, _ = h.shape
+    nH, dn, dr, dv, lr = _dims(config)
+
+    def w1(name):
+        w = lw[name]
+        if li is not None:
+            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        return w
+
+    # Queries.
+    if config.q_lora_rank:
+        qa = ops.qmatmul(h, lw["wq_a"], layer_index=li)
+        qa = ops.rms_norm(qa, w1("q_a_norm"), config.rms_norm_eps)
+        q = ops.qmatmul(qa, lw["wq_b"], layer_index=li)
+    else:
+        q = ops.qmatmul(h, lw["wq"], layer_index=li)
+    q = q.reshape(B, S, nH, dn + dr)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+    q_pe = ops.apply_rope(q_pe, positions, config.rope_theta,
+                          RopeMode.INTERLEAVED)
+
+    # Latent + shared rope key.
+    ckv = ops.qmatmul(h, lw["wkv_a"], layer_index=li)     # [B,S,lr+dr]
+    c_lat = ops.rms_norm(ckv[..., :lr], w1("kv_a_norm"),
+                         config.rms_norm_eps)
+    k_pe = ops.apply_rope(ckv[..., lr:][:, :, None, :], positions,
+                          config.rope_theta,
+                          RopeMode.INTERLEAVED)[:, :, 0]  # [B,S,dr]
+
+    # Cache write at [start, start+S).
+    def write_one(cache_b, new_b, start_b):
+        return jax.lax.dynamic_update_slice(
+            cache_b, new_b[None].astype(cache_b.dtype), (0, start_b, 0))
+    c_cache = jax.vmap(write_one)(c_cache, c_lat, start)
+    pe_cache = jax.vmap(write_one)(pe_cache, k_pe, start)
+    c_all = c_cache[:, 0].astype(jnp.float32)             # [B,T,lr]
+    pe_all = pe_cache[:, 0].astype(jnp.float32)           # [B,T,dr]
+
+    # Absorb q_nope through the k-half of kv_b.
+    wkv_b = w1("wkv_b").astype(jnp.float32).reshape(lr, nH, dn + dv)
+    w_kc, w_vc = wkv_b[..., :dn], wkv_b[..., dn:]         # [lr,nH,*]
+    q_abs = jnp.einsum("bsnd,rnd->bsnr", q_nope.astype(jnp.float32),
+                       w_kc)                              # [B,S,nH,lr]
+    scores = (jnp.einsum("bsnr,btr->bnst", q_abs, c_all)
+              + jnp.einsum("bsnd,btd->bnst",
+                           q_pe.astype(jnp.float32), pe_all))
+    scores = scores * ((dn + dr) ** -0.5)
+
+    T = c_all.shape[1]
+    tpos = jnp.arange(T, dtype=jnp.int32)[None, None, None, :]
+    qpos = positions[:, None, :, None]
+    mask = (tpos <= qpos) & (tpos < kv_len[:, None, None, None])
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    lat_out = jnp.einsum("bnst,btr->bsnr", probs, c_all)  # [B,S,nH,lr]
+    attn = jnp.einsum("bsnr,rnd->bsnd", lat_out, w_vc)    # [B,S,nH,dv]
+    return attn.reshape(B, S, nH * dv).astype(h.dtype), c_cache, pe_cache
+
+
+def _layer_forward(config, x, lw, positions, c_cache, pe_cache, start,
+                   kv_len, layer_index=None, dense_ffn=False):
+    li = layer_index
+    B, S, _ = x.shape
+
+    def w1(name):
+        w = lw[name]
+        if li is not None:
+            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        return w
+
+    h = ops.rms_norm(x, w1("attn_norm"), config.rms_norm_eps)
+    attn, c_cache, pe_cache = _mla_attention(
+        config, h, lw, li, positions, c_cache, pe_cache, start, kv_len)
+    x = x + ops.qmatmul(attn, lw["wo"], layer_index=li)
+
+    h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
+    if dense_ffn:
+        g = ops.qmatmul(h, lw["w_gate"], layer_index=li)
+        u = ops.qmatmul(h, lw["w_up"], layer_index=li)
+        ffn = ops.qmatmul(ops.swiglu(g, u).astype(h.dtype), lw["w_down"],
+                          layer_index=li)
+        return x + ffn, c_cache, pe_cache
+
+    gates, top_i = _route(config, h, w1("router"), w1("router_bias"))
+    out = moe_mod.expert_mix(config, h, lw, gates, top_i, layer_index=li)
+    if "ws_gate" in lw:                # gateless shared experts
+        s = ops.swiglu(ops.qmatmul(h, lw["ws_gate"], layer_index=li),
+                       ops.qmatmul(h, lw["ws_up"], layer_index=li))
+        s = ops.qmatmul(s.astype(h.dtype), lw["ws_down"], layer_index=li)
+        out = out + s.astype(jnp.float32)
+    return x + out.astype(x.dtype), c_cache, pe_cache
+
+
+# ---------------------------------------------------------------------------
+# Model forward
+# ---------------------------------------------------------------------------
+
+def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
+            cache: KVCache, *, positions: Optional[jax.Array] = None,
+            seq_lens: Optional[jax.Array] = None
+            ) -> Tuple[jax.Array, KVCache]:
+    """Same contract as llama.forward (cache is the compressed latent)."""
+    B, S = tokens.shape
+    start = cache.length
+    if positions is None:
+        positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    if seq_lens is None:
+        seq_lens = jnp.full((B,), S, jnp.int32)
+    kv_len = start + seq_lens
+    kd = config.first_k_dense_replace
+
+    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    ck, pk = cache.k, cache.v
+
+    def scan_group(x, ck, pk, lw, offset, n, dense):
+        def body(carry, i):
+            x, ck, pk = carry
+            c1 = jax.lax.dynamic_index_in_dim(ck, offset + i, 0,
+                                              keepdims=False)
+            p1 = jax.lax.dynamic_index_in_dim(pk, offset + i, 0,
+                                              keepdims=False)
+            x, c1, p1 = _layer_forward(config, x, lw, positions, c1, p1,
+                                       start, kv_len, layer_index=i,
+                                       dense_ffn=dense)
+            ck2 = jax.lax.dynamic_update_index_in_dim(ck, c1, offset + i, 0)
+            pk2 = jax.lax.dynamic_update_index_in_dim(pk, p1, offset + i, 0)
+            return (x, ck2, pk2), None
+        (x, ck, pk), _ = jax.lax.scan(
+            body, (x, ck, pk), jnp.arange(n, dtype=jnp.int32))
+        return x, ck, pk
+
+    if kd:
+        x, ck, pk = scan_group(x, ck, pk, params["dense_layers"], 0, kd,
+                               True)
+    x, ck, pk = scan_group(x, ck, pk, params["layers"], kd,
+                           config.num_layers - kd, False)
+
+    x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
+    return logits.astype(jnp.float32), KVCache(k=ck, v=pk, length=kv_len)
+
+
+def forward_no_cache(params, config, tokens, seq_lens=None) -> jax.Array:
+    B, S = tokens.shape
+    cache = init_cache(config, B, max_seq=S)
+    logits, _ = forward(params, config, tokens, cache, seq_lens=seq_lens)
+    return logits

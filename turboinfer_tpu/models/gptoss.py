@@ -1,0 +1,262 @@
+"""GPT-OSS (OpenAI gpt-oss-20b / 120b): MoE with attention sinks.
+
+No reference counterpart (SURVEY.md §2 row 5); model-family addition
+pinned against HuggingFace GptOssForCausalLM (tests/test_hf_parity.py).
+
+Architecture facts reproduced here:
+- GQA attention with q/k/v/o biases and a learned per-head SINK logit:
+  softmax runs over [scores, sink] and the sink column is dropped, so
+  the sink only soaks probability mass out of the real positions.
+- Alternating sliding/full layers: layer_types puts sliding_attention
+  on even layers, full_attention on odd — config.sliding_window_pattern
+  2 in this framework's convention (global iff (i+1) % 2 == 0).
+- YaRN rope (ops.rope_freqs "yarn" + rope_attention_factor).
+- MoE FFN on EVERY layer: router logits WITH bias -> top-k -> softmax
+  over the selected logits; experts use a fused gate_up weight with
+  biases and the clamped GLU activation
+  (up+1) * gate * sigmoid(1.702*gate), gate<=7, |up|<=7. The loader
+  de-interleaves HF's even/odd gate_up columns into separate slots.
+
+TPU-native expert regimes mirror models/moe.py: decode gathers only the
+k selected experts' weights+biases (k=4 of E=128 — 32x less HBM
+traffic); prefill computes the dense masked einsum.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from turboinfer_tpu.config import ModelConfig
+from turboinfer_tpu.kernels import ops
+from turboinfer_tpu.models.common import (KVCache, decode_kv, encode_kv,
+                                          init_cache, param_bytes,  # noqa: F401
+                                          param_count, reset_cache)
+
+
+def init_params(rng: jax.Array, config: ModelConfig,
+                dtype=None) -> Dict[str, Any]:
+    if config.num_experts <= 0:
+        raise ValueError("gpt_oss model needs config.num_experts > 0")
+    dtype = dtype or config.dtype
+    H, V, L = config.hidden_size, config.vocab_size, config.num_layers
+    QD, KVD = config.q_dim, config.kv_dim
+    E, F = config.num_experts, config.ffn_dim
+    nH = config.num_heads
+    key = iter(jax.random.split(rng, 24))
+
+    def w(shape, fan_in):
+        return (jax.random.normal(next(key), shape, jnp.float32)
+                * (1.0 / jnp.sqrt(fan_in))).astype(dtype)
+
+    def b(shape):
+        return (0.02 * jax.random.normal(next(key), shape)).astype(dtype)
+
+    params = {
+        "embed": w((V, H), H),
+        "layers": {
+            "attn_norm": jnp.ones((L, H), dtype),
+            "ffn_norm": jnp.ones((L, H), dtype),
+            "wq": w((L, H, QD), H), "b_q": b((L, QD)),
+            "wk": w((L, H, KVD), H), "b_k": b((L, KVD)),
+            "wv": w((L, H, KVD), H), "b_v": b((L, KVD)),
+            "wo": w((L, QD, H), QD), "b_o": b((L, H)),
+            "sinks": b((L, nH)),
+            "router": w((L, H, E), H),
+            "router_bias": b((L, E)),
+            "we_gate": w((L, E, H, F), H), "be_gate": b((L, E, F)),
+            "we_up": w((L, E, H, F), H), "be_up": b((L, E, F)),
+            "we_down": w((L, E, F, H), F), "be_down": b((L, E, H)),
+        },
+        "final_norm": jnp.ones((H,), dtype),
+        "lm_head": w((H, V), H),
+    }
+    if config.tie_embeddings:
+        params["lm_head"] = params["embed"].T
+    return params
+
+
+def _glu(gate: jax.Array, up: jax.Array) -> jax.Array:
+    """GPT-OSS clamped GLU: (up+1) * gate * sigmoid(1.702*gate)."""
+    gate = jnp.clip(gate, None, 7.0)
+    up = jnp.clip(up, -7.0, 7.0)
+    return (up + 1.0) * gate * jax.nn.sigmoid(1.702 * gate)
+
+
+def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any],
+             li) -> jax.Array:
+    """Router (+bias) top-k, softmax over selected logits, biased
+    experts with the clamped GLU. h [B,S,H] -> [B,S,H]."""
+    E, k = config.num_experts, config.experts_per_token
+    B, S, _ = h.shape
+
+    def w1(name):
+        w = lw[name]
+        if li is not None:
+            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        return w
+
+    hf = h.astype(jnp.float32)
+    logits = (jnp.einsum("bsh,he->bse", hf,
+                         w1("router").astype(jnp.float32))
+              + w1("router_bias").astype(jnp.float32))
+    top_v, top_i = jax.lax.top_k(logits, k)               # [B, S, k]
+    gates = jax.nn.softmax(top_v, axis=-1)
+
+    if B * S * k < E:
+        # Decode: gather only the selected experts' weights + biases.
+        def flat(name):
+            w = lw[name]
+            if li is not None:
+                return w.reshape((-1,) + w.shape[2:])
+            return w
+        idx = top_i if li is None else li * E + top_i     # [B, S, k]
+        ge = lambda n: jnp.take(flat(n), idx, axis=0)
+        g = (jnp.einsum("bsh,bskhf->bskf", h, ge("we_gate"))
+             + ge("be_gate").astype(h.dtype))
+        u = (jnp.einsum("bsh,bskhf->bskf", h, ge("we_up"))
+             + ge("be_up").astype(h.dtype))
+        act = _glu(g.astype(jnp.float32), u.astype(jnp.float32))
+        out_e = (jnp.einsum("bskf,bskfh->bskh", act.astype(h.dtype),
+                            ge("we_down")).astype(jnp.float32)
+                 + ge("be_down").astype(jnp.float32))
+        out = jnp.einsum("bskh,bsk->bsh", out_e, gates)
+    else:
+        onehot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)
+        mix = jnp.einsum("bsk,bske->bse", gates, onehot)  # [B, S, E]
+        g = (jnp.einsum("bsh,ehf->bsef", h, w1("we_gate"))
+             + w1("be_gate").astype(h.dtype))
+        u = (jnp.einsum("bsh,ehf->bsef", h, w1("we_up"))
+             + w1("be_up").astype(h.dtype))
+        act = _glu(g.astype(jnp.float32), u.astype(jnp.float32))
+        out_e = (jnp.einsum("bsef,efh->bseh", act.astype(h.dtype),
+                            w1("we_down")).astype(jnp.float32)
+                 + w1("be_down").astype(jnp.float32)[None, None])
+        out = jnp.einsum("bseh,bse->bsh", out_e, mix)
+    return out.astype(h.dtype)
+
+
+def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
+               k_cache, v_cache, start, kv_len):
+    """GQA attention with per-head sink logits and the per-layer
+    sliding/full window. k_cache/v_cache: [B, Hkv, T, D] (this layer).
+    Returns (out [B,S,QD], k_cache', v_cache')."""
+    B, S, _ = h.shape
+    nH, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
+
+    def w1(name):
+        w = lw[name]
+        if li is not None:
+            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        return w
+
+    from turboinfer_tpu.models.llama import qkv_proj
+    q, k, v = qkv_proj(h, lw, li, B, S, nH, Hkv, D, config)
+    q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode,
+                       scaling=config.rope_scaling)
+    k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode,
+                       scaling=config.rope_scaling)
+
+    def write_one(cache_b, new_b, start_b):
+        return jax.lax.dynamic_update_slice(
+            cache_b, encode_kv(new_b.transpose(1, 0, 2), cache_b.dtype),
+            (0, start_b, 0))
+    k_cache = jax.vmap(write_one)(k_cache, k, start)
+    v_cache = jax.vmap(write_one)(v_cache, v, start)
+
+    kf = decode_kv(k_cache, jnp.float32)                  # [B,Hkv,T,D]
+    vf = decode_kv(v_cache, jnp.float32)
+    G = nH // Hkv
+    T = kf.shape[2]
+    qf = q.astype(jnp.float32).transpose(0, 2, 1, 3)      # [B,nH,S,D]
+    qf = qf.reshape(B, Hkv, G, S, D)
+    scores = jnp.einsum("bhgsd,bhtd->bhgst", qf, kf) * (D ** -0.5)
+
+    tpos = jnp.arange(T, dtype=jnp.int32)[None, None, None, None, :]
+    qpos = positions[:, None, None, :, None]
+    mask = (tpos <= qpos) & (tpos < kv_len[:, None, None, None, None])
+    # Per-layer window: layer is GLOBAL iff (gli+1) % pattern == 0.
+    pattern = config.sliding_window_pattern
+    if config.sliding_window is not None:
+        win_mask = tpos > qpos - config.sliding_window
+        if pattern and pattern > 1:
+            is_global = (li + 1) % pattern == 0
+            win_mask = jnp.where(is_global, True, win_mask)
+        mask = mask & win_mask
+    scores = jnp.where(mask, scores, -1e30)
+
+    # Sink: one extra logit per head in the softmax, then dropped.
+    sinks = w1("sinks").astype(jnp.float32).reshape(Hkv, G)
+    sinks = jnp.broadcast_to(sinks[None, :, :, None, None],
+                             (B, Hkv, G, S, 1))
+    combined = jnp.concatenate([scores, sinks], axis=-1)
+    probs = jax.nn.softmax(combined, axis=-1)[..., :-1]   # drop sink
+    out = jnp.einsum("bhgst,bhtd->bhgsd", probs, vf)
+    out = out.reshape(B, nH, S, D).transpose(0, 2, 1, 3)
+    return out.reshape(B, S, nH * D).astype(h.dtype), k_cache, v_cache
+
+
+def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
+                   kv_len, layer_index=None):
+    li = layer_index
+
+    def w1(name):
+        w = lw[name]
+        if li is not None:
+            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        return w
+
+    h = ops.rms_norm(x, w1("attn_norm"), config.rms_norm_eps)
+    attn, k_cache, v_cache = _attention(config, h, lw, li, positions,
+                                        k_cache, v_cache, start, kv_len)
+    attn = ops.qmatmul(attn, lw["wo"], layer_index=li) \
+        + w1("b_o").astype(x.dtype)
+    x = x + attn
+    h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
+    x = x + _moe_ffn(config, h, lw, li)
+    return x, k_cache, v_cache
+
+
+def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
+            cache: KVCache, *, positions: Optional[jax.Array] = None,
+            seq_lens: Optional[jax.Array] = None
+            ) -> Tuple[jax.Array, KVCache]:
+    """Same contract as llama.forward."""
+    B, S = tokens.shape
+    start = cache.length
+    if positions is None:
+        positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    if seq_lens is None:
+        seq_lens = jnp.full((B,), S, jnp.int32)
+    kv_len = start + seq_lens
+
+    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    layers = params["layers"]
+
+    def body(carry, i):
+        x, kf, vf = carry
+        k1 = jax.lax.dynamic_index_in_dim(kf, i, 0, keepdims=False)
+        v1 = jax.lax.dynamic_index_in_dim(vf, i, 0, keepdims=False)
+        x, k1, v1 = _layer_forward(config, x, layers, positions, k1, v1,
+                                   start, kv_len, layer_index=i)
+        kf = jax.lax.dynamic_update_index_in_dim(kf, k1, i, 0)
+        vf = jax.lax.dynamic_update_index_in_dim(vf, v1, i, 0)
+        return (x, kf, vf), None
+
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        jnp.arange(config.num_layers, dtype=jnp.int32))
+
+    x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
+    return logits.astype(jnp.float32), KVCache(k=k_new, v=v_new,
+                                               length=kv_len)
+
+
+def forward_no_cache(params, config, tokens, seq_lens=None) -> jax.Array:
+    B, S = tokens.shape
+    cache = init_cache(config, B, max_seq=S)
+    logits, _ = forward(params, config, tokens, cache, seq_lens=seq_lens)
+    return logits

@@ -137,9 +137,45 @@ def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any],
         probs = jax.nn.softmax(logits, axis=-1)
         gates, top_i = jax.lax.top_k(probs, k)            # raw probs
 
+    out = expert_mix(config, h, lw, gates, top_i, layer_index=li)
+
+    if "ws_gate" in lw:                                   # shared expert
+        s = ops.swiglu(ops.qmatmul(h, lw["ws_gate"], layer_index=li),
+                       ops.qmatmul(h, lw["ws_up"], layer_index=li))
+        s = ops.qmatmul(s.astype(h.dtype), lw["ws_down"], layer_index=li)
+        sg = jax.nn.sigmoid(
+            ops.qmatmul(h, lw["shared_gate"], layer_index=li,
+                        preferred_dtype=jnp.float32))     # [B, S, 1]
+        out = out + sg * s.astype(jnp.float32)
+    return out.astype(h.dtype)
+
+
+def expert_mix(config: ModelConfig, h: jax.Array, lw: Dict[str, Any],
+               gates: jax.Array, top_i: jax.Array,
+               layer_index=None) -> jax.Array:
+    """Gate-weighted sum of the selected experts' SwiGLU outputs.
+
+    gates/top_i: [B, S, k] float32 mixing weights and expert ids (any
+    gating convention — Mixtral/Qwen renormalized or raw softmax,
+    DeepSeek sigmoid+scaled). lw holds we_gate/we_up/we_down, stacked
+    [L, E, ...] with `layer_index`, per-layer [E, ...] otherwise.
+    Returns float32 [B, S, H]. Three regimes (all exact): quantized
+    flat-stack qmm, few-token weight gather, dense masked einsum — see
+    _moe_ffn for when each wins.
+    """
+    E, k = config.num_experts, config.experts_per_token
+    li = layer_index
+    B, S, _ = h.shape
+
+    def w1(name):
+        w = lw[name]
+        if li is not None:
+            return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+        return w
+
     if isinstance(lw["we_gate"], QTensor):
-        out = _expert_ffn_quant(config, h, lw, li, gates, top_i)
-    elif B * S * k < E:
+        return _expert_ffn_quant(config, h, lw, li, gates, top_i)
+    if B * S * k < E:
         # Decode fast path: gather the k selected experts per token.
         wg, wu, wd = lw["we_gate"], lw["we_up"], lw["we_down"]
         if li is not None:
@@ -156,28 +192,17 @@ def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any],
         act = ops.swiglu(g, u)
         out_e = jnp.einsum("bskf,bskfh->bskh", act.astype(h.dtype),
                            jnp.take(wd, idx, axis=0))
-        out = jnp.einsum("bskh,bsk->bsh", out_e.astype(jnp.float32),
-                         gates)
-    else:
-        # Scatter top-k gates into a dense [B, S, E] mixing vector.
-        onehot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)
-        mix = jnp.einsum("bsk,bske->bse", gates, onehot)  # [B, S, E]
-        g = jnp.einsum("bsh,ehf->bsef", h, w1("we_gate"))
-        u = jnp.einsum("bsh,ehf->bsef", h, w1("we_up"))
-        act = ops.swiglu(g, u)
-        out_e = jnp.einsum("bsef,efh->bseh", act.astype(h.dtype),
-                           w1("we_down"))
-        out = jnp.einsum("bseh,bse->bsh", out_e.astype(jnp.float32), mix)
-
-    if "ws_gate" in lw:                                   # shared expert
-        s = ops.swiglu(ops.qmatmul(h, lw["ws_gate"], layer_index=li),
-                       ops.qmatmul(h, lw["ws_up"], layer_index=li))
-        s = ops.qmatmul(s.astype(h.dtype), lw["ws_down"], layer_index=li)
-        sg = jax.nn.sigmoid(
-            ops.qmatmul(h, lw["shared_gate"], layer_index=li,
-                        preferred_dtype=jnp.float32))     # [B, S, 1]
-        out = out + sg * s.astype(jnp.float32)
-    return out.astype(h.dtype)
+        return jnp.einsum("bskh,bsk->bsh", out_e.astype(jnp.float32),
+                          gates)
+    # Scatter top-k gates into a dense [B, S, E] mixing vector.
+    onehot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)
+    mix = jnp.einsum("bsk,bske->bse", gates, onehot)      # [B, S, E]
+    g = jnp.einsum("bsh,ehf->bsef", h, w1("we_gate"))
+    u = jnp.einsum("bsh,ehf->bsef", h, w1("we_up"))
+    act = ops.swiglu(g, u)
+    out_e = jnp.einsum("bsef,efh->bseh", act.astype(h.dtype),
+                       w1("we_down"))
+    return jnp.einsum("bseh,bse->bsh", out_e.astype(jnp.float32), mix)
 
 
 def _flat_expert_qt(qt: QTensor) -> QTensor:

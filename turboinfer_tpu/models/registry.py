@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from turboinfer_tpu.models import gpt2, llama, moe, neox
+from turboinfer_tpu.models import deepseek, gpt2, gptoss, llama, moe, neox
 from turboinfer_tpu.utils.errors import ConfigError
 
 _REGISTRY = {
@@ -34,6 +34,9 @@ _REGISTRY = {
     "qwen2_moe": moe,      # + shared expert, raw-softmax top-k gates
     "qwen3_moe": moe,      # + per-head q/k RMSNorm
     "moe": moe,
+    "deepseek_v2": deepseek,   # MLA + softmax/group-limited routing
+    "deepseek_v3": deepseek,   # MLA + sigmoid/bias-corrected routing
+    "gpt_oss": gptoss,         # attention sinks + biased clamped-GLU MoE
 }
 
 
