@@ -103,3 +103,33 @@ def test_continuous_scheduler_serves(ds_params, ds_cfg):
     while sched.pending:
         sched.step()
     assert [1, 5, 9, 20] + sched.get_request(rid).out_tokens == list(want)
+
+
+def test_deepseek_quantization(ds_params, ds_cfg):
+    """MLA + MoE quantization: attention/lora/shared stacks and the
+    4-D expert stacks quantize (router and wkv_b stay fp — einsum'd /
+    per-head-reshaped); dense_layers group quantizes too; the engine
+    still decodes and logits stay argmax-close."""
+    from turboinfer_tpu.config import QuantizationConfig, QuantType
+    from turboinfer_tpu.core.qtensor import QTensor
+    from turboinfer_tpu.quant.quantizer import quantize_params
+    q = quantize_params(ds_params, QuantizationConfig(
+        type=QuantType.INT8, group_size=16))
+    lw = q["layers"]
+    assert isinstance(lw["wkv_a"], QTensor)
+    assert isinstance(lw["wq_b"], QTensor)
+    assert isinstance(lw["we_gate"], QTensor)
+    assert isinstance(lw["ws_down"], QTensor)
+    assert not isinstance(lw["wkv_b"], QTensor)
+    assert not isinstance(lw["router"], QTensor)
+    dl = q["dense_layers"]
+    assert isinstance(dl["w_gate"], QTensor)
+    assert not isinstance(dl["wkv_b"], QTensor)
+
+    tokens = jnp.asarray([[1, 5, 42, 7]], jnp.int32)
+    want = deepseek.forward_no_cache(ds_params, ds_cfg, tokens)
+    got = deepseek.forward_no_cache(q, ds_cfg, tokens)
+    assert np.mean(np.argmax(np.asarray(got), -1)
+                   == np.argmax(np.asarray(want), -1)) >= 0.75
+    eng = ti.InferenceEngine(q, ds_cfg)
+    assert len(eng.generate([1, 5], 6, temperature=0.0).tokens) == 8

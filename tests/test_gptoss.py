@@ -81,3 +81,18 @@ def test_engine_and_scheduler(go_params, go_cfg):
     while sched.pending:
         sched.step()
     assert [1, 5, 9, 20] + sched.get_request(rid).out_tokens == list(want)
+
+
+def test_gptoss_quantization(go_params, go_cfg):
+    """Attention projections quantize; the biased clamped-GLU experts
+    stay fp (einsum path); engine decodes."""
+    from turboinfer_tpu.config import QuantizationConfig, QuantType
+    from turboinfer_tpu.core.qtensor import QTensor
+    from turboinfer_tpu.quant.quantizer import quantize_params
+    q = quantize_params(go_params, QuantizationConfig(
+        type=QuantType.INT8, group_size=16))
+    assert isinstance(q["layers"]["wq"], QTensor)
+    assert not isinstance(q["layers"]["we_gate"], QTensor)
+    assert not isinstance(q["layers"]["router"], QTensor)
+    eng = ti.InferenceEngine(q, go_cfg)
+    assert len(eng.generate([1, 5], 6, temperature=0.0).tokens) == 8

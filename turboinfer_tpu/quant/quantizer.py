@@ -27,13 +27,18 @@ from turboinfer_tpu.core.qtensor import QTensor, dequantize, quantize
 _ARCH_MATMULS = {
     "llama": ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"),
     "gpt2": ("w_qkv", "wo", "w_fc", "w_proj"),
+    # DeepSeek MLA: wkv_b stays fp (the absorbed-attention math splits
+    # and reshapes it per head, which a packed QTensor can't do); the
+    # router stays fp (f32 einsum, and routing precision matters).
+    "deepseek": ("wkv_a", "wo"),
     "moe": ("wq", "wk", "wv", "wo"),
 }
 _LAYER_MATMULS = _ARCH_MATMULS["llama"]
 _MOE_EXPERT_SLOTS = ("we_gate", "we_up", "we_down")
-# Qwen2-MoE shared expert: plain [L, K, N] stacks (shared_gate's N=1
-# output stays fp — too small to matter).
+# Shared-expert / q-LoRA stacks: plain [L, K, N], quantized when
+# present (shared_gate's N=1 output stays fp — too small to matter).
 _MOE_SHARED_SLOTS = ("ws_gate", "ws_up", "ws_down")
+_DEEPSEEK_OPT_SLOTS = ("wq", "wq_a", "wq_b") + _MOE_SHARED_SLOTS
 
 
 def _matmul_slots(params: Dict[str, Any]) -> tuple:
@@ -43,6 +48,9 @@ def _matmul_slots(params: Dict[str, Any]) -> tuple:
         if all(s in layers for s in slots):
             if arch == "moe":
                 slots += tuple(s for s in _MOE_SHARED_SLOTS
+                               if s in layers)
+            elif arch == "deepseek":
+                slots += tuple(s for s in _DEEPSEEK_OPT_SLOTS
                                if s in layers)
             return slots
     return tuple(k for k, v in layers.items()
@@ -105,10 +113,23 @@ def quantize_params(params: Dict[str, Any], cfg: QuantizationConfig
     layers = dict(params["layers"])
     for name in _matmul_slots(params):
         layers[name] = _quantize_stacked(layers[name], cfg)
-    for name in _MOE_EXPERT_SLOTS:
-        w = layers.get(name)
-        if w is not None and not isinstance(w, QTensor) and w.ndim == 4:
-            layers[name] = _quantize_experts(w, cfg)
+    # GPT-OSS experts carry biases and a custom GLU computed by einsum
+    # (models/gptoss._moe_ffn) — those stay fp; marker: be_gate slot.
+    if "be_gate" not in layers:
+        for name in _MOE_EXPERT_SLOTS:
+            w = layers.get(name)
+            if w is not None and not isinstance(w, QTensor) and w.ndim == 4:
+                layers[name] = _quantize_experts(w, cfg)
+    # DeepSeek first_k_dense_replace group: every [kd, K, N] matmul
+    # stack quantizes (norms are rank-2, nothing einsum-only lives here).
+    dense = params.get("dense_layers")
+    if isinstance(dense, dict):
+        dense = dict(dense)
+        for name, w in list(dense.items()):
+            if (not isinstance(w, QTensor) and hasattr(w, "ndim")
+                    and w.ndim == 3 and name != "wkv_b"):
+                dense[name] = _quantize_stacked(w, cfg)
+        out["dense_layers"] = dense
     out["layers"] = layers
     head = params["lm_head"]
     if cfg.skip_embeddings or isinstance(head, QTensor) or head.ndim != 2:
