@@ -540,3 +540,43 @@ def test_gpt_oss_yarn_parity():
     config, *_ = _check(model, cfg, S=40)
     d = dict(config.rope_scaling)
     assert d["rope_type"] == "yarn" and d["factor"] == 8.0
+
+
+def test_olmoe_parity():
+    """OLMoE: WHOLE-projection q/k RMSNorm (pre-reshape, all heads
+    jointly — unlike Qwen3's per-head norm), raw-softmax top-k gates."""
+    torch.manual_seed(22)
+    cfg = transformers.OlmoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, num_experts=4, num_experts_per_tok=2,
+        norm_topk_prob=False, clip_qkv=None,
+        max_position_embeddings=64, attn_implementation="eager")
+    model = transformers.OlmoeForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.architecture == "olmoe" and config.qk_norm
+    assert not config.norm_topk_prob
+    assert params["layers"]["q_norm"].shape == (2, 64)   # whole width
+    assert params["layers"]["k_norm"].shape == (2, 32)   # Hkv*D
+    from turboinfer_tpu.models import moe
+    _decode_check(config, params, tokens, want, mod=moe)
+
+
+def test_granite_parity():
+    """Granite 3.x: embedding/residual multipliers, attention_multiplier
+    as the raw score scale, logits divided by logits_scaling."""
+    torch.manual_seed(23)
+    cfg = transformers.GraniteConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=64,
+        embedding_multiplier=12.0, residual_multiplier=0.22,
+        attention_multiplier=0.0078125, logits_scaling=8.0,
+        attn_implementation="eager")
+    model = transformers.GraniteForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg)
+    assert config.architecture == "granite"
+    assert config.embedding_multiplier == 12.0
+    assert config.attn_scale == 0.0078125
+    assert config.logits_scaling == 8.0
+    _decode_check(config, params, tokens, want)

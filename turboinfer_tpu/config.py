@@ -100,6 +100,12 @@ class ModelConfig:
     qk_nope_head_dim: int = 128
     qk_rope_head_dim: int = 64
     v_head_dim: int = 128
+    # Granite scaling knobs (None = off): embeddings * m, each residual
+    # branch * m, final logits / m. attention_multiplier maps onto
+    # attn_scale.
+    embedding_multiplier: Optional[float] = None
+    residual_multiplier: Optional[float] = None
+    logits_scaling: Optional[float] = None
     # q/k/v projection biases (Qwen2 / Qwen2.5).
     attn_bias: bool = False
     # Per-head RMSNorm on q and k before RoPE (Qwen3, Gemma3).

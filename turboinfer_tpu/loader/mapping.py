@@ -1194,6 +1194,10 @@ def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
         sliding, pattern = None, None    # every layer full attention
 
     qpas = hf.get("query_pre_attn_scalar")
+    # Granite: attention_multiplier IS the score scale (not **-0.5).
+    attn_scale = float(qpas) ** -0.5 if qpas else None
+    if hf.get("attention_multiplier") is not None:
+        attn_scale = float(hf["attention_multiplier"])
     return ModelConfig(
         vocab_size=int(hf.get("vocab_size", 32000)),
         hidden_size=hidden,
@@ -1219,7 +1223,7 @@ def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
         tie_embeddings=bool(hf.get("tie_word_embeddings", is_gemma)),
         attn_bias=bool(hf.get("attention_bias",
                               arch in ("qwen2", "qwen2_moe"))),
-        qk_norm=arch in ("qwen3", "qwen3_moe", "gemma3"),
+        qk_norm=arch in ("qwen3", "qwen3_moe", "gemma3", "olmoe"),
         # MoE (mixtral / qwen2_moe / qwen3_moe). Mixtral renormalizes
         # the top-k gates; Qwen2-MoE defaults to raw softmax probs.
         num_experts=int(hf.get("num_local_experts",
@@ -1228,12 +1232,15 @@ def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
         moe_intermediate_size=hf.get("moe_intermediate_size"),
         shared_expert_size=hf.get("shared_expert_intermediate_size"),
         norm_topk_prob=bool(hf.get("norm_topk_prob",
-                                   arch != "qwen2_moe")),
+                                   arch not in ("qwen2_moe", "olmoe"))),
         scale_embeddings=is_gemma,
         norm_offset=is_gemma,
         hidden_act="gelu" if is_gemma else "silu",
         post_norms=arch in ("gemma2", "gemma3"),
-        attn_scale=(float(qpas) ** -0.5 if qpas else None),
+        attn_scale=attn_scale,
+        embedding_multiplier=hf.get("embedding_multiplier"),
+        residual_multiplier=hf.get("residual_multiplier"),
+        logits_scaling=hf.get("logits_scaling"),
         attn_logit_softcap=hf.get("attn_logit_softcapping"),
         final_logit_softcap=hf.get("final_logit_softcapping"),
         name=str(hf.get("_name_or_path", arch)) or arch,

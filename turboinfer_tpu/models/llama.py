@@ -109,11 +109,23 @@ def qkv_proj(h, lw, li, B, S, Hq, Hkv, D, config=None):
     q = _add_lora(q, h, lw, "wq", li)
     k = _add_lora(k, h, lw, "wk", li)
     v = _add_lora(v, h, lw, "wv", li)
+    whole_norm = False
+    if "q_norm" in lw and config is not None and config.qk_norm:
+        # OLMoE normalizes the WHOLE q/k projection (weight [Hq*D],
+        # all heads jointly, pre-reshape); Qwen3/Gemma3 normalize
+        # per head (weight [D]). Distinguish by the weight's width.
+        off = 1.0 if config.norm_offset else 0.0
+        qw = _slot_w(lw, "q_norm", li)
+        whole_norm = qw.shape[-1] == Hq * D
+        if whole_norm:
+            q = ops.rms_norm(q, qw, config.rms_norm_eps, off)
+            k = ops.rms_norm(k, _slot_w(lw, "k_norm", li),
+                             config.rms_norm_eps, off)
     q = q.reshape(B, S, Hq, D)
     k = k.reshape(B, S, Hkv, D)
     v = v.reshape(B, S, Hkv, D)
-    if "q_norm" in lw and config is not None and config.qk_norm:
-        off = 1.0 if config.norm_offset else 0.0
+    if ("q_norm" in lw and config is not None and config.qk_norm
+            and not whole_norm):
         q = ops.rms_norm(q, _slot_w(lw, "q_norm", li),
                          config.rms_norm_eps, off)
         k = ops.rms_norm(k, _slot_w(lw, "k_norm", li),
@@ -335,6 +347,9 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         ops.qmatmul(attn, lw["wo"], layer_index=li), attn, lw, "wo", li)
     if config.post_norms:
         attn_out = norm(attn_out, "post_attn_norm")
+    if config.residual_multiplier:                 # Granite
+        attn_out = attn_out * jnp.asarray(config.residual_multiplier,
+                                          attn_out.dtype)
     x = x + attn_out
 
     h = norm(x, "ffn_norm")
@@ -344,6 +359,9 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         ops.qmatmul(g, lw["w_down"], layer_index=li), g, lw, "w_down", li)
     if config.post_norms:
         ffn_out = norm(ffn_out, "post_ffn_norm")
+    if config.residual_multiplier:
+        ffn_out = ffn_out * jnp.asarray(config.residual_multiplier,
+                                        ffn_out.dtype)
     x = x + ffn_out
     return x, k_cache, v_cache
 
@@ -376,6 +394,8 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
         # Gemma multiplies embeddings by sqrt(H) ROUNDED to the model
         # dtype (HF casts the normalizer to the activation dtype).
         x = x * jnp.asarray(config.hidden_size ** 0.5, config.dtype)
+    if config.embedding_multiplier:                # Granite
+        x = x * jnp.asarray(config.embedding_multiplier, config.dtype)
 
     # Cache rides the scan CARRY and is updated in place at layer i via
     # dynamic_update_index. Passing it through scan xs/ys instead makes
@@ -425,6 +445,8 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
     logits = ops.apply_softcap(logits.astype(jnp.float32),
                                config.final_logit_softcap)
+    if config.logits_scaling:                      # Granite: logits / m
+        logits = logits / config.logits_scaling
     return logits, KVCache(k=k_new, v=v_new, length=kv_len)
 
 
@@ -477,6 +499,8 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
                  axis=0).astype(config.dtype)                   # [B, 1, H]
     if config.scale_embeddings:
         x = x * jnp.asarray(config.hidden_size ** 0.5, config.dtype)
+    if config.embedding_multiplier:                # Granite
+        x = x * jnp.asarray(config.embedding_multiplier, config.dtype)
     off = 1.0 if config.norm_offset else 0.0
     layers = params["layers"]
     was_fp8 = k_pages.dtype == jnp.float8_e4m3fn
@@ -528,6 +552,9 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
             attn_out = ops.rms_norm(attn_out,
                                     norm_w(layers["post_attn_norm"], i),
                                     config.rms_norm_eps, off)
+        if config.residual_multiplier:             # Granite
+            attn_out = attn_out * jnp.asarray(config.residual_multiplier,
+                                              attn_out.dtype)
         x = x + attn_out
 
         h = ops.rms_norm(x, norm_w(layers["ffn_norm"], i),
@@ -537,6 +564,9 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
             ffn_out = ops.rms_norm(ffn_out,
                                    norm_w(layers["post_ffn_norm"], i),
                                    config.rms_norm_eps, off)
+        if config.residual_multiplier:
+            ffn_out = ffn_out * jnp.asarray(config.residual_multiplier,
+                                            ffn_out.dtype)
         x = x + ffn_out
 
         return (x, kp_full, vp_full), None
@@ -551,6 +581,8 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
     logits = ops.apply_softcap(logits.astype(jnp.float32),
                                config.final_logit_softcap)
+    if config.logits_scaling:                      # Granite: logits / m
+        logits = logits / config.logits_scaling
     return logits[:, 0], k_new, v_new
 
 

@@ -25,6 +25,7 @@ _REGISTRY = {
     "gemma": llama,        # + embed scale, (1+w) norms, GeGLU
     "gemma2": llama,       # + sandwich norms, softcaps, alternating window
     "gemma3": llama,       # + qk-norm, local/global RoPE bases
+    "granite": llama,      # + embedding/residual/attention/logits scalers
     "gpt2": gpt2,
     "gpt_neox": neox,
     "phi": neox,
@@ -33,6 +34,7 @@ _REGISTRY = {
     "mixtral": moe,
     "qwen2_moe": moe,      # + shared expert, raw-softmax top-k gates
     "qwen3_moe": moe,      # + per-head q/k RMSNorm
+    "olmoe": moe,          # + whole-projection q/k RMSNorm, raw gates
     "moe": moe,
     "deepseek_v2": deepseek,   # MLA + softmax/group-limited routing
     "deepseek_v3": deepseek,   # MLA + sigmoid/bias-corrected routing
