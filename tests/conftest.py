@@ -25,6 +25,22 @@ import turboinfer_tpu as ti  # noqa: E402
 from turboinfer_tpu.models import llama  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables at module boundaries.
+
+    Each jitted program holds LLVM JIT code pages (mmap regions); with
+    20 model families the full suite compiles thousands of programs and
+    blows past vm.max_map_count late in the run (LLVM 'Cannot allocate
+    memory' → segfault, seen in the serve tests). Module-scoped
+    fixtures never outlive the module, so clearing here is safe and
+    keeps the per-process mapping count bounded."""
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def tiny_cfg():
     """The canonical synthetic fixture (reference:

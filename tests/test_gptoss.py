@@ -96,3 +96,30 @@ def test_gptoss_quantization(go_params, go_cfg):
     assert not isinstance(q["layers"]["router"], QTensor)
     eng = ti.InferenceEngine(q, go_cfg)
     assert len(eng.generate([1, 5], 6, temperature=0.0).tokens) == 8
+
+
+def test_gptoss_gather_matches_dense(go_cfg, go_params):
+    """The decode weight-gather regime (B*S*k < E) must agree with the
+    dense masked einsum, biases included: same token alone vs inside a
+    longer row."""
+    lw = {k: v[0] for k, v in go_params["layers"].items()}
+    h = jnp.asarray(np.random.RandomState(5).randn(1, 4, 64), jnp.float32)
+    dense = gptoss._moe_ffn(go_cfg, h, lw, None)       # 4*2 >= 4
+    single = gptoss._moe_ffn(go_cfg, h[:, :1], lw, None)  # 1*2 < 4
+    np.testing.assert_allclose(np.asarray(single[:, 0]),
+                               np.asarray(dense[:, 0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gptoss_gather_stacked_layer_index(go_cfg, go_params):
+    """Stacked weights + traced layer_index (the decode scan) equal the
+    per-layer-slice call for every layer."""
+    layers = go_params["layers"]
+    h = jnp.asarray(np.random.RandomState(6).randn(1, 1, 64), jnp.float32)
+    for i in range(go_cfg.num_layers):
+        lw_i = {k: v[i] for k, v in layers.items()}
+        want = gptoss._moe_ffn(go_cfg, h, lw_i, None)
+        got = jax.jit(lambda li: gptoss._moe_ffn(
+            go_cfg, h, layers, li))(jnp.int32(i))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

@@ -580,3 +580,33 @@ def test_granite_parity():
     assert config.attn_scale == 0.0078125
     assert config.logits_scaling == 8.0
     _decode_check(config, params, tokens, want)
+
+
+def test_deepseek_v3_yarn_parity():
+    """Released DeepSeek checkpoints ship YaRN rope_scaling: NTK-by-
+    parts freqs + attention-factor on cos/sin + mscale^2 on the softmax
+    scale. Positions beyond original_max_position_embeddings exercise
+    the interpolated bands."""
+    torch.manual_seed(24)
+    cfg = transformers.DeepseekV3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=None, kv_lora_rank=32, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        n_group=2, topk_group=1, routed_scaling_factor=2.5,
+        norm_topk_prob=True, first_k_dense_replace=1,
+        rope_theta=10000.0,
+        rope_scaling={"rope_type": "yarn", "factor": 8.0,
+                      "beta_fast": 32.0, "beta_slow": 1.0,
+                      "mscale": 1.0, "mscale_all_dim": 1.0,
+                      "original_max_position_embeddings": 16},
+        max_position_embeddings=128, attn_implementation="eager")
+    model = transformers.DeepseekV3ForCausalLM(cfg)
+    config, params, tokens, want = _check(model, cfg, S=40)
+    d = dict(config.rope_scaling)
+    assert d["rope_type"] == "yarn" and d["mscale_all_dim"] == 1.0
+    from turboinfer_tpu.models import deepseek
+    assert deepseek._softmax_scale(config) != (16 + 8) ** -0.5
+    _deepseek_decode_check(config, params, tokens, want)

@@ -1127,6 +1127,12 @@ def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
         v3 = arch == "deepseek_v3"
         n_shared = hf.get("n_shared_experts")
         moe_inter = int(hf.get("moe_intermediate_size", 1024))
+        ds_scaling: Tuple[Tuple[str, Any], ...] = ()
+        rs = hf.get("rope_scaling")
+        if isinstance(rs, dict):
+            ds_scaling = tuple(sorted(
+                (str(k), v) for k, v in rs.items()
+                if isinstance(v, (str, int, float))))
         return ModelConfig(
             vocab_size=int(hf.get("vocab_size", 102400)),
             hidden_size=int(hf.get("hidden_size", 4096)),
@@ -1137,6 +1143,7 @@ def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
             intermediate_size=hf.get("intermediate_size"),
             rope_theta=float(hf.get("rope_theta", 10000.0)),
             rope_mode=RopeMode.INTERLEAVED,
+            rope_scaling=ds_scaling,
             rms_norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
             max_seq_len=int(hf.get("max_position_embeddings", 4096)),
             tie_embeddings=bool(hf.get("tie_word_embeddings", False)),

@@ -53,6 +53,21 @@ def _dims(config: ModelConfig):
     return nH, dn, dr, dv, lr
 
 
+def _softmax_scale(config: ModelConfig) -> float:
+    """qk_head_dim**-0.5, times the YaRN mscale^2 correction when the
+    checkpoint ships rope_scaling with mscale_all_dim (HF
+    DeepseekV2/V3Attention.__init__ — every released DeepSeek does)."""
+    import math
+    scale = (config.qk_nope_head_dim + config.qk_rope_head_dim) ** -0.5
+    d = dict(config.rope_scaling)
+    mad = float(d.get("mscale_all_dim", 0) or 0)
+    factor = float(d.get("factor", 1.0))
+    if mad and factor > 1:
+        mscale = 0.1 * mad * math.log(factor) + 1.0
+        scale = scale * mscale * mscale
+    return scale
+
+
 # ---------------------------------------------------------------------------
 # Params
 # ---------------------------------------------------------------------------
@@ -217,15 +232,16 @@ def _mla_attention(config: ModelConfig, h: jax.Array, lw, li,
     q = q.reshape(B, S, nH, dn + dr)
     q_nope, q_pe = q[..., :dn], q[..., dn:]
     q_pe = ops.apply_rope(q_pe, positions, config.rope_theta,
-                          RopeMode.INTERLEAVED)
+                          RopeMode.INTERLEAVED,
+                          scaling=config.rope_scaling)
 
     # Latent + shared rope key.
     ckv = ops.qmatmul(h, lw["wkv_a"], layer_index=li)     # [B,S,lr+dr]
     c_lat = ops.rms_norm(ckv[..., :lr], w1("kv_a_norm"),
                          config.rms_norm_eps)
     k_pe = ops.apply_rope(ckv[..., lr:][:, :, None, :], positions,
-                          config.rope_theta,
-                          RopeMode.INTERLEAVED)[:, :, 0]  # [B,S,dr]
+                          config.rope_theta, RopeMode.INTERLEAVED,
+                          scaling=config.rope_scaling)[:, :, 0]  # [B,S,dr]
 
     # Cache write at [start, start+S).
     def write_one(cache_b, new_b, start_b):
@@ -233,18 +249,23 @@ def _mla_attention(config: ModelConfig, h: jax.Array, lw, li,
             cache_b, new_b[None].astype(cache_b.dtype), (0, start_b, 0))
     c_cache = jax.vmap(write_one)(c_cache, c_lat, start)
     pe_cache = jax.vmap(write_one)(pe_cache, k_pe, start)
-    c_all = c_cache[:, 0].astype(jnp.float32)             # [B,T,lr]
-    pe_all = pe_cache[:, 0].astype(jnp.float32)           # [B,T,dr]
+    # Native-dtype operands with f32 accumulation: never materialize an
+    # f32 copy of the latent cache (or of wkv_b) inside the layer scan.
+    cdt = c_cache.dtype
+    c_all = c_cache[:, 0]                                 # [B,T,lr]
+    pe_all = pe_cache[:, 0]                               # [B,T,dr]
 
     # Absorb q_nope through the k-half of kv_b.
-    wkv_b = w1("wkv_b").astype(jnp.float32).reshape(lr, nH, dn + dv)
+    wkv_b = w1("wkv_b").reshape(lr, nH, dn + dv)
     w_kc, w_vc = wkv_b[..., :dn], wkv_b[..., dn:]         # [lr,nH,*]
-    q_abs = jnp.einsum("bsnd,rnd->bsnr", q_nope.astype(jnp.float32),
-                       w_kc)                              # [B,S,nH,lr]
-    scores = (jnp.einsum("bsnr,btr->bnst", q_abs, c_all)
-              + jnp.einsum("bsnd,btd->bnst",
-                           q_pe.astype(jnp.float32), pe_all))
-    scores = scores * ((dn + dr) ** -0.5)
+    q_abs = jnp.einsum("bsnd,rnd->bsnr", q_nope.astype(cdt),
+                       w_kc.astype(cdt),
+                       preferred_element_type=jnp.float32)
+    scores = (jnp.einsum("bsnr,btr->bnst", q_abs.astype(cdt), c_all,
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bsnd,btd->bnst", q_pe.astype(cdt), pe_all,
+                           preferred_element_type=jnp.float32))
+    scores = scores * _softmax_scale(config)
 
     T = c_all.shape[1]
     tpos = jnp.arange(T, dtype=jnp.int32)[None, None, None, :]
@@ -253,8 +274,11 @@ def _mla_attention(config: ModelConfig, h: jax.Array, lw, li,
     scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
 
-    lat_out = jnp.einsum("bnst,btr->bsnr", probs, c_all)  # [B,S,nH,lr]
-    attn = jnp.einsum("bsnr,rnd->bsnd", lat_out, w_vc)    # [B,S,nH,dv]
+    lat_out = jnp.einsum("bnst,btr->bsnr", probs.astype(cdt), c_all,
+                         preferred_element_type=jnp.float32)
+    attn = jnp.einsum("bsnr,rnd->bsnd", lat_out.astype(cdt),
+                      w_vc.astype(cdt),
+                      preferred_element_type=jnp.float32)
     return attn.reshape(B, S, nH * dv).astype(h.dtype), c_cache, pe_cache
 
 

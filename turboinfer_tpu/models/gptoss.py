@@ -20,6 +20,15 @@ Architecture facts reproduced here:
 TPU-native expert regimes mirror models/moe.py: decode gathers only the
 k selected experts' weights+biases (k=4 of E=128 — 32x less HBM
 traffic); prefill computes the dense masked einsum.
+
+Known perf limitations (correctness-first jnp attention; the sink
+column blocks direct reuse of the flash/decode kernels):
+- prefill materializes [B, heads, S, T] scores — long-context prefill
+  should chunk or grow a sink-aware flash kernel (sinks are expressible
+  as an lse renormalization, exp(sink - lse) mass removal);
+- decode slices the per-layer KV from the stacked cache in the scan
+  body rather than flowing the stacked cache through a sink-aware
+  decode kernel (see CLAUDE.md for why that matters at long T).
 """
 
 from __future__ import annotations
