@@ -133,3 +133,21 @@ def test_deepseek_quantization(ds_params, ds_cfg):
                    == np.argmax(np.asarray(want), -1)) >= 0.75
     eng = ti.InferenceEngine(q, ds_cfg)
     assert len(eng.generate([1, 5], 6, temperature=0.0).tokens) == 8
+
+
+def test_streaming_attention_multi_chunk(ds_params, ds_cfg):
+    """Attention streams the latent cache in chunks; a cache sized for
+    multiple chunks (T=128 -> 2x64) must give the same logits as a
+    single-chunk cache (T=32)."""
+    tokens = jnp.asarray([[7, 23, 301, 5, 99, 42]], jnp.int32)
+    c1 = deepseek.init_cache(ds_cfg, 1, max_seq=32)
+    c2 = deepseek.init_cache(ds_cfg, 1, max_seq=128)
+    l1, c1 = deepseek.forward(ds_params, ds_cfg, tokens, c1)
+    l2, c2 = deepseek.forward(ds_params, ds_cfg, tokens, c2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-5, atol=1e-5)
+    nxt = jnp.argmax(l1[:, -1:], -1).astype(jnp.int32)
+    d1, _ = deepseek.forward(ds_params, ds_cfg, nxt, c1)
+    d2, _ = deepseek.forward(ds_params, ds_cfg, nxt, c2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-5, atol=1e-5)

@@ -123,3 +123,21 @@ def test_gptoss_gather_stacked_layer_index(go_cfg, go_params):
             go_cfg, h, layers, li))(jnp.int32(i))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_multi_chunk_matches_single(go_cfg, go_params):
+    """A cache spanning multiple streaming chunks (T=128 -> 2x64) gives
+    the same logits as a single-chunk cache — the sink initialization
+    and running-softmax rescaling must be chunk-count invariant."""
+    tokens = jnp.asarray([[7, 23, 200, 5, 99, 42, 3, 150]], jnp.int32)
+    c1 = gptoss.init_cache(go_cfg, 1, max_seq=64)
+    c2 = gptoss.init_cache(go_cfg, 1, max_seq=128)
+    l1, c1 = gptoss.forward(go_params, go_cfg, tokens, c1)
+    l2, c2 = gptoss.forward(go_params, go_cfg, tokens, c2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-5, atol=1e-5)
+    nxt = jnp.argmax(l1[:, -1:], -1).astype(jnp.int32)
+    d1, _ = gptoss.forward(go_params, go_cfg, nxt, c1)
+    d2, _ = gptoss.forward(go_params, go_cfg, nxt, c2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-5, atol=1e-5)

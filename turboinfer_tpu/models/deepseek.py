@@ -261,21 +261,52 @@ def _mla_attention(config: ModelConfig, h: jax.Array, lw, li,
     q_abs = jnp.einsum("bsnd,rnd->bsnr", q_nope.astype(cdt),
                        w_kc.astype(cdt),
                        preferred_element_type=jnp.float32)
-    scores = (jnp.einsum("bsnr,btr->bnst", q_abs.astype(cdt), c_all,
-                         preferred_element_type=jnp.float32)
-              + jnp.einsum("bsnd,btd->bnst", q_pe.astype(cdt), pe_all,
-                           preferred_element_type=jnp.float32))
-    scores = scores * _softmax_scale(config)
 
+    # Streaming (online-softmax) attention over key chunks: scores for
+    # one [B, nH, S, C] chunk at a time — never a [B, nH, S, T] tensor,
+    # so prefill memory is bounded at any context length (V3's 128
+    # heads at S=T=4k would otherwise materialize ~8.6 GB of scores).
+    # Exact (flash-style running max/sum rescaling), same numerics as
+    # the direct softmax.
     T = c_all.shape[1]
-    tpos = jnp.arange(T, dtype=jnp.int32)[None, None, None, :]
-    qpos = positions[:, None, :, None]
-    mask = (tpos <= qpos) & (tpos < kv_len[:, None, None, None])
-    scores = jnp.where(mask, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1)
+    scale = _softmax_scale(config)
+    C = T
+    for cand in (512, 256, 128, 64):
+        if T % cand == 0:
+            C = cand
+            break
+    qpos = positions[:, None, :, None]                    # [B,1,S,1]
+    q_abs_n = q_abs.astype(cdt)
+    q_pe_n = q_pe.astype(cdt)
 
-    lat_out = jnp.einsum("bnst,btr->bsnr", probs.astype(cdt), c_all,
-                         preferred_element_type=jnp.float32)
+    def chunk(carry, ci):
+        m, l, acc = carry
+        ck = jax.lax.dynamic_slice_in_dim(c_all, ci * C, C, 1)
+        pk = jax.lax.dynamic_slice_in_dim(pe_all, ci * C, C, 1)
+        s = (jnp.einsum("bsnr,btr->bnst", q_abs_n, ck,
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum("bsnd,btd->bnst", q_pe_n, pk,
+                          preferred_element_type=jnp.float32)) * scale
+        tpos = (ci * C + jnp.arange(C, dtype=jnp.int32)
+                )[None, None, None, :]
+        ok = (tpos <= qpos) & (tpos < kv_len[:, None, None, None])
+        s = jnp.where(ok, s, -1e30)
+        m2 = jnp.maximum(m, s.max(-1))                    # [B,nH,S]
+        w = jnp.exp(s - m2[..., None])
+        corr = jnp.exp(m - m2)
+        l = l * corr + w.sum(-1)
+        acc = (acc * corr[..., None]
+               + jnp.einsum("bnst,btr->bnsr", w.astype(cdt), ck,
+                            preferred_element_type=jnp.float32))
+        return (m2, l, acc), None
+
+    m0 = jnp.full((B, nH, S), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, nH, S), jnp.float32)
+    a0 = jnp.zeros((B, nH, S, lr), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(
+        chunk, (m0, l0, a0), jnp.arange(T // C, dtype=jnp.int32))
+    lat_out = (acc / l[..., None]).transpose(0, 2, 1, 3)  # [B,S,nH,lr]
+
     attn = jnp.einsum("bsnr,rnd->bsnd", lat_out.astype(cdt),
                       w_vc.astype(cdt),
                       preferred_element_type=jnp.float32)

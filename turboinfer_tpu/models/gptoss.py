@@ -21,14 +21,13 @@ TPU-native expert regimes mirror models/moe.py: decode gathers only the
 k selected experts' weights+biases (k=4 of E=128 — 32x less HBM
 traffic); prefill computes the dense masked einsum.
 
-Known perf limitations (correctness-first jnp attention; the sink
-column blocks direct reuse of the flash/decode kernels):
-- prefill materializes [B, heads, S, T] scores — long-context prefill
-  should chunk or grow a sink-aware flash kernel (sinks are expressible
-  as an lse renormalization, exp(sink - lse) mass removal);
-- decode slices the per-layer KV from the stacked cache in the scan
-  body rather than flowing the stacked cache through a sink-aware
-  decode kernel (see CLAUDE.md for why that matters at long T).
+Attention streams the KV cache in chunks with an online softmax whose
+initial running max IS the sink logit (exact — see _attention), so
+memory stays bounded at any context length and fp8 caches decode per
+chunk. Remaining perf follow-up: decode still slices the per-layer KV
+from the stacked cache in the scan body rather than flowing the
+stacked cache through a sink-aware Pallas decode kernel (see CLAUDE.md
+for why that matters at long T).
 """
 
 from __future__ import annotations
@@ -175,34 +174,59 @@ def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
     k_cache = jax.vmap(write_one)(k_cache, k, start)
     v_cache = jax.vmap(write_one)(v_cache, v, start)
 
-    kf = decode_kv(k_cache, jnp.float32)                  # [B,Hkv,T,D]
-    vf = decode_kv(v_cache, jnp.float32)
+    # Streaming (online-softmax) attention over key chunks: one
+    # [B, Hkv, G, S, C] score block at a time — never a full [..., T]
+    # tensor, and the (possibly fp8) cache decodes per chunk instead of
+    # wholesale. The SINK is exact: softmax([scores, sink]) with the
+    # sink dropped equals online softmax initialized with running
+    # max m0 = sink, sum l0 = 1 (= exp(sink - m0)), empty accumulator.
     G = nH // Hkv
-    T = kf.shape[2]
-    qf = q.astype(jnp.float32).transpose(0, 2, 1, 3)      # [B,nH,S,D]
-    qf = qf.reshape(B, Hkv, G, S, D)
-    scores = jnp.einsum("bhgsd,bhtd->bhgst", qf, kf) * (D ** -0.5)
-
-    tpos = jnp.arange(T, dtype=jnp.int32)[None, None, None, None, :]
+    T = k_cache.shape[2]
+    cdt = q.dtype
+    qf = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, S, D)
+    scale = D ** -0.5
+    C = T
+    for cand in (512, 256, 128, 64):
+        if T % cand == 0:
+            C = cand
+            break
     qpos = positions[:, None, None, :, None]
-    mask = (tpos <= qpos) & (tpos < kv_len[:, None, None, None, None])
-    # Per-layer window: layer is GLOBAL iff (gli+1) % pattern == 0.
     pattern = config.sliding_window_pattern
-    if config.sliding_window is not None:
-        win_mask = tpos > qpos - config.sliding_window
-        if pattern and pattern > 1:
-            is_global = (li + 1) % pattern == 0
-            win_mask = jnp.where(is_global, True, win_mask)
-        mask = mask & win_mask
-    scores = jnp.where(mask, scores, -1e30)
+    is_global = ((li + 1) % pattern == 0) if (pattern and pattern > 1
+                                             ) else False
 
-    # Sink: one extra logit per head in the softmax, then dropped.
+    def chunk(carry, ci):
+        m, l, acc = carry
+        kc = decode_kv(jax.lax.dynamic_slice_in_dim(k_cache, ci * C, C,
+                                                    2), cdt)
+        vc = decode_kv(jax.lax.dynamic_slice_in_dim(v_cache, ci * C, C,
+                                                    2), cdt)
+        s = jnp.einsum("bhgsd,bhtd->bhgst", qf, kc,
+                       preferred_element_type=jnp.float32) * scale
+        tpos = (ci * C + jnp.arange(C, dtype=jnp.int32)
+                )[None, None, None, None, :]
+        ok = (tpos <= qpos) & (tpos < kv_len[:, None, None, None, None])
+        if config.sliding_window is not None:
+            win = tpos > qpos - config.sliding_window
+            ok = ok & jnp.where(is_global, True, win)
+        s = jnp.where(ok, s, -1e30)
+        m2 = jnp.maximum(m, s.max(-1))
+        w = jnp.exp(s - m2[..., None])
+        corr = jnp.exp(m - m2)
+        l = l * corr + w.sum(-1)
+        acc = (acc * corr[..., None]
+               + jnp.einsum("bhgst,bhtd->bhgsd", w.astype(cdt), vc,
+                            preferred_element_type=jnp.float32))
+        return (m2, l, acc), None
+
     sinks = w1("sinks").astype(jnp.float32).reshape(Hkv, G)
-    sinks = jnp.broadcast_to(sinks[None, :, :, None, None],
-                             (B, Hkv, G, S, 1))
-    combined = jnp.concatenate([scores, sinks], axis=-1)
-    probs = jax.nn.softmax(combined, axis=-1)[..., :-1]   # drop sink
-    out = jnp.einsum("bhgst,bhtd->bhgsd", probs, vf)
+    m0 = jnp.broadcast_to(sinks[None, :, :, None],
+                          (B, Hkv, G, S)).astype(jnp.float32)
+    l0 = jnp.ones((B, Hkv, G, S), jnp.float32)
+    a0 = jnp.zeros((B, Hkv, G, S, D), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(
+        chunk, (m0, l0, a0), jnp.arange(T // C, dtype=jnp.int32))
+    out = acc / l[..., None]
     out = out.reshape(B, nH, S, D).transpose(0, 2, 1, 3)
     return out.reshape(B, S, nH * D).astype(h.dtype), k_cache, v_cache
 
