@@ -151,3 +151,23 @@ def test_streaming_attention_multi_chunk(ds_params, ds_cfg):
     d2, _ = deepseek.forward(ds_params, ds_cfg, nxt, c2)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_deepseek_tp_sharding(ds_cfg, ds_params):
+    """MLA head-sharded TP + expert-parallel specs on the virtual mesh
+    must match the unsharded forward."""
+    from turboinfer_tpu.parallel import mesh as pmesh, shardings
+    n = min(len(jax.devices()), 2)
+    if n < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = pmesh.make_mesh((1, n), devices=jax.devices()[:n])
+    sharded = shardings.shard_params(
+        ds_params, mesh, specs=shardings.deepseek_param_specs())
+    tokens = jnp.asarray([[1, 5, 42, 7]], jnp.int32)
+    want = deepseek.forward_no_cache(ds_params, ds_cfg, tokens)
+    with mesh:
+        got = jax.jit(
+            lambda p, t: deepseek.forward_no_cache(p, ds_cfg, t))(
+            sharded, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

@@ -178,3 +178,58 @@ def shard_cache(cache, mesh: Mesh):
     return KVCache(k=jax.device_put(cache.k, ns),
                    v=jax.device_put(cache.v, ns),
                    length=jax.device_put(cache.length, len_ns))
+
+
+def deepseek_param_specs(tp: str = TP_AXIS) -> Dict[str, Any]:
+    """Specs for models/deepseek.py (MLA + MoE).
+
+    MLA tensor parallelism shards the HEAD dimension: wq/wq_b and
+    wkv_b column-shard (their outputs split by head), wo row-shards
+    (psum combine). The latent projections (wkv_a, kv_a_norm) and the
+    compressed cache replicate — the latent is shared by every head and
+    tiny (kv_lora_rank + rope dims per token), so each chip attends its
+    head slice against the full latent with no collective. Experts
+    shard over `tp` (EP) exactly like moe_param_specs; shared experts
+    use classic column/row TP."""
+    attn = {
+        "attn_norm": P(None, None),
+        "ffn_norm": P(None, None),
+        "kv_a_norm": P(None, None),
+        "wkv_a": P(None, None, None),
+        "wkv_b": P(None, None, tp),
+        "wo": P(None, tp, None),
+    }
+    qslots = {"wq": P(None, None, tp),
+              "wq_a": P(None, None, None),
+              "q_a_norm": P(None, None),
+              "wq_b": P(None, None, tp)}
+    layers = dict(attn, **qslots)
+    layers.update({
+        "router": P(None, None, None),
+        "router_bias": P(None, None),
+        "we_gate": P(None, tp, None, None),
+        "we_up": P(None, tp, None, None),
+        "we_down": P(None, tp, None, None),
+        "ws_gate": P(None, None, tp),
+        "ws_up": P(None, None, tp),
+        "ws_down": P(None, tp, None),
+    })
+    dense = dict(attn, **qslots)
+    dense.update({
+        "w_gate": P(None, None, tp),
+        "w_up": P(None, None, tp),
+        "w_down": P(None, tp, None),
+    })
+    return {
+        "embed": P(None, None),
+        "layers": layers,
+        "dense_layers": dense,
+        "final_norm": P(None),
+        "lm_head": P(None, tp),
+    }
+
+
+def deepseek_cache_spec(data: str = DATA_AXIS) -> P:
+    """Compressed latent cache [L, B, 1, T, lr]: batch over data, the
+    latent replicated over tp (head-independent)."""
+    return P(None, data, None, None, None)
