@@ -98,3 +98,32 @@ def test_validation_errors(models):
     with pytest.raises(ValueError, match="max_seq"):
         speculative_generate(params_t, cfg_t, params_d, cfg_d, [[1, 2]],
                              max_new_tokens=10_000)
+
+
+def test_cross_family_moe_target_llama_draft():
+    """A Mixtral-family target with a tiny dense llama draft: greedy
+    speculative output must be token-identical to plain greedy decode
+    of the MoE target alone (lossless across model families)."""
+    import jax.numpy as jnp
+    from turboinfer_tpu.config import ModelConfig
+    from turboinfer_tpu.models import moe
+    cfg_t = ModelConfig(vocab_size=500, hidden_size=64, num_layers=2,
+                        num_heads=4, num_kv_heads=2,
+                        intermediate_size=96, max_seq_len=128,
+                        architecture="mixtral", num_experts=4,
+                        experts_per_token=2, dtype=jnp.float32)
+    cfg_d = tiny_config(vocab_size=500, hidden_size=64, num_layers=1,
+                        num_heads=2, num_kv_heads=2,
+                        intermediate_size=64, max_seq_len=128,
+                        dtype=jnp.float32)
+    params_t = moe.init_params(jax.random.PRNGKey(0), cfg_t)
+    params_d = llama.init_params(jax.random.PRNGKey(1), cfg_d)
+
+    icfg = InferenceConfig(temperature=0.0, eos_token_id=-1, seed=0)
+    eng = ti.InferenceEngine(params_t, cfg_t, icfg)
+    want = eng.generate([1, 5, 9, 20], 16, temperature=0.0).tokens
+    res = speculative_generate(params_t, cfg_t, params_d, cfg_d,
+                               [[1, 5, 9, 20]], max_new_tokens=16, k=4,
+                               config=icfg)
+    assert res.tokens[0] == list(want)
+    assert 0.0 <= res.acceptance_rate <= 1.0
