@@ -1,0 +1,96 @@
+"""Cross-family engine feature matrix: every newly-added architecture
+must support the full engine surface (greedy, batch, beam search,
+logprobs, structured JSON decoding), not just plain generate."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import turboinfer_tpu as ti
+from turboinfer_tpu.config import ModelConfig
+from turboinfer_tpu.models import registry
+
+
+def _mk(arch):
+    common = dict(vocab_size=400, hidden_size=64, num_layers=2,
+                  num_heads=4, num_kv_heads=2, intermediate_size=96,
+                  max_seq_len=96, dtype=jnp.float32, architecture=arch)
+    if arch == "mixtral":
+        cfg = ModelConfig(num_experts=4, experts_per_token=2, **common)
+    elif arch == "qwen2_moe":
+        cfg = ModelConfig(num_experts=4, experts_per_token=2,
+                          moe_intermediate_size=48, shared_expert_size=64,
+                          norm_topk_prob=False, attn_bias=True, **common)
+    elif arch == "deepseek_v3":
+        cfg = ModelConfig(num_experts=4, experts_per_token=2,
+                          moe_intermediate_size=32, shared_expert_size=32,
+                          scoring_func="sigmoid", topk_method="noaux_tc",
+                          n_group=2, topk_group=1,
+                          routed_scaling_factor=2.5,
+                          first_k_dense_replace=1, kv_lora_rank=32,
+                          q_lora_rank=48, qk_nope_head_dim=16,
+                          qk_rope_head_dim=8, v_head_dim=16, **common)
+    elif arch == "gpt_oss":
+        cfg = ModelConfig(num_experts=4, experts_per_token=2,
+                          head_dim=16, attn_bias=True, sliding_window=8,
+                          sliding_window_pattern=2, **common)
+    else:
+        cfg = ModelConfig(**common)
+    mod = registry.get_model(arch)
+    params = mod.init_params(jax.random.PRNGKey(7), cfg)
+    return params, cfg
+
+
+ARCHS = ["mixtral", "qwen2_moe", "deepseek_v3", "gpt_oss", "granite"]
+
+
+@pytest.fixture(scope="module", params=ARCHS)
+def fam(request):
+    from turboinfer_tpu.tokenizer.bpe import BuiltinTokenizer
+    params, cfg = _mk(request.param)
+    icfg = ti.InferenceConfig(eos_token_id=-1)
+    tok = BuiltinTokenizer(vocab_size=cfg.vocab_size)
+    return ti.InferenceEngine(params, cfg, icfg, tokenizer=tok), \
+        request.param
+
+
+def test_generate_batch(fam):
+    eng, arch = fam
+    outs = eng.generate_batch([[1, 5, 9], [2, 7], [3, 3, 3, 3]], 6,
+                              temperature=0.0)
+    assert len(outs) == 3
+    for p, o in zip([[1, 5, 9], [2, 7], [3, 3, 3, 3]], outs):
+        assert o.tokens[:len(p)] == p
+        assert len(o.tokens) == len(p) + 6
+        # batched result must equal the single-prompt greedy result
+        assert o.tokens == eng.generate(p, 6, temperature=0.0).tokens
+
+
+def test_beam_search(fam):
+    eng, arch = fam
+    greedy = eng.generate([1, 5, 9], 8, temperature=0.0)
+    beam = eng.generate_beam_search([1, 5, 9], 8, beam_size=4)
+    assert len(beam.tokens) == 11
+    g = sum(eng.compute_logprobs(greedy.tokens)[3:])
+    b = sum(eng.compute_logprobs(beam.tokens)[3:])
+    assert b >= g - 1e-3     # beam never scores below greedy
+
+
+def test_logprobs_consistency(fam):
+    eng, arch = fam
+    toks = [1, 5, 9, 20, 4]
+    lps = eng.compute_logprobs(toks)
+    assert len(lps) == len(toks)
+    assert all(lp <= 0.0 or np.isnan(lp) for lp in lps[1:])
+
+
+def test_structured_json(fam):
+    import json
+    eng, arch = fam
+    res = eng.generate_structured([1, 5], 48, temperature=0.0)
+    out = eng.detokenize(res.tokens[2:]) if hasattr(eng, "detokenize") \
+        else None
+    # the token filter guarantees a valid JSON prefix; finished outputs
+    # parse. At minimum the call must run and produce tokens.
+    assert len(res.tokens) > 2
