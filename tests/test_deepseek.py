@@ -171,3 +171,62 @@ def test_deepseek_tp_sharding(ds_cfg, ds_params):
             sharded, tokens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_deepseek_paged_decode_matches_contiguous(ds_cfg, ds_params):
+    """Paged latent pools (block-table streaming) must reproduce the
+    contiguous compressed-cache logits trajectory."""
+    from turboinfer_tpu.engine import paged_cache as pc
+    B, page, n_pages = 2, 8, 12
+    cfg, params = ds_cfg, ds_params
+    prompt_len = 5
+    cache = deepseek.init_cache(cfg, B, max_seq=32)
+    rng = np.random.RandomState(7)
+    prompt = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, prompt_len)),
+                         jnp.int32)
+    logits_c, cache = deepseek.forward(params, cfg, prompt, cache)
+    tok_c = jnp.argmax(logits_c[:, -1], -1).astype(jnp.int32)
+
+    pcache = pc.init_paged_cache(cfg, B, num_pages=n_pages,
+                                 page_size=page, max_seq=32)
+    assert pcache.k_pages.shape[-1] == cfg.kv_lora_rank
+    assert pcache.v_pages.shape[-1] == cfg.qk_rope_head_dim
+    alloc = pc.PageAllocator(n_pages)
+    for b in range(B):
+        pcache = pc.assign_pages(pcache, b, alloc.alloc(4))
+    for t in range(prompt_len):
+        pcache = pc.append_token(pcache, cache.k[:, :, :, t],
+                                 cache.v[:, :, :, t])
+    tok_p = tok_c
+    for _step in range(5):
+        logits_p, kp, vp = deepseek.forward_paged_decode(
+            params, cfg, tok_p, pcache.k_pages, pcache.v_pages,
+            pcache.block_table, pcache.lengths)
+        pcache = pcache._replace(k_pages=kp, v_pages=vp,
+                                 lengths=pcache.lengths + 1)
+        logits_c, cache = deepseek.forward(params, cfg, tok_c[:, None],
+                                           cache)
+        np.testing.assert_allclose(np.asarray(logits_p),
+                                   np.asarray(logits_c[:, 0]),
+                                   rtol=2e-4, atol=2e-4)
+        tok_p = jnp.argmax(logits_p, -1).astype(jnp.int32)
+        tok_c = jnp.argmax(logits_c[:, -1], -1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(tok_p),
+                                      np.asarray(tok_c))
+
+
+def test_deepseek_paged_scheduler_serves(ds_cfg, ds_params):
+    """DeepSeek under the paged continuous scheduler (incl. prefix
+    caching machinery): greedy outputs equal the plain engine's."""
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    icfg = ti.InferenceConfig(max_seq_len=64)
+    eng = ti.InferenceEngine(ds_params, ds_cfg, icfg)
+    want = eng.generate([1, 5, 9, 20], 8, temperature=0.0).tokens
+    sched = PagedContinuousScheduler(ds_params, ds_cfg, icfg,
+                                     batch_slots=2, page_size=8)
+    rid = sched.submit([1, 5, 9, 20], max_new_tokens=8, temperature=0.0)
+    while sched.pending:
+        sched.step()
+    req = sched.get_request(rid)
+    assert req.finished
+    assert [1, 5, 9, 20] + req.out_tokens == list(want)

@@ -52,11 +52,23 @@ def init_paged_cache(config: ModelConfig, batch_size: int, num_pages: int,
     dtype = dtype or config.dtype
     T = max_seq or config.max_seq_len
     max_pages = -(-T // page_size)
-    shape = (config.num_layers, num_pages, config.kv_heads, page_size,
-             config.head_dim_)
+    if config.kv_lora_rank:
+        # MLA (DeepSeek): pages hold the compressed latent (k pool,
+        # D=kv_lora_rank) and the shared rope key (v pool,
+        # D=qk_rope_head_dim), one "head" each — the pools are
+        # asymmetric and ~70x smaller than per-head K/V.
+        if dtype == jnp.uint8:          # fp8 latents unsupported
+            dtype = config.dtype
+        kshape = (config.num_layers, num_pages, 1, page_size,
+                  config.kv_lora_rank)
+        vshape = (config.num_layers, num_pages, 1, page_size,
+                  config.qk_rope_head_dim)
+    else:
+        kshape = vshape = (config.num_layers, num_pages, config.kv_heads,
+                           page_size, config.head_dim_)
     return PagedKVCache(
-        k_pages=jnp.zeros(shape, dtype),
-        v_pages=jnp.zeros(shape, dtype),
+        k_pages=jnp.zeros(kshape, dtype),
+        v_pages=jnp.zeros(vshape, dtype),
         block_table=jnp.full((batch_size, max_pages), -1, jnp.int32),
         lengths=jnp.zeros((batch_size,), jnp.int32))
 
@@ -229,6 +241,7 @@ def gather_sequence(cache: PagedKVCache, max_seq: int
     """Materialize contiguous [L, B, Hkv, max_seq, D] k/v from pages
     (reference path; the Pallas kernel will read pages directly)."""
     L, P, Hkv, page, D = cache.k_pages.shape
+    Dv = cache.v_pages.shape[-1]          # may differ (MLA latent pools)
     n_pages = max_seq // page
     table = jnp.clip(cache.block_table[:, :n_pages], 0, P - 1)  # [B, n]
 
@@ -237,7 +250,7 @@ def gather_sequence(cache: PagedKVCache, max_seq: int
         k = cache.k_pages[:, t]          # [L, n, Hkv, page, D]
         v = cache.v_pages[:, t]
         k = k.transpose(0, 2, 1, 3, 4).reshape(L, Hkv, n_pages * page, D)
-        v = v.transpose(0, 2, 1, 3, 4).reshape(L, Hkv, n_pages * page, D)
+        v = v.transpose(0, 2, 1, 3, 4).reshape(L, Hkv, n_pages * page, Dv)
         return k, v
 
     ks, vs = jax.vmap(per_seq, out_axes=1)(table)   # [L, B, Hkv, T, D]

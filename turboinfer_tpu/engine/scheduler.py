@@ -626,7 +626,12 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         page = self.page
         pre = m * page
         n_new = S_suf // page
-        L, Hkv, D = cfg.num_layers, cfg.kv_heads, cfg.head_dim_
+        L = cfg.num_layers
+        # Pool dims come from the pools themselves: the k and v pools
+        # may be asymmetric (MLA latent + rope-key pools, Hkv=1).
+        Hkv = self.cache.k_pages.shape[2]
+        Dk = self.cache.k_pages.shape[4]
+        Dv = self.cache.v_pages.shape[4]
 
         @functools.partial(jax.jit, donate_argnums=(5, 6))
         def prefill(params, tokens, seq_len, shared_ids, new_ids, k_pages,
@@ -641,9 +646,9 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                 kpre = k_pages[:, shared_ids].transpose(0, 2, 1, 3, 4)
                 vpre = v_pages[:, shared_ids].transpose(0, 2, 1, 3, 4)
                 k = k.at[:, :, :, :pre].set(
-                    kpre.reshape(L, 1, Hkv, pre, D).astype(k.dtype))
+                    kpre.reshape(L, 1, Hkv, pre, Dk).astype(k.dtype))
                 v = v.at[:, :, :, :pre].set(
-                    vpre.reshape(L, 1, Hkv, pre, D).astype(v.dtype))
+                    vpre.reshape(L, 1, Hkv, pre, Dv).astype(v.dtype))
                 length = jnp.full_like(length, pre)
             small = type(small)(k=k, v=v, length=length)
             suf_len = seq_len - pre
@@ -660,8 +665,8 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             first_lp = sampling.token_logprob(logits[0, idx] + bias_row[0],
                                               first)
             # [L,1,Hkv,n_new*page,D] suffix region -> [L,n_new,Hkv,page,D]
-            kn = small.k[:, 0, :, pre:].reshape(L, Hkv, n_new, page, D)
-            vn = small.v[:, 0, :, pre:].reshape(L, Hkv, n_new, page, D)
+            kn = small.k[:, 0, :, pre:].reshape(L, Hkv, n_new, page, Dk)
+            vn = small.v[:, 0, :, pre:].reshape(L, Hkv, n_new, page, Dv)
             k_pages = k_pages.at[:, new_ids].set(
                 kn.transpose(0, 2, 1, 3, 4).astype(k_pages.dtype))
             v_pages = v_pages.at[:, new_ids].set(

@@ -396,6 +396,162 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     return logits.astype(jnp.float32), KVCache(k=ck, v=pk, length=kv_len)
 
 
+def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
+                         tokens: jax.Array, k_pages: jax.Array,
+                         v_pages: jax.Array, block_table: jax.Array,
+                         lengths: jax.Array):
+    """One decode step over PAGED latent pools (same contract as
+    llama.forward_paged_decode). k_pages [L, P, 1, page, lr] holds the
+    compressed latent, v_pages [L, P, 1, page, dr] the shared rope key
+    (engine/paged_cache MLA branch). Attention streams the block table
+    page by page with the online softmax; page reads are flat
+    (layer, page) gathers off the stacked pools — only the B needed
+    pages move, never a layer's whole pool."""
+    B = tokens.shape[0]
+    nH, dn, dr, dv, lr = _dims(config)
+    L = config.num_layers
+    kd = config.first_k_dense_replace
+    page = k_pages.shape[3]
+    P = k_pages.shape[1]
+    max_pages = block_table.shape[1]
+    positions = lengths[:, None]                          # [B, 1]
+    kv_len = lengths + 1
+    page_idx = lengths // page
+    offset = lengths % page
+    write_ids = jnp.clip(jnp.take_along_axis(
+        block_table, page_idx[:, None], axis=1)[:, 0], 0, P - 1)
+    cdt = k_pages.dtype
+    scale = _softmax_scale(config)
+
+    x = jnp.take(params["embed"], tokens[:, None],
+                 axis=0).astype(config.dtype)             # [B, 1, H]
+
+    def layer_step(x, kp, vp, lw, li_cache, li_w, dense):
+        def w1(name):
+            return jax.lax.dynamic_index_in_dim(lw[name], li_w, 0,
+                                                keepdims=False)
+        h = ops.rms_norm(x, w1("attn_norm"), config.rms_norm_eps)
+
+        if config.q_lora_rank:
+            qa = ops.qmatmul(h, lw["wq_a"], layer_index=li_w)
+            qa = ops.rms_norm(qa, w1("q_a_norm"), config.rms_norm_eps)
+            q = ops.qmatmul(qa, lw["wq_b"], layer_index=li_w)
+        else:
+            q = ops.qmatmul(h, lw["wq"], layer_index=li_w)
+        q = q.reshape(B, 1, nH, dn + dr)
+        q_nope, q_pe = q[..., :dn], q[..., dn:]
+        q_pe = ops.apply_rope(q_pe, positions, config.rope_theta,
+                              RopeMode.INTERLEAVED,
+                              scaling=config.rope_scaling)
+
+        ckv = ops.qmatmul(h, lw["wkv_a"], layer_index=li_w)
+        c_lat = ops.rms_norm(ckv[..., :lr], w1("kv_a_norm"),
+                             config.rms_norm_eps)
+        k_pe = ops.apply_rope(
+            ckv[..., lr:][:, :, None, :], positions, config.rope_theta,
+            RopeMode.INTERLEAVED,
+            scaling=config.rope_scaling)[:, :, 0]         # [B, 1, dr]
+
+        # Write the new token's latent into each slot's current page.
+        for b in range(B):
+            idx = (li_cache, write_ids[b], 0, offset[b], 0)
+            kp = jax.lax.dynamic_update_slice(
+                kp, c_lat[b][None, None, :, None, :].astype(kp.dtype),
+                idx)
+            vp = jax.lax.dynamic_update_slice(
+                vp, k_pe[b][None, None, :, None, :].astype(vp.dtype),
+                idx)
+
+        wkv_b = w1("wkv_b").reshape(lr, nH, dn + dv)
+        w_kc, w_vc = wkv_b[..., :dn], wkv_b[..., dn:]
+        q_abs = jnp.einsum("bsnd,rnd->bsnr", q_nope.astype(cdt),
+                           w_kc.astype(cdt),
+                           preferred_element_type=jnp.float32
+                           ).astype(cdt)                  # [B,1,nH,lr]
+        q_pe_n = q_pe.astype(cdt)
+
+        kp_flat = kp.reshape((L * P,) + kp.shape[2:])
+        vp_flat = vp.reshape((L * P,) + vp.shape[2:])
+
+        def page_chunk(carry, pi):
+            m, l, acc = carry
+            ids = jnp.clip(block_table[:, pi], 0, P - 1)  # [B]
+            ck = jnp.take(kp_flat, li_cache * P + ids,
+                          axis=0)[:, 0]                   # [B,page,lr]
+            pk = jnp.take(vp_flat, li_cache * P + ids, axis=0)[:, 0]
+            s = (jnp.einsum("bsnr,btr->bnst", q_abs, ck,
+                            preferred_element_type=jnp.float32)
+                 + jnp.einsum("bsnd,btd->bnst", q_pe_n, pk,
+                              preferred_element_type=jnp.float32)
+                 ) * scale                                # [B,nH,1,page]
+            tpos = (pi * page + jnp.arange(page, dtype=jnp.int32)
+                    )[None, None, None, :]
+            ok = tpos < kv_len[:, None, None, None]
+            s = jnp.where(ok, s, -1e30)
+            m2 = jnp.maximum(m, s.max(-1))
+            w = jnp.exp(s - m2[..., None])
+            corr = jnp.exp(m - m2)
+            l = l * corr + w.sum(-1)
+            acc = (acc * corr[..., None]
+                   + jnp.einsum("bnst,btr->bnsr", w.astype(cdt), ck,
+                                preferred_element_type=jnp.float32))
+            return (m2, l, acc), None
+
+        m0 = jnp.full((B, nH, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((B, nH, 1), jnp.float32)
+        a0 = jnp.zeros((B, nH, 1, lr), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(
+            page_chunk, (m0, l0, a0),
+            jnp.arange(max_pages, dtype=jnp.int32))
+        lat_out = (acc / l[..., None]).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bsnr,rnd->bsnd", lat_out.astype(cdt),
+                          w_vc.astype(cdt),
+                          preferred_element_type=jnp.float32)
+        attn = attn.reshape(B, 1, nH * dv).astype(x.dtype)
+        x = x + ops.qmatmul(attn, lw["wo"], layer_index=li_w)
+
+        h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
+        if dense:
+            g = ops.qmatmul(h, lw["w_gate"], layer_index=li_w)
+            u = ops.qmatmul(h, lw["w_up"], layer_index=li_w)
+            ffn = ops.qmatmul(ops.swiglu(g, u).astype(h.dtype),
+                              lw["w_down"], layer_index=li_w)
+            return x + ffn, kp, vp
+        gates, top_i = _route(config, h, w1("router"), w1("router_bias"))
+        out = moe_mod.expert_mix(config, h, lw, gates, top_i,
+                                 layer_index=li_w)
+        if "ws_gate" in lw:
+            s2 = ops.swiglu(
+                ops.qmatmul(h, lw["ws_gate"], layer_index=li_w),
+                ops.qmatmul(h, lw["ws_up"], layer_index=li_w))
+            s2 = ops.qmatmul(s2.astype(h.dtype), lw["ws_down"],
+                             layer_index=li_w)
+            out = out + s2.astype(jnp.float32)
+        return x + out.astype(x.dtype), kp, vp
+
+    kp, vp = k_pages, v_pages
+    if kd:
+        def dense_body(carry, i):
+            x, kp, vp = carry
+            x, kp, vp = layer_step(x, kp, vp, params["dense_layers"],
+                                   i, i, True)
+            return (x, kp, vp), None
+        (x, kp, vp), _ = jax.lax.scan(
+            dense_body, (x, kp, vp), jnp.arange(kd, dtype=jnp.int32))
+
+    def moe_body(carry, i):
+        x, kp, vp = carry
+        x, kp, vp = layer_step(x, kp, vp, params["layers"],
+                               kd + i, i, False)
+        return (x, kp, vp), None
+    (x, kp, vp), _ = jax.lax.scan(
+        moe_body, (x, kp, vp), jnp.arange(L - kd, dtype=jnp.int32))
+
+    x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
+    return logits.astype(jnp.float32)[:, 0], kp, vp
+
+
 def forward_no_cache(params, config, tokens, seq_lens=None) -> jax.Array:
     B, S = tokens.shape
     cache = init_cache(config, B, max_seq=S)
