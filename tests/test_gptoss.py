@@ -141,3 +141,58 @@ def test_streaming_multi_chunk_matches_single(go_cfg, go_params):
     d2, _ = gptoss.forward(go_params, go_cfg, nxt, c2)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_gptoss_paged_decode_matches_contiguous(go_cfg, go_params):
+    """Paged block-table decode with sinks + alternating windows must
+    reproduce the contiguous-cache logits trajectory."""
+    from turboinfer_tpu.engine import paged_cache as pc
+    B, page, n_pages = 2, 8, 12
+    cfg, params = go_cfg, go_params
+    prompt_len = 5
+    cache = gptoss.init_cache(cfg, B, max_seq=32)
+    rng = np.random.RandomState(9)
+    prompt = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, prompt_len)),
+                         jnp.int32)
+    logits_c, cache = gptoss.forward(params, cfg, prompt, cache)
+    tok_c = jnp.argmax(logits_c[:, -1], -1).astype(jnp.int32)
+
+    pcache = pc.init_paged_cache(cfg, B, num_pages=n_pages,
+                                 page_size=page, max_seq=32)
+    alloc = pc.PageAllocator(n_pages)
+    for b in range(B):
+        pcache = pc.assign_pages(pcache, b, alloc.alloc(4))
+    for t in range(prompt_len):
+        pcache = pc.append_token(pcache, cache.k[:, :, :, t],
+                                 cache.v[:, :, :, t])
+    tok_p = tok_c
+    for _step in range(6):      # crosses the sliding window (8)
+        logits_p, kp, vp = gptoss.forward_paged_decode(
+            params, cfg, tok_p, pcache.k_pages, pcache.v_pages,
+            pcache.block_table, pcache.lengths)
+        pcache = pcache._replace(k_pages=kp, v_pages=vp,
+                                 lengths=pcache.lengths + 1)
+        logits_c, cache = gptoss.forward(params, cfg, tok_c[:, None],
+                                         cache)
+        np.testing.assert_allclose(np.asarray(logits_p),
+                                   np.asarray(logits_c[:, 0]),
+                                   rtol=2e-4, atol=2e-4)
+        tok_p = jnp.argmax(logits_p, -1).astype(jnp.int32)
+        tok_c = jnp.argmax(logits_c[:, -1], -1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(tok_p),
+                                      np.asarray(tok_c))
+
+
+def test_gptoss_paged_scheduler_serves(go_cfg, go_params):
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    icfg = ti.InferenceConfig(max_seq_len=64)
+    eng = ti.InferenceEngine(go_params, go_cfg, icfg)
+    want = eng.generate([1, 5, 9, 20], 8, temperature=0.0).tokens
+    sched = PagedContinuousScheduler(go_params, go_cfg, icfg,
+                                     batch_slots=2, page_size=8)
+    rid = sched.submit([1, 5, 9, 20], max_new_tokens=8, temperature=0.0)
+    while sched.pending:
+        sched.step()
+    req = sched.get_request(rid)
+    assert req.finished
+    assert [1, 5, 9, 20] + req.out_tokens == list(want)

@@ -288,6 +288,117 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
                                                length=kv_len)
 
 
+def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
+                         tokens: jax.Array, k_pages: jax.Array,
+                         v_pages: jax.Array, block_table: jax.Array,
+                         lengths: jax.Array):
+    """One decode step over a paged KV cache (same contract as
+    llama.forward_paged_decode) with GPT-OSS attention: per-head sink
+    logits (online-softmax initial state) and the per-layer
+    sliding/full window — both fine over pages, since the window mask
+    is a function of absolute positions which the block table
+    preserves. Page reads are flat (layer, page) gathers."""
+    B = tokens.shape[0]
+    nH, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
+    G = nH // Hkv
+    L = config.num_layers
+    page = k_pages.shape[3]
+    P = k_pages.shape[1]
+    max_pages = block_table.shape[1]
+    positions = lengths[:, None]
+    kv_len = lengths + 1
+    page_idx = lengths // page
+    offset = lengths % page
+    write_ids = jnp.clip(jnp.take_along_axis(
+        block_table, page_idx[:, None], axis=1)[:, 0], 0, P - 1)
+    scale = D ** -0.5
+    pattern = config.sliding_window_pattern
+
+    x = jnp.take(params["embed"], tokens[:, None],
+                 axis=0).astype(config.dtype)
+    layers = params["layers"]
+    cdt = x.dtype
+
+    def body(carry, li):
+        x, kp, vp = carry
+
+        def w1(name):
+            return jax.lax.dynamic_index_in_dim(layers[name], li, 0,
+                                                keepdims=False)
+
+        from turboinfer_tpu.models.llama import qkv_proj
+        h = ops.rms_norm(x, w1("attn_norm"), config.rms_norm_eps)
+        q, k, v = qkv_proj(h, layers, li, B, 1, nH, Hkv, D, config)
+        q = ops.apply_rope(q, positions, config.rope_theta,
+                           config.rope_mode, scaling=config.rope_scaling)
+        k = ops.apply_rope(k, positions, config.rope_theta,
+                           config.rope_mode, scaling=config.rope_scaling)
+
+        for b in range(B):
+            idx = (li, write_ids[b], 0, offset[b], 0)
+            kp = jax.lax.dynamic_update_slice(
+                kp, encode_kv(k[b, 0][None, None, :, None, :], kp.dtype),
+                idx)
+            vp = jax.lax.dynamic_update_slice(
+                vp, encode_kv(v[b, 0][None, None, :, None, :], vp.dtype),
+                idx)
+
+        qf = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, 1, D)
+        is_global = ((li + 1) % pattern == 0) if (pattern and pattern > 1
+                                                 ) else False
+        kp_flat = kp.reshape((L * P,) + kp.shape[2:])
+        vp_flat = vp.reshape((L * P,) + vp.shape[2:])
+        qpos = positions[:, None, None, :, None]
+
+        def page_chunk(carry, pi):
+            m, l, acc = carry
+            ids = jnp.clip(block_table[:, pi], 0, P - 1)
+            kc = decode_kv(jnp.take(kp_flat, li * P + ids, axis=0),
+                           cdt)                           # [B,Hkv,pg,D]
+            vc = decode_kv(jnp.take(vp_flat, li * P + ids, axis=0), cdt)
+            s = jnp.einsum("bhgsd,bhtd->bhgst", qf, kc,
+                           preferred_element_type=jnp.float32) * scale
+            tpos = (pi * page + jnp.arange(page, dtype=jnp.int32)
+                    )[None, None, None, None, :]
+            ok = tpos < kv_len[:, None, None, None, None]
+            if config.sliding_window is not None:
+                win = tpos > qpos - config.sliding_window
+                ok = ok & jnp.where(is_global, True, win)
+            s = jnp.where(ok, s, -1e30)
+            m2 = jnp.maximum(m, s.max(-1))
+            w = jnp.exp(s - m2[..., None])
+            corr = jnp.exp(m - m2)
+            l = l * corr + w.sum(-1)
+            acc = (acc * corr[..., None]
+                   + jnp.einsum("bhgst,bhtd->bhgsd", w.astype(cdt), vc,
+                                preferred_element_type=jnp.float32))
+            return (m2, l, acc), None
+
+        sinks = w1("sinks").astype(jnp.float32).reshape(Hkv, G)
+        m0 = jnp.broadcast_to(sinks[None, :, :, None],
+                              (B, Hkv, G, 1)).astype(jnp.float32)
+        l0 = jnp.ones((B, Hkv, G, 1), jnp.float32)
+        a0 = jnp.zeros((B, Hkv, G, 1, D), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(
+            page_chunk, (m0, l0, a0),
+            jnp.arange(max_pages, dtype=jnp.int32))
+        out = acc / l[..., None]
+        out = out.reshape(B, nH, 1, D).transpose(0, 2, 1, 3)
+        attn = out.reshape(B, 1, nH * D).astype(x.dtype)
+        attn = ops.qmatmul(attn, layers["wo"], layer_index=li) \
+            + w1("b_o").astype(x.dtype)
+        x = x + attn
+        h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
+        x = x + _moe_ffn(config, h, layers, li)
+        return (x, kp, vp), None
+
+    (x, kp, vp), _ = jax.lax.scan(
+        body, (x, k_pages, v_pages), jnp.arange(L, dtype=jnp.int32))
+    x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
+    return logits.astype(jnp.float32)[:, 0], kp, vp
+
+
 def forward_no_cache(params, config, tokens, seq_lens=None) -> jax.Array:
     B, S = tokens.shape
     cache = init_cache(config, B, max_seq=S)
