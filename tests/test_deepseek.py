@@ -230,3 +230,26 @@ def test_deepseek_paged_scheduler_serves(ds_cfg, ds_params):
     req = sched.get_request(rid)
     assert req.finished
     assert [1, 5, 9, 20] + req.out_tokens == list(want)
+
+
+def test_synthetic_quantized_deepseek_fixture():
+    """The packed perf-fixture factory produces a runnable quantized
+    DeepSeek (engine decodes; expert stacks are 4-D QTensors)."""
+    from turboinfer_tpu.config import deepseek_v2_lite_config
+    from turboinfer_tpu.core.qtensor import QTensor
+    from turboinfer_tpu.loader.synthetic import (
+        create_synthetic_quantized_model)
+    cfg = deepseek_v2_lite_config(
+        vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+        intermediate_size=96, moe_intermediate_size=32,
+        shared_expert_size=32, num_experts=8, experts_per_token=2,
+        kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+        v_head_dim=16, max_seq_len=64, dtype=jnp.bfloat16)
+    data = create_synthetic_quantized_model(cfg, bits=4, group_size=16)
+    lw = data.params["layers"]
+    assert isinstance(lw["we_gate"], QTensor)
+    assert lw["we_gate"].data.ndim == 4
+    assert isinstance(data.params["dense_layers"]["w_gate"], QTensor)
+    eng = ti.InferenceEngine(data.params, cfg,
+                             ti.InferenceConfig(eos_token_id=-1))
+    assert len(eng.generate([1, 5], 4, temperature=0.0).tokens) == 6

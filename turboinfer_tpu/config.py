@@ -278,3 +278,21 @@ def mixtral_config(**kw) -> ModelConfig:
                 name="mixtral-8x7b")
     base.update(kw)
     return ModelConfig(**base)
+
+
+def deepseek_v2_lite_config(**kw) -> ModelConfig:
+    """DeepSeek-V2-Lite shape (15.7B total / 2.4B active, MLA + MoE:
+    27 layers, 64 experts top-6 + 2 shared, no q-LoRA)."""
+    base = dict(vocab_size=102400, hidden_size=2048, num_layers=27,
+                num_heads=16, intermediate_size=10944,
+                moe_intermediate_size=1408, shared_expert_size=2816,
+                num_experts=64, experts_per_token=6,
+                norm_topk_prob=False, scoring_func="softmax",
+                topk_method="greedy", routed_scaling_factor=1.0,
+                first_k_dense_replace=1, kv_lora_rank=512,
+                q_lora_rank=None, qk_nope_head_dim=128,
+                qk_rope_head_dim=64, v_head_dim=128, max_seq_len=4096,
+                rope_theta=10000.0, architecture="deepseek_v2",
+                name="deepseek-v2-lite")
+    base.update(kw)
+    return ModelConfig(**base)

@@ -74,6 +74,9 @@ def create_synthetic_quantized_model(config: ModelConfig, bits: int = 4,
         return QTensor(data=data, scales=scales, zero_points=None,
                        bits=bits, group_size=G, shape=(K, N))
 
+    if c.kv_lora_rank:
+        return _synthetic_quantized_deepseek(c, rq, key)
+
     params = {
         "embed": (jax.random.normal(key, (V, H), jnp.float32)
                   * 0.02).astype(jnp.bfloat16),
@@ -110,4 +113,70 @@ def create_synthetic_quantized_model(config: ModelConfig, bits: int = 4,
         params["layers"]["w_down"] = rq(F, H)
     return ModelData(params=params, config=config,
                      tokenizer=BuiltinTokenizer(vocab_size=c.vocab_size),
+                     source_format="synthetic-quantized")
+
+
+def _synthetic_quantized_deepseek(c: ModelConfig, rq, key) -> ModelData:
+    """DeepSeek (MLA + MoE) perf fixture in packed form. Quantized:
+    wq/wq_a/wq_b, wkv_a, wo, experts (4-D stacks), shared experts,
+    and the dense-group matmuls; fp (bf16): router(+bias), wkv_b
+    (per-head reshaped by the absorbed math), norms, embeddings."""
+    import jax.numpy as jnp
+    H, V, L = c.hidden_size, c.vocab_size, c.num_layers
+    nH = c.num_heads
+    dn, dr, dv, lr = (c.qk_nope_head_dim, c.qk_rope_head_dim,
+                      c.v_head_dim, c.kv_lora_rank)
+    E, kd = c.num_experts, c.first_k_dense_replace
+    Lm = L - kd
+    Fm = c.moe_intermediate_size or c.ffn_dim
+    Fd = c.ffn_dim
+
+    def bf(shape, s=0.02):
+        return (s * jax.random.normal(key, shape, jnp.float32)
+                ).astype(jnp.bfloat16)
+
+    def attn(n):
+        g = {
+            "attn_norm": jnp.ones((n, H), jnp.bfloat16),
+            "ffn_norm": jnp.ones((n, H), jnp.bfloat16),
+            "wkv_a": rq(H, lr + dr, lead=(n,)),
+            "kv_a_norm": jnp.ones((n, lr), jnp.bfloat16),
+            "wkv_b": bf((n, lr, nH * (dn + dv))),
+            "wo": rq(nH * dv, H, lead=(n,)),
+        }
+        if c.q_lora_rank:
+            g["wq_a"] = rq(H, c.q_lora_rank, lead=(n,))
+            g["q_a_norm"] = jnp.ones((n, c.q_lora_rank), jnp.bfloat16)
+            g["wq_b"] = rq(c.q_lora_rank, nH * (dn + dr), lead=(n,))
+        else:
+            g["wq"] = rq(H, nH * (dn + dr), lead=(n,))
+        return g
+
+    layers = attn(Lm)
+    layers.update({
+        "router": bf((Lm, H, E)),
+        "router_bias": jnp.zeros((Lm, E), jnp.float32),
+        "we_gate": rq(H, Fm, lead=(Lm, E)),
+        "we_up": rq(H, Fm, lead=(Lm, E)),
+        "we_down": rq(Fm, H, lead=(Lm, E)),
+    })
+    if c.shared_expert_size:
+        Fs = c.shared_expert_size
+        layers["ws_gate"] = rq(H, Fs, lead=(Lm,))
+        layers["ws_up"] = rq(H, Fs, lead=(Lm,))
+        layers["ws_down"] = rq(Fs, H, lead=(Lm,))
+    params = {
+        "embed": bf((V, H)),
+        "layers": layers,
+        "final_norm": jnp.ones((H,), jnp.bfloat16),
+        "lm_head": rq(H, V, lead=()),
+    }
+    if kd:
+        dense = attn(kd)
+        dense["w_gate"] = rq(H, Fd, lead=(kd,))
+        dense["w_up"] = rq(H, Fd, lead=(kd,))
+        dense["w_down"] = rq(Fd, H, lead=(kd,))
+        params["dense_layers"] = dense
+    return ModelData(params=params, config=c,
+                     tokenizer=BuiltinTokenizer(vocab_size=V),
                      source_format="synthetic-quantized")
