@@ -248,3 +248,95 @@ def test_paged_scheduler_fp8_matches_bf16_greedy(tiny_params, tiny_cfg):
     # fp8 rounding may flip a late near-tie; require a long common prefix
     same = sum(1 for x, y in zip(ta, tb) if x == y)
     assert same >= len(ta) - 2, (ta, tb)
+
+
+def test_paged_pallas_kernel_window_softcap_matches_ref():
+    """Windowed + softcapped paged decode kernel (interpret mode) vs the
+    gather-based reference — the window must also hold across page
+    boundaries (window start mid-page, whole pages skipped)."""
+    from turboinfer_tpu.kernels.pallas import paged_attention
+    B, page, n_pages = 2, 8, 8
+    wide = ModelConfig(vocab_size=100, hidden_size=256, num_layers=1,
+                       num_heads=2, num_kv_heads=2, max_seq_len=64,
+                       dtype=jnp.float32)
+    cache = pc.init_paged_cache(wide, B, num_pages=n_pages, page_size=page,
+                                max_seq=64)
+    alloc = pc.PageAllocator(n_pages)
+    pages = alloc.alloc(8)
+    cache = pc.assign_pages(cache, 0, [pages[5], pages[1], pages[6],
+                                       pages[0]])
+    cache = pc.assign_pages(cache, 1, [pages[2], pages[7], pages[3],
+                                       pages[4]])
+    rng = np.random.RandomState(5)
+    L, Hkv, D = wide.num_layers, wide.kv_heads, wide.head_dim_
+    for _t in range(29):
+        cache = pc.append_token(
+            cache, jnp.asarray(rng.randn(L, B, Hkv, D).astype(np.float32)),
+            jnp.asarray(rng.randn(L, B, Hkv, D).astype(np.float32)))
+    cache = cache._replace(lengths=jnp.asarray([29, 13], jnp.int32))
+
+    q = jnp.asarray(rng.randn(B, wide.num_heads, D).astype(np.float32))
+    for window, softcap in ((11, None), (8, None), (None, 30.0),
+                            (11, 30.0), (100, None)):
+        got = paged_attention.paged_decode_pallas(
+            q, cache.k_pages[0], cache.v_pages[0], cache.block_table,
+            cache.lengths, window=window, softcap=softcap, interpret=True)
+        assert got is not None
+        want = ops.attention_paged_decode_ref(
+            q, cache.k_pages[0], cache.v_pages[0], cache.block_table,
+            cache.lengths, window=window, softcap=softcap)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"window={window} cap={softcap}")
+
+
+@pytest.mark.parametrize("kind", ["mistral_window", "gemma2_pattern"])
+def test_forward_paged_decode_windowed_matches_contiguous(kind):
+    """Windowed / softcapped / alternating-pattern models must produce
+    the same logits trajectory over the paged cache as over the
+    contiguous cache (these configs used to be rejected on the paged
+    path)."""
+    from turboinfer_tpu.models import llama
+    if kind == "mistral_window":
+        wcfg = ModelConfig(vocab_size=100, hidden_size=32, num_layers=2,
+                           num_heads=2, num_kv_heads=2, max_seq_len=64,
+                           sliding_window=6, dtype=jnp.float32)
+    else:
+        wcfg = ModelConfig(vocab_size=100, hidden_size=32, num_layers=2,
+                           num_heads=2, num_kv_heads=2, max_seq_len=64,
+                           sliding_window=6, sliding_window_pattern=2,
+                           attn_logit_softcap=30.0,
+                           rope_local_theta=10000.0, dtype=jnp.float32)
+    B, page, n_pages = 2, 4, 20
+    params = llama.init_params(jax.random.PRNGKey(1), wcfg)
+    prompt_len = 9                          # > window: mask matters
+
+    cache = llama.init_cache(wcfg, B, max_seq=wcfg.max_seq_len)
+    rng = np.random.RandomState(11)
+    prompt = jnp.asarray(rng.randint(0, wcfg.vocab_size, (B, prompt_len)),
+                         jnp.int32)
+    logits_c, cache = llama.forward(params, wcfg, prompt, cache)
+    tok_c = jnp.argmax(logits_c[:, -1], -1).astype(jnp.int32)
+
+    pcache = pc.init_paged_cache(wcfg, B, num_pages=n_pages, page_size=page,
+                                 max_seq=wcfg.max_seq_len)
+    alloc = pc.PageAllocator(n_pages)
+    for b in range(B):
+        pcache = pc.assign_pages(pcache, b, alloc.alloc(8))
+    for t in range(prompt_len):
+        pcache = pc.append_token(pcache, cache.k[:, :, :, t],
+                                 cache.v[:, :, :, t])
+    tok_p = tok_c
+    for _step in range(6):
+        logits_p, kp, vp = llama.forward_paged_decode(
+            params, wcfg, tok_p, pcache.k_pages, pcache.v_pages,
+            pcache.block_table, pcache.lengths)
+        pcache = pcache._replace(k_pages=kp, v_pages=vp,
+                                 lengths=pcache.lengths + 1)
+        logits_c, cache = llama.forward(params, wcfg, tok_c[:, None], cache)
+        np.testing.assert_allclose(np.asarray(logits_p),
+                                   np.asarray(logits_c[:, 0]),
+                                   rtol=2e-4, atol=2e-4)
+        tok_p = jnp.argmax(logits_p, -1).astype(jnp.int32)
+        tok_c = jnp.argmax(logits_c[:, -1], -1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(tok_p), np.asarray(tok_c))

@@ -129,7 +129,7 @@ def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
-                           layer_index=None):
+                           layer_index=None, window=None, softcap=None):
     """k/v_pages: [P, Hkv, page, D], or the full stacked
     [L, P, Hkv, page, D] pool when `layer_index` is given (the kernel
     reads its layer via scalar prefetch — no per-layer pool copy)."""
@@ -138,7 +138,9 @@ def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
         from turboinfer_tpu.kernels.pallas import paged_attention
         y = paged_attention.paged_decode_pallas(q, k_pages, v_pages,
                                                 block_table, kv_len,
-                                                layer_index=layer_index)
+                                                layer_index=layer_index,
+                                                window=window,
+                                                softcap=softcap)
         if y is not None:
             return y
     if layer_index is not None:
@@ -149,7 +151,8 @@ def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
     from turboinfer_tpu.models.common import decode_kv
     return ops.attention_paged_decode_ref(q, decode_kv(k_pages, q.dtype),
                                           decode_kv(v_pages, q.dtype),
-                                          block_table, kv_len)
+                                          block_table, kv_len,
+                                          window=window, softcap=softcap)
 
 
 def prepare_params(params, fuse: bool = True):

@@ -431,7 +431,9 @@ def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
 
 def attention_paged_decode_ref(q: jax.Array, k_pages: jax.Array,
                                v_pages: jax.Array, block_table: jax.Array,
-                               kv_len: jax.Array) -> jax.Array:
+                               kv_len: jax.Array,
+                               window: Optional[int] = None,
+                               softcap: Optional[float] = None) -> jax.Array:
     """Single-token attention over a PAGED cache (one layer) — golden
     model for kernels/pallas/paged_attention.py. Gathers the sequence's
     pages into a contiguous view, then attention_decode_ref.
@@ -448,7 +450,7 @@ def attention_paged_decode_ref(q: jax.Array, k_pages: jax.Array,
     k = k_pages[t].transpose(0, 2, 1, 3, 4).reshape(B, Hkv, n * page, D)
     v = v_pages[t].transpose(0, 2, 1, 3, 4).reshape(B, Hkv, n * page, D)
     return attention_decode_ref(q, k.astype(q.dtype), v.astype(q.dtype),
-                                kv_len)
+                                kv_len, window=window, softcap=softcap)
 
 
 # ---------------------------------------------------------------------------
@@ -473,7 +475,8 @@ def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
-                           layer_index=None):
+                           layer_index=None, window=None, softcap=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_paged_decode(q, k_pages, v_pages, block_table,
-                                           kv_len, layer_index=layer_index)
+                                           kv_len, layer_index=layer_index,
+                                           window=window, softcap=softcap)

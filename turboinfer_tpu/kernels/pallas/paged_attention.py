@@ -40,10 +40,16 @@ NBUF = int(os.environ.get("TURBOINFER_PAGED_NBUF", "4"))
 
 def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
             kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref,
-            *, hkv: int, page: int, scale: float):
+            *, hkv: int, page: int, scale: float,
+            window: Optional[int] = None, softcap: Optional[float] = None):
     """One sequence b: stream Hkv * ceil(kv_len/page) pages through NBUF
     VMEM buffers; trip t covers page (t % npages) of kv head
     (t // npages), folding into that head's online-softmax state.
+
+    With a sliding `window` only the pages covering positions
+    [max(kv_len - window, 0), kv_len) are streamed (the query is at
+    kv_len - 1), so windowed decode cost is bounded by the window, not
+    the context. `softcap` applies Gemma2-style tanh score capping.
 
     idx_ref: [1] layer id; len_ref: [B] valid lengths; table_ref:
     [B, max_pages] page ids (scalar prefetch, pre-clamped in range).
@@ -54,12 +60,14 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
     b = pl.program_id(0)
     li = idx_ref[0]
     kv_len = len_ref[b]
-    npages = jax.lax.div(kv_len + page - 1, page)    # >= 1 (kv_len >= 1)
+    lo = jnp.maximum(kv_len - window, 0) if window is not None else 0
+    i0 = jax.lax.div(lo, page) if window is not None else 0
+    npages = jax.lax.div(kv_len + page - 1, page) - i0   # >= 1 (kv_len >= 1)
     ntrips = hkv * npages
 
     def start(t):
         h = jax.lax.div(t, npages)
-        i = jax.lax.rem(t, npages)
+        i = i0 + jax.lax.rem(t, npages)
         slot = jax.lax.rem(t, NBUF)
         pid = table_ref[b, i]
         pltpu.make_async_copy(
@@ -76,14 +84,15 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
 
     def body(t, _):
         h = jax.lax.div(t, npages)
-        i = jax.lax.rem(t, npages)
+        r = jax.lax.rem(t, npages)
+        i = i0 + r
         slot = jax.lax.rem(t, NBUF)
 
         @pl.when(t + NBUF - 1 < ntrips)
         def _():
             start(t + NBUF - 1)
 
-        @pl.when(i == 0)
+        @pl.when(r == 0)
         def _():
             m_ref[:] = jnp.full_like(m_ref, NEG_INF)
             l_ref[:] = jnp.zeros_like(l_ref)
@@ -99,8 +108,13 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
         s = jax.lax.dot_general(                     # [Ghp, page]
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * page
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        ok = col < kv_len
+        if window is not None:
+            ok = ok & (col >= lo)
+        s = jnp.where(ok, s, NEG_INF)
 
         m_prev = m_ref[:, 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -113,7 +127,7 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
-        @pl.when(i == npages - 1)
+        @pl.when(r == npages - 1)
         def _():
             denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
             o_ref[0, h] = (acc_ref[:] / denom).astype(o_ref.dtype)
@@ -122,9 +136,10 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
     jax.lax.fori_loop(0, ntrips, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("window", "softcap",
+                                             "interpret"))
 def _paged_decode(q4, k_pages, v_pages, table, kv_len, layer_idx, *,
-                  interpret: bool = False):
+                  window=None, softcap=None, interpret: bool = False):
     B, Hkv, Ghp, D = q4.shape
     P, page = k_pages.shape[1], k_pages.shape[3]
     scale = 1.0 / float(D) ** 0.5
@@ -133,7 +148,8 @@ def _paged_decode(q4, k_pages, v_pages, table, kv_len, layer_idx, *,
     # (only pages below ceil(kv_len/page) are ever fetched).
     table = jnp.clip(table, 0, P - 1).astype(jnp.int32)
 
-    kern = functools.partial(_kernel, hkv=Hkv, page=page, scale=scale)
+    kern = functools.partial(_kernel, hkv=Hkv, page=page, scale=scale,
+                             window=window, softcap=softcap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
@@ -170,6 +186,8 @@ def _paged_decode(q4, k_pages, v_pages, table, kv_len, layer_idx, *,
 def paged_decode_pallas(q: jax.Array, k_pages: jax.Array,
                         v_pages: jax.Array, block_table: jax.Array,
                         lengths: jax.Array, layer_index=None,
+                        window: Optional[int] = None,
+                        softcap: Optional[float] = None,
                         interpret: bool = False) -> Optional[jax.Array]:
     """q: [B, Hq, D]; k/v_pages: [P, Hkv, page, D] (ONE layer's pages,
     layer_index=None) or the full stacked [L, P, Hkv, page, D] pool with
@@ -197,5 +215,6 @@ def paged_decode_pallas(q: jax.Array, k_pages: jax.Array,
     if Ghp != Gh:
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, Ghp - Gh), (0, 0)))
     out = _paged_decode(q4, k_pages, v_pages, block_table, lengths,
-                        layer_index, interpret=interpret)
+                        layer_index, window=window, softcap=softcap,
+                        interpret=interpret)
     return out[:, :, :Gh].reshape(B, Hq, D)

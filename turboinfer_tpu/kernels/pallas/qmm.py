@@ -243,14 +243,29 @@ def _pick_tiles(M, K, N, bits, group_size):
         TK = group_size
     if TN is None or TK is None:
         return None
-    while TK > max(group_size, min(128 * (2 if bits == 4 else 1), K)) \
-            and (TK // (1 if bits == 8 else 2)) * TN > 2_097_152:
+    kd = 1 if bits == 8 else 2
+    if (TK // kd) % 128 and TK != K:
+        # Mosaic lane alignment: the x (half-)block's last dim must be a
+        # multiple of 128 OR span the whole array axis. K values with no
+        # 128*kd-aligned divisor (DeepSeek's 10944 / 1408 FFN widths)
+        # fall back to whole-K tiles — block dim == array dim is always
+        # legal — and the VMEM budget narrows TN instead of TK below.
+        TK = K
+    fixed_tk = (TK // kd) % 128 != 0      # can't halve without misaligning
+    while not fixed_tk \
+            and TK > max(group_size, min(128 * kd, K)) \
+            and (TK // kd) * TN > 2_097_152:
         TK //= 2
+    if fixed_tk:
+        while TN > 128 and (TK // kd) * TN > 2_097_152:
+            nxt = _pick_tile(N, tuple(t for t in (2048, 1024, 768, 512,
+                                                  384, 256, 128) if t < TN))
+            if nxt is None:
+                break
+            TN = nxt
     if TK % group_size or (bits == 4 and (TK % 2 or group_size % 2)):
         return None
     TM = min(_round_up(M, 8), 256)
-
-    kd = 1 if bits == 8 else 2
     # x half-blocks have lane dim TK/kd: keep it >= 128 (Mosaic lane
     # constraint) unless it already spans the full K axis.
     tk_floor = min(128 * kd, K)
@@ -261,7 +276,8 @@ def _pick_tiles(M, K, N, bits, group_size):
         # NARROW TN to fit VMEM, the opposite of the decode-tuned
         # full-width-N choice (measured: S=512 7B-int4 prefill 124 ->
         # 75 ms). TK shrinks first so the streamed block stays modest.
-        while TK > max(group_size, tk_floor) and (TK // kd) * 512 > 262144:
+        while not fixed_tk and TK > max(group_size, tk_floor) \
+                and (TK // kd) * 512 > 262144:
             TK //= 2
         if TK % group_size:
             return None

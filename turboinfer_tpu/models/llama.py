@@ -477,15 +477,10 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
     table (Pallas paged kernel on TPU; gather reference elsewhere).
     """
     B = tokens.shape[0]
-    if config.sliding_window is not None:
-        raise NotImplementedError(
-            "sliding_window is not supported on the paged-cache decode "
-            "path; use the contiguous cache")
-    if config.attn_logit_softcap is not None:
-        raise NotImplementedError(
-            "attn_logit_softcap is not supported on the paged-cache "
-            "decode path; use the contiguous cache")
     Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
+    cap = config.attn_logit_softcap
+    pattern = config.sliding_window_pattern
+    alternating = bool(pattern and pattern > 1 and config.sliding_window)
     page = k_pages.shape[3]
     P = k_pages.shape[1]
     positions = lengths[:, None]                                # [B, 1]
@@ -518,10 +513,25 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
         h = ops.rms_norm(x, norm_w(layers["attn_norm"], i),
                          config.rms_norm_eps, off)
         q, k, v = qkv_proj(h, layers, i, B, 1, Hq, Hkv, D, config)
-        q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode,
-                           scaling=config.rope_scaling)
-        k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode,
-                           scaling=config.rope_scaling)
+        # Per-layer local/global pattern (Gemma2/3) — same lax.cond-over-
+        # static-window structure as the contiguous decode path above.
+        is_global = ((i + 1) % pattern == 0) if alternating else None
+        if alternating and config.rope_local_theta is not None:
+            fg = ops.rope_freqs(D, config.rope_theta,
+                                scaling=config.rope_scaling)
+            fl = ops.rope_freqs(D, config.rope_local_theta)
+            freqs = jnp.where(is_global, fg, fl)
+            q = ops.apply_rope(q, positions, mode=config.rope_mode,
+                               freqs=freqs)
+            k = ops.apply_rope(k, positions, mode=config.rope_mode,
+                               freqs=freqs)
+        else:
+            q = ops.apply_rope(q, positions, config.rope_theta,
+                               config.rope_mode,
+                               scaling=config.rope_scaling)
+            k = ops.apply_rope(k, positions, config.rope_theta,
+                               config.rope_mode,
+                               scaling=config.rope_scaling)
         if config.attn_scale is not None:
             q = (q.astype(jnp.float32)
                  * (config.attn_scale * float(D) ** 0.5)).astype(q.dtype)
@@ -542,9 +552,15 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
                 vp_full, encode_kv(v[b, 0][None, None, :, None, :],
                                    vp_full.dtype), idx)
 
-        attn = ops.attention_paged_decode(q[:, 0], kp_full, vp_full,
-                                          block_table, kv_len,
-                                          layer_index=i)
+        def dec(window):
+            return lambda: ops.attention_paged_decode(
+                q[:, 0], kp_full, vp_full, block_table, kv_len,
+                layer_index=i, window=window, softcap=cap)
+        if alternating:
+            attn = jax.lax.cond(is_global, dec(None),
+                                dec(config.sliding_window))
+        else:
+            attn = dec(config.sliding_window)()
         attn = attn.reshape(B, 1, Hq * D)
         attn_out = ops.qmatmul(attn.astype(x.dtype), layers["wo"],
                                layer_index=i)
