@@ -267,3 +267,53 @@ def test_prefill_kernel_softcap_interpret():
                                          interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+class TestQmmGrouped:
+    @pytest.mark.parametrize("qtype,gs", [(QuantType.INT8, 64),
+                                          (QuantType.INT4, 64),
+                                          (QuantType.INT4, 256)])
+    def test_grouped_matches_per_slot(self, qtype, gs):
+        """One grouped launch over G data-dependent slots must equal G
+        independent stacked-layer calls (MoE decode: the k routed
+        experts), including per-group DIFFERENT activations."""
+        from turboinfer_tpu.kernels.pallas import qmm
+        L, K, N, G = 5, 512, 384, 3
+        ws = [_rand(K, N) for _ in range(L)]
+        qts = [quantize(w, qtype, group_size=gs) for w in ws]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+        slots = jnp.asarray([4, 0, 2], jnp.int32)
+        xg = _rand(G, 1, K)
+        got = qmm.qmatmul_pallas_grouped(xg, stacked, slots, interpret=True)
+        assert got is not None
+        for g, s in enumerate([4, 0, 2]):
+            want = ops.qmatmul_ref(xg[g], qts[s])
+            rel = float(jnp.max(jnp.abs(got[g] - want))
+                        / (jnp.max(jnp.abs(want)) + 1e-9))
+            assert rel < 2e-2, f"group {g} slot {s} rel err {rel}"
+
+    def test_grouped_dispatch_fallback_matches(self):
+        """dispatch.qmatmul_grouped (jnp fallback on CPU) == per-slot."""
+        from turboinfer_tpu.kernels import dispatch
+        L, K, N, G = 4, 256, 512, 2
+        ws = [_rand(K, N) for _ in range(L)]
+        qts = [quantize(w, QuantType.INT4, group_size=64) for w in ws]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+        slots = jnp.asarray([3, 1], jnp.int32)
+        xg = _rand(G, 1, 1, K)
+        got = dispatch.qmatmul_grouped(xg, stacked, slots)
+        assert got.shape == (G, 1, 1, N)
+        for g, s in enumerate([3, 1]):
+            want = ops.qmatmul_ref(xg[g], qts[s])
+            np.testing.assert_allclose(np.asarray(got[g]), np.asarray(want),
+                                       rtol=2e-2, atol=2e-2)
+
+    def test_grouped_fp_weights(self):
+        w = jnp.stack([_rand(64, 32) for _ in range(3)])
+        xg = _rand(2, 1, 64)
+        slots = jnp.asarray([2, 0], jnp.int32)
+        got = ops.qmatmul_grouped(xg, w, slots)
+        for g, s in enumerate([2, 0]):
+            np.testing.assert_allclose(
+                np.asarray(got[g]), np.asarray(xg[g] @ w[s]),
+                rtol=1e-4, atol=1e-4)

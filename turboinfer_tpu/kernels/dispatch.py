@@ -60,6 +60,27 @@ def qmatmul(x, qt, preferred_dtype=jnp.float32, layer_index=None):
     return _qmm_small(x, qt, preferred_dtype, layer_index, stacked)
 
 
+def qmatmul_grouped(x, qt, slots, preferred_dtype=jnp.float32):
+    """Grouped matmul against G data-dependent slots of a flat stacked
+    QTensor (MoE decode: the k routed experts of one layer).
+
+    x: [G, ..., K] per-group activations; slots: [G] traced int32 ids
+    into qt.data's leading axis. -> [G, ..., N]. One Pallas launch for
+    all G groups on TPU (launch overhead dominates B=1 MoE decode);
+    falls back to a per-slot qmatmul loop elsewhere.
+    """
+    G = x.shape[0]
+    per_layer_bytes = qt.data.size // qt.data.shape[0] \
+        if qt.data.ndim == 3 else qt.data.size
+    if per_layer_bytes >= _QMM_MIN_BYTES and pallas_enabled():
+        from turboinfer_tpu.kernels.pallas import qmm
+        y = qmm.qmatmul_pallas_grouped(x, qt, slots)
+        if y is not None:
+            return y
+    return jnp.stack([qmatmul(x[g], qt, preferred_dtype,
+                              layer_index=slots[g]) for g in range(G)])
+
+
 def _qmm_small(x, qt, preferred_dtype, layer_index, stacked):
     """jnp reference path (XLA fuses the dequant into the dot)."""
     from turboinfer_tpu.kernels import ops

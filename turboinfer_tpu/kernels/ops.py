@@ -313,6 +313,22 @@ def qmatmul(x: jax.Array, w, preferred_dtype=jnp.float32,
                       preferred_element_type=preferred_dtype).astype(x.dtype)
 
 
+def qmatmul_grouped(x: jax.Array, w, slots: jax.Array,
+                    preferred_dtype=jnp.float32) -> jax.Array:
+    """Grouped matmul against G data-dependent slots of a stacked weight.
+
+    x: [G, ..., K] per-group activations; slots: [G] traced ids into
+    the weight stack's leading axis. -> [G, ..., N]. QTensor weights run
+    as ONE Pallas launch for all G slots on TPU (MoE decode's k routed
+    experts); fp weights / other backends gather-and-batch."""
+    if isinstance(w, QTensor):
+        from turboinfer_tpu.kernels import dispatch
+        return dispatch.qmatmul_grouped(x, w, slots, preferred_dtype)
+    wg = jnp.take(w, slots, axis=0)                       # [G, K, N]
+    return jnp.einsum("g...k,gkn->g...n", x, wg.astype(x.dtype),
+                      preferred_element_type=preferred_dtype).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Softmax + sampling-adjacent math (reference: tensor_engine.cpp:925-1043)
 # ---------------------------------------------------------------------------

@@ -558,6 +558,190 @@ def qmatmul_pallas_stacked(x: jax.Array, qt: QTensor, layer_index,
     return out.reshape(*lead, N)
 
 
+def _kernel_int8_grp(idx_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                     nk: int, group_size: int, out_dtype):
+    """Grouped stacked-layer int8: grid (G, M/TM, N/TN, nk); group g
+    contracts x_ref[0] (that group's activations) against weight slot
+    idx_ref[g]."""
+    k = pl.program_id(3)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0].astype(jnp.bfloat16)
+    q = q_ref[0]
+    s = s_ref[0, 0].astype(jnp.float32)
+    TK, TN = q.shape
+    G = TK // group_size
+    w = q.astype(jnp.int32).astype(jnp.float32).reshape(G, group_size, TN)
+    w = (w * s[:, None, :]).reshape(TK, TN).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[0] = acc_ref[:].astype(out_dtype)
+
+
+def _kernel_int4_grp(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
+                     acc_ref, *, nk: int, group_size: int, out_dtype):
+    """Grouped stacked-layer int4 planar variant (see _kernel_int4)."""
+    k = pl.program_id(3)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x_lo = xlo_ref[0].astype(jnp.bfloat16)
+    x_hi = xhi_ref[0].astype(jnp.bfloat16)
+    qp = q_ref[0]
+    s = s_ref[0, 0].astype(jnp.float32)
+    TK2, TN = qp.shape
+    G = 2 * TK2 // group_size
+    g2 = group_size // 2
+    w_lo, w_hi = _dequant_int4_halves(qp, s, G, g2, TN)
+    acc_ref[:] += (jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
+                   + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32))
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[0] = acc_ref[:].astype(out_dtype)
+
+
+def _kernel_int4_fact_grp(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
+                          acc_ref, *, nk: int, group_size: int, out_dtype):
+    """Grouped factored-scale int4 (see _int4_fact_body)."""
+    k = pl.program_id(3)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _int4_fact_body(xlo_ref[0].astype(jnp.bfloat16),
+                    xhi_ref[0].astype(jnp.bfloat16),
+                    q_ref[0], s_ref[0, 0].astype(jnp.float32), acc_ref,
+                    group_size=group_size)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[0] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group_size", "K", "N",
+                                             "out_dtype", "interpret"))
+def _qmm_grouped(xg, data3, scales3, slots, *, bits: int, group_size: int,
+                 K: int, N: int, out_dtype, interpret: bool = False):
+    """xg: [G, M, K]; out[g] = xg[g] @ dequant(data3[slots[g]]) -> [G, M, N].
+
+    One pallas_call for all G data-dependent weight slots (MoE decode:
+    the k routed experts) — slot ids ride scalar prefetch into the
+    BlockSpec index maps exactly like the single-layer stacked path, but
+    the grid grows a leading group axis, so k expert matmuls cost ONE
+    kernel launch instead of k (launch overhead dominates B=1 MoE decode:
+    18 qmm launches/layer at top-6)."""
+    G, M = xg.shape[0], xg.shape[1]
+    tiles = _pick_tiles(M, K, N, bits, group_size)
+    if tiles is None:
+        return None
+    TM, TN, TK = tiles
+    pad_m = _round_up(M, TM) - M
+    if pad_m:
+        xg = jnp.pad(xg, ((0, 0), (0, pad_m), (0, 0)))
+    Mp = M + pad_m
+    nk = K // TK
+    gk = TK // group_size
+    L = data3.shape[0]
+    if scales3.ndim == 4 and scales3.shape[1] == nk \
+            and scales3.shape[2] == gk:
+        scales4 = scales3
+    else:
+        scales4 = scales3.reshape(L, nk, gk, N)
+
+    if bits == 8:
+        kern = _kernel_int8_grp
+    elif _fact_eligible(bits, group_size):
+        kern = _kernel_int4_fact_grp
+    else:
+        kern = _kernel_int4_grp
+    kern = functools.partial(kern, nk=nk, group_size=group_size,
+                             out_dtype=out_dtype)
+    kd = 1 if bits == 8 else 2
+    w_spec = pl.BlockSpec((1, TK // kd, TN),
+                          lambda g, i, j, k, idx: (idx[g], k, j),
+                          memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, 1, gk, TN),
+                          lambda g, i, j, k, idx: (idx[g], k, 0, j),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, TM, TN), lambda g, i, j, k, idx: (g, i, j),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * G * Mp * N * K,
+        bytes_accessed=G * (Mp * K * 2 + K * N * bits // 8
+                            + (K // group_size) * N * 2 + Mp * N * 2),
+        transcendentals=0)
+    idx_arr = jnp.asarray(slots, jnp.int32).reshape(G)
+    grid = (G, Mp // TM, N // TN, nk)
+    semantics = ("arbitrary", "parallel", "parallel", "arbitrary")
+
+    if bits == 8:
+        x_spec = pl.BlockSpec((1, TM, TK), lambda g, i, j, k, idx: (g, i, k),
+                              memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[x_spec, w_spec, s_spec], out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)])
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((G, Mp, N), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=semantics),
+            cost_estimate=cost, interpret=interpret,
+        )(idx_arr, xg, data3, scales4)
+    else:
+        g2 = group_size // 2
+        xr = xg.reshape(G, Mp, K // group_size, group_size)
+        x_lo = xr[:, :, :, :g2].reshape(G, Mp, K // 2)
+        x_hi = xr[:, :, :, g2:].reshape(G, Mp, K // 2)
+        half_spec = pl.BlockSpec((1, TM, TK // 2),
+                                 lambda g, i, j, k, idx: (g, i, k),
+                                 memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[half_spec, half_spec, w_spec, s_spec],
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)])
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((G, Mp, N), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=semantics),
+            cost_estimate=cost, interpret=interpret,
+        )(idx_arr, x_lo, x_hi, data3, scales4)
+    return out[:, :M] if pad_m else out
+
+
+def qmatmul_pallas_grouped(x: jax.Array, qt: QTensor, slots: jax.Array,
+                           interpret: bool = False) -> Optional[jax.Array]:
+    """x: [G, ..., K] per-group activations; slots: [G] traced ids into
+    a flat stacked QTensor ([L*E, ...] data). -> [G, ..., N]."""
+    if qt.zero_points is not None or qt.data.ndim != 3:
+        return None
+    K, N = qt.shape
+    if qt.bits == 4 and qt.data.shape[1] * 2 != K:
+        return None
+    G = x.shape[0]
+    lead = x.shape[1:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    out = _qmm_grouped(x.reshape(G, M, K), qt.data, qt.scales, slots,
+                       bits=qt.bits, group_size=qt.group_size, K=K, N=N,
+                       out_dtype=x.dtype, interpret=interpret)
+    if out is None:
+        return None
+    return out.reshape((G,) + lead + (N,))
+
+
 def qmatmul_pallas(x: jax.Array, qt: QTensor, preferred_dtype=jnp.float32,
                    interpret: bool = False) -> Optional[jax.Array]:
     """[..., K] @ dequant(qt [K, N]) -> [..., N] in x.dtype.

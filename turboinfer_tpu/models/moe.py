@@ -243,9 +243,17 @@ def _expert_ffn_quant(config: ModelConfig, h: jax.Array,
                            layer_index=slot).astype(jnp.float32)
 
     if B == 1 and S == 1:
-        parts = [gates[:, :, j:j + 1] * expert(base + top_i[0, 0, j])
-                 for j in range(k)]
-        return sum(parts)
+        # All k experts in one grouped launch per matrix (3 kernel
+        # launches instead of 3k — launch gaps dominate B=1 MoE decode:
+        # measured 6.5 -> ~4 ms/step on 13-layer V2-Lite top-6).
+        slots = base + top_i[0, 0]                        # [k]
+        xg = jnp.broadcast_to(h, (k,) + h.shape)
+        g = ops.qmatmul_grouped(xg, wg, slots)
+        u = ops.qmatmul_grouped(xg, wu, slots)
+        act = ops.swiglu(g, u)
+        down = ops.qmatmul_grouped(act.astype(h.dtype), wd, slots)
+        return jnp.einsum("kbsh,bsk->bsh", down.astype(jnp.float32),
+                          gates)
     onehot = jax.nn.one_hot(top_i, E, dtype=jnp.float32)
     mix = jnp.einsum("bsk,bske->bse", gates, onehot)      # [B, S, E]
     out = jnp.zeros(h.shape, jnp.float32)
