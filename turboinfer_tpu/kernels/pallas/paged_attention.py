@@ -193,8 +193,15 @@ def paged_decode_pallas(q: jax.Array, k_pages: jax.Array,
     layer_index=None) or the full stacked [L, P, Hkv, page, D] pool with
     `layer_index` the traced layer id; block_table: [B, max_pages];
     lengths: [B] -> [B, Hq, D] or None.
+
+    Zero-length slots: the kernel's online-softmax loop runs
+    ceil(kv_len/page) >= 1 trips and would leave o_ref unwritten for a
+    kv_len == 0 row (garbage VMEM). Lengths are clamped to >= 1 here so
+    inactive batch slots (a serving scheduler may carry them) produce a
+    defined — if meaningless — row that the caller discards.
     """
     B, Hq, D = q.shape
+    lengths = jnp.maximum(lengths, 1)
     if k_pages.dtype == jnp.float8_e4m3fn:
         # Kernel decodes e4m3 with integer math (see decode_attention).
         k_pages = jax.lax.bitcast_convert_type(k_pages, jnp.uint8)

@@ -263,6 +263,11 @@ def _pick_tiles(M, K, N, bits, group_size):
             if nxt is None:
                 break
             TN = nxt
+        if (TK // kd) * TN > 2_097_152:
+            # TN has no small-enough divisor (or TN=128 still blows the
+            # budget with a whole-K block): an oversized tile would fail
+            # Mosaic compilation outright — fall back to the jnp path.
+            return None
     if TK % group_size or (bits == 4 and (TK % 2 or group_size % 2)):
         return None
     TM = min(_round_up(M, 8), 256)
@@ -676,7 +681,7 @@ def _qmm_grouped(xg, data3, scales3, slots, *, bits: int, group_size: int,
                             memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=2 * G * Mp * N * K,
-        bytes_accessed=G * (Mp * K * 2 + K * N * bits // 8
+        bytes_accessed=G * (Mp * K * xg.dtype.itemsize + K * N * bits // 8
                             + (K // group_size) * N * 2 + Mp * N * 2),
         transcendentals=0)
     idx_arr = jnp.asarray(slots, jnp.int32).reshape(G)
