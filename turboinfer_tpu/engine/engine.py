@@ -159,13 +159,24 @@ class InferenceEngine:
         cfg = self.model_config
         model = self._model
 
-        @functools.partial(jax.jit, donate_argnums=(3,))
-        def decode(params, first_token, first_logits, cache, rng,
-                   prompt_counts):
-            """first_token [B] was sampled from prefill logits already.
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def decode(params, first_logits, cache, rng, prompt_counts):
+            """Samples the FIRST token from the prefill logits and scans
+            the rest — one program, so generate_batch never syncs between
+            prefill and decode (the tunnel charges ~30-45 ms per forced
+            round trip; sampling the first token eagerly on the host path
+            cost a full extra RTT on the headline tiny bench).
+            The rng split tree matches the host-loop path exactly
+            (split -> r_pre for the first token, r_dec for the scan) so
+            scan/host trajectories stay identical.
             Returns (tokens [B, num_tokens], logprobs [B, num_tokens])."""
-            B = first_token.shape[0]
+            B = first_logits.shape[0]
             rows = jnp.arange(B)
+            r_pre, r_dec = jax.random.split(rng)
+            first_counts = ((prompt_counts, jnp.zeros_like(prompt_counts))
+                            if params_s.needs_counts else None)
+            first_token = sampling.sample(r_pre, first_logits, params_s,
+                                          first_counts)
 
             def body(carry, rng_i):
                 token, cache, finished, out_counts = carry
@@ -188,7 +199,7 @@ class InferenceEngine:
             out_counts0 = (jnp.zeros_like(prompt_counts).at[
                 rows, first_token].add(1)
                 if params_s.needs_counts else jnp.zeros((), jnp.int32))
-            rngs = jax.random.split(rng, max(num_tokens - 1, 1))
+            rngs = jax.random.split(r_dec, max(num_tokens - 1, 1))
             (last, cache, finished, _), (toks, lps) = jax.lax.scan(
                 body, (first_token, cache, finished0, out_counts0),
                 rngs[:num_tokens - 1])
@@ -324,14 +335,21 @@ class InferenceEngine:
 
         last_logits, cache = self._run_prefill(tokens, seq_lens, cache)
         rng = self.next_rng()
-        r_pre, r_dec = jax.random.split(rng)
         pc = (self._prompt_counts(tokens, seq_lens) if sp.needs_counts
               else jnp.zeros((), jnp.int32))
-        first = sampling.sample(
-            r_pre, last_logits, sp,
-            (pc, jnp.zeros_like(pc)) if sp.needs_counts else None)
-        first.block_until_ready()
+        # Enqueue-side timestamp: the scan path never syncs between the
+        # prefill and decode dispatches (a forced round trip costs
+        # ~30-45 ms on a tunnel-attached chip), so prefill_time_ms is
+        # host enqueue time there. The host-loop path still syncs per
+        # step and reports true TTFT; serving TTFT comes from the
+        # scheduler's own per-request clock.
         t_prefill = time.perf_counter()
+
+        if max_new <= 1 or self.config.decode_loop != "scan":
+            r_pre, r_dec = jax.random.split(rng)
+            first = sampling.sample(
+                r_pre, last_logits, sp,
+                (pc, jnp.zeros_like(pc)) if sp.needs_counts else None)
 
         if max_new <= 1:
             toks = first[:, None]
@@ -339,10 +357,11 @@ class InferenceEngine:
             finished = first == eos
         elif self.config.decode_loop == "scan":
             decode = self._decode_scan_fn(max_new, sp, eos, pad)
-            toks, lps, cache, finished = decode(self.params, first,
-                                                last_logits, cache, r_dec,
-                                                pc)
+            toks, lps, cache, finished = decode(self.params, last_logits,
+                                                cache, rng, pc)
         else:  # host loop with early exit on all-finished
+            first.block_until_ready()
+            t_prefill = time.perf_counter()
             toks_l, lps_l = [first], [sampling.token_logprob(last_logits,
                                                              first)]
             finished = first == eos

@@ -140,6 +140,12 @@ def sample(rng: jax.Array, logits: jax.Array, params: SamplingParams,
     if params.temperature <= 0.0:
         return jnp.argmax(x, axis=-1).astype(jnp.int32)
     x = apply_temperature(x, params.temperature)
+    # NOTE: a "fused" candidate-space pipeline (one top_k, then
+    # top-p/min-p/draw over the [.., k] window, as sample_per_slot does
+    # for its own reasons) measured 3.6x SLOWER end-to-end on the tiny
+    # decode: sub-lane-width [B, 50] tensors relayout badly and the
+    # final take_along_axis gather is latency-bound. Full-vocab masking
+    # keeps everything in clean [B, V] vector ops.
     x = apply_top_k(x, params.top_k)
     x = apply_top_p(x, params.top_p)
     x = apply_min_p(x, params.min_p)

@@ -187,3 +187,21 @@ def decode_kv(x, out_dtype):
     if x.dtype == jnp.uint8:
         x = jax.lax.bitcast_convert_type(x, jnp.float8_e4m3fn)
     return x.astype(out_dtype)
+
+def layer_unroll(num_layers: int) -> int:
+    """Unroll factor for the over-layers lax.scan.
+
+    Default 1: unrolling LOOKS like it should help shallow stacks
+    (fewer while iterations, cross-layer fusion) but measured 3.2x
+    SLOWER on the headline tiny-int4 decode (6454 -> 1985 tok/s) —
+    XLA's copy-insertion stops treating the carried stacked KV cache as
+    in-place once the body is duplicated, so every unrolled layer pays
+    a full-cache copy. Env override for experiments:
+    TURBOINFER_LAYER_UNROLL (0 -> auto = 1).
+    """
+    import os
+    env = os.environ.get("TURBOINFER_LAYER_UNROLL", "0")
+    forced = int(env) if env.isdigit() else 0
+    if forced > 0:
+        return min(forced, num_layers)
+    return 1

@@ -53,7 +53,8 @@ from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models.common import (KVCache, cache_bits_view,  # noqa: F401
                                           cache_from_bits, decode_kv,
                                           encode_kv, fuse_projections,
-                                          init_cache, param_bytes,
+                                          init_cache, layer_unroll,
+                                          param_bytes,
                                           param_count, reset_cache)
 
 
@@ -437,7 +438,8 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
 
     (x, k_new, v_new), _ = jax.lax.scan(
         body, (x, cache.k, cache.v),
-        jnp.arange(config.num_layers, dtype=jnp.int32))
+        jnp.arange(config.num_layers, dtype=jnp.int32),
+        unroll=layer_unroll(config.num_layers))
     k_new, v_new = cache_from_bits(k_new, v_new, was_fp8)
 
     x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps,
