@@ -42,6 +42,8 @@ newt = sum(len(r.tokens) - len(p) for r, p in zip(res, prompts))
 print(f"e2e: {newt/best:.1f} tok/s  ({best*1e3:.1f} ms for {newt} tokens)",
       flush=True)
 
+import shutil
+shutil.rmtree("/tmp/trace_tiny", ignore_errors=True)
 jax.profiler.start_trace("/tmp/trace_tiny")
 eng.reset_state()
 eng.generate_batch(prompts, max_new_tokens=N)

@@ -317,3 +317,89 @@ class TestQmmGrouped:
             np.testing.assert_allclose(
                 np.asarray(got[g]), np.asarray(xg[g] @ w[s]),
                 rtol=1e-4, atol=1e-4)
+
+
+class TestFusedDecodeAttention:
+    """Fused-head-layout decode kernel (cache [B, T, Hkv*D]) vs the jnp
+    golden — interpret mode on CPU. The layout that keeps D % 128 != 0
+    models (tiny fixtures, GPT-2, Qwen2-0.5B, Phi-3) on a Pallas kernel."""
+
+    def _check(self, B, Hq, Hkv, D, T, window=None, softcap=None, L=3,
+               seed=0):
+        from turboinfer_tpu.kernels.pallas import decode_attention as da
+        rng = np.random.RandomState(seed)
+        q = jnp.asarray(rng.randn(B, Hq, D), jnp.float32)
+        k2 = jnp.asarray(rng.randn(L, B, T, Hkv * D), jnp.float32)
+        v2 = jnp.asarray(rng.randn(L, B, T, Hkv * D), jnp.float32)
+        kv_len = jnp.asarray(rng.randint(1, T + 1, size=B), jnp.int32)
+        li = L - 1
+        got = da.decode_fused_pallas(q, k2, v2, kv_len, layer_index=li,
+                                     window=window, softcap=softcap,
+                                     interpret=True)
+        assert got is not None
+        want = ops.attention_decode_fused_ref(q, k2[li], v2[li], kv_len,
+                                              window=window, softcap=softcap)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_mha_d32(self):
+        self._check(1, 4, 4, 32, 256)          # tiny fixture shape
+
+    def test_gqa_d64(self):
+        self._check(2, 14, 2, 64, 128)         # Qwen2-0.5B-like
+
+    def test_window(self):
+        self._check(2, 12, 12, 64, 512, window=100)   # GPT-2-like
+
+    def test_softcap_d96(self):
+        self._check(1, 8, 8, 96, 64, softcap=30.0)
+
+    def test_unstacked_no_layer_index(self):
+        from turboinfer_tpu.kernels.pallas import decode_attention as da
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.randn(2, 4, 32), jnp.float32)
+        k2 = jnp.asarray(rng.randn(2, 64, 128), jnp.float32)
+        v2 = jnp.asarray(rng.randn(2, 64, 128), jnp.float32)
+        kv_len = jnp.asarray([17, 64], jnp.int32)
+        got = da.decode_fused_pallas(q, k2, v2, kv_len, interpret=True)
+        want = ops.attention_decode_fused_ref(q, k2, v2, kv_len)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_ineligible_shapes_return_none(self):
+        from turboinfer_tpu.kernels.pallas import decode_attention as da
+        q = jnp.zeros((1, 4, 32), jnp.float32)
+        # HD not 128-aligned
+        assert da.decode_fused_pallas(
+            q, jnp.zeros((1, 64, 96)), jnp.zeros((1, 64, 96)),
+            jnp.ones((1,), jnp.int32), interpret=True) is None
+        # T not sublane-aligned
+        assert da.decode_fused_pallas(
+            q, jnp.zeros((1, 12, 128)), jnp.zeros((1, 12, 128)),
+            jnp.ones((1,), jnp.int32), interpret=True) is None
+
+
+def test_fused_cache_layout_matches_head_major():
+    """llama.forward over a fused-head cache must match the head-major
+    cache bit-for-bit on CPU (prefill + decode through both layouts)."""
+    from turboinfer_tpu.config import tiny_config
+    from turboinfer_tpu.models import common, llama
+    cfg = tiny_config()
+    assert common.fused_cache_eligible(cfg)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    toks = jnp.asarray([[1, 5, 7, 9, 11], [2, 4, 6, 0, 0]], jnp.int32)
+    lens = jnp.asarray([5, 3], jnp.int32)
+    c_hm = llama.init_cache(cfg, 2, max_seq=32)
+    c_fu = llama.init_cache(cfg, 2, max_seq=32, fused=None)
+    assert c_fu.fused_layout and not c_hm.fused_layout
+    assert c_fu.max_seq == c_hm.max_seq == 32
+    l1, c_hm = llama.forward(params, cfg, toks, c_hm, seq_lens=lens)
+    l2, c_fu = llama.forward(params, cfg, toks, c_fu, seq_lens=lens)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-5, atol=1e-5)
+    for _ in range(4):
+        nt = jnp.argmax(l1[:, -1], -1).astype(jnp.int32)[:, None]
+        l1, c_hm = llama.forward(params, cfg, nt, c_hm)
+        l2, c_fu = llama.forward(params, cfg, nt, c_fu)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-5, atol=1e-5)

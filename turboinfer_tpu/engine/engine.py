@@ -113,9 +113,12 @@ class InferenceEngine:
             from turboinfer_tpu.models.common import resolve_kv_dtype
             dt = resolve_kv_dtype(self.config.kv_cache_dtype,
                                   self.model_config.dtype)
+            # fused=None -> model-chosen layout (llama-family picks the
+            # fused-head layout for D % 128 != 0 so decode stays on a
+            # Pallas kernel; other modules treat None as head-major).
             return self._model.init_cache(self.model_config, batch_size,
                                           max_seq=self.config.max_seq_len,
-                                          dtype=dt)
+                                          dtype=dt, fused=None)
         return cache._replace(length=jnp.zeros_like(cache.length))
 
     def _put_cache(self, batch_size: int, cache) -> None:
@@ -151,9 +154,13 @@ class InferenceEngine:
         return step
 
     def _decode_scan_fn(self, num_tokens: int, params_s: SamplingParams,
-                        eos_id: int, pad_id: int):
-        """Fused decode loop: one XLA program generating `num_tokens`."""
-        key = ("scan", num_tokens, params_s, eos_id, pad_id)
+                        eos_id: int, pad_id: int,
+                        want_logprobs: bool = False):
+        """Fused decode loop: one XLA program generating `num_tokens`.
+        want_logprobs=False skips the per-step full-vocab log_softmax
+        (a few us/token on small models); the logprobs output is then
+        zeros."""
+        key = ("scan", num_tokens, params_s, eos_id, pad_id, want_logprobs)
         if key in self._jit_cache:
             return self._jit_cache[key]
         cfg = self.model_config
@@ -186,9 +193,12 @@ class InferenceEngine:
                 counts = ((prompt_counts + out_counts, out_counts)
                           if params_s.needs_counts else None)
                 nxt = sampling.sample(rng_i, logits, params_s, counts)
-                lp = sampling.token_logprob(logits, nxt)
+                if want_logprobs:
+                    lp = sampling.token_logprob(logits, nxt)
+                    lp = jnp.where(finished, 0.0, lp)
+                else:
+                    lp = jnp.zeros((B,), jnp.float32)
                 nxt = jnp.where(finished, pad_id, nxt)
-                lp = jnp.where(finished, 0.0, lp)
                 if params_s.needs_counts:
                     out_counts = out_counts.at[rows, nxt].add(
                         (~finished).astype(jnp.int32))
@@ -203,7 +213,8 @@ class InferenceEngine:
             (last, cache, finished, _), (toks, lps) = jax.lax.scan(
                 body, (first_token, cache, finished0, out_counts0),
                 rngs[:num_tokens - 1])
-            first_lp = sampling.token_logprob(first_logits, first_token)
+            first_lp = (sampling.token_logprob(first_logits, first_token)
+                        if want_logprobs else jnp.zeros((B,), jnp.float32))
             tokens = jnp.concatenate([first_token[:, None], toks.T], axis=1)
             logprobs = jnp.concatenate([first_lp[:, None], lps.T], axis=1)
             return tokens, logprobs, cache, finished
@@ -356,7 +367,8 @@ class InferenceEngine:
             lps = sampling.token_logprob(last_logits, first)[:, None]
             finished = first == eos
         elif self.config.decode_loop == "scan":
-            decode = self._decode_scan_fn(max_new, sp, eos, pad)
+            decode = self._decode_scan_fn(max_new, sp, eos, pad,
+                                          want_logprobs=return_logprobs)
             toks, lps, cache, finished = decode(self.params, last_logits,
                                                 cache, rng, pc)
         else:  # host loop with early exit on all-finished

@@ -145,9 +145,25 @@ def sample(rng: jax.Array, logits: jax.Array, params: SamplingParams,
     # for its own reasons) measured 3.6x SLOWER end-to-end on the tiny
     # decode: sub-lane-width [B, 50] tensors relayout badly and the
     # final take_along_axis gather is latency-bound. Full-vocab masking
-    # keeps everything in clean [B, V] vector ops.
-    x = apply_top_k(x, params.top_k)
-    x = apply_top_p(x, params.top_p)
+    # keeps everything in clean [B, V] vector ops — but when BOTH top-k
+    # and top-p are active, ONE descending sort serves both (top-k's
+    # threshold is sorted[k-1]; top-p's nucleus scan runs on the same
+    # sorted values), saving a separate lax.top_k pass per decode step.
+    k, V = params.top_k, x.shape[-1]
+    if 0 < k < V and 0.0 < params.top_p < 1.0:
+        sorted_desc = jnp.sort(x, axis=-1)[..., ::-1]
+        kth = sorted_desc[..., k - 1:k]
+        x = jnp.where(x < kth, NEG_INF, x)           # == apply_top_k
+        svals = jnp.where(sorted_desc < kth, NEG_INF, sorted_desc)
+        probs = jax.nn.softmax(svals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_sorted = (cum - probs) < params.top_p
+        thresh = jnp.min(jnp.where(keep_sorted, svals, jnp.inf),
+                         axis=-1, keepdims=True)
+        x = jnp.where(x < thresh, NEG_INF, x)        # == apply_top_p
+    else:
+        x = apply_top_k(x, params.top_k)
+        x = apply_top_p(x, params.top_p)
     x = apply_min_p(x, params.min_p)
     return jax.random.categorical(rng, x, axis=-1).astype(jnp.int32)
 

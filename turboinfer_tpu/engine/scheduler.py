@@ -98,7 +98,8 @@ class ContinuousBatchingScheduler:
                                           model_config.dtype)
         self.cache = self._model.init_cache(model_config, self.B,
                                             max_seq=self.T,
-                                            dtype=self._kv_dtype)
+                                            dtype=self._kv_dtype,
+                                            fused=None)
         self.tokens = jnp.zeros((self.B,), jnp.int32)
         self.active = jnp.zeros((self.B,), jnp.bool_)
         self.budget = jnp.zeros((self.B,), jnp.int32)   # remaining tokens
@@ -215,7 +216,7 @@ class ContinuousBatchingScheduler:
             """tokens [m, S] → each row written into its slot's cache
             region; per-row first token sampled with its own params."""
             small = model.init_cache(cfg, m, max_seq=self.T,
-                                     dtype=self._kv_dtype)
+                                     dtype=self._kv_dtype, fused=None)
             logits, small = model.forward(params, cfg, tokens,
                                           small, seq_lens=seq_lens)
             idx = jnp.maximum(seq_lens - 1, 0)
@@ -639,8 +640,10 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             """tokens: [1, S_suf] suffix; seq_len: TOTAL prompt length;
             shared_ids: [m] pages already holding positions [0, pre);
             new_ids: [n_new] pages to receive the suffix K/V."""
+            # head-major REQUIRED: the page-injection below reshapes
+            # [L, 1, Hkv, T, D] slabs into pages.
             small = model.init_cache(cfg, 1, max_seq=pre + n_new * page,
-                                     dtype=self._kv_dtype)
+                                     dtype=self._kv_dtype, fused=False)
             k, v, length = small.k, small.v, small.length
             if m:
                 kpre = k_pages[:, shared_ids].transpose(0, 2, 1, 3, 4)

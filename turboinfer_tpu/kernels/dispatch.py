@@ -149,6 +149,33 @@ def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
                                     alibi=alibi)
 
 
+def attention_decode_fused(q, k_cache, v_cache, kv_len, layer_index=None,
+                           window=None, softcap=None):
+    """k/v_cache in the FUSED-head layout [B, T, Hkv*D], or stacked
+    [L, B, T, Hkv*D] with `layer_index` (kernel reads its layer via
+    scalar prefetch). The layout that keeps D % 128 != 0 models
+    (tiny fixtures, Qwen2-0.5B, Phi-3) on a Pallas decode kernel."""
+    from turboinfer_tpu.kernels import ops
+    if pallas_enabled():
+        from turboinfer_tpu.kernels.pallas import decode_attention
+        y = decode_attention.decode_fused_pallas(q, k_cache, v_cache, kv_len,
+                                                 layer_index=layer_index,
+                                                 window=window,
+                                                 softcap=softcap)
+        if y is not None:
+            return y
+    if layer_index is not None:
+        k_cache = jax.lax.dynamic_index_in_dim(k_cache, layer_index, 0,
+                                               keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer_index, 0,
+                                               keepdims=False)
+    from turboinfer_tpu.models.common import decode_kv
+    return ops.attention_decode_fused_ref(q, decode_kv(k_cache, q.dtype),
+                                          decode_kv(v_cache, q.dtype),
+                                          kv_len, window=window,
+                                          softcap=softcap)
+
+
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
                            layer_index=None, window=None, softcap=None):
     """k/v_pages: [P, Hkv, page, D], or the full stacked

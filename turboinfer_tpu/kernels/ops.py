@@ -445,6 +445,23 @@ def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     return out.astype(q.dtype)
 
 
+def attention_decode_fused_ref(q: jax.Array, k_cache: jax.Array,
+                               v_cache: jax.Array, kv_len: jax.Array,
+                               window: Optional[int] = None,
+                               softcap: Optional[float] = None) -> jax.Array:
+    """attention_decode_ref over the FUSED-head cache layout
+    [B, T, Hkv*D] (heads packed into the lane dim — the layout that
+    keeps D % 128 != 0 models on the Pallas decode kernel; see
+    kernels/pallas/decode_attention.decode_fused_pallas)."""
+    B, Hq, D = q.shape
+    T, HD = k_cache.shape[1], k_cache.shape[2]
+    Hkv = HD // D
+    k = k_cache.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+    v = v_cache.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+    return attention_decode_ref(q, k, v, kv_len, window=window,
+                                softcap=softcap)
+
+
 def attention_paged_decode_ref(q: jax.Array, k_pages: jax.Array,
                                v_pages: jax.Array, block_table: jax.Array,
                                kv_len: jax.Array,
@@ -495,4 +512,12 @@ def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_paged_decode(q, k_pages, v_pages, block_table,
                                            kv_len, layer_index=layer_index,
+                                           window=window, softcap=softcap)
+
+
+def attention_decode_fused(q, k_cache, v_cache, kv_len, layer_index=None,
+                           window=None, softcap=None):
+    from turboinfer_tpu.kernels import dispatch
+    return dispatch.attention_decode_fused(q, k_cache, v_cache, kv_len,
+                                           layer_index=layer_index,
                                            window=window, softcap=softcap)

@@ -287,3 +287,211 @@ def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     out = _decode(q4, k_cache, v_cache, kv_len, layer_index,
                   window=window, softcap=softcap, interpret=interpret)
     return out[:, :, :Gh].reshape(B, Hq, D)
+
+
+# ---------------------------------------------------------------------------
+# Fused-head-layout decode kernel: cache [L, B, T, Hkv*D].
+#
+# Mosaic cannot DMA a head-major [T, D] slab whose D is not lane-aligned
+# (128), which locks every D in {32, 64, 96} model (tiny fixtures, GPT-2,
+# Qwen2-0.5B, Phi-3) out of decode_pallas. Packing all kv heads into the
+# lane dimension (HD = Hkv*D, HD % 128 == 0) makes every DMA and every
+# MXU operand lane-aligned, and ONE pass over the T axis serves all
+# heads:
+#   scores  s[j, t] = sum_hd Qbd[j, hd] * K[t, hd]      (one dot)
+# where Qbd is the BLOCK-DIAGONAL query: Qbd[j, kvh(j)*D + d] = q[j, d],
+# zero elsewhere — the zeros cancel other heads' lanes, so no in-kernel
+# lane split is ever needed. The p @ V dot computes the full cross-head
+# [Hq, HD] accumulator and the caller extracts the block diagonal
+# outside; the extra MXU flops are ~2*Hq per cache byte, far under the
+# v5e ~240 flops/byte roofline ratio, so the kernel stays
+# bandwidth-bound like the head-major one.
+# ---------------------------------------------------------------------------
+
+def _fused_chunk_rows(T: int, HD: int, itemsize: int) -> int:
+    """Rows per DMA trip for [tt, HD] chunks: target ~128 KB per buffer
+    (the head-major kernel's measured sweet spot is 512 rows x 128
+    lanes), clamped to divisors of T."""
+    import os
+    target = int(os.environ.get("TURBOINFER_DECODE_FUSED_BYTES",
+                                str(128 * 1024)))
+    # Largest power of two <= target rows: keeps the slice sublane-
+    # aligned (Mosaic needs multiples of 8) and dividing any pow2 T.
+    tt = 1 << max(8, target // max(HD * itemsize, 1)).bit_length() - 1
+    tt = min(tt, T)
+    while T % tt:
+        tt //= 2
+    return max(tt, 8)
+
+
+def _fused_kernel(idx_ref, len_ref, qbd_ref, k_hbm, v_hbm, o_ref,
+                  kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref,
+                  *, tt: int, scale: float, window=None, softcap=None):
+    """One sequence b: stream ceil(kv_len/tt) fused-lane cache chunks
+    through NBUF VMEM buffers — one trip space covers ALL kv heads.
+
+    idx_ref: [1] layer id; len_ref: [B]; qbd_ref: [1, Hqp, HD] VMEM
+    (block-diagonal); k_hbm/v_hbm: [L, B, T, HD] HBM; o_ref:
+    [1, Hqp, HD]; kbuf/vbuf: [NBUF, tt, HD]; m/l: [Hqp, 128],
+    acc: [Hqp, HD] f32.
+    """
+    b = pl.program_id(0)
+    li = idx_ref[0]
+    kv_len = len_ref[b]
+    lo = jnp.maximum(kv_len - window, 0) if window is not None else 0
+    c0 = jax.lax.div(lo, tt) if window is not None else 0
+    nchunks = jax.lax.div(kv_len + tt - 1, tt) - c0   # >= 1 (kv_len >= 1)
+
+    def start(t):
+        i = c0 + t
+        slot = jax.lax.rem(t, NBUF)
+        pltpu.make_async_copy(
+            k_hbm.at[li, b, pl.ds(i * tt, tt)], kbuf.at[slot],
+            ksem.at[slot]).start()
+        pltpu.make_async_copy(
+            v_hbm.at[li, b, pl.ds(i * tt, tt)], vbuf.at[slot],
+            vsem.at[slot]).start()
+
+    def prime(t, _):
+        @pl.when(t < nchunks)
+        def _():
+            start(t)
+        return 0
+    jax.lax.fori_loop(0, NBUF - 1, prime, 0)
+
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(t, _):
+        i = c0 + t
+        slot = jax.lax.rem(t, NBUF)
+
+        @pl.when(t + NBUF - 1 < nchunks)
+        def _():
+            start(t + NBUF - 1)
+
+        pltpu.make_async_copy(kbuf.at[slot], kbuf.at[slot],
+                              ksem.at[slot]).wait()
+        pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot],
+                              vsem.at[slot]).wait()
+        s = scale * jax.lax.dot_general(             # [Hqp, tt] f32
+            qbd_ref[0], _load_kv(kbuf[slot], qbd_ref.dtype),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * tt
+        valid = col < kv_len
+        if window is not None:
+            valid = jnp.logical_and(valid, col >= lo)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(qbd_ref.dtype), _load_kv(vbuf[slot], qbd_ref.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [Hqp, HD] cross-head
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
+    o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("head_dim", "window",
+                                             "softcap", "interpret"))
+def _decode_fused(qbd, k_cache, v_cache, kv_len, layer_idx, *,
+                  head_dim: int, window=None, softcap=None,
+                  interpret: bool = False):
+    B, Hqp, HD = qbd.shape
+    T = k_cache.shape[2]
+    TT = _fused_chunk_rows(T, HD, k_cache.dtype.itemsize)
+    scale = 1.0 / float(head_dim) ** 0.5
+
+    kern = functools.partial(_fused_kernel, tt=TT, scale=scale,
+                             window=window, softcap=softcap)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hqp, HD),
+                         lambda b, idx, len_ref: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Hqp, HD),
+                               lambda b, idx, len_ref: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, TT, HD), k_cache.dtype),
+            pltpu.VMEM((NBUF, TT, HD), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.VMEM((Hqp, 128), jnp.float32),
+            pltpu.VMEM((Hqp, 128), jnp.float32),
+            pltpu.VMEM((Hqp, HD), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hqp, HD), qbd.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hqp * T * HD,
+            bytes_accessed=2 * B * T * HD * k_cache.dtype.itemsize,
+            transcendentals=B * Hqp * T),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
+      kv_len.astype(jnp.int32), qbd, k_cache, v_cache)
+
+
+def decode_fused_pallas(q: jax.Array, k_cache: jax.Array,
+                        v_cache: jax.Array, kv_len: jax.Array,
+                        layer_index=None, window=None, softcap=None,
+                        interpret: bool = False) -> Optional[jax.Array]:
+    """Fused-head-layout decode attention.
+
+    q: [B, Hq, D]; k/v_cache: [B, T, Hkv*D] (layer_index=None) or the
+    stacked [L, B, T, Hkv*D] with `layer_index` the traced layer id;
+    kv_len: [B]. Returns [B, Hq, D] or None if not kernel-eligible
+    (requires (Hkv*D) % 128 == 0 and Hq % Hkv == 0).
+    """
+    B, Hq, D = q.shape
+    if k_cache.dtype == jnp.float8_e4m3fn:
+        k_cache = jax.lax.bitcast_convert_type(k_cache, jnp.uint8)
+        v_cache = jax.lax.bitcast_convert_type(v_cache, jnp.uint8)
+    if layer_index is None:
+        k_cache = k_cache[None]
+        v_cache = v_cache[None]
+        layer_index = 0
+    HD = k_cache.shape[3]
+    Hkv = HD // D
+    if HD % 128 or Hkv * D != HD or Hq % Hkv:
+        return None
+    if k_cache.shape[2] % 8:
+        return None            # chunk rows must stay sublane-aligned
+    G = Hq // Hkv
+    Hqp = max(8, -(-Hq // 8) * 8)
+    # Block-diagonal query: Qbd[b, j, kvh(j)*D + d] = q[b, j, d].
+    # (q heads j with the same kv head kvh(j) = j // G share a block.)
+    M = jnp.repeat(jnp.eye(Hkv, dtype=q.dtype), G, axis=0)   # [Hq, Hkv]
+    qbd = (q[:, :, None, :] * M[None, :, :, None]).reshape(B, Hq, HD)
+    if Hqp != Hq:
+        qbd = jnp.pad(qbd, ((0, 0), (0, Hqp - Hq), (0, 0)))
+    out = _decode_fused(qbd, k_cache, v_cache, kv_len, layer_index,
+                        head_dim=D, window=window, softcap=softcap,
+                        interpret=interpret)
+    # Extract the block diagonal of the cross-head [Hq, HD] accumulator:
+    # head j's output lives in lanes [kvh(j)*D, kvh(j)*D + D).
+    o4 = out[:, :Hq].reshape(B, Hq, Hkv, D)
+    return jnp.einsum("bjhd,jh->bjd", o4, M.astype(o4.dtype))

@@ -16,12 +16,19 @@ from turboinfer_tpu.core.qtensor import QTensor
 
 
 class KVCache(NamedTuple):
-    """HBM-resident KV cache, head-major [L, B, Hkv, Tmax, D] so each
-    (batch, head) slice is a contiguous [T, D] slab for the Pallas
-    decode kernel. In-place updates via dynamic_update_slice — no
-    per-token prefix copy (reference defect: inference_engine.cpp:78-160,
-    SURVEY.md quirk #4).
+    """HBM-resident KV cache. Two layouts:
 
+    - head-major [L, B, Hkv, Tmax, D] (default): each (batch, head)
+      slice is a contiguous [T, D] slab for the Pallas decode kernel.
+    - fused-head [L, B, Tmax, Hkv*D] (k.ndim == 4): all kv heads packed
+      into the lane dimension, the layout that keeps D % 128 != 0
+      models (tiny fixtures, Qwen2-0.5B, Phi-3) on a Pallas decode
+      kernel (see kernels/pallas/decode_attention.decode_fused_pallas).
+      Opt-in via init_cache(fused=...); the llama-family forward
+      handles both.
+
+    In-place updates via dynamic_update_slice — no per-token prefix
+    copy (reference defect: inference_engine.cpp:78-160, quirk #4).
     length: [B] int32 — number of valid slots per sequence.
     """
     k: jax.Array
@@ -29,16 +36,40 @@ class KVCache(NamedTuple):
     length: jax.Array
 
     @property
+    def fused_layout(self) -> bool:
+        return self.k.ndim == 4
+
+    @property
     def max_seq(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[2] if self.k.ndim == 4 else self.k.shape[3]
+
+
+def fused_cache_eligible(config: ModelConfig) -> bool:
+    """Whether the fused-head cache layout pays off: only when the
+    head-major Pallas kernel CANNOT run (D % 128 != 0) and the packed
+    lane dim is 128-aligned. Env kill switch: TURBOINFER_FUSED_CACHE=0."""
+    import os
+    if os.environ.get("TURBOINFER_FUSED_CACHE", "1") == "0":
+        return False
+    D, Hkv = config.head_dim_, config.kv_heads
+    return (D % 128 != 0 and (Hkv * D) % 128 == 0
+            and config.num_heads % Hkv == 0)
 
 
 def init_cache(config: ModelConfig, batch_size: int,
-               max_seq: Optional[int] = None, dtype=None) -> KVCache:
+               max_seq: Optional[int] = None, dtype=None,
+               fused: Optional[bool] = None) -> KVCache:
+    """fused None/False -> head-major; True -> fused-head layout (only
+    model modules whose forward understands it pass True — see
+    llama.init_cache for the auto-opt-in wrapper)."""
     T = max_seq or config.max_seq_len
     dtype = dtype or config.dtype
-    shape = (config.num_layers, batch_size, config.kv_heads, T,
-             config.head_dim_)
+    if fused:
+        shape = (config.num_layers, batch_size, T,
+                 config.kv_heads * config.head_dim_)
+    else:
+        shape = (config.num_layers, batch_size, config.kv_heads, T,
+                 config.head_dim_)
     return KVCache(k=jnp.zeros(shape, dtype),
                    v=jnp.zeros(shape, dtype),
                    length=jnp.zeros((batch_size,), jnp.int32))

@@ -152,7 +152,10 @@ def init_params(rng: jax.Array, config: ModelConfig,
 # ---------------------------------------------------------------------------
 
 def init_cache(config: ModelConfig, batch_size: int,
-               max_seq: Optional[int] = None, dtype=None) -> KVCache:
+               max_seq: Optional[int] = None, dtype=None,
+               fused=None) -> KVCache:
+    # `fused` accepted for engine-signature parity; MLA's latent cache
+    # is already a 128-multiple lane layout, nothing to fuse.
     T = max_seq or config.max_seq_len
     L, B = config.num_layers, batch_size
     _, _, dr, _, lr = _dims(config)

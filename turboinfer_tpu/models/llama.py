@@ -53,9 +53,26 @@ from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models.common import (KVCache, cache_bits_view,  # noqa: F401
                                           cache_from_bits, decode_kv,
                                           encode_kv, fuse_projections,
-                                          init_cache, layer_unroll,
+                                          fused_cache_eligible, layer_unroll,
                                           param_bytes,
                                           param_count, reset_cache)
+from turboinfer_tpu.models.common import init_cache as _common_init_cache
+
+
+def init_cache(config, batch_size: int, max_seq=None, dtype=None,
+               fused=False):
+    """llama-family cache. fused: False (default) -> head-major
+    [L, B, Hkv, T, D]; True -> fused-head [L, B, T, Hkv*D]; None ->
+    auto (fused-head when the head-major Pallas decode kernel can't run
+    — D % 128 != 0 — and packing makes it kernel-eligible). The engine/
+    scheduler/speculative paths pass None; sharded/parallel paths keep
+    the head-major default (their cache PartitionSpecs assume the 5-D
+    shape). forward() handles both layouts."""
+    if fused is None:
+        T = max_seq or config.max_seq_len
+        fused = fused_cache_eligible(config) and T % 8 == 0
+    return _common_init_cache(config, batch_size, max_seq, dtype,
+                              fused=fused)
 
 
 def _slot_w(lw, name, li, stacked_ndim=2):
@@ -215,7 +232,7 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
                    positions: jax.Array, k_cache: jax.Array,
                    v_cache: jax.Array, start: jax.Array, kv_len: jax.Array,
                    contiguous: bool = True, layer_index=None,
-                   global_layer_index=None
+                   global_layer_index=None, fused_cache: bool = False
                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One decoder block (reference: TransformerLayer::forward,
     inference_engine.cpp:203-233 — RMSNorm → attn → residual → RMSNorm →
@@ -283,7 +300,74 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
     # In-place HBM cache write at per-sequence offsets. All sequences in a
     # prefill share S new slots written at `start` (right-padded batches:
     # pads are written but masked out of attention by kv_len).
-    if k_cache.ndim == 5:
+    if fused_cache and k_cache.ndim == 4:
+        # Fused-head layout, stacked [L, B, T, Hkv*D] (decode): write one
+        # [S, HD] row block per sequence, attend via the fused kernel
+        # reading layer li straight from the stack (scalar prefetch).
+        newk = encode_kv(k.reshape(B, S, Hkv * D), k_cache.dtype)
+        newv = encode_kv(v.reshape(B, S, Hkv * D), v_cache.dtype)
+        for b in range(B):
+            idx = (li, b, start[b], 0)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, newk[b][None, None], idx)
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, newv[b][None, None], idx)
+        if S != 1:
+            raise ValueError("stacked fused-cache path is decode-only")
+
+        def dec(window):
+            return lambda: ops.attention_decode_fused(
+                q[:, 0], k_cache, v_cache, kv_len, layer_index=li,
+                window=window, softcap=cap)
+        if alternating:
+            attn = jax.lax.cond(is_global, dec(None),
+                                dec(config.sliding_window))
+        else:
+            attn = dec(config.sliding_window)()
+        attn = attn[:, None]                                     # [B,1,Hq,D]
+    elif fused_cache:
+        # Fused-head layout, per-layer [B, T, Hkv*D] (prefill body).
+        T = k_cache.shape[1]
+
+        def write_one(cache_b, new_b, start_b):
+            # cache_b: [T, HD]; new_b: [S, Hkv, D]
+            return jax.lax.dynamic_update_slice(
+                cache_b, encode_kv(new_b.reshape(S, Hkv * D),
+                                   cache_b.dtype), (start_b, 0))
+        k_cache = jax.vmap(write_one)(k_cache, k, start)
+        v_cache = jax.vmap(write_one)(v_cache, v, start)
+
+        if S == 1:
+            def dec(window):
+                return lambda: ops.attention_decode_fused(
+                    q[:, 0], k_cache, v_cache, kv_len, window=window,
+                    softcap=cap)
+            if alternating:
+                attn = jax.lax.cond(is_global, dec(None),
+                                    dec(config.sliding_window))
+            else:
+                attn = dec(config.sliding_window)()
+            attn = attn[:, None]
+        else:
+            # Prefill reads want head-major slabs: one transposed copy
+            # per layer per prefill call — amortized over S tokens and
+            # dwarfed by the prefill matmuls.
+            kf = decode_kv(k_cache, q.dtype).reshape(
+                B, T, Hkv, D).transpose(0, 2, 1, 3)
+            vf = decode_kv(v_cache, q.dtype).reshape(
+                B, T, Hkv, D).transpose(0, 2, 1, 3)
+
+            def pre(window):
+                return lambda: ops.attention_prefill(
+                    q, kf, vf, causal=True, positions=positions,
+                    kv_len=kv_len, q_start=start if contiguous else None,
+                    window=window, softcap=cap)
+            if alternating:
+                attn = jax.lax.cond(is_global, pre(None),
+                                    pre(config.sliding_window))
+            else:
+                attn = pre(config.sliding_window)()
+    elif k_cache.ndim == 5:
         # Decode over the FULL stacked [L, B, Hkv, T, D] cache: per-slot
         # in-place writes at (li, b, 0, start_b, 0) — a vectorized
         # scatter (or slicing layer li out first) makes XLA copy the
@@ -409,6 +493,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     # an fp8 bitcast/astype inside the body copies the whole cache).
     layers = params["layers"]
     was_fp8 = cache.k.dtype == jnp.float8_e4m3fn
+    fused = cache.fused_layout
     cache = cache_bits_view(cache)
 
     if S == 1:
@@ -422,7 +507,8 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             x, k_full, v_full = carry
             x, k_full, v_full = _layer_forward(
                 config, x, layers, positions, k_full, v_full,
-                start, kv_len, contiguous=contiguous, layer_index=i)
+                start, kv_len, contiguous=contiguous, layer_index=i,
+                fused_cache=fused)
             return (x, k_full, v_full), None
     else:
         def body(carry, i):
@@ -431,7 +517,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
             x, kc, vc = _layer_forward(config, x, layers, positions, kc, vc,
                                        start, kv_len, contiguous=contiguous,
-                                       layer_index=i)
+                                       layer_index=i, fused_cache=fused)
             k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
             v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
             return (x, k_full, v_full), None
