@@ -403,3 +403,62 @@ def test_fused_cache_layout_matches_head_major():
         l2, c_fu = llama.forward(params, cfg, nt, c_fu)
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_gpt2_fused_cache_matches_head_major():
+    from turboinfer_tpu.config import ModelConfig
+    from turboinfer_tpu.models import gpt2
+    cfg = ModelConfig(architecture="gpt2", vocab_size=500, hidden_size=128,
+                      num_layers=2, num_heads=2, max_seq_len=64,
+                      dtype=jnp.float32)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    toks = jnp.asarray([[1, 5, 7, 9, 11], [2, 4, 6, 0, 0]], jnp.int32)
+    lens = jnp.asarray([5, 3], jnp.int32)
+    c1 = gpt2.init_cache(cfg, 2, max_seq=64)
+    c2 = gpt2.init_cache(cfg, 2, max_seq=64, fused=None)
+    assert c2.fused_layout and not c1.fused_layout
+    l1, c1 = gpt2.forward(params, cfg, toks, c1, seq_lens=lens)
+    l2, c2 = gpt2.forward(params, cfg, toks, c2, seq_lens=lens)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-5, atol=1e-5)
+    for _ in range(4):
+        nt = jnp.argmax(l1[:, -1], -1).astype(jnp.int32)[:, None]
+        l1, c1 = gpt2.forward(params, cfg, nt, c1)
+        l2, c2 = gpt2.forward(params, cfg, nt, c2)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_neox_fused_cache_matches_head_major():
+    """Pythia-style partial rotary + parallel residual, and Falcon-style
+    GQA, through both cache layouts; ALiBi configs must refuse to fuse."""
+    from turboinfer_tpu.config import ModelConfig
+    from turboinfer_tpu.models import neox
+    for kw in ({"num_heads": 4, "hidden_size": 256, "rotary_pct": 0.25},
+               {"num_heads": 8, "num_kv_heads": 2, "hidden_size": 512,
+                "rotary_pct": 1.0}):
+        cfg = ModelConfig(architecture="neox", vocab_size=500,
+                          num_layers=2, max_seq_len=64,
+                          parallel_residual=True, dtype=jnp.float32, **kw)
+        params = neox.init_params(jax.random.PRNGKey(0), cfg)
+        toks = jnp.asarray([[1, 5, 7, 9, 11], [2, 4, 6, 0, 0]], jnp.int32)
+        lens = jnp.asarray([5, 3], jnp.int32)
+        c1 = neox.init_cache(cfg, 2, max_seq=64)
+        c2 = neox.init_cache(cfg, 2, max_seq=64, fused=None)
+        assert c2.fused_layout
+        l1, c1 = neox.forward(params, cfg, toks, c1, seq_lens=lens)
+        l2, c2 = neox.forward(params, cfg, toks, c2, seq_lens=lens)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-5, atol=1e-5)
+        for _ in range(3):
+            nt = jnp.argmax(l1[:, -1], -1).astype(jnp.int32)[:, None]
+            l1, c1 = neox.forward(params, cfg, nt, c1)
+            l2, c2 = neox.forward(params, cfg, nt, c2)
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                       rtol=1e-5, atol=1e-5)
+    alibi_cfg = ModelConfig(architecture="bloom", vocab_size=500,
+                            hidden_size=256, num_layers=2, num_heads=4,
+                            max_seq_len=64, rotary_pct=0.0, alibi=True,
+                            parallel_residual=False, dtype=jnp.float32)
+    assert not neox.init_cache(alibi_cfg, 1, max_seq=64,
+                               fused=None).fused_layout

@@ -21,9 +21,24 @@ import jax.numpy as jnp
 
 from turboinfer_tpu.config import ModelConfig
 from turboinfer_tpu.kernels import ops
-from turboinfer_tpu.models.common import (KVCache, init_cache,  # noqa: F401
+from turboinfer_tpu.models.common import (KVCache,  # noqa: F401
+                                          fused_cache_eligible,
                                           param_bytes, param_count,
                                           reset_cache)
+from turboinfer_tpu.models.common import init_cache as _common_init_cache
+
+
+def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
+               dtype=None, fused=False) -> KVCache:
+    """GPT-2 cache. fused None -> auto: the fused-head [L, B, T, H]
+    layout whenever the head-major Pallas decode kernel can't run
+    (D=64 for every GPT-2 size; H = Hq*64 is always 128-aligned), so
+    TPU decode stays on a Pallas kernel. See llama.init_cache."""
+    if fused is None:
+        T = max_seq or config.max_seq_len
+        fused = fused_cache_eligible(config) and T % 8 == 0
+    return _common_init_cache(config, batch_size, max_seq, dtype,
+                              fused=fused)
 
 
 def init_params(rng: jax.Array, config: ModelConfig,
@@ -64,7 +79,8 @@ def init_params(rng: jax.Array, config: ModelConfig,
 
 
 def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
-                   start, kv_len, layer_index=None):
+                   start, kv_len, layer_index=None,
+                   fused_cache: bool = False):
     """x + attn(ln1(x)); x + mlp(ln2(x)). Caches shaped like llama's.
     lw is the FULL stacked layer dict when layer_index is given."""
     B, S, H = x.shape
@@ -85,6 +101,60 @@ def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
     q = q.reshape(B, S, Hq, D)
     k = k.reshape(B, S, Hq, D)
     v = v.reshape(B, S, Hq, D)
+
+    if fused_cache and k_cache.ndim == 4:
+        # Fused-head stacked decode [L, B, T, Hq*D] (GPT-2 is MHA so
+        # HD == H): lane-aligned writes + the fused Pallas kernel
+        # (see llama._layer_forward / decode_fused_pallas).
+        newk = k.reshape(B, S, H).astype(k_cache.dtype)
+        newv = v.reshape(B, S, H).astype(v_cache.dtype)
+        for b in range(B):
+            idx = (li, b, start[b], 0)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, newk[b][None, None], idx)
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, newv[b][None, None], idx)
+        attn = ops.attention_decode_fused(q[:, 0], k_cache, v_cache,
+                                          kv_len, layer_index=li)
+        attn = attn[:, None]
+        attn = attn.reshape(B, S, H)
+        x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"],
+                            layer_index=li) + w1("bo")
+        h = ops.layer_norm(x, w1("ln2_w"), w1("ln2_b"), config.rms_norm_eps)
+        h = ops.gelu(ops.qmatmul(h, lw["w_fc"], layer_index=li) + w1("b_fc"))
+        x = x + ops.qmatmul(h.astype(x.dtype), lw["w_proj"],
+                            layer_index=li) + w1("b_proj")
+        return x, k_cache, v_cache
+
+    if fused_cache:
+        # Fused-head per-layer [B, T, H] (prefill body).
+        T = k_cache.shape[1]
+
+        def write_fused(cache_b, new_b, start_b):
+            return jax.lax.dynamic_update_slice(
+                cache_b, new_b.reshape(S, H).astype(cache_b.dtype),
+                (start_b, 0))
+        k_cache = jax.vmap(write_fused)(k_cache, k, start)
+        v_cache = jax.vmap(write_fused)(v_cache, v, start)
+        if S == 1:
+            attn = ops.attention_decode_fused(q[:, 0], k_cache, v_cache,
+                                              kv_len)
+            attn = attn[:, None]
+        else:
+            kf = k_cache.astype(q.dtype).reshape(
+                B, T, Hq, D).transpose(0, 2, 1, 3)
+            vf = v_cache.astype(q.dtype).reshape(
+                B, T, Hq, D).transpose(0, 2, 1, 3)
+            attn = ops.attention_prefill(q, kf, vf, causal=True,
+                                         kv_len=kv_len, q_start=start)
+        attn = attn.reshape(B, S, H)
+        x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"],
+                            layer_index=li) + w1("bo")
+        h = ops.layer_norm(x, w1("ln2_w"), w1("ln2_b"), config.rms_norm_eps)
+        h = ops.gelu(ops.qmatmul(h, lw["w_fc"], layer_index=li) + w1("b_fc"))
+        x = x + ops.qmatmul(h.astype(x.dtype), lw["w_proj"],
+                            layer_index=li) + w1("b_proj")
+        return x, k_cache, v_cache
 
     if k_cache.ndim == 5:
         # Stacked-cache decode (see llama._layer_forward): per-slot
@@ -153,6 +223,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
                      axis=0).astype(config.dtype)
 
     layers = params["layers"]
+    fused = cache.fused_layout
 
     if S == 1:
         # Decode: stacked cache flows through whole (no per-layer slice
@@ -161,7 +232,8 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             x, k_full, v_full = carry
             x, k_full, v_full = _layer_forward(config, x, layers, k_full,
                                                v_full, start, kv_len,
-                                               layer_index=i)
+                                               layer_index=i,
+                                               fused_cache=fused)
             return (x, k_full, v_full), None
     else:
         def body(carry, i):
@@ -169,7 +241,8 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             kc = jax.lax.dynamic_index_in_dim(k_full, i, 0, keepdims=False)
             vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
             x, kc, vc = _layer_forward(config, x, layers, kc, vc, start,
-                                       kv_len, layer_index=i)
+                                       kv_len, layer_index=i,
+                                       fused_cache=fused)
             k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
             v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
             return (x, k_full, v_full), None

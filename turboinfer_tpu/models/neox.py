@@ -30,9 +30,26 @@ import jax.numpy as jnp
 
 from turboinfer_tpu.config import ModelConfig
 from turboinfer_tpu.kernels import ops
-from turboinfer_tpu.models.common import (KVCache, init_cache,  # noqa: F401
+from turboinfer_tpu.models.common import (KVCache,  # noqa: F401
+                                          fused_cache_eligible,
                                           param_bytes, param_count,
                                           reset_cache)
+from turboinfer_tpu.models.common import init_cache as _common_init_cache
+
+
+def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
+               dtype=None, fused=False) -> KVCache:
+    """NeoX-family cache. fused None -> auto: fused-head layout when
+    the head-major Pallas decode kernel can't run (D=64 for Pythia /
+    Phi-1/2 / Falcon GQA). ALiBi models (BLOOM, Falcon-RW) stay
+    head-major — the fused kernel carries no per-head score bias and
+    they run the jnp path regardless. See llama.init_cache."""
+    if fused is None:
+        T = max_seq or config.max_seq_len
+        fused = (fused_cache_eligible(config) and T % 8 == 0
+                 and not config.alibi)
+    return _common_init_cache(config, batch_size, max_seq, dtype,
+                              fused=fused)
 
 
 def init_params(rng: jax.Array, config: ModelConfig,
@@ -85,7 +102,8 @@ def _partial_rope(x: jax.Array, positions: jax.Array,
 
 
 def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
-                   start, kv_len, layer_index=None):
+                   start, kv_len, layer_index=None,
+                   fused_cache: bool = False):
     B, S, H = x.shape
     Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
     li = layer_index
@@ -119,7 +137,41 @@ def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
     k = _partial_rope(k.reshape(B, S, Hkv, D), positions, config)
     v = v.reshape(B, S, Hkv, D)
 
-    if k_cache.ndim == 5:
+    if fused_cache and k_cache.ndim == 4:
+        # Fused-head stacked decode [L, B, T, Hkv*D] (alibi models are
+        # gated out in init_cache) — see llama._layer_forward.
+        newk = k.reshape(B, S, Hkv * D).astype(k_cache.dtype)
+        newv = v.reshape(B, S, Hkv * D).astype(v_cache.dtype)
+        for b in range(B):
+            idx = (li, b, start[b], 0)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, newk[b][None, None], idx)
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, newv[b][None, None], idx)
+        attn = ops.attention_decode_fused(q[:, 0], k_cache, v_cache,
+                                          kv_len, layer_index=li)[:, None]
+    elif fused_cache:
+        # Fused-head per-layer [B, T, Hkv*D] (prefill body).
+        T = k_cache.shape[1]
+
+        def write_fused(cache_b, new_b, start_b):
+            return jax.lax.dynamic_update_slice(
+                cache_b, new_b.reshape(S, Hkv * D).astype(cache_b.dtype),
+                (start_b, 0))
+        k_cache = jax.vmap(write_fused)(k_cache, k, start)
+        v_cache = jax.vmap(write_fused)(v_cache, v, start)
+        if S == 1:
+            attn = ops.attention_decode_fused(q[:, 0], k_cache, v_cache,
+                                              kv_len)[:, None]
+        else:
+            kf = k_cache.astype(q.dtype).reshape(
+                B, T, Hkv, D).transpose(0, 2, 1, 3)
+            vf = v_cache.astype(q.dtype).reshape(
+                B, T, Hkv, D).transpose(0, 2, 1, 3)
+            attn = ops.attention_prefill(q, kf, vf, causal=True,
+                                         kv_len=kv_len, q_start=start,
+                                         alibi=alibi)
+    elif k_cache.ndim == 5:
         newk = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)
         newv = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
         for b in range(B):
@@ -184,13 +236,14 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
         x = ops.layer_norm(x, params["embed_norm_w"],
                            params["embed_norm_b"], config.rms_norm_eps)
     layers = params["layers"]
+    fused = cache.fused_layout
 
     if S == 1:
         def body(carry, i):
             x, k_full, v_full = carry
             x, k_full, v_full = _layer_forward(
                 config, x, layers, positions, k_full, v_full, start,
-                kv_len, layer_index=i)
+                kv_len, layer_index=i, fused_cache=fused)
             return (x, k_full, v_full), None
     else:
         def body(carry, i):
@@ -198,7 +251,8 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             kc = jax.lax.dynamic_index_in_dim(k_full, i, 0, keepdims=False)
             vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
             x, kc, vc = _layer_forward(config, x, layers, positions, kc,
-                                       vc, start, kv_len, layer_index=i)
+                                       vc, start, kv_len, layer_index=i,
+                                       fused_cache=fused)
             k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
             v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
             return (x, k_full, v_full), None
