@@ -462,3 +462,90 @@ def test_neox_fused_cache_matches_head_major():
                             parallel_residual=False, dtype=jnp.float32)
     assert not neox.init_cache(alibi_cfg, 1, max_seq=64,
                                fused=None).fused_layout
+
+
+def test_fused_decode_with_sinks_matches_concat_softmax():
+    """Sink-aware fused kernel (interpret) vs the golden, and the golden
+    vs brute-force softmax([scores, sink]) with the sink dropped."""
+    from turboinfer_tpu.kernels.pallas import decode_attention as da
+    rng = np.random.RandomState(0)
+    B, Hq, Hkv, D, T, L = 2, 8, 8, 64, 128, 2
+    q = jnp.asarray(rng.randn(B, Hq, D), jnp.float32)
+    k2 = jnp.asarray(rng.randn(L, B, T, Hkv * D), jnp.float32)
+    v2 = jnp.asarray(rng.randn(L, B, T, Hkv * D), jnp.float32)
+    kv_len = jnp.asarray([37, 128], jnp.int32)
+    sinks = jnp.asarray(rng.randn(Hq), jnp.float32)
+    ref = ops.attention_decode_fused_ref(q, k2[1], v2[1], kv_len,
+                                         sinks=sinks)
+    for b in range(B):
+        for j in range(Hq):
+            kk = np.asarray(k2[1, b]).reshape(T, Hkv, D)[:, j]
+            vv = np.asarray(v2[1, b]).reshape(T, Hkv, D)[:, j]
+            n = int(kv_len[b])
+            s = (np.asarray(q[b, j]) @ kk.T)[:n] / np.sqrt(D)
+            full = np.concatenate([s, [float(sinks[j])]])
+            p = np.exp(full - full.max())
+            p /= p.sum()
+            np.testing.assert_allclose(np.asarray(ref[b, j]),
+                                       p[:n] @ vv[:n],
+                                       rtol=1e-5, atol=1e-5)
+    got = da.decode_fused_pallas(q, k2, v2, kv_len, layer_index=1,
+                                 sinks=sinks, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_moe_fused_cache_matches_head_major():
+    from turboinfer_tpu.config import ModelConfig
+    from turboinfer_tpu.models import moe
+    cfg = ModelConfig(vocab_size=500, hidden_size=256, num_layers=2,
+                      num_heads=4, num_kv_heads=2, intermediate_size=128,
+                      moe_intermediate_size=48, shared_expert_size=80,
+                      norm_topk_prob=False, attn_bias=True, max_seq_len=64,
+                      architecture="qwen2_moe", num_experts=4,
+                      experts_per_token=2, dtype=jnp.float32)
+    params = moe.init_params(jax.random.PRNGKey(0), cfg)
+    toks = jnp.asarray([[1, 5, 7, 9, 11], [2, 4, 6, 0, 0]], jnp.int32)
+    lens = jnp.asarray([5, 3], jnp.int32)
+    c1 = moe.init_cache(cfg, 2, max_seq=64)
+    c2 = moe.init_cache(cfg, 2, max_seq=64, fused=None)
+    assert c2.fused_layout
+    l1, c1 = moe.forward(params, cfg, toks, c1, seq_lens=lens)
+    l2, c2 = moe.forward(params, cfg, toks, c2, seq_lens=lens)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-5, atol=1e-5)
+    for _ in range(3):
+        nt = jnp.argmax(l1[:, -1], -1).astype(jnp.int32)[:, None]
+        l1, c1 = moe.forward(params, cfg, nt, c1)
+        l2, c2 = moe.forward(params, cfg, nt, c2)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_gptoss_fused_cache_matches_head_major():
+    """GPT-OSS contiguous decode through the fused layout (sink-aware
+    kernel + alternating windows) vs the head-major streaming path."""
+    from turboinfer_tpu.config import ModelConfig
+    from turboinfer_tpu.models import gptoss
+    cfg = ModelConfig(architecture="gpt_oss", vocab_size=500,
+                      hidden_size=256, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=64, intermediate_size=128,
+                      max_seq_len=64, num_experts=4, experts_per_token=2,
+                      sliding_window=16, sliding_window_pattern=2,
+                      attn_bias=True, dtype=jnp.float32)
+    params = gptoss.init_params(jax.random.PRNGKey(0), cfg)
+    toks = jnp.asarray([[1, 5, 7, 9, 11], [2, 4, 6, 0, 0]], jnp.int32)
+    lens = jnp.asarray([5, 3], jnp.int32)
+    c1 = gptoss.init_cache(cfg, 2, max_seq=64)
+    c2 = gptoss.init_cache(cfg, 2, max_seq=64, fused=None)
+    assert c2.fused_layout
+    l1, c1 = gptoss.forward(params, cfg, toks, c1, seq_lens=lens)
+    l2, c2 = gptoss.forward(params, cfg, toks, c2, seq_lens=lens)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-4, atol=1e-4)
+    for _ in range(6):
+        nt = jnp.argmax(l1[:, -1], -1).astype(jnp.int32)[:, None]
+        l1, c1 = gptoss.forward(params, cfg, nt, c1)
+        l2, c2 = gptoss.forward(params, cfg, nt, c2)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-4, atol=1e-4)

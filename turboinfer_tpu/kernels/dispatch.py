@@ -150,18 +150,20 @@ def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
 
 
 def attention_decode_fused(q, k_cache, v_cache, kv_len, layer_index=None,
-                           window=None, softcap=None):
+                           window=None, softcap=None, sinks=None):
     """k/v_cache in the FUSED-head layout [B, T, Hkv*D], or stacked
     [L, B, T, Hkv*D] with `layer_index` (kernel reads its layer via
     scalar prefetch). The layout that keeps D % 128 != 0 models
-    (tiny fixtures, Qwen2-0.5B, Phi-3) on a Pallas decode kernel."""
+    (tiny fixtures, Qwen2-0.5B, Phi-3, GPT-OSS) on a Pallas decode
+    kernel. sinks: optional [Hq] attention-sink logits (GPT-OSS)."""
     from turboinfer_tpu.kernels import ops
     if pallas_enabled():
         from turboinfer_tpu.kernels.pallas import decode_attention
         y = decode_attention.decode_fused_pallas(q, k_cache, v_cache, kv_len,
                                                  layer_index=layer_index,
                                                  window=window,
-                                                 softcap=softcap)
+                                                 softcap=softcap,
+                                                 sinks=sinks)
         if y is not None:
             return y
     if layer_index is not None:
@@ -173,7 +175,7 @@ def attention_decode_fused(q, k_cache, v_cache, kv_len, layer_index=None,
     return ops.attention_decode_fused_ref(q, decode_kv(k_cache, q.dtype),
                                           decode_kv(v_cache, q.dtype),
                                           kv_len, window=window,
-                                          softcap=softcap)
+                                          softcap=softcap, sinks=sinks)
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,

@@ -448,18 +448,42 @@ def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
 def attention_decode_fused_ref(q: jax.Array, k_cache: jax.Array,
                                v_cache: jax.Array, kv_len: jax.Array,
                                window: Optional[int] = None,
-                               softcap: Optional[float] = None) -> jax.Array:
+                               softcap: Optional[float] = None,
+                               sinks: Optional[jax.Array] = None
+                               ) -> jax.Array:
     """attention_decode_ref over the FUSED-head cache layout
     [B, T, Hkv*D] (heads packed into the lane dim — the layout that
     keeps D % 128 != 0 models on the Pallas decode kernel; see
-    kernels/pallas/decode_attention.decode_fused_pallas)."""
+    kernels/pallas/decode_attention.decode_fused_pallas).
+
+    sinks: optional [Hq] per-head sink logits (GPT-OSS) — the softmax
+    runs over [scores, sink] and the sink position contributes no
+    value: probs = exp(s - m) / (exp(sink - m) + sum exp(s - m))."""
     B, Hq, D = q.shape
     T, HD = k_cache.shape[1], k_cache.shape[2]
     Hkv = HD // D
     k = k_cache.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
     v = v_cache.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
-    return attention_decode_ref(q, k, v, kv_len, window=window,
-                                softcap=softcap)
+    if sinks is None:
+        return attention_decode_ref(q, k, v, kv_len, window=window,
+                                    softcap=softcap)
+    k = _repeat_kv(k, Hq)
+    v = _repeat_kv(v, Hq)
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    scores = jnp.einsum("bhd,bhtd->bht", q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32))
+    scores = apply_softcap(scores, softcap)
+    valid = jnp.arange(T)[None, None, :] < kv_len[:, None, None]
+    if window is not None:
+        valid = valid & (jnp.arange(T)[None, None, :]
+                         >= kv_len[:, None, None] - window)
+    scores = jnp.where(valid, scores, NEG_INF)
+    s0 = sinks.astype(jnp.float32)[None, :, None]        # [1, Hq, 1]
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s0)
+    p = jnp.exp(scores - m)
+    denom = jnp.exp(s0 - m) + jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bht,bhtd->bhd", p / denom, v.astype(jnp.float32))
+    return out.astype(q.dtype)
 
 
 def attention_paged_decode_ref(q: jax.Array, k_pages: jax.Array,
@@ -516,8 +540,9 @@ def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
 
 
 def attention_decode_fused(q, k_cache, v_cache, kv_len, layer_index=None,
-                           window=None, softcap=None):
+                           window=None, softcap=None, sinks=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_decode_fused(q, k_cache, v_cache, kv_len,
                                            layer_index=layer_index,
-                                           window=window, softcap=softcap)
+                                           window=window, softcap=softcap,
+                                           sinks=sinks)

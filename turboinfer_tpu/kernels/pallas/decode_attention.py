@@ -324,17 +324,26 @@ def _fused_chunk_rows(T: int, HD: int, itemsize: int) -> int:
     return max(tt, 8)
 
 
-def _fused_kernel(idx_ref, len_ref, qbd_ref, k_hbm, v_hbm, o_ref,
-                  kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref,
-                  *, tt: int, scale: float, window=None, softcap=None):
+def _fused_kernel(idx_ref, len_ref, qbd_ref, *rest,
+                  tt: int, scale: float, window=None, softcap=None,
+                  has_sinks: bool = False):
     """One sequence b: stream ceil(kv_len/tt) fused-lane cache chunks
     through NBUF VMEM buffers — one trip space covers ALL kv heads.
 
     idx_ref: [1] layer id; len_ref: [B]; qbd_ref: [1, Hqp, HD] VMEM
-    (block-diagonal); k_hbm/v_hbm: [L, B, T, HD] HBM; o_ref:
-    [1, Hqp, HD]; kbuf/vbuf: [NBUF, tt, HD]; m/l: [Hqp, 128],
-    acc: [Hqp, HD] f32.
+    (block-diagonal); optional sinks_ref [Hqp, 128] f32 (per-q-head
+    attention-sink logits, GPT-OSS: the online softmax initializes
+    m0 = sink, l0 = exp(sink - m0) = 1, empty accumulator — exactly
+    softmax([scores, sink]) with the sink position dropped);
+    k_hbm/v_hbm: [L, B, T, HD] HBM; o_ref: [1, Hqp, HD];
+    kbuf/vbuf: [NBUF, tt, HD]; m/l: [Hqp, 128], acc: [Hqp, HD] f32.
     """
+    if has_sinks:
+        (sinks_ref, k_hbm, v_hbm, o_ref,
+         kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref) = rest
+    else:
+        (k_hbm, v_hbm, o_ref,
+         kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref) = rest
     b = pl.program_id(0)
     li = idx_ref[0]
     kv_len = len_ref[b]
@@ -359,8 +368,12 @@ def _fused_kernel(idx_ref, len_ref, qbd_ref, k_hbm, v_hbm, o_ref,
         return 0
     jax.lax.fori_loop(0, NBUF - 1, prime, 0)
 
-    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[:] = jnp.zeros_like(l_ref)
+    if has_sinks:
+        m_ref[:] = sinks_ref[:]
+        l_ref[:] = jnp.ones_like(l_ref)
+    else:
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def body(t, _):
@@ -407,26 +420,36 @@ def _fused_kernel(idx_ref, len_ref, qbd_ref, k_hbm, v_hbm, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("head_dim", "window",
                                              "softcap", "interpret"))
-def _decode_fused(qbd, k_cache, v_cache, kv_len, layer_idx, *,
+def _decode_fused(qbd, k_cache, v_cache, kv_len, layer_idx, sinks=None, *,
                   head_dim: int, window=None, softcap=None,
                   interpret: bool = False):
     B, Hqp, HD = qbd.shape
     T = k_cache.shape[2]
     TT = _fused_chunk_rows(T, HD, k_cache.dtype.itemsize)
     scale = 1.0 / float(head_dim) ** 0.5
+    has_sinks = sinks is not None
 
     kern = functools.partial(_fused_kernel, tt=TT, scale=scale,
-                             window=window, softcap=softcap)
+                             window=window, softcap=softcap,
+                             has_sinks=has_sinks)
+    in_specs = [
+        pl.BlockSpec((1, Hqp, HD),
+                     lambda b, idx, len_ref: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qbd]
+    if has_sinks:
+        in_specs.append(pl.BlockSpec((Hqp, 128),
+                                     lambda b, idx, len_ref: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(sinks)
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY)]
+    args += [k_cache, v_cache]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Hqp, HD),
-                         lambda b, idx, len_ref: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hqp, HD),
                                lambda b, idx, len_ref: (b, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -452,18 +475,20 @@ def _decode_fused(qbd, k_cache, v_cache, kv_len, layer_idx, *,
             transcendentals=B * Hqp * T),
         interpret=interpret,
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
-      kv_len.astype(jnp.int32), qbd, k_cache, v_cache)
+      kv_len.astype(jnp.int32), *args)
 
 
 def decode_fused_pallas(q: jax.Array, k_cache: jax.Array,
                         v_cache: jax.Array, kv_len: jax.Array,
                         layer_index=None, window=None, softcap=None,
+                        sinks=None,
                         interpret: bool = False) -> Optional[jax.Array]:
     """Fused-head-layout decode attention.
 
     q: [B, Hq, D]; k/v_cache: [B, T, Hkv*D] (layer_index=None) or the
     stacked [L, B, T, Hkv*D] with `layer_index` the traced layer id;
-    kv_len: [B]. Returns [B, Hq, D] or None if not kernel-eligible
+    kv_len: [B]; sinks: optional [Hq] per-head attention-sink logits
+    (GPT-OSS). Returns [B, Hq, D] or None if not kernel-eligible
     (requires (Hkv*D) % 128 == 0 and Hq % Hkv == 0).
     """
     B, Hq, D = q.shape
@@ -488,7 +513,11 @@ def decode_fused_pallas(q: jax.Array, k_cache: jax.Array,
     qbd = (q[:, :, None, :] * M[None, :, :, None]).reshape(B, Hq, HD)
     if Hqp != Hq:
         qbd = jnp.pad(qbd, ((0, 0), (0, Hqp - Hq), (0, 0)))
-    out = _decode_fused(qbd, k_cache, v_cache, kv_len, layer_index,
+    sb = None
+    if sinks is not None:
+        sb = jnp.pad(sinks.astype(jnp.float32), (0, Hqp - Hq))
+        sb = jnp.broadcast_to(sb[:, None], (Hqp, 128))
+    out = _decode_fused(qbd, k_cache, v_cache, kv_len, layer_index, sb,
                         head_dim=D, window=window, softcap=softcap,
                         interpret=interpret)
     # Extract the block diagonal of the cross-head [Hq, HD] accumulator:

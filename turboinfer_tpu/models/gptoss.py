@@ -40,8 +40,23 @@ import jax.numpy as jnp
 from turboinfer_tpu.config import ModelConfig
 from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models.common import (KVCache, decode_kv, encode_kv,
-                                          init_cache, param_bytes,  # noqa: F401
+                                          fused_cache_eligible,  # noqa: F401
+                                          param_bytes,
                                           param_count, reset_cache)
+from turboinfer_tpu.models.common import init_cache as _common_init_cache
+
+
+def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
+               dtype=None, fused=False) -> KVCache:
+    """GPT-OSS cache. fused None -> auto: the fused-head [L, B, T,
+    Hkv*D] layout (GPT-OSS: D=64, Hkv=8 -> 512 lanes), which puts
+    contiguous-cache decode on the sink-aware Pallas kernel instead of
+    the chunked jnp streaming path. See llama.init_cache."""
+    if fused is None:
+        T = max_seq or config.max_seq_len
+        fused = fused_cache_eligible(config) and T % 8 == 0
+    return _common_init_cache(config, batch_size, max_seq, dtype,
+                              fused=fused)
 
 
 def init_params(rng: jax.Array, config: ModelConfig,
@@ -147,10 +162,11 @@ def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any],
 
 
 def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
-               k_cache, v_cache, start, kv_len):
+               k_cache, v_cache, start, kv_len, fused_cache=False):
     """GQA attention with per-head sink logits and the per-layer
-    sliding/full window. k_cache/v_cache: [B, Hkv, T, D] (this layer).
-    Returns (out [B,S,QD], k_cache', v_cache')."""
+    sliding/full window. k_cache/v_cache: [B, Hkv, T, D] (this layer),
+    or fused-head [B, T, Hkv*D] / stacked [L, B, T, Hkv*D] with
+    fused_cache=True. Returns (out [B,S,QD], k_cache', v_cache')."""
     B, S, _ = h.shape
     nH, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
 
@@ -166,6 +182,71 @@ def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
                        scaling=config.rope_scaling)
     k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode,
                        scaling=config.rope_scaling)
+    pattern = config.sliding_window_pattern
+
+    if fused_cache and k_cache.ndim == 4:
+        # Stacked fused-head decode [L, B, T, Hkv*D]: in-place writes at
+        # layer li, attention via the sink-aware fused Pallas kernel
+        # reading the stack by scalar prefetch (no per-layer cache copy
+        # — the head-major gptoss path slices the layer each step).
+        assert S == 1
+        newk = encode_kv(k.reshape(B, S, Hkv * D), k_cache.dtype)
+        newv = encode_kv(v.reshape(B, S, Hkv * D), v_cache.dtype)
+        for b in range(B):
+            idx = (li, b, start[b], 0)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, newk[b][None, None], idx)
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, newv[b][None, None], idx)
+        sinks = w1("sinks")
+
+        def dec(window):
+            return lambda: ops.attention_decode_fused(
+                q[:, 0], k_cache, v_cache, kv_len, layer_index=li,
+                window=window, sinks=sinks)
+        if pattern and pattern > 1 and config.sliding_window:
+            is_global = (li + 1) % pattern == 0
+            out = jax.lax.cond(is_global, dec(None),
+                               dec(config.sliding_window))
+        else:
+            out = dec(config.sliding_window)()
+        out = out[:, None].reshape(B, S, nH * D)
+        return out.astype(h.dtype), k_cache, v_cache
+
+    if fused_cache:
+        # Per-layer fused-head [B, T, Hkv*D] (prefill body): write the
+        # packed rows, then run the existing chunked streaming math on
+        # a head-major view (one transposed copy per layer per prefill).
+        T = k_cache.shape[1]
+
+        def write_fused(cache_b, new_b, start_b):
+            return jax.lax.dynamic_update_slice(
+                cache_b, encode_kv(new_b.reshape(S, Hkv * D),
+                                   cache_b.dtype), (start_b, 0))
+        k_cache = jax.vmap(write_fused)(k_cache, k, start)
+        v_cache = jax.vmap(write_fused)(v_cache, v, start)
+        if S == 1:
+            sinks = w1("sinks")
+
+            def dec(window):
+                return lambda: ops.attention_decode_fused(
+                    q[:, 0], k_cache, v_cache, kv_len, window=window,
+                    sinks=sinks)
+            if pattern and pattern > 1 and config.sliding_window:
+                is_global = (li + 1) % pattern == 0 if li is not None \
+                    else True
+                out = jax.lax.cond(is_global, dec(None),
+                                   dec(config.sliding_window)) \
+                    if li is not None else dec(None)()
+            else:
+                out = dec(config.sliding_window)()
+            out = out[:, None].reshape(B, S, nH * D)
+            return out.astype(h.dtype), k_cache, v_cache
+        khm = k_cache.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+        vhm = v_cache.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+        out = _streaming_attention(config, q, khm, vhm, w1("sinks"),
+                                   positions, kv_len, li)
+        return out.astype(h.dtype), k_cache, v_cache
 
     def write_one(cache_b, new_b, start_b):
         return jax.lax.dynamic_update_slice(
@@ -173,13 +254,24 @@ def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
             (0, start_b, 0))
     k_cache = jax.vmap(write_one)(k_cache, k, start)
     v_cache = jax.vmap(write_one)(v_cache, v, start)
+    out = _streaming_attention(config, q, k_cache, v_cache, w1("sinks"),
+                               positions, kv_len, li)
+    return out.astype(h.dtype), k_cache, v_cache
 
-    # Streaming (online-softmax) attention over key chunks: one
-    # [B, Hkv, G, S, C] score block at a time — never a full [..., T]
-    # tensor, and the (possibly fp8) cache decodes per chunk instead of
-    # wholesale. The SINK is exact: softmax([scores, sink]) with the
-    # sink dropped equals online softmax initialized with running
-    # max m0 = sink, sum l0 = 1 (= exp(sink - m0)), empty accumulator.
+
+def _streaming_attention(config, q, k_cache, v_cache, sinks_flat,
+                         positions, kv_len, li):
+    """Streaming (online-softmax) attention over key chunks: one
+    [B, Hkv, G, S, C] score block at a time — never a full [..., T]
+    tensor, and the (possibly fp8) cache decodes per chunk instead of
+    wholesale. The SINK is exact: softmax([scores, sink]) with the
+    sink dropped equals online softmax initialized with running
+    max m0 = sink, sum l0 = 1 (= exp(sink - m0)), empty accumulator.
+
+    q: [B, S, nH, D]; k/v_cache: head-major [B, Hkv, T, D];
+    sinks_flat: [nH]. Returns [B, S, nH*D] f32."""
+    B, S = q.shape[0], q.shape[1]
+    nH, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
     G = nH // Hkv
     T = k_cache.shape[2]
     cdt = q.dtype
@@ -219,7 +311,7 @@ def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
                             preferred_element_type=jnp.float32))
         return (m2, l, acc), None
 
-    sinks = w1("sinks").astype(jnp.float32).reshape(Hkv, G)
+    sinks = sinks_flat.astype(jnp.float32).reshape(Hkv, G)
     m0 = jnp.broadcast_to(sinks[None, :, :, None],
                           (B, Hkv, G, S)).astype(jnp.float32)
     l0 = jnp.ones((B, Hkv, G, S), jnp.float32)
@@ -228,11 +320,11 @@ def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
         chunk, (m0, l0, a0), jnp.arange(T // C, dtype=jnp.int32))
     out = acc / l[..., None]
     out = out.reshape(B, nH, S, D).transpose(0, 2, 1, 3)
-    return out.reshape(B, S, nH * D).astype(h.dtype), k_cache, v_cache
+    return out.reshape(B, S, nH * D)
 
 
 def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
-                   kv_len, layer_index=None):
+                   kv_len, layer_index=None, fused_cache=False):
     li = layer_index
 
     def w1(name):
@@ -243,7 +335,8 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
 
     h = ops.rms_norm(x, w1("attn_norm"), config.rms_norm_eps)
     attn, k_cache, v_cache = _attention(config, h, lw, li, positions,
-                                        k_cache, v_cache, start, kv_len)
+                                        k_cache, v_cache, start, kv_len,
+                                        fused_cache=fused_cache)
     attn = ops.qmatmul(attn, lw["wo"], layer_index=li) \
         + w1("b_o").astype(x.dtype)
     x = x + attn
@@ -267,16 +360,29 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
 
     x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
     layers = params["layers"]
+    fused = cache.fused_layout
 
-    def body(carry, i):
-        x, kf, vf = carry
-        k1 = jax.lax.dynamic_index_in_dim(kf, i, 0, keepdims=False)
-        v1 = jax.lax.dynamic_index_in_dim(vf, i, 0, keepdims=False)
-        x, k1, v1 = _layer_forward(config, x, layers, positions, k1, v1,
-                                   start, kv_len, layer_index=i)
-        kf = jax.lax.dynamic_update_index_in_dim(kf, k1, i, 0)
-        vf = jax.lax.dynamic_update_index_in_dim(vf, v1, i, 0)
-        return (x, kf, vf), None
+    if fused and S == 1:
+        # Fused-head stacked decode: the cache flows through whole (the
+        # head-major body below pays a full per-layer cache slice copy
+        # per step) and attention runs on the sink-aware fused kernel.
+        def body(carry, i):
+            x, kf, vf = carry
+            x, kf, vf = _layer_forward(config, x, layers, positions, kf,
+                                       vf, start, kv_len, layer_index=i,
+                                       fused_cache=True)
+            return (x, kf, vf), None
+    else:
+        def body(carry, i):
+            x, kf, vf = carry
+            k1 = jax.lax.dynamic_index_in_dim(kf, i, 0, keepdims=False)
+            v1 = jax.lax.dynamic_index_in_dim(vf, i, 0, keepdims=False)
+            x, k1, v1 = _layer_forward(config, x, layers, positions, k1,
+                                       v1, start, kv_len, layer_index=i,
+                                       fused_cache=fused)
+            kf = jax.lax.dynamic_update_index_in_dim(kf, k1, i, 0)
+            vf = jax.lax.dynamic_update_index_in_dim(vf, v1, i, 0)
+            return (x, kf, vf), None
 
     (x, k_new, v_new), _ = jax.lax.scan(
         body, (x, cache.k, cache.v),

@@ -33,9 +33,22 @@ from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models import llama
 from turboinfer_tpu.models.common import (KVCache, cache_bits_view,  # noqa: F401
                                           cache_from_bits, decode_kv,
-                                          encode_kv, init_cache,
+                                          encode_kv, fused_cache_eligible,
                                           param_bytes, param_count,
                                           reset_cache)
+from turboinfer_tpu.models.common import init_cache as _common_init_cache
+
+
+def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
+               dtype=None, fused=False) -> KVCache:
+    """MoE-family cache. fused None -> auto: fused-head layout when the
+    head-major Pallas decode kernel can't run (Qwen2-MoE, OLMoE: D=64).
+    See llama.init_cache for the layout contract."""
+    if fused is None:
+        T = max_seq or config.max_seq_len
+        fused = fused_cache_eligible(config) and T % 8 == 0
+    return _common_init_cache(config, batch_size, max_seq, dtype,
+                              fused=fused)
 
 
 def init_params(rng: jax.Array, config: ModelConfig,
@@ -264,7 +277,7 @@ def _expert_ffn_quant(config: ModelConfig, h: jax.Array,
 
 def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
                    kv_len, contiguous=True, layer_index=None,
-                   global_layer_index=None):
+                   global_layer_index=None, fused_cache=False):
     """LLaMA attention block + MoE FFN. lw is the FULL stacked layer
     dict when layer_index is given. global_layer_index is accepted for
     pipeline-parallel signature parity (MoE windows are uniform across
@@ -284,6 +297,57 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
     q, k, v = qkv_proj(h, lw, li, B, S, Hq, Hkv, D, config)
     q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode)
     k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
+
+    if fused_cache and k_cache.ndim == 4:
+        # Fused-head stacked decode [L, B, T, Hkv*D] — the layout that
+        # keeps D % 128 != 0 MoE attention (Qwen2-MoE, OLMoE: D=64) on
+        # a Pallas kernel. See llama._layer_forward.
+        newk = encode_kv(k.reshape(B, S, Hkv * D), k_cache.dtype)
+        newv = encode_kv(v.reshape(B, S, Hkv * D), v_cache.dtype)
+        for b in range(B):
+            idx = (li, b, start[b], 0)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, newk[b][None, None], idx)
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, newv[b][None, None], idx)
+        attn = ops.attention_decode_fused(q[:, 0], k_cache, v_cache,
+                                          kv_len,
+                                          window=config.sliding_window,
+                                          layer_index=li)
+        attn = attn[:, None].reshape(B, S, Hq * D)
+        x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
+        h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
+        x = x + _moe_ffn(config, h, lw, layer_index=li)
+        return x, k_cache, v_cache
+
+    if fused_cache:
+        # Fused-head per-layer [B, T, Hkv*D] (prefill body).
+        T = k_cache.shape[1]
+
+        def write_fused(cache_b, new_b, start_b):
+            return jax.lax.dynamic_update_slice(
+                cache_b, encode_kv(new_b.reshape(S, Hkv * D),
+                                   cache_b.dtype), (start_b, 0))
+        k_cache = jax.vmap(write_fused)(k_cache, k, start)
+        v_cache = jax.vmap(write_fused)(v_cache, v, start)
+        if S == 1:
+            attn = ops.attention_decode_fused(
+                q[:, 0], k_cache, v_cache, kv_len,
+                window=config.sliding_window)[:, None]
+        else:
+            kf = decode_kv(k_cache, q.dtype).reshape(
+                B, T, Hkv, D).transpose(0, 2, 1, 3)
+            vf = decode_kv(v_cache, q.dtype).reshape(
+                B, T, Hkv, D).transpose(0, 2, 1, 3)
+            attn = ops.attention_prefill(
+                q, kf, vf, causal=True, positions=positions,
+                kv_len=kv_len, q_start=start if contiguous else None,
+                window=config.sliding_window)
+        attn = attn.reshape(B, S, Hq * D)
+        x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
+        h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
+        x = x + _moe_ffn(config, h, lw, layer_index=li)
+        return x, k_cache, v_cache
 
     if k_cache.ndim == 5:
         # Stacked-cache decode (see llama._layer_forward): per-slot
@@ -349,6 +413,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
 
     layers = params["layers"]
     was_fp8 = cache.k.dtype == jnp.float8_e4m3fn
+    fused = cache.fused_layout
     cache = cache_bits_view(cache)
 
     if S == 1:
@@ -358,7 +423,8 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             x, k_full, v_full = carry
             x, k_full, v_full = _layer_forward(
                 config, x, layers, positions, k_full, v_full, start,
-                kv_len, contiguous=contiguous, layer_index=i)
+                kv_len, contiguous=contiguous, layer_index=i,
+                fused_cache=fused)
             return (x, k_full, v_full), None
     else:
         def body(carry, i):
@@ -367,7 +433,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
             x, kc, vc = _layer_forward(config, x, layers, positions, kc, vc,
                                        start, kv_len, contiguous=contiguous,
-                                       layer_index=i)
+                                       layer_index=i, fused_cache=fused)
             k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
             v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
             return (x, k_full, v_full), None
