@@ -134,3 +134,44 @@ def test_fallback_when_disabled(tmp_path, monkeypatch):
 @needs_native
 def test_version():
     assert "turboio" in tio.version()
+
+
+@needs_native
+def test_ggml_dequant_bitexact_vs_numpy():
+    """Native OpenMP block dequant must match the numpy golden forms
+    bit-for-bit on every supported GGML type, including a ragged tail
+    (n_elems not a multiple of the block size)."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    cases = [(gguf.GGML_Q4_0, "Q4_0"), (gguf.GGML_Q4_1, "Q4_1"),
+             (gguf.GGML_Q5_0, "Q5_0"), (gguf.GGML_Q5_1, "Q5_1"),
+             (gguf.GGML_Q8_0, "Q8_0"), (gguf.GGML_Q4_K, "Q4_K"),
+             (gguf.GGML_Q5_K, "Q5_K"), (gguf.GGML_Q6_K, "Q6_K")]
+    for t, name in cases:
+        be, bb = gguf._BLOCK_LAYOUT[t]
+        # GGUF tensors are always whole blocks (row length % block == 0);
+        # the numpy golden truncates ragged tails so only whole-block
+        # sizes are comparable.
+        for n in (be * 37, be * 64):
+            nb = -(-n // be)
+            raw = rng.randint(0, 255, nb * bb, dtype=np.uint8)
+            # sane fp16 scales so the comparison avoids NaN != NaN
+            blocks = raw.reshape(nb, bb)
+            d = (rng.rand(nb) * 0.02 + 1e-3).astype(np.float16)
+            off = 208 if t == gguf.GGML_Q6_K else 0
+            blocks[:, off:off + 2] = d.view(np.uint8).reshape(-1, 2)
+            got = tio.ggml_dequant(raw, t, n)
+            assert got is not None and got.shape == (n,), name
+            saved_lib, saved_failed = tio._lib, tio._build_failed
+            tio._lib, tio._build_failed = None, True
+            try:
+                want = gguf.dequantize_ggml(raw, t, n)
+            finally:
+                tio._lib, tio._build_failed = saved_lib, saved_failed
+            assert np.array_equal(got, want), (name, n)
+
+
+@needs_native
+def test_ggml_dequant_unsupported_returns_none():
+    import numpy as np
+    assert tio.ggml_dequant(np.zeros(64, np.uint8), 999, 32) is None

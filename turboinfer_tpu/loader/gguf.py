@@ -292,6 +292,17 @@ def dequantize_ggml(raw: np.ndarray, ggml_type: int, n_elems: int
     if be is None:
         name = GGML_TYPE_NAMES.get(ggml_type, str(ggml_type))
         raise ModelFormatError(f"unsupported GGML tensor type {name}")
+
+    # Native fast path: the OpenMP block dequant (native/ggml_dequant
+    # .cpp) runs at memory speed vs ~10-300 Melem/s for the numpy forms
+    # below — the difference between minutes and seconds on a 7B
+    # checkpoint. The numpy forms stay as the golden reference
+    # (tests/test_native.py pins native == numpy bit-for-bit).
+    from turboinfer_tpu import native
+    out = native.ggml_dequant(raw, ggml_type, n_elems)
+    if out is not None:
+        return out
+
     nb = n_elems // be
     blocks = raw[: nb * bb].reshape(nb, bb)
 

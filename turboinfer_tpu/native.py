@@ -62,6 +62,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.turboio_ggml_dequant.restype = ctypes.c_int32
+        lib.turboio_ggml_dequant.argtypes = [
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -88,6 +92,23 @@ def gguf_index(path: str) -> Optional[dict]:
         return json.loads(raw.decode("utf-8", errors="replace"))
     finally:
         lib.turboio_free(ptr)
+
+
+def ggml_dequant(raw, ggml_type: int, n_elems: int):
+    """Multithreaded native GGUF block dequantization
+    (native/ggml_dequant.cpp) -> flat fp32 numpy array, or None when
+    the library or the block type is unavailable (caller falls back to
+    the numpy golden forms in loader/gguf.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    import numpy as np
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    out = np.empty(n_elems, np.float32)
+    rc = lib.turboio_ggml_dequant(
+        int(ggml_type), raw.ctypes.data_as(ctypes.c_void_p),
+        raw.size, int(n_elems), out.ctypes.data_as(ctypes.c_void_p))
+    return out if rc == 0 else None
 
 
 class NativeSPMEncoder:
