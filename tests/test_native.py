@@ -160,6 +160,12 @@ def test_ggml_dequant_bitexact_vs_numpy():
             d = (rng.rand(nb) * 0.02 + 1e-3).astype(np.float16)
             off = 208 if t == gguf.GGML_Q6_K else 0
             blocks[:, off:off + 2] = d.view(np.uint8).reshape(-1, 2)
+            if t in (gguf.GGML_Q4_1, gguf.GGML_Q5_1, gguf.GGML_Q4_K,
+                     gguf.GGML_Q5_K):
+                # the second fp16 slot (m / dmin) must be sane too —
+                # random bytes decode to NaN and NaN != NaN
+                m = (rng.rand(nb) * 0.01).astype(np.float16)
+                blocks[:, 2:4] = m.view(np.uint8).reshape(-1, 2)
             got = tio.ggml_dequant(raw, t, n)
             assert got is not None and got.shape == (n,), name
             saved_lib, saved_failed = tio._lib, tio._build_failed
