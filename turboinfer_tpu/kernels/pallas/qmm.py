@@ -288,8 +288,10 @@ def _pick_tiles(M, K, N, bits, group_size):
             return None
         tm_pref = os.environ.get("TURBOINFER_QMM_PREFILL_TM", "512")
         TM = min(_round_up(M, 8), int(tm_pref))
+        # 8 MB measured best at 7B S=512 (61.6 -> 60.0 ms, 115 TFLOP/s);
+        # 10 MB fails Mosaic VMEM allocation.
         cap = int(os.environ.get("TURBOINFER_QMM_PREFILL_BUDGET",
-                                 str(6 * 1024 * 1024)))
+                                 str(8 * 1024 * 1024)))
 
         def budget(tn):
             # double-buffered weight block + x halves + f32 acc + out
