@@ -549,3 +549,33 @@ def test_gptoss_fused_cache_matches_head_major():
         l2, c2 = gptoss.forward(params, cfg, nt, c2)
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_qmm_a8_prefill_path(monkeypatch):
+    """Opt-in W4A8 prefill path (TURBOINFER_QMM_A8=1): int8 per-row
+    activations x raw int4 nibbles, factored scales. Must match the
+    explicit int8-simulated matmul to quantization error."""
+    monkeypatch.setenv("TURBOINFER_QMM_A8", "1")
+    from turboinfer_tpu.core.qtensor import dequantize
+    from turboinfer_tpu.kernels.pallas import qmm
+    rng = np.random.RandomState(0)
+    M, K, N, GS = 64, 1024, 512, 256
+    w = jnp.asarray(rng.randn(K, N) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.randn(M, K) * 0.5, jnp.bfloat16)
+    qt = quantize(w, QuantType.INT4, group_size=GS, symmetric=True)
+    got = qmm.qmatmul_pallas(x, qt, interpret=True)
+    assert got is not None
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), -1), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx[:, None]), -127, 127)
+    want = (xq @ dequantize(qt, jnp.float32)) * sx[:, None]
+    rel = (float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)))
+           / float(jnp.max(jnp.abs(want))))
+    assert rel < 2e-2, rel
+    # decode-sized M must NOT take the a8 path (activation quantization
+    # noise is not worth it at bandwidth-bound M<=8)
+    g1 = qmm.qmatmul_pallas(x[:1], qt, interpret=True)
+    r1 = ops.qmatmul_ref(x[:1], qt)
+    rel1 = (float(jnp.max(jnp.abs(g1 - r1)))
+            / float(jnp.max(jnp.abs(r1))))
+    assert rel1 < 1e-2

@@ -204,6 +204,99 @@ def _kernel_int4_fact_idx(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _a8_enabled() -> bool:
+    """W4A8 prefill path (int8 activations x raw int4 nibbles on the
+    MXU at 2x bf16 peak) — opt-in while accuracy is user-judged."""
+    import os
+    return os.environ.get("TURBOINFER_QMM_A8", "0") == "1"
+
+
+def _int4_a8_body(x_lo, x_hi, qp, s, sx, acc_ref, *, group_size: int):
+    """W4A8 factored accumulation (one K tile).
+
+    Same factored-scale algebra as _int4_fact_body, but the activations
+    arrive PRE-QUANTIZED to int8 (per-row absmax/127, done by the
+    caller) so the per-group dots run int8 x int8 -> int32 on the MXU —
+    2x the bf16 MXU peak on v5e. The raw nibbles u stay in [0, 16) (the
+    -8 shift is factored into the row-sum term: Mosaic has no int8
+    vector subtract), partials fit int32 comfortably
+    (127 * 15 * K < 2^31 for any real K tile), and the two scales are
+    applied on the [TM, TN] group partial:
+
+        acc[m,n] += s[g,n] * ( p[m,n] - 8 * rsum[m] )
+        out[m,n]  = sx[m] * acc[m,n]          (sx applied by the caller)
+
+    x_lo/x_hi: [TM, TK//2] int8 pre-gathered halves; qp: [TK//2, TN]
+    uint8; s: [G, TN] f32; sx: unused here (kept out of the kernel —
+    the caller multiplies the output rows); acc_ref: [TM, TN] f32.
+    """
+    del sx
+    TK2, TN = qp.shape
+    g2 = group_size // 2
+    G = TK2 // g2
+    acc = acc_ref[:]
+    for gi in range(G):
+        lo_sl = slice(gi * g2, (gi + 1) * g2)
+        qg = qp[lo_sl].astype(jnp.int32)
+        u_lo = (qg & 0x0F).astype(jnp.int8)
+        u_hi = (qg >> 4).astype(jnp.int8)
+        xl = x_lo[:, lo_sl]
+        xh = x_hi[:, lo_sl]
+        p = (jax.lax.dot_general(xl, u_lo, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+             + jax.lax.dot_general(xh, u_hi, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32))
+        rsum = jnp.sum(xl.astype(jnp.int32), axis=1, keepdims=True) \
+            + jnp.sum(xh.astype(jnp.int32), axis=1, keepdims=True)
+        acc = acc + (p - 8 * rsum).astype(jnp.float32) * s[gi][None, :]
+    acc_ref[:] = acc
+
+
+def _kernel_int4_a8(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                    nk: int, group_size: int, out_dtype):
+    """W4A8 2-D kernel (see _int4_a8_body)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _int4_a8_body(xlo_ref[:], xhi_ref[:], q_ref[:],
+                  s_ref[0].astype(jnp.float32), None, acc_ref,
+                  group_size=group_size)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _kernel_int4_a8_idx(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
+                        acc_ref, *, nk: int, group_size: int, out_dtype):
+    """Stacked-layer W4A8 kernel (see _int4_a8_body)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    _int4_a8_body(xlo_ref[:], xhi_ref[:], q_ref[0],
+                  s_ref[0, 0].astype(jnp.float32), None, acc_ref,
+                  group_size=group_size)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _a8_quantize_rows(x2):
+    """Per-row symmetric int8 activation quantization: returns
+    (xq int8 [M, K], sx f32 [M])."""
+    xf = x2.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx[:, None]), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
 def _pick_tile(dim: int, candidates) -> Optional[int]:
     for t in candidates:
         if dim % t == 0:
@@ -337,8 +430,12 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
     Mp = M + pad_m
     nk = K // TK
 
+    a8 = (bits == 4 and M > 8 and _fact_eligible(bits, group_size)
+          and _a8_enabled())
     if bits == 8:
         kern = _kernel_int8
+    elif a8:
+        kern = _kernel_int4_a8
     elif _fact_eligible(bits, group_size):
         kern = _kernel_int4_fact
     else:
@@ -383,6 +480,9 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
     else:
         # Pre-gather activation columns into (group, offset-in-half)
         # order so each K block pairs with contiguous w_lo / w_hi rows.
+        sx = None
+        if a8:
+            x2, sx = _a8_quantize_rows(x2)
         g2 = group_size // 2
         xg = x2.reshape(Mp, K // group_size, group_size)
         x_lo = xg[:, :, :g2].reshape(Mp, K // 2)
@@ -395,6 +495,8 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
             in_specs=[half_spec, half_spec, w_spec, s_spec],
             **common,
         )(x_lo, x_hi, data, scales3)
+        if sx is not None:
+            out = (out.astype(jnp.float32) * sx[:, None]).astype(out_dtype)
     return out[:M] if pad_m else out
 
 
@@ -483,8 +585,12 @@ def _qmm_stacked(x2, data3, scales3, layer_idx, *, bits: int,
         # prefill (once per request), avoided on the decode path.
         scales4 = scales3.reshape(L, nk, gk, N)
 
+    a8 = (bits == 4 and M > 8 and _fact_eligible(bits, group_size)
+          and _a8_enabled())
     if bits == 8:
         kern = _kernel_int8_idx
+    elif a8:
+        kern = _kernel_int4_a8_idx
     elif _fact_eligible(bits, group_size):
         kern = _kernel_int4_fact_idx
     else:
@@ -522,6 +628,9 @@ def _qmm_stacked(x2, data3, scales3, layer_idx, *, bits: int,
             cost_estimate=cost, interpret=interpret,
         )(idx_arr, x2, data3, scales4)
     else:
+        sx = None
+        if a8:
+            x2, sx = _a8_quantize_rows(x2)
         g2 = group_size // 2
         xg = x2.reshape(Mp, K // group_size, group_size)
         x_lo = xg[:, :, :g2].reshape(Mp, K // 2)
@@ -540,6 +649,8 @@ def _qmm_stacked(x2, data3, scales3, layer_idx, *, bits: int,
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             cost_estimate=cost, interpret=interpret,
         )(idx_arr, x_lo, x_hi, data3, scales4)
+        if sx is not None:
+            out = (out.astype(jnp.float32) * sx[:, None]).astype(out_dtype)
     return out[:M] if pad_m else out
 
 
