@@ -579,3 +579,28 @@ def test_qmm_a8_prefill_path(monkeypatch):
     rel1 = (float(jnp.max(jnp.abs(g1 - r1)))
             / float(jnp.max(jnp.abs(r1))))
     assert rel1 < 1e-2
+
+
+def test_gpt2_fused_fp8_cache_close_to_bf16():
+    """gpt2/neox fused-cache writes must go through encode_kv: with an
+    fp8 ("uint8 bits-at-rest") cache a raw float->uint8 astype would
+    produce garbage. fp8 outputs must stay close to the fp32-cache run."""
+    from turboinfer_tpu.config import ModelConfig
+    from turboinfer_tpu.models import gpt2
+    cfg = ModelConfig(architecture="gpt2", vocab_size=500, hidden_size=128,
+                      num_layers=2, num_heads=2, max_seq_len=64,
+                      dtype=jnp.float32)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    toks = jnp.asarray([[1, 5, 7, 9, 11]], jnp.int32)
+    c_f = gpt2.init_cache(cfg, 1, max_seq=64, fused=True)
+    c_8 = gpt2.init_cache(cfg, 1, max_seq=64, fused=True, dtype=jnp.uint8)
+    lf, c_f = gpt2.forward(params, cfg, toks, c_f)
+    l8, c_8 = gpt2.forward(params, cfg, toks, c_8)
+    # e4m3 has ~2 mantissa-bit rounding; logits track within a few %.
+    ref = float(jnp.max(jnp.abs(lf)))
+    assert float(jnp.max(jnp.abs(lf - l8))) < 0.1 * ref + 0.3
+    for _ in range(3):
+        nt = jnp.argmax(lf[:, -1], -1).astype(jnp.int32)[:, None]
+        lf, c_f = gpt2.forward(params, cfg, nt, c_f)
+        l8, c_8 = gpt2.forward(params, cfg, nt, c_8)
+        assert float(jnp.max(jnp.abs(lf - l8))) < 0.1 * ref + 0.3

@@ -22,9 +22,14 @@ import sys
 
 
 def cmd_generate(args):
+    import dataclasses
+
     import turboinfer_tpu as ti
     ti.initialize(enable_logging=not args.quiet)
     eng = ti.load_model(args.model)
+    # The CLI displays TTFT, so pay the one prefill->decode sync for an
+    # accurate number (see InferenceConfig.measure_ttft).
+    eng.config = dataclasses.replace(eng.config, measure_ttft=True)
     tokens = eng.encode(args.prompt)
     res = eng.generate(tokens, args.max_tokens,
                        temperature=0.0 if args.greedy else args.temperature,

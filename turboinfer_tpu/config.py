@@ -219,6 +219,13 @@ class InferenceConfig:
     # sit well inside e4m3's +-448 range, logit deltas are ~1e-2).
     # "bf16" forces bfloat16 for fp32 models.
     kv_cache_dtype: str = "model"
+    # Accurate TTFT on the scan decode path costs a device sync between
+    # the prefill and decode dispatches (~30-45 ms on a tunnel-attached
+    # chip, a real RTT anywhere). Default False: prefill_time_ms then
+    # reports host ENQUEUE time (a lower bound). The CLI and anything
+    # that displays TTFT should set True; serving TTFT comes from the
+    # scheduler's own per-request clock either way.
+    measure_ttft: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -348,12 +348,15 @@ class InferenceEngine:
         rng = self.next_rng()
         pc = (self._prompt_counts(tokens, seq_lens) if sp.needs_counts
               else jnp.zeros((), jnp.int32))
-        # Enqueue-side timestamp: the scan path never syncs between the
-        # prefill and decode dispatches (a forced round trip costs
-        # ~30-45 ms on a tunnel-attached chip), so prefill_time_ms is
-        # host enqueue time there. The host-loop path still syncs per
-        # step and reports true TTFT; serving TTFT comes from the
+        # The scan path does not sync between the prefill and decode
+        # dispatches by default (a forced round trip costs ~30-45 ms on
+        # a tunnel-attached chip), so prefill_time_ms is host ENQUEUE
+        # time — set InferenceConfig.measure_ttft=True (the CLI does)
+        # to pay one sync for an accurate TTFT. The host-loop path
+        # syncs per step anyway; serving TTFT comes from the
         # scheduler's own per-request clock.
+        if self.config.measure_ttft:
+            last_logits.block_until_ready()
         t_prefill = time.perf_counter()
 
         if max_new <= 1 or self.config.decode_loop != "scan":

@@ -415,9 +415,9 @@ def _pick_tiles(M, K, N, bits, group_size):
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "group_size", "K", "N",
-                                             "out_dtype", "interpret"))
+                                             "out_dtype", "interpret", "a8"))
 def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
-            out_dtype, interpret: bool = False):
+            out_dtype, interpret: bool = False, a8: bool = False):
     """x2: [M, K] -> [M, N]. data/scales as stored in the QTensor."""
     M = x2.shape[0]
     tiles = _pick_tiles(M, K, N, bits, group_size)
@@ -430,8 +430,7 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
     Mp = M + pad_m
     nk = K // TK
 
-    a8 = (bits == 4 and M > 8 and _fact_eligible(bits, group_size)
-          and _a8_enabled())
+    a8 = a8 and bits == 4 and M > 8 and _fact_eligible(bits, group_size)
     if bits == 8:
         kern = _kernel_int8
     elif a8:
@@ -552,10 +551,11 @@ def _kernel_int4_idx(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "group_size", "K", "N",
-                                             "out_dtype", "interpret"))
+                                             "out_dtype", "interpret",
+                                             "a8"))
 def _qmm_stacked(x2, data3, scales3, layer_idx, *, bits: int,
                  group_size: int, K: int, N: int, out_dtype,
-                 interpret: bool = False):
+                 interpret: bool = False, a8: bool = False):
     """x2: [M, K] @ layer `layer_idx` of data3 [L, K/kd, N] -> [M, N].
 
     The layer id rides scalar prefetch and lands in the BlockSpec index
@@ -585,8 +585,7 @@ def _qmm_stacked(x2, data3, scales3, layer_idx, *, bits: int,
         # prefill (once per request), avoided on the decode path.
         scales4 = scales3.reshape(L, nk, gk, N)
 
-    a8 = (bits == 4 and M > 8 and _fact_eligible(bits, group_size)
-          and _a8_enabled())
+    a8 = a8 and bits == 4 and M > 8 and _fact_eligible(bits, group_size)
     if bits == 8:
         kern = _kernel_int8_idx
     elif a8:
@@ -670,7 +669,8 @@ def qmatmul_pallas_stacked(x: jax.Array, qt: QTensor, layer_index,
         M *= d
     out = _qmm_stacked(x.reshape(M, K), qt.data, qt.scales, layer_index,
                        bits=qt.bits, group_size=qt.group_size, K=K, N=N,
-                       out_dtype=x.dtype, interpret=interpret)
+                       out_dtype=x.dtype, interpret=interpret,
+                       a8=_a8_enabled())
     if out is None:
         return None
     return out.reshape(*lead, N)
@@ -882,7 +882,7 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, preferred_dtype=jnp.float32,
     x2 = x.reshape(M, K)
     out = _qmm_2d(x2, qt.data, qt.scales, bits=qt.bits,
                   group_size=qt.group_size, K=K, N=N, out_dtype=x.dtype,
-                  interpret=interpret)
+                  interpret=interpret, a8=_a8_enabled())
     if out is None:
         return None
     return out.reshape(*lead, N)

@@ -56,6 +56,18 @@ def fused_cache_eligible(config: ModelConfig) -> bool:
             and config.num_heads % Hkv == 0)
 
 
+def resolve_fused_cache(config: ModelConfig, max_seq: Optional[int] = None,
+                        disallow: bool = False) -> bool:
+    """Shared fused=None auto-resolution for the model modules'
+    init_cache wrappers: fused-head layout when eligible, the T axis
+    sublane-aligned, and not vetoed by the module (NeoX passes
+    disallow=config.alibi — the fused kernel has no per-head bias)."""
+    if disallow:
+        return False
+    T = max_seq or config.max_seq_len
+    return fused_cache_eligible(config) and T % 8 == 0
+
+
 def init_cache(config: ModelConfig, batch_size: int,
                max_seq: Optional[int] = None, dtype=None,
                fused: Optional[bool] = None) -> KVCache:

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from turboinfer_tpu.config import ModelConfig
 from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models.common import (KVCache,  # noqa: F401
-                                          fused_cache_eligible,
+                                          decode_kv, encode_kv,
+                                          resolve_fused_cache,
                                           param_bytes, param_count,
                                           reset_cache)
 from turboinfer_tpu.models.common import init_cache as _common_init_cache
@@ -35,8 +36,7 @@ def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
     (D=64 for every GPT-2 size; H = Hq*64 is always 128-aligned), so
     TPU decode stays on a Pallas kernel. See llama.init_cache."""
     if fused is None:
-        T = max_seq or config.max_seq_len
-        fused = fused_cache_eligible(config) and T % 8 == 0
+        fused = resolve_fused_cache(config, max_seq)
     return _common_init_cache(config, batch_size, max_seq, dtype,
                               fused=fused)
 
@@ -106,8 +106,8 @@ def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
         # Fused-head stacked decode [L, B, T, Hq*D] (GPT-2 is MHA so
         # HD == H): lane-aligned writes + the fused Pallas kernel
         # (see llama._layer_forward / decode_fused_pallas).
-        newk = k.reshape(B, S, H).astype(k_cache.dtype)
-        newv = v.reshape(B, S, H).astype(v_cache.dtype)
+        newk = encode_kv(k.reshape(B, S, H), k_cache.dtype)
+        newv = encode_kv(v.reshape(B, S, H), v_cache.dtype)
         for b in range(B):
             idx = (li, b, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
@@ -132,21 +132,18 @@ def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
 
         def write_fused(cache_b, new_b, start_b):
             return jax.lax.dynamic_update_slice(
-                cache_b, new_b.reshape(S, H).astype(cache_b.dtype),
+                cache_b, encode_kv(new_b.reshape(S, H), cache_b.dtype),
                 (start_b, 0))
         k_cache = jax.vmap(write_fused)(k_cache, k, start)
         v_cache = jax.vmap(write_fused)(v_cache, v, start)
-        if S == 1:
-            attn = ops.attention_decode_fused(q[:, 0], k_cache, v_cache,
-                                              kv_len)
-            attn = attn[:, None]
-        else:
-            kf = k_cache.astype(q.dtype).reshape(
-                B, T, Hq, D).transpose(0, 2, 1, 3)
-            vf = v_cache.astype(q.dtype).reshape(
-                B, T, Hq, D).transpose(0, 2, 1, 3)
-            attn = ops.attention_prefill(q, kf, vf, causal=True,
-                                         kv_len=kv_len, q_start=start)
+        # S==1 decode always routes through the stacked branch above.
+        assert S > 1, "per-layer fused-cache path is prefill-only"
+        kf = decode_kv(k_cache, q.dtype).reshape(
+            B, T, Hq, D).transpose(0, 2, 1, 3)
+        vf = decode_kv(v_cache, q.dtype).reshape(
+            B, T, Hq, D).transpose(0, 2, 1, 3)
+        attn = ops.attention_prefill(q, kf, vf, causal=True,
+                                     kv_len=kv_len, q_start=start)
         attn = attn.reshape(B, S, H)
         x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"],
                             layer_index=li) + w1("bo")
@@ -159,8 +156,8 @@ def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
     if k_cache.ndim == 5:
         # Stacked-cache decode (see llama._layer_forward): per-slot
         # in-place writes; attention reads layer li via scalar prefetch.
-        newk = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)
-        newv = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+        newk = encode_kv(k.transpose(0, 2, 1, 3), k_cache.dtype)
+        newv = encode_kv(v.transpose(0, 2, 1, 3), v_cache.dtype)
         for b in range(B):
             idx = (li, b, 0, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
@@ -181,7 +178,7 @@ def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
 
     def write_one(cache_b, new_b, start_b):
         return jax.lax.dynamic_update_slice(
-            cache_b, new_b.transpose(1, 0, 2).astype(cache_b.dtype),
+            cache_b, encode_kv(new_b.transpose(1, 0, 2), cache_b.dtype),
             (0, start_b, 0))
     k_cache = jax.vmap(write_one)(k_cache, k, start)
     v_cache = jax.vmap(write_one)(v_cache, v, start)
@@ -191,7 +188,7 @@ def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
         attn = attn[:, None]
     else:
         attn = ops.attention_prefill(
-            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+            q, decode_kv(k_cache, q.dtype), decode_kv(v_cache, q.dtype),
             causal=True, kv_len=kv_len, q_start=start)
     attn = attn.reshape(B, S, H)
     x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"],

@@ -21,13 +21,13 @@ TPU-native expert regimes mirror models/moe.py: decode gathers only the
 k selected experts' weights+biases (k=4 of E=128 — 32x less HBM
 traffic); prefill computes the dense masked einsum.
 
-Attention streams the KV cache in chunks with an online softmax whose
-initial running max IS the sink logit (exact — see _attention), so
-memory stays bounded at any context length and fp8 caches decode per
-chunk. Remaining perf follow-up: decode still slices the per-layer KV
-from the stacked cache in the scan body rather than flowing the
-stacked cache through a sink-aware Pallas decode kernel (see CLAUDE.md
-for why that matters at long T).
+Attention: prefill streams the KV cache in chunks with an online
+softmax whose initial running max IS the sink logit (exact — see
+_streaming_attention), so memory stays bounded at any context length
+and fp8 caches decode per chunk. Contiguous-cache decode uses the
+fused-head layout [L, B, T, Hkv*D] and the sink-aware Pallas kernel
+(decode_fused_pallas) with the stacked cache flowing through the scan
+whole — no per-layer cache slice copies.
 """
 
 from __future__ import annotations
@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from turboinfer_tpu.config import ModelConfig
 from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models.common import (KVCache, decode_kv, encode_kv,
-                                          fused_cache_eligible,  # noqa: F401
+                                          resolve_fused_cache,  # noqa: F401
                                           param_bytes,
                                           param_count, reset_cache)
 from turboinfer_tpu.models.common import init_cache as _common_init_cache
@@ -53,8 +53,7 @@ def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
     contiguous-cache decode on the sink-aware Pallas kernel instead of
     the chunked jnp streaming path. See llama.init_cache."""
     if fused is None:
-        T = max_seq or config.max_seq_len
-        fused = fused_cache_eligible(config) and T % 8 == 0
+        fused = resolve_fused_cache(config, max_seq)
     return _common_init_cache(config, batch_size, max_seq, dtype,
                               fused=fused)
 
@@ -225,23 +224,8 @@ def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
                                    cache_b.dtype), (start_b, 0))
         k_cache = jax.vmap(write_fused)(k_cache, k, start)
         v_cache = jax.vmap(write_fused)(v_cache, v, start)
-        if S == 1:
-            sinks = w1("sinks")
-
-            def dec(window):
-                return lambda: ops.attention_decode_fused(
-                    q[:, 0], k_cache, v_cache, kv_len, window=window,
-                    sinks=sinks)
-            if pattern and pattern > 1 and config.sliding_window:
-                is_global = (li + 1) % pattern == 0 if li is not None \
-                    else True
-                out = jax.lax.cond(is_global, dec(None),
-                                   dec(config.sliding_window)) \
-                    if li is not None else dec(None)()
-            else:
-                out = dec(config.sliding_window)()
-            out = out[:, None].reshape(B, S, nH * D)
-            return out.astype(h.dtype), k_cache, v_cache
+        # S==1 decode always routes through the stacked branch above.
+        assert S > 1, "per-layer fused-cache path is prefill-only"
         khm = k_cache.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
         vhm = v_cache.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
         out = _streaming_attention(config, q, khm, vhm, w1("sinks"),

@@ -53,7 +53,7 @@ from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models.common import (KVCache, cache_bits_view,  # noqa: F401
                                           cache_from_bits, decode_kv,
                                           encode_kv, fuse_projections,
-                                          fused_cache_eligible, layer_unroll,
+                                          resolve_fused_cache, layer_unroll,
                                           param_bytes,
                                           param_count, reset_cache)
 from turboinfer_tpu.models.common import init_cache as _common_init_cache
@@ -69,8 +69,7 @@ def init_cache(config, batch_size: int, max_seq=None, dtype=None,
     the head-major default (their cache PartitionSpecs assume the 5-D
     shape). forward() handles both layouts."""
     if fused is None:
-        T = max_seq or config.max_seq_len
-        fused = fused_cache_eligible(config) and T % 8 == 0
+        fused = resolve_fused_cache(config, max_seq)
     return _common_init_cache(config, batch_size, max_seq, dtype,
                               fused=fused)
 
@@ -337,36 +336,27 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         k_cache = jax.vmap(write_one)(k_cache, k, start)
         v_cache = jax.vmap(write_one)(v_cache, v, start)
 
-        if S == 1:
-            def dec(window):
-                return lambda: ops.attention_decode_fused(
-                    q[:, 0], k_cache, v_cache, kv_len, window=window,
-                    softcap=cap)
-            if alternating:
-                attn = jax.lax.cond(is_global, dec(None),
-                                    dec(config.sliding_window))
-            else:
-                attn = dec(config.sliding_window)()
-            attn = attn[:, None]
-        else:
-            # Prefill reads want head-major slabs: one transposed copy
-            # per layer per prefill call — amortized over S tokens and
-            # dwarfed by the prefill matmuls.
-            kf = decode_kv(k_cache, q.dtype).reshape(
-                B, T, Hkv, D).transpose(0, 2, 1, 3)
-            vf = decode_kv(v_cache, q.dtype).reshape(
-                B, T, Hkv, D).transpose(0, 2, 1, 3)
+        # Only the S>1 prefill body reaches the per-layer fused cache
+        # (S==1 decode always goes through the stacked branch above).
+        assert S > 1, "per-layer fused-cache path is prefill-only"
+        # Prefill reads want head-major slabs: one transposed copy
+        # per layer per prefill call — amortized over S tokens and
+        # dwarfed by the prefill matmuls.
+        kf = decode_kv(k_cache, q.dtype).reshape(
+            B, T, Hkv, D).transpose(0, 2, 1, 3)
+        vf = decode_kv(v_cache, q.dtype).reshape(
+            B, T, Hkv, D).transpose(0, 2, 1, 3)
 
-            def pre(window):
-                return lambda: ops.attention_prefill(
-                    q, kf, vf, causal=True, positions=positions,
-                    kv_len=kv_len, q_start=start if contiguous else None,
-                    window=window, softcap=cap)
-            if alternating:
-                attn = jax.lax.cond(is_global, pre(None),
-                                    pre(config.sliding_window))
-            else:
-                attn = pre(config.sliding_window)()
+        def pre(window):
+            return lambda: ops.attention_prefill(
+                q, kf, vf, causal=True, positions=positions,
+                kv_len=kv_len, q_start=start if contiguous else None,
+                window=window, softcap=cap)
+        if alternating:
+            attn = jax.lax.cond(is_global, pre(None),
+                                pre(config.sliding_window))
+        else:
+            attn = pre(config.sliding_window)()
     elif k_cache.ndim == 5:
         # Decode over the FULL stacked [L, B, Hkv, T, D] cache: per-slot
         # in-place writes at (li, b, 0, start_b, 0) — a vectorized

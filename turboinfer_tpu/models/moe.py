@@ -33,7 +33,7 @@ from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models import llama
 from turboinfer_tpu.models.common import (KVCache, cache_bits_view,  # noqa: F401
                                           cache_from_bits, decode_kv,
-                                          encode_kv, fused_cache_eligible,
+                                          encode_kv, resolve_fused_cache,
                                           param_bytes, param_count,
                                           reset_cache)
 from turboinfer_tpu.models.common import init_cache as _common_init_cache
@@ -45,8 +45,7 @@ def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
     head-major Pallas decode kernel can't run (Qwen2-MoE, OLMoE: D=64).
     See llama.init_cache for the layout contract."""
     if fused is None:
-        T = max_seq or config.max_seq_len
-        fused = fused_cache_eligible(config) and T % 8 == 0
+        fused = resolve_fused_cache(config, max_seq)
     return _common_init_cache(config, batch_size, max_seq, dtype,
                               fused=fused)
 
@@ -330,19 +329,16 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
                                    cache_b.dtype), (start_b, 0))
         k_cache = jax.vmap(write_fused)(k_cache, k, start)
         v_cache = jax.vmap(write_fused)(v_cache, v, start)
-        if S == 1:
-            attn = ops.attention_decode_fused(
-                q[:, 0], k_cache, v_cache, kv_len,
-                window=config.sliding_window)[:, None]
-        else:
-            kf = decode_kv(k_cache, q.dtype).reshape(
-                B, T, Hkv, D).transpose(0, 2, 1, 3)
-            vf = decode_kv(v_cache, q.dtype).reshape(
-                B, T, Hkv, D).transpose(0, 2, 1, 3)
-            attn = ops.attention_prefill(
-                q, kf, vf, causal=True, positions=positions,
-                kv_len=kv_len, q_start=start if contiguous else None,
-                window=config.sliding_window)
+        # S==1 decode always routes through the stacked branch above.
+        assert S > 1, "per-layer fused-cache path is prefill-only"
+        kf = decode_kv(k_cache, q.dtype).reshape(
+            B, T, Hkv, D).transpose(0, 2, 1, 3)
+        vf = decode_kv(v_cache, q.dtype).reshape(
+            B, T, Hkv, D).transpose(0, 2, 1, 3)
+        attn = ops.attention_prefill(
+            q, kf, vf, causal=True, positions=positions,
+            kv_len=kv_len, q_start=start if contiguous else None,
+            window=config.sliding_window)
         attn = attn.reshape(B, S, Hq * D)
         x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
         h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from turboinfer_tpu.config import ModelConfig
 from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models.common import (KVCache,  # noqa: F401
-                                          fused_cache_eligible,
+                                          decode_kv, encode_kv,
+                                          resolve_fused_cache,
                                           param_bytes, param_count,
                                           reset_cache)
 from turboinfer_tpu.models.common import init_cache as _common_init_cache
@@ -45,9 +46,8 @@ def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
     head-major — the fused kernel carries no per-head score bias and
     they run the jnp path regardless. See llama.init_cache."""
     if fused is None:
-        T = max_seq or config.max_seq_len
-        fused = (fused_cache_eligible(config) and T % 8 == 0
-                 and not config.alibi)
+        fused = resolve_fused_cache(config, max_seq,
+                                    disallow=config.alibi)
     return _common_init_cache(config, batch_size, max_seq, dtype,
                               fused=fused)
 
@@ -140,8 +140,8 @@ def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
     if fused_cache and k_cache.ndim == 4:
         # Fused-head stacked decode [L, B, T, Hkv*D] (alibi models are
         # gated out in init_cache) — see llama._layer_forward.
-        newk = k.reshape(B, S, Hkv * D).astype(k_cache.dtype)
-        newv = v.reshape(B, S, Hkv * D).astype(v_cache.dtype)
+        newk = encode_kv(k.reshape(B, S, Hkv * D), k_cache.dtype)
+        newv = encode_kv(v.reshape(B, S, Hkv * D), v_cache.dtype)
         for b in range(B):
             idx = (li, b, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
@@ -156,24 +156,22 @@ def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
 
         def write_fused(cache_b, new_b, start_b):
             return jax.lax.dynamic_update_slice(
-                cache_b, new_b.reshape(S, Hkv * D).astype(cache_b.dtype),
+                cache_b, encode_kv(new_b.reshape(S, Hkv * D), cache_b.dtype),
                 (start_b, 0))
         k_cache = jax.vmap(write_fused)(k_cache, k, start)
         v_cache = jax.vmap(write_fused)(v_cache, v, start)
-        if S == 1:
-            attn = ops.attention_decode_fused(q[:, 0], k_cache, v_cache,
-                                              kv_len)[:, None]
-        else:
-            kf = k_cache.astype(q.dtype).reshape(
-                B, T, Hkv, D).transpose(0, 2, 1, 3)
-            vf = v_cache.astype(q.dtype).reshape(
-                B, T, Hkv, D).transpose(0, 2, 1, 3)
-            attn = ops.attention_prefill(q, kf, vf, causal=True,
-                                         kv_len=kv_len, q_start=start,
-                                         alibi=alibi)
+        # S==1 decode always routes through the stacked branch above.
+        assert S > 1, "per-layer fused-cache path is prefill-only"
+        kf = decode_kv(k_cache, q.dtype).reshape(
+            B, T, Hkv, D).transpose(0, 2, 1, 3)
+        vf = decode_kv(v_cache, q.dtype).reshape(
+            B, T, Hkv, D).transpose(0, 2, 1, 3)
+        attn = ops.attention_prefill(q, kf, vf, causal=True,
+                                     kv_len=kv_len, q_start=start,
+                                     alibi=alibi)
     elif k_cache.ndim == 5:
-        newk = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)
-        newv = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+        newk = encode_kv(k.transpose(0, 2, 1, 3), k_cache.dtype)
+        newv = encode_kv(v.transpose(0, 2, 1, 3), v_cache.dtype)
         for b in range(B):
             idx = (li, b, 0, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
@@ -185,7 +183,7 @@ def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
     else:
         def write_one(cache_b, new_b, start_b):
             return jax.lax.dynamic_update_slice(
-                cache_b, new_b.transpose(1, 0, 2).astype(cache_b.dtype),
+                cache_b, encode_kv(new_b.transpose(1, 0, 2), cache_b.dtype),
                 (0, start_b, 0))
         k_cache = jax.vmap(write_one)(k_cache, k, start)
         v_cache = jax.vmap(write_one)(v_cache, v, start)
@@ -194,7 +192,7 @@ def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
                                         kv_len, alibi=alibi)[:, None]
         else:
             attn = ops.attention_prefill(
-                q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                q, decode_kv(k_cache, q.dtype), decode_kv(v_cache, q.dtype),
                 causal=True, kv_len=kv_len, q_start=start, alibi=alibi)
     attn = attn.reshape(B, S, Hq * D)
     attn_out = ops.qmatmul(attn.astype(x.dtype), lw["wo"],

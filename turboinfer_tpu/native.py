@@ -36,9 +36,24 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+
+        def _stale() -> bool:
+            # A prebuilt .so from an older checkout lacks newer symbols
+            # (dlopen caches by path in-process, so this must be decided
+            # BEFORE the first CDLL). Rebuild whenever any source is
+            # newer than the library.
+            if not os.path.exists(_LIB_PATH):
+                return True
+            so_m = os.path.getmtime(_LIB_PATH)
+            for f in ("turboio.cpp", "ggml_dequant.cpp", "Makefile"):
+                p = os.path.join(_NATIVE_DIR, f)
+                if os.path.exists(p) and os.path.getmtime(p) > so_m:
+                    return True
+            return False
+
+        if _stale():
             try:
-                subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+                subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "-B"],
                                check=True, capture_output=True, timeout=120)
             except (OSError, subprocess.SubprocessError):
                 _build_failed = True
@@ -46,6 +61,12 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
+            _build_failed = True
+            return None
+        if not hasattr(lib, "turboio_ggml_dequant"):
+            # Stale binary that mtimes couldn't catch (e.g. clock skew):
+            # fall back to the pure-Python paths rather than raising
+            # AttributeError out of every loader call.
             _build_failed = True
             return None
         lib.turboio_gguf_index_json.restype = ctypes.c_void_p
