@@ -128,11 +128,15 @@ def suite_quantization(quick):
 
 
 def suite_beam(quick):
-    """Beam search sizes 1/2/4/8 (reference suite 5, :618-684)."""
+    """Beam search sizes 1/2/4/8 (reference suite 5, :618-684).
+    Warm (compile) each beam width before timing — the fused beam scan
+    compiles per (beam_size, n) and a cold compile over the tunnel
+    would otherwise dominate the measurement."""
     eng = make_engine()
     n = 32 if quick else 64
     out = {}
     for beams in (1, 2, 4, 8):
+        eng.generate_beam_search([1, 5, 9], n, beam_size=beams)  # warm
         t0 = time.perf_counter()
         res = eng.generate_beam_search([1, 5, 9], n, beam_size=beams)
         dt = time.perf_counter() - t0
@@ -144,26 +148,21 @@ def suite_beam(quick):
 def suite_kv_cache(quick):
     """Cached incremental decode vs cacheless recompute (reference
     suite 6, :686-752). The reference measured 1.06x because its cache
-    still copied the prefix per token; in-place HBM cache does better."""
+    still copied the prefix per token; in-place HBM cache does better.
+
+    The cacheless side runs the engine's honest use_cache=False path
+    (fixed padded shapes — a naive growing-prefix loop recompiles every
+    token and measures the compiler, not the model)."""
+    import dataclasses
     eng = make_engine()
     n = 32 if quick else 64
     tps_cache = bench_generate(eng, [1, 5, 9], n, temperature=0.0)
 
-    # cacheless: recompute the full prefix every token
-    params, cfg = eng.params, eng.model_config
-
-    @jax.jit
-    def full_forward(tokens):
-        return llama.forward_no_cache(params, cfg, tokens)
-
-    toks = [1, 5, 9]
-    full_forward(jnp.asarray([toks], jnp.int32))       # compile
-    t0 = time.perf_counter()
-    for _ in range(n):
-        logits = full_forward(jnp.asarray([toks], jnp.int32))
-        toks.append(int(jnp.argmax(logits[0, len(toks) - 1])))
-    dt = time.perf_counter() - t0
-    tps_nocache = n / dt
+    from turboinfer_tpu.engine.engine import InferenceEngine
+    eng_nc = InferenceEngine(
+        eng.params, eng.model_config,
+        dataclasses.replace(eng.config, use_cache=False))
+    tps_nocache = bench_generate(eng_nc, [1, 5, 9], n, temperature=0.0)
     return {"with_cache": round(tps_cache, 1),
             "without_cache": round(tps_nocache, 1),
             "speedup": round(tps_cache / max(tps_nocache, 1e-9), 2)}
@@ -178,10 +177,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="comma-separated suite names to run")
     args = ap.parse_args()
 
+    only = {s for s in args.only.split(",") if s}
     results = {}
     for name, fn in SUITES:
+        if only and name not in only:
+            continue
         t0 = time.perf_counter()
         results[name] = fn(args.quick)
         if not args.json:
@@ -189,7 +193,7 @@ def main():
                   f"{json.dumps(results[name])}", flush=True)
     if args.json:
         print(json.dumps(results))
-    else:
+    elif not only:
         print("\n=== summary ===")
         print(f"basic: {results['basic_inference']['tokens_per_sec']} tok/s | "
               f"kv-cache speedup: {results['kv_cache']['speedup']}x | "
