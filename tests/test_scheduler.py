@@ -366,3 +366,55 @@ def test_batched_admission_matches_solo(tiny_params, tiny_cfg):
     # all four prompts bucket to S=16 → one (4, 16) prefill variant
     assert (4, 16) in sched._prefill_cache
     assert (1, 16) not in sched._prefill_cache
+
+
+def test_scheduler_on_tp_dp_mesh_matches_single_device(tiny_params,
+                                                       tiny_cfg):
+    """BASELINE config 5 orchestration: continuous batching over a
+    (data=2, tp=4) mesh — weights column/row-sharded, KV cache sharded
+    batch-over-data and heads-over-tp — must produce the same greedy
+    trajectories as the unsharded scheduler."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from turboinfer_tpu.parallel.mesh import make_mesh
+
+    cfg = ti.InferenceConfig(max_seq_len=64, temperature=0.0,
+                             eos_token_id=-1, seed=0)
+    prompts = [[1, 5, 9], [2, 4], [7, 3, 8, 6], [11, 12]]
+
+    base = ContinuousBatchingScheduler(tiny_params, tiny_cfg, cfg,
+                                       batch_slots=4)
+    for p in prompts:
+        base.submit(p, 12)
+    want = {r: g.tokens for r, g in base.run().items()}
+
+    mesh = make_mesh((2, 4))
+    sched = ContinuousBatchingScheduler(tiny_params, tiny_cfg, cfg,
+                                        batch_slots=4, mesh=mesh)
+    assert not sched.cache.fused_layout      # head-major for cache_spec
+    assert sched.cache.k.sharding.spec == (None, "data", "tp", None, None)
+    for p in prompts:
+        sched.submit(p, 12)
+    got = {r: g.tokens for r, g in sched.run().items()}
+    assert got == want
+
+
+def test_scheduler_mesh_burst_decode(tiny_params, tiny_cfg):
+    """Burst decoding (N steps per host round trip) composes with the
+    sharded cache: one pjit scan program over the mesh."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from turboinfer_tpu.parallel.mesh import make_mesh
+
+    cfg = ti.InferenceConfig(max_seq_len=64, temperature=0.0,
+                             eos_token_id=-1, seed=0)
+    base = ContinuousBatchingScheduler(tiny_params, tiny_cfg, cfg,
+                                       batch_slots=2)
+    r0 = base.submit([1, 5, 9], 10)
+    want = base.run()[r0].tokens
+
+    sched = ContinuousBatchingScheduler(tiny_params, tiny_cfg, cfg,
+                                        batch_slots=2, decode_burst=4,
+                                        mesh=make_mesh((2, 4)))
+    r1 = sched.submit([1, 5, 9], 10)
+    assert sched.run()[r1].tokens == want

@@ -68,9 +68,26 @@ class ContinuousBatchingScheduler:
     def __init__(self, params: Dict[str, Any], model_config: ModelConfig,
                  config: Optional[InferenceConfig] = None,
                  batch_slots: int = 8, decode_burst: int = 1,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 mesh=None, param_specs: Optional[Dict[str, Any]] = None):
+        """mesh: optional jax.sharding.Mesh — continuous batching over a
+        TP/DP device mesh (BASELINE config 5: sharded weights + sharded
+        KV cache under the slot scheduler). Weights shard per
+        `param_specs` (default parallel.shardings.param_specs: qkv/up/
+        gate column, o/down row with psum, lm_head column), the cache
+        shards batch-over-data and kv-heads-over-tp, and every jitted
+        step runs as one pjit program — XLA places the collectives.
+        batch_slots must divide by the data-axis size. Multi-host: call
+        parallel.mesh.initialize_distributed first and pass the global
+        mesh; the host loop runs identically on every process."""
         from turboinfer_tpu.kernels import dispatch as _dispatch
-        self.params = _dispatch.prepare_params(params)
+        self.params = _dispatch.prepare_params(
+            params, fuse=mesh is None)   # fused columns straddle shards
+        self.mesh = mesh
+        if mesh is not None:
+            from turboinfer_tpu.parallel import shardings as _sh
+            self.params = _sh.shard_params(self.params, mesh,
+                                           param_specs)
         self.model_config = model_config
         self._model = registry.get_model(model_config.architecture)
         self.config = config or InferenceConfig(
@@ -96,10 +113,16 @@ class ContinuousBatchingScheduler:
         from turboinfer_tpu.models.common import resolve_kv_dtype
         self._kv_dtype = resolve_kv_dtype(self.config.kv_cache_dtype,
                                           model_config.dtype)
+        # Sharded runs keep the head-major 5-D layout (cache_spec shards
+        # kv-heads over tp); single-chip runs let the model auto-pick.
         self.cache = self._model.init_cache(model_config, self.B,
                                             max_seq=self.T,
                                             dtype=self._kv_dtype,
-                                            fused=None)
+                                            fused=False if mesh is not None
+                                            else None)
+        if mesh is not None:
+            from turboinfer_tpu.parallel import shardings as _sh
+            self.cache = _sh.shard_cache(self.cache, mesh)
         self.tokens = jnp.zeros((self.B,), jnp.int32)
         self.active = jnp.zeros((self.B,), jnp.bool_)
         self.budget = jnp.zeros((self.B,), jnp.int32)   # remaining tokens
@@ -216,7 +239,8 @@ class ContinuousBatchingScheduler:
             """tokens [m, S] → each row written into its slot's cache
             region; per-row first token sampled with its own params."""
             small = model.init_cache(cfg, m, max_seq=self.T,
-                                     dtype=self._kv_dtype, fused=None)
+                                     dtype=self._kv_dtype,
+                                     fused=self.cache.fused_layout)
             logits, small = model.forward(params, cfg, tokens,
                                           small, seq_lens=seq_lens)
             idx = jnp.maximum(seq_lens - 1, 0)
