@@ -296,3 +296,31 @@ def test_stream_text_deltas(tiny_params, tiny_cfg):
     chunks = list(eng.generate_stream([1, 5, 9], 10, temperature=0.0))
     streamed = "".join(c.text for c in chunks)
     assert streamed == tok.decode([c.token for c in chunks])
+
+
+def test_engine_on_mesh_matches_single_device(tiny_params, tiny_cfg):
+    """InferenceEngine(mesh=...): generate, beam search, and logprobs
+    over a (2, 4) TP/DP mesh must match the unsharded engine exactly
+    (greedy, f32)."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.parallel.mesh import make_mesh
+
+    cfg = ti.InferenceConfig(max_seq_len=64, eos_token_id=-1, seed=0)
+    base = ti.InferenceEngine(tiny_params, tiny_cfg, cfg)
+    mesh_eng = ti.InferenceEngine(tiny_params, tiny_cfg, cfg,
+                                  mesh=make_mesh((2, 4)))
+
+    want = base.generate_batch([[1, 5, 9], [2, 4, 6]], 10, temperature=0.0)
+    got = mesh_eng.generate_batch([[1, 5, 9], [2, 4, 6]], 10,
+                                  temperature=0.0)
+    assert [r.tokens for r in got] == [r.tokens for r in want]
+
+    wb = base.generate_beam_search([1, 5, 9], 8, beam_size=4)
+    gb = mesh_eng.generate_beam_search([1, 5, 9], 8, beam_size=4)
+    assert gb.tokens == wb.tokens
+
+    import numpy as np
+    np.testing.assert_allclose(
+        np.asarray(mesh_eng.compute_logprobs([1, 5, 9, 2])),
+        np.asarray(base.compute_logprobs([1, 5, 9, 2])),
+        rtol=1e-5, atol=1e-5)

@@ -84,9 +84,20 @@ class InferenceEngine:
 
     def __init__(self, params: Dict[str, Any], model_config: ModelConfig,
                  config: Optional[InferenceConfig] = None,
-                 tokenizer=None):
+                 tokenizer=None, mesh=None,
+                 param_specs: Optional[Dict[str, Any]] = None):
+        """mesh: optional jax.sharding.Mesh — the whole engine (prefill,
+        fused decode scan, beam search, logprobs) runs tensor/data-
+        parallel: weights sharded per `param_specs` (default
+        parallel.shardings.param_specs) and the KV cache sharded
+        batch-over-data / kv-heads-over-tp; every jitted program
+        compiles under GSPMD with XLA-placed collectives."""
         from turboinfer_tpu.kernels import dispatch as _dispatch
-        self.params = _dispatch.prepare_params(params)
+        self.params = _dispatch.prepare_params(params, fuse=mesh is None)
+        self.mesh = mesh
+        if mesh is not None:
+            from turboinfer_tpu.parallel import shardings as _sh
+            self.params = _sh.shard_params(self.params, mesh, param_specs)
         self.model_config = model_config
         self._model = registry.get_model(model_config.architecture)
         self.config = config or InferenceConfig(
@@ -116,9 +127,16 @@ class InferenceEngine:
             # fused=None -> model-chosen layout (llama-family picks the
             # fused-head layout for D % 128 != 0 so decode stays on a
             # Pallas kernel; other modules treat None as head-major).
-            return self._model.init_cache(self.model_config, batch_size,
-                                          max_seq=self.config.max_seq_len,
-                                          dtype=dt, fused=None)
+            # Sharded engines force head-major: cache_spec shards the
+            # 5-D kv-head axis over tp.
+            cache = self._model.init_cache(
+                self.model_config, batch_size,
+                max_seq=self.config.max_seq_len, dtype=dt,
+                fused=False if self.mesh is not None else None)
+            if self.mesh is not None:
+                from turboinfer_tpu.parallel import shardings as _sh
+                cache = _sh.shard_cache(cache, self.mesh)
+            return cache
         return cache._replace(length=jnp.zeros_like(cache.length))
 
     def _put_cache(self, batch_size: int, cache) -> None:

@@ -171,10 +171,15 @@ def shard_params(params: Dict[str, Any], mesh: Mesh,
 
 
 def shard_cache(cache, mesh: Mesh):
-    """Place a KVCache on the mesh."""
+    """Place a KVCache on the mesh. Batches that don't divide the data
+    axis (e.g. a single-sequence beam-search cache) replicate over data
+    and shard heads over tp only."""
     from turboinfer_tpu.models.llama import KVCache
-    ns = NamedSharding(mesh, cache_spec())
-    len_ns = NamedSharding(mesh, P(DATA_AXIS))
+    B = cache.k.shape[1]
+    data = DATA_AXIS if B % max(mesh.shape.get(DATA_AXIS, 1), 1) == 0 \
+        else None
+    ns = NamedSharding(mesh, cache_spec(data=data))
+    len_ns = NamedSharding(mesh, P(data))
     return KVCache(k=jax.device_put(cache.k, ns),
                    v=jax.device_put(cache.v, ns),
                    length=jax.device_put(cache.length, len_ns))
