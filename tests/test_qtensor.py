@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from turboinfer_tpu.config import QuantType
+from turboinfer_tpu.config import QuantizationConfig
 from turboinfer_tpu.core.qtensor import (QTensor, dequantize,
                                          estimate_compression_ratio,
                                          pack_int4, quantization_error,
@@ -165,3 +166,66 @@ def test_mse_scale_unknown_method_raises():
     with _pytest.raises(Exception, match="scale_method"):
         qtensor.quantize(jnp.ones((8, 8)), QuantType.INT8, group_size=8,
                          scale_method="banana")
+
+
+def test_qembed_roundtrip_and_lookup():
+    """Per-row int8 embedding table: quantize/dequantize round trip and
+    the gather-then-dequant lookup path."""
+    from turboinfer_tpu.core.qtensor import (QEmbed, dequantize_embed,
+                                             quantize_embed)
+    from turboinfer_tpu.kernels import ops
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(100, 64), jnp.float32)
+    e = quantize_embed(w)
+    assert isinstance(e, QEmbed) and e.data.dtype == jnp.int8
+    d = dequantize_embed(e)
+    assert float(jnp.max(jnp.abs(d - w))) < 0.01 * float(jnp.max(jnp.abs(w)))
+    toks = jnp.asarray([[3, 17, 99], [0, 1, 2]], jnp.int32)
+    got = ops.embed_lookup(e, toks, jnp.float32)
+    want = jnp.take(d, toks, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_quantize_params_embeddings_not_skipped():
+    """skip_embeddings=False quantizes lm_head group-wise and the embed
+    table per-row int8 (reference quantizes every fp32 tensor,
+    quantization.cpp:89-118); generation still works end to end and the
+    perplexity delta stays small."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.core.qtensor import QEmbed
+    from turboinfer_tpu.models import llama
+    from turboinfer_tpu.quant.quantizer import (quantize_params,
+                                                validate_quantization_accuracy)
+    cfg = ti.tiny_config(dtype=jnp.float32)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    q = quantize_params(params, QuantizationConfig(
+        type=QuantType.INT8, group_size=64, skip_embeddings=False))
+    assert isinstance(q["embed"], QEmbed)
+    assert isinstance(q["lm_head"], QTensor)
+    rep = validate_quantization_accuracy(params, q, cfg)
+    assert rep.perplexity_ratio < 1.1
+    eng = ti.InferenceEngine(q, cfg)
+    assert len(eng.generate([1, 5], 8, temperature=0.0).tokens) == 10
+
+
+def test_tinq_qembed_roundtrip(tmp_path):
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.core.qtensor import QEmbed
+    from turboinfer_tpu.loader import tinq
+    from turboinfer_tpu.models import llama
+    from turboinfer_tpu.quant.quantizer import quantize_params
+    cfg = ti.tiny_config(dtype=jnp.float32)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    qc = QuantizationConfig(type=QuantType.INT4, group_size=64,
+                            skip_embeddings=False)
+    q = quantize_params(params, qc)
+    path = str(tmp_path / "m.tinq")
+    tinq.save(path, q, cfg, qc)
+    p2, c2, qc2, _ = tinq.load(path)
+    assert isinstance(p2["embed"], QEmbed)
+    np.testing.assert_array_equal(np.asarray(p2["embed"].data),
+                                  np.asarray(q["embed"].data))
+    np.testing.assert_array_equal(np.asarray(p2["embed"].scales),
+                                  np.asarray(q["embed"].scales))
+    assert qc2.skip_embeddings is False

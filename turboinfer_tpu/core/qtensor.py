@@ -26,7 +26,7 @@ convention quirk at quantization.cpp:681/711).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -324,3 +324,38 @@ def to_numpy_blobs(qt: QTensor):
     if qt.zero_points is not None:
         blobs["zero_points"] = np.asarray(qt.zero_points)
     return blobs
+
+
+# ---------------------------------------------------------------------------
+# Quantized embedding table (per-row int8, dequant on gathered rows)
+# ---------------------------------------------------------------------------
+
+class QEmbed(NamedTuple):
+    """Per-ROW symmetric int8 embedding table.
+
+    The reference quantizes every fp32 tensor including embeddings
+    (quantization.cpp:89-118); a matmul-grouped QTensor is the wrong
+    container for a gather, so embeddings use per-row scales instead:
+    data [V, H] int8, scales [V, 1] f32. Lookup gathers the token rows
+    and dequantizes ONLY those rows — the table stays int8 in HBM
+    (2x smaller than bf16, 4x than f32).
+
+    NamedTuple => automatic pytree; both leaves are plain arrays, so
+    sharding/persistence helpers that only special-case QTensor still
+    traverse it.
+    """
+    data: jax.Array
+    scales: jax.Array
+
+
+def quantize_embed(w: jax.Array) -> QEmbed:
+    """[V, H] fp -> per-row symmetric int8."""
+    wf = w.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(wf), axis=1, keepdims=True),
+                    1e-12) / 127.0
+    q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return QEmbed(data=q, scales=s)
+
+
+def dequantize_embed(e: QEmbed, dtype=jnp.float32) -> jax.Array:
+    return (e.data.astype(jnp.float32) * e.scales).astype(dtype)

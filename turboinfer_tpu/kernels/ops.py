@@ -445,6 +445,19 @@ def attention_decode_ref(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     return out.astype(q.dtype)
 
 
+def embed_lookup(embed, tokens: jax.Array, dtype) -> jax.Array:
+    """Embedding gather for plain fp tables and per-row-int8 QEmbed
+    tables (reference quirk #1 fixed: REAL gather; and the reference
+    quantizes embeddings too — quantization.cpp:89-118 — which here
+    dequantizes only the gathered rows, keeping the table int8 in HBM)."""
+    from turboinfer_tpu.core.qtensor import QEmbed
+    if isinstance(embed, QEmbed):
+        rows = jnp.take(embed.data, tokens, axis=0).astype(jnp.float32)
+        scales = jnp.take(embed.scales, tokens, axis=0)
+        return (rows * scales).astype(dtype)
+    return jnp.take(embed, tokens, axis=0).astype(dtype)
+
+
 def attention_decode_fused_ref(q: jax.Array, k_cache: jax.Array,
                                v_cache: jax.Array, kv_len: jax.Array,
                                window: Optional[int] = None,

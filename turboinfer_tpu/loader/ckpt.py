@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from turboinfer_tpu.config import ModelConfig
-from turboinfer_tpu.core.qtensor import QTensor
+from turboinfer_tpu.core.qtensor import QEmbed, QTensor
 from turboinfer_tpu.utils import logging as tlog
 
 _MANIFEST = "turboinfer_manifest.json"
@@ -45,13 +45,16 @@ def _split_qtensors(params):
 
     def walk(node, path):
         if isinstance(node, QTensor):
-            meta["/".join(path)] = {"bits": node.bits,
+            meta["/".join(path)] = {"kind": "qtensor", "bits": node.bits,
                                     "group_size": node.group_size,
                                     "shape": list(node.shape)}
             out = {"data": node.data, "scales": node.scales}
             if node.zero_points is not None:
                 out["zero_points"] = node.zero_points
             return out
+        if isinstance(node, QEmbed):
+            meta["/".join(path)] = {"kind": "qembed"}
+            return {"data": node.data, "scales": node.scales}
         if isinstance(node, dict):
             return {k: walk(v, path + [k]) for k, v in node.items()}
         return node
@@ -64,6 +67,9 @@ def _join_qtensors(plain, meta):
         key = "/".join(path)
         if key in meta:
             m = meta[key]
+            # "kind" absent in pre-QEmbed manifests -> qtensor
+            if m.get("kind", "qtensor") == "qembed":
+                return QEmbed(data=node["data"], scales=node["scales"])
             return QTensor(data=node["data"], scales=node["scales"],
                            zero_points=node.get("zero_points"),
                            bits=m["bits"], group_size=m["group_size"],

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from turboinfer_tpu.config import ModelConfig, QuantizationConfig, QuantType
-from turboinfer_tpu.core.qtensor import QTensor
+from turboinfer_tpu.core.qtensor import QEmbed, QTensor
 from turboinfer_tpu.loader import mapping
 from turboinfer_tpu.utils.errors import ModelFormatError
 
@@ -113,6 +113,18 @@ def save(path: str, params: Dict[str, Any], config: ModelConfig,
                                       "shape": list(leaf.zero_points.shape),
                                       "offset": z_off, "nbytes": z_n}
             index[name] = ent
+        elif isinstance(leaf, QEmbed):
+            d_off, d_n = add_blob(np_of(leaf.data))
+            s_off, s_n = add_blob(np_of(leaf.scales))
+            index[name] = {
+                "kind": "qembed",
+                "data": {"dtype": dtype_tag(leaf.data),
+                         "shape": list(leaf.data.shape),
+                         "offset": d_off, "nbytes": d_n},
+                "scales": {"dtype": dtype_tag(leaf.scales),
+                           "shape": list(leaf.scales.shape),
+                           "offset": s_off, "nbytes": s_n},
+            }
         else:
             a_off, a_n = add_blob(np_of(leaf))
             index[name] = {"kind": "array", "dtype": dtype_tag(leaf),
@@ -189,6 +201,10 @@ def load(path: str) -> Tuple[Dict[str, Any], ModelConfig,
                         bits=int(ent["bits"]),
                         group_size=int(ent["group_size"]),
                         shape=tuple(ent["shape"]))
+                elif ent["kind"] == "qembed":
+                    flat[name] = QEmbed(
+                        data=_read_blob(mm, data_start, ent["data"]),
+                        scales=_read_blob(mm, data_start, ent["scales"]))
                 else:
                     flat[name] = _read_blob(mm, data_start, ent)
         finally:

@@ -368,7 +368,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     kv_len = start + seq_lens
     kd = config.first_k_dense_replace
 
-    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    x = ops.embed_lookup(params["embed"], tokens, config.dtype)
     ck, pk = cache.k, cache.v
 
     def scan_group(x, ck, pk, lw, offset, n, dense):
@@ -426,8 +426,8 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
     cdt = k_pages.dtype
     scale = _softmax_scale(config)
 
-    x = jnp.take(params["embed"], tokens[:, None],
-                 axis=0).astype(config.dtype)             # [B, 1, H]
+    x = ops.embed_lookup(params["embed"], tokens[:, None],
+                     config.dtype)             # [B, 1, H]
 
     def layer_step(x, kp, vp, lw, li_cache, li_w, dense):
         def w1(name):

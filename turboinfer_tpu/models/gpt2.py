@@ -214,7 +214,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
         seq_lens = jnp.full((B,), S, jnp.int32)
     kv_len = start + seq_lens
 
-    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    x = ops.embed_lookup(params["embed"], tokens, config.dtype)
     x = x + jnp.take(params["pos_embed"],
                      jnp.clip(positions, 0, params["pos_embed"].shape[0] - 1),
                      axis=0).astype(config.dtype)

@@ -342,7 +342,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
         seq_lens = jnp.full((B,), S, jnp.int32)
     kv_len = start + seq_lens
 
-    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    x = ops.embed_lookup(params["embed"], tokens, config.dtype)
     layers = params["layers"]
     fused = cache.fused_layout
 
@@ -404,8 +404,8 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
     scale = D ** -0.5
     pattern = config.sliding_window_pattern
 
-    x = jnp.take(params["embed"], tokens[:, None],
-                 axis=0).astype(config.dtype)
+    x = ops.embed_lookup(params["embed"], tokens[:, None],
+                     config.dtype)
     layers = params["layers"]
     cdt = x.dtype
 

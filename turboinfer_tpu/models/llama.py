@@ -464,7 +464,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
         seq_lens = jnp.full((B,), S, jnp.int32)
     kv_len = start + seq_lens                                    # [B]
 
-    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    x = ops.embed_lookup(params["embed"], tokens, config.dtype)
     if config.scale_embeddings:
         # Gemma multiplies embeddings by sqrt(H) ROUNDED to the model
         # dtype (HF casts the normalizer to the activation dtype).
@@ -568,8 +568,8 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
     page_ids = jnp.clip(jnp.take_along_axis(
         block_table, page_idx[:, None], axis=1)[:, 0], 0, P - 1)
 
-    x = jnp.take(params["embed"], tokens[:, None],
-                 axis=0).astype(config.dtype)                   # [B, 1, H]
+    x = ops.embed_lookup(params["embed"], tokens[:, None],
+                     config.dtype)                   # [B, 1, H]
     if config.scale_embeddings:
         x = x * jnp.asarray(config.hidden_size ** 0.5, config.dtype)
     if config.embedding_multiplier:                # Granite

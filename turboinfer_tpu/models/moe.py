@@ -405,7 +405,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
         seq_lens = jnp.full((B,), S, jnp.int32)
     kv_len = start + seq_lens
 
-    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    x = ops.embed_lookup(params["embed"], tokens, config.dtype)
 
     layers = params["layers"]
     was_fp8 = cache.k.dtype == jnp.float8_e4m3fn

@@ -228,7 +228,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
         seq_lens = jnp.full((B,), S, jnp.int32)
     kv_len = start + seq_lens
 
-    x = jnp.take(params["embed"], tokens, axis=0).astype(config.dtype)
+    x = ops.embed_lookup(params["embed"], tokens, config.dtype)
     if "embed_norm_w" in params:
         # BLOOM: LayerNorm over the embeddings before the first block.
         x = ops.layer_norm(x, params["embed_norm_w"],

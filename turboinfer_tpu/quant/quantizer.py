@@ -18,7 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from turboinfer_tpu.config import (ModelConfig, QuantizationConfig, QuantType)
-from turboinfer_tpu.core.qtensor import QTensor, dequantize, quantize
+from turboinfer_tpu.core.qtensor import (QEmbed, QTensor, dequantize,
+                                         dequantize_embed, quantize,
+                                         quantize_embed)
 
 # Per-layer matmul weight slots that get quantized, per architecture.
 # Stacked [L, K, N]. MoE expert weights are [L, E, K, N] and quantize
@@ -99,8 +101,10 @@ def quantize_params(params: Dict[str, Any], cfg: QuantizationConfig
                     ) -> Dict[str, Any]:
     """Quantize every matmul weight (reference: quantize_model,
     quantization.cpp:89-118 — which quantizes every f32 tensor including
-    embeddings; here the embedding gather stays fp by default since a
-    gather can't fuse dequant, and lm_head follows skip_embeddings)."""
+    embeddings). skip_embeddings=True (default) keeps embed + lm_head
+    fp; False quantizes lm_head group-wise like any matmul and the
+    embedding table per-row int8 (QEmbed — a gather can't fuse
+    group-wise dequant, so only the gathered rows dequantize)."""
     if cfg.type in (QuantType.NONE,):
         return params
     if cfg.type == QuantType.FLOAT16:
@@ -139,6 +143,14 @@ def quantize_params(params: Dict[str, Any], cfg: QuantizationConfig
                                   group_size=cfg.group_size,
                                   symmetric=cfg.symmetric,
                                   scale_method=cfg.scale_method)
+    emb = out.get("embed")
+    if (not cfg.skip_embeddings and emb is not None
+            and not isinstance(emb, QEmbed) and emb.ndim == 2):
+        # The reference quantizes embeddings too (quantization.cpp:
+        # 89-118). A gather can't fuse group-wise dequant, so the table
+        # uses per-ROW int8 (QEmbed) and only the gathered rows
+        # dequantize (ops.embed_lookup) — the table stays int8 in HBM.
+        out["embed"] = quantize_embed(emb)
     return out
 
 
@@ -146,6 +158,8 @@ def dequantize_params(params: Dict[str, Any], dtype=jnp.float32
                       ) -> Dict[str, Any]:
     """Reconstruct fp params from a quantized tree (round-trip tests)."""
     def deq(leaf):
+        if isinstance(leaf, QEmbed):
+            return dequantize_embed(leaf, dtype)
         if isinstance(leaf, QTensor):
             if leaf.data.ndim == 4:   # stacked [L, E] MoE experts
                 L, E = leaf.data.shape[:2]
@@ -169,7 +183,8 @@ def dequantize_params(params: Dict[str, Any], dtype=jnp.float32
             return dequantize(leaf, dtype)
         return leaf
     return jax.tree_util.tree_map(
-        deq, params, is_leaf=lambda x: isinstance(x, QTensor))
+        deq, params,
+        is_leaf=lambda x: isinstance(x, (QTensor, QEmbed)))
 
 
 @dataclasses.dataclass
