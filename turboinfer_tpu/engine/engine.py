@@ -228,9 +228,20 @@ class InferenceEngine:
                 rows, first_token].add(1)
                 if params_s.needs_counts else jnp.zeros((), jnp.int32))
             rngs = jax.random.split(r_dec, max(num_tokens - 1, 1))
+            # Token-scan unroll: measured INCONCLUSIVE on the tiny
+            # headline — interleaved A/B runs split 2-2 between
+            # unroll=1 and 2 while the chip swung +-20% run to run
+            # (unroll=4 clearly regressed). Default 1; env knob kept
+            # for experiments. (The LAYER scan must never unroll —
+            # copy-insertion trap, see models/common.layer_unroll;
+            # this outer TOKEN scan tolerates it since each body
+            # consumes the previous body's cache.)
+            import os
+            env = os.environ.get("TURBOINFER_DECODE_UNROLL", "0")
+            unroll = int(env) if env.isdigit() and int(env) > 0 else 1
             (last, cache, finished, _), (toks, lps) = jax.lax.scan(
                 body, (first_token, cache, finished0, out_counts0),
-                rngs[:num_tokens - 1])
+                rngs[:num_tokens - 1], unroll=unroll)
             first_lp = (sampling.token_logprob(first_logits, first_token)
                         if want_logprobs else jnp.zeros((B,), jnp.float32))
             tokens = jnp.concatenate([first_token[:, None], toks.T], axis=1)
