@@ -104,11 +104,12 @@ def main():
     eng.generate_batch(prompts, max_new_tokens=n_tokens)
     eng.reset_state()
 
-    # Best of 3: the tunnel-attached chip occasionally degrades for a
-    # whole dispatch (observed 2x swings run-to-run); the best run is
-    # the honest device capability.
+    # Best of 5: the tunnel-attached chip occasionally degrades for a
+    # whole dispatch (observed +-20% swings run-to-run and 2x bad
+    # phases); the best run is the honest device capability, and each
+    # tiny-config rep costs ~130 ms.
     best = None
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     for _ in range(reps):
         t0 = time.perf_counter()
         results = eng.generate_batch(prompts, max_new_tokens=n_tokens)
