@@ -83,11 +83,81 @@ class TestQmmKernel:
                         / (jnp.max(jnp.abs(want)) + 1e-9))
             assert rel < 2e-2, f"layer {li} rel err {rel}"
 
-    def test_asymmetric_falls_back(self):
+    @pytest.mark.parametrize("qtype", [QuantType.INT8, QuantType.INT4])
+    @pytest.mark.parametrize("gs", [64, 128, 256])
+    def test_asymmetric_matches_reference(self, qtype, gs):
+        """Asymmetric weights stay on the Pallas kernel: zero-points fold
+        into the dequant (baseline) or the factored row-sum correction."""
         from turboinfer_tpu.kernels.pallas import qmm
-        w = _rand(256, 512)
-        qt = quantize(w, QuantType.INT8, group_size=64, symmetric=False)
-        assert qmm.qmatmul_pallas(_rand(4, 256), qt, interpret=True) is None
+        w = _rand(512, 384) + 0.3          # offset so zp is non-trivial
+        qt = quantize(w, qtype, group_size=gs, symmetric=False)
+        assert qt.zero_points is not None
+        for M in (1, 4, 16):
+            x = _rand(M, 512)
+            got = qmm.qmatmul_pallas(x, qt, interpret=True)
+            assert got is not None
+            want = ops.qmatmul_ref(x, qt)
+            rel = float(jnp.max(jnp.abs(got - want))
+                        / (jnp.max(jnp.abs(want)) + 1e-9))
+            assert rel < 2e-2, f"M={M} rel err {rel}"
+
+    @pytest.mark.parametrize("gs", [32, 64, 128])
+    @pytest.mark.parametrize("symmetric", [True, False])
+    def test_masked_factored_small_groups(self, gs, symmetric):
+        """Decode-shaped M at g in {32,64,128} routes to the MASKED
+        factored kernel (pre-masked activation sub-group copies)."""
+        from turboinfer_tpu.kernels.pallas import qmm
+        K, N = 1024, 384
+        w = _rand(K, N) + (0.0 if symmetric else 0.2)
+        qt = quantize(w, QuantType.INT4, group_size=gs,
+                      symmetric=symmetric)
+        tiles = qmm._pick_tiles(8, K, N, 4, gs)
+        assert tiles is not None
+        assert qmm._fact_mode(4, gs, 8, tiles[2]) == "masked"
+        for M in (1, 8):
+            x = _rand(M, K)
+            got = qmm.qmatmul_pallas(x, qt, interpret=True)
+            assert got is not None
+            want = ops.qmatmul_ref(x, qt)
+            rel = float(jnp.max(jnp.abs(got - want))
+                        / (jnp.max(jnp.abs(want)) + 1e-9))
+            assert rel < 2e-2, f"M={M} rel err {rel}"
+
+    def test_masked_factored_stacked(self):
+        from turboinfer_tpu.kernels.pallas import qmm
+        L, K, N = 3, 512, 384
+        ws = [_rand(K, N) for _ in range(L)]
+        qts = [quantize(w, QuantType.INT4, group_size=64) for w in ws]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+        stacked = qmm.prepare_scales(stacked)
+        x = _rand(8, K)
+        for li in range(L):
+            got = qmm.qmatmul_pallas_stacked(x, stacked, li, interpret=True)
+            assert got is not None
+            want = ops.qmatmul_ref(x, qts[li])
+            rel = float(jnp.max(jnp.abs(got - want))
+                        / (jnp.max(jnp.abs(want)) + 1e-9))
+            assert rel < 2e-2, f"layer {li} rel err {rel}"
+
+    def test_asymmetric_stacked_prepared(self):
+        """Stacked asym weights through prepare_scales (pre-tiled scales
+        AND zero-points) must match the per-layer reference."""
+        from turboinfer_tpu.kernels.pallas import qmm
+        L, K, N = 2, 512, 384
+        ws = [_rand(K, N) + 0.25 for _ in range(L)]
+        qts = [quantize(w, QuantType.INT4, group_size=64, symmetric=False)
+               for w in ws]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *qts)
+        stacked = qmm.prepare_scales(stacked)
+        assert stacked.zero_points.ndim == 4
+        x = _rand(4, K)
+        for li in range(L):
+            got = qmm.qmatmul_pallas_stacked(x, stacked, li, interpret=True)
+            assert got is not None
+            want = ops.qmatmul_ref(x, qts[li])
+            rel = float(jnp.max(jnp.abs(got - want))
+                        / (jnp.max(jnp.abs(want)) + 1e-9))
+            assert rel < 2e-2, f"layer {li} rel err {rel}"
 
     def test_unaligned_n_full_width_block(self):
         """Non-128-multiple N runs via a full-width (TN == N) block."""

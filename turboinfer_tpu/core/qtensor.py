@@ -282,7 +282,10 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
         sc = sc.reshape(G, N)
     scales = sc.astype(jnp.float32)[:, None, :]
     if qt.zero_points is not None:
-        qg = qg - qt.zero_points.astype(jnp.float32)[:, None, :]
+        zp = qt.zero_points
+        if zp.ndim == 3:               # pre-tiled [nk, gk, N]
+            zp = zp.reshape(G, N)
+        qg = qg - zp.astype(jnp.float32)[:, None, :]
     w = (qg * scales).reshape(G * g, N)[:K]
     return w.astype(dtype)
 

@@ -279,7 +279,10 @@ def _dequant_ref(qt: QTensor, dtype) -> jax.Array:
     if scales.ndim == 3:               # pre-tiled [nk, gk, N] (prepare_scales)
         scales = scales.reshape(G, N)
     if qt.zero_points is not None:
-        qg = qg - qt.zero_points.astype(jnp.float32)[:, None, :]
+        zp = qt.zero_points
+        if zp.ndim == 3:               # pre-tiled [nk, gk, N]
+            zp = zp.reshape(G, N)
+        qg = qg - zp.astype(jnp.float32)[:, None, :]
     w = (qg * scales.astype(jnp.float32)[:, None, :]).reshape(G * g, N)[:K]
     return w.astype(dtype)
 

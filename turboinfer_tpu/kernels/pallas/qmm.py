@@ -40,10 +40,16 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel_int8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int,
-                 group_size: int, out_dtype):
+def _kernel_int8(x_ref, q_ref, s_ref, *rest, nk: int, group_size: int,
+                 out_dtype, asym: bool = False):
     """x_ref: [TM, TK]; q_ref: [TK, TN] int8; s_ref: [TK//g, TN] scales;
+    optional zp_ref (asym=True, same layout as s_ref);
     o_ref: [TM, TN] out; acc_ref: [TM, TN] f32 scratch."""
+    if asym:
+        zp_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
+        zp_ref = None
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -53,9 +59,12 @@ def _kernel_int8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int,
     x = x_ref[:].astype(jnp.bfloat16)                   # [TM, TK]
     q = q_ref[:]                                        # [TK, TN] int8
     s = s_ref[0].astype(jnp.float32)                    # [1, G, TN] -> [G, TN]
+    zp = None if zp_ref is None else zp_ref[0].astype(jnp.float32)
     TK, TN = q.shape
     G = TK // group_size
     w = q.astype(jnp.int32).astype(jnp.float32).reshape(G, group_size, TN)
+    if zp is not None:
+        w = w - zp[:, None, :]                # dequant = (q - zp) * s
     w = (w * s[:, None, :]).reshape(TK, TN).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
 
@@ -64,8 +73,8 @@ def _kernel_int8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _kernel_int4(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int,
-                 group_size: int, out_dtype):
+def _kernel_int4(xlo_ref, xhi_ref, q_ref, s_ref, *rest, nk: int,
+                 group_size: int, out_dtype, asym: bool = False):
     """int4 planar-within-group variant.
 
     q_ref: [TK//2, TN] uint8 — byte row (gi, p) holds logical rows
@@ -75,6 +84,11 @@ def _kernel_int4(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int,
     columns pre-gathered into that order outside the kernel (Mosaic
     cannot split the lane dim in-kernel).
     """
+    if asym:
+        zp_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
+        zp_ref = None
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -85,11 +99,12 @@ def _kernel_int4(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int,
     x_hi = xhi_ref[:].astype(jnp.bfloat16)
     qp = q_ref[:]                                       # [TK//2, TN] u8
     s = s_ref[0].astype(jnp.float32)                    # [1, G, TN] -> [G, TN]
+    zp = None if zp_ref is None else zp_ref[0].astype(jnp.float32)
     TK2, TN = qp.shape
     G = 2 * TK2 // group_size
     g2 = group_size // 2
 
-    w_lo, w_hi = _dequant_int4_halves(qp, s, G, g2, TN)
+    w_lo, w_hi = _dequant_int4_halves(qp, s, G, g2, TN, zp=zp)
 
     acc_ref[:] += (jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
                    + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32))
@@ -99,16 +114,20 @@ def _kernel_int4(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _dequant_int4_halves(qp, s, G, g2, TN):
+def _dequant_int4_halves(qp, s, G, g2, TN, zp=None):
     """Unpack + scale both nibble planes of a [TK/2, TN] uint8 block.
 
     Value math stays in f32: an all-bf16 variant (i32→bf16 casts +
     bf16 broadcast-multiply) measured ~30% SLOWER end-to-end — Mosaic
-    lowers those through f32 with extra relayouts.
+    lowers those through f32 with extra relayouts. zp (optional
+    [G, TN] f32): asymmetric dequant = (q - zp) * s.
     """
     qi = qp.astype(jnp.int32)
     lo = ((qi & 0x0F) - 8).astype(jnp.float32).reshape(G, g2, TN)
     hi = ((qi >> 4) - 8).astype(jnp.float32).reshape(G, g2, TN)
+    if zp is not None:
+        lo = lo - zp[:, None, :]
+        hi = hi - zp[:, None, :]
     TK2 = G * g2
     w_lo = (lo * s[:, None, :]).reshape(TK2, TN).astype(jnp.bfloat16)
     w_hi = (hi * s[:, None, :]).reshape(TK2, TN).astype(jnp.bfloat16)
@@ -116,92 +135,156 @@ def _dequant_int4_halves(qp, s, G, g2, TN):
 
 
 def _fact_eligible(bits: int, group_size: int) -> bool:
-    """The factored-scale int4 variant needs each half-group to span
-    whole 128-lane slices of the pre-gathered activations (Mosaic only
-    slices the lane dim at 128 alignment)."""
+    """The wide factored-scale int4 variant needs each half-group to
+    span whole 128-lane slices of the pre-gathered activations (Mosaic
+    only slices the lane dim at 128 alignment)."""
     import os
     if os.environ.get("TURBOINFER_QMM_NO_FACT") == "1":
         return False
     return bits == 4 and group_size >= 256 and (group_size // 2) % 128 == 0
 
 
-def _int4_fact_body(x_lo, x_hi, qp, s, acc_ref, *, group_size: int):
+def _fact_mode(bits: int, group_size: int, M: int, TK: int):
+    """Pick the factored-scale int4 variant for this shape.
+
+    "wide":   half-group >= one 128-lane slice (g >= 256) — one pair of
+              full-depth dots per group (round 2 kernel).
+    "masked": g in {32, 64, 128} — a 128-lane slice spans Gp = 256/g
+              half-groups, so the caller pre-builds Gp MASKED copies of
+              each activation half (zeros outside sub-group j); the
+              kernel unpacks each weight slice ONCE and runs Gp dots
+              against the masked copies, keeping per-group partials
+              separate for the factored scale/zero-point algebra. The
+              per-weight VPU work stays at unpack+cast (~3.5 passes) at
+              the group sizes real GPTQ/AWQ checkpoints use, instead of
+              the ~5.5-pass full dequant that made g=64 decode
+              compute-bound (510 vs 663 GB/s). Decode-shaped M only:
+              masked copies multiply x VMEM by Gp, irrelevant at TM=8
+              but prohibitive for prefill tiles (prefill amortizes
+              dequant over TM rows anyway).
+    None:     not factorable — baseline per-weight dequant kernel.
+    """
+    import os
+    if os.environ.get("TURBOINFER_QMM_NO_FACT") == "1" or bits != 4:
+        return None
+    g2 = group_size // 2
+    if g2 >= 128 and g2 % 128 == 0:
+        return "wide"
+    if (g2 in (16, 32, 64) and M <= 8 and (TK // 2) % 128 == 0
+            and os.environ.get("TURBOINFER_QMM_NO_MASKED_FACT") != "1"):
+        return "masked"
+    return None
+
+
+def _int4_fact_body(x_parts, qp, s, zp, acc_ref, *, group_size: int):
     """Factored-scale int4 accumulation (one K tile).
 
     The baseline kernel dequantizes every weight on the VPU (unpack,
-    subtract 8, scale-multiply, two dtype casts ≈ 5.5 vector passes per
-    weight) — at 7B decode shapes that outruns the DMA and makes the
-    pipeline compute-bound. Here the group scale is factored OUT of the
-    contraction:
+    subtract 8/zp, scale-multiply, two dtype casts ≈ 5.5 vector passes
+    per weight) — at 7B decode shapes that outruns the DMA and makes
+    the pipeline compute-bound. Here the group scale is factored OUT of
+    the contraction:
 
         acc[m,n] += sum_g s[g,n] * ( sum_{k in g} x[m,k]*u[k,n]
-                                     - 8 * sum_{k in g} x[m,k] )
+                                     - (8 + zp[g,n]) * sum_{k in g} x[m,k] )
 
-    so the MXU dots run on raw unpacked nibbles u in [0,16) (exact in
-    bf16) and the VPU only touches per-weight data for unpack + cast
-    (~3.5 passes); the scale/zero-point algebra runs on the [TM, TN]
-    per-group partial, which is group_size× smaller. Each group is one
-    full-depth pair of [TM, g/2] @ [g/2, TN] dots (g/2 = 128k lanes).
+    (u = q + 8 is the raw nibble in [0,16), exact in bf16; zp = 0 when
+    symmetric) so the MXU dots run on raw nibbles and the VPU only
+    touches per-weight data for unpack + cast (~3.5 passes); the
+    scale/zero-point algebra runs on the [TM, TN] per-group partial,
+    which is group_size× smaller.
 
-    x_lo/x_hi: [TM, TK//2] bf16 pre-gathered halves; qp: [TK//2, TN]
-    uint8; s: [G, TN] f32; acc_ref: [TM, TN] f32.
+    x_parts: list of (xl, xh) [TM, TK//2] bf16 pre-gathered halves —
+    one unmasked pair when g/2 >= 128 ("wide"), else Gp = 128/(g/2)
+    masked pairs (see _fact_mode). qp: [TK//2, TN] uint8; s (and
+    optional zp): [G, TN] f32; acc_ref: [TM, TN] f32.
     """
     TK2, TN = qp.shape
     g2 = group_size // 2
-    G = TK2 // g2
+    Gp = len(x_parts)
+    W = g2 * Gp                        # lane width unpacked per slice
     acc = acc_ref[:]
-    for gi in range(G):
-        lo_sl = slice(gi * g2, (gi + 1) * g2)
-        qg = qp[lo_sl].astype(jnp.int32)
+    for c in range(TK2 // W):
+        sl = slice(c * W, (c + 1) * W)
+        qg = qp[sl].astype(jnp.int32)
         u_lo = (qg & 0x0F).astype(jnp.bfloat16)
         u_hi = (qg >> 4).astype(jnp.bfloat16)
-        xl = x_lo[:, lo_sl]
-        xh = x_hi[:, lo_sl]
-        p = (jnp.dot(xl, u_lo, preferred_element_type=jnp.float32)
-             + jnp.dot(xh, u_hi, preferred_element_type=jnp.float32))
-        rsum = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True) \
-            + jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
-        acc = acc + (p - 8.0 * rsum) * s[gi][None, :]
+        for j, (xl, xh) in enumerate(x_parts):
+            xls = xl[:, sl]
+            xhs = xh[:, sl]
+            p = (jnp.dot(xls, u_lo, preferred_element_type=jnp.float32)
+                 + jnp.dot(xhs, u_hi, preferred_element_type=jnp.float32))
+            rsum = jnp.sum(xls.astype(jnp.float32), axis=1, keepdims=True) \
+                + jnp.sum(xhs.astype(jnp.float32), axis=1, keepdims=True)
+            gi = c * Gp + j
+            if zp is None:
+                acc = acc + (p - 8.0 * rsum) * s[gi][None, :]
+            else:
+                acc = acc + (p - rsum * (zp[gi][None, :] + 8.0)) \
+                    * s[gi][None, :]
     acc_ref[:] = acc
 
 
-def _kernel_int4_fact(xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref, *,
-                      nk: int, group_size: int, out_dtype):
-    """Factored-scale int4 (see _int4_fact_body); same interface as
-    _kernel_int4."""
-    k = pl.program_id(2)
+def _make_fact_kernel(nparts: int, asym: bool, kind: str, *, nk: int,
+                      group_size: int, out_dtype):
+    """Build a factored-scale int4 kernel: `nparts` activation-half
+    pairs (1 = wide, >1 = masked sub-groups), optional zero-points, for
+    the 2-D ("2d"), stacked-layer ("stacked") or grouped-slots
+    ("grouped") grid shape."""
+    k_dim = 3 if kind == "grouped" else 2
 
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    def kern(*refs):
+        if kind != "2d":
+            refs = refs[1:]                      # drop prefetched idx ref
+        xs = refs[:2 * nparts]
+        q_ref, s_ref = refs[2 * nparts:2 * nparts + 2]
+        zp_ref = refs[2 * nparts + 2] if asym else None
+        o_ref, acc_ref = refs[-2], refs[-1]
+        k = pl.program_id(k_dim)
 
-    _int4_fact_body(xlo_ref[:].astype(jnp.bfloat16),
-                    xhi_ref[:].astype(jnp.bfloat16),
-                    q_ref[:], s_ref[0].astype(jnp.float32), acc_ref,
-                    group_size=group_size)
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
+        if kind == "2d":
+            qp, s = q_ref[:], s_ref[0].astype(jnp.float32)
+            zp = None if zp_ref is None else zp_ref[0].astype(jnp.float32)
+        else:
+            qp, s = q_ref[0], s_ref[0, 0].astype(jnp.float32)
+            zp = None if zp_ref is None else zp_ref[0, 0].astype(jnp.float32)
+        if kind == "grouped":                    # x blocks [1, TM, TK//2]
+            parts = [(xs[2 * j][0].astype(jnp.bfloat16),
+                      xs[2 * j + 1][0].astype(jnp.bfloat16))
+                     for j in range(nparts)]
+        else:                                    # x blocks [TM, TK//2]
+            parts = [(xs[2 * j][:].astype(jnp.bfloat16),
+                      xs[2 * j + 1][:].astype(jnp.bfloat16))
+                     for j in range(nparts)]
+        _int4_fact_body(parts, qp, s, zp, acc_ref, group_size=group_size)
+
+        @pl.when(k == nk - 1)
+        def _():
+            if kind == "grouped":
+                o_ref[0] = acc_ref[:].astype(out_dtype)
+            else:
+                o_ref[:] = acc_ref[:].astype(out_dtype)
+
+    return kern
 
 
-def _kernel_int4_fact_idx(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
-                          acc_ref, *, nk: int, group_size: int, out_dtype):
-    """Stacked-layer factored-scale int4 (see _int4_fact_body)."""
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    _int4_fact_body(xlo_ref[:].astype(jnp.bfloat16),
-                    xhi_ref[:].astype(jnp.bfloat16),
-                    q_ref[0], s_ref[0, 0].astype(jnp.float32), acc_ref,
-                    group_size=group_size)
-
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
+def _masked_x_parts(x_lo, x_hi, K: int, group_size: int, nparts: int):
+    """Pre-build the masked activation halves for the "masked" factored
+    mode: part j zeros every lane outside sub-group j (group index
+    ≡ j mod nparts within each 128-lane slice). XLA fuses the wheres;
+    at decode M<=8 the copies are a few KB."""
+    g2 = group_size // 2
+    sub = (jnp.arange(K // 2) // g2) % nparts
+    parts = []
+    for j in range(nparts):
+        m = sub == j
+        parts.append(jnp.where(m, x_lo, 0))
+        parts.append(jnp.where(m, x_hi, 0))
+    return parts
 
 
 def _a8_enabled() -> bool:
@@ -416,9 +499,10 @@ def _pick_tiles(M, K, N, bits, group_size):
 
 @functools.partial(jax.jit, static_argnames=("bits", "group_size", "K", "N",
                                              "out_dtype", "interpret", "a8"))
-def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
-            out_dtype, interpret: bool = False, a8: bool = False):
-    """x2: [M, K] -> [M, N]. data/scales as stored in the QTensor."""
+def _qmm_2d(x2, data, scales, zps, *, bits: int, group_size: int, K: int,
+            N: int, out_dtype, interpret: bool = False, a8: bool = False):
+    """x2: [M, K] -> [M, N]. data/scales/zps as stored in the QTensor
+    (zps=None for symmetric weights)."""
     M = x2.shape[0]
     tiles = _pick_tiles(M, K, N, bits, group_size)
     if tiles is None:
@@ -430,17 +514,21 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
     Mp = M + pad_m
     nk = K // TK
 
-    a8 = a8 and bits == 4 and M > 8 and _fact_eligible(bits, group_size)
+    asym = zps is not None
+    mode = _fact_mode(bits, group_size, M, TK)
+    a8 = a8 and bits == 4 and M > 8 and mode == "wide" and not asym
+    kw = dict(nk=nk, group_size=group_size, out_dtype=out_dtype)
+    nparts = 1
     if bits == 8:
-        kern = _kernel_int8
+        kern = functools.partial(_kernel_int8, asym=asym, **kw)
     elif a8:
-        kern = _kernel_int4_a8
-    elif _fact_eligible(bits, group_size):
-        kern = _kernel_int4_fact
+        kern = functools.partial(_kernel_int4_a8, **kw)
+    elif mode is not None:
+        if mode == "masked":
+            nparts = 128 // (group_size // 2)
+        kern = _make_fact_kernel(nparts, asym, "2d", **kw)
     else:
-        kern = _kernel_int4
-    kern = functools.partial(kern, nk=nk, group_size=group_size,
-                             out_dtype=out_dtype)
+        kern = functools.partial(_kernel_int4, asym=asym, **kw)
     common = dict(
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
@@ -451,7 +539,8 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * N * K,
             bytes_accessed=(Mp * K * x2.dtype.itemsize + K * N * bits // 8
-                            + (K // group_size) * N * 4 + Mp * N * 2),
+                            + (K // group_size) * N * 4 * (2 if asym else 1)
+                            + Mp * N * 2),
             transcendentals=0),
         interpret=interpret,
     )
@@ -464,6 +553,10 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
     scales3 = scales.reshape(nk, gk, N)
     s_spec = pl.BlockSpec((1, gk, TN), lambda i, j, k: (k, 0, j),
                           memory_space=pltpu.VMEM)
+    zp_ops, zp_specs = (), ()
+    if asym:
+        zp_ops = (zps.reshape(nk, gk, N),)
+        zp_specs = (s_spec,)
 
     if bits == 8:
         out = pl.pallas_call(
@@ -472,10 +565,10 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
             in_specs=[
                 pl.BlockSpec((TM, TK), lambda i, j, k: (i, k),
                              memory_space=pltpu.VMEM),
-                w_spec, s_spec,
+                w_spec, s_spec, *zp_specs,
             ],
             **common,
-        )(x2, data, scales3)
+        )(x2, data, scales3, *zp_ops)
     else:
         # Pre-gather activation columns into (group, offset-in-half)
         # order so each K block pairs with contiguous w_lo / w_hi rows.
@@ -486,23 +579,32 @@ def _qmm_2d(x2, data, scales, *, bits: int, group_size: int, K: int, N: int,
         xg = x2.reshape(Mp, K // group_size, group_size)
         x_lo = xg[:, :, :g2].reshape(Mp, K // 2)
         x_hi = xg[:, :, g2:].reshape(Mp, K // 2)
+        if nparts > 1:
+            parts = _masked_x_parts(x_lo, x_hi, K, group_size, nparts)
+        else:
+            parts = [x_lo, x_hi]
         half_spec = pl.BlockSpec((TM, TK // 2), lambda i, j, k: (i, k),
                                  memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             kern,
             grid=(Mp // TM, N // TN, nk),
-            in_specs=[half_spec, half_spec, w_spec, s_spec],
+            in_specs=[half_spec] * len(parts) + [w_spec, s_spec, *zp_specs],
             **common,
-        )(x_lo, x_hi, data, scales3)
+        )(*parts, data, scales3, *zp_ops)
         if sx is not None:
             out = (out.astype(jnp.float32) * sx[:, None]).astype(out_dtype)
     return out[:M] if pad_m else out
 
 
-def _kernel_int8_idx(idx_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
-                     nk: int, group_size: int, out_dtype):
+def _kernel_int8_idx(idx_ref, x_ref, q_ref, s_ref, *rest, nk: int,
+                     group_size: int, out_dtype, asym: bool = False):
     """Stacked-layer int8: q_ref [1, TK, TN] indexed by the prefetched
     layer id in the BlockSpec; body identical to _kernel_int8."""
+    if asym:
+        zp_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
+        zp_ref = None
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -515,6 +617,8 @@ def _kernel_int8_idx(idx_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
     TK, TN = q.shape
     G = TK // group_size
     w = q.astype(jnp.int32).astype(jnp.float32).reshape(G, group_size, TN)
+    if zp_ref is not None:
+        w = w - zp_ref[0, 0].astype(jnp.float32)[:, None, :]
     w = (w * s[:, None, :]).reshape(TK, TN).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
 
@@ -523,9 +627,15 @@ def _kernel_int8_idx(idx_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _kernel_int4_idx(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref,
-                     *, nk: int, group_size: int, out_dtype):
+def _kernel_int4_idx(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, *rest,
+                     nk: int, group_size: int, out_dtype,
+                     asym: bool = False):
     """Stacked-layer int4 planar variant (see _kernel_int4)."""
+    if asym:
+        zp_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
+        zp_ref = None
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -536,11 +646,12 @@ def _kernel_int4_idx(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref,
     x_hi = xhi_ref[:].astype(jnp.bfloat16)
     qp = q_ref[0]
     s = s_ref[0, 0].astype(jnp.float32)
+    zp = None if zp_ref is None else zp_ref[0, 0].astype(jnp.float32)
     TK2, TN = qp.shape
     G = 2 * TK2 // group_size
     g2 = group_size // 2
 
-    w_lo, w_hi = _dequant_int4_halves(qp, s, G, g2, TN)
+    w_lo, w_hi = _dequant_int4_halves(qp, s, G, g2, TN, zp=zp)
 
     acc_ref[:] += (jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
                    + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32))
@@ -550,10 +661,20 @@ def _kernel_int4_idx(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
+def _retile_scales(arr, L, nk, gk, N):
+    """[L, G, N] (or differently pre-tiled 4-D) -> [L, nk, gk, N]."""
+    if arr.ndim == 4 and arr.shape[1] == nk and arr.shape[2] == gk:
+        return arr                # pre-tiled (prepare_scales) — free
+    # Different tiling than prepared (e.g. prefill picked a smaller
+    # TK): re-tile. Costs one scales copy per call — fine for
+    # prefill (once per request), avoided on the decode path.
+    return arr.reshape(L, nk, gk, N)
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "group_size", "K", "N",
                                              "out_dtype", "interpret",
                                              "a8"))
-def _qmm_stacked(x2, data3, scales3, layer_idx, *, bits: int,
+def _qmm_stacked(x2, data3, scales3, zps3, layer_idx, *, bits: int,
                  group_size: int, K: int, N: int, out_dtype,
                  interpret: bool = False, a8: bool = False):
     """x2: [M, K] @ layer `layer_idx` of data3 [L, K/kd, N] -> [M, N].
@@ -576,26 +697,23 @@ def _qmm_stacked(x2, data3, scales3, layer_idx, *, bits: int,
     nk = K // TK
     L = data3.shape[0]
     gk = TK // group_size
-    if scales3.ndim == 4 and scales3.shape[1] == nk \
-            and scales3.shape[2] == gk:
-        scales4 = scales3          # pre-tiled [L, nk, gk, N] (prepare_scales)
-    else:
-        # Different tiling than prepared (e.g. prefill picked a smaller
-        # TK): re-tile. Costs one scales copy per call — fine for
-        # prefill (once per request), avoided on the decode path.
-        scales4 = scales3.reshape(L, nk, gk, N)
+    scales4 = _retile_scales(scales3, L, nk, gk, N)
 
-    a8 = a8 and bits == 4 and M > 8 and _fact_eligible(bits, group_size)
+    asym = zps3 is not None
+    mode = _fact_mode(bits, group_size, M, TK)
+    a8 = a8 and bits == 4 and M > 8 and mode == "wide" and not asym
+    kw = dict(nk=nk, group_size=group_size, out_dtype=out_dtype)
+    nparts = 1
     if bits == 8:
-        kern = _kernel_int8_idx
+        kern = functools.partial(_kernel_int8_idx, asym=asym, **kw)
     elif a8:
-        kern = _kernel_int4_a8_idx
-    elif _fact_eligible(bits, group_size):
-        kern = _kernel_int4_fact_idx
+        kern = functools.partial(_kernel_int4_a8_idx, **kw)
+    elif mode is not None:
+        if mode == "masked":
+            nparts = 128 // (group_size // 2)
+        kern = _make_fact_kernel(nparts, asym, "stacked", **kw)
     else:
-        kern = _kernel_int4_idx
-    kern = functools.partial(kern, nk=nk, group_size=group_size,
-                             out_dtype=out_dtype)
+        kern = functools.partial(_kernel_int4_idx, asym=asym, **kw)
     kd = 1 if bits == 8 else 2
     w_spec = pl.BlockSpec((1, TK // kd, TN),
                           lambda i, j, k, idx: (idx[0], k, j),
@@ -603,12 +721,17 @@ def _qmm_stacked(x2, data3, scales3, layer_idx, *, bits: int,
     s_spec = pl.BlockSpec((1, 1, gk, TN),
                           lambda i, j, k, idx: (idx[0], k, 0, j),
                           memory_space=pltpu.VMEM)
+    zp_ops, zp_specs = (), ()
+    if asym:
+        zp_ops = (_retile_scales(zps3, L, nk, gk, N),)
+        zp_specs = (s_spec,)
     out_spec = pl.BlockSpec((TM, TN), lambda i, j, k, idx: (i, j),
                             memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=2 * Mp * N * K,
         bytes_accessed=(Mp * K * x2.dtype.itemsize + K * N * bits // 8
-                        + (K // group_size) * N * 2 + Mp * N * 2),
+                        + (K // group_size) * N * 2 * (2 if asym else 1)
+                        + Mp * N * 2),
         transcendentals=0)
     idx_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
@@ -617,28 +740,7 @@ def _qmm_stacked(x2, data3, scales3, layer_idx, *, bits: int,
                               memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(Mp // TM, N // TN, nk),
-            in_specs=[x_spec, w_spec, s_spec], out_specs=out_spec,
-            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)])
-        out = pl.pallas_call(
-            kern, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
-            cost_estimate=cost, interpret=interpret,
-        )(idx_arr, x2, data3, scales4)
-    else:
-        sx = None
-        if a8:
-            x2, sx = _a8_quantize_rows(x2)
-        g2 = group_size // 2
-        xg = x2.reshape(Mp, K // group_size, group_size)
-        x_lo = xg[:, :, :g2].reshape(Mp, K // 2)
-        x_hi = xg[:, :, g2:].reshape(Mp, K // 2)
-        half_spec = pl.BlockSpec((TM, TK // 2), lambda i, j, k, idx: (i, k),
-                                 memory_space=pltpu.VMEM)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(Mp // TM, N // TN, nk),
-            in_specs=[half_spec, half_spec, w_spec, s_spec],
+            in_specs=[x_spec, w_spec, s_spec, *zp_specs],
             out_specs=out_spec,
             scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)])
         out = pl.pallas_call(
@@ -647,7 +749,34 @@ def _qmm_stacked(x2, data3, scales3, layer_idx, *, bits: int,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             cost_estimate=cost, interpret=interpret,
-        )(idx_arr, x_lo, x_hi, data3, scales4)
+        )(idx_arr, x2, data3, scales4, *zp_ops)
+    else:
+        sx = None
+        if a8:
+            x2, sx = _a8_quantize_rows(x2)
+        g2 = group_size // 2
+        xg = x2.reshape(Mp, K // group_size, group_size)
+        x_lo = xg[:, :, :g2].reshape(Mp, K // 2)
+        x_hi = xg[:, :, g2:].reshape(Mp, K // 2)
+        if nparts > 1:
+            parts = _masked_x_parts(x_lo, x_hi, K, group_size, nparts)
+        else:
+            parts = [x_lo, x_hi]
+        half_spec = pl.BlockSpec((TM, TK // 2), lambda i, j, k, idx: (i, k),
+                                 memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(Mp // TM, N // TN, nk),
+            in_specs=[half_spec] * len(parts)
+            + [w_spec, s_spec, *zp_specs],
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)])
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            cost_estimate=cost, interpret=interpret,
+        )(idx_arr, *parts, data3, scales4, *zp_ops)
         if sx is not None:
             out = (out.astype(jnp.float32) * sx[:, None]).astype(out_dtype)
     return out[:M] if pad_m else out
@@ -658,7 +787,7 @@ def qmatmul_pallas_stacked(x: jax.Array, qt: QTensor, layer_index,
                            interpret: bool = False) -> Optional[jax.Array]:
     """[..., K] @ dequant(qt.data[layer_index]) for a stacked [L, ...]
     QTensor, reading directly from the stacked HBM array."""
-    if qt.zero_points is not None or qt.data.ndim != 3:
+    if qt.data.ndim != 3:
         return None
     K, N = qt.shape
     if qt.bits == 4 and qt.data.shape[1] * 2 != K:
@@ -667,20 +796,25 @@ def qmatmul_pallas_stacked(x: jax.Array, qt: QTensor, layer_index,
     M = 1
     for d in lead:
         M *= d
-    out = _qmm_stacked(x.reshape(M, K), qt.data, qt.scales, layer_index,
-                       bits=qt.bits, group_size=qt.group_size, K=K, N=N,
-                       out_dtype=x.dtype, interpret=interpret,
+    out = _qmm_stacked(x.reshape(M, K), qt.data, qt.scales, qt.zero_points,
+                       layer_index, bits=qt.bits, group_size=qt.group_size,
+                       K=K, N=N, out_dtype=x.dtype, interpret=interpret,
                        a8=_a8_enabled())
     if out is None:
         return None
     return out.reshape(*lead, N)
 
 
-def _kernel_int8_grp(idx_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
-                     nk: int, group_size: int, out_dtype):
+def _kernel_int8_grp(idx_ref, x_ref, q_ref, s_ref, *rest, nk: int,
+                     group_size: int, out_dtype, asym: bool = False):
     """Grouped stacked-layer int8: grid (G, M/TM, N/TN, nk); group g
     contracts x_ref[0] (that group's activations) against weight slot
     idx_ref[g]."""
+    if asym:
+        zp_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
+        zp_ref = None
     k = pl.program_id(3)
 
     @pl.when(k == 0)
@@ -693,6 +827,8 @@ def _kernel_int8_grp(idx_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
     TK, TN = q.shape
     G = TK // group_size
     w = q.astype(jnp.int32).astype(jnp.float32).reshape(G, group_size, TN)
+    if zp_ref is not None:
+        w = w - zp_ref[0, 0].astype(jnp.float32)[:, None, :]
     w = (w * s[:, None, :]).reshape(TK, TN).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
 
@@ -701,9 +837,15 @@ def _kernel_int8_grp(idx_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *,
         o_ref[0] = acc_ref[:].astype(out_dtype)
 
 
-def _kernel_int4_grp(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
-                     acc_ref, *, nk: int, group_size: int, out_dtype):
+def _kernel_int4_grp(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, *rest,
+                     nk: int, group_size: int, out_dtype,
+                     asym: bool = False):
     """Grouped stacked-layer int4 planar variant (see _kernel_int4)."""
+    if asym:
+        zp_ref, o_ref, acc_ref = rest
+    else:
+        o_ref, acc_ref = rest
+        zp_ref = None
     k = pl.program_id(3)
 
     @pl.when(k == 0)
@@ -714,10 +856,11 @@ def _kernel_int4_grp(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
     x_hi = xhi_ref[0].astype(jnp.bfloat16)
     qp = q_ref[0]
     s = s_ref[0, 0].astype(jnp.float32)
+    zp = None if zp_ref is None else zp_ref[0, 0].astype(jnp.float32)
     TK2, TN = qp.shape
     G = 2 * TK2 // group_size
     g2 = group_size // 2
-    w_lo, w_hi = _dequant_int4_halves(qp, s, G, g2, TN)
+    w_lo, w_hi = _dequant_int4_halves(qp, s, G, g2, TN, zp=zp)
     acc_ref[:] += (jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
                    + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32))
 
@@ -726,29 +869,11 @@ def _kernel_int4_grp(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
         o_ref[0] = acc_ref[:].astype(out_dtype)
 
 
-def _kernel_int4_fact_grp(idx_ref, xlo_ref, xhi_ref, q_ref, s_ref, o_ref,
-                          acc_ref, *, nk: int, group_size: int, out_dtype):
-    """Grouped factored-scale int4 (see _int4_fact_body)."""
-    k = pl.program_id(3)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    _int4_fact_body(xlo_ref[0].astype(jnp.bfloat16),
-                    xhi_ref[0].astype(jnp.bfloat16),
-                    q_ref[0], s_ref[0, 0].astype(jnp.float32), acc_ref,
-                    group_size=group_size)
-
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[0] = acc_ref[:].astype(out_dtype)
-
-
 @functools.partial(jax.jit, static_argnames=("bits", "group_size", "K", "N",
                                              "out_dtype", "interpret"))
-def _qmm_grouped(xg, data3, scales3, slots, *, bits: int, group_size: int,
-                 K: int, N: int, out_dtype, interpret: bool = False):
+def _qmm_grouped(xg, data3, scales3, zps3, slots, *, bits: int,
+                 group_size: int, K: int, N: int, out_dtype,
+                 interpret: bool = False):
     """xg: [G, M, K]; out[g] = xg[g] @ dequant(data3[slots[g]]) -> [G, M, N].
 
     One pallas_call for all G data-dependent weight slots (MoE decode:
@@ -769,20 +894,20 @@ def _qmm_grouped(xg, data3, scales3, slots, *, bits: int, group_size: int,
     nk = K // TK
     gk = TK // group_size
     L = data3.shape[0]
-    if scales3.ndim == 4 and scales3.shape[1] == nk \
-            and scales3.shape[2] == gk:
-        scales4 = scales3
-    else:
-        scales4 = scales3.reshape(L, nk, gk, N)
+    scales4 = _retile_scales(scales3, L, nk, gk, N)
 
+    asym = zps3 is not None
+    mode = _fact_mode(bits, group_size, M, TK)
+    kw = dict(nk=nk, group_size=group_size, out_dtype=out_dtype)
+    nparts = 1
     if bits == 8:
-        kern = _kernel_int8_grp
-    elif _fact_eligible(bits, group_size):
-        kern = _kernel_int4_fact_grp
+        kern = functools.partial(_kernel_int8_grp, asym=asym, **kw)
+    elif mode is not None:
+        if mode == "masked":
+            nparts = 128 // (group_size // 2)
+        kern = _make_fact_kernel(nparts, asym, "grouped", **kw)
     else:
-        kern = _kernel_int4_grp
-    kern = functools.partial(kern, nk=nk, group_size=group_size,
-                             out_dtype=out_dtype)
+        kern = functools.partial(_kernel_int4_grp, asym=asym, **kw)
     kd = 1 if bits == 8 else 2
     w_spec = pl.BlockSpec((1, TK // kd, TN),
                           lambda g, i, j, k, idx: (idx[g], k, j),
@@ -790,12 +915,17 @@ def _qmm_grouped(xg, data3, scales3, slots, *, bits: int, group_size: int,
     s_spec = pl.BlockSpec((1, 1, gk, TN),
                           lambda g, i, j, k, idx: (idx[g], k, 0, j),
                           memory_space=pltpu.VMEM)
+    zp_ops, zp_specs = (), ()
+    if asym:
+        zp_ops = (_retile_scales(zps3, L, nk, gk, N),)
+        zp_specs = (s_spec,)
     out_spec = pl.BlockSpec((1, TM, TN), lambda g, i, j, k, idx: (g, i, j),
                             memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=2 * G * Mp * N * K,
         bytes_accessed=G * (Mp * K * xg.dtype.itemsize + K * N * bits // 8
-                            + (K // group_size) * N * 2 + Mp * N * 2),
+                            + (K // group_size) * N * 2 * (2 if asym else 1)
+                            + Mp * N * 2),
         transcendentals=0)
     idx_arr = jnp.asarray(slots, jnp.int32).reshape(G)
     grid = (G, Mp // TM, N // TN, nk)
@@ -806,26 +936,7 @@ def _qmm_grouped(xg, data3, scales3, slots, *, bits: int, group_size: int,
                               memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
-            in_specs=[x_spec, w_spec, s_spec], out_specs=out_spec,
-            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)])
-        out = pl.pallas_call(
-            kern, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((G, Mp, N), out_dtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=semantics),
-            cost_estimate=cost, interpret=interpret,
-        )(idx_arr, xg, data3, scales4)
-    else:
-        g2 = group_size // 2
-        xr = xg.reshape(G, Mp, K // group_size, group_size)
-        x_lo = xr[:, :, :, :g2].reshape(G, Mp, K // 2)
-        x_hi = xr[:, :, :, g2:].reshape(G, Mp, K // 2)
-        half_spec = pl.BlockSpec((1, TM, TK // 2),
-                                 lambda g, i, j, k, idx: (g, i, k),
-                                 memory_space=pltpu.VMEM)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=grid,
-            in_specs=[half_spec, half_spec, w_spec, s_spec],
+            in_specs=[x_spec, w_spec, s_spec, *zp_specs],
             out_specs=out_spec,
             scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)])
         out = pl.pallas_call(
@@ -834,7 +945,37 @@ def _qmm_grouped(xg, data3, scales3, slots, *, bits: int, group_size: int,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=semantics),
             cost_estimate=cost, interpret=interpret,
-        )(idx_arr, x_lo, x_hi, data3, scales4)
+        )(idx_arr, xg, data3, scales4, *zp_ops)
+    else:
+        g2 = group_size // 2
+        xr = xg.reshape(G, Mp, K // group_size, group_size)
+        x_lo = xr[:, :, :, :g2].reshape(G, Mp, K // 2)
+        x_hi = xr[:, :, :, g2:].reshape(G, Mp, K // 2)
+        if nparts > 1:
+            sub = (jnp.arange(K // 2) // g2) % nparts
+            parts = []
+            for j in range(nparts):
+                m = sub == j
+                parts.append(jnp.where(m, x_lo, 0))
+                parts.append(jnp.where(m, x_hi, 0))
+        else:
+            parts = [x_lo, x_hi]
+        half_spec = pl.BlockSpec((1, TM, TK // 2),
+                                 lambda g, i, j, k, idx: (g, i, k),
+                                 memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[half_spec] * len(parts)
+            + [w_spec, s_spec, *zp_specs],
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)])
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((G, Mp, N), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=semantics),
+            cost_estimate=cost, interpret=interpret,
+        )(idx_arr, *parts, data3, scales4, *zp_ops)
     return out[:, :M] if pad_m else out
 
 
@@ -842,7 +983,7 @@ def qmatmul_pallas_grouped(x: jax.Array, qt: QTensor, slots: jax.Array,
                            interpret: bool = False) -> Optional[jax.Array]:
     """x: [G, ..., K] per-group activations; slots: [G] traced ids into
     a flat stacked QTensor ([L*E, ...] data). -> [G, ..., N]."""
-    if qt.zero_points is not None or qt.data.ndim != 3:
+    if qt.data.ndim != 3:
         return None
     K, N = qt.shape
     if qt.bits == 4 and qt.data.shape[1] * 2 != K:
@@ -852,8 +993,9 @@ def qmatmul_pallas_grouped(x: jax.Array, qt: QTensor, slots: jax.Array,
     M = 1
     for d in lead:
         M *= d
-    out = _qmm_grouped(x.reshape(G, M, K), qt.data, qt.scales, slots,
-                       bits=qt.bits, group_size=qt.group_size, K=K, N=N,
+    out = _qmm_grouped(x.reshape(G, M, K), qt.data, qt.scales,
+                       qt.zero_points, slots, bits=qt.bits,
+                       group_size=qt.group_size, K=K, N=N,
                        out_dtype=x.dtype, interpret=interpret)
     if out is None:
         return None
@@ -864,12 +1006,12 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, preferred_dtype=jnp.float32,
                    interpret: bool = False) -> Optional[jax.Array]:
     """[..., K] @ dequant(qt [K, N]) -> [..., N] in x.dtype.
 
-    Returns None when the weight isn't kernel-eligible (asymmetric
-    zero-points, stacked-layer data consumed outside lax.scan, or
-    non-tile-aligned K/N) — dispatch falls back to the jnp reference.
+    Returns None when the weight isn't kernel-eligible (stacked-layer
+    data consumed outside lax.scan, or non-tile-aligned K/N) — dispatch
+    falls back to the jnp reference. Asymmetric weights run the same
+    kernels with the zero-point folded into the dequant (baseline
+    kernels) or the factored row-sum correction (factored kernels).
     """
-    if qt.zero_points is not None:
-        return None                     # asymmetric: jnp fallback for now
     if qt.data.ndim != 2:
         return None
     K, N = qt.shape
@@ -880,7 +1022,7 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, preferred_dtype=jnp.float32,
     for d in lead:
         M *= d
     x2 = x.reshape(M, K)
-    out = _qmm_2d(x2, qt.data, qt.scales, bits=qt.bits,
+    out = _qmm_2d(x2, qt.data, qt.scales, qt.zero_points, bits=qt.bits,
                   group_size=qt.group_size, K=K, N=N, out_dtype=x.dtype,
                   interpret=interpret, a8=_a8_enabled())
     if out is None:
@@ -889,8 +1031,8 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, preferred_dtype=jnp.float32,
 
 
 def prepare_scales(qt: QTensor) -> QTensor:
-    """Pre-tile a STACKED QTensor's scales to the [L, nk, gk, N] layout
-    the kernel consumes.
+    """Pre-tile a STACKED QTensor's scales (and zero-points) to the
+    [L, nk, gk, N] layout the kernel consumes.
 
     The runtime reshape [L, G, N] -> [L, nk, gk, N] is NOT a bitcast on
     TPU (sublane tiling pads G and gk differently), so doing it inside
@@ -899,15 +1041,16 @@ def prepare_scales(qt: QTensor) -> QTensor:
     it free at decode time. No-op for 2-D or non-kernel-eligible
     weights.
     """
-    if qt.data.ndim == 4 and qt.zero_points is None:
+    if qt.data.ndim == 4:
         # Stacked [L, E] MoE experts (quant/quantizer._quantize_experts):
         # flatten to the [L*E] stack the kernel indexes (layer*E + e,
         # models/moe._expert_ffn_quant), then tile scales as usual.
         flat = lambda a: a.reshape((-1,) + a.shape[2:])
         qt = QTensor(data=flat(qt.data), scales=flat(qt.scales),
-                     zero_points=None, bits=qt.bits,
+                     zero_points=None if qt.zero_points is None
+                     else flat(qt.zero_points), bits=qt.bits,
                      group_size=qt.group_size, shape=qt.shape)
-    if qt.data.ndim != 3 or qt.zero_points is not None:
+    if qt.data.ndim != 3:
         return qt
     K, N = qt.shape
     tiles = _pick_tiles(8, K, N, qt.bits, qt.group_size)
@@ -918,5 +1061,7 @@ def prepare_scales(qt: QTensor) -> QTensor:
     gk = TK // qt.group_size
     L = qt.data.shape[0]
     scales4 = qt.scales.reshape(L, nk, gk, N)
-    return QTensor(data=qt.data, scales=scales4, zero_points=None,
+    zp4 = None if qt.zero_points is None \
+        else qt.zero_points.reshape(L, nk, gk, N)
+    return QTensor(data=qt.data, scales=scales4, zero_points=zp4,
                    bits=qt.bits, group_size=qt.group_size, shape=qt.shape)
