@@ -167,6 +167,79 @@ void blk_q5_k(const uint8_t* b, float* o) {
     }
 }
 
+void blk_q2_k(const uint8_t* b, float* o) {
+    // 84B/256: 16 u8 scales (lo nibble scale, hi nibble min), 64B 2-bit
+    // quants, fp16 d, fp16 dmin (gguf.py GGML_Q2_K branch).
+    const uint8_t* scs = b;
+    const uint8_t* qs = b + 16;
+    float d = f16_to_f32(rd16(b + 80));
+    float dmin = f16_to_f32(rd16(b + 82));
+    int is = 0;
+    for (int half = 0; half < 2; ++half) {
+        const uint8_t* q = qs + 32 * half;
+        float* out = o + 128 * half;
+        for (int j = 0; j < 4; ++j) {
+            for (int sub = 0; sub < 2; ++sub, ++is) {
+                float dl = d * (float)(scs[is] & 0x0F);
+                float ml = dmin * (float)(scs[is] >> 4);
+                const uint8_t* qq = q + 16 * sub;
+                float* oo = out + 32 * j + 16 * sub;
+                for (int l = 0; l < 16; ++l)
+                    oo[l] = dl * (float)((qq[l] >> (2 * j)) & 3) - ml;
+            }
+        }
+    }
+}
+
+// Q3_K 12-byte 6-bit scale packing (gguf.py:_unpack_q3k_scales).
+void unpack_q3k_scales(const uint8_t* s, float sc[16]) {
+    for (int i = 0; i < 4; ++i) {
+        uint8_t hib = s[8 + i];
+        sc[i] = (float)((s[i] & 0x0F) | ((hib & 3) << 4));
+        sc[4 + i] = (float)((s[4 + i] & 0x0F) | (((hib >> 2) & 3) << 4));
+        sc[8 + i] = (float)((s[i] >> 4) | (((hib >> 4) & 3) << 4));
+        sc[12 + i] = (float)((s[4 + i] >> 4) | (((hib >> 6) & 3) << 4));
+    }
+}
+
+void blk_q3_k(const uint8_t* b, float* o) {
+    // 110B/256: 32B high-bit mask, 64B 2-bit low quants, 12B 6-bit
+    // scales, fp16 d; q = (lo | hi<<2) - 4 with hi from hmask bit
+    // half*4+j, scale bias -32 (gguf.py GGML_Q3_K branch).
+    const uint8_t* hm = b;
+    const uint8_t* qs = b + 32;
+    float sc[16];
+    unpack_q3k_scales(b + 96, sc);
+    float d = f16_to_f32(rd16(b + 108));
+    int is = 0;
+    for (int half = 0; half < 2; ++half) {
+        const uint8_t* q = qs + 32 * half;
+        float* out = o + 128 * half;
+        for (int j = 0; j < 4; ++j) {
+            int mbit = 4 * half + j;
+            for (int sub = 0; sub < 2; ++sub, ++is) {
+                float dl = d * (sc[is] - 32.0f);
+                const uint8_t* qq = q + 16 * sub;
+                const uint8_t* hh = hm + 16 * sub;
+                float* oo = out + 32 * j + 16 * sub;
+                for (int l = 0; l < 16; ++l) {
+                    int v = (int)((qq[l] >> (2 * j)) & 3)
+                          - (((hh[l] >> mbit) & 1) ? 0 : 4);
+                    oo[l] = dl * (float)v;
+                }
+            }
+        }
+    }
+}
+
+void blk_q8_k(const uint8_t* b, float* o) {
+    // 292B/256: fp32 d, 256 int8, 16 int16 bsums (unused on dequant).
+    float d;
+    std::memcpy(&d, b, 4);
+    const int8_t* qs = reinterpret_cast<const int8_t*>(b + 4);
+    for (int i = 0; i < 256; ++i) o[i] = (float)qs[i] * d;
+}
+
 void blk_q6_k(const uint8_t* b, float* o) {
     const uint8_t* ql = b;
     const uint8_t* qh = b + 128;
@@ -205,9 +278,12 @@ bool layout_for(int32_t t, Layout* L) {
         case 6:  *L = {32, 22, blk_q5_0}; return true;   // Q5_0
         case 7:  *L = {32, 24, blk_q5_1}; return true;   // Q5_1
         case 8:  *L = {32, 34, blk_q8_0}; return true;   // Q8_0
+        case 10: *L = {256, 84, blk_q2_k}; return true;  // Q2_K
+        case 11: *L = {256, 110, blk_q3_k}; return true; // Q3_K
         case 12: *L = {256, 144, blk_q4_k}; return true; // Q4_K
         case 13: *L = {256, 176, blk_q5_k}; return true; // Q5_K
         case 14: *L = {256, 210, blk_q6_k}; return true; // Q6_K
+        case 15: *L = {256, 292, blk_q8_k}; return true; // Q8_K
         default: return false;
     }
 }

@@ -187,9 +187,102 @@ def test_dequant_q5_0_manual():
     np.testing.assert_allclose(out, expected, atol=1e-3)
 
 
+def test_dequant_q2_k_vs_naive():
+    """Vectorized Q2_K vs a scalar transcription of llama.cpp's
+    dequantize_row_q2_K loop (is-counter order, shift order)."""
+    rng = np.random.RandomState(2)
+    nb = 3
+    blocks = rng.randint(0, 256, size=(nb, 84), dtype=np.uint8)
+    for i in range(nb):
+        blocks[i, 80:82] = np.frombuffer(_f16b(0.02 * (i + 1)), np.uint8)
+        blocks[i, 82:84] = np.frombuffer(_f16b(0.01 * (i + 1)), np.uint8)
+    out = gguf.dequantize_ggml(blocks.reshape(-1), gguf.GGML_Q2_K, nb * 256)
+
+    expected = np.zeros(nb * 256, np.float32)
+    for i in range(nb):
+        d = float(np.frombuffer(blocks[i, 80:82].tobytes(), np.float16)[0])
+        dmin = float(np.frombuffer(blocks[i, 82:84].tobytes(),
+                                   np.float16)[0])
+        scales = blocks[i, 0:16]
+        qs = blocks[i, 16:80]
+        y = i * 256
+        pos, is_ = 0, 0
+        for n in (0, 128):
+            q = qs[n // 4: n // 4 + 32]
+            shift = 0
+            for _ in range(4):
+                for grp in range(2):
+                    sc = int(scales[is_]); is_ += 1
+                    dl, ml = d * (sc & 0xF), dmin * (sc >> 4)
+                    for l in range(16):
+                        expected[y + pos] = \
+                            dl * ((int(q[l + 16 * grp]) >> shift) & 3) - ml
+                        pos += 1
+                shift += 2
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_dequant_q3_k_vs_naive():
+    """Vectorized Q3_K vs a scalar transcription of llama.cpp's
+    dequantize_row_q3_K (kmask aux-word scale shuffle, hmask m<<=1)."""
+    rng = np.random.RandomState(3)
+    nb = 2
+    blocks = rng.randint(0, 256, size=(nb, 110), dtype=np.uint8)
+    for i in range(nb):
+        blocks[i, 108:110] = np.frombuffer(_f16b(0.015), np.uint8)
+    out = gguf.dequantize_ggml(blocks.reshape(-1), gguf.GGML_Q3_K, nb * 256)
+
+    expected = np.zeros(nb * 256, np.float32)
+    kmask1, kmask2 = 0x03030303, 0x0F0F0F0F
+    for i in range(nb):
+        d = float(np.frombuffer(blocks[i, 108:110].tobytes(),
+                                np.float16)[0])
+        hm = blocks[i, 0:32]
+        qs = blocks[i, 32:96]
+        aux = list(np.frombuffer(blocks[i, 96:108].tobytes(), np.uint32))
+        tmp = int(aux[2])
+        a = [0, 0, 0, 0]
+        a[2] = ((int(aux[0]) >> 4) & kmask2) | (((tmp >> 4) & kmask1) << 4)
+        a[3] = ((int(aux[1]) >> 4) & kmask2) | (((tmp >> 6) & kmask1) << 4)
+        a[0] = (int(aux[0]) & kmask2) | (((tmp >> 0) & kmask1) << 4)
+        a[1] = (int(aux[1]) & kmask2) | (((tmp >> 2) & kmask1) << 4)
+        scales = np.array(a, dtype=np.uint32).view(np.int8)
+        y = i * 256
+        pos, is_, m = 0, 0, 1
+        for n in (0, 128):
+            q = qs[n // 4: n // 4 + 32]
+            shift = 0
+            for _ in range(4):
+                for grp in range(2):
+                    dl = d * (int(scales[is_]) - 32); is_ += 1
+                    for l in range(16):
+                        hi = 0 if (int(hm[l + 16 * grp]) & m) else 4
+                        expected[y + pos] = \
+                            dl * (((int(q[l + 16 * grp]) >> shift) & 3) - hi)
+                        pos += 1
+                shift += 2
+                m <<= 1
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_dequant_q8_k():
+    rng = np.random.RandomState(4)
+    nb = 2
+    blocks = np.zeros((nb, 292), np.uint8)
+    for i in range(nb):
+        blocks[i, 0:4] = np.frombuffer(
+            np.float32(0.05 * (i + 1)).tobytes(), np.uint8)
+        blocks[i, 4:260] = rng.randint(0, 256, 256, dtype=np.uint8)
+    out = gguf.dequantize_ggml(blocks.reshape(-1), gguf.GGML_Q8_K, nb * 256)
+    expected = np.concatenate(
+        [blocks[i, 4:260].view(np.int8).astype(np.float32) * (0.05 * (i + 1))
+         for i in range(nb)])
+    np.testing.assert_allclose(out, expected, rtol=1e-6, atol=1e-6)
+
+
 def test_unsupported_ggml_type_raises():
     with pytest.raises(ValueError, match="unsupported"):
-        gguf.dequantize_ggml(np.zeros(100, np.uint8), gguf.GGML_Q2_K, 256)
+        gguf.dequantize_ggml(np.zeros(100, np.uint8), gguf.GGML_Q8_1, 32)
 
 
 # ---------------------------------------------------------------------------

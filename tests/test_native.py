@@ -145,8 +145,12 @@ def test_ggml_dequant_bitexact_vs_numpy():
     rng = np.random.RandomState(7)
     cases = [(gguf.GGML_Q4_0, "Q4_0"), (gguf.GGML_Q4_1, "Q4_1"),
              (gguf.GGML_Q5_0, "Q5_0"), (gguf.GGML_Q5_1, "Q5_1"),
-             (gguf.GGML_Q8_0, "Q8_0"), (gguf.GGML_Q4_K, "Q4_K"),
-             (gguf.GGML_Q5_K, "Q5_K"), (gguf.GGML_Q6_K, "Q6_K")]
+             (gguf.GGML_Q8_0, "Q8_0"), (gguf.GGML_Q2_K, "Q2_K"),
+             (gguf.GGML_Q3_K, "Q3_K"), (gguf.GGML_Q4_K, "Q4_K"),
+             (gguf.GGML_Q5_K, "Q5_K"), (gguf.GGML_Q6_K, "Q6_K"),
+             (gguf.GGML_Q8_K, "Q8_K")]
+    # fp16 d slot offset per type (Q8_K's d is fp32 at offset 0)
+    d_off = {gguf.GGML_Q6_K: 208, gguf.GGML_Q2_K: 80, gguf.GGML_Q3_K: 108}
     for t, name in cases:
         be, bb = gguf._BLOCK_LAYOUT[t]
         # GGUF tensors are always whole blocks (row length % block == 0);
@@ -155,17 +159,24 @@ def test_ggml_dequant_bitexact_vs_numpy():
         for n in (be * 37, be * 64):
             nb = -(-n // be)
             raw = rng.randint(0, 255, nb * bb, dtype=np.uint8)
-            # sane fp16 scales so the comparison avoids NaN != NaN
+            # sane fp scales so the comparison avoids NaN != NaN
             blocks = raw.reshape(nb, bb)
-            d = (rng.rand(nb) * 0.02 + 1e-3).astype(np.float16)
-            off = 208 if t == gguf.GGML_Q6_K else 0
-            blocks[:, off:off + 2] = d.view(np.uint8).reshape(-1, 2)
+            if t == gguf.GGML_Q8_K:
+                d32 = (rng.rand(nb) * 0.02 + 1e-3).astype(np.float32)
+                blocks[:, 0:4] = d32.view(np.uint8).reshape(-1, 4)
+            else:
+                d = (rng.rand(nb) * 0.02 + 1e-3).astype(np.float16)
+                off = d_off.get(t, 0)
+                blocks[:, off:off + 2] = d.view(np.uint8).reshape(-1, 2)
             if t in (gguf.GGML_Q4_1, gguf.GGML_Q5_1, gguf.GGML_Q4_K,
                      gguf.GGML_Q5_K):
                 # the second fp16 slot (m / dmin) must be sane too —
                 # random bytes decode to NaN and NaN != NaN
                 m = (rng.rand(nb) * 0.01).astype(np.float16)
                 blocks[:, 2:4] = m.view(np.uint8).reshape(-1, 2)
+            if t == gguf.GGML_Q2_K:
+                m = (rng.rand(nb) * 0.01).astype(np.float16)
+                blocks[:, 82:84] = m.view(np.uint8).reshape(-1, 2)
             got = tio.ggml_dequant(raw, t, n)
             assert got is not None and got.shape == (n,), name
             saved_lib, saved_failed = tio._lib, tio._build_failed

@@ -6,9 +6,10 @@ reference, per SURVEY.md quirk #10 and §7 hard-part 5:
   - metadata ARRAYS are actually parsed (the reference seeks past them
     with a rough 8-byte guess, model_loader.cpp:139-150) — this is what
     makes real tokenizer vocab/merges/scores loadable,
-  - quantized tensor types (Q4_0/Q4_1/Q5_0/Q5_1/Q8_0/Q4_K/Q5_K/Q6_K)
-    are dequantized block-wise to fp32 on load (the reference silently
-    mis-reads them as f32, model_loader.cpp:165-182, 819-830),
+  - quantized tensor types (Q4_0/Q4_1/Q5_0/Q5_1/Q8_0 and the full
+    K-quant family Q2_K/Q3_K/Q4_K/Q5_K/Q6_K/Q8_K) are dequantized
+    block-wise to fp32 on load (the reference silently mis-reads them
+    as f32, model_loader.cpp:165-182, 819-830),
   - unsupported types raise a clear error instead of loading garbage.
 
 Everything is host-side numpy (mmap-backed reads); device placement
@@ -71,7 +72,9 @@ _BLOCK_LAYOUT = {
     GGML_Q4_0: (32, 18), GGML_Q4_1: (32, 20),
     GGML_Q5_0: (32, 22), GGML_Q5_1: (32, 24),
     GGML_Q8_0: (32, 34),
+    GGML_Q2_K: (256, 84), GGML_Q3_K: (256, 110),
     GGML_Q4_K: (256, 144), GGML_Q5_K: (256, 176), GGML_Q6_K: (256, 210),
+    GGML_Q8_K: (256, 292),
 }
 
 
@@ -353,6 +356,65 @@ def dequantize_ggml(raw: np.ndarray, ggml_type: int, n_elems: int
         q = blocks[:, 2:34].view(np.int8).astype(np.float32)
         return (q * d).reshape(-1)[:n_elems]
 
+    if ggml_type == GGML_Q2_K:
+        # 84 B/256: 16x u8 scales (lo nibble = scale, hi = min), 64 B of
+        # 2-bit quants, fp16 d, fp16 dmin. Element order: per 128-half,
+        # for shift in {0,2,4,6}: 16 elems from q[0:16] then 16 from
+        # q[16:32], one 4-bit scale/min pair per 16.
+        scs = blocks[:, 0:16]                                    # [nb,16]
+        qs = blocks[:, 16:80]                                    # [nb,64]
+        d = _f16(blocks[:, 80:82].copy().view(np.uint16))        # [nb,1]
+        dmin = _f16(blocks[:, 82:84].copy().view(np.uint16))
+        dl = d * (scs & 0x0F).astype(np.float32)                 # [nb,16]
+        ml = dmin * (scs >> 4).astype(np.float32)
+        out = np.empty((nb, 256), np.float32)
+        for half in range(2):
+            q = qs[:, 32 * half: 32 * (half + 1)]
+            for j in range(4):
+                is_ = 8 * half + 2 * j
+                base = 128 * half + 32 * j
+                lo = ((q[:, :16] >> (2 * j)) & 3).astype(np.float32)
+                hi = ((q[:, 16:] >> (2 * j)) & 3).astype(np.float32)
+                out[:, base: base + 16] = \
+                    lo * dl[:, is_, None] - ml[:, is_, None]
+                out[:, base + 16: base + 32] = \
+                    hi * dl[:, is_ + 1, None] - ml[:, is_ + 1, None]
+        return out.reshape(-1)[:n_elems]
+
+    if ggml_type == GGML_Q3_K:
+        # 110 B/256: 32 B high-bit mask, 64 B 2-bit low quants, 12 B
+        # 6-bit signed scales (K-quant aux packing), fp16 d.
+        # q = (lo | hi<<2) - 4 where hi comes from hmask bit
+        # (half*4 + j); scale = 6-bit - 32.
+        hm = blocks[:, 0:32]                                     # [nb,32]
+        qs = blocks[:, 32:96]                                    # [nb,64]
+        sc6 = _unpack_q3k_scales(blocks[:, 96:108])              # [nb,16]
+        d = _f16(blocks[:, 108:110].copy().view(np.uint16))      # [nb,1]
+        dl = d * (sc6 - 32.0)                                    # [nb,16]
+        out = np.empty((nb, 256), np.float32)
+        for half in range(2):
+            q = qs[:, 32 * half: 32 * (half + 1)]
+            for j in range(4):
+                mbit = 4 * half + j
+                is_ = 8 * half + 2 * j
+                base = 128 * half + 32 * j
+                lo = ((q[:, :16] >> (2 * j)) & 3).astype(np.int16) \
+                    - (((hm[:, :16] >> mbit) & 1) ^ 1).astype(np.int16) * 4
+                hi = ((q[:, 16:] >> (2 * j)) & 3).astype(np.int16) \
+                    - (((hm[:, 16:] >> mbit) & 1) ^ 1).astype(np.int16) * 4
+                out[:, base: base + 16] = \
+                    lo.astype(np.float32) * dl[:, is_, None]
+                out[:, base + 16: base + 32] = \
+                    hi.astype(np.float32) * dl[:, is_ + 1, None]
+        return out.reshape(-1)[:n_elems]
+
+    if ggml_type == GGML_Q8_K:
+        # 292 B/256: fp32 d, 256x int8, 16x int16 block sums (ignored
+        # on dequant — they exist for dot-product kernels).
+        d = blocks[:, 0:4].copy().view(np.float32)               # [nb,1]
+        q = blocks[:, 4:260].view(np.int8).astype(np.float32)
+        return (q * d).reshape(-1)[:n_elems]
+
     if ggml_type == GGML_Q4_K:
         d = _f16(blocks[:, 0:2].copy().view(np.uint16))          # [nb,1]
         dmin = _f16(blocks[:, 2:4].copy().view(np.uint16))
@@ -418,6 +480,27 @@ def dequantize_ggml(raw: np.ndarray, ggml_type: int, n_elems: int
         return out.reshape(-1)[:n_elems]
 
     raise AssertionError("unreachable")
+
+
+def _unpack_q3k_scales(s: np.ndarray) -> np.ndarray:
+    """Unpack Q3_K's 12-byte 6-bit scale packing -> [nb, 16] floats in
+    [0, 63] (caller subtracts the 32 bias).
+
+    Byte-wise form of llama.cpp's kmask word shuffle: scale k (k = 4*w + i,
+    w = output word, i = byte) = low/high nibble of s[i] / s[4+i] plus two
+    high bits from s[8+i]."""
+    s = s.astype(np.uint8)
+    out = np.empty(s.shape[:1] + (16,), np.float32)
+    for i in range(4):
+        hib = s[:, 8 + i]
+        out[:, i] = ((s[:, i] & 0x0F) | ((hib & 3) << 4)).astype(np.float32)
+        out[:, 4 + i] = ((s[:, 4 + i] & 0x0F)
+                         | (((hib >> 2) & 3) << 4)).astype(np.float32)
+        out[:, 8 + i] = ((s[:, i] >> 4)
+                         | (((hib >> 4) & 3) << 4)).astype(np.float32)
+        out[:, 12 + i] = ((s[:, 4 + i] >> 4)
+                          | (((hib >> 6) & 3) << 4)).astype(np.float32)
+    return out
 
 
 def _unpack_kscales(scales: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
