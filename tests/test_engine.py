@@ -113,6 +113,126 @@ def test_beam_size_one_equals_greedy(tiny_engine):
     assert g == b
 
 
+def _numpy_beam_golden(engine, prompt, max_new, beam_size, temp, tk, tp,
+                       eos):
+    """Pure-numpy beam search with the reference's candidate filtering
+    (inference_engine.cpp:1971-1988): temperature -> softmax -> top-k
+    renormalize -> top-p renormalize; accumulated log-probs are logs of
+    the filtered distribution. Recomputes full prefixes per step like
+    the reference (:1961) — slow but independent of the engine's fused
+    scan/cache machinery."""
+    cfg = engine.model_config
+    model = engine._model
+
+    def last_logits(seq):
+        toks = jnp.asarray([seq], jnp.int32)
+        logits = model.forward_no_cache(
+            engine.params, cfg, toks,
+            seq_lens=jnp.asarray([len(seq)], jnp.int32))
+        return np.asarray(logits[0, len(seq) - 1], np.float64)
+
+    def filt(logits):
+        x = logits / temp if temp > 0 else logits
+        e = np.exp(x - x.max())
+        p = e / e.sum()
+        if 0 < tk < len(p):
+            order = np.argsort(-p)
+            p[order[tk:]] = 0.0
+            p /= p.sum()
+        if 0.0 < tp < 1.0:
+            order = np.argsort(-p)
+            cum = np.cumsum(p[order])
+            keep = (cum - p[order]) < tp     # first crossing included
+            p[order[~keep]] = 0.0
+            p /= p.sum()
+        with np.errstate(divide="ignore"):
+            return np.log(p)
+
+    logp0 = filt(last_logits(list(prompt)))
+    first = np.argsort(-logp0)[:beam_size]
+    beams = [(list(prompt) + [int(t)], float(logp0[t]), int(t) == eos)
+             for t in first]
+    for _ in range(max_new - 1):
+        V = None
+        cand = []
+        for bi, (seq, score, fin) in enumerate(beams):
+            if fin:
+                lp = None                     # frozen: EOS at 0
+            else:
+                lp = filt(last_logits(seq))
+            cand.append((bi, lp))
+            V = len(logp0)
+        flat = np.full((beam_size, V), -1e30)
+        for bi, lp in cand:
+            if lp is None:
+                flat[bi, eos] = beams[bi][1]
+            else:
+                flat[bi] = beams[bi][1] + lp
+        top = np.argsort(-flat.reshape(-1))[:beam_size]
+        new_beams = []
+        for ix in top:
+            parent, tok = divmod(int(ix), V)
+            seq, score, fin = beams[parent]
+            new_beams.append((seq + [int(tok)],
+                              float(flat.reshape(-1)[ix]),
+                              fin or int(tok) == eos))
+        beams = new_beams
+    return beams
+
+
+@pytest.mark.parametrize("temp,tk,tp", [(1.0, 0, 1.0), (0.7, 5, 1.0),
+                                        (1.0, 0, 0.85), (0.9, 8, 0.9)])
+def test_beam_filtering_matches_numpy_golden(tiny_engine, temp, tk, tp):
+    """Beam temperature/top-k/top-p semantics (reference
+    inference_engine.cpp:1971-1988) vs an independent numpy beam."""
+    prompt = [1, 5, 9]
+    n, bs = 5, 3
+    eos = tiny_engine.config.eos_token_id
+    got = tiny_engine.generate_beam_search(
+        prompt, n, beam_size=bs, temperature=temp, top_k=tk, top_p=tp,
+        length_penalty=1.0, return_all_beams=True)
+    want = _numpy_beam_golden(tiny_engine, prompt, n, bs, temp, tk, tp,
+                              eos)
+    got_set = {tuple(r.tokens) for r in got}
+    want_set = {tuple(seq[:len(prompt) + tiny_engine._beam_len(
+        seq[len(prompt):], eos)]) for seq, _, _ in want}
+    assert got_set == want_set
+    # accumulated filtered log-prob must match per beam
+    want_scores = {tuple(seq): s for seq, s, _ in want}
+    for r in got:
+        # engine truncates at EOS; golden keeps full length — compare
+        # via the logprobs sum on the engine side against the golden
+        # score of the matching full sequence when lengths agree.
+        full = [k for k in want_scores if k[:len(r.tokens)] == tuple(
+            r.tokens)]
+        assert full, r.tokens
+        if len(full[0]) == len(r.tokens):
+            assert abs(sum(r.logprobs) - want_scores[full[0]]) < 1e-3
+
+
+def test_beam_all_beams_and_logprobs(tiny_engine):
+    """return_all_beams returns beam_size results sorted by normalized
+    score, each with per-token logprobs consistent with its tokens."""
+    prompt = [1, 2, 3]
+    rs = tiny_engine.generate_beam_search(prompt, 6, beam_size=4,
+                                          return_all_beams=True)
+    assert len(rs) == 4
+    eos = tiny_engine.config.eos_token_id
+    for r in rs:
+        n_new = len(r.tokens) - len(prompt)
+        assert r.logprobs is not None and len(r.logprobs) == n_new
+        assert all(lp <= 1e-6 for lp in r.logprobs)
+    # sorted by normalized score
+    def norm(r):
+        n = len(r.tokens) - len(prompt)
+        return sum(r.logprobs) / max(n, 1)
+    norms = [norm(r) for r in rs]
+    assert norms == sorted(norms, reverse=True)
+    # best beam == the single-result API
+    best = tiny_engine.generate_beam_search(prompt, 6, beam_size=4)
+    assert best.tokens == rs[0].tokens
+
+
 def test_stats_and_memory(tiny_engine):
     tiny_engine.reset_state()
     tiny_engine.generate([1, 2], 5, temperature=0.0)

@@ -705,108 +705,107 @@ class InferenceEngine:
 
     def generate_beam_search(self, input_tokens: Sequence[int],
                              max_new_tokens: int = 50, beam_size: int = 4,
-                             *, length_penalty: Optional[float] = None
-                             ) -> GenerationResult:
+                             *, length_penalty: Optional[float] = None,
+                             temperature: Optional[float] = None,
+                             top_k: Optional[int] = None,
+                             top_p: Optional[float] = None,
+                             return_all_beams: bool = False):
         """Beam search with a KV cache SHARED across beams.
 
         Reference: beam_search_decode (inference_engine.cpp:1912-2069)
         recomputes the full prefix per beam per step; here beams live on
-        the batch axis, the cache is gathered/reordered per step, and each
-        step costs one decode forward. Length-normalized scoring
-        `logp / len^length_penalty` matches the reference (:2023-2027).
+        the batch axis, the cache is gathered/reordered per step, and
+        the whole loop (first expansion included) is ONE fused XLA
+        program. Length-normalized scoring `logp / len^length_penalty`
+        matches the reference (:2023-2027).
+
+        temperature/top_k/top_p apply the reference's candidate
+        filtering (inference_engine.cpp:1971-1988): logits/T -> softmax
+        -> top-k filter + renormalize -> top-p nucleus + renormalize;
+        accumulated beam log-probs are logs of the FILTERED distribution.
+        Defaults (None) leave the distribution unfiltered — classic beam
+        search (the reference always applies its config_ values; pass
+        them explicitly for that behavior).
+
+        Returns the best beam as a GenerationResult with per-token
+        `logprobs`, or all `beam_size` results sorted by normalized
+        score when return_all_beams=True (the reference returns a
+        vector<GenerationResult>, inference_engine.hpp:163).
         """
         self._validate(input_tokens)
         lp_pen = (self.config.length_penalty if length_penalty is None
                   else length_penalty)
         eos = self.config.eos_token_id
+        temp = 1.0 if temperature is None else float(temperature)
+        tk = 0 if top_k is None else int(top_k)
+        tp = 1.0 if top_p is None else float(top_p)
         t0 = time.perf_counter()
 
         tokens, seq_lens, S = self._pad_batch([input_tokens])
         max_new = min(max_new_tokens,
                       self.config.max_seq_len - len(input_tokens))
         cache = self._take_cache(1)
-        last_logits, cache = self._prefill_fn(self.params, tokens, seq_lens,
-                                              cache)
-        # Tile prefill cache across beams: [L, beam, T, H, D].
-        cache = KVCache(
-            k=jnp.repeat(cache.k, beam_size, axis=1),
-            v=jnp.repeat(cache.v, beam_size, axis=1),
-            length=jnp.repeat(cache.length, beam_size, axis=0))
+        last_logits, cache = self._run_prefill(tokens, seq_lens, cache)
+        # One fused program: first expansion + the whole beam scan (no
+        # host sync between them — same treatment generate() got for
+        # its first sample; beam previously paid an extra tunnel RTT).
+        run = self._beam_run_fn(beam_size, max_new - 1, temp, tk, tp)
+        (first_ix, first_lp, beam_scores, beam_finished, toks_hist,
+         parents_hist, lps_hist) = run(self.params, last_logits, cache)
+        first_np = np.asarray(first_ix)
+        first_lp_np = np.asarray(first_lp)
 
-        logp = sampling.log_softmax(last_logits[0])          # [V]
-        top_lp, top_ix = jax.lax.top_k(logp, beam_size)
-        first_np = np.asarray(top_ix)
-        beam_scores = jnp.asarray(top_lp)                     # [beam]
-        beam_finished = jnp.asarray(first_np == eos)
-        token = top_ix.astype(jnp.int32)
+        toks_np = np.asarray(toks_hist)        # [steps, beam]
+        parents_np = np.asarray(parents_hist)  # [steps, beam]
+        lps_np = np.asarray(lps_hist)          # [steps, beam]
+        n_steps = toks_np.shape[0]
+        beam_tokens = np.zeros((beam_size, n_steps + 1), np.int64)
+        beam_lps = np.zeros((beam_size, n_steps + 1), np.float64)
+        for b in range(beam_size):
+            cur = b
+            for t in range(n_steps - 1, -1, -1):
+                beam_tokens[b, t + 1] = toks_np[t, cur]
+                beam_lps[b, t + 1] = lps_np[t, cur]
+                cur = parents_np[t, cur]
+            beam_tokens[b, 0] = first_np[cur]
+            beam_lps[b, 0] = first_lp_np[cur]
 
-        if max_new > 1:
-            # Entire beam loop is ONE fused lax.scan program (no host
-            # sync per step); lineages are reconstructed from the
-            # emitted (token, parent) history afterwards.
-            scan_fn = self._beam_scan_fn(beam_size, max_new - 1)
-            (beam_scores, beam_finished, toks_hist, parents_hist) = scan_fn(
-                self.params, token, beam_scores, beam_finished, cache)
-            toks_np = np.asarray(toks_hist)        # [steps, beam]
-            parents_np = np.asarray(parents_hist)  # [steps, beam]
-            n_steps = toks_np.shape[0]
-            beam_tokens = np.zeros((beam_size, n_steps + 1), np.int64)
-            for b in range(beam_size):
-                cur = b
-                for t in range(n_steps - 1, -1, -1):
-                    beam_tokens[b, t + 1] = toks_np[t, cur]
-                    cur = parents_np[t, cur]
-                beam_tokens[b, 0] = first_np[cur]
-        else:
-            beam_tokens = first_np[:, None]
-
-        # Final ranking by length-normalized score (finished preferred).
+        # Final ranking by length-normalized score.
         scores = np.asarray(beam_scores)
+        finished_np = np.asarray(beam_finished)
         lengths = np.array([self._beam_len(beam_tokens[b], eos)
                             for b in range(beam_size)])
         norm = scores / np.maximum(lengths, 1) ** lp_pen
-        best = int(np.argmax(norm))
-        row = beam_tokens[best].tolist()
-        n = self._beam_len(row, eos)
+        order = np.argsort(-norm)
         t1 = time.perf_counter()
-        self.stats.record_generation(new_tokens=n, elapsed_s=t1 - t0,
+
+        results = []
+        for b in order:
+            row = beam_tokens[b].tolist()
+            n = self._beam_len(row, eos)
+            results.append(GenerationResult(
+                tokens=list(input_tokens) + row[:n],
+                logprobs=beam_lps[b, :n].tolist(),
+                total_time_ms=(t1 - t0) * 1e3,
+                tokens_per_second=n / max(t1 - t0, 1e-9),
+                finished=bool(finished_np[b]),
+                stop_reason="eos" if eos in row[:n] else "length"))
+        best_n = len(results[0].tokens) - len(input_tokens)
+        self.stats.record_generation(new_tokens=best_n, elapsed_s=t1 - t0,
                                      prefill_s=0.0, batch=1)
-        return GenerationResult(
-            tokens=list(input_tokens) + row[:n],
-            total_time_ms=(t1 - t0) * 1e3,
-            tokens_per_second=n / max(t1 - t0, 1e-9),
-            finished=bool(np.asarray(beam_finished)[best]),
-            stop_reason="eos" if eos in row[:n] else "length")
+        return results if return_all_beams else results[0]
 
     @staticmethod
     def _beam_len(row, eos) -> int:
         row = list(row)
         return row.index(eos) + 1 if eos in row else len(row)
 
-    def _beam_scan_fn(self, beam_size: int, n_steps: int):
-        """Fused beam loop: scan of `n_steps` beam expansions emitting
-        (token, parent) per step for host-side lineage backtracking."""
-        key = ("beam_scan", beam_size, n_steps)
-        if key in self._jit_cache:
-            return self._jit_cache[key]
-        step_fn = self._beam_step_fn(beam_size)
-
-        @jax.jit
-        def run(params, token, scores, finished, cache):
-            def body(carry, _):
-                token, scores, finished, cache = carry
-                token, scores, finished, parent, cache = step_fn.__wrapped__(
-                    params, token, scores, finished, cache)
-                return (token, scores, finished, cache), (token, parent)
-
-            (token, scores, finished, cache), (toks, parents) = jax.lax.scan(
-                body, (token, scores, finished, cache), None, length=n_steps)
-            return scores, finished, toks, parents
-        self._jit_cache[key] = run
-        return run
-
-    def _beam_step_fn(self, beam_size: int):
-        key = ("beam", beam_size)
+    def _beam_run_fn(self, beam_size: int, n_steps: int, temp: float,
+                     tk: int, tp: float):
+        """Fused beam program: first expansion from the prefill logits +
+        `n_steps` beam-expansion scan, emitting (token, parent, logp)
+        per step for host-side lineage backtracking. One dispatch."""
+        key = ("beam_run", beam_size, n_steps, temp, tk, tp)
         if key in self._jit_cache:
             return self._jit_cache[key]
         cfg = self.model_config
@@ -814,25 +813,56 @@ class InferenceEngine:
         eos = self.config.eos_token_id
         NEG = -1e30
 
+        def filt(logits):
+            """Reference candidate filtering (:1971-1988): the masked
+            log_softmax IS the log of the filtered renormalized probs."""
+            x = sampling.apply_temperature(logits, temp)
+            x = sampling.apply_top_k(x, tk)
+            x = sampling.apply_top_p(x, tp)
+            return sampling.log_softmax(x)
+
         @jax.jit
-        def step(params, token, scores, finished, cache):
-            logits, cache = model.forward(params, cfg, token[:, None], cache)
-            logp = sampling.log_softmax(logits[:, 0])        # [beam, V]
-            V = logp.shape[-1]
-            # Finished beams only propose EOS at score 0 (stay frozen).
-            frozen = jnp.full((beam_size, V), NEG).at[:, eos].set(0.0)
-            logp = jnp.where(finished[:, None], frozen, logp)
-            total = scores[:, None] + logp                    # [beam, V]
-            flat = total.reshape(-1)
-            top_s, top_i = jax.lax.top_k(flat, beam_size)
-            parent = (top_i // V).astype(jnp.int32)
-            tok = (top_i % V).astype(jnp.int32)
-            new_finished = finished[parent] | (tok == eos)
-            cache = KVCache(k=cache.k[:, parent], v=cache.v[:, parent],
-                            length=cache.length[parent])
-            return tok, top_s, new_finished, parent, cache
-        self._jit_cache[key] = step
-        return step
+        def run(params, first_logits, cache):
+            # First expansion: top beam_size of the filtered prompt
+            # distribution (cache is still batch=1 here).
+            logp0 = filt(first_logits[0])                    # [V]
+            first_lp, first_ix = jax.lax.top_k(logp0, beam_size)
+            scores = first_lp
+            finished = first_ix == eos
+            token = first_ix.astype(jnp.int32)
+            # Tile the prefill cache across beams on the batch axis.
+            cache_b = cache._replace(
+                k=jnp.repeat(cache.k, beam_size, axis=1),
+                v=jnp.repeat(cache.v, beam_size, axis=1),
+                length=jnp.repeat(cache.length, beam_size, axis=0))
+
+            def body(carry, _):
+                token, scores, finished, cache = carry
+                logits, cache = model.forward(params, cfg, token[:, None],
+                                              cache)
+                logp = filt(logits[:, 0])                    # [beam, V]
+                V = logp.shape[-1]
+                # Finished beams only propose EOS at score 0 (frozen).
+                frozen = jnp.full((beam_size, V), NEG).at[:, eos].set(0.0)
+                logp = jnp.where(finished[:, None], frozen, logp)
+                total = scores[:, None] + logp               # [beam, V]
+                top_s, top_i = jax.lax.top_k(total.reshape(-1), beam_size)
+                parent = (top_i // V).astype(jnp.int32)
+                tok = (top_i % V).astype(jnp.int32)
+                step_lp = top_s - scores[parent]
+                new_finished = finished[parent] | (tok == eos)
+                cache = cache._replace(k=cache.k[:, parent],
+                                       v=cache.v[:, parent],
+                                       length=cache.length[parent])
+                return (tok, top_s, new_finished, cache), \
+                    (tok, parent, step_lp)
+
+            (token, scores, finished, cache_b), (toks, parents, lps) = \
+                jax.lax.scan(body, (token, scores, finished, cache_b),
+                             None, length=n_steps)
+            return first_ix, first_lp, scores, finished, toks, parents, lps
+        self._jit_cache[key] = run
+        return run
 
     # -- logprobs ---------------------------------------------------------
 
