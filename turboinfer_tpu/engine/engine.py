@@ -335,6 +335,15 @@ class InferenceEngine:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def _host_view(self, tree):
+        """Make jitted outputs host-readable on every process (no-op
+        unless the mesh spans multiple processes — see
+        parallel.shardings.replicate_for_host)."""
+        if self.mesh is None:
+            return tree
+        from turboinfer_tpu.parallel import shardings as _sh
+        return _sh.replicate_for_host(tree, self.mesh)
+
     # -- generation -------------------------------------------------------
 
     def generate(self, input_tokens: Sequence[int], max_new_tokens: int = 50,
@@ -434,7 +443,8 @@ class InferenceEngine:
             lps = jnp.stack(lps_l, axis=1)
 
         toks_np, lps_np, fin_np = (
-            np.asarray(a) for a in jax.device_get((toks, lps, finished)))
+            np.asarray(a) for a in jax.device_get(
+                self._host_view((toks, lps, finished))))
         self._put_cache(B, cache)
         t1 = time.perf_counter()
 
@@ -751,7 +761,8 @@ class InferenceEngine:
         # its first sample; beam previously paid an extra tunnel RTT).
         run = self._beam_run_fn(beam_size, max_new - 1, temp, tk, tp)
         (first_ix, first_lp, beam_scores, beam_finished, toks_hist,
-         parents_hist, lps_hist) = run(self.params, last_logits, cache)
+         parents_hist, lps_hist) = self._host_view(
+            run(self.params, last_logits, cache))
         first_np = np.asarray(first_ix)
         first_lp_np = np.asarray(first_lp)
 
@@ -874,8 +885,9 @@ class InferenceEngine:
         S = _bucket(len(tokens), self.config.prefill_bucket)
         arr = np.full((1, S), self.config.pad_token_id, np.int32)
         arr[0, : len(tokens)] = np.asarray(tokens, np.int32)
-        logits = self._logprob_fn(jnp.asarray(arr),
-                                  jnp.asarray([len(tokens)], np.int32))
+        logits = self._host_view(
+            self._logprob_fn(jnp.asarray(arr),
+                             jnp.asarray([len(tokens)], np.int32)))
         lp = sampling.log_softmax(logits[0])                  # [S, V]
         tok = jnp.asarray(arr[0], jnp.int32)
         token_lp = jnp.take_along_axis(lp[:-1], tok[1:, None],

@@ -427,8 +427,8 @@ class ContinuousBatchingScheduler:
                 tuple(stack([p[j] for p in pens]) for j in range(4)),
                 jnp.concatenate(pc_rows), jnp.concatenate(bias_rows))
             dt_ms = (time.perf_counter() - t0) * 1e3
-            first_np = np.asarray(first)
-            lp_np = np.asarray(first_lp)
+            first_np, lp_np = (np.asarray(a) for a in
+                               self._host_view((first, first_lp)))
             for i, req in enumerate(group):
                 slot = slots[i]
                 req.prefill_ms = dt_ms
@@ -446,6 +446,15 @@ class ContinuousBatchingScheduler:
                     self._finish(slot, "eos")
                 elif len(req.out_tokens) >= req.max_new:
                     self._finish(slot, "length")
+
+    def _host_view(self, tree):
+        """Make jitted outputs host-readable on every process (no-op
+        unless the mesh spans multiple processes — see
+        parallel.shardings.replicate_for_host)."""
+        if self.mesh is None:
+            return tree
+        from turboinfer_tpu.parallel import shardings as _sh
+        return _sh.replicate_for_host(tree, self.mesh)
 
     def _finish(self, slot: int, reason: str):
         req = self._active.pop(slot)
@@ -469,9 +478,8 @@ class ContinuousBatchingScheduler:
             self.slot_pres, self.slot_freq, self.counts_prompt,
             self.counts_out, self.slot_bias)
         self.tokens = nxt
-        nxt_np = np.asarray(nxt)
-        lp_np = np.asarray(lp)
-        eos_np = np.asarray(hit_eos)
+        nxt_np, lp_np, eos_np = (np.asarray(a) for a in
+                                 self._host_view((nxt, lp, hit_eos)))
         for slot in list(self._active):
             req = self._active[slot]
             req.out_tokens.append(int(nxt_np[slot]))
@@ -500,7 +508,8 @@ class ContinuousBatchingScheduler:
             self.slot_rep, self.slot_pres, self.slot_freq,
             self.counts_prompt, self.counts_out, self.slot_bias)
         toks_np, was_np, eos_np, lps_np = (
-            np.asarray(a) for a in jax.device_get((toks, was, eoss, lps)))
+            np.asarray(a) for a in jax.device_get(
+                self._host_view((toks, was, eoss, lps))))
         for slot in list(self._active):
             req = self._active[slot]
             for i in range(n):
@@ -824,9 +833,8 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             self.counts_out, self.slot_bias)
         self.cache = self.cache._replace(k_pages=kp, v_pages=vp)
         self.tokens = nxt
-        nxt_np = np.asarray(nxt)
-        lp_np = np.asarray(lp)
-        eos_np = np.asarray(hit_eos)
+        nxt_np, lp_np, eos_np = (np.asarray(a) for a in
+                                 self._host_view((nxt, lp, hit_eos)))
         for slot in list(self._active):
             self._lengths[slot] += 1
             req = self._active[slot]

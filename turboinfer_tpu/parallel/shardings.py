@@ -185,6 +185,19 @@ def shard_cache(cache, mesh: Mesh):
                    length=jax.device_put(cache.length, len_ns))
 
 
+def replicate_for_host(tree, mesh: Mesh):
+    """All-gather jitted outputs onto every process so the host can read
+    them (np.asarray of an array spanning non-addressable devices raises
+    under multi-controller SPMD). A jitted identity with replicated
+    out_shardings — XLA inserts the all-gathers. No-op for
+    single-process meshes, where everything is already addressable."""
+    if mesh is None or jax.process_count() <= 1:
+        return tree
+    rep = NamedSharding(mesh, P())
+    out_sh = jax.tree_util.tree_map(lambda _: rep, tree)
+    return jax.jit(lambda t: t, out_shardings=out_sh)(tree)
+
+
 def deepseek_param_specs(tp: str = TP_AXIS) -> Dict[str, Any]:
     """Specs for models/deepseek.py (MLA + MoE).
 
