@@ -176,8 +176,8 @@ def _fact_mode(bits: int, group_size: int, M: int, TK: int):
     return None
 
 
-def _int4_fact_body(x_parts, qp, s, zp, acc_ref, *, group_size: int):
-    """Factored-scale int4 accumulation (one K tile).
+def _int4_fact_body(x_lo, x_hi, qp, s, zp, acc_ref, *, group_size: int):
+    """Wide factored-scale int4 accumulation (one K tile, g/2 >= 128).
 
     The baseline kernel dequantizes every weight on the VPU (unpack,
     subtract 8/zp, scale-multiply, two dtype casts ≈ 5.5 vector passes
@@ -192,43 +192,37 @@ def _int4_fact_body(x_parts, qp, s, zp, acc_ref, *, group_size: int):
     symmetric) so the MXU dots run on raw nibbles and the VPU only
     touches per-weight data for unpack + cast (~3.5 passes); the
     scale/zero-point algebra runs on the [TM, TN] per-group partial,
-    which is group_size× smaller.
+    which is group_size× smaller. Each group is one full-depth pair of
+    [TM, g/2] @ [g/2, TN] dots (g/2 = 128k lanes).
 
-    x_parts: list of (xl, xh) [TM, TK//2] bf16 pre-gathered halves —
-    one unmasked pair when g/2 >= 128 ("wide"), else Gp = 128/(g/2)
-    masked pairs (see _fact_mode). qp: [TK//2, TN] uint8; s (and
-    optional zp): [G, TN] f32; acc_ref: [TM, TN] f32.
+    x_lo/x_hi: [TM, TK//2] bf16 pre-gathered halves; qp: [TK//2, TN]
+    uint8; s (and optional zp): [G, TN] f32; acc_ref: [TM, TN] f32.
     """
     TK2, TN = qp.shape
     g2 = group_size // 2
-    Gp = len(x_parts)
-    W = g2 * Gp                        # lane width unpacked per slice
     acc = acc_ref[:]
-    for c in range(TK2 // W):
-        sl = slice(c * W, (c + 1) * W)
+    for gi in range(TK2 // g2):
+        sl = slice(gi * g2, (gi + 1) * g2)
         qg = qp[sl].astype(jnp.int32)
         u_lo = (qg & 0x0F).astype(jnp.bfloat16)
         u_hi = (qg >> 4).astype(jnp.bfloat16)
-        for j, (xl, xh) in enumerate(x_parts):
-            xls = xl[:, sl]
-            xhs = xh[:, sl]
-            p = (jnp.dot(xls, u_lo, preferred_element_type=jnp.float32)
-                 + jnp.dot(xhs, u_hi, preferred_element_type=jnp.float32))
-            rsum = jnp.sum(xls.astype(jnp.float32), axis=1, keepdims=True) \
-                + jnp.sum(xhs.astype(jnp.float32), axis=1, keepdims=True)
-            gi = c * Gp + j
-            if zp is None:
-                acc = acc + (p - 8.0 * rsum) * s[gi][None, :]
-            else:
-                acc = acc + (p - rsum * (zp[gi][None, :] + 8.0)) \
-                    * s[gi][None, :]
+        xls = x_lo[:, sl]
+        xhs = x_hi[:, sl]
+        p = (jnp.dot(xls, u_lo, preferred_element_type=jnp.float32)
+             + jnp.dot(xhs, u_hi, preferred_element_type=jnp.float32))
+        rsum = jnp.sum(xls.astype(jnp.float32), axis=1, keepdims=True) \
+            + jnp.sum(xhs.astype(jnp.float32), axis=1, keepdims=True)
+        if zp is None:
+            acc = acc + (p - 8.0 * rsum) * s[gi][None, :]
+        else:
+            acc = acc + (p - rsum * (zp[gi][None, :] + 8.0)) \
+                * s[gi][None, :]
     acc_ref[:] = acc
 
 
-def _make_fact_kernel(nparts: int, asym: bool, kind: str, *, nk: int,
-                      group_size: int, out_dtype):
-    """Build a factored-scale int4 kernel: `nparts` activation-half
-    pairs (1 = wide, >1 = masked sub-groups), optional zero-points, for
+def _make_fact_kernel(asym: bool, kind: str, *, nk: int, group_size: int,
+                      out_dtype):
+    """Wide factored-scale int4 kernel factory (see _int4_fact_body) for
     the 2-D ("2d"), stacked-layer ("stacked") or grouped-slots
     ("grouped") grid shape."""
     k_dim = 3 if kind == "grouped" else 2
@@ -236,9 +230,8 @@ def _make_fact_kernel(nparts: int, asym: bool, kind: str, *, nk: int,
     def kern(*refs):
         if kind != "2d":
             refs = refs[1:]                      # drop prefetched idx ref
-        xs = refs[:2 * nparts]
-        q_ref, s_ref = refs[2 * nparts:2 * nparts + 2]
-        zp_ref = refs[2 * nparts + 2] if asym else None
+        xlo_ref, xhi_ref, q_ref, s_ref = refs[:4]
+        zp_ref = refs[4] if asym else None
         o_ref, acc_ref = refs[-2], refs[-1]
         k = pl.program_id(k_dim)
 
@@ -253,14 +246,11 @@ def _make_fact_kernel(nparts: int, asym: bool, kind: str, *, nk: int,
             qp, s = q_ref[0], s_ref[0, 0].astype(jnp.float32)
             zp = None if zp_ref is None else zp_ref[0, 0].astype(jnp.float32)
         if kind == "grouped":                    # x blocks [1, TM, TK//2]
-            parts = [(xs[2 * j][0].astype(jnp.bfloat16),
-                      xs[2 * j + 1][0].astype(jnp.bfloat16))
-                     for j in range(nparts)]
+            xl, xh = xlo_ref[0], xhi_ref[0]
         else:                                    # x blocks [TM, TK//2]
-            parts = [(xs[2 * j][:].astype(jnp.bfloat16),
-                      xs[2 * j + 1][:].astype(jnp.bfloat16))
-                     for j in range(nparts)]
-        _int4_fact_body(parts, qp, s, zp, acc_ref, group_size=group_size)
+            xl, xh = xlo_ref[:], xhi_ref[:]
+        _int4_fact_body(xl.astype(jnp.bfloat16), xh.astype(jnp.bfloat16),
+                        qp, s, zp, acc_ref, group_size=group_size)
 
         @pl.when(k == nk - 1)
         def _():
@@ -272,19 +262,104 @@ def _make_fact_kernel(nparts: int, asym: bool, kind: str, *, nk: int,
     return kern
 
 
-def _masked_x_parts(x_lo, x_hi, K: int, group_size: int, nparts: int):
+def _masked_x_cat(x_lo, x_hi, K: int, group_size: int, nparts: int):
     """Pre-build the masked activation halves for the "masked" factored
-    mode: part j zeros every lane outside sub-group j (group index
-    ≡ j mod nparts within each 128-lane slice). XLA fuses the wheres;
-    at decode M<=8 the copies are a few KB."""
+    mode, CONCATENATED along M: rows [j*M, (j+1)*M) hold copy j, which
+    zeros every lane outside sub-group j (group index ≡ j mod nparts
+    within each 128-lane slice). One wide dot per slice then yields all
+    nparts per-sub-group partials at once — measured 8 narrow [8,128]
+    dots per slice ran 32% SLOWER than the baseline dequant kernel;
+    2 dots of [nparts*8, 128] recover the MXU issue rate. XLA fuses the
+    wheres; at decode M<=8 the copies are a few KB."""
     g2 = group_size // 2
     sub = (jnp.arange(K // 2) // g2) % nparts
-    parts = []
-    for j in range(nparts):
-        m = sub == j
-        parts.append(jnp.where(m, x_lo, 0))
-        parts.append(jnp.where(m, x_hi, 0))
-    return parts
+    los = [jnp.where(sub == j, x_lo, 0) for j in range(nparts)]
+    his = [jnp.where(sub == j, x_hi, 0) for j in range(nparts)]
+    return jnp.concatenate(los, axis=0), jnp.concatenate(his, axis=0)
+
+
+def _group_row_sums(x2, Mp: int, K: int, group_size: int, nk: int):
+    """Per-group activation row sums [nk, Mp, gk] f32 — the factored
+    kernels' zero-point/-8 correction consumes them as ONE small
+    [TM, gk] @ [gk, TN] dot per K tile instead of a per-group
+    broadcast-subtract chain."""
+    gk_total = K // group_size
+    rs = x2.astype(jnp.float32).reshape(Mp, gk_total, group_size).sum(-1)
+    return rs.reshape(Mp, nk, gk_total // nk).transpose(1, 0, 2)
+
+
+def _masked_body(xl, xh, rs, qp, s, zp, acc_ref, *, nparts: int, TM: int):
+    """Masked factored int4 accumulation for one K tile.
+
+    xl/xh: [nparts*TM, TK//2] bf16 masked-concatenated halves; rs:
+    [TM, gk] f32 per-group row sums; qp: [TK//2, TN] uint8; s (and
+    optional zp): [gk, TN] f32. Per 128-lane slice the nibbles are
+    unpacked ONCE and contracted with the wide masked block — rows
+    [j*TM, (j+1)*TM) of the partial are sub-group j's contribution,
+    scaled by its own column scales. The -8 shift (and zero-point)
+    correction is a single rs @ ((zp+8)*s) dot per tile.
+    """
+    TK2, TN = qp.shape
+    acc = acc_ref[:]
+    for c in range(TK2 // 128):
+        sl = slice(c * 128, (c + 1) * 128)
+        qg = qp[sl].astype(jnp.int32)
+        u_lo = (qg & 0x0F).astype(jnp.bfloat16)
+        u_hi = (qg >> 4).astype(jnp.bfloat16)
+        p = (jnp.dot(xl[:, sl], u_lo, preferred_element_type=jnp.float32)
+             + jnp.dot(xh[:, sl], u_hi,
+                       preferred_element_type=jnp.float32))
+        for j in range(nparts):
+            gi = c * nparts + j
+            acc = acc + p[j * TM:(j + 1) * TM] * s[gi][None, :]
+    szp = 8.0 * s if zp is None else (zp + 8.0) * s
+    acc = acc - jnp.dot(rs, szp, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+
+def _make_masked_kernel(nparts: int, asym: bool, kind: str, *, nk: int,
+                        group_size: int, out_dtype):
+    """Masked factored int4 kernel factory (see _masked_body) for the
+    2-D ("2d"), stacked-layer ("stacked") or grouped ("grouped") grid."""
+    k_dim = 3 if kind == "grouped" else 2
+
+    def kern(*refs):
+        if kind != "2d":
+            refs = refs[1:]                      # drop prefetched idx ref
+        xl_ref, xh_ref, rs_ref, q_ref, s_ref = refs[:5]
+        zp_ref = refs[5] if asym else None
+        o_ref, acc_ref = refs[-2], refs[-1]
+        k = pl.program_id(k_dim)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        if kind == "2d":
+            xl, xh, rs = xl_ref[:], xh_ref[:], rs_ref[0]
+            qp, s = q_ref[:], s_ref[0].astype(jnp.float32)
+            zp = None if zp_ref is None else zp_ref[0].astype(jnp.float32)
+        elif kind == "stacked":
+            xl, xh, rs = xl_ref[:], xh_ref[:], rs_ref[0]
+            qp, s = q_ref[0], s_ref[0, 0].astype(jnp.float32)
+            zp = None if zp_ref is None else zp_ref[0, 0].astype(jnp.float32)
+        else:
+            xl, xh, rs = xl_ref[0], xh_ref[0], rs_ref[0, 0]
+            qp, s = q_ref[0], s_ref[0, 0].astype(jnp.float32)
+            zp = None if zp_ref is None else zp_ref[0, 0].astype(jnp.float32)
+        TM = acc_ref.shape[0]
+        _masked_body(xl.astype(jnp.bfloat16), xh.astype(jnp.bfloat16),
+                     rs.astype(jnp.float32), qp, s, zp, acc_ref,
+                     nparts=nparts, TM=TM)
+
+        @pl.when(k == nk - 1)
+        def _():
+            if kind == "grouped":
+                o_ref[0] = acc_ref[:].astype(out_dtype)
+            else:
+                o_ref[:] = acc_ref[:].astype(out_dtype)
+
+    return kern
 
 
 def _a8_enabled() -> bool:
@@ -523,10 +598,11 @@ def _qmm_2d(x2, data, scales, zps, *, bits: int, group_size: int, K: int,
         kern = functools.partial(_kernel_int8, asym=asym, **kw)
     elif a8:
         kern = functools.partial(_kernel_int4_a8, **kw)
-    elif mode is not None:
-        if mode == "masked":
-            nparts = 128 // (group_size // 2)
-        kern = _make_fact_kernel(nparts, asym, "2d", **kw)
+    elif mode == "wide":
+        kern = _make_fact_kernel(asym, "2d", **kw)
+    elif mode == "masked":
+        nparts = 128 // (group_size // 2)
+        kern = _make_masked_kernel(nparts, asym, "2d", **kw)
     else:
         kern = functools.partial(_kernel_int4, asym=asym, **kw)
     common = dict(
@@ -579,18 +655,27 @@ def _qmm_2d(x2, data, scales, zps, *, bits: int, group_size: int, K: int,
         xg = x2.reshape(Mp, K // group_size, group_size)
         x_lo = xg[:, :, :g2].reshape(Mp, K // 2)
         x_hi = xg[:, :, g2:].reshape(Mp, K // 2)
-        if nparts > 1:
-            parts = _masked_x_parts(x_lo, x_hi, K, group_size, nparts)
-        else:
-            parts = [x_lo, x_hi]
         half_spec = pl.BlockSpec((TM, TK // 2), lambda i, j, k: (i, k),
                                  memory_space=pltpu.VMEM)
+        if nparts > 1:
+            xl, xh = _masked_x_cat(x_lo, x_hi, K, group_size, nparts)
+            rs = _group_row_sums(x2, Mp, K, group_size, nk)
+            cat_spec = pl.BlockSpec((nparts * TM, TK // 2),
+                                    lambda i, j, k: (0, k),
+                                    memory_space=pltpu.VMEM)
+            rs_spec = pl.BlockSpec((1, TM, gk), lambda i, j, k: (k, i, 0),
+                                   memory_space=pltpu.VMEM)
+            ins = [cat_spec, cat_spec, rs_spec, w_spec, s_spec, *zp_specs]
+            args = (xl, xh, rs, data, scales3, *zp_ops)
+        else:
+            ins = [half_spec, half_spec, w_spec, s_spec, *zp_specs]
+            args = (x_lo, x_hi, data, scales3, *zp_ops)
         out = pl.pallas_call(
             kern,
             grid=(Mp // TM, N // TN, nk),
-            in_specs=[half_spec] * len(parts) + [w_spec, s_spec, *zp_specs],
+            in_specs=ins,
             **common,
-        )(*parts, data, scales3, *zp_ops)
+        )(*args)
         if sx is not None:
             out = (out.astype(jnp.float32) * sx[:, None]).astype(out_dtype)
     return out[:M] if pad_m else out
@@ -708,10 +793,11 @@ def _qmm_stacked(x2, data3, scales3, zps3, layer_idx, *, bits: int,
         kern = functools.partial(_kernel_int8_idx, asym=asym, **kw)
     elif a8:
         kern = functools.partial(_kernel_int4_a8_idx, **kw)
-    elif mode is not None:
-        if mode == "masked":
-            nparts = 128 // (group_size // 2)
-        kern = _make_fact_kernel(nparts, asym, "stacked", **kw)
+    elif mode == "wide":
+        kern = _make_fact_kernel(asym, "stacked", **kw)
+    elif mode == "masked":
+        nparts = 128 // (group_size // 2)
+        kern = _make_masked_kernel(nparts, asym, "stacked", **kw)
     else:
         kern = functools.partial(_kernel_int4_idx, asym=asym, **kw)
     kd = 1 if bits == 8 else 2
@@ -758,16 +844,25 @@ def _qmm_stacked(x2, data3, scales3, zps3, layer_idx, *, bits: int,
         xg = x2.reshape(Mp, K // group_size, group_size)
         x_lo = xg[:, :, :g2].reshape(Mp, K // 2)
         x_hi = xg[:, :, g2:].reshape(Mp, K // 2)
-        if nparts > 1:
-            parts = _masked_x_parts(x_lo, x_hi, K, group_size, nparts)
-        else:
-            parts = [x_lo, x_hi]
         half_spec = pl.BlockSpec((TM, TK // 2), lambda i, j, k, idx: (i, k),
                                  memory_space=pltpu.VMEM)
+        if nparts > 1:
+            xl, xh = _masked_x_cat(x_lo, x_hi, K, group_size, nparts)
+            rs = _group_row_sums(x2, Mp, K, group_size, nk)
+            cat_spec = pl.BlockSpec((nparts * TM, TK // 2),
+                                    lambda i, j, k, idx: (0, k),
+                                    memory_space=pltpu.VMEM)
+            rs_spec = pl.BlockSpec((1, TM, gk),
+                                   lambda i, j, k, idx: (k, i, 0),
+                                   memory_space=pltpu.VMEM)
+            ins = [cat_spec, cat_spec, rs_spec, w_spec, s_spec, *zp_specs]
+            args = (idx_arr, xl, xh, rs, data3, scales4, *zp_ops)
+        else:
+            ins = [half_spec, half_spec, w_spec, s_spec, *zp_specs]
+            args = (idx_arr, x_lo, x_hi, data3, scales4, *zp_ops)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(Mp // TM, N // TN, nk),
-            in_specs=[half_spec] * len(parts)
-            + [w_spec, s_spec, *zp_specs],
+            in_specs=ins,
             out_specs=out_spec,
             scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)])
         out = pl.pallas_call(
@@ -776,7 +871,7 @@ def _qmm_stacked(x2, data3, scales3, zps3, layer_idx, *, bits: int,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
             cost_estimate=cost, interpret=interpret,
-        )(idx_arr, *parts, data3, scales4, *zp_ops)
+        )(*args)
         if sx is not None:
             out = (out.astype(jnp.float32) * sx[:, None]).astype(out_dtype)
     return out[:M] if pad_m else out
@@ -902,10 +997,11 @@ def _qmm_grouped(xg, data3, scales3, zps3, slots, *, bits: int,
     nparts = 1
     if bits == 8:
         kern = functools.partial(_kernel_int8_grp, asym=asym, **kw)
-    elif mode is not None:
-        if mode == "masked":
-            nparts = 128 // (group_size // 2)
-        kern = _make_fact_kernel(nparts, asym, "grouped", **kw)
+    elif mode == "wide":
+        kern = _make_fact_kernel(asym, "grouped", **kw)
+    elif mode == "masked":
+        nparts = 128 // (group_size // 2)
+        kern = _make_masked_kernel(nparts, asym, "grouped", **kw)
     else:
         kern = functools.partial(_kernel_int4_grp, asym=asym, **kw)
     kd = 1 if bits == 8 else 2
@@ -951,22 +1047,35 @@ def _qmm_grouped(xg, data3, scales3, zps3, slots, *, bits: int,
         xr = xg.reshape(G, Mp, K // group_size, group_size)
         x_lo = xr[:, :, :, :g2].reshape(G, Mp, K // 2)
         x_hi = xr[:, :, :, g2:].reshape(G, Mp, K // 2)
-        if nparts > 1:
-            sub = (jnp.arange(K // 2) // g2) % nparts
-            parts = []
-            for j in range(nparts):
-                m = sub == j
-                parts.append(jnp.where(m, x_lo, 0))
-                parts.append(jnp.where(m, x_hi, 0))
-        else:
-            parts = [x_lo, x_hi]
         half_spec = pl.BlockSpec((1, TM, TK // 2),
                                  lambda g, i, j, k, idx: (g, i, k),
                                  memory_space=pltpu.VMEM)
+        if nparts > 1:
+            sub = (jnp.arange(K // 2) // g2) % nparts
+            xl = jnp.concatenate(
+                [jnp.where(sub == j, x_lo, 0) for j in range(nparts)],
+                axis=1)
+            xh = jnp.concatenate(
+                [jnp.where(sub == j, x_hi, 0) for j in range(nparts)],
+                axis=1)
+            gk_total = K // group_size
+            rs = xg.astype(jnp.float32).reshape(
+                G, Mp, gk_total, group_size).sum(-1).reshape(
+                G, Mp, nk, gk).transpose(0, 2, 1, 3)     # [G, nk, Mp, gk]
+            cat_spec = pl.BlockSpec((1, nparts * TM, TK // 2),
+                                    lambda g, i, j, k, idx: (g, 0, k),
+                                    memory_space=pltpu.VMEM)
+            rs_spec = pl.BlockSpec((1, 1, TM, gk),
+                                   lambda g, i, j, k, idx: (g, k, i, 0),
+                                   memory_space=pltpu.VMEM)
+            ins = [cat_spec, cat_spec, rs_spec, w_spec, s_spec, *zp_specs]
+            args = (idx_arr, xl, xh, rs, data3, scales4, *zp_ops)
+        else:
+            ins = [half_spec, half_spec, w_spec, s_spec, *zp_specs]
+            args = (idx_arr, x_lo, x_hi, data3, scales4, *zp_ops)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
-            in_specs=[half_spec] * len(parts)
-            + [w_spec, s_spec, *zp_specs],
+            in_specs=ins,
             out_specs=out_spec,
             scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)])
         out = pl.pallas_call(
@@ -975,7 +1084,7 @@ def _qmm_grouped(xg, data3, scales3, zps3, slots, *, bits: int,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=semantics),
             cost_estimate=cost, interpret=interpret,
-        )(idx_arr, *parts, data3, scales4, *zp_ops)
+        )(*args)
     return out[:, :M] if pad_m else out
 
 
