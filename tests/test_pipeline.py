@@ -281,3 +281,108 @@ def test_pipeline_microbatch_rejects_indivisible(pp_setup):
         pipeline.pipeline_forward_microbatch(
             pparams, cfg, jnp.ones((3, 2), jnp.int32), pcache,
             mesh=mesh, microbatches=2)
+
+
+# ---------------------------------------------------------------------------
+# Non-llama families through the generic relay (VERDICT r2 item 8)
+# ---------------------------------------------------------------------------
+
+def _family_cfg_params(family):
+    if family == "gpt2":
+        from turboinfer_tpu.models import gpt2 as mod
+        cfg = ModelConfig(architecture="gpt2", vocab_size=300,
+                          hidden_size=64, num_layers=4, num_heads=4,
+                          max_seq_len=64, dtype=jnp.float32)
+    elif family == "neox":
+        from turboinfer_tpu.models import neox as mod
+        cfg = ModelConfig(architecture="gpt_neox", vocab_size=300,
+                          hidden_size=64, num_layers=4, num_heads=4,
+                          rotary_pct=0.25, parallel_residual=True,
+                          max_seq_len=64, dtype=jnp.float32)
+    elif family == "gptoss":
+        from turboinfer_tpu.models import gptoss as mod
+        cfg = ModelConfig(architecture="gpt_oss", vocab_size=300,
+                          hidden_size=64, num_layers=4, num_heads=4,
+                          num_kv_heads=2, head_dim=16,
+                          intermediate_size=64, max_seq_len=64,
+                          num_experts=4, experts_per_token=2,
+                          sliding_window=16, sliding_window_pattern=2,
+                          attn_bias=True, dtype=jnp.float32)
+    elif family == "deepseek":
+        from turboinfer_tpu.models import deepseek as mod
+        cfg = ModelConfig(architecture="deepseek_v2", vocab_size=300,
+                          hidden_size=64, num_layers=5, num_heads=4,
+                          intermediate_size=96, moe_intermediate_size=32,
+                          num_experts=4, experts_per_token=2,
+                          first_k_dense_replace=1, q_lora_rank=0,
+                          kv_lora_rank=32, qk_rope_head_dim=16,
+                          qk_nope_head_dim=16, v_head_dim=16,
+                          max_seq_len=64, dtype=jnp.float32)
+    else:
+        raise AssertionError(family)
+    params = mod.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params, mod
+
+
+@pytest.mark.parametrize("family", ["gpt2", "neox", "gptoss", "deepseek"])
+def test_pipeline_family_prefill_and_decode(family):
+    """Prefill + 3 greedy decode steps through the staged relay must
+    match the family's single-device forward (gpt2: learned positions;
+    neox: partial rotary + parallel residual; gptoss: sinks + GLOBAL
+    window alternation across stage boundaries; deepseek: MLA latent
+    caches + replicated dense prelude)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    n_stage = 2
+    cfg, params, mod = _family_cfg_params(family)
+    mesh = pmesh.make_mesh((n_stage, 1), axis_names=("pp", "tp"),
+                           devices=jax.devices()[:n_stage])
+    prompt = jnp.asarray([[1, 5, 42, 7, 9]], jnp.int32)
+
+    # Single-device reference trajectory (head-major cache).
+    cache = mod.init_cache(cfg, 1, max_seq=32, fused=False)
+    logits, cache = mod.forward(params, cfg, prompt, cache)
+    ref = [np.asarray(logits[:, -1])]
+    tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    for _ in range(3):
+        logits, cache = mod.forward(params, cfg, tok[:, None], cache)
+        ref.append(np.asarray(logits[:, 0]))
+        tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+
+    pparams, pcache = pipeline.shard_for_pipeline(
+        params, mod.init_cache(cfg, 1, max_seq=32, fused=False), mesh,
+        config=cfg)
+    with mesh:
+        fwd = jax.jit(lambda p, t, c: pipeline.pipeline_forward(
+            p, cfg, t, c, mesh=mesh))
+        logits, pcache = fwd(pparams, prompt, pcache)
+        got = [np.asarray(logits[:, -1])]
+        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+        for _ in range(3):
+            logits, pcache = fwd(pparams, tok[:, None], pcache)
+            got.append(np.asarray(logits[:, 0]))
+            tok = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+    for i, (w, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(g, w, rtol=3e-4, atol=3e-4,
+                                   err_msg=f"{family} step {i}")
+
+
+def test_pipeline_gpt2_microbatch_matches_single():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg, params, mod = _family_cfg_params("gpt2")
+    mesh = pmesh.make_mesh((2, 1), axis_names=("pp", "tp"),
+                           devices=jax.devices()[:2])
+    B = 4
+    rng = np.random.RandomState(5)
+    tokens = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, 6)), jnp.int32)
+    cache = mod.init_cache(cfg, B, max_seq=32, fused=False)
+    want, _ = mod.forward(params, cfg, tokens, cache)
+    pparams, pcache = pipeline.shard_for_pipeline(
+        params, mod.init_cache(cfg, B, max_seq=32, fused=False), mesh)
+    with mesh:
+        got, _ = jax.jit(lambda p, t, c: pipeline.pipeline_forward_microbatch(
+            p, cfg, t, c, mesh=mesh, microbatches=2))(pparams, tokens,
+                                                      pcache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)

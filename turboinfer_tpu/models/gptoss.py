@@ -161,13 +161,16 @@ def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any],
 
 
 def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
-               k_cache, v_cache, start, kv_len, fused_cache=False):
+               k_cache, v_cache, start, kv_len, fused_cache=False,
+               gli=None):
     """GQA attention with per-head sink logits and the per-layer
     sliding/full window. k_cache/v_cache: [B, Hkv, T, D] (this layer),
     or fused-head [B, T, Hkv*D] / stacked [L, B, T, Hkv*D] with
     fused_cache=True. Returns (out [B,S,QD], k_cache', v_cache')."""
     B, S, _ = h.shape
     nH, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
+    if gli is None:
+        gli = li
 
     def w1(name):
         w = lw[name]
@@ -204,7 +207,7 @@ def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
                 q[:, 0], k_cache, v_cache, kv_len, layer_index=li,
                 window=window, sinks=sinks)
         if pattern and pattern > 1 and config.sliding_window:
-            is_global = (li + 1) % pattern == 0
+            is_global = (gli + 1) % pattern == 0
             out = jax.lax.cond(is_global, dec(None),
                                dec(config.sliding_window))
         else:
@@ -229,7 +232,7 @@ def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
         khm = k_cache.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
         vhm = v_cache.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
         out = _streaming_attention(config, q, khm, vhm, w1("sinks"),
-                                   positions, kv_len, li)
+                                   positions, kv_len, gli)
         return out.astype(h.dtype), k_cache, v_cache
 
     def write_one(cache_b, new_b, start_b):
@@ -239,7 +242,7 @@ def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
     k_cache = jax.vmap(write_one)(k_cache, k, start)
     v_cache = jax.vmap(write_one)(v_cache, v, start)
     out = _streaming_attention(config, q, k_cache, v_cache, w1("sinks"),
-                               positions, kv_len, li)
+                               positions, kv_len, gli)
     return out.astype(h.dtype), k_cache, v_cache
 
 
@@ -253,7 +256,9 @@ def _streaming_attention(config, q, k_cache, v_cache, sinks_flat,
     max m0 = sink, sum l0 = 1 (= exp(sink - m0)), empty accumulator.
 
     q: [B, S, nH, D]; k/v_cache: head-major [B, Hkv, T, D];
-    sinks_flat: [nH]. Returns [B, S, nH*D] f32."""
+    sinks_flat: [nH]. Returns [B, S, nH*D] f32. `li` is only consulted
+    for the sliding/full alternation — pass the GLOBAL layer id under
+    pipeline parallelism."""
     B, S = q.shape[0], q.shape[1]
     nH, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
     G = nH // Hkv
@@ -308,8 +313,13 @@ def _streaming_attention(config, q, k_cache, v_cache, sinks_flat,
 
 
 def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
-                   kv_len, layer_index=None, fused_cache=False):
+                   kv_len, layer_index=None, fused_cache=False,
+                   global_layer_index=None):
+    # global_layer_index: the model-wide layer id when lw/caches are a
+    # pipeline stage's LOCAL slice — the sliding/full window alternation
+    # keys off the GLOBAL id while weights/caches index locally.
     li = layer_index
+    gli = global_layer_index if global_layer_index is not None else li
 
     def w1(name):
         w = lw[name]
@@ -320,7 +330,7 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
     h = ops.rms_norm(x, w1("attn_norm"), config.rms_norm_eps)
     attn, k_cache, v_cache = _attention(config, h, lw, li, positions,
                                         k_cache, v_cache, start, kv_len,
-                                        fused_cache=fused_cache)
+                                        fused_cache=fused_cache, gli=gli)
     attn = ops.qmatmul(attn, lw["wo"], layer_index=li) \
         + w1("b_o").astype(x.dtype)
     x = x + attn

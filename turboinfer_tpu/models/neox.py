@@ -120,9 +120,11 @@ def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
             alibi = alibi * float(D) ** -0.5
 
     def w1(name):
+        # With layer_index, lw is a stacked layer dict (per-layer slots
+        # gain a leading L axis — possibly L/stages under pipeline
+        # parallelism, so detect by rank, not by num_layers).
         w = lw[name]
         if li is not None and w.ndim >= 2 \
-                and w.shape[0] == config.num_layers \
                 and name not in ("w_qkv", "wo", "w_fc", "w_proj"):
             return jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
         return w

@@ -18,11 +18,19 @@ relay when stage time scales with tokens (compute-bound prefill /
 large-batch decode). Weight-streaming-bound B=1 decode gains nothing
 from microbatching (every tick re-streams stage weights) — use the
 plain relay there.
+
+Family support: llama, moe, gpt2, neox, gptoss run through a small
+per-family adapter (embedding prelude / head epilogue / layer-step
+call); deepseek (MLA latent caches + leading dense layers) has its own
+relay where the `first_k_dense_replace` dense layers run replicated on
+every stage before the ring and only the MoE stack is staged (the
+dense/MoE param stacks split at a point the stage count need not
+divide).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,10 +39,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from turboinfer_tpu.config import ModelConfig
 from turboinfer_tpu.kernels import ops
-from turboinfer_tpu.models import llama
 from turboinfer_tpu.models.common import KVCache
 
 PP_AXIS = "pp"
+
+_PP_FAMILIES = ("llama", "moe", "gpt2", "neox", "gptoss", "deepseek")
 
 
 def pipeline_param_specs(pp: str = PP_AXIS,
@@ -65,7 +74,9 @@ def pipeline_param_specs(pp: str = PP_AXIS,
 def _pp_spec_tree(params, pp: str = PP_AXIS) -> Dict[str, Any]:
     """Leaf-wise PartitionSpec tree for a whole param pytree: stacked
     layer weights (incl. QTensor data/scales and MoE expert stacks)
-    shard their leading L axis over `pp`; everything else replicates."""
+    shard their leading L axis over `pp`; everything else — embeddings,
+    norms, head, and deepseek's `dense_layers` (run replicated on every
+    stage) — replicates."""
     rep = lambda w: P(*([None] * w.ndim))
     return {k: (jax.tree_util.tree_map(
                     lambda w: P(pp, *([None] * (w.ndim - 1))), v)
@@ -74,79 +85,188 @@ def _pp_spec_tree(params, pp: str = PP_AXIS) -> Dict[str, Any]:
 
 
 def pipeline_cache_spec(pp: str = PP_AXIS) -> P:
-    """KV cache [L, B, Hkv, T, D]: layer axis over `pp`."""
-    return P(pp, None, None, None, None)
+    """KV cache [L, B, Hkv, T, D] (or deepseek latent [L, B, T, r]):
+    layer axis over `pp`."""
+    return P(pp)
 
 
-def shard_for_pipeline(params, cache: KVCache, mesh: Mesh,
-                       pp: str = PP_AXIS):
-    """Place params + cache with the pipeline shardings."""
+class DeepSeekPPCache(NamedTuple):
+    """Pipeline cache for deepseek: the `first_k_dense_replace` dense
+    layers' latent/rope caches replicate (every stage runs them) and
+    the MoE layers' caches shard on the layer axis over `pp`."""
+    k_dense: jax.Array          # [kd, B, T, lr] replicated
+    v_dense: jax.Array          # [kd, B, T, dr] replicated
+    k: jax.Array                # [L-kd, B, T, lr] sharded over pp
+    v: jax.Array                # [L-kd, B, T, dr] sharded over pp
+    length: jax.Array           # [B]
+
+
+def _family(config: ModelConfig) -> Tuple[str, Any]:
+    from turboinfer_tpu.models import registry
+    mod = registry.get_model(config.architecture)
+    family = mod.__name__.rsplit(".", 1)[-1]
+    if family not in _PP_FAMILIES:
+        raise NotImplementedError(
+            f"pipeline_forward supports {'/'.join(_PP_FAMILIES)} decoders,"
+            f" not '{config.architecture}' ({family})")
+    return family, mod
+
+
+class _Adapter(NamedTuple):
+    """Per-family hooks for the stage relay. `step` runs ONE layer:
+    (x, layers_local, positions, k, v, start, kv_len, local_i,
+    global_i) -> (x, k, v); the cache args may be the stage's whole
+    stacked slice (decode, stacked_decode=True families) or one layer's
+    slice — the family modules distinguish by rank."""
+    embed: Callable[..., jax.Array]
+    head: Callable[..., jax.Array]
+    step: Callable[..., Tuple]
+    stacked_decode: bool
+
+
+def _adapter(config: ModelConfig, family: str, mod) -> _Adapter:
+    lf = mod._layer_forward
+    eps = config.rms_norm_eps
+
+    def embed(params, toks, positions):
+        x = ops.embed_lookup(params["embed"], toks, config.dtype)
+        if family in ("llama", "moe") and config.scale_embeddings:
+            # Gemma rounds sqrt(H) to the model dtype (llama.forward).
+            x = x * jnp.asarray(config.hidden_size ** 0.5, config.dtype)
+        if family == "llama" and config.embedding_multiplier:
+            x = x * jnp.asarray(config.embedding_multiplier, config.dtype)
+        if family == "gpt2":
+            pe = params["pos_embed"]
+            x = x + jnp.take(pe, jnp.clip(positions, 0, pe.shape[0] - 1),
+                             axis=0).astype(config.dtype)
+        if family == "neox" and "embed_norm_w" in params:   # BLOOM
+            x = ops.layer_norm(x, params["embed_norm_w"],
+                               params["embed_norm_b"], eps)
+        return x
+
+    def head(params, x):
+        if family in ("gpt2", "neox"):
+            h = ops.layer_norm(x, params["final_norm_w"],
+                               params["final_norm_b"], eps)
+        else:
+            h = ops.rms_norm(x, params["final_norm"], eps,
+                             1.0 if config.norm_offset else 0.0)
+        logits = ops.qmatmul(h, params["lm_head"],
+                             preferred_dtype=jnp.float32
+                             ).astype(jnp.float32)
+        if family == "neox" and "lm_head_b" in params:       # Phi
+            logits = logits + params["lm_head_b"]
+        logits = ops.apply_softcap(logits, config.final_logit_softcap)
+        if family == "llama" and config.logits_scaling:      # Granite
+            logits = logits / config.logits_scaling
+        return logits
+
+    def step(x, layers, positions, k, v, start, kv_len, i, gi):
+        if family in ("llama", "moe"):
+            return lf(config, x, layers, positions, k, v, start, kv_len,
+                      contiguous=True, layer_index=i,
+                      global_layer_index=gi)
+        if family == "gpt2":
+            return lf(config, x, layers, k, v, start, kv_len,
+                      layer_index=i)
+        if family == "neox":
+            return lf(config, x, layers, positions, k, v, start, kv_len,
+                      layer_index=i)
+        if family == "gptoss":
+            return lf(config, x, layers, positions, k, v, start, kv_len,
+                      layer_index=i, global_layer_index=gi)
+        return lf(config, x, layers, positions, k, v, start, kv_len,
+                  layer_index=i, dense_ffn=False)             # deepseek
+
+    # gptoss's head-major stacked decode requires the fused cache
+    # layout; its PP path slices per layer instead. deepseek always
+    # slices (the latent cache is small).
+    return _Adapter(embed=embed, head=head, step=step,
+                    stacked_decode=family in ("llama", "moe", "gpt2",
+                                              "neox"))
+
+
+def shard_for_pipeline(params, cache, mesh: Mesh, pp: str = PP_AXIS,
+                       config: Optional[ModelConfig] = None):
+    """Place params + cache with the pipeline shardings.
+
+    For deepseek pass `config`: the cache splits into a replicated
+    dense part and a pp-sharded MoE part (DeepSeekPPCache)."""
     specs = _pp_spec_tree(params, pp)
     params = jax.tree_util.tree_map(
         lambda w, s: jax.device_put(w, NamedSharding(mesh, s)),
         params, specs)
+    rep = lambda a: jax.device_put(a, NamedSharding(
+        mesh, P(*([None] * a.ndim))))
+    if config is not None and _family(config)[0] == "deepseek":
+        kd = config.first_k_dense_replace
+        ns = NamedSharding(mesh, pipeline_cache_spec(pp))
+        pcache = DeepSeekPPCache(
+            k_dense=rep(cache.k[:kd]), v_dense=rep(cache.v[:kd]),
+            k=jax.device_put(cache.k[kd:], ns),
+            v=jax.device_put(cache.v[kd:], ns),
+            length=rep(cache.length))
+        return params, pcache
     ns = NamedSharding(mesh, pipeline_cache_spec(pp))
     cache = KVCache(
         k=jax.device_put(cache.k, ns),
         v=jax.device_put(cache.v, ns),
-        length=jax.device_put(cache.length, NamedSharding(mesh, P(None))))
+        length=rep(cache.length))
     return params, cache
 
 
-def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
-                     cache: KVCache, *, mesh: Mesh, axis: str = PP_AXIS
-                     ) -> Tuple[jax.Array, KVCache]:
-    """llama-family forward with layers staged over `axis`.
+def _check_stages(config: ModelConfig, n_layers: int, n_stage: int):
+    if n_layers % n_stage:
+        raise ValueError(f"{n_layers} layers not divisible by "
+                         f"{n_stage} pipeline stages")
 
-    Same contract as llama.forward; tokens/logits replicated across the
-    pipeline, params/cache sharded on the layer axis.
+
+def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
+                     cache, *, mesh: Mesh, axis: str = PP_AXIS
+                     ) -> Tuple[jax.Array, Any]:
+    """Forward with decoder layers staged over `axis`.
+
+    Same contract as <family>.forward; tokens/logits replicated across
+    the pipeline, params/cache sharded on the layer axis. Head-major
+    KV caches only (the fused-head layout stays on single-chip paths).
     """
+    family, mod = _family(config)
+    if family == "deepseek":
+        return _deepseek_pipeline_forward(params, config, tokens, cache,
+                                          mesh=mesh, axis=axis, mod=mod)
     B, S = tokens.shape
     n_stage = mesh.shape[axis]
-    if config.num_layers % n_stage:
-        raise ValueError(f"{config.num_layers} layers not divisible by "
-                         f"{n_stage} pipeline stages")
-    from turboinfer_tpu.models import registry
-    mod = registry.get_model(config.architecture)
-    family = mod.__name__.rsplit(".", 1)[-1]
-    if family not in ("llama", "moe"):
-        raise NotImplementedError(
-            f"pipeline_forward supports llama/moe-family decoders, not "
-            f"'{config.architecture}' ({family})")
-    layer_fwd = mod._layer_forward
+    _check_stages(config, config.num_layers, n_stage)
+    ad = _adapter(config, family, mod)
 
     lspec = _pp_spec_tree(params, axis)
     cspec = pipeline_cache_spec(axis)
-    rep2 = P(None, None)
 
-    def local(embed, layers_local, final_norm, lm_head, toks,
-              k_loc, v_loc, length):
+    def local(params_l, toks, k_loc, v_loc, length):
         me = jax.lax.axis_index(axis)
         start = length
         positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
         kv_len = start + S
+        layers_local = params_l["layers"]
 
-        x = jnp.take(embed, toks, axis=0).astype(config.dtype)
-        if config.scale_embeddings:          # Gemma family
-            x = x * jnp.asarray(config.hidden_size ** 0.5, x.dtype)
+        x = ad.embed(params_l, toks, positions)
 
         def run_stage(args):
             x, kc, vc = args
             n_local = kc.shape[0]
-            # Gemma2/3 local/global alternation keys off the GLOBAL
-            # layer id; local weights/caches index by the stage-local id.
+            # Gemma2/3 local/global alternation and GPT-OSS's window
+            # pattern key off the GLOBAL layer id; local weights/caches
+            # index by the stage-local id.
             base = me * n_local
 
-            if S == 1:
+            if S == 1 and ad.stacked_decode:
                 # Decode: the stacked local cache flows through WHOLE
                 # (slicing layer i per step copies the full [B,Hkv,T,D]
                 # slab each layer — see llama.forward / CLAUDE.md).
                 def body(carry, i):
                     x, kf, vf = carry
-                    x, kf, vf = layer_fwd(
-                        config, x, layers_local, positions, kf, vf,
-                        start, kv_len, contiguous=True, layer_index=i,
-                        global_layer_index=base + i)
+                    x, kf, vf = ad.step(x, layers_local, positions, kf,
+                                        vf, start, kv_len, i, base + i)
                     return (x, kf, vf), None
             else:
                 def body(carry, i):
@@ -155,10 +275,8 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
                                                       keepdims=False)
                     v1 = jax.lax.dynamic_index_in_dim(vf, i, 0,
                                                       keepdims=False)
-                    x, k1, v1 = layer_fwd(
-                        config, x, layers_local, positions, k1, v1, start,
-                        kv_len, contiguous=True, layer_index=i,
-                        global_layer_index=base + i)
+                    x, k1, v1 = ad.step(x, layers_local, positions, k1,
+                                        v1, start, kv_len, i, base + i)
                     kf = jax.lax.dynamic_update_index_in_dim(kf, k1, i, 0)
                     vf = jax.lax.dynamic_update_index_in_dim(vf, v1, i, 0)
                     return (x, kf, vf), None
@@ -182,25 +300,109 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
             0, n_stage, stage_step, (x, k_loc, v_loc))
         # After n_stage rotations the fully-processed x landed back on
         # stage 0; stage 0 computes the head and a psum broadcasts.
-        x = ops.rms_norm(x, final_norm, config.rms_norm_eps,
-                         1.0 if config.norm_offset else 0.0)
-        logits = ops.qmatmul(x, lm_head,
-                             preferred_dtype=jnp.float32).astype(jnp.float32)
-        logits = ops.apply_softcap(logits, config.final_logit_softcap)
+        logits = ad.head(params_l, x)
         logits = jnp.where(me == 0, logits, 0.0)
         logits = jax.lax.psum(logits, axis)
         return logits, k_loc, v_loc, kv_len
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(lspec["embed"], lspec["layers"], lspec["final_norm"],
-                  lspec["lm_head"], rep2, cspec, cspec, P(None)),
+        in_specs=(lspec, P(None, None), cspec, cspec, P(None)),
         out_specs=(P(None, None, None), cspec, cspec, P(None)),
         check_vma=False)
-    logits, k_new, v_new, kv_len = fn(
-        params["embed"], params["layers"], params["final_norm"],
-        params["lm_head"], tokens, cache.k, cache.v, cache.length)
+    logits, k_new, v_new, kv_len = fn(params, tokens, cache.k, cache.v,
+                                      cache.length)
     return logits, KVCache(k=k_new, v=v_new, length=kv_len)
+
+
+def _deepseek_pipeline_forward(params, config: ModelConfig,
+                               tokens: jax.Array,
+                               cache: DeepSeekPPCache, *, mesh: Mesh,
+                               axis: str, mod) -> Tuple[jax.Array, Any]:
+    """deepseek stage relay: the `first_k_dense_replace` dense layers
+    run REPLICATED on every stage before the ring (weights + their
+    latent caches replicate; x is replicated at entry, so every stage
+    computes identical dense outputs and cache updates), then the MoE
+    stack [L-kd] stages over `axis` like the generic relay. MLA caches:
+    k = compressed latent [*, B, T, lr], v = shared rope key
+    [*, B, T, dr] (models/deepseek.py)."""
+    B, S = tokens.shape
+    n_stage = mesh.shape[axis]
+    kd = config.first_k_dense_replace
+    _check_stages(config, config.num_layers - kd, n_stage)
+    if not isinstance(cache, DeepSeekPPCache):
+        raise TypeError("deepseek pipeline needs the DeepSeekPPCache from "
+                        "shard_for_pipeline(..., config=config)")
+    lf = mod._layer_forward
+    ad = _adapter(config, "deepseek", mod)
+
+    lspec = _pp_spec_tree(params, axis)
+    cspec = pipeline_cache_spec(axis)
+    rep_c = lambda a: P(*([None] * a.ndim))
+
+    def local(params_l, toks, kd_c, vd_c, k_loc, v_loc, length):
+        me = jax.lax.axis_index(axis)
+        start = length
+        positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+        kv_len = start + S
+
+        x = ad.embed(params_l, toks, positions)
+        # Dense prelude — replicated compute on every stage.
+        dl = params_l.get("dense_layers")
+        for i in range(kd):
+            c1 = kd_c[i]
+            p1 = vd_c[i]
+            x, c1, p1 = lf(config, x, dl, positions, c1, p1, start,
+                           kv_len, layer_index=i, dense_ffn=True)
+            kd_c = kd_c.at[i].set(c1)
+            vd_c = vd_c.at[i].set(p1)
+
+        def run_stage(args):
+            x, kc, vc = args
+            n_local = kc.shape[0]
+
+            def body(carry, i):
+                x, kf, vf = carry
+                k1 = jax.lax.dynamic_index_in_dim(kf, i, 0, keepdims=False)
+                v1 = jax.lax.dynamic_index_in_dim(vf, i, 0, keepdims=False)
+                x, k1, v1 = ad.step(x, params_l["layers"], positions, k1,
+                                    v1, start, kv_len, i, None)
+                kf = jax.lax.dynamic_update_index_in_dim(kf, k1, i, 0)
+                vf = jax.lax.dynamic_update_index_in_dim(vf, v1, i, 0)
+                return (x, kf, vf), None
+
+            (x, kc, vc), _ = jax.lax.scan(
+                body, (x, kc, vc), jnp.arange(n_local, dtype=jnp.int32))
+            return x, kc, vc
+
+        def stage_step(s, carry):
+            x, kc, vc = carry
+            x, kc, vc = jax.lax.cond(me == s, run_stage, lambda a: a,
+                                     (x, kc, vc))
+            perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
+            x = jax.lax.ppermute(x, axis, perm)
+            return (x, kc, vc)
+
+        x, k_loc, v_loc = jax.lax.fori_loop(
+            0, n_stage, stage_step, (x, k_loc, v_loc))
+        logits = ad.head(params_l, x)
+        logits = jnp.where(me == 0, logits, 0.0)
+        logits = jax.lax.psum(logits, axis)
+        return logits, kd_c, vd_c, k_loc, v_loc, kv_len
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(lspec, P(None, None), rep_c(cache.k_dense),
+                  rep_c(cache.v_dense), cspec, cspec, P(None)),
+        out_specs=(P(None, None, None), rep_c(cache.k_dense),
+                   rep_c(cache.v_dense), cspec, cspec, P(None)),
+        check_vma=False)
+    logits, kd_new, vd_new, k_new, v_new, kv_len = fn(
+        params, tokens, cache.k_dense, cache.v_dense, cache.k, cache.v,
+        cache.length)
+    return logits, DeepSeekPPCache(k_dense=kd_new, v_dense=vd_new,
+                                   k=k_new, v=v_new, length=kv_len)
+
 
 def pipeline_forward_microbatch(params, config: ModelConfig,
                                 tokens: jax.Array, cache: KVCache, *,
@@ -214,50 +416,40 @@ def pipeline_forward_microbatch(params, config: ModelConfig,
     concurrently on different microbatches (total M+P-1 ticks instead
     of the plain relay's effectively-serial P stage passes over the
     full batch). Same contract and numerics as pipeline_forward; B must
-    divide by `microbatches` (default: the stage count).
+    divide by `microbatches` (default: the stage count). Uniform-layer
+    k/v-cache families only (llama/moe/gpt2/neox/gptoss).
 
     One activation slot per stage rotates along the ring each tick
     (ppermute, neighbor ICI traffic only); stage 0 injects embeddings
     into the ring and collects finished activations into the logits
     buffer, which a psum broadcasts at the end.
     """
+    family, mod = _family(config)
+    if family == "deepseek":
+        raise NotImplementedError(
+            "microbatched pipeline does not cover deepseek (dense "
+            "prelude); use pipeline_forward")
     B, S = tokens.shape
     n_stage = mesh.shape[axis]
     M = microbatches or n_stage
-    if config.num_layers % n_stage:
-        raise ValueError(f"{config.num_layers} layers not divisible by "
-                         f"{n_stage} pipeline stages")
+    _check_stages(config, config.num_layers, n_stage)
     if B % M:
         raise ValueError(f"batch {B} not divisible by {M} microbatches")
     mbB = B // M
-    from turboinfer_tpu.models import registry
-    mod = registry.get_model(config.architecture)
-    family = mod.__name__.rsplit(".", 1)[-1]
-    if family not in ("llama", "moe"):
-        raise NotImplementedError(
-            f"pipeline supports llama/moe-family decoders, not "
-            f"'{config.architecture}'")
-    layer_fwd = mod._layer_forward
+    ad = _adapter(config, family, mod)
 
     H = config.hidden_size
     V = params["lm_head"].shape[-1] if hasattr(params["lm_head"], "shape") \
         else params["lm_head"].shape[-1]
     lspec = _pp_spec_tree(params, axis)
     cspec = pipeline_cache_spec(axis)
-    off = 1.0 if config.norm_offset else 0.0
 
-    def local(embed, layers_local, final_norm, lm_head, toks,
-              k_loc, v_loc, length):
+    def local(params_l, toks, k_loc, v_loc, length):
         me = jax.lax.axis_index(axis)
         n_local = k_loc.shape[0]
         base = me * n_local
+        layers_local = params_l["layers"]
         perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
-
-        def head(a):
-            x = ops.rms_norm(a, final_norm, config.rms_norm_eps, off)
-            lg = ops.qmatmul(x, lm_head, preferred_dtype=jnp.float32
-                             ).astype(jnp.float32)
-            return ops.apply_softcap(lg, config.final_logit_softcap)
 
         def collect(t, a, out):
             """Stage 0: bank the finished microbatch t-n_stage."""
@@ -265,7 +457,8 @@ def pipeline_forward_microbatch(params, config: ModelConfig,
 
             def do(out):
                 return jax.lax.dynamic_update_slice(
-                    out, head(a)[None], (jnp.maximum(m_done, 0), 0, 0, 0))
+                    out, ad.head(params_l, a)[None],
+                    (jnp.maximum(m_done, 0), 0, 0, 0))
             return jax.lax.cond((me == 0) & (m_done >= 0), do,
                                 lambda o: o, out)
 
@@ -274,10 +467,9 @@ def pipeline_forward_microbatch(params, config: ModelConfig,
             def do(_):
                 o = jnp.clip(t, 0, M - 1) * mbB
                 tks = jax.lax.dynamic_slice_in_dim(toks, o, mbB, 0)
-                x = jnp.take(embed, tks, axis=0).astype(config.dtype)
-                if config.scale_embeddings:
-                    x = x * jnp.asarray(config.hidden_size ** 0.5, x.dtype)
-                return x
+                st = jax.lax.dynamic_slice_in_dim(length, o, mbB, 0)
+                pos = st[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+                return ad.embed(params_l, tks, pos)
             return jax.lax.cond((me == 0) & (t < M), do, lambda a_: a_, a)
 
         def process(t, a, kc, vc):
@@ -293,13 +485,11 @@ def pipeline_forward_microbatch(params, config: ModelConfig,
                 kcs = jax.lax.dynamic_slice_in_dim(kc, o, mbB, 1)
                 vcs = jax.lax.dynamic_slice_in_dim(vc, o, mbB, 1)
 
-                if S == 1:
+                if S == 1 and ad.stacked_decode:
                     def body(carry, i):
                         x, kf, vf = carry
-                        x, kf, vf = layer_fwd(
-                            config, x, layers_local, positions, kf, vf,
-                            st, kvl, contiguous=True, layer_index=i,
-                            global_layer_index=base + i)
+                        x, kf, vf = ad.step(x, layers_local, positions,
+                                            kf, vf, st, kvl, i, base + i)
                         return (x, kf, vf), None
                 else:
                     def body(carry, i):
@@ -308,10 +498,8 @@ def pipeline_forward_microbatch(params, config: ModelConfig,
                             kf, i, 0, keepdims=False)
                         v1 = jax.lax.dynamic_index_in_dim(
                             vf, i, 0, keepdims=False)
-                        x, k1, v1 = layer_fwd(
-                            config, x, layers_local, positions, k1, v1,
-                            st, kvl, contiguous=True, layer_index=i,
-                            global_layer_index=base + i)
+                        x, k1, v1 = ad.step(x, layers_local, positions,
+                                            k1, v1, st, kvl, i, base + i)
                         kf = jax.lax.dynamic_update_index_in_dim(
                             kf, k1, i, 0)
                         vf = jax.lax.dynamic_update_index_in_dim(
@@ -350,11 +538,9 @@ def pipeline_forward_microbatch(params, config: ModelConfig,
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(lspec["embed"], lspec["layers"], lspec["final_norm"],
-                  lspec["lm_head"], P(None, None), cspec, cspec, P(None)),
+        in_specs=(lspec, P(None, None), cspec, cspec, P(None)),
         out_specs=(P(None, None, None), cspec, cspec, P(None)),
         check_vma=False)
-    logits, k_new, v_new, kv_len = fn(
-        params["embed"], params["layers"], params["final_norm"],
-        params["lm_head"], tokens, cache.k, cache.v, cache.length)
+    logits, k_new, v_new, kv_len = fn(params, tokens, cache.k, cache.v,
+                                      cache.length)
     return logits, KVCache(k=k_new, v=v_new, length=kv_len)
