@@ -23,7 +23,7 @@ def served(tiny_params_mod, tiny_cfg_mod):
     cfg = ti.InferenceConfig(max_seq_len=tiny_cfg_mod.max_seq_len,
                              eos_token_id=-1, temperature=0.8)
     sched = ContinuousBatchingScheduler(tiny_params_mod, tiny_cfg_mod, cfg,
-                                        batch_slots=4)
+                                        batch_slots=4, tokenizer=tok)
     eng = ServingEngine(sched, tokenizer=tok, model_name="tiny-test")
     srv = make_server(eng, host="127.0.0.1", port=0)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -389,3 +389,34 @@ def test_echo_prepends_prompt(served):
         "prompt": ids, "max_tokens": 4, "temperature": 0, "echo": True})
     assert echoed["choices"][0]["text"] == \
         tok.decode(ids) + plain["choices"][0]["text"]
+
+
+def test_completions_response_format_json(served):
+    """OpenAI response_format={"type": "json_object"}: the server output
+    is always a legal JSON prefix, and parses when it stopped on the
+    grammar (finish_reason "stop")."""
+    from turboinfer_tpu.structured import json_fsm
+    _, port, tok, _ = served
+    status, body = _post_json(port, "/v1/completions", {
+        "prompt": "give me json", "max_tokens": 48, "temperature": 0,
+        "response_format": {"type": "json_object"}})
+    assert status == 200
+    choice = body["choices"][0]
+    st = json_fsm.advance_bytes(json_fsm.initial(True),
+                                choice["text"].encode())
+    assert st is not None, f"illegal prefix: {choice['text']!r}"
+    if choice["finish_reason"] == "stop":
+        assert isinstance(json.loads(choice["text"]), dict)
+
+
+def test_completions_response_format_validation(served):
+    _, port, _, _ = served
+    status, body = _post_json(port, "/v1/completions", {
+        "prompt": "x", "max_tokens": 4,
+        "response_format": {"type": "xml"}})
+    assert status == 400
+    # "text" is the OpenAI default: accepted, unconstrained
+    status, _ = _post_json(port, "/v1/completions", {
+        "prompt": "x", "max_tokens": 4,
+        "response_format": {"type": "text"}})
+    assert status == 200

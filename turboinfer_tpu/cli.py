@@ -97,7 +97,8 @@ def cmd_serve(args):
         kw["page_size"] = args.page_size
     else:
         kw["decode_burst"] = args.burst
-    sched = cls(data.params, data.config, cfg, **kw)
+    sched = cls(data.params, data.config, cfg,
+                tokenizer=data.tokenizer, **kw)
     eng = ServingEngine(sched, tokenizer=data.tokenizer,
                         model_name=args.served_name
                         or __import__("os").path.basename(args.model))

@@ -53,6 +53,9 @@ class _Request:
     presence_penalty: Optional[float] = None
     frequency_penalty: Optional[float] = None
     logit_bias: Optional[Dict[int, float]] = None
+    # constrained decoding: "json" | "json_object" | None
+    response_format: Optional[str] = None
+    struct_state: object = None          # live grammar state (FSM)
 
 
 class ContinuousBatchingScheduler:
@@ -69,7 +72,8 @@ class ContinuousBatchingScheduler:
                  config: Optional[InferenceConfig] = None,
                  batch_slots: int = 8, decode_burst: int = 1,
                  max_queue: Optional[int] = None,
-                 mesh=None, param_specs: Optional[Dict[str, Any]] = None):
+                 mesh=None, param_specs: Optional[Dict[str, Any]] = None,
+                 tokenizer=None):
         """mesh: optional jax.sharding.Mesh — continuous batching over a
         TP/DP device mesh (BASELINE config 5: sharded weights + sharded
         KV cache under the slot scheduler). Weights shard per
@@ -105,6 +109,11 @@ class ContinuousBatchingScheduler:
         # (None = unbounded); serving maps the rejection to HTTP 429.
         self.max_queue = max_queue
         self._rng = jax.random.PRNGKey(self.config.seed)
+        # constrained decoding (response_format): token->bytes trie +
+        # per-FSM-state mask cache, built lazily on first structured
+        # request (structured/filter.TokenMaskCache)
+        self.tokenizer = tokenizer
+        self._maskers: Dict[bool, Any] = {}
         self._queue: Deque[_Request] = deque()
         self._active: Dict[int, _Request] = {}       # slot -> request
         self._done: Dict[int, _Request] = {}
@@ -274,9 +283,16 @@ class ContinuousBatchingScheduler:
                repetition_penalty: Optional[float] = None,
                presence_penalty: Optional[float] = None,
                frequency_penalty: Optional[float] = None,
-               logit_bias: Optional[Dict[int, float]] = None) -> int:
+               logit_bias: Optional[Dict[int, float]] = None,
+               response_format: Optional[str] = None) -> int:
         if len(prompt) == 0:
             raise ValueError("prompt must be non-empty")
+        if response_format not in (None, "json", "json_object"):
+            raise ValueError(f"unsupported response_format "
+                             f"'{response_format}'")
+        if response_format is not None and self.tokenizer is None:
+            raise ValueError("response_format needs a scheduler tokenizer "
+                             "(ContinuousBatchingScheduler(tokenizer=...))")
         if len(prompt) >= self.T:
             raise ValueError(f"prompt length {len(prompt)} >= max_seq_len")
         if self.max_queue is not None and len(self._queue) >= self.max_queue:
@@ -291,7 +307,8 @@ class ContinuousBatchingScheduler:
             top_k=top_k, top_p=top_p, min_p=min_p,
             repetition_penalty=repetition_penalty,
             presence_penalty=presence_penalty,
-            frequency_penalty=frequency_penalty, logit_bias=logit_bias))
+            frequency_penalty=frequency_penalty, logit_bias=logit_bias,
+            response_format=response_format))
         return rid
 
     def cancel(self, rid: int, reason: str = "cancelled") -> bool:
@@ -358,6 +375,14 @@ class ContinuousBatchingScheduler:
                 tid = int(tid)
                 if 0 <= tid < V:
                     bias[tid] = float(b)
+        if req.response_format is not None:
+            # constrain the FIRST sampled token (prefill admission
+            # samples it in the same jitted call) by the grammar's
+            # initial state.
+            mk = self._masker(req.response_format == "json_object")
+            req.struct_state = mk.initial()
+            bias = bias + mk.bias_row(req.struct_state,
+                                      self.config.eos_token_id)
         self.slot_bias = self.slot_bias.at[slot].set(jnp.asarray(bias))
         return ((jnp.float32(t), jnp.int32(k), jnp.float32(p)),
                 (jnp.float32(mp), jnp.float32(rep), jnp.float32(pres),
@@ -442,10 +467,51 @@ class ContinuousBatchingScheduler:
                 self.budget = self.budget.at[slot].set(
                     req.max_new - len(req.out_tokens))
                 self._active[slot] = req
+                done_struct = self._struct_after_token(slot, req, first_i)
                 if first_i == self.config.eos_token_id:
                     self._finish(slot, "eos")
+                elif done_struct:
+                    self._finish(slot, "stop")
                 elif len(req.out_tokens) >= req.max_new:
                     self._finish(slot, "length")
+
+    def _masker(self, require_object: bool):
+        m = self._maskers.get(require_object)
+        if m is None:
+            from turboinfer_tpu.structured import TokenMaskCache
+            m = TokenMaskCache(self.tokenizer,
+                               require_object=require_object,
+                               vocab_size=self.model_config.vocab_size)
+            self._maskers[require_object] = m
+        return m
+
+    def _struct_after_token(self, slot: int, req, tid: int) -> bool:
+        """Constrained decoding bookkeeping after a slot emitted `tid`:
+        advance the request's grammar state and write the NEXT state's
+        token mask into the slot's on-device bias row (the jitted step
+        applies it before sampling — no extra dispatch). Returns True
+        when the grammar completed (caller finishes the slot with
+        stop_reason "stop", matching generate_structured)."""
+        if req.response_format is None:
+            return False
+        if tid == self.config.eos_token_id:
+            return False                  # the eos branch finishes it
+        mk = self._masker(req.response_format == "json_object")
+        nxt = mk.advance(req.struct_state, tid)
+        if nxt is None:
+            # unreachable: the mask only admits legal tokens; end the
+            # request rather than emitting non-grammar output.
+            return True
+        req.struct_state = nxt
+        if mk.done(nxt):
+            return True
+        self.slot_bias = self.slot_bias.at[slot].set(
+            jnp.asarray(mk.bias_row(nxt, self.config.eos_token_id)))
+        return False
+
+    def _has_structured(self) -> bool:
+        return any(r.response_format is not None
+                   for r in self._active.values())
 
     def _host_view(self, tree):
         """Make jitted outputs host-readable on every process (no-op
@@ -469,7 +535,9 @@ class ContinuousBatchingScheduler:
         self._admit()
         if not self._active:
             return 0
-        if self.decode_burst > 1:
+        if self.decode_burst > 1 and not self._has_structured():
+            # structured slots need their mask refreshed every token —
+            # fall back to single steps while any are live.
             return self._step_burst()
         nxt, lp, hit_eos, self.cache, self.counts_out = self._decode_fn(
             self.params, self.tokens, self.active, self.cache,
@@ -484,8 +552,12 @@ class ContinuousBatchingScheduler:
             req = self._active[slot]
             req.out_tokens.append(int(nxt_np[slot]))
             req.out_logprobs.append(float(lp_np[slot]))
+            done_struct = self._struct_after_token(slot, req,
+                                                   int(nxt_np[slot]))
             if eos_np[slot]:
                 self._finish(slot, "eos")
+            elif done_struct:
+                self._finish(slot, "stop")
             elif len(req.out_tokens) >= req.max_new:
                 self._finish(slot, "length")
             elif len(req.prompt) + len(req.out_tokens) >= self.T:
@@ -590,13 +662,14 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                  config: Optional[InferenceConfig] = None,
                  batch_slots: int = 8, page_size: int = 256,
                  num_pages: Optional[int] = None,
-                 prefix_caching: bool = True):
+                 prefix_caching: bool = True, tokenizer=None):
         # page_size trades paged-kernel grid overhead against allocation
         # / prefix-sharing granularity: on v5e, 7B decode with 64-token
         # pages runs 53.7 ms/step (4096 grid cells/layer) vs 40.7 with
         # 256-token pages — within 3% of the contiguous cache (39.4).
         from turboinfer_tpu.engine import paged_cache as pc
-        super().__init__(params, model_config, config, batch_slots)
+        super().__init__(params, model_config, config, batch_slots,
+                         tokenizer=tokenizer)
         if not hasattr(self._model, "forward_paged_decode"):
             raise NotImplementedError(
                 f"{model_config.architecture} has no forward_paged_decode")
@@ -800,8 +873,11 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             self.budget = self.budget.at[slot].set(
                 req.max_new - len(req.out_tokens))
             self._active[slot] = req
+            done_struct = self._struct_after_token(slot, req, first_i)
             if first_i == self.config.eos_token_id:
                 self._finish(slot, "eos")
+            elif done_struct:
+                self._finish(slot, "stop")
             elif len(req.out_tokens) >= req.max_new:
                 self._finish(slot, "length")
 
@@ -840,8 +916,12 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             req = self._active[slot]
             req.out_tokens.append(int(nxt_np[slot]))
             req.out_logprobs.append(float(lp_np[slot]))
+            done_struct = self._struct_after_token(slot, req,
+                                                   int(nxt_np[slot]))
             if eos_np[slot]:
                 self._finish(slot, "eos")
+            elif done_struct:
+                self._finish(slot, "stop")
             elif len(req.out_tokens) >= req.max_new:
                 self._finish(slot, "length")
             elif len(req.prompt) + len(req.out_tokens) >= self.T:

@@ -188,13 +188,25 @@ class Handler(BaseHTTPRequestHandler):
                 self._error(400, "'logit_bias' must map token ids to "
                                  "biases")
                 return
+        rf = body.get("response_format") or None
+        if rf is not None:
+            rf = rf.get("type") if isinstance(rf, dict) else str(rf)
+            if rf in (None, "text"):
+                rf = None
+            elif rf not in ("json", "json_object"):
+                self._error(400, f"unsupported response_format '{rf}'")
+                return
+            elif self.engine.sched.tokenizer is None:
+                self._error(400, "response_format needs a tokenizer-"
+                                 "backed server")
+                return
         kw = dict(temperature=fget("temperature"),
                   top_k=None if top_k is None else int(top_k),
                   top_p=fget("top_p"), min_p=fget("min_p"),
                   repetition_penalty=fget("repetition_penalty"),
                   presence_penalty=fget("presence_penalty"),
                   frequency_penalty=fget("frequency_penalty"),
-                  logit_bias=lb)
+                  logit_bias=lb, response_format=rf)
         try:
             rids = [eng.submit(prompt_ids, max_new, **kw)
                     for _ in range(n)]

@@ -2,7 +2,8 @@
 Beyond-reference subsystem — guarantees outputs parse (JSON today)."""
 
 from turboinfer_tpu.structured.filter import JsonTokenFilter, \
-    token_bytes_table
+    TokenMaskCache, token_bytes_table
 from turboinfer_tpu.structured import json_fsm
 
-__all__ = ["JsonTokenFilter", "token_bytes_table", "json_fsm"]
+__all__ = ["JsonTokenFilter", "TokenMaskCache", "token_bytes_table",
+           "json_fsm"]
