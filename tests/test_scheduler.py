@@ -418,3 +418,92 @@ def test_scheduler_mesh_burst_decode(tiny_params, tiny_cfg):
                                         mesh=make_mesh((2, 4)))
     r1 = sched.submit([1, 5, 9], 10)
     assert sched.run()[r1].tokens == want
+
+
+# ---------------------------------------------------------------------------
+# Chunked admission: prefill/decode mixing (SURVEY §7 hard part 3)
+# ---------------------------------------------------------------------------
+
+def _drive(sched, long_prompt):
+    """Shared request pattern: decode r1 a few steps, then admit a long
+    prompt mid-flight, then drain."""
+    r1 = sched.submit([1, 2, 3], 24, temperature=0.0)
+    for _ in range(4):
+        sched.step()
+    r2 = sched.submit(long_prompt, 8, temperature=0.0)
+    results = sched.run()
+    return results[r1].tokens, results[r2].tokens
+
+
+def test_chunked_admission_trajectory_identical(sched_setup):
+    """Greedy outputs with chunked admission must exactly match the
+    full-width-prefill scheduler (same submit/step sequence)."""
+    params, mcfg, cfg = sched_setup
+    long_prompt = list(range(1, 41))
+    import dataclasses
+    cfg_chunk = dataclasses.replace(cfg, prefill_chunk=8)
+
+    base = ContinuousBatchingScheduler(params, mcfg, cfg, batch_slots=2)
+    want1, want2 = _drive(base, long_prompt)
+    ck = ContinuousBatchingScheduler(params, mcfg, cfg_chunk,
+                                     batch_slots=2)
+    got1, got2 = _drive(ck, long_prompt)
+    assert got1 == want1
+    assert got2 == want2
+
+
+def test_chunked_admission_decodes_keep_flowing(sched_setup):
+    """While a long prompt admits chunk-by-chunk, live decodes must
+    advance every step (the whole point: no full-prompt stall)."""
+    import dataclasses
+    params, mcfg, cfg = sched_setup
+    cfg = dataclasses.replace(cfg, prefill_chunk=8, prefill_bucket=False)
+    sched = ContinuousBatchingScheduler(params, mcfg, cfg, batch_slots=2)
+    r1 = sched.submit([1, 2, 3], 40, temperature=0.0)
+    sched.step()                                  # admit + first decode
+    n0 = len(sched.get_request(r1).out_tokens)
+    r2 = sched.submit(list(range(1, 33)), 4, temperature=0.0)  # 4 chunks
+    for i in range(4):
+        sched.step()                              # one chunk + one decode
+        assert sched._adm is not None or i == 3
+        n1 = len(sched.get_request(r1).out_tokens)
+        assert n1 == n0 + i + 1, "decode stalled during admission"
+    assert sched._adm is None                     # admission completed
+    assert len(sched.get_request(r2).out_tokens) >= 1
+    results = sched.run()
+    assert all(r.finished for r in results.values())
+
+
+def test_chunked_admission_cancel_mid_flight(sched_setup):
+    """Cancelling a request during its chunked admission frees it
+    without activating the slot; other requests are unaffected."""
+    import dataclasses
+    params, mcfg, cfg = sched_setup
+    cfg = dataclasses.replace(cfg, prefill_chunk=8, prefill_bucket=False)
+    sched = ContinuousBatchingScheduler(params, mcfg, cfg, batch_slots=2)
+    r1 = sched.submit([1, 2, 3], 16, temperature=0.0)
+    sched.step()
+    r2 = sched.submit(list(range(1, 33)), 8, temperature=0.0)
+    sched.step()                                  # first chunk in flight
+    assert sched._adm is not None
+    assert sched.cancel(r2, reason="client gone")
+    results = sched.run()
+    assert results[r2].stop_reason == "client gone"
+    assert results[r2].tokens == list(range(1, 33))   # no output tokens
+    assert results[r1].finished
+
+
+def test_chunked_admission_queue_behind(sched_setup):
+    """Requests queued behind a chunked admission admit after it
+    completes; everything drains."""
+    import dataclasses
+    params, mcfg, cfg = sched_setup
+    cfg = dataclasses.replace(cfg, prefill_chunk=8, prefill_bucket=False)
+    sched = ContinuousBatchingScheduler(params, mcfg, cfg, batch_slots=2)
+    sched.submit([1, 2, 3], 30, temperature=0.0)
+    sched.step()
+    rids = [sched.submit(list(range(1, 33)), 6, temperature=0.0),
+            sched.submit([7, 8], 6, temperature=0.0)]
+    results = sched.run()
+    assert all(results[r].finished for r in rids)
+    assert all(len(results[r].tokens) > 0 for r in rids)

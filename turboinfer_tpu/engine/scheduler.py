@@ -114,6 +114,11 @@ class ContinuousBatchingScheduler:
         # request (structured/filter.TokenMaskCache)
         self.tokenizer = tokenizer
         self._maskers: Dict[bool, Any] = {}
+        # in-flight CHUNKED admission (config.prefill_chunk > 0): one
+        # prompt-chunk forward runs per step(), interleaved with decode
+        # steps, so live decodes stall at most one chunk — never a full
+        # prompt-length (SURVEY §7 hard part 3 / VERDICT r2 item 4).
+        self._adm: Optional[Dict[str, Any]] = None
         self._queue: Deque[_Request] = deque()
         self._active: Dict[int, _Request] = {}       # slot -> request
         self._done: Dict[int, _Request] = {}
@@ -326,6 +331,16 @@ class ContinuousBatchingScheduler:
             if req.rid == rid:
                 self._finish(slot, reason)
                 return True
+        if self._adm is not None:
+            for req in self._adm["group"]:
+                if req.rid == rid and not req.finished:
+                    # mid-chunked-prefill: the batched chunk forwards
+                    # keep running (fixed shapes), but the slot is never
+                    # activated — _activate_prefilled skips it.
+                    req.finished = True
+                    req.stop_reason = reason
+                    self._done[rid] = req
+                    return True
         return False
 
     def get_request(self, rid: int):
@@ -339,6 +354,10 @@ class ContinuousBatchingScheduler:
         for req in self._queue:
             if req.rid == rid:
                 return req
+        if self._adm is not None:
+            for req in self._adm["group"]:
+                if req.rid == rid:
+                    return req
         return None
 
     def _set_slot_sp(self, slot: int, req: _Request):
@@ -391,10 +410,13 @@ class ContinuousBatchingScheduler:
 
     @property
     def pending(self) -> int:
-        return len(self._queue) + len(self._active)
+        adm = len(self._adm["group"]) if self._adm is not None else 0
+        return len(self._queue) + len(self._active) + adm
 
     def _free_slots(self) -> List[int]:
-        return [s for s in range(self.B) if s not in self._active]
+        held = set(self._adm["slots"]) if self._adm is not None else ()
+        return [s for s in range(self.B)
+                if s not in self._active and s not in held]
 
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
@@ -405,7 +427,17 @@ class ContinuousBatchingScheduler:
         with the same (bucketed) prompt width prefill as ONE batched
         forward — under burst load this collapses m admissions into a
         single device call (strict FIFO is preserved: only a same-width
-        run at the queue head batches)."""
+        run at the queue head batches).
+
+        When config.prefill_chunk > 0 and decodes are live, a long
+        prompt admits CHUNKED: one prefill_chunk-wide forward per
+        step(), interleaved with decode steps, so running requests
+        never stall for a full prompt-length (the reference has no
+        admission at all — generate_batch is sequential,
+        inference_engine.cpp:804-828)."""
+        if self._adm is not None:
+            self._adm_advance()
+            return
         while self._queue:
             free = self._free_slots()
             if not free:
@@ -438,6 +470,18 @@ class ContinuousBatchingScheduler:
                 pens.append(pen)
                 pc_rows.append(pc_row)
                 bias_rows.append(bias_row)
+            C = self.config.prefill_chunk
+            if 0 < C < S and self._active:
+                # Chunked admission — only while decodes are live (an
+                # idle scheduler prefills full-width: strictly faster).
+                self._adm = dict(
+                    group=group, slots=slots, arr=arr, S=S, C=C, pos=0,
+                    t0=t0, sps=sps, pens=pens, pc_rows=pc_rows,
+                    bias_rows=bias_rows, small=None, out_logits=None,
+                    lens=np.asarray([len(r.prompt) for r in group],
+                                    np.int64))
+                self._adm_advance()
+                return
             key = (m, S)
             if key not in self._prefill_cache:
                 self._prefill_cache[key] = self._prefill_fn(m, S)
@@ -452,28 +496,135 @@ class ContinuousBatchingScheduler:
                 tuple(stack([p[j] for p in pens]) for j in range(4)),
                 jnp.concatenate(pc_rows), jnp.concatenate(bias_rows))
             dt_ms = (time.perf_counter() - t0) * 1e3
-            first_np, lp_np = (np.asarray(a) for a in
-                               self._host_view((first, first_lp)))
-            for i, req in enumerate(group):
-                slot = slots[i]
-                req.prefill_ms = dt_ms
-                req.slot = slot
-                first_i = int(first_np[i])
-                req.out_tokens.append(first_i)
-                req.out_logprobs.append(float(lp_np[i]))
-                self.counts_out = self.counts_out.at[slot, first_i].add(1)
-                self.tokens = self.tokens.at[slot].set(first_i)
-                self.active = self.active.at[slot].set(True)
-                self.budget = self.budget.at[slot].set(
-                    req.max_new - len(req.out_tokens))
-                self._active[slot] = req
-                done_struct = self._struct_after_token(slot, req, first_i)
-                if first_i == self.config.eos_token_id:
-                    self._finish(slot, "eos")
-                elif done_struct:
-                    self._finish(slot, "stop")
-                elif len(req.out_tokens) >= req.max_new:
-                    self._finish(slot, "length")
+            self._activate_prefilled(group, slots, first, first_lp,
+                                     dt_ms)
+
+    def _activate_prefilled(self, group, slots, first, first_lp,
+                            dt_ms: float):
+        """Post-prefill bookkeeping shared by the full-width and chunked
+        admission paths: record each request's first token and mark its
+        slot live (or finish it immediately on eos/grammar/budget)."""
+        first_np, lp_np = (np.asarray(a) for a in
+                           self._host_view((first, first_lp)))
+        for i, req in enumerate(group):
+            if req.finished:          # cancelled mid-chunked-admission
+                continue
+            slot = slots[i]
+            req.prefill_ms = dt_ms
+            req.slot = slot
+            first_i = int(first_np[i])
+            req.out_tokens.append(first_i)
+            req.out_logprobs.append(float(lp_np[i]))
+            self.counts_out = self.counts_out.at[slot, first_i].add(1)
+            self.tokens = self.tokens.at[slot].set(first_i)
+            self.active = self.active.at[slot].set(True)
+            self.budget = self.budget.at[slot].set(
+                req.max_new - len(req.out_tokens))
+            self._active[slot] = req
+            done_struct = self._struct_after_token(slot, req, first_i)
+            if first_i == self.config.eos_token_id:
+                self._finish(slot, "eos")
+            elif done_struct:
+                self._finish(slot, "stop")
+            elif len(req.out_tokens) >= req.max_new:
+                self._finish(slot, "length")
+
+    # -- chunked admission (prefill/decode mixing) -----------------------
+
+    @functools.cached_property
+    def _adm_cache(self):
+        return {}
+
+    def _adm_chunk_fn(self, m: int, C: int):
+        """One prompt chunk for m admitting rows: append to their small
+        prefill cache at the current fill and capture last-token logits
+        for rows whose prompt ends inside this chunk."""
+        cfg = self.model_config
+        model = self._model
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def chunk_fwd(params, chunk, chunk_lens, small, sel, out_logits):
+            logits, small = model.forward(params, cfg, chunk, small,
+                                          seq_lens=chunk_lens)
+            idx = jnp.maximum(chunk_lens - 1, 0)
+            last = jnp.take_along_axis(
+                logits, idx[:, None, None].astype(jnp.int32),
+                axis=1)[:, 0]
+            out_logits = jnp.where(sel[:, None],
+                                   last.astype(jnp.float32), out_logits)
+            return small, out_logits
+        return chunk_fwd
+
+    def _adm_final_fn(self, m: int):
+        """Finalize a chunked admission: sample each row's first token
+        (same math as _prefill_fn's tail) and scatter the small cache
+        into the slot pool."""
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def final(small, cache, out_logits, slots, seq_lens, rng, t, k,
+                  p, pen, pc_rows, bias_rows):
+            last = out_logits + bias_rows
+            minp, rep, pres, freq = pen
+            first = sampling.sample_per_slot(
+                rng, last, t, k, p, min_p=minp,
+                repetition_penalty=rep, presence_penalty=pres,
+                frequency_penalty=freq, counts=pc_rows,
+                out_counts=jnp.zeros_like(pc_rows))
+            first_lp = sampling.token_logprob(last, first)
+            kc = cache.k.at[:, slots].set(small.k.astype(cache.k.dtype))
+            vc = cache.v.at[:, slots].set(small.v.astype(cache.v.dtype))
+            length = cache.length.at[slots].set(seq_lens)
+            return first, first_lp, KVCache(k=kc, v=vc, length=length)
+        return final
+
+    def _adm_advance(self):
+        """Run ONE prompt chunk of the in-flight admission (called once
+        per step(), before the decode step)."""
+        a = self._adm
+        group, slots = a["group"], a["slots"]
+        m, S, C, pos = len(group), a["S"], a["C"], a["pos"]
+        if a["small"] is None:
+            a["small"] = self._model.init_cache(
+                self.model_config, m, max_seq=self.T,
+                dtype=self._kv_dtype, fused=self.cache.fused_layout)
+            a["out_logits"] = jnp.zeros(
+                (m, self.model_config.vocab_size), jnp.float32)
+        c1 = min(pos + C, S)
+        chunk = a["arr"][:, pos:c1]
+        if chunk.shape[1] < C:
+            chunk = np.pad(chunk, ((0, 0), (0, C - chunk.shape[1])),
+                           constant_values=self.config.pad_token_id)
+        lens = a["lens"]
+        chunk_lens = np.clip(lens - pos, 0, C).astype(np.int32)
+        sel = (lens - 1 >= pos) & (lens - 1 < c1)
+        ckey = ("chunk", m, C)
+        if ckey not in self._adm_cache:
+            self._adm_cache[ckey] = self._adm_chunk_fn(m, C)
+        a["small"], a["out_logits"] = self._adm_cache[ckey](
+            self.params, jnp.asarray(chunk), jnp.asarray(chunk_lens),
+            a["small"], jnp.asarray(sel), a["out_logits"])
+        a["pos"] = c1
+        if c1 < S:
+            return
+        # last chunk done — sample first tokens + scatter into the pool
+        fkey = ("final", m)
+        if fkey not in self._adm_cache:
+            self._adm_cache[fkey] = self._adm_final_fn(m)
+        stack = jnp.stack
+        sps, pens = a["sps"], a["pens"]
+        first, first_lp, self.cache = self._adm_cache[fkey](
+            a["small"], self.cache, a["out_logits"],
+            jnp.asarray(slots, jnp.int32),
+            jnp.asarray([len(r.prompt) for r in group], jnp.int32),
+            self._next_rng(),
+            stack([s[0] for s in sps]), stack([s[1] for s in sps]),
+            stack([s[2] for s in sps]),
+            tuple(stack([p[j] for p in pens]) for j in range(4)),
+            jnp.concatenate(a["pc_rows"]),
+            jnp.concatenate(a["bias_rows"]))
+        dt_ms = (time.perf_counter() - a["t0"]) * 1e3
+        self._adm = None
+        self._activate_prefilled(group, slots, first, first_lp, dt_ms)
 
     def _masker(self, require_object: bool):
         m = self._maskers.get(require_object)
@@ -534,7 +685,9 @@ class ContinuousBatchingScheduler:
         Returns number of live slots."""
         self._admit()
         if not self._active:
-            return 0
+            # nothing decoding — but an in-flight chunked admission
+            # still counts as live work for drivers polling step()
+            return 0 if self._adm is None else len(self._adm["group"])
         if self.decode_burst > 1 and not self._has_structured():
             # structured slots need their mask refreshed every token —
             # fall back to single steps while any are live.

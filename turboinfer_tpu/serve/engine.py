@@ -151,6 +151,7 @@ class ServingEngine:
         for req in list(self.sched._active.values()):
             self.sched.cancel(req.rid, reason="error")
         self.sched._queue.clear()
+        self.sched._adm = None        # abandon an in-flight admission
         self.sched._done.clear()
 
     def _run(self):
