@@ -115,8 +115,11 @@ def cmd_quantize(args):
     cfg = QuantizationConfig(type=QuantType(args.type),
                              scale_method=args.scale_method,
                              group_size=args.group_size,
-                             symmetric=not args.asymmetric)
-    quantize_model_file(args.input, args.output, cfg)
+                             symmetric=not args.asymmetric,
+                             calibration_samples=args.calibration_samples,
+                             calibration_max_len=args.calibration_max_len)
+    quantize_model_file(args.input, args.output, cfg,
+                        calibrate=args.calibrate)
     print(f"wrote {args.output}")
     return 0
 
@@ -266,6 +269,13 @@ def main(argv=None):
                    default="absmax",
                    help="mse: per-group clipping-threshold search "
                         "(lower quantization error)")
+    q.add_argument("--calibrate", action="store_true",
+                   help="activation-calibrated scales: run the fp "
+                        "model over calibration sequences and weight "
+                        "the scale search by per-channel activation "
+                        "moments (llama family)")
+    q.add_argument("--calibration-samples", type=int, default=128)
+    q.add_argument("--calibration-max-len", type=int, default=512)
     q.set_defaults(fn=cmd_quantize)
 
     i = sub.add_parser("inspect", help="print model file metadata")

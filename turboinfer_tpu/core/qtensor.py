@@ -172,7 +172,8 @@ def _group_reduce(x: jax.Array, group_size: int):
 
 
 def _mse_scale(xg: jax.Array, base_scale: jax.Array, qmax: float,
-               num_grid: int = 16, shrink_min: float = 0.30) -> jax.Array:
+               num_grid: int = 16, shrink_min: float = 0.30,
+               moments: Optional[jax.Array] = None) -> jax.Array:
     """Per-group scale minimizing round-trip squared error.
 
     Grid-searches shrink factors c ∈ [shrink_min, 1] applied to the
@@ -182,14 +183,31 @@ def _mse_scale(xg: jax.Array, base_scale: jax.Array, qmax: float,
     worse than plain absmax. (The clipping-threshold search used by AWQ
     and llama.cpp's imatrix-free i-quants, in weight space.)
 
+    moments (optional [G, g]): per-input-channel activation second
+    moments E[x_k²] from a calibration pass (quant/calibrate.py).
+    Weighting the error by them makes the objective the DIAGONAL
+    approximation of the layer output MSE ||x@W - x@Ŵ||² — channels the
+    model actually drives hard get quantized more faithfully
+    (llama.cpp's imatrix, AWQ's activation-aware criterion).
+
     xg: [G, g, N] grouped weights; base_scale: [G, N] absmax/qmax.
     """
     best_err = None
     best = base_scale
+    m = None
+    if moments is not None:
+        # Floor at 1% of the mean moment: channels never activated in
+        # calibration still count a little, so their weights don't get
+        # clipped arbitrarily hard.
+        mf = moments.astype(jnp.float32)
+        m = (jnp.maximum(mf, 0.01 * jnp.mean(mf)))[:, :, None]  # [G, g, 1]
     for c in jnp.linspace(1.0, shrink_min, num_grid):
         s = jnp.maximum(base_scale * c, 1e-12)
         q = jnp.clip(jnp.round(xg / s[:, None, :]), -qmax, qmax)
-        err = jnp.sum(jnp.square(q * s[:, None, :] - xg), axis=1)  # [G, N]
+        sq = jnp.square(q * s[:, None, :] - xg)
+        if m is not None:
+            sq = sq * m
+        err = jnp.sum(sq, axis=1)                              # [G, N]
         if best_err is None:
             best_err = err
         else:
@@ -201,7 +219,8 @@ def _mse_scale(xg: jax.Array, base_scale: jax.Array, qmax: float,
 
 def quantize(w: jax.Array, qtype: QuantType, *, group_size: int = 64,
              symmetric: bool = True, scale_dtype=jnp.bfloat16,
-             scale_method: str = "absmax") -> QTensor:
+             scale_method: str = "absmax",
+             weight_moments: Optional[jax.Array] = None) -> QTensor:
     # bf16 scales by default: f32 scales add 25% HBM traffic on top of
     # int4 data at g=64; the ~0.4% scale rounding is far below the int4
     # quantization error itself.
@@ -220,19 +239,31 @@ def quantize(w: jax.Array, qtype: QuantType, *, group_size: int = 64,
                 f"(K={K}, group_size={g_eff})")
     if scale_method not in ("absmax", "mse"):
         raise QuantizationError(f"unknown scale_method '{scale_method}'")
-    if scale_method == "mse" and not symmetric:
+    if (scale_method == "mse" or weight_moments is not None) \
+            and not symmetric:
         raise QuantizationError(
-            "scale_method='mse' requires symmetric quantization")
+            "scale_method='mse' / calibrated quantization requires "
+            "symmetric quantization")
     wf = w.astype(jnp.float32)
     xg, G, pad = _group_reduce(wf, group_size)
     g = xg.shape[1]
+    mg = None
+    if weight_moments is not None:
+        # weight_moments: [K] per-input-channel E[x²] — group like w.
+        mf = jnp.asarray(weight_moments, jnp.float32).reshape(-1)
+        if mf.shape[0] != K:
+            raise QuantizationError(
+                f"weight_moments length {mf.shape[0]} != K={K}")
+        if pad:
+            mf = jnp.pad(mf, (0, pad))
+        mg = mf.reshape(G, g)
 
     if symmetric:
         qmax = 127.0 if bits == 8 else 7.0
         absmax = jnp.max(jnp.abs(xg), axis=1)                     # [G, N]
         scale = jnp.where(absmax > 0, absmax / qmax, 1.0)         # [G, N]
-        if scale_method == "mse":
-            scale = _mse_scale(xg, scale, qmax)
+        if scale_method == "mse" or mg is not None:
+            scale = _mse_scale(xg, scale, qmax, moments=mg)
         q = jnp.round(xg / scale[:, None, :])
         q = jnp.clip(q, -qmax, qmax)
         zp = None

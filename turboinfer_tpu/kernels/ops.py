@@ -14,6 +14,7 @@ the numerical golden model.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional, Tuple
 
@@ -22,6 +23,22 @@ import jax.numpy as jnp
 
 from turboinfer_tpu.config import RopeMode
 from turboinfer_tpu.core.qtensor import QTensor, unpack_int4
+
+# Calibration hook (quant/calibrate.py): while a tap is installed, every
+# qmatmul reports (x, w, layer_index) before computing. Eager-mode tool
+# only — inside jit the tap would see tracers.
+_QMM_TAP = None
+
+
+@contextlib.contextmanager
+def qmm_tap(fn):
+    global _QMM_TAP
+    prev = _QMM_TAP
+    _QMM_TAP = fn
+    try:
+        yield
+    finally:
+        _QMM_TAP = prev
 
 # Large-negative constant for masking; avoids -inf NaN propagation in softmax
 # when an entire row is masked (unlike the reference's raw -inf at
@@ -307,6 +324,8 @@ def qmatmul(x: jax.Array, w, preferred_dtype=jnp.float32,
     the Pallas kernel then reads layer `i` directly from the stacked
     HBM array via scalar prefetch, avoiding a per-layer weight copy.
     """
+    if _QMM_TAP is not None:
+        _QMM_TAP(x, w, layer_index)
     if isinstance(w, QTensor):
         from turboinfer_tpu.kernels import dispatch
         return dispatch.qmatmul(x, w, preferred_dtype, layer_index)

@@ -59,13 +59,18 @@ def _matmul_slots(params: Dict[str, Any]) -> tuple:
                  if hasattr(v, "ndim") and v.ndim == 3)
 
 
-def _quantize_stacked(w: jax.Array, cfg: QuantizationConfig) -> QTensor:
+def _quantize_stacked(w: jax.Array, cfg: QuantizationConfig,
+                      moments=None) -> QTensor:
     """Quantize a stacked [L, K, N] weight layer-by-layer and restack so
-    lax.scan over layers sees per-layer QTensors."""
+    lax.scan over layers sees per-layer QTensors. moments: optional
+    [L, K] per-layer activation second moments (quant/calibrate.py) —
+    switches the scale search to activation-weighted MSE."""
     L = w.shape[0]
     qts = [quantize(w[i], cfg.type, group_size=cfg.group_size,
                     symmetric=cfg.symmetric,
-                    scale_method=cfg.scale_method) for i in range(L)]
+                    scale_method=cfg.scale_method,
+                    weight_moments=None if moments is None
+                    else moments[i]) for i in range(L)]
     data = jnp.stack([q.data for q in qts])
     scales = jnp.stack([q.scales for q in qts])
     zp = (None if qts[0].zero_points is None
@@ -97,14 +102,19 @@ def _quantize_experts(w: jax.Array, cfg: QuantizationConfig) -> QTensor:
                    group_size=qts[0].group_size, shape=qts[0].shape)
 
 
-def quantize_params(params: Dict[str, Any], cfg: QuantizationConfig
+def quantize_params(params: Dict[str, Any], cfg: QuantizationConfig,
+                    moments: Optional[Dict[str, Any]] = None
                     ) -> Dict[str, Any]:
     """Quantize every matmul weight (reference: quantize_model,
     quantization.cpp:89-118 — which quantizes every f32 tensor including
     embeddings). skip_embeddings=True (default) keeps embed + lm_head
     fp; False quantizes lm_head group-wise like any matmul and the
     embedding table per-row int8 (QEmbed — a gather can't fuse
-    group-wise dequant, so only the gathered rows dequantize)."""
+    group-wise dequant, so only the gathered rows dequantize).
+
+    moments: optional {slot: [L, K]} (+ "lm_head": [K]) activation
+    second moments from quant/calibrate.collect_moments — slots present
+    get activation-weighted scale search, others quantize as before."""
     if cfg.type in (QuantType.NONE,):
         return params
     if cfg.type == QuantType.FLOAT16:
@@ -116,7 +126,9 @@ def quantize_params(params: Dict[str, Any], cfg: QuantizationConfig
     out = {k: v for k, v in params.items() if k not in ("layers", "lm_head")}
     layers = dict(params["layers"])
     for name in _matmul_slots(params):
-        layers[name] = _quantize_stacked(layers[name], cfg)
+        layers[name] = _quantize_stacked(
+            layers[name], cfg,
+            moments=None if moments is None else moments.get(name))
     # GPT-OSS experts carry biases and a custom GLU computed by einsum
     # (models/gptoss._moe_ffn) — those stay fp; marker: be_gate slot.
     if "be_gate" not in layers:
@@ -139,10 +151,11 @@ def quantize_params(params: Dict[str, Any], cfg: QuantizationConfig
     if cfg.skip_embeddings or isinstance(head, QTensor) or head.ndim != 2:
         out["lm_head"] = head
     else:
-        out["lm_head"] = quantize(head, cfg.type,
-                                  group_size=cfg.group_size,
-                                  symmetric=cfg.symmetric,
-                                  scale_method=cfg.scale_method)
+        out["lm_head"] = quantize(
+            head, cfg.type, group_size=cfg.group_size,
+            symmetric=cfg.symmetric, scale_method=cfg.scale_method,
+            weight_moments=None if moments is None
+            else moments.get("lm_head"))
     emb = out.get("embed")
     if (not cfg.skip_embeddings and emb is not None
             and not isinstance(emb, QEmbed) and emb.ndim == 2):
@@ -243,10 +256,23 @@ def validate_quantization_accuracy(
 
 
 def quantize_model_file(input_path: str, output_path: str,
-                        cfg: QuantizationConfig) -> None:
+                        cfg: QuantizationConfig, *,
+                        calibrate: bool = False,
+                        sample_tokens: Optional[
+                            Sequence[Sequence[int]]] = None) -> None:
     """One-shot file pipeline (reference: quantize_model_file,
-    quantization.cpp:651-658): load → quantize → persist."""
+    quantization.cpp:651-658): load → quantize → persist.
+
+    calibrate=True activates the activation-calibrated scale search
+    (quant/calibrate.py) using `sample_tokens` or
+    cfg.calibration_samples synthetic sequences."""
     from turboinfer_tpu.loader import loader, tinq
     model = loader.load_model_data(input_path)
-    qparams = quantize_params(model.params, cfg)
+    if calibrate:
+        from turboinfer_tpu.quant.calibrate import \
+            calibrated_quantize_params
+        qparams = calibrated_quantize_params(
+            model.params, cfg, model.config, sample_tokens=sample_tokens)
+    else:
+        qparams = quantize_params(model.params, cfg)
     tinq.save(output_path, qparams, model.config, cfg)
