@@ -1,6 +1,7 @@
 """7B prefill timing on the real chip (dispatch-RTT corrected).
 
-Usage (from repo root): python benchmarks/profile_prefill.py [S] [B] [BITS]
+Usage (from repo root):
+    python benchmarks/profile_prefill.py [S] [B] [BITS] [GROUP_SIZE]
 """
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
@@ -13,8 +14,9 @@ from turboinfer_tpu.models import llama
 S = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 BITS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+GS = int(sys.argv[4]) if len(sys.argv) > 4 else 64
 cfg = llama7b_config(dtype=jnp.bfloat16, max_seq_len=max(1024, S))
-data = create_synthetic_quantized_model(cfg, bits=BITS, group_size=64)
+data = create_synthetic_quantized_model(cfg, bits=BITS, group_size=GS)
 params = dispatch.prepare_params(data.params); del data
 
 @jax.jit

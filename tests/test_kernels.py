@@ -294,6 +294,33 @@ def test_prefill_kernel_sliding_window_interpret():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_prefill_kernel_stacked_layer_interpret():
+    """Stacked-cache prefill: layer `li` read from the full [L, ...]
+    stack via scalar prefetch must match the per-layer kernel and the
+    jnp reference (chunked offsets + GQA + ragged kv_len)."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from turboinfer_tpu.kernels import ops
+    from turboinfer_tpu.kernels.pallas import flash_attention
+    L, B, S, Hq, Hkv, T, D = 3, 2, 64, 8, 4, 256, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, Hq, D), jnp.float32)
+    ks = jax.random.normal(jax.random.PRNGKey(1), (L, B, Hkv, T, D),
+                           jnp.float32)
+    vs = jax.random.normal(jax.random.PRNGKey(2), (L, B, Hkv, T, D),
+                           jnp.float32)
+    q_start = jnp.asarray([30, 0])
+    kv_len = jnp.asarray([94, 64])
+    positions = q_start[:, None] + jnp.arange(S)[None, :]
+    for li in (0, 2):
+        ref = ops.attention_prefill_ref(q, ks[li], vs[li], causal=True,
+                                        positions=positions, kv_len=kv_len)
+        got = flash_attention.prefill_pallas(
+            q, ks, vs, causal=True, kv_len=kv_len, q_start=q_start,
+            layer_index=jnp.int32(li), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"li={li}")
+
+
 def test_decode_kernel_softcap_interpret():
     """Attention logit soft-capping (Gemma2) in the decode kernel vs the
     jnp reference."""

@@ -101,26 +101,31 @@ def _qmm_small(x, qt, preferred_dtype, layer_index, stacked):
 # -- attention ---------------------------------------------------------------
 
 def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
-                      q_start=None, window=None, softcap=None, alibi=None):
+                      q_start=None, window=None, softcap=None, alibi=None,
+                      layer_index=None):
+    """k/v: [B, Hkv, T, D], or the full stacked [L, B, Hkv, T, D] when
+    `layer_index` is given — the Pallas flash kernel then reads layer
+    `layer_index` directly from HBM (no per-layer slice copy; same
+    copy-insertion trap as scan-sliced weights, see qmm stacked path)."""
     from turboinfer_tpu.kernels import ops
-    if alibi is not None:
-        # ALiBi (Falcon-RW/BLOOM) runs the jnp path; the Pallas kernels
-        # do not carry the per-head score bias (yet).
-        return ops.attention_prefill_ref(q, k, v, causal=causal,
-                                         positions=positions, kv_len=kv_len,
-                                         window=window, softcap=softcap,
-                                         alibi=alibi)
-    if pallas_enabled():
+    if alibi is None and pallas_enabled():
         from turboinfer_tpu.kernels.pallas import flash_attention
         y = flash_attention.prefill_pallas(q, k, v, causal=causal,
                                            positions=positions, kv_len=kv_len,
                                            q_start=q_start, window=window,
-                                           softcap=softcap)
+                                           softcap=softcap,
+                                           layer_index=layer_index)
         if y is not None:
             return y
-    return ops.attention_prefill_ref(q, k, v, causal=causal,
-                                     positions=positions, kv_len=kv_len,
-                                     window=window, softcap=softcap)
+    if layer_index is not None:
+        k = jax.lax.dynamic_index_in_dim(k, layer_index, 0, keepdims=False)
+        v = jax.lax.dynamic_index_in_dim(v, layer_index, 0, keepdims=False)
+    # ALiBi (Falcon-RW/BLOOM) runs the jnp path; the Pallas kernels do
+    # not carry the per-head score bias (yet).
+    return ops.attention_prefill_ref(q, k.astype(q.dtype), v.astype(q.dtype),
+                                     causal=causal, positions=positions,
+                                     kv_len=kv_len, window=window,
+                                     softcap=softcap, alibi=alibi)
 
 
 def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,

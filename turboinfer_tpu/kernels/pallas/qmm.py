@@ -144,7 +144,8 @@ def _fact_eligible(bits: int, group_size: int) -> bool:
     return bits == 4 and group_size >= 256 and (group_size // 2) % 128 == 0
 
 
-def _fact_mode(bits: int, group_size: int, M: int, TK: int):
+def _fact_mode(bits: int, group_size: int, M: int, TK: int,
+               a8: bool = False):
     """Pick the factored-scale int4 variant for this shape.
 
     "wide":   half-group >= one 128-lane slice (g >= 256) — one pair of
@@ -162,12 +163,31 @@ def _fact_mode(bits: int, group_size: int, M: int, TK: int):
               masked copies multiply x VMEM by Gp, irrelevant at TM=8
               but prohibitive for prefill tiles (prefill amortizes
               dequant over TM rows anyway).
+    "folded": prefill-shaped M (> 8), any g — full-depth dots on
+              scale-premultiplied weights u*s with the -8/zp shift
+              folded into the rs correction dot (_folded_body): one
+              VPU pass fewer per weight than the baseline dequant,
+              which is the serialized VPU/MXU balance point at
+              TM >= 256.
     None:     not factorable — baseline per-weight dequant kernel.
     """
     import os
     if os.environ.get("TURBOINFER_QMM_NO_FACT") == "1" or bits != 4:
         return None
     g2 = group_size // 2
+    if M > 8:
+        pref = os.environ.get("TURBOINFER_QMM_PREFILL_KERNEL", "plain")
+        if (a8 or pref == "wide") and g2 >= 128 and g2 % 128 == 0:
+            return "wide"            # a8: int8 dots need the wide layout
+        if pref == "folded":
+            # MEASURED DEAD END (7B S=512 g=64: 77.2 ms vs plain's
+            # 63.4 same-session; compile 368 s vs 4 s): the [G, g2, TN]
+            # scale broadcast forces sublane-varying multiplies that
+            # Mosaic lowers through relayouts, costing far more than
+            # the one VPU subtract pass the fold saves. Kept reachable
+            # for re-measurement on future toolchains only.
+            return "folded"
+        return None
     if g2 >= 128 and g2 % 128 == 0:
         return "wide"
     if (g2 in (16, 32, 64) and M <= 8 and (TK // 2) % 128 == 0
@@ -317,10 +337,48 @@ def _masked_body(xl, xh, rs, qp, s, zp, acc_ref, *, nparts: int, TM: int):
     acc_ref[:] = acc
 
 
+def _folded_body(x_lo, x_hi, rs, qp, s, zp, acc_ref, *, group_size: int):
+    """Folded-shift int4 accumulation for one K tile (prefill tiles).
+
+    At prefill TM (256-512) the baseline kernel's per-weight dequant
+    chain — unpack, subtract 8 (and zp), cast, scale-multiply, cast,
+    ~5.5 VPU passes — costs about as many cycles as the MXU dot itself,
+    and the two serialize within a grid step: that is the measured
+    ~57% MFU ceiling. Folding the constant shift out of the element
+    path:
+
+        (u - 8 - zp) * s  =  u*s  -  (8 + zp)*s
+
+    leaves unpack, cast, multiply, cast (~4.5 passes) per weight; the
+    (8+zp)*s term contracts against the per-group activation row sums
+    as ONE tiny [TM, gk] @ [gk, TN] dot per tile (the same correction
+    the masked decode kernel uses). Same quantization math — only the
+    bf16 rounding point moves (u*s instead of (u-8)*s).
+
+    x_lo/x_hi: [TM, TK//2] bf16 pre-gathered halves; rs: [TM, gk] f32
+    per-group activation row sums; qp: [TK//2, TN] uint8; s (and
+    optional zp): [gk, TN] f32; acc_ref: [TM, TN] f32.
+    """
+    TK2, TN = qp.shape
+    g2 = group_size // 2
+    G = TK2 // g2
+    qi = qp.astype(jnp.int32)
+    lo = (qi & 0x0F).astype(jnp.float32).reshape(G, g2, TN)
+    hi = (qi >> 4).astype(jnp.float32).reshape(G, g2, TN)
+    w_lo = (lo * s[:, None, :]).reshape(TK2, TN).astype(jnp.bfloat16)
+    w_hi = (hi * s[:, None, :]).reshape(TK2, TN).astype(jnp.bfloat16)
+    szp = 8.0 * s if zp is None else (zp + 8.0) * s
+    acc_ref[:] += (jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
+                   + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
+                   - jnp.dot(rs, szp, preferred_element_type=jnp.float32))
+
+
 def _make_masked_kernel(nparts: int, asym: bool, kind: str, *, nk: int,
-                        group_size: int, out_dtype):
+                        group_size: int, out_dtype, folded: bool = False):
     """Masked factored int4 kernel factory (see _masked_body) for the
-    2-D ("2d"), stacked-layer ("stacked") or grouped ("grouped") grid."""
+    2-D ("2d"), stacked-layer ("stacked") or grouped ("grouped") grid.
+    folded=True swaps in _folded_body (same ref layout: the x halves
+    arrive unconcatenated and rs carries the shift correction)."""
     k_dim = 3 if kind == "grouped" else 2
 
     def kern(*refs):
@@ -348,9 +406,14 @@ def _make_masked_kernel(nparts: int, asym: bool, kind: str, *, nk: int,
             qp, s = q_ref[0], s_ref[0, 0].astype(jnp.float32)
             zp = None if zp_ref is None else zp_ref[0, 0].astype(jnp.float32)
         TM = acc_ref.shape[0]
-        _masked_body(xl.astype(jnp.bfloat16), xh.astype(jnp.bfloat16),
-                     rs.astype(jnp.float32), qp, s, zp, acc_ref,
-                     nparts=nparts, TM=TM)
+        if folded:
+            _folded_body(xl.astype(jnp.bfloat16), xh.astype(jnp.bfloat16),
+                         rs.astype(jnp.float32), qp, s, zp, acc_ref,
+                         group_size=group_size)
+        else:
+            _masked_body(xl.astype(jnp.bfloat16), xh.astype(jnp.bfloat16),
+                         rs.astype(jnp.float32), qp, s, zp, acc_ref,
+                         nparts=nparts, TM=TM)
 
         @pl.when(k == nk - 1)
         def _():
@@ -594,7 +657,7 @@ def _qmm_2d(x2, data, scales, zps, *, bits: int, group_size: int, K: int,
     nk = K // TK
 
     asym = zps is not None
-    mode = _fact_mode(bits, group_size, M, TK)
+    mode = _fact_mode(bits, group_size, M, TK, a8=a8 and not asym)
     a8 = a8 and bits == 4 and M > 8 and mode == "wide" and not asym
     kw = dict(nk=nk, group_size=group_size, out_dtype=out_dtype)
     nparts = 1
@@ -604,6 +667,8 @@ def _qmm_2d(x2, data, scales, zps, *, bits: int, group_size: int, K: int,
         kern = functools.partial(_kernel_int4_a8, **kw)
     elif mode == "wide":
         kern = _make_fact_kernel(asym, "2d", **kw)
+    elif mode == "folded":
+        kern = _make_masked_kernel(1, asym, "2d", folded=True, **kw)
     elif mode == "masked":
         nparts = 128 // (group_size // 2)
         kern = _make_masked_kernel(nparts, asym, "2d", **kw)
@@ -671,6 +736,12 @@ def _qmm_2d(x2, data, scales, zps, *, bits: int, group_size: int, K: int,
                                    memory_space=pltpu.VMEM)
             ins = [cat_spec, cat_spec, rs_spec, w_spec, s_spec, *zp_specs]
             args = (xl, xh, rs, data, scales3, *zp_ops)
+        elif mode == "folded":
+            rs = _group_row_sums(x2, Mp, K, group_size, nk)
+            rs_spec = pl.BlockSpec((1, TM, gk), lambda i, j, k: (k, i, 0),
+                                   memory_space=pltpu.VMEM)
+            ins = [half_spec, half_spec, rs_spec, w_spec, s_spec, *zp_specs]
+            args = (x_lo, x_hi, rs, data, scales3, *zp_ops)
         else:
             ins = [half_spec, half_spec, w_spec, s_spec, *zp_specs]
             args = (x_lo, x_hi, data, scales3, *zp_ops)
@@ -789,7 +860,7 @@ def _qmm_stacked(x2, data3, scales3, zps3, layer_idx, *, bits: int,
     scales4 = _retile_scales(scales3, L, nk, gk, N)
 
     asym = zps3 is not None
-    mode = _fact_mode(bits, group_size, M, TK)
+    mode = _fact_mode(bits, group_size, M, TK, a8=a8 and not asym)
     a8 = a8 and bits == 4 and M > 8 and mode == "wide" and not asym
     kw = dict(nk=nk, group_size=group_size, out_dtype=out_dtype)
     nparts = 1
@@ -799,6 +870,8 @@ def _qmm_stacked(x2, data3, scales3, zps3, layer_idx, *, bits: int,
         kern = functools.partial(_kernel_int4_a8_idx, **kw)
     elif mode == "wide":
         kern = _make_fact_kernel(asym, "stacked", **kw)
+    elif mode == "folded":
+        kern = _make_masked_kernel(1, asym, "stacked", folded=True, **kw)
     elif mode == "masked":
         nparts = 128 // (group_size // 2)
         kern = _make_masked_kernel(nparts, asym, "stacked", **kw)
@@ -861,6 +934,13 @@ def _qmm_stacked(x2, data3, scales3, zps3, layer_idx, *, bits: int,
                                    memory_space=pltpu.VMEM)
             ins = [cat_spec, cat_spec, rs_spec, w_spec, s_spec, *zp_specs]
             args = (idx_arr, xl, xh, rs, data3, scales4, *zp_ops)
+        elif mode == "folded":
+            rs = _group_row_sums(x2, Mp, K, group_size, nk)
+            rs_spec = pl.BlockSpec((1, TM, gk),
+                                   lambda i, j, k, idx: (k, i, 0),
+                                   memory_space=pltpu.VMEM)
+            ins = [half_spec, half_spec, rs_spec, w_spec, s_spec, *zp_specs]
+            args = (idx_arr, x_lo, x_hi, rs, data3, scales4, *zp_ops)
         else:
             ins = [half_spec, half_spec, w_spec, s_spec, *zp_specs]
             args = (idx_arr, x_lo, x_hi, data3, scales4, *zp_ops)
@@ -1003,6 +1083,8 @@ def _qmm_grouped(xg, data3, scales3, zps3, slots, *, bits: int,
         kern = functools.partial(_kernel_int8_grp, asym=asym, **kw)
     elif mode == "wide":
         kern = _make_fact_kernel(asym, "grouped", **kw)
+    elif mode == "folded":
+        kern = _make_masked_kernel(1, asym, "grouped", folded=True, **kw)
     elif mode == "masked":
         nparts = 128 // (group_size // 2)
         kern = _make_masked_kernel(nparts, asym, "grouped", **kw)
@@ -1074,6 +1156,16 @@ def _qmm_grouped(xg, data3, scales3, zps3, slots, *, bits: int,
                                    memory_space=pltpu.VMEM)
             ins = [cat_spec, cat_spec, rs_spec, w_spec, s_spec, *zp_specs]
             args = (idx_arr, xl, xh, rs, data3, scales4, *zp_ops)
+        elif mode == "folded":
+            gk_total = K // group_size
+            rs = xg.astype(jnp.float32).reshape(
+                G, Mp, gk_total, group_size).sum(-1).reshape(
+                G, Mp, nk, gk).transpose(0, 2, 1, 3)     # [G, nk, Mp, gk]
+            rs_spec = pl.BlockSpec((1, 1, TM, gk),
+                                   lambda g, i, j, k, idx: (g, k, i, 0),
+                                   memory_space=pltpu.VMEM)
+            ins = [half_spec, half_spec, rs_spec, w_spec, s_spec, *zp_specs]
+            args = (idx_arr, x_lo, x_hi, rs, data3, scales4, *zp_ops)
         else:
             ins = [half_spec, half_spec, w_spec, s_spec, *zp_specs]
             args = (idx_arr, x_lo, x_hi, data3, scales4, *zp_ops)

@@ -326,15 +326,20 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         attn = attn[:, None]                                     # [B,1,Hq,D]
     elif fused_cache:
         # Fused-head layout, per-layer [B, T, Hkv*D] (prefill body).
+        # Per-slot dynamic_update_slice (unrolled over the small static
+        # B) — a vmapped DUS over traced per-sequence starts lowers to a
+        # scatter, which XLA cannot update in place: it copied the whole
+        # layer cache every layer (measured ~4 ms of a 55 ms 7B S=512
+        # prefill before this fix).
         T = k_cache.shape[1]
-
-        def write_one(cache_b, new_b, start_b):
-            # cache_b: [T, HD]; new_b: [S, Hkv, D]
-            return jax.lax.dynamic_update_slice(
-                cache_b, encode_kv(new_b.reshape(S, Hkv * D),
-                                   cache_b.dtype), (start_b, 0))
-        k_cache = jax.vmap(write_one)(k_cache, k, start)
-        v_cache = jax.vmap(write_one)(v_cache, v, start)
+        newk = encode_kv(k.reshape(B, S, Hkv * D), k_cache.dtype)
+        newv = encode_kv(v.reshape(B, S, Hkv * D), v_cache.dtype)
+        for b in range(B):
+            idx = (b, start[b], 0)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, newk[b][None], idx)
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, newv[b][None], idx)
 
         # Only the S>1 prefill body reaches the per-layer fused cache
         # (S==1 decode always goes through the stacked branch above).
@@ -358,13 +363,20 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         else:
             attn = pre(config.sliding_window)()
     elif k_cache.ndim == 5:
-        # Decode over the FULL stacked [L, B, Hkv, T, D] cache: per-slot
-        # in-place writes at (li, b, 0, start_b, 0) — a vectorized
-        # scatter (or slicing layer li out first) makes XLA copy the
-        # whole cache every layer — and the attention kernel reads layer
-        # li straight from the stacked HBM array via scalar prefetch.
+        # Decode/prefill over the FULL stacked [L, B, Hkv, T, D] cache:
+        # per-slot in-place writes at (li, b, 0, start_b, 0) — a
+        # vectorized scatter (or slicing layer li out first) makes XLA
+        # copy the whole cache every layer — and the attention kernels
+        # read layer li straight from the stacked HBM array via scalar
+        # prefetch (decode AND flash-prefill).
         newk = encode_kv(k.transpose(0, 2, 1, 3), k_cache.dtype)
         newv = encode_kv(v.transpose(0, 2, 1, 3), v_cache.dtype)
+        if S > 1:
+            # Keep the transpose OUT of the update-slice fusion: fused,
+            # the in-place cache write inherits the stride-swapped read
+            # pattern and runs at ~68 GB/s (measured ~117 us/layer at
+            # S=512); materialized first, the write is contiguous.
+            newk, newv = jax.lax.optimization_barrier((newk, newv))
         for b in range(B):
             idx = (li, b, 0, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
@@ -372,24 +384,40 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, newv[b][None, None], idx)
 
-        def dec(window):
-            return lambda: ops.attention_decode(
-                q[:, 0], k_cache, v_cache, kv_len, layer_index=li,
-                window=window, softcap=cap)
-        if alternating:
-            attn = jax.lax.cond(is_global, dec(None),
-                                dec(config.sliding_window))
+        if S == 1:
+            def dec(window):
+                return lambda: ops.attention_decode(
+                    q[:, 0], k_cache, v_cache, kv_len, layer_index=li,
+                    window=window, softcap=cap)
+            if alternating:
+                attn = jax.lax.cond(is_global, dec(None),
+                                    dec(config.sliding_window))
+            else:
+                attn = dec(config.sliding_window)()
+            attn = attn[:, None]                                 # [B,1,Hq,D]
         else:
-            attn = dec(config.sliding_window)()
-        attn = attn[:, None]                                     # [B,1,Hq,D]
+            def pre(window):
+                return lambda: ops.attention_prefill(
+                    q, k_cache, v_cache, causal=True, positions=positions,
+                    kv_len=kv_len, q_start=start if contiguous else None,
+                    window=window, softcap=cap, layer_index=li)
+            if alternating:
+                attn = jax.lax.cond(is_global, pre(None),
+                                    pre(config.sliding_window))
+            else:
+                attn = pre(config.sliding_window)()
     else:
-        def write_one(cache_b, new_b, start_b):
-            # cache_b: [Hkv, T, D]; new_b: [S, Hkv, D] -> [Hkv, S, D]
-            return jax.lax.dynamic_update_slice(
-                cache_b, encode_kv(new_b.transpose(1, 0, 2), cache_b.dtype),
-                (0, start_b, 0))
-        k_cache = jax.vmap(write_one)(k_cache, k, start)
-        v_cache = jax.vmap(write_one)(v_cache, v, start)
+        # Per-slot in-place writes, unrolled over static B (a vmapped
+        # DUS over traced starts is a scatter -> full-cache copy per
+        # layer; same trap and fix as the stacked decode branch above).
+        newk = encode_kv(k.transpose(0, 2, 1, 3), k_cache.dtype)
+        newv = encode_kv(v.transpose(0, 2, 1, 3), v_cache.dtype)
+        for b in range(B):
+            idx = (b, 0, start[b], 0)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, newk[b][None], idx)
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, newv[b][None], idx)
 
         if S == 1:
             def dec(window):
@@ -486,13 +514,18 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     fused = cache.fused_layout
     cache = cache_bits_view(cache)
 
-    if S == 1:
-        # Decode: the stacked cache flows through whole — _layer_forward
-        # writes token slots in place and the attention kernel reads its
-        # layer via scalar prefetch. Slicing layer i here instead costs
-        # a full [B, Hkv, T, D] copy (plus write-back) per layer per
-        # step — measured 39 -> 72 ms/step going T=1024 -> 2048 on
-        # 7B-int4 B=8 with the slice, flat ~12 ms without.
+    if S == 1 or (not fused and cache.k.ndim == 5
+                  and cache.k.dtype != jnp.uint8):
+        # Decode AND head-major prefill: the stacked cache flows
+        # through whole — _layer_forward writes token slots in place
+        # and the attention kernels read their layer via scalar
+        # prefetch. Slicing layer i here instead costs a full
+        # [B, Hkv, T, D] copy (plus write-back) per layer per step —
+        # measured 39 -> 72 ms/step going T=1024 -> 2048 on 7B-int4
+        # B=8 decode with the slice, flat ~12 ms without; for S=512
+        # 7B prefill the slices cost ~5 ms of a 55 ms pass. fp8
+        # (uint8 bit-view) prefill keeps the slicing body: its reads
+        # need the per-layer decode_kv dequant.
         def body(carry, i):
             x, k_full, v_full = carry
             x, k_full, v_full = _layer_forward(
