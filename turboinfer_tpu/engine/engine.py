@@ -60,6 +60,12 @@ class GenerationResult:
     total_time_ms: float = 0.0
     tokens_per_second: float = 0.0
     prefill_time_ms: float = 0.0          # TTFT proxy (not in the reference)
+    # True when prefill_time_ms is a real device-synced TTFT
+    # (InferenceConfig.measure_ttft, or the per-step host loop); False
+    # means it is host ENQUEUE time of the prefill dispatch — the fused
+    # scan path deliberately never syncs mid-pipeline (one forced round
+    # trip costs ~30-45 ms through a tunnel-attached chip).
+    ttft_measured: bool = False
     finished: bool = True
     stop_reason: str = "length"           # "eos" | "length" | "max_seq"
     text: Optional[str] = None            # decoded output (chat() sets it)
@@ -467,6 +473,8 @@ class InferenceEngine:
                 total_time_ms=dt_ms,
                 tokens_per_second=n / max((t1 - t0), 1e-9),
                 prefill_time_ms=(t_prefill - t0) * 1e3,
+                ttft_measured=(self.config.measure_ttft
+                               or self.config.decode_loop != "scan"),
                 finished=bool(fin_np[b]) or stop == "eos",
                 stop_reason=stop))
 
@@ -541,6 +549,7 @@ class InferenceEngine:
             total_time_ms=(t1 - t0) * 1e3,
             tokens_per_second=len(out) / max(t1 - t0, 1e-9),
             prefill_time_ms=(t_prefill - t0) * 1e3,
+            ttft_measured=True,               # host loop syncs per step
             finished=token_filter.done,
             stop_reason="stop" if token_filter.done else "length",
             text=text)

@@ -773,6 +773,9 @@ class ContinuousBatchingScheduler:
                 total_time_ms=dt_ms,
                 tokens_per_second=n / max(dt_ms / 1e3, 1e-9),
                 prefill_time_ms=req.prefill_ms,
+                # The scheduler clocks each request from submission to
+                # its first token landing on the host: a real TTFT.
+                ttft_measured=True,
                 finished=req.finished,
                 stop_reason=req.stop_reason)
         self._done.clear()
