@@ -18,7 +18,7 @@ cfg = llama7b_config(dtype=jnp.bfloat16, max_seq_len=1024)
 data = create_synthetic_quantized_model(cfg, bits=BITS, group_size=GS)
 params = dispatch.prepare_params(data.params); del data
 kvd = os.environ.get("TURBOINFER_PROF_KV", "")
-kv_dtype = {"fp8": jnp.uint8}.get(kvd, None)
+kv_dtype = {"fp8": jnp.uint8, "int8": jnp.int8}.get(kvd, None)
 cache = llama.init_cache(cfg, B, max_seq=1024, dtype=kv_dtype)
 cache = cache._replace(length=jnp.full((B,), FILL, jnp.int32))
 

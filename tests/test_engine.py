@@ -366,6 +366,104 @@ class TestFp8KVCache:
         assert sched.run()[rid].tokens == want
 
 
+class TestInt8KVCache:
+    """kv_cache_dtype="int8": scaled-int8 storage (half the HBM bytes of
+    bf16 like fp8, but ~2 VPU passes to decode instead of ~14 of e4m3
+    bit math — see kernels/pallas/decode_attention)."""
+
+    def test_cache_dtype_scales_and_memory(self, tiny_params, tiny_cfg):
+        import jax.numpy as jnp
+        import turboinfer_tpu as ti
+        from turboinfer_tpu.config import InferenceConfig
+        e = ti.InferenceEngine(tiny_params, tiny_cfg, InferenceConfig(
+            max_seq_len=128, seed=0, kv_cache_dtype="int8"))
+        c = e._take_cache(1)
+        assert c.k.dtype == jnp.int8 and c.k.nbytes == c.k.size
+        assert c.k_scale is not None and c.k_scale.dtype == jnp.float32
+        assert c.k_scale.shape == c.k.shape[:-1]
+
+    def test_encode_decode_roundtrip_error_bound(self):
+        import jax, jax.numpy as jnp
+        from turboinfer_tpu.models.common import (decode_kv,
+                                                  encode_kv_scaled)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 64, 32),
+                              jnp.float32)
+        q, s = encode_kv_scaled(x, jnp.int8)
+        assert q.dtype == jnp.int8 and s.shape == x.shape[:-1]
+        back = decode_kv(q, jnp.float32, s)
+        # symmetric absmax: |err| <= scale/2 = absmax/254 per row
+        bound = (jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 254.0
+                 + 1e-6)
+        assert bool(jnp.all(jnp.abs(back - x) <= bound))
+
+    def test_logits_close_to_bf16_cache(self, tiny_params, tiny_cfg):
+        import numpy as np
+        import jax.numpy as jnp
+        from turboinfer_tpu.models import llama
+        tokens = jnp.asarray([[1, 5, 42, 7, 9, 300, 12, 77]])
+        ref, _ = llama.forward(tiny_params, tiny_cfg, tokens,
+                               llama.init_cache(tiny_cfg, 1, max_seq=32))
+        got, _ = llama.forward(
+            tiny_params, tiny_cfg, tokens,
+            llama.init_cache(tiny_cfg, 1, max_seq=32, dtype=jnp.int8))
+        r = np.asarray(ref[0, -1])
+        g = np.asarray(got[0, -1])
+        assert np.abs(g - r).max() < 0.25 * max(1.0, np.abs(r).max())
+
+    def test_incremental_matches_full_forward_int8(self, tiny_params,
+                                                   tiny_cfg):
+        """Cache correctness is dtype-independent: prefill+decode over an
+        int8 cache must equal one full forward over the same int8
+        cache."""
+        import numpy as np
+        import jax.numpy as jnp
+        from turboinfer_tpu.models import llama
+        seq = [1, 5, 42, 7, 9, 300]
+        full, _ = llama.forward(
+            tiny_params, tiny_cfg, jnp.asarray([seq]),
+            llama.init_cache(tiny_cfg, 1, max_seq=32, dtype=jnp.int8))
+        cache = llama.init_cache(tiny_cfg, 1, max_seq=32, dtype=jnp.int8)
+        outs = []
+        for t in seq:
+            logits, cache = llama.forward(tiny_params, tiny_cfg,
+                                          jnp.asarray([[t]]), cache)
+            outs.append(np.asarray(logits[0, 0]))
+        np.testing.assert_allclose(np.stack(outs),
+                                   np.asarray(full[0]), rtol=2e-2,
+                                   atol=2e-2)
+
+    def test_scheduler_int8_matches_engine_int8(self, tiny_params,
+                                                tiny_cfg):
+        import turboinfer_tpu as ti
+        from turboinfer_tpu.config import InferenceConfig
+        from turboinfer_tpu.engine.scheduler import \
+            ContinuousBatchingScheduler
+        cfg = InferenceConfig(max_seq_len=128, temperature=0.0, seed=0,
+                              kv_cache_dtype="int8")
+        eng = ti.InferenceEngine(tiny_params, tiny_cfg, cfg)
+        want = eng.generate([1, 5, 42, 7], 10, temperature=0.0).tokens
+        sched = ContinuousBatchingScheduler(tiny_params, tiny_cfg, cfg,
+                                            batch_slots=2, decode_burst=4)
+        rid = sched.submit([1, 5, 42, 7], 10)
+        assert sched.run()[rid].tokens == want
+
+    def test_beam_search_int8_runs(self, tiny_params, tiny_cfg):
+        import turboinfer_tpu as ti
+        from turboinfer_tpu.config import InferenceConfig
+        e = ti.InferenceEngine(tiny_params, tiny_cfg, InferenceConfig(
+            max_seq_len=128, seed=0, kv_cache_dtype="int8"))
+        r = e.generate_beam_search([1, 5, 42], 6, beam_size=3)
+        assert len(r.tokens) >= 4
+
+    def test_fused_layout_rejected(self, tiny_cfg):
+        import jax.numpy as jnp
+        import pytest
+        from turboinfer_tpu.models import common
+        with pytest.raises(ValueError, match="head-major"):
+            common.init_cache(tiny_cfg, 1, max_seq=32, dtype=jnp.int8,
+                              fused=True)
+
+
 # ---------------------------------------------------------------------------
 # Streaming generation (no reference analog — its API is blocking-only)
 # ---------------------------------------------------------------------------

@@ -321,6 +321,46 @@ def test_prefill_kernel_stacked_layer_interpret():
                                    rtol=2e-5, atol=2e-5, err_msg=f"li={li}")
 
 
+def test_decode_kernel_int8_scaled_interpret():
+    """int8 KV cache: the head-major decode kernel's score/prob-side
+    scale application must match the jnp reference on the dequantized
+    cache (stacked layout + scalar-prefetched layer index + ragged
+    kv_len + GQA)."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from turboinfer_tpu.kernels import ops
+    from turboinfer_tpu.kernels.pallas import decode_attention
+    from turboinfer_tpu.models.common import decode_kv, encode_kv_scaled
+    L, B, Hq, Hkv, T, D = 3, 2, 8, 4, 256, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, Hq, D), jnp.float32)
+    kk = jax.random.normal(jax.random.PRNGKey(1), (L, B, Hkv, T, D),
+                           jnp.float32)
+    vv = jax.random.normal(jax.random.PRNGKey(2), (L, B, Hkv, T, D),
+                           jnp.float32)
+    kv_len = jnp.asarray([200, 64])
+    k8, ks = encode_kv_scaled(kk, jnp.int8)
+    v8, vs = encode_kv_scaled(vv, jnp.int8)
+    for li in (0, 2):
+        ref = ops.attention_decode_ref(
+            q, decode_kv(k8[li], jnp.float32, ks[li]),
+            decode_kv(v8[li], jnp.float32, vs[li]), kv_len)
+        got = decode_attention.decode_pallas(
+            q, k8, v8, kv_len, layer_index=li, k_scale=ks, v_scale=vs,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"li={li}")
+        # and composed with a sliding window
+        refw = ops.attention_decode_ref(
+            q, decode_kv(k8[li], jnp.float32, ks[li]),
+            decode_kv(v8[li], jnp.float32, vs[li]), kv_len, window=96)
+        gotw = decode_attention.decode_pallas(
+            q, k8, v8, kv_len, layer_index=li, k_scale=ks, v_scale=vs,
+            window=96, interpret=True)
+        np.testing.assert_allclose(np.asarray(gotw), np.asarray(refw),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_decode_kernel_softcap_interpret():
     """Attention logit soft-capping (Gemma2) in the decode kernel vs the
     jnp reference."""

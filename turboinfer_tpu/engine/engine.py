@@ -130,6 +130,13 @@ class InferenceEngine:
             from turboinfer_tpu.models.common import resolve_kv_dtype
             dt = resolve_kv_dtype(self.config.kv_cache_dtype,
                                   self.model_config.dtype)
+            if dt == jnp.int8 and not getattr(self._model,
+                                              "SUPPORTS_INT8_KV", False):
+                raise ValueError(
+                    "kv_cache_dtype='int8' is supported by the "
+                    "llama-family forward only (this model family does "
+                    "not thread the per-token KV scales); use 'fp8' or "
+                    "'bf16'")
             # fused=None -> model-chosen layout (llama-family picks the
             # fused-head layout for D % 128 != 0 so decode stays on a
             # Pallas kernel; other modules treat None as head-major).
@@ -851,10 +858,15 @@ class InferenceEngine:
             finished = first_ix == eos
             token = first_ix.astype(jnp.int32)
             # Tile the prefill cache across beams on the batch axis.
+            scaled = cache.k_scale is not None
             cache_b = cache._replace(
                 k=jnp.repeat(cache.k, beam_size, axis=1),
                 v=jnp.repeat(cache.v, beam_size, axis=1),
-                length=jnp.repeat(cache.length, beam_size, axis=0))
+                length=jnp.repeat(cache.length, beam_size, axis=0),
+                k_scale=(jnp.repeat(cache.k_scale, beam_size, axis=1)
+                         if scaled else None),
+                v_scale=(jnp.repeat(cache.v_scale, beam_size, axis=1)
+                         if scaled else None))
 
             def body(carry, _):
                 token, scores, finished, cache = carry
@@ -871,9 +883,11 @@ class InferenceEngine:
                 tok = (top_i % V).astype(jnp.int32)
                 step_lp = top_s - scores[parent]
                 new_finished = finished[parent] | (tok == eos)
-                cache = cache._replace(k=cache.k[:, parent],
-                                       v=cache.v[:, parent],
-                                       length=cache.length[parent])
+                cache = cache._replace(
+                    k=cache.k[:, parent], v=cache.v[:, parent],
+                    length=cache.length[parent],
+                    k_scale=(cache.k_scale[:, parent] if scaled else None),
+                    v_scale=(cache.v_scale[:, parent] if scaled else None))
                 return (tok, top_s, new_finished, cache), \
                     (tok, parent, step_lp)
 

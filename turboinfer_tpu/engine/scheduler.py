@@ -187,7 +187,9 @@ class ContinuousBatchingScheduler:
             # Inactive slots: keep cache length frozen (writes to their
             # slots are harmless garbage past their length).
             new_len = jnp.where(active, new_cache.length, cache.length)
-            cache = KVCache(k=new_cache.k, v=new_cache.v, length=new_len)
+            cache = KVCache(k=new_cache.k, v=new_cache.v, length=new_len,
+                            k_scale=new_cache.k_scale,
+                            v_scale=new_cache.v_scale)
             hit_eos = active & (nxt == eos)
             return nxt, lp, hit_eos, cache, oc
         return step
@@ -222,7 +224,9 @@ class ContinuousBatchingScheduler:
                 oc = oc.at[jnp.arange(oc.shape[0]), nxt].add(
                     active.astype(jnp.int32))
                 new_len = jnp.where(active, new_cache.length, cache.length)
-                cache = KVCache(k=new_cache.k, v=new_cache.v, length=new_len)
+                cache = KVCache(k=new_cache.k, v=new_cache.v, length=new_len,
+                            k_scale=new_cache.k_scale,
+                            v_scale=new_cache.v_scale)
                 was_active = active
                 hit_eos = active & (nxt == eos)
                 budget = budget - active.astype(jnp.int32)
@@ -270,8 +274,13 @@ class ContinuousBatchingScheduler:
             first_lp = sampling.token_logprob(last, first)
             kc = cache.k.at[:, slots].set(small.k.astype(cache.k.dtype))
             vc = cache.v.at[:, slots].set(small.v.astype(cache.v.dtype))
+            ksc = vsc = None
+            if cache.k_scale is not None:
+                ksc = cache.k_scale.at[:, slots].set(small.k_scale)
+                vsc = cache.v_scale.at[:, slots].set(small.v_scale)
             length = cache.length.at[slots].set(seq_lens)
-            return first, first_lp, KVCache(k=kc, v=vc, length=length)
+            return first, first_lp, KVCache(k=kc, v=vc, length=length,
+                                            k_scale=ksc, v_scale=vsc)
         return prefill
 
     @functools.cached_property
@@ -573,8 +582,13 @@ class ContinuousBatchingScheduler:
             first_lp = sampling.token_logprob(last, first)
             kc = cache.k.at[:, slots].set(small.k.astype(cache.k.dtype))
             vc = cache.v.at[:, slots].set(small.v.astype(cache.v.dtype))
+            ksc = vsc = None
+            if cache.k_scale is not None:
+                ksc = cache.k_scale.at[:, slots].set(small.k_scale)
+                vsc = cache.v_scale.at[:, slots].set(small.v_scale)
             length = cache.length.at[slots].set(seq_lens)
-            return first, first_lp, KVCache(k=kc, v=vc, length=length)
+            return first, first_lp, KVCache(k=kc, v=vc, length=length,
+                                            k_scale=ksc, v_scale=vsc)
         return final
 
     def _adm_advance(self):

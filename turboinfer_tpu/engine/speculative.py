@@ -135,8 +135,8 @@ def make_spec_step(model_t, cfg_t: ModelConfig, model_d, cfg_d: ModelConfig,
         # The draft scan also cached d_k, so the draft is never behind:
         # both caches hold exactly the confirmed tokens t0, d_1..d_a.
         len_t = state.cache_t.length + 1 + a
-        cache_t = KVCache(k=cache_t.k, v=cache_t.v, length=len_t)
-        cache_d = KVCache(k=cache_d.k, v=cache_d.v, length=len_t)
+        cache_t = cache_t._replace(length=len_t)
+        cache_d = cache_d._replace(length=len_t)
 
         # Emitted tokens this round: d_1..d_a then nxt, padded with nxt.
         pos = jnp.arange(k + 1)[None, :]

@@ -129,17 +129,20 @@ def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
 
 
 def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
-                     window=None, softcap=None, alibi=None):
+                     window=None, softcap=None, alibi=None,
+                     k_scale=None, v_scale=None):
     """k/v_cache: [B, Hkv, T, D], or the full stacked [L, B, Hkv, T, D]
     when `layer_index` is given — the Pallas kernel then reads layer
     `layer_index` directly from HBM (no per-layer slice copy; same
-    copy-insertion trap as scan-sliced weights, see qmm stacked path)."""
+    copy-insertion trap as scan-sliced weights, see qmm stacked path).
+    k_scale/v_scale: int8-cache per-token scales ([..., Hkv, T] f32)."""
     from turboinfer_tpu.kernels import ops
     if alibi is None and pallas_enabled():
         from turboinfer_tpu.kernels.pallas import decode_attention
         y = decode_attention.decode_pallas(q, k_cache, v_cache, kv_len,
                                            layer_index=layer_index,
-                                           window=window, softcap=softcap)
+                                           window=window, softcap=softcap,
+                                           k_scale=k_scale, v_scale=v_scale)
         if y is not None:
             return y
     if layer_index is not None:
@@ -147,10 +150,15 @@ def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
                                                keepdims=False)
         v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer_index, 0,
                                                keepdims=False)
+        if k_scale is not None:
+            k_scale = jax.lax.dynamic_index_in_dim(k_scale, layer_index, 0,
+                                                   keepdims=False)
+            v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer_index, 0,
+                                                   keepdims=False)
     from turboinfer_tpu.models.common import decode_kv
-    return ops.attention_decode_ref(q, decode_kv(k_cache, q.dtype),
-                                    decode_kv(v_cache, q.dtype), kv_len,
-                                    window=window, softcap=softcap,
+    return ops.attention_decode_ref(q, decode_kv(k_cache, q.dtype, k_scale),
+                                    decode_kv(v_cache, q.dtype, v_scale),
+                                    kv_len, window=window, softcap=softcap,
                                     alibi=alibi)
 
 

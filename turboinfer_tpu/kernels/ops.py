@@ -561,11 +561,13 @@ def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
 
 
 def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
-                     window=None, softcap=None, alibi=None):
+                     window=None, softcap=None, alibi=None,
+                     k_scale=None, v_scale=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_decode(q, k_cache, v_cache, kv_len,
                                      layer_index=layer_index, window=window,
-                                     softcap=softcap, alibi=alibi)
+                                     softcap=softcap, alibi=alibi,
+                                     k_scale=k_scale, v_scale=v_scale)
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,

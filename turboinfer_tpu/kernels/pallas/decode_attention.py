@@ -56,10 +56,17 @@ def _chunk_rows(T: int) -> int:
     issue/semaphore cost (the dominant cost at long fills: 128-row
     trips move 32 KB each and the kernel runs at ~136 GB/s; 512-row
     trips reach ~3x that) at the price of up to TT-1 rows of over-fetch
-    on the last chunk of each head. 512 is the measured sweet spot at
-    7B shapes; clamped to divisors of T for the `pl.ds` window."""
+    on the last chunk of each head. Measured at 7B (same-session
+    pairs): fill 960 B=8 wants 1024 (bf16 20.2 -> 17.6 ms/step, int8
+    20.0 -> 16.8), but fill 64 B=8 wants 512 (16.9 vs 17.9 — a
+    TT-row chunk is always read WHOLE, so short fills pay the
+    over-fetch). Default splits by max_seq: T <= 2048 keeps 512 (half
+    of any trajectory sits below TT), longer contexts take 1024 where
+    the big fills dominate total time. Clamped to divisors of T for
+    the `pl.ds` window."""
     import os
-    pref = int(os.environ.get("TURBOINFER_DECODE_TT", "512"))
+    default = 512 if T <= 2048 else 1024
+    pref = int(os.environ.get("TURBOINFER_DECODE_TT", str(default)))
     tt = min(T, pref)
     while T % tt:
         tt //= 2
@@ -100,10 +107,9 @@ def _load_kv(buf_slice, out_dtype):
     return buf_slice.astype(out_dtype)
 
 
-def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
-            kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref,
-            *, hkv: int, tt: int, scale: float, window=None,
-            softcap=None):
+def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, *rest,
+            hkv: int, tt: int, scale: float, window=None,
+            softcap=None, scaled: bool = False):
     """One sequence b: stream Hkv * ceil(kv_len/TT) cache chunks through
     NBUF VMEM buffers; trip t covers chunk (t % nchunks) of kv head
     (t // nchunks), folding into that head's online-softmax state.
@@ -113,10 +119,34 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
     o_ref: [1, Hkv, Ghp, D]; kbuf/vbuf: [NBUF, TT, D] VMEM scratch;
     m/l: [Ghp, 128], acc: [Ghp, D] f32 scratch (reused head to head —
     heads complete in order).
+
+    `scaled` (int8 cache): ks_hbm/vs_hbm are the per-token scales
+    PRE-RESHAPED to [L, B, Hkv*(T//TT), TT] f32 (chunk rows on the
+    sublane axis — a per-chunk [TT] HBM slice would be a 1-sublane
+    memref_slice, which Mosaic rejects). The whole (layer, b) plane
+    (Hkv*T*4 bytes) is DMA'd once at kernel start; trip (h, i) reads
+    row h*(T//TT)+i by dynamic sublane index. The dequant multiplies
+    ride the SMALL [Ghp, TT] tiles where the per-token scale is a
+    natural lane broadcast: scores *= ks after the q @ k dot, probs
+    *= vs before the p @ v dot (identical algebra to dequantizing
+    k/v, ~D/Ghp x cheaper; the softmax denominator uses the UNSCALED
+    probs). The i8->bf16 chunk cast is exact (|codes| <= 127 < 2^8
+    mantissa bits).
     """
+    if scaled:
+        (ks_hbm, vs_hbm, o_ref, kbuf, vbuf, ksem, vsem,
+         ksbuf, vsbuf, kssem, vssem, m_ref, l_ref, acc_ref) = rest
+    else:
+        (o_ref, kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref) = rest
     b = pl.program_id(0)
     li = idx_ref[0]
     kv_len = len_ref[b]
+    if scaled:
+        # One plane DMA up front; waited before the first trip uses it.
+        pltpu.make_async_copy(ks_hbm.at[li, b], ksbuf, kssem).start()
+        pltpu.make_async_copy(vs_hbm.at[li, b], vsbuf, vssem).start()
+        pltpu.make_async_copy(ksbuf, ksbuf, kssem).wait()
+        pltpu.make_async_copy(vsbuf, vsbuf, vssem).wait()
     # Sliding window: only chunks covering positions
     # [max(kv_len - window, 0), kv_len) are streamed; earlier cache
     # slots are dead for this query and never leave HBM.
@@ -168,13 +198,17 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
         pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot],
                               vsem.at[slot]).wait()
         # k/v feed the MXU at the QUERY dtype (bf16): a no-op cast for
-        # bf16 caches, software e4m3 decode for fp8 caches. Scores/
-        # softmax state stay f32; only the probabilities are rounded to
-        # bf16 for the p @ v dot (standard flash-attention practice).
+        # bf16 caches, software e4m3 decode for fp8 caches, an exact
+        # i8 cast for int8 (dequant rides the score/prob tiles).
+        # Scores/softmax state stay f32; only the probabilities are
+        # rounded to bf16 for the p @ v dot (standard flash-attention
+        # practice).
         s = scale * jax.lax.dot_general(             # [Ghp, TT] f32
             q_ref[0, h], _load_kv(kbuf[slot], q_ref.dtype),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if scaled:
+            s = s * ksbuf[h, pl.ds(i * tt, tt)][None, :]
         if softcap is not None:
             s = softcap * jnp.tanh(s * (1.0 / softcap))
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * tt
@@ -188,8 +222,9 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)                       # [Ghp, TT]
         l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = p * vsbuf[h, pl.ds(i * tt, tt)][None, :] if scaled else p
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(q_ref.dtype), _load_kv(vbuf[slot], q_ref.dtype),
+            pv.astype(q_ref.dtype), _load_kv(vbuf[slot], q_ref.dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -206,37 +241,58 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("window", "softcap",
                                              "interpret"))
-def _decode(q4, k_cache, v_cache, kv_len, layer_idx, *, window=None,
-            softcap=None, interpret: bool = False):
+def _decode(q4, k_cache, v_cache, kv_len, layer_idx, k_scale=None,
+            v_scale=None, *, window=None, softcap=None,
+            interpret: bool = False):
     B, Hkv, Ghp, D = q4.shape
     T = k_cache.shape[3]
     TT = _chunk_rows(T)
     scale = 1.0 / float(D) ** 0.5
+    scaled = k_scale is not None
 
     kern = functools.partial(_kernel, hkv=Hkv, tt=TT, scale=scale,
-                             window=window, softcap=softcap)
+                             window=window, softcap=softcap,
+                             scaled=scaled)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [
+        pl.BlockSpec((1, Hkv, Ghp, D),
+                     lambda b, idx, len_ref: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        any_spec, any_spec,
+    ]
+    scratch = [
+        pltpu.VMEM((NBUF, TT, D), k_cache.dtype),
+        pltpu.VMEM((NBUF, TT, D), v_cache.dtype),
+        pltpu.SemaphoreType.DMA((NBUF,)),
+        pltpu.SemaphoreType.DMA((NBUF,)),
+    ]
+    ops = (q4, k_cache, v_cache)
+    if scaled:
+        # The whole (layer, b) scale plane [Hkv, T] is one aligned DMA
+        # (a per-chunk [TT] HBM slice would be a 1-sublane memref_slice
+        # Mosaic rejects; an XLA-side reshape to chunk rows copied the
+        # full [L,B,Hkv,T] arrays every layer — 2.9 ms/step measured).
+        in_specs += [any_spec, any_spec]
+        scratch += [
+            pltpu.VMEM((Hkv, T), jnp.float32),
+            pltpu.VMEM((Hkv, T), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        ops = ops + (k_scale, v_scale)
+    scratch += [
+        pltpu.VMEM((Ghp, 128), jnp.float32),
+        pltpu.VMEM((Ghp, 128), jnp.float32),
+        pltpu.VMEM((Ghp, D), jnp.float32),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, Ghp, D),
-                         lambda b, idx, len_ref: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hkv, Ghp, D),
                                lambda b, idx, len_ref: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, TT, D), k_cache.dtype),
-            pltpu.VMEM((NBUF, TT, D), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.VMEM((Ghp, 128), jnp.float32),
-            pltpu.VMEM((Ghp, 128), jnp.float32),
-            pltpu.VMEM((Ghp, D), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kern,
@@ -246,20 +302,23 @@ def _decode(q4, k_cache, v_cache, kv_len, layer_idx, *, window=None,
             dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hkv * Ghp * T * D,
-            bytes_accessed=2 * B * Hkv * T * D * 2,
+            bytes_accessed=2 * B * Hkv * T * D * k_cache.dtype.itemsize
+            + (8 * B * Hkv * T if scaled else 0),
             transcendentals=B * Hkv * Ghp * T),
         interpret=interpret,
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
-      kv_len.astype(jnp.int32), q4, k_cache, v_cache)
+      kv_len.astype(jnp.int32), *ops)
 
 
 def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                   kv_len: jax.Array, layer_index=None, window=None,
-                  softcap=None, interpret: bool = False
-                  ) -> Optional[jax.Array]:
+                  softcap=None, k_scale=None, v_scale=None,
+                  interpret: bool = False) -> Optional[jax.Array]:
     """q: [B, Hq, D]; k/v_cache: [B, Hkv, T, D] (layer_index=None) or the
     full stacked [L, B, Hkv, T, D] with `layer_index` the traced layer
-    id; kv_len: [B] -> [B, Hq, D] or None if not kernel-eligible."""
+    id; kv_len: [B] -> [B, Hq, D] or None if not kernel-eligible.
+    k_scale/v_scale: per-token scales for int8 caches ([..., Hkv, T]
+    f32, same leading layout as the cache)."""
     B, Hq, D = q.shape
     if k_cache.dtype == jnp.float8_e4m3fn:
         # Free reinterpret: the kernel decodes e4m3 with integer math
@@ -267,9 +326,13 @@ def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
         # and ~20x slower.
         k_cache = jax.lax.bitcast_convert_type(k_cache, jnp.uint8)
         v_cache = jax.lax.bitcast_convert_type(v_cache, jnp.uint8)
+    if (k_cache.dtype == jnp.int8) != (k_scale is not None):
+        return None            # int8 needs scales; scales need int8
     if layer_index is None:
         k_cache = k_cache[None]
         v_cache = v_cache[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
         layer_index = 0
     Hkv, T = k_cache.shape[2], k_cache.shape[3]
     if Hq % Hkv or D % 64:
@@ -278,6 +341,9 @@ def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
         return None            # Mosaic: memref_slice of the HBM cache
                                # needs the sliced D axis lane-aligned
                                # (128); D=64 models take the jnp path
+    if k_scale is not None and 2 * Hkv * T * 4 > 6 * 1024 * 1024:
+        return None            # int8 scale planes are held whole in
+                               # VMEM; absurd Hkv*T falls back to jnp
     Gh = Hq // Hkv
     Ghp = max(Gh, 8)
     # [B, Hq, D] -> [B, Hkv, Gh, D], pad group axis to >= 8 sublanes.
@@ -285,6 +351,7 @@ def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     if Ghp != Gh:
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, Ghp - Gh), (0, 0)))
     out = _decode(q4, k_cache, v_cache, kv_len, layer_index,
+                  k_scale, v_scale,
                   window=window, softcap=softcap, interpret=interpret)
     return out[:, :, :Gh].reshape(B, Hq, D)
 

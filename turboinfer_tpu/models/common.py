@@ -30,10 +30,19 @@ class KVCache(NamedTuple):
     In-place updates via dynamic_update_slice — no per-token prefix
     copy (reference defect: inference_engine.cpp:78-160, quirk #4).
     length: [B] int32 — number of valid slots per sequence.
+
+    k_scale/v_scale: [L, B, Hkv, Tmax] f32 per-(token, head) absmax
+    scales, present only for int8 caches (kv_cache_dtype="int8", head-
+    major layout): value = int8_code * scale. Decoding int8 costs the
+    kernels ~2 VPU passes (an exact i8->bf16 cast plus one lane-
+    broadcast multiply on the score/prob tile) vs ~14 for software
+    e4m3 — see kernels/pallas/decode_attention.
     """
     k: jax.Array
     v: jax.Array
     length: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @property
     def fused_layout(self) -> bool:
@@ -77,20 +86,34 @@ def init_cache(config: ModelConfig, batch_size: int,
     T = max_seq or config.max_seq_len
     dtype = dtype or config.dtype
     if fused:
+        if dtype == jnp.int8:
+            raise ValueError("int8 KV cache requires the head-major "
+                             "layout (fused-head models store scales "
+                             "per packed row — unsupported)")
         shape = (config.num_layers, batch_size, T,
                  config.kv_heads * config.head_dim_)
     else:
         shape = (config.num_layers, batch_size, config.kv_heads, T,
                  config.head_dim_)
+    ks = vs = None
+    if dtype == jnp.int8:
+        # Two distinct buffers: aliasing one zeros array to both fields
+        # breaks donation ("donate the same buffer twice").
+        ks = jnp.zeros(shape[:-1], jnp.float32)           # [L,B,Hkv,T]
+        vs = jnp.zeros(shape[:-1], jnp.float32)
     return KVCache(k=jnp.zeros(shape, dtype),
                    v=jnp.zeros(shape, dtype),
-                   length=jnp.zeros((batch_size,), jnp.int32))
+                   length=jnp.zeros((batch_size,), jnp.int32),
+                   k_scale=ks, v_scale=vs)
 
 
 def reset_cache(cache: KVCache) -> KVCache:
     """Zero-fill (reference: KVCache::reset, inference_engine.cpp:60-69)."""
+    zs = (None if cache.k_scale is None
+          else jnp.zeros_like(cache.k_scale))
     return KVCache(k=jnp.zeros_like(cache.k), v=jnp.zeros_like(cache.v),
-                   length=jnp.zeros_like(cache.length))
+                   length=jnp.zeros_like(cache.length),
+                   k_scale=zs, v_scale=zs)
 
 
 def param_count(params: Any) -> int:
@@ -183,12 +206,19 @@ def resolve_kv_dtype(kv_cache_dtype: str, model_dtype):
     """
     if kv_cache_dtype == "fp8":
         return jnp.uint8
+    if kv_cache_dtype == "int8":
+        # Scaled int8: values quantized per (token, head) against the
+        # head's absmax (scales ride KVCache.k_scale/v_scale). Faster
+        # to decode than fp8 (exact i8->bf16 cast + one small-tile
+        # multiply vs ~14 VPU passes of e4m3 bit math) at the same
+        # halved HBM footprint.
+        return jnp.int8
     if kv_cache_dtype == "bf16":
         return jnp.bfloat16
     if kv_cache_dtype in ("model", "", None):
         return model_dtype
     raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r} "
-                     "(expected 'model', 'fp8', or 'bf16')")
+                     "(expected 'model', 'fp8', 'int8', or 'bf16')")
 
 
 # fp8 caches travel through scan bodies BITCAST TO uint8: a bitcast (or
@@ -217,18 +247,40 @@ def cache_from_bits(k, v, was_fp8: bool):
 
 def encode_kv(x, cache_dtype):
     """Convert bf16/f32 K/V values to the cache's storage representation
-    (uint8 means e4m3 bit patterns)."""
+    (uint8 means e4m3 bit patterns). int8 caches carry per-token scales
+    and must use encode_kv_scaled instead."""
     if cache_dtype == jnp.uint8:
         return jax.lax.bitcast_convert_type(
             x.astype(jnp.float8_e4m3fn), jnp.uint8)
+    if cache_dtype == jnp.int8:
+        raise ValueError("int8 KV encode requires encode_kv_scaled")
     return x.astype(cache_dtype)
 
 
-def decode_kv(x, out_dtype):
+def encode_kv_scaled(x, cache_dtype):
+    """encode_kv variant returning (stored, scale-or-None). For int8
+    caches: symmetric per-row absmax over the trailing D axis —
+    stored = round(x / scale) in [-127, 127], scale shape x.shape[:-1]
+    f32. Other dtypes: (encode_kv(x), None)."""
+    if cache_dtype != jnp.int8:
+        return encode_kv(x, cache_dtype), None
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def decode_kv(x, out_dtype, scale=None):
     """Inverse of encode_kv for non-kernel consumers (prefill attention,
-    jnp reference paths): uint8 bit patterns -> values."""
+    jnp reference paths): uint8 bit patterns -> values; int8 + scale
+    [..., T] -> values."""
     if x.dtype == jnp.uint8:
         x = jax.lax.bitcast_convert_type(x, jnp.float8_e4m3fn)
+    if x.dtype == jnp.int8:
+        if scale is None:
+            raise ValueError("int8 KV decode requires its scale array")
+        return (x.astype(jnp.float32)
+                * scale[..., None].astype(jnp.float32)).astype(out_dtype)
     return x.astype(out_dtype)
 
 def layer_unroll(num_layers: int) -> int:

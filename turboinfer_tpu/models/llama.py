@@ -52,11 +52,17 @@ from turboinfer_tpu.kernels import ops
 # Shared cache container + param accounting (see models/common.py).
 from turboinfer_tpu.models.common import (KVCache, cache_bits_view,  # noqa: F401
                                           cache_from_bits, decode_kv,
-                                          encode_kv, fuse_projections,
+                                          encode_kv, encode_kv_scaled,
+                                          fuse_projections,
                                           resolve_fused_cache, layer_unroll,
                                           param_bytes,
                                           param_count, reset_cache)
 from turboinfer_tpu.models.common import init_cache as _common_init_cache
+
+
+# The llama-family forward threads int8 KV scales through the layer
+# scan; other family modules raise via the engine gate until they do.
+SUPPORTS_INT8_KV = True
 
 
 def init_cache(config, batch_size: int, max_seq=None, dtype=None,
@@ -70,6 +76,12 @@ def init_cache(config, batch_size: int, max_seq=None, dtype=None,
     shape). forward() handles both layouts."""
     if fused is None:
         fused = resolve_fused_cache(config, max_seq)
+        if fused and dtype == jnp.int8:
+            # int8 scales are per (head, token) — no fused-row story
+            # yet. Head-major still works on every model (D % 128 != 0
+            # decode just runs the jnp path instead of the fused
+            # kernel); int8 there trades decode speed for cache memory.
+            fused = False
     return _common_init_cache(config, batch_size, max_seq, dtype,
                               fused=fused)
 
@@ -231,8 +243,9 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
                    positions: jax.Array, k_cache: jax.Array,
                    v_cache: jax.Array, start: jax.Array, kv_len: jax.Array,
                    contiguous: bool = True, layer_index=None,
-                   global_layer_index=None, fused_cache: bool = False
-                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                   global_layer_index=None, fused_cache: bool = False,
+                   k_scale=None, v_scale=None
+                   ) -> Tuple[jax.Array, ...]:
     """One decoder block (reference: TransformerLayer::forward,
     inference_engine.cpp:203-233 — RMSNorm → attn → residual → RMSNorm →
     SwiGLU FFN → residual).
@@ -244,7 +257,11 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
     (layer_index=None) or the FULL stacked [L, ...] dict with
     `layer_index` the traced layer id (the fast path: the qmm kernel
     then reads the stack directly, no slice materialization).
-    Returns (x_out, k_cache', v_cache').
+    k_scale/v_scale: int8-cache per-token scales ([..., Hkv, Tmax] f32,
+    same leading layout as the cache) — written alongside the values
+    and consumed by the attention kernels.
+    Returns (x_out, k_cache', v_cache') — plus (k_scale', v_scale')
+    when scales were passed.
     """
     B, S, H = x.shape
     Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
@@ -369,8 +386,8 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         # copy the whole cache every layer — and the attention kernels
         # read layer li straight from the stacked HBM array via scalar
         # prefetch (decode AND flash-prefill).
-        newk = encode_kv(k.transpose(0, 2, 1, 3), k_cache.dtype)
-        newv = encode_kv(v.transpose(0, 2, 1, 3), v_cache.dtype)
+        newk, ks = encode_kv_scaled(k.transpose(0, 2, 1, 3), k_cache.dtype)
+        newv, vs = encode_kv_scaled(v.transpose(0, 2, 1, 3), v_cache.dtype)
         if S > 1:
             # Keep the transpose OUT of the update-slice fusion: fused,
             # the in-place cache write inherits the stride-swapped read
@@ -383,12 +400,19 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
                 k_cache, newk[b][None, None], idx)
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, newv[b][None, None], idx)
+            if ks is not None:
+                sidx = (li, b, 0, start[b])
+                k_scale = jax.lax.dynamic_update_slice(
+                    k_scale, ks[b][None, None], sidx)
+                v_scale = jax.lax.dynamic_update_slice(
+                    v_scale, vs[b][None, None], sidx)
 
         if S == 1:
             def dec(window):
                 return lambda: ops.attention_decode(
                     q[:, 0], k_cache, v_cache, kv_len, layer_index=li,
-                    window=window, softcap=cap)
+                    window=window, softcap=cap,
+                    k_scale=k_scale, v_scale=v_scale)
             if alternating:
                 attn = jax.lax.cond(is_global, dec(None),
                                     dec(config.sliding_window))
@@ -396,6 +420,13 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
                 attn = dec(config.sliding_window)()
             attn = attn[:, None]                                 # [B,1,Hq,D]
         else:
+            if k_cache.dtype == jnp.int8:
+                # forward() routes int8 prefill through the per-layer
+                # slicing body (the stacked flash kernel has no scale
+                # inputs).
+                raise ValueError("int8 KV prefill requires the "
+                                 "per-layer cache body")
+
             def pre(window):
                 return lambda: ops.attention_prefill(
                     q, k_cache, v_cache, causal=True, positions=positions,
@@ -410,20 +441,25 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         # Per-slot in-place writes, unrolled over static B (a vmapped
         # DUS over traced starts is a scatter -> full-cache copy per
         # layer; same trap and fix as the stacked decode branch above).
-        newk = encode_kv(k.transpose(0, 2, 1, 3), k_cache.dtype)
-        newv = encode_kv(v.transpose(0, 2, 1, 3), v_cache.dtype)
+        newk, ks = encode_kv_scaled(k.transpose(0, 2, 1, 3), k_cache.dtype)
+        newv, vs = encode_kv_scaled(v.transpose(0, 2, 1, 3), v_cache.dtype)
         for b in range(B):
             idx = (b, 0, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, newk[b][None], idx)
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, newv[b][None], idx)
+            if ks is not None:
+                k_scale = jax.lax.dynamic_update_slice(
+                    k_scale, ks[b][None], (b, 0, start[b]))
+                v_scale = jax.lax.dynamic_update_slice(
+                    v_scale, vs[b][None], (b, 0, start[b]))
 
         if S == 1:
             def dec(window):
                 return lambda: ops.attention_decode(
                     q[:, 0], k_cache, v_cache, kv_len, window=window,
-                    softcap=cap)
+                    softcap=cap, k_scale=k_scale, v_scale=v_scale)
             if alternating:
                 attn = jax.lax.cond(is_global, dec(None),
                                     dec(config.sliding_window))
@@ -431,8 +467,8 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
                 attn = dec(config.sliding_window)()
             attn = attn[:, None]                                 # [B,1,Hq,D]
         else:
-            kf = decode_kv(k_cache, q.dtype)
-            vf = decode_kv(v_cache, q.dtype)
+            kf = decode_kv(k_cache, q.dtype, k_scale)
+            vf = decode_kv(v_cache, q.dtype, v_scale)
 
             def pre(window):
                 return lambda: ops.attention_prefill(
@@ -466,6 +502,8 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         ffn_out = ffn_out * jnp.asarray(config.residual_multiplier,
                                         ffn_out.dtype)
     x = x + ffn_out
+    if k_scale is not None:
+        return x, k_cache, v_cache, k_scale, v_scale
     return x, k_cache, v_cache
 
 
@@ -514,8 +552,9 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     fused = cache.fused_layout
     cache = cache_bits_view(cache)
 
+    scaled = cache.k_scale is not None
     if S == 1 or (not fused and cache.k.ndim == 5
-                  and cache.k.dtype != jnp.uint8):
+                  and cache.k.dtype not in (jnp.uint8, jnp.int8)):
         # Decode AND head-major prefill: the stacked cache flows
         # through whole — _layer_forward writes token slots in place
         # and the attention kernels read their layer via scalar
@@ -523,30 +562,44 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
         # [B, Hkv, T, D] copy (plus write-back) per layer per step —
         # measured 39 -> 72 ms/step going T=1024 -> 2048 on 7B-int4
         # B=8 decode with the slice, flat ~12 ms without; for S=512
-        # 7B prefill the slices cost ~5 ms of a 55 ms pass. fp8
-        # (uint8 bit-view) prefill keeps the slicing body: its reads
-        # need the per-layer decode_kv dequant.
+        # 7B prefill the slices cost ~5 ms of a 55 ms pass. fp8/int8
+        # PREFILL keeps the slicing body: their reads need the
+        # per-layer dequant (decode runs stacked — the decode kernel
+        # reads e4m3/int8+scales natively).
         def body(carry, i):
-            x, k_full, v_full = carry
-            x, k_full, v_full = _layer_forward(
+            x, k_full, v_full, ks, vs = carry
+            out = _layer_forward(
                 config, x, layers, positions, k_full, v_full,
                 start, kv_len, contiguous=contiguous, layer_index=i,
-                fused_cache=fused)
-            return (x, k_full, v_full), None
+                fused_cache=fused, k_scale=ks, v_scale=vs)
+            x, k_full, v_full = out[:3]
+            ks, vs = out[3:] if scaled else (ks, vs)
+            return (x, k_full, v_full, ks, vs), None
     else:
         def body(carry, i):
-            x, k_full, v_full = carry
+            x, k_full, v_full, ksf, vsf = carry
             kc = jax.lax.dynamic_index_in_dim(k_full, i, 0, keepdims=False)
             vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
-            x, kc, vc = _layer_forward(config, x, layers, positions, kc, vc,
-                                       start, kv_len, contiguous=contiguous,
-                                       layer_index=i, fused_cache=fused)
+            kss = vss = None
+            if scaled:
+                kss = jax.lax.dynamic_index_in_dim(ksf, i, 0,
+                                                   keepdims=False)
+                vss = jax.lax.dynamic_index_in_dim(vsf, i, 0,
+                                                   keepdims=False)
+            out = _layer_forward(config, x, layers, positions, kc, vc,
+                                 start, kv_len, contiguous=contiguous,
+                                 layer_index=i, fused_cache=fused,
+                                 k_scale=kss, v_scale=vss)
+            x, kc, vc = out[:3]
             k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
             v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
-            return (x, k_full, v_full), None
+            if scaled:
+                ksf = jax.lax.dynamic_update_index_in_dim(ksf, out[3], i, 0)
+                vsf = jax.lax.dynamic_update_index_in_dim(vsf, out[4], i, 0)
+            return (x, k_full, v_full, ksf, vsf), None
 
-    (x, k_new, v_new), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v),
+    (x, k_new, v_new, ks_new, vs_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
         jnp.arange(config.num_layers, dtype=jnp.int32),
         unroll=layer_unroll(config.num_layers))
     k_new, v_new = cache_from_bits(k_new, v_new, was_fp8)
@@ -558,7 +611,8 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
                                config.final_logit_softcap)
     if config.logits_scaling:                      # Granite: logits / m
         logits = logits / config.logits_scaling
-    return logits, KVCache(k=k_new, v=v_new, length=kv_len)
+    return logits, KVCache(k=k_new, v=v_new, length=kv_len,
+                           k_scale=ks_new, v_scale=vs_new)
 
 
 def _dense_ffn(config: ModelConfig, h: jax.Array, layers: Dict[str, Any],

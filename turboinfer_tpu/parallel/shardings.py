@@ -180,9 +180,16 @@ def shard_cache(cache, mesh: Mesh):
         else None
     ns = NamedSharding(mesh, cache_spec(data=data))
     len_ns = NamedSharding(mesh, P(data))
+    ks = vs = None
+    if cache.k_scale is not None:
+        # int8 scales [L, B, Hkv, T]: cache_spec minus the D axis.
+        sc_ns = NamedSharding(mesh, P(*cache_spec(data=data)[:4]))
+        ks = jax.device_put(cache.k_scale, sc_ns)
+        vs = jax.device_put(cache.v_scale, sc_ns)
     return KVCache(k=jax.device_put(cache.k, ns),
                    v=jax.device_put(cache.v, ns),
-                   length=jax.device_put(cache.length, len_ns))
+                   length=jax.device_put(cache.length, len_ns),
+                   k_scale=ks, v_scale=vs)
 
 
 def replicate_for_host(tree, mesh: Mesh):
