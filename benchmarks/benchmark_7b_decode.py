@@ -36,6 +36,12 @@ def main():
                     help="decode over the paged KV cache (block-table "
                          "Pallas kernel) instead of the contiguous cache")
     ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--kv", default="model",
+                    choices=["model", "bf16", "fp8", "int8"],
+                    help="KV cache storage dtype (resolve_kv_dtype)")
+    ap.add_argument("--fill", type=int, default=0,
+                    help="starting cache fill (decode cost is "
+                         "fill-proportional)")
     args = ap.parse_args()
 
     from turboinfer_tpu.config import llama7b_config
@@ -50,6 +56,7 @@ def main():
     params = dispatch.prepare_params(data.params)
     del data
     wbytes = common.param_bytes(params)
+    kv_dtype = common.resolve_kv_dtype(args.kv, cfg.dtype)
 
     if args.paged:
         from turboinfer_tpu.engine import paged_cache as pc
@@ -57,39 +64,52 @@ def main():
         per_seq = args.max_seq // page
         pcache = pc.init_paged_cache(cfg, args.batch,
                                      num_pages=args.batch * per_seq,
-                                     page_size=page, max_seq=args.max_seq)
+                                     page_size=page, max_seq=args.max_seq,
+                                     dtype=kv_dtype)
         # Each sequence owns a contiguous run of pages (worst case for
         # locality is irrelevant: the kernel DMAs per block-table entry).
         table = jnp.arange(args.batch * per_seq, dtype=jnp.int32)
         table = table.reshape(args.batch, per_seq)
         pcache = pcache._replace(block_table=table)
+        scaled = pcache.k_scale_pages is not None
 
         @functools.partial(jax.jit, static_argnames=("n",),
-                           donate_argnames=("kp", "vp"))
-        def steps(params, tok, kp, vp, lengths, n):
+                           donate_argnames=("kp", "vp", "ksp", "vsp"))
+        def steps(params, tok, kp, vp, ksp, vsp, lengths, n):
             def body(carry, _):
-                tok, kp, vp, lengths = carry
-                logits, kp, vp = llama.forward_paged_decode(
-                    params, cfg, tok, kp, vp, table, lengths)
+                tok, kp, vp, ksp, vsp, lengths = carry
+                kw = (dict(k_scale_pages=ksp, v_scale_pages=vsp)
+                      if scaled else {})
+                out = llama.forward_paged_decode(
+                    params, cfg, tok, kp, vp, table, lengths, **kw)
+                logits, kp, vp = out[:3]
+                if scaled:
+                    ksp, vsp = out[3:]
                 nxt = jnp.argmax(logits, -1).astype(jnp.int32)
-                return (nxt, kp, vp, lengths + 1), None
-            carry, _ = jax.lax.scan(body, (tok, kp, vp, lengths), None,
-                                    length=n)
+                return (nxt, kp, vp, ksp, vsp, lengths + 1), None
+            carry, _ = jax.lax.scan(body, (tok, kp, vp, ksp, vsp, lengths),
+                                    None, length=n)
             return carry
 
         tok = jnp.ones((args.batch,), jnp.int32)
-        lengths = jnp.zeros((args.batch,), jnp.int32)
+        lengths = jnp.full((args.batch,), args.fill, jnp.int32)
         t0 = time.perf_counter()
-        out = steps(params, tok, pcache.k_pages, pcache.v_pages, lengths,
+        out = steps(params, tok, pcache.k_pages, pcache.v_pages,
+                    pcache.k_scale_pages, pcache.v_scale_pages, lengths,
                     n=args.steps)
         _ = int(np.asarray(out[0]).sum())
         print(f"compile+first run: {time.perf_counter() - t0:.0f}s",
               flush=True)
         t0 = time.perf_counter()
-        out = steps(params, out[0], out[1], out[2], out[3], n=args.steps)
+        out = steps(params, out[0], out[1], out[2], out[3], out[4], out[5],
+                    n=args.steps)
         _ = int(np.asarray(out[0]).sum())
     else:
-        cache = llama.init_cache(cfg, args.batch, max_seq=args.max_seq)
+        cache = llama.init_cache(cfg, args.batch, max_seq=args.max_seq,
+                                 dtype=kv_dtype)
+        if args.fill:
+            cache = cache._replace(
+                length=jnp.full((args.batch,), args.fill, jnp.int32))
 
         @functools.partial(jax.jit, static_argnames=("n",),
                            donate_argnames=("cache",))

@@ -250,6 +250,69 @@ def test_paged_scheduler_fp8_matches_bf16_greedy(tiny_params, tiny_cfg):
     assert same >= len(ta) - 2, (ta, tb)
 
 
+def test_paged_int8_kernel_matches_ref():
+    """int8 page pool: the Pallas kernel's scale streaming (whole
+    [Hkv, page] planes + score/prob-tile multiplies) must match the
+    gather-dequant reference, including out-of-order pages and the
+    stacked-pool layer-index path."""
+    from turboinfer_tpu.kernels.pallas import paged_attention
+    B, page, n_pages = 2, 8, 8
+    wide = ModelConfig(vocab_size=100, hidden_size=256, num_layers=2,
+                       num_heads=2, num_kv_heads=2, max_seq_len=64,
+                       dtype=jnp.float32)
+    cache = pc.init_paged_cache(wide, B, num_pages=n_pages, page_size=page,
+                                max_seq=32, dtype=jnp.int8)
+    assert cache.k_scale_pages is not None
+    alloc = pc.PageAllocator(n_pages)
+    pages = alloc.alloc(8)
+    cache = pc.assign_pages(cache, 0, [pages[5], pages[1], pages[6],
+                                       pages[0]])
+    cache = pc.assign_pages(cache, 1, [pages[2], pages[7], pages[3],
+                                       pages[4]])
+    rng = np.random.RandomState(3)
+    L, Hkv, D = wide.num_layers, wide.kv_heads, wide.head_dim_
+    for t in range(13):
+        cache = pc.append_token(
+            cache, jnp.asarray(rng.randn(L, B, Hkv, D).astype(np.float32)),
+            jnp.asarray(rng.randn(L, B, Hkv, D).astype(np.float32)))
+    cache = cache._replace(lengths=jnp.asarray([13, 9], jnp.int32))
+
+    q = jnp.asarray(rng.randn(B, wide.num_heads, D).astype(np.float32))
+    for li in (0, 1):
+        want = pc.paged_attention_decode_ref(q, cache, layer=li)
+        got = paged_attention.paged_decode_pallas(
+            q, cache.k_pages, cache.v_pages, cache.block_table,
+            cache.lengths, layer_index=jnp.int32(li),
+            k_scale=cache.k_scale_pages, v_scale=cache.v_scale_pages,
+            interpret=True)
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"li={li}")
+
+
+def test_paged_scheduler_int8_runs_and_prefix_cache_consistent(
+        tiny_params, tiny_cfg):
+    """int8 page pool under the paged scheduler: runs end-to-end, and a
+    repeat of the same prompt (served from prefix-cached pages, scales
+    shared with them) reproduces the identical greedy trajectory."""
+    from turboinfer_tpu.config import InferenceConfig
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    cfg = InferenceConfig(max_seq_len=128, temperature=0.0, seed=0,
+                          kv_cache_dtype="int8")
+    s = PagedContinuousScheduler(tiny_params, tiny_cfg, cfg,
+                                 batch_slots=2, page_size=16)
+    assert s.cache.k_scale_pages is not None
+    prompt = list(range(1, 40))              # spans 2+ full pages
+    r1 = s.submit(prompt, 8)
+    t1 = s.run()[r1].tokens
+    hits_before = s.pool.hits
+    r2 = s.submit(prompt, 8)
+    t2 = s.run()[r2].tokens
+    assert s.pool.hits > hits_before         # prefix pages were reused
+    assert t1 == t2
+
+
 def test_paged_pallas_kernel_window_softcap_matches_ref():
     """Windowed + softcapped paged decode kernel (interpret mode) vs the
     gather-based reference — the window must also hold across page

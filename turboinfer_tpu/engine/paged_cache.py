@@ -36,6 +36,11 @@ class PagedKVCache(NamedTuple):
     v_pages: jax.Array
     block_table: jax.Array    # [B, max_pages] int32
     lengths: jax.Array        # [B] int32
+    # int8 pools only: per-(token, head) absmax scales [L, P, Hkv, page]
+    # f32 (value = int8_code * scale) — pages carry their scales, so
+    # prefix-shared pages share them too. See models/common.KVCache.
+    k_scale_pages: Optional[jax.Array] = None
+    v_scale_pages: Optional[jax.Array] = None
 
     @property
     def page_size(self) -> int:
@@ -57,8 +62,8 @@ def init_paged_cache(config: ModelConfig, batch_size: int, num_pages: int,
         # D=kv_lora_rank) and the shared rope key (v pool,
         # D=qk_rope_head_dim), one "head" each — the pools are
         # asymmetric and ~70x smaller than per-head K/V.
-        if dtype == jnp.uint8:          # fp8 latents unsupported
-            dtype = config.dtype
+        if dtype in (jnp.uint8, jnp.int8):   # compressed latents: no
+            dtype = config.dtype             # fp8/int8 story yet
         kshape = (config.num_layers, num_pages, 1, page_size,
                   config.kv_lora_rank)
         vshape = (config.num_layers, num_pages, 1, page_size,
@@ -66,11 +71,16 @@ def init_paged_cache(config: ModelConfig, batch_size: int, num_pages: int,
     else:
         kshape = vshape = (config.num_layers, num_pages, config.kv_heads,
                            page_size, config.head_dim_)
+    ks = vs = None
+    if dtype == jnp.int8:
+        ks = jnp.zeros(kshape[:-1], jnp.float32)   # [L, P, Hkv, page]
+        vs = jnp.zeros(vshape[:-1], jnp.float32)
     return PagedKVCache(
         k_pages=jnp.zeros(kshape, dtype),
         v_pages=jnp.zeros(vshape, dtype),
         block_table=jnp.full((batch_size, max_pages), -1, jnp.int32),
-        lengths=jnp.zeros((batch_size,), jnp.int32))
+        lengths=jnp.zeros((batch_size,), jnp.int32),
+        k_scale_pages=ks, v_scale_pages=vs)
 
 
 class PageAllocator:
@@ -206,6 +216,7 @@ def append_token(cache: PagedKVCache, layer_k: jax.Array, layer_v: jax.Array,
     block_table[b, lengths[b] // page] at offset lengths[b] % page; pages
     must be pre-assigned (assign_pages).
     """
+    from turboinfer_tpu.models.common import encode_kv_scaled
     L, P, Hkv, page, D = cache.k_pages.shape
     B = cache.lengths.shape[0]
     page_idx = cache.lengths // page                      # [B]
@@ -213,7 +224,7 @@ def append_token(cache: PagedKVCache, layer_k: jax.Array, layer_v: jax.Array,
     page_ids = jnp.take_along_axis(cache.block_table, page_idx[:, None],
                                    axis=1)[:, 0]          # [B]
 
-    def write_b(kp, vp, pid, off, kb, vb):
+    def write_b(kp, vp, ksp, vsp, pid, off, kb, vb):
         # kp/vp: [L, P, Hkv, page, D]; kb/vb: [L, Hkv, D].
         # An UNASSIGNED destination (block_table -1, e.g. a slot past
         # its granted pages) must not write at all — dynamic_update_slice
@@ -221,25 +232,32 @@ def append_token(cache: PagedKVCache, layer_k: jax.Array, layer_v: jax.Array,
         # silently corrupting another sequence's K/V. Remap to P (out of
         # bounds) so mode="drop" really drops the write.
         pid = jnp.where(pid < 0, P, pid)
-        kp = kp.at[:, pid, :, off, :].set(
-            kb.astype(kp.dtype), mode="drop")
-        vp = vp.at[:, pid, :, off, :].set(
-            vb.astype(vp.dtype), mode="drop")
-        return kp, vp
+        kq, ks = encode_kv_scaled(kb, kp.dtype)
+        vq, vs = encode_kv_scaled(vb, vp.dtype)
+        kp = kp.at[:, pid, :, off, :].set(kq, mode="drop")
+        vp = vp.at[:, pid, :, off, :].set(vq, mode="drop")
+        if ks is not None:
+            ksp = ksp.at[:, pid, :, off].set(ks, mode="drop")
+            vsp = vsp.at[:, pid, :, off].set(vs, mode="drop")
+        return kp, vp, ksp, vsp
 
     kp, vp = cache.k_pages, cache.v_pages
+    ksp, vsp = cache.k_scale_pages, cache.v_scale_pages
     for b in range(B):      # B is small & static; unrolled at trace time
-        kp, vp = write_b(kp, vp, page_ids[b], offset[b],
-                         layer_k[:, b], layer_v[:, b])
+        kp, vp, ksp, vsp = write_b(kp, vp, ksp, vsp, page_ids[b],
+                                   offset[b], layer_k[:, b], layer_v[:, b])
     return PagedKVCache(k_pages=kp, v_pages=vp,
                         block_table=cache.block_table,
-                        lengths=cache.lengths + 1)
+                        lengths=cache.lengths + 1,
+                        k_scale_pages=ksp, v_scale_pages=vsp)
 
 
 def gather_sequence(cache: PagedKVCache, max_seq: int
                     ) -> Tuple[jax.Array, jax.Array]:
     """Materialize contiguous [L, B, Hkv, max_seq, D] k/v from pages
-    (reference path; the Pallas kernel will read pages directly)."""
+    (reference path; the Pallas kernel reads pages directly). int8
+    pools come back DEQUANTIZED to f32 (scales consumed here)."""
+    from turboinfer_tpu.models.common import decode_kv
     L, P, Hkv, page, D = cache.k_pages.shape
     Dv = cache.v_pages.shape[-1]          # may differ (MLA latent pools)
     n_pages = max_seq // page
@@ -249,6 +267,9 @@ def gather_sequence(cache: PagedKVCache, max_seq: int
         # t: [n_pages] -> [L, Hkv, n_pages*page, D]
         k = cache.k_pages[:, t]          # [L, n, Hkv, page, D]
         v = cache.v_pages[:, t]
+        if cache.k_scale_pages is not None:
+            k = decode_kv(k, jnp.float32, cache.k_scale_pages[:, t])
+            v = decode_kv(v, jnp.float32, cache.v_scale_pages[:, t])
         k = k.transpose(0, 2, 1, 3, 4).reshape(L, Hkv, n_pages * page, D)
         v = v.transpose(0, 2, 1, 3, 4).reshape(L, Hkv, n_pages * page, Dv)
         return k, v

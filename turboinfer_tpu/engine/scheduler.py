@@ -127,6 +127,12 @@ class ContinuousBatchingScheduler:
         from turboinfer_tpu.models.common import resolve_kv_dtype
         self._kv_dtype = resolve_kv_dtype(self.config.kv_cache_dtype,
                                           model_config.dtype)
+        if self._kv_dtype == jnp.int8 and not getattr(
+                self._model, "SUPPORTS_INT8_KV", False):
+            raise ValueError(
+                "kv_cache_dtype='int8' is supported by the llama-family "
+                "forward only (this model family does not thread the "
+                "per-token KV scales); use 'fp8' or 'bf16'")
         # Sharded runs keep the head-major 5-D layout (cache_spec shards
         # kv-heads over tp); single-chip runs let the model auto-pick.
         self.cache = self._model.init_cache(model_config, self.B,
@@ -870,12 +876,19 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         model = self._model
         eos = self.config.eos_token_id
 
-        @functools.partial(jax.jit, donate_argnums=(3, 4))
-        def step(params, tokens, active, k_pages, v_pages, table, lengths,
-                 rng, temp, topk, topp, minp, rep, pres, freq, pc, oc,
-                 bias):
-            logits, k_pages, v_pages = model.forward_paged_decode(
-                params, cfg, tokens, k_pages, v_pages, table, lengths)
+        scaled = self.cache.k_scale_pages is not None
+
+        @functools.partial(jax.jit, donate_argnums=(3, 4, 5, 6))
+        def step(params, tokens, active, k_pages, v_pages, ksp, vsp,
+                 table, lengths, rng, temp, topk, topp, minp, rep, pres,
+                 freq, pc, oc, bias):
+            kw = (dict(k_scale_pages=ksp, v_scale_pages=vsp)
+                  if scaled else {})     # non-llama paged forwards don't
+            out = model.forward_paged_decode(   # take the scale kwargs
+                params, cfg, tokens, k_pages, v_pages, table, lengths,
+                **kw)
+            logits, k_pages, v_pages = out[:3]
+            ksp, vsp = out[3:] if scaled else (ksp, vsp)
             logits = logits + bias
             nxt = sampling.sample_per_slot(
                 rng, logits, temp, topk, topp, min_p=minp,
@@ -885,7 +898,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             oc = oc.at[jnp.arange(oc.shape[0]), nxt].add(
                 active.astype(jnp.int32))
             hit_eos = active & (nxt == eos)
-            return nxt, lp, hit_eos, k_pages, v_pages, oc
+            return nxt, lp, hit_eos, k_pages, v_pages, ksp, vsp, oc
         return step
 
     def _prefill_fn(self, m: int, S_suf: int):
@@ -910,9 +923,12 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         Dk = self.cache.k_pages.shape[4]
         Dv = self.cache.v_pages.shape[4]
 
-        @functools.partial(jax.jit, donate_argnums=(5, 6))
+        scaled = self.cache.k_scale_pages is not None
+
+        @functools.partial(jax.jit, donate_argnums=(5, 6, 7, 8))
         def prefill(params, tokens, seq_len, shared_ids, new_ids, k_pages,
-                    v_pages, rng, t, k_sp, p, pen, pc_row, bias_row):
+                    v_pages, ksp, vsp, rng, t, k_sp, p, pen, pc_row,
+                    bias_row):
             """tokens: [1, S_suf] suffix; seq_len: TOTAL prompt length;
             shared_ids: [m] pages already holding positions [0, pre);
             new_ids: [n_new] pages to receive the suffix K/V."""
@@ -921,6 +937,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             small = model.init_cache(cfg, 1, max_seq=pre + n_new * page,
                                      dtype=self._kv_dtype, fused=False)
             k, v, length = small.k, small.v, small.length
+            ks, vs = small.k_scale, small.v_scale
             if m:
                 kpre = k_pages[:, shared_ids].transpose(0, 2, 1, 3, 4)
                 vpre = v_pages[:, shared_ids].transpose(0, 2, 1, 3, 4)
@@ -928,8 +945,17 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                     kpre.reshape(L, 1, Hkv, pre, Dk).astype(k.dtype))
                 v = v.at[:, :, :, :pre].set(
                     vpre.reshape(L, 1, Hkv, pre, Dv).astype(v.dtype))
+                if scaled:
+                    # int8 prefix pages carry their scales — inject both.
+                    kspre = ksp[:, shared_ids].transpose(0, 2, 1, 3)
+                    vspre = vsp[:, shared_ids].transpose(0, 2, 1, 3)
+                    ks = ks.at[:, :, :, :pre].set(
+                        kspre.reshape(L, 1, Hkv, pre))
+                    vs = vs.at[:, :, :, :pre].set(
+                        vspre.reshape(L, 1, Hkv, pre))
                 length = jnp.full_like(length, pre)
-            small = type(small)(k=k, v=v, length=length)
+            small = small._replace(k=k, v=v, length=length,
+                                   k_scale=ks, v_scale=vs)
             suf_len = seq_len - pre
             logits, small = model.forward(params, cfg, tokens, small,
                                           seq_lens=suf_len[None])
@@ -950,7 +976,14 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                 kn.transpose(0, 2, 1, 3, 4).astype(k_pages.dtype))
             v_pages = v_pages.at[:, new_ids].set(
                 vn.transpose(0, 2, 1, 3, 4).astype(v_pages.dtype))
-            return first, first_lp, k_pages, v_pages
+            if scaled:
+                ksn = small.k_scale[:, 0, :, pre:].reshape(L, Hkv, n_new,
+                                                           page)
+                vsn = small.v_scale[:, 0, :, pre:].reshape(L, Hkv, n_new,
+                                                           page)
+                ksp = ksp.at[:, new_ids].set(ksn.transpose(0, 2, 1, 3))
+                vsp = vsp.at[:, new_ids].set(vsn.transpose(0, 2, 1, 3))
+            return first, first_lp, k_pages, v_pages, ksp, vsp
         return prefill
 
     # -- host-side page bookkeeping ------------------------------------
@@ -1024,13 +1057,16 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             if fkey not in self._prefill_cache:
                 self._prefill_cache[fkey] = self._prefill_fn(*fkey)
             (t, k, p), pen, pc_row, bias_row = self._set_slot_sp(slot, req)
-            first, first_lp, kp, vp = self._prefill_cache[fkey](
+            first, first_lp, kp, vp, ksp, vsp = self._prefill_cache[fkey](
                 self.params, jnp.asarray(arr), jnp.int32(plen),
                 jnp.asarray(self._table[slot, :m]),
                 jnp.asarray(self._table[slot, m:m + n_new]),
                 self.cache.k_pages, self.cache.v_pages,
+                self.cache.k_scale_pages, self.cache.v_scale_pages,
                 self._next_rng(), t, k, p, pen, pc_row, bias_row)
-            self.cache = self.cache._replace(k_pages=kp, v_pages=vp)
+            self.cache = self.cache._replace(k_pages=kp, v_pages=vp,
+                                             k_scale_pages=ksp,
+                                             v_scale_pages=vsp)
             self._lengths[slot] = len(req.prompt)
             req.prefill_ms = (time.perf_counter() - t0) * 1e3
             req.slot = slot
@@ -1070,14 +1106,18 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                     "KV page pool exhausted mid-decode; raise num_pages "
                     "or lower batch_slots")
         lengths_dev = jnp.asarray(self._lengths.astype(np.int32))
-        nxt, lp, hit_eos, kp, vp, self.counts_out = self._decode_fn(
+        (nxt, lp, hit_eos, kp, vp, ksp, vsp,
+         self.counts_out) = self._decode_fn(
             self.params, self.tokens, self.active, self.cache.k_pages,
-            self.cache.v_pages, self._device_table(), lengths_dev,
+            self.cache.v_pages, self.cache.k_scale_pages,
+            self.cache.v_scale_pages, self._device_table(), lengths_dev,
             self._next_rng(), self.slot_temp, self.slot_topk,
             self.slot_topp, self.slot_minp, self.slot_rep,
             self.slot_pres, self.slot_freq, self.counts_prompt,
             self.counts_out, self.slot_bias)
-        self.cache = self.cache._replace(k_pages=kp, v_pages=vp)
+        self.cache = self.cache._replace(k_pages=kp, v_pages=vp,
+                                         k_scale_pages=ksp,
+                                         v_scale_pages=vsp)
         self.tokens = nxt
         nxt_np, lp_np, eos_np = (np.asarray(a) for a in
                                  self._host_view((nxt, lp, hit_eos)))

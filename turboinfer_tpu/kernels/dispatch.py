@@ -192,10 +192,12 @@ def attention_decode_fused(q, k_cache, v_cache, kv_len, layer_index=None,
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
-                           layer_index=None, window=None, softcap=None):
+                           layer_index=None, window=None, softcap=None,
+                           k_scale=None, v_scale=None):
     """k/v_pages: [P, Hkv, page, D], or the full stacked
     [L, P, Hkv, page, D] pool when `layer_index` is given (the kernel
-    reads its layer via scalar prefetch — no per-layer pool copy)."""
+    reads its layer via scalar prefetch — no per-layer pool copy).
+    k_scale/v_scale: int8-pool per-token scales ([..., Hkv, page] f32)."""
     from turboinfer_tpu.kernels import ops
     if pallas_enabled():
         from turboinfer_tpu.kernels.pallas import paged_attention
@@ -203,7 +205,9 @@ def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
                                                 block_table, kv_len,
                                                 layer_index=layer_index,
                                                 window=window,
-                                                softcap=softcap)
+                                                softcap=softcap,
+                                                k_scale=k_scale,
+                                                v_scale=v_scale)
         if y is not None:
             return y
     if layer_index is not None:
@@ -211,11 +215,16 @@ def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
                                                keepdims=False)
         v_pages = jax.lax.dynamic_index_in_dim(v_pages, layer_index, 0,
                                                keepdims=False)
+        if k_scale is not None:
+            k_scale = jax.lax.dynamic_index_in_dim(k_scale, layer_index, 0,
+                                                   keepdims=False)
+            v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer_index, 0,
+                                                   keepdims=False)
     from turboinfer_tpu.models.common import decode_kv
-    return ops.attention_paged_decode_ref(q, decode_kv(k_pages, q.dtype),
-                                          decode_kv(v_pages, q.dtype),
-                                          block_table, kv_len,
-                                          window=window, softcap=softcap)
+    return ops.attention_paged_decode_ref(
+        q, decode_kv(k_pages, q.dtype, k_scale),
+        decode_kv(v_pages, q.dtype, v_scale),
+        block_table, kv_len, window=window, softcap=softcap)
 
 
 def prepare_params(params, fuse: bool = True):

@@ -571,11 +571,13 @@ def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
-                           layer_index=None, window=None, softcap=None):
+                           layer_index=None, window=None, softcap=None,
+                           k_scale=None, v_scale=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_paged_decode(q, k_pages, v_pages, block_table,
                                            kv_len, layer_index=layer_index,
-                                           window=window, softcap=softcap)
+                                           window=window, softcap=softcap,
+                                           k_scale=k_scale, v_scale=v_scale)
 
 
 def attention_decode_fused(q, k_cache, v_cache, kv_len, layer_index=None,

@@ -38,10 +38,10 @@ import os
 NBUF = int(os.environ.get("TURBOINFER_PAGED_NBUF", "4"))
 
 
-def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
-            kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref,
-            *, hkv: int, page: int, scale: float,
-            window: Optional[int] = None, softcap: Optional[float] = None):
+def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, *rest,
+            hkv: int, page: int, scale: float,
+            window: Optional[int] = None, softcap: Optional[float] = None,
+            scaled: bool = False):
     """One sequence b: stream Hkv * ceil(kv_len/page) pages through NBUF
     VMEM buffers; trip t covers page (t % npages) of kv head
     (t // npages), folding into that head's online-softmax state.
@@ -56,7 +56,18 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
     q_ref: [1, Hkv, Ghp, D]; k_hbm/v_hbm: [L, P, Hkv, page, D] HBM;
     kbuf/vbuf: [NBUF, page, D] VMEM scratch; m/l: [Ghp, 128],
     acc: [Ghp, D] f32 scratch (reused head to head).
+
+    `scaled` (int8 pools): ks/vs_hbm [L, P, Hkv, page] f32 per-token
+    scales stream as whole [Hkv, page] planes per page (a per-head
+    [page] HBM slice is a 1-sublane memref_slice Mosaic rejects);
+    dequant multiplies ride the [Ghp, page] score/prob tiles — same
+    algebra as the contiguous int8 decode kernel (decode_attention).
     """
+    if scaled:
+        (ks_hbm, vs_hbm, o_ref, kbuf, vbuf, ksem, vsem,
+         ksbuf, vsbuf, kssem, vssem, m_ref, l_ref, acc_ref) = rest
+    else:
+        (o_ref, kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref) = rest
     b = pl.program_id(0)
     li = idx_ref[0]
     kv_len = len_ref[b]
@@ -74,6 +85,13 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
             k_hbm.at[li, pid, h], kbuf.at[slot], ksem.at[slot]).start()
         pltpu.make_async_copy(
             v_hbm.at[li, pid, h], vbuf.at[slot], vsem.at[slot]).start()
+        if scaled:
+            pltpu.make_async_copy(
+                ks_hbm.at[li, pid], ksbuf.at[slot],
+                kssem.at[slot]).start()
+            pltpu.make_async_copy(
+                vs_hbm.at[li, pid], vsbuf.at[slot],
+                vssem.at[slot]).start()
 
     def prime(t, _):
         @pl.when(t < ntrips)
@@ -102,12 +120,19 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
                               ksem.at[slot]).wait()
         pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot],
                               vsem.at[slot]).wait()
+        if scaled:
+            pltpu.make_async_copy(ksbuf.at[slot], ksbuf.at[slot],
+                                  kssem.at[slot]).wait()
+            pltpu.make_async_copy(vsbuf.at[slot], vsbuf.at[slot],
+                                  vssem.at[slot]).wait()
         q = q_ref[0, h].astype(jnp.float32) * scale  # [Ghp, D]
         k = _load_kv(kbuf[slot], jnp.float32)        # [page, D]
         v = _load_kv(vbuf[slot], jnp.float32)
         s = jax.lax.dot_general(                     # [Ghp, page]
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if scaled:
+            s = s * ksbuf[slot, h][None, :]
         if softcap is not None:
             s = softcap * jnp.tanh(s * (1.0 / softcap))
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * page
@@ -121,8 +146,9 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = p * vsbuf[slot, h][None, :] if scaled else p
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            pv, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
@@ -138,40 +164,57 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("window", "softcap",
                                              "interpret"))
-def _paged_decode(q4, k_pages, v_pages, table, kv_len, layer_idx, *,
+def _paged_decode(q4, k_pages, v_pages, table, kv_len, layer_idx,
+                  k_scale=None, v_scale=None, *,
                   window=None, softcap=None, interpret: bool = False):
     B, Hkv, Ghp, D = q4.shape
     P, page = k_pages.shape[1], k_pages.shape[3]
     scale = 1.0 / float(D) ** 0.5
+    scaled = k_scale is not None
 
     # Clamp unassigned (-1) ids so any stray DMA still lands in-range
     # (only pages below ceil(kv_len/page) are ever fetched).
     table = jnp.clip(table, 0, P - 1).astype(jnp.int32)
 
     kern = functools.partial(_kernel, hkv=Hkv, page=page, scale=scale,
-                             window=window, softcap=softcap)
+                             window=window, softcap=softcap,
+                             scaled=scaled)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [
+        pl.BlockSpec((1, Hkv, Ghp, D),
+                     lambda b, idx, lr, tr: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        any_spec, any_spec,
+    ]
+    scratch = [
+        pltpu.VMEM((NBUF, page, D), k_pages.dtype),
+        pltpu.VMEM((NBUF, page, D), v_pages.dtype),
+        pltpu.SemaphoreType.DMA((NBUF,)),
+        pltpu.SemaphoreType.DMA((NBUF,)),
+    ]
+    ops = (q4, k_pages, v_pages)
+    if scaled:
+        in_specs += [any_spec, any_spec]
+        scratch += [
+            pltpu.VMEM((NBUF, Hkv, page), jnp.float32),
+            pltpu.VMEM((NBUF, Hkv, page), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ]
+        ops = ops + (k_scale, v_scale)
+    scratch += [
+        pltpu.VMEM((Ghp, 128), jnp.float32),
+        pltpu.VMEM((Ghp, 128), jnp.float32),
+        pltpu.VMEM((Ghp, D), jnp.float32),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, Ghp, D),
-                         lambda b, idx, lr, tr: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hkv, Ghp, D),
                                lambda b, idx, lr, tr: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, page, D), k_pages.dtype),
-            pltpu.VMEM((NBUF, page, D), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.VMEM((Ghp, 128), jnp.float32),
-            pltpu.VMEM((Ghp, 128), jnp.float32),
-            pltpu.VMEM((Ghp, D), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
@@ -180,7 +223,7 @@ def _paged_decode(q4, k_pages, v_pages, table, kv_len, layer_idx, *,
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
-      kv_len.astype(jnp.int32), table, q4, k_pages, v_pages)
+      kv_len.astype(jnp.int32), table, *ops)
 
 
 def paged_decode_pallas(q: jax.Array, k_pages: jax.Array,
@@ -188,6 +231,7 @@ def paged_decode_pallas(q: jax.Array, k_pages: jax.Array,
                         lengths: jax.Array, layer_index=None,
                         window: Optional[int] = None,
                         softcap: Optional[float] = None,
+                        k_scale=None, v_scale=None,
                         interpret: bool = False) -> Optional[jax.Array]:
     """q: [B, Hq, D]; k/v_pages: [P, Hkv, page, D] (ONE layer's pages,
     layer_index=None) or the full stacked [L, P, Hkv, page, D] pool with
@@ -206,9 +250,13 @@ def paged_decode_pallas(q: jax.Array, k_pages: jax.Array,
         # Kernel decodes e4m3 with integer math (see decode_attention).
         k_pages = jax.lax.bitcast_convert_type(k_pages, jnp.uint8)
         v_pages = jax.lax.bitcast_convert_type(v_pages, jnp.uint8)
+    if (k_pages.dtype == jnp.int8) != (k_scale is not None):
+        return None            # int8 needs scales; scales need int8
     if layer_index is None:
         k_pages = k_pages[None]
         v_pages = v_pages[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
         layer_index = 0
     Hkv, page = k_pages.shape[2], k_pages.shape[3]
     if Hq % Hkv or D % 64 or page % 8:
@@ -216,12 +264,19 @@ def paged_decode_pallas(q: jax.Array, k_pages: jax.Array,
     if D % 128 and not interpret:
         return None            # Mosaic: memref_slice of the HBM pool
                                # needs the sliced D axis lane-aligned
+    if k_scale is not None and page % 128 and not interpret:
+        return None            # int8 scale planes [Hkv, page]: Mosaic
+                               # needs the minor (page) dim 128-aligned
+                               # even when sliced whole; small-page int8
+                               # pools take the jnp path (use page>=128
+                               # — 256 is the measured sweet spot)
     Gh = Hq // Hkv
     Ghp = max(Gh, 8)
     q4 = q.reshape(B, Hkv, Gh, D)
     if Ghp != Gh:
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, Ghp - Gh), (0, 0)))
     out = _paged_decode(q4, k_pages, v_pages, block_table, lengths,
-                        layer_index, window=window, softcap=softcap,
+                        layer_index, k_scale, v_scale,
+                        window=window, softcap=softcap,
                         interpret=interpret)
     return out[:, :, :Gh].reshape(B, Hq, D)

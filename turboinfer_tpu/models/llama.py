@@ -627,14 +627,19 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
                          tokens: jax.Array, k_pages: jax.Array,
                          v_pages: jax.Array, block_table: jax.Array,
                          lengths: jax.Array, *,
-                         ffn_fn=_dense_ffn
-                         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                         ffn_fn=_dense_ffn,
+                         k_scale_pages=None, v_scale_pages=None
+                         ) -> Tuple[jax.Array, ...]:
     """One decode step over a PAGED KV cache (engine/paged_cache.py).
 
     tokens: [B] current token per slot; k_pages/v_pages:
     [L, P, Hkv, page, D] shared page pool; block_table: [B, max_pages];
     lengths: [B] tokens already cached (the new token is written at
     position `lengths[b]`, into page block_table[b, lengths[b]//page]).
+    k_scale_pages/v_scale_pages: int8-pool per-token scales
+    ([L, P, Hkv, page] f32) — written alongside and consumed by the
+    paged kernel; when passed, the return grows to
+    (logits, kp, vp, ksp, vsp).
     Returns (logits [B, V] fp32, k_pages', v_pages'). Same decoder body
     as `forward` (reference: forward_pass_incremental,
     inference_engine.cpp:1493-1552) but the cache write is a scatter
@@ -673,7 +678,7 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
             if w.ndim == 2 else w
 
     def body(carry, i):
-        x, kp_full, vp_full = carry
+        x, kp_full, vp_full, ksp_full, vsp_full = carry
 
         h = ops.rms_norm(x, norm_w(layers["attn_norm"], i),
                          config.rms_norm_eps, off)
@@ -710,17 +715,24 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
         # out of the stack (full-pool copy + write-back per layer).
         for b in range(B):
             idx = (i, page_ids[b], 0, offset[b], 0)
+            kq, ks = encode_kv_scaled(k[b, 0], kp_full.dtype)  # [Hkv, D]
+            vq, vs = encode_kv_scaled(v[b, 0], vp_full.dtype)
             kp_full = jax.lax.dynamic_update_slice(
-                kp_full, encode_kv(k[b, 0][None, None, :, None, :],
-                                   kp_full.dtype), idx)
+                kp_full, kq[None, None, :, None, :], idx)
             vp_full = jax.lax.dynamic_update_slice(
-                vp_full, encode_kv(v[b, 0][None, None, :, None, :],
-                                   vp_full.dtype), idx)
+                vp_full, vq[None, None, :, None, :], idx)
+            if ks is not None:
+                sidx = (i, page_ids[b], 0, offset[b])
+                ksp_full = jax.lax.dynamic_update_slice(
+                    ksp_full, ks[None, None, :, None], sidx)
+                vsp_full = jax.lax.dynamic_update_slice(
+                    vsp_full, vs[None, None, :, None], sidx)
 
         def dec(window):
             return lambda: ops.attention_paged_decode(
                 q[:, 0], kp_full, vp_full, block_table, kv_len,
-                layer_index=i, window=window, softcap=cap)
+                layer_index=i, window=window, softcap=cap,
+                k_scale=ksp_full, v_scale=vsp_full)
         if alternating:
             attn = jax.lax.cond(is_global, dec(None),
                                 dec(config.sliding_window))
@@ -750,10 +762,10 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
                                             ffn_out.dtype)
         x = x + ffn_out
 
-        return (x, kp_full, vp_full), None
+        return (x, kp_full, vp_full, ksp_full, vsp_full), None
 
-    (x, k_new, v_new), _ = jax.lax.scan(
-        body, (x, k_pages, v_pages),
+    (x, k_new, v_new, ks_new, vs_new), _ = jax.lax.scan(
+        body, (x, k_pages, v_pages, k_scale_pages, v_scale_pages),
         jnp.arange(config.num_layers, dtype=jnp.int32))
     k_new, v_new = cache_from_bits(k_new, v_new, was_fp8)
 
@@ -764,6 +776,8 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
                                config.final_logit_softcap)
     if config.logits_scaling:                      # Granite: logits / m
         logits = logits / config.logits_scaling
+    if k_scale_pages is not None:
+        return logits[:, 0], k_new, v_new, ks_new, vs_new
     return logits[:, 0], k_new, v_new
 
 
