@@ -50,7 +50,8 @@ def build(args):
         params = create_synthetic_quantized_model(
             cfg, bits=args.bits, group_size=64).params
     icfg = InferenceConfig(max_seq_len=cfg.max_seq_len, temperature=0.8,
-                           top_k=50, top_p=0.9, seed=0)
+                           top_k=50, top_p=0.9, seed=0,
+                           kv_cache_dtype=args.kv)
     return params, cfg, icfg
 
 
@@ -74,6 +75,9 @@ def main():
     ap.add_argument("--max-seq", type=int, default=1024)
     ap.add_argument("--prompt-len", type=int, default=32)
     ap.add_argument("--out-len", type=int, default=48)
+    ap.add_argument("--kv", default="model",
+                    choices=["model", "bf16", "fp8", "int8"],
+                    help="KV cache storage dtype")
     args = ap.parse_args()
 
     params, cfg, icfg = build(args)
@@ -100,16 +104,24 @@ def main():
                for n in plens]
 
     # Warm the compile caches so the measured run reflects steady-state
-    # serving: one request per DISTINCT prompt bucket (prefill programs
-    # compile per bucketed length) plus the decode/burst program.
+    # serving: prefill programs compile per (admission-group width m,
+    # bucketed prompt length) — admissions batch same-bucket requests
+    # into power-of-2 groups — plus the decode/burst program. Warming
+    # only m=1 lets the m=2/4/8 compiles (multi-second through the
+    # tunnel) land inside the measured window and read as a 3-8x
+    # throughput loss.
     def _bucket(n):
         b = 16
         while b < n:
             b *= 2
         return b
     for L in sorted({_bucket(len(p)) for p in prompts}):
-        sched.submit(prompts[0][:4] * (L // 4), 4)
-    sched.run()
+        m = 1
+        while m <= args.slots:
+            for _ in range(m):
+                sched.submit(prompts[0][:4] * (L // 4), 4)
+            sched.run()
+            m *= 2
 
     t0 = time.perf_counter()
     submitted = 0

@@ -483,3 +483,27 @@ def test_moe_paged_scheduler_serves(qwen_moe_cfg, qwen_moe_params):
     req = sched.get_request(rid)
     assert req.finished
     assert [1, 5, 9, 20] + req.out_tokens == list(want)
+
+
+def test_moe_int8_kv_cache_close_to_f32(moe_cfg, moe_params):
+    """int8 KV on the MoE forward: prefill+decode over an int8 cache
+    must track the f32-cache logits within the quantization noise
+    (token trajectories on a RANDOM tiny model sit on near-ties, so
+    compare logits, not argmax)."""
+    import jax.numpy as jnp
+    import numpy as np
+    toks = jnp.asarray([[1, 5, 9, 12, 3]])
+    ref, c_f = moe.forward(moe_params, moe_cfg, toks,
+                           moe.init_cache(moe_cfg, 1, max_seq=64))
+    c8 = moe.init_cache(moe_cfg, 1, max_seq=64, dtype=jnp.int8)
+    assert c8.k_scale is not None
+    got, c8 = moe.forward(moe_params, moe_cfg, toks, c8)
+    r = np.asarray(ref[0, -1])
+    g = np.asarray(got[0, -1])
+    assert np.abs(g - r).max() < 0.25 * max(1.0, np.abs(r).max())
+    # a decode step over the int8 cache also stays close
+    t = jnp.argmax(ref[0, -1])[None, None].astype(jnp.int32)
+    ref2, _ = moe.forward(moe_params, moe_cfg, t, c_f)
+    got2, _ = moe.forward(moe_params, moe_cfg, t, c8)
+    d = np.abs(np.asarray(got2[0, 0]) - np.asarray(ref2[0, 0]))
+    assert d.max() < 0.25 * max(1.0, np.abs(np.asarray(ref2)).max())

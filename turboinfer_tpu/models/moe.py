@@ -33,10 +33,15 @@ from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models import llama
 from turboinfer_tpu.models.common import (KVCache, cache_bits_view,  # noqa: F401
                                           cache_from_bits, decode_kv,
-                                          encode_kv, resolve_fused_cache,
+                                          encode_kv, encode_kv_scaled,
+                                          resolve_fused_cache,
                                           param_bytes, param_count,
                                           reset_cache)
 from turboinfer_tpu.models.common import init_cache as _common_init_cache
+
+
+# int8 KV scales thread through the MoE layer scan like llama's.
+SUPPORTS_INT8_KV = True
 
 
 def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
@@ -46,6 +51,8 @@ def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
     See llama.init_cache for the layout contract."""
     if fused is None:
         fused = resolve_fused_cache(config, max_seq)
+        if fused and dtype == jnp.int8:
+            fused = False     # int8 scales are head-major only (llama)
     return _common_init_cache(config, batch_size, max_seq, dtype,
                               fused=fused)
 
@@ -276,11 +283,14 @@ def _expert_ffn_quant(config: ModelConfig, h: jax.Array,
 
 def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
                    kv_len, contiguous=True, layer_index=None,
-                   global_layer_index=None, fused_cache=False):
+                   global_layer_index=None, fused_cache=False,
+                   k_scale=None, v_scale=None):
     """LLaMA attention block + MoE FFN. lw is the FULL stacked layer
     dict when layer_index is given. global_layer_index is accepted for
     pipeline-parallel signature parity (MoE windows are uniform across
-    layers, so only the local id matters here)."""
+    layers, so only the local id matters here). k_scale/v_scale: int8
+    KV scales (see llama._layer_forward) — when passed, the return
+    grows to (x, k, v, ks, vs)."""
     B, S, H = x.shape
     Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
     li = layer_index
@@ -346,40 +356,71 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
         return x, k_cache, v_cache
 
     if k_cache.ndim == 5:
-        # Stacked-cache decode (see llama._layer_forward): per-slot
-        # in-place writes; attention reads layer li via scalar prefetch.
-        newk = encode_kv(k.transpose(0, 2, 1, 3), k_cache.dtype)
-        newv = encode_kv(v.transpose(0, 2, 1, 3), v_cache.dtype)
+        # Stacked-cache decode/prefill (see llama._layer_forward):
+        # per-slot in-place writes; attention reads layer li via scalar
+        # prefetch (decode AND flash-prefill).
+        newk, ks = encode_kv_scaled(k.transpose(0, 2, 1, 3),
+                                    k_cache.dtype)
+        newv, vs = encode_kv_scaled(v.transpose(0, 2, 1, 3),
+                                    v_cache.dtype)
         for b in range(B):
             idx = (li, b, 0, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, newk[b][None, None], idx)
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, newv[b][None, None], idx)
-        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
-                                    window=config.sliding_window,
-                                    layer_index=li)
-        attn = attn[:, None]
+            if ks is not None:
+                sidx = (li, b, 0, start[b])
+                k_scale = jax.lax.dynamic_update_slice(
+                    k_scale, ks[b][None, None], sidx)
+                v_scale = jax.lax.dynamic_update_slice(
+                    v_scale, vs[b][None, None], sidx)
+        if S == 1:
+            attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
+                                        window=config.sliding_window,
+                                        layer_index=li,
+                                        k_scale=k_scale, v_scale=v_scale)
+            attn = attn[:, None]
+        else:
+            if k_cache.dtype == jnp.int8:
+                raise ValueError("int8 KV prefill requires the "
+                                 "per-layer cache body")
+            attn = ops.attention_prefill(
+                q, k_cache, v_cache, causal=True, positions=positions,
+                kv_len=kv_len, q_start=start if contiguous else None,
+                window=config.sliding_window, layer_index=li)
         attn = attn.reshape(B, S, Hq * D)
         x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
         h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
         x = x + _moe_ffn(config, h, lw, layer_index=li)
+        if k_scale is not None:
+            return x, k_cache, v_cache, k_scale, v_scale
         return x, k_cache, v_cache
 
-    def write_one(cache_b, new_b, start_b):
-        return jax.lax.dynamic_update_slice(
-            cache_b, encode_kv(new_b.transpose(1, 0, 2), cache_b.dtype),
-            (0, start_b, 0))
-    k_cache = jax.vmap(write_one)(k_cache, k, start)
-    v_cache = jax.vmap(write_one)(v_cache, v, start)
+    # Per-slot in-place writes, unrolled over static B (a vmapped DUS
+    # over traced starts is a scatter -> full-cache copy per layer; see
+    # llama._layer_forward).
+    newk, ks = encode_kv_scaled(k.transpose(0, 2, 1, 3), k_cache.dtype)
+    newv, vs = encode_kv_scaled(v.transpose(0, 2, 1, 3), v_cache.dtype)
+    for b in range(B):
+        idx = (b, 0, start[b], 0)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, newk[b][None], idx)
+        v_cache = jax.lax.dynamic_update_slice(v_cache, newv[b][None], idx)
+        if ks is not None:
+            k_scale = jax.lax.dynamic_update_slice(
+                k_scale, ks[b][None], (b, 0, start[b]))
+            v_scale = jax.lax.dynamic_update_slice(
+                v_scale, vs[b][None], (b, 0, start[b]))
 
     if S == 1:
         attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
-                                    window=config.sliding_window)
+                                    window=config.sliding_window,
+                                    k_scale=k_scale, v_scale=v_scale)
         attn = attn[:, None]
     else:
         attn = ops.attention_prefill(
-            q, decode_kv(k_cache, q.dtype), decode_kv(v_cache, q.dtype),
+            q, decode_kv(k_cache, q.dtype, k_scale),
+            decode_kv(v_cache, q.dtype, v_scale),
             causal=True, positions=positions, kv_len=kv_len,
             q_start=start if contiguous else None,
             window=config.sliding_window)
@@ -388,6 +429,8 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
 
     h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
     x = x + _moe_ffn(config, h, lw, layer_index=li)
+    if k_scale is not None:
+        return x, k_cache, v_cache, k_scale, v_scale
     return x, k_cache, v_cache
 
 
@@ -412,52 +455,75 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     fused = cache.fused_layout
     cache = cache_bits_view(cache)
 
-    if S == 1:
-        # Decode: stacked cache flows through whole (no per-layer slice
-        # copies — see llama.forward for the measurement).
+    scaled = cache.k_scale is not None
+    if S == 1 or (not fused and cache.k.ndim == 5
+                  and cache.k.dtype not in (jnp.uint8, jnp.int8)):
+        # Decode AND head-major prefill: stacked cache flows through
+        # whole (no per-layer slice copies — see llama.forward for the
+        # measurement); fp8/int8 prefill keeps the slicing body (their
+        # reads need the per-layer dequant).
         def body(carry, i):
-            x, k_full, v_full = carry
-            x, k_full, v_full = _layer_forward(
+            x, k_full, v_full, ksf, vsf = carry
+            out = _layer_forward(
                 config, x, layers, positions, k_full, v_full, start,
                 kv_len, contiguous=contiguous, layer_index=i,
-                fused_cache=fused)
-            return (x, k_full, v_full), None
+                fused_cache=fused, k_scale=ksf, v_scale=vsf)
+            x, k_full, v_full = out[:3]
+            ksf, vsf = out[3:] if scaled else (ksf, vsf)
+            return (x, k_full, v_full, ksf, vsf), None
     else:
         def body(carry, i):
-            x, k_full, v_full = carry
+            x, k_full, v_full, ksf, vsf = carry
             kc = jax.lax.dynamic_index_in_dim(k_full, i, 0, keepdims=False)
             vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
-            x, kc, vc = _layer_forward(config, x, layers, positions, kc, vc,
-                                       start, kv_len, contiguous=contiguous,
-                                       layer_index=i, fused_cache=fused)
+            kss = vss = None
+            if scaled:
+                kss = jax.lax.dynamic_index_in_dim(ksf, i, 0,
+                                                   keepdims=False)
+                vss = jax.lax.dynamic_index_in_dim(vsf, i, 0,
+                                                   keepdims=False)
+            out = _layer_forward(config, x, layers, positions, kc, vc,
+                                 start, kv_len, contiguous=contiguous,
+                                 layer_index=i, fused_cache=fused,
+                                 k_scale=kss, v_scale=vss)
+            x, kc, vc = out[:3]
             k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
             v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
-            return (x, k_full, v_full), None
+            if scaled:
+                ksf = jax.lax.dynamic_update_index_in_dim(ksf, out[3], i, 0)
+                vsf = jax.lax.dynamic_update_index_in_dim(vsf, out[4], i, 0)
+            return (x, k_full, v_full, ksf, vsf), None
 
-    (x, k_new, v_new), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v),
+    (x, k_new, v_new, ks_new, vs_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
         jnp.arange(config.num_layers, dtype=jnp.int32))
     k_new, v_new = cache_from_bits(k_new, v_new, was_fp8)
 
     x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
     return logits.astype(jnp.float32), KVCache(k=k_new, v=v_new,
-                                               length=kv_len)
+                                               length=kv_len,
+                                               k_scale=ks_new,
+                                               v_scale=vs_new)
 
 
 def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
                          tokens: jax.Array, k_pages: jax.Array,
                          v_pages: jax.Array, block_table: jax.Array,
-                         lengths: jax.Array):
+                         lengths: jax.Array, *,
+                         k_scale_pages=None, v_scale_pages=None):
     """One paged-cache decode step (same contract as
-    llama.forward_paged_decode): the shared paged decoder body with the
-    MoE FFN swapped in, so MoE models run under the paged continuous
-    scheduler and prefix caching like dense ones."""
+    llama.forward_paged_decode, incl. int8 scale pools): the shared
+    paged decoder body with the MoE FFN swapped in, so MoE models run
+    under the paged continuous scheduler and prefix caching like dense
+    ones."""
     def moe_ffn(cfg, h, layers, i):
         return _moe_ffn(cfg, h, layers, layer_index=i)
     return llama.forward_paged_decode(params, config, tokens, k_pages,
                                       v_pages, block_table, lengths,
-                                      ffn_fn=moe_ffn)
+                                      ffn_fn=moe_ffn,
+                                      k_scale_pages=k_scale_pages,
+                                      v_scale_pages=v_scale_pages)
 
 
 def forward_no_cache(params, config, tokens, seq_lens=None) -> jax.Array:
