@@ -89,7 +89,9 @@ def test_fused_decode_fuzz_shapes(seed):
 @pytest.mark.parametrize("seed", range(2))
 def test_head_major_decode_fuzz_shapes(seed):
     """Head-major decode kernel (D=128 only in interpret parity too,
-    matching the on-chip gate) across GQA ratios and ragged fills."""
+    matching the on-chip gate) across GQA ratios and ragged fills —
+    bf16-path and int8-scaled-path both fuzzed per draw."""
+    from turboinfer_tpu.models.common import decode_kv, encode_kv_scaled
     rng = np.random.RandomState(31 + seed)
     for _ in range(3):
         hkv = int(rng.choice([1, 2, 4]))
@@ -107,3 +109,15 @@ def test_head_major_decode_fuzz_shapes(seed):
         want = ops.attention_decode_ref(q, kc[0], vc[0], kv_len)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
+        k8, ks = encode_kv_scaled(kc, jnp.int8)
+        v8, vs = encode_kv_scaled(vc, jnp.int8)
+        got8 = decode_attention.decode_pallas(
+            q, k8, v8, kv_len, layer_index=1, k_scale=ks, v_scale=vs,
+            interpret=True)
+        assert got8 is not None
+        want8 = ops.attention_decode_ref(
+            q, decode_kv(k8[1], jnp.float32, ks[1]),
+            decode_kv(v8[1], jnp.float32, vs[1]), kv_len)
+        np.testing.assert_allclose(np.asarray(got8), np.asarray(want8),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=str((b, hq, hkv, t)))

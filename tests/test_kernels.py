@@ -321,6 +321,57 @@ def test_prefill_kernel_stacked_layer_interpret():
                                    rtol=2e-5, atol=2e-5, err_msg=f"li={li}")
 
 
+def test_prefill_kernel_stacked_compressed_interpret():
+    """Stacked prefill flash kernel over COMPRESSED caches (interpret):
+    uint8 e4m3 bits decode in-kernel, int8 applies its scale planes on
+    the score/prob tiles — both vs the dequant-then-ref golden."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from turboinfer_tpu.kernels import ops
+    from turboinfer_tpu.kernels.pallas import flash_attention
+    from turboinfer_tpu.models.common import decode_kv, encode_kv_scaled
+    L, B, S, Hq, Hkv, T, D = 2, 2, 64, 4, 2, 128, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, Hq, D), jnp.float32)
+    ks = jax.random.normal(jax.random.PRNGKey(1), (L, B, Hkv, T, D),
+                           jnp.float32)
+    vs = jax.random.normal(jax.random.PRNGKey(2), (L, B, Hkv, T, D),
+                           jnp.float32)
+    q_start = jnp.asarray([30, 0])
+    kv_len = jnp.asarray([94, 64])
+    positions = q_start[:, None] + jnp.arange(S)[None, :]
+    # fp8: raw e4m3 bytes as uint8
+    k8f = jax.lax.bitcast_convert_type(ks.astype(jnp.float8_e4m3fn),
+                                       jnp.uint8)
+    v8f = jax.lax.bitcast_convert_type(vs.astype(jnp.float8_e4m3fn),
+                                       jnp.uint8)
+    for li in (0, 1):
+        ref = ops.attention_prefill_ref(
+            q, decode_kv(k8f[li], jnp.float32),
+            decode_kv(v8f[li], jnp.float32),
+            causal=True, positions=positions, kv_len=kv_len)
+        got = flash_attention.prefill_pallas(
+            q, k8f, v8f, causal=True, kv_len=kv_len, q_start=q_start,
+            layer_index=jnp.int32(li), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"fp8 li={li}")
+    # int8 + scales
+    k8, kss = encode_kv_scaled(ks, jnp.int8)
+    v8, vss = encode_kv_scaled(vs, jnp.int8)
+    for li in (0, 1):
+        ref = ops.attention_prefill_ref(
+            q, decode_kv(k8[li], jnp.float32, kss[li]),
+            decode_kv(v8[li], jnp.float32, vss[li]),
+            causal=True, positions=positions, kv_len=kv_len)
+        got = flash_attention.prefill_pallas(
+            q, k8, v8, causal=True, kv_len=kv_len, q_start=q_start,
+            layer_index=jnp.int32(li), k_scale=kss, v_scale=vss,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"int8 li={li}")
+
+
 def test_decode_kernel_int8_scaled_interpret():
     """int8 KV cache: the head-major decode kernel's score/prob-side
     scale application must match the jnp reference on the dequantized

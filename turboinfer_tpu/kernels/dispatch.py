@@ -102,11 +102,13 @@ def _qmm_small(x, qt, preferred_dtype, layer_index, stacked):
 
 def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
                       q_start=None, window=None, softcap=None, alibi=None,
-                      layer_index=None):
+                      layer_index=None, k_scale=None, v_scale=None):
     """k/v: [B, Hkv, T, D], or the full stacked [L, B, Hkv, T, D] when
     `layer_index` is given — the Pallas flash kernel then reads layer
     `layer_index` directly from HBM (no per-layer slice copy; same
-    copy-insertion trap as scan-sliced weights, see qmm stacked path)."""
+    copy-insertion trap as scan-sliced weights, see qmm stacked path).
+    Compressed stacks ride the kernel too: uint8 = raw e4m3 bits
+    (decoded in-kernel), int8 + k_scale/v_scale ([..., Hkv, T] f32)."""
     from turboinfer_tpu.kernels import ops
     if alibi is None and pallas_enabled():
         from turboinfer_tpu.kernels.pallas import flash_attention
@@ -114,15 +116,23 @@ def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
                                            positions=positions, kv_len=kv_len,
                                            q_start=q_start, window=window,
                                            softcap=softcap,
-                                           layer_index=layer_index)
+                                           layer_index=layer_index,
+                                           k_scale=k_scale, v_scale=v_scale)
         if y is not None:
             return y
     if layer_index is not None:
         k = jax.lax.dynamic_index_in_dim(k, layer_index, 0, keepdims=False)
         v = jax.lax.dynamic_index_in_dim(v, layer_index, 0, keepdims=False)
+        if k_scale is not None:
+            k_scale = jax.lax.dynamic_index_in_dim(k_scale, layer_index, 0,
+                                                   keepdims=False)
+            v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer_index, 0,
+                                                   keepdims=False)
+    from turboinfer_tpu.models.common import decode_kv
     # ALiBi (Falcon-RW/BLOOM) runs the jnp path; the Pallas kernels do
     # not carry the per-head score bias (yet).
-    return ops.attention_prefill_ref(q, k.astype(q.dtype), v.astype(q.dtype),
+    return ops.attention_prefill_ref(q, decode_kv(k, q.dtype, k_scale),
+                                     decode_kv(v, q.dtype, v_scale),
                                      causal=causal, positions=positions,
                                      kv_len=kv_len, window=window,
                                      softcap=softcap, alibi=alibi)

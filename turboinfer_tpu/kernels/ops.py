@@ -551,13 +551,14 @@ def attention_paged_decode_ref(q: jax.Array, k_pages: jax.Array,
 
 def attention_prefill(q, k, v, *, causal=True, positions=None, kv_len=None,
                       q_start=None, window=None, softcap=None, alibi=None,
-                      layer_index=None):
+                      layer_index=None, k_scale=None, v_scale=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_prefill(q, k, v, causal=causal,
                                       positions=positions, kv_len=kv_len,
                                       q_start=q_start, window=window,
                                       softcap=softcap, alibi=alibi,
-                                      layer_index=layer_index)
+                                      layer_index=layer_index,
+                                      k_scale=k_scale, v_scale=v_scale)
 
 
 def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,

@@ -28,17 +28,29 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref,
-            m_ref, l_ref, acc_ref, *, nt: int, ts: int, tt: int,
-            gh: int, scale: float, causal: bool, window, softcap=None,
-            stacked: bool = False):
+def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, *rest, nt: int,
+            ts: int, tt: int, gh: int, scale: float, causal: bool,
+            window, softcap=None, stacked: bool = False,
+            scaled: bool = False):
     """len_ref: [B] kv lens; start_ref: [B] absolute position of each
     sequence's first query (both scalar-prefetch; query s has position
     start + s). q_ref: [1, 1, TS, D]; k/v_ref: [1, 1, TT, D] (or
     [1, 1, 1, TT, D] blocks of the stacked [L, ...] cache when
-    `stacked`); o_ref: [1, 1, TS, D]; scratch m/l: [TS, 128],
-    acc: [TS, D]."""
+    `stacked` — read through _load_kv, so uint8 e4m3 caches decode
+    in-kernel); o_ref: [1, 1, TS, D]; scratch m/l: [TS, 128],
+    acc: [TS, D].
+
+    `scaled` (int8 stacked cache): ks/vs_ref [1, 1, Hkv, T] VMEM
+    blocks of the per-token scale planes; the dequant multiplies ride
+    the [TS, TT] score/prob tiles exactly like the decode kernel's
+    (scores *= ks after q @ k^T, probs *= vs before p @ v; the
+    softmax denominator uses the UNSCALED probs)."""
+    if scaled:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
+    h = pl.program_id(1)
     si = pl.program_id(2)
     t = pl.program_id(3)
 
@@ -64,16 +76,20 @@ def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(live)
     def _():
+        from turboinfer_tpu.kernels.pallas.decode_attention import _load_kv
         q = q_ref[0, 0].astype(jnp.float32) * scale     # [TS, D]
         if stacked:
-            k = k_ref[0, 0, 0].astype(jnp.float32)      # [TT, D]
-            v = v_ref[0, 0, 0].astype(jnp.float32)
+            k = _load_kv(k_ref[0, 0, 0], jnp.float32)   # [TT, D]
+            v = _load_kv(v_ref[0, 0, 0], jnp.float32)
         else:
             k = k_ref[0, 0].astype(jnp.float32)         # [TT, D]
             v = v_ref[0, 0].astype(jnp.float32)
         s = jax.lax.dot_general(                        # [TS, TT]
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if scaled:
+            ks_row = ks_ref[0, 0, h // gh, pl.ds(t * tt, tt)]   # [TT]
+            s = s * ks_row[None, :]
         if softcap is not None:
             s = softcap * jnp.tanh(s * (1.0 / softcap))
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_start
@@ -92,8 +108,13 @@ def _kernel(len_ref, start_ref, q_ref, k_ref, v_ref, o_ref,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if scaled:
+            vs_row = vs_ref[0, 0, h // gh, pl.ds(t * tt, tt)]   # [TT]
+            pv = p * vs_row[None, :]
+        else:
+            pv = p
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            pv, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
@@ -181,7 +202,8 @@ def _prefill(qh, k_cache, v_cache, kv_len, q_start, *, causal: bool,
 
 @functools.partial(jax.jit, static_argnames=("causal", "gh", "window",
                                              "softcap", "interpret"))
-def _prefill_stacked(qh, k_stack, v_stack, kv_len, q_start, idx, *,
+def _prefill_stacked(qh, k_stack, v_stack, kv_len, q_start, idx,
+                     k_scale=None, v_scale=None, *,
                      causal: bool, gh: int, window=None, softcap=None,
                      interpret: bool = False):
     """Stacked-cache prefill: k/v_stack [L, B, Hkv, T, D], layer `idx`
@@ -189,17 +211,20 @@ def _prefill_stacked(qh, k_stack, v_stack, kv_len, q_start, idx, *,
     prefill counterpart of the decode kernels' layer indexing. Keeps
     the whole cache in the layer-scan carry: slicing layer i out first
     costs a full per-layer cache copy plus write-back per layer
-    (measured ~5 ms of a 55 ms 7B S=512 prefill)."""
+    (measured ~5 ms of a 55 ms 7B S=512 prefill). uint8 (fp8) stacks
+    decode in-kernel via _load_kv; int8 stacks pass their
+    k_scale/v_scale planes [L, B, Hkv, T] f32."""
     B, Hq, S, D = qh.shape
     T = k_stack.shape[3]
     TS = min(S, 512)
     TT = min(T, 512)
     ns, nt = S // TS, T // TT
     scale = 1.0 / float(D) ** 0.5
+    scaled = k_scale is not None
 
     base = functools.partial(_kernel, nt=nt, ts=TS, tt=TT, gh=gh,
                              scale=scale, causal=causal, window=window,
-                             softcap=softcap, stacked=True)
+                             softcap=softcap, stacked=True, scaled=scaled)
 
     def kern(len_ref, start_ref, idx_ref, *rest):
         # The layer id is consumed by the BlockSpec index maps only.
@@ -222,19 +247,32 @@ def _prefill_stacked(qh, k_stack, v_stack, kv_len, q_start, idx, *,
             tq = jnp.maximum(tq, jnp.minimum(first, last))
         return (idx_r[0], b, h // gh, tq, 0)
 
+    Hkv = k_stack.shape[2]
+    in_specs = [
+        pl.BlockSpec((1, 1, TS, D),
+                     lambda b, h, s, t, len_r, st_r, idx_r:
+                     (b, h, s, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, TT, D), kv_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, TT, D), kv_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    ops = (qh, k_stack, v_stack)
+    if scaled:
+        # Whole [Hkv, T] scale plane per (layer, b) — the block's last
+        # two dims equal the array dims (Mosaic requirement); rows are
+        # sliced per (head, T-tile) in-kernel.
+        sc_spec = pl.BlockSpec((1, 1, Hkv, T),
+                               lambda b, h, s, t, len_r, st_r, idx_r:
+                               (idx_r[0], b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs += [sc_spec, sc_spec]
+        ops = ops + (k_scale, v_scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, Hq, ns, nt),
-        in_specs=[
-            pl.BlockSpec((1, 1, TS, D),
-                         lambda b, h, s, t, len_r, st_r, idx_r:
-                         (b, h, s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, TT, D), kv_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, TT, D), kv_map,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, TS, D),
                                lambda b, h, s, t, len_r, st_r, idx_r:
                                (b, h, s, 0),
@@ -255,11 +293,11 @@ def _prefill_stacked(qh, k_stack, v_stack, kv_len, q_start, idx, *,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hq * S * T * D,
             bytes_accessed=(B * Hq * S * D * 2 + 2 * B * (Hq // gh) * T * D
-                            * 2 * nt),
+                            * k_stack.dtype.itemsize * nt),
             transcendentals=B * Hq * S * T),
         interpret=interpret,
     )(kv_len.astype(jnp.int32), q_start.astype(jnp.int32),
-      jnp.asarray(idx, jnp.int32).reshape(1), qh, k_stack, v_stack)
+      jnp.asarray(idx, jnp.int32).reshape(1), *ops)
 
 
 def prefill_eligible(S: int, T: int, D: int, Hq: int, Hkv: int) -> bool:
@@ -279,11 +317,14 @@ def prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array, *,
                    q_start: Optional[jax.Array] = None,
                    window: Optional[int] = None,
                    softcap: Optional[float] = None,
-                   layer_index=None,
+                   layer_index=None, k_scale=None, v_scale=None,
                    interpret: bool = False) -> Optional[jax.Array]:
     """q: [B, S, Hq, D]; k/v: [B, Hkv, T, D] -> [B, S, Hq, D] or None.
     With `layer_index`, k/v are the stacked [L, B, Hkv, T, D] cache and
-    the kernel reads layer `layer_index` directly from HBM.
+    the kernel reads layer `layer_index` directly from HBM — including
+    compressed caches: uint8 (raw e4m3 bits) decodes in-kernel, int8
+    passes its per-token scale planes via k_scale/v_scale
+    ([L, B, Hkv, T] f32).
 
     Positions must be contiguous per sequence: query s at position
     q_start[b] + s. Callers with arbitrary `positions` must pass
@@ -296,6 +337,12 @@ def prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array, *,
     T = k.shape[3] if stacked else k.shape[2]
     if not prefill_eligible(S, T, D, Hq, Hkv):
         return None
+    if (k.dtype == jnp.int8) != (k_scale is not None):
+        return None            # int8 needs scales; scales need int8
+    if k_scale is not None and not stacked:
+        return None            # scale planes ride the stacked layout
+    if k.dtype in (jnp.uint8, jnp.int8) and not stacked:
+        return None            # per-layer compressed: jnp ref dequants
     if q_start is None:
         if positions is not None:
             return None                 # can't prove contiguity; fall back
@@ -307,6 +354,7 @@ def prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array, *,
     qh = q.transpose(0, 2, 1, 3)                       # [B, Hq, S, D]
     if stacked:
         out = _prefill_stacked(qh, k, v, kv_len, q_start, layer_index,
+                               k_scale, v_scale,
                                causal=causal, gh=Hq // Hkv, window=window,
                                softcap=softcap, interpret=interpret)
     else:

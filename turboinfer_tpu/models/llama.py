@@ -420,18 +420,12 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
                 attn = dec(config.sliding_window)()
             attn = attn[:, None]                                 # [B,1,Hq,D]
         else:
-            if k_cache.dtype == jnp.int8:
-                # forward() routes int8 prefill through the per-layer
-                # slicing body (the stacked flash kernel has no scale
-                # inputs).
-                raise ValueError("int8 KV prefill requires the "
-                                 "per-layer cache body")
-
             def pre(window):
                 return lambda: ops.attention_prefill(
                     q, k_cache, v_cache, causal=True, positions=positions,
                     kv_len=kv_len, q_start=start if contiguous else None,
-                    window=window, softcap=cap, layer_index=li)
+                    window=window, softcap=cap, layer_index=li,
+                    k_scale=k_scale, v_scale=v_scale)
             if alternating:
                 attn = jax.lax.cond(is_global, pre(None),
                                     pre(config.sliding_window))
@@ -553,8 +547,7 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     cache = cache_bits_view(cache)
 
     scaled = cache.k_scale is not None
-    if S == 1 or (not fused and cache.k.ndim == 5
-                  and cache.k.dtype not in (jnp.uint8, jnp.int8)):
+    if S == 1 or (not fused and cache.k.ndim == 5):
         # Decode AND head-major prefill: the stacked cache flows
         # through whole — _layer_forward writes token slots in place
         # and the attention kernels read their layer via scalar
@@ -562,10 +555,11 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
         # [B, Hkv, T, D] copy (plus write-back) per layer per step —
         # measured 39 -> 72 ms/step going T=1024 -> 2048 on 7B-int4
         # B=8 decode with the slice, flat ~12 ms without; for S=512
-        # 7B prefill the slices cost ~5 ms of a 55 ms pass. fp8/int8
-        # PREFILL keeps the slicing body: their reads need the
-        # per-layer dequant (decode runs stacked — the decode kernel
-        # reads e4m3/int8+scales natively).
+        # 7B prefill the slices cost ~5 ms of a 55 ms pass. Compressed
+        # caches ride the stacked flash kernel too (uint8 e4m3 decoded
+        # in-kernel, int8 via its scale planes); its jnp fallback
+        # slices + dequants per layer, same cost as the old slicing
+        # body.
         def body(carry, i):
             x, k_full, v_full, ks, vs = carry
             out = _layer_forward(

@@ -382,13 +382,11 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
                                         k_scale=k_scale, v_scale=v_scale)
             attn = attn[:, None]
         else:
-            if k_cache.dtype == jnp.int8:
-                raise ValueError("int8 KV prefill requires the "
-                                 "per-layer cache body")
             attn = ops.attention_prefill(
                 q, k_cache, v_cache, causal=True, positions=positions,
                 kv_len=kv_len, q_start=start if contiguous else None,
-                window=config.sliding_window, layer_index=li)
+                window=config.sliding_window, layer_index=li,
+                k_scale=k_scale, v_scale=v_scale)
         attn = attn.reshape(B, S, Hq * D)
         x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"], layer_index=li)
         h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
@@ -456,12 +454,11 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     cache = cache_bits_view(cache)
 
     scaled = cache.k_scale is not None
-    if S == 1 or (not fused and cache.k.ndim == 5
-                  and cache.k.dtype not in (jnp.uint8, jnp.int8)):
+    if S == 1 or (not fused and cache.k.ndim == 5):
         # Decode AND head-major prefill: stacked cache flows through
         # whole (no per-layer slice copies — see llama.forward for the
-        # measurement); fp8/int8 prefill keeps the slicing body (their
-        # reads need the per-layer dequant).
+        # measurement); compressed caches ride the stacked flash kernel
+        # (uint8 e4m3 in-kernel, int8 via scale planes).
         def body(carry, i):
             x, k_full, v_full, ksf, vsf = carry
             out = _layer_forward(
