@@ -28,8 +28,10 @@ def prefill(params, tokens, cache):
 def noop(x):
     return x + 1
 
+kvd = os.environ.get("TURBOINFER_PROF_KV", "")
+kv_dtype = {"fp8": jnp.uint8, "int8": jnp.int8}.get(kvd, None)
 tokens = jnp.ones((B, S), jnp.int32)
-cache = llama.init_cache(cfg, B, max_seq=max(1024, S))
+cache = llama.init_cache(cfg, B, max_seq=max(1024, S), dtype=kv_dtype)
 t0 = time.perf_counter()
 r, _ = prefill(params, tokens, cache); np.asarray(r)
 print(f"compile+first: {time.perf_counter()-t0:.0f}s", flush=True)
@@ -41,7 +43,8 @@ for i in range(3):
 rtt = min(rtts)
 ts = []
 for i in range(4):
-    cache = llama.init_cache(cfg, B, max_seq=max(1024, S))
+    cache = llama.init_cache(cfg, B, max_seq=max(1024, S),
+                             dtype=kv_dtype)
     t0 = time.perf_counter()
     r, c2 = prefill(params, tokens, cache); np.asarray(r)
     ts.append(time.perf_counter() - t0)

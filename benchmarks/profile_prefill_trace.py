@@ -15,6 +15,8 @@ B = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 BITS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 GS = int(sys.argv[4]) if len(sys.argv) > 4 else 64
 REPS = 4
+kvd = os.environ.get("TURBOINFER_PROF_KV", "")
+kv_dtype = {"fp8": jnp.uint8, "int8": jnp.int8}.get(kvd, None)
 cfg = llama7b_config(dtype=jnp.bfloat16, max_seq_len=max(1024, S))
 data = create_synthetic_quantized_model(cfg, bits=BITS, group_size=GS)
 params = dispatch.prepare_params(data.params); del data
@@ -25,7 +27,8 @@ def prefill(params, tokens, cache):
     return logits[:, -1], cache
 
 tokens = jnp.ones((B, S), jnp.int32)
-cache = llama.init_cache(cfg, B, max_seq=max(1024, S))
+cache = llama.init_cache(cfg, B, max_seq=max(1024, S),
+                         dtype=kv_dtype)
 r, _ = prefill(params, tokens, cache); np.asarray(r)
 print("warm", flush=True)
 jax.profiler.start_trace("/tmp/trace_prefill")
