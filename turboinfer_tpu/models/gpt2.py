@@ -23,6 +23,7 @@ from turboinfer_tpu.config import ModelConfig
 from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models.common import (KVCache,  # noqa: F401
                                           decode_kv, encode_kv,
+                                          encode_kv_scaled,
                                           resolve_fused_cache,
                                           param_bytes, param_count,
                                           reset_cache)
@@ -37,8 +38,14 @@ def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
     TPU decode stays on a Pallas kernel. See llama.init_cache."""
     if fused is None:
         fused = resolve_fused_cache(config, max_seq)
+        if fused and dtype == jnp.int8:
+            fused = False     # int8 scales are head-major only
     return _common_init_cache(config, batch_size, max_seq, dtype,
                               fused=fused)
+
+
+# int8 KV scales thread through the GPT-2 layer scan like llama's.
+SUPPORTS_INT8_KV = True
 
 
 def init_params(rng: jax.Array, config: ModelConfig,
@@ -80,7 +87,7 @@ def init_params(rng: jax.Array, config: ModelConfig,
 
 def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
                    start, kv_len, layer_index=None,
-                   fused_cache: bool = False):
+                   fused_cache: bool = False, k_scale=None, v_scale=None):
     """x + attn(ln1(x)); x + mlp(ln2(x)). Caches shaped like llama's.
     lw is the FULL stacked layer dict when layer_index is given."""
     B, S, H = x.shape
@@ -159,16 +166,23 @@ def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
     if k_cache.ndim == 5:
         # Stacked-cache decode (see llama._layer_forward): per-slot
         # in-place writes; attention reads layer li via scalar prefetch.
-        newk = encode_kv(k.transpose(0, 2, 1, 3), k_cache.dtype)
-        newv = encode_kv(v.transpose(0, 2, 1, 3), v_cache.dtype)
+        newk, ks = encode_kv_scaled(k.transpose(0, 2, 1, 3), k_cache.dtype)
+        newv, vs = encode_kv_scaled(v.transpose(0, 2, 1, 3), v_cache.dtype)
         for b in range(B):
             idx = (li, b, 0, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, newk[b][None, None], idx)
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, newv[b][None, None], idx)
+            if ks is not None:
+                sidx = (li, b, 0, start[b])
+                k_scale = jax.lax.dynamic_update_slice(
+                    k_scale, ks[b][None, None], sidx)
+                v_scale = jax.lax.dynamic_update_slice(
+                    v_scale, vs[b][None, None], sidx)
         attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
-                                    layer_index=li)
+                                    layer_index=li, k_scale=k_scale,
+                                    v_scale=v_scale)
         attn = attn[:, None]
         attn = attn.reshape(B, S, H)
         x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"],
@@ -177,21 +191,33 @@ def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
         h = ops.gelu(ops.qmatmul(h, lw["w_fc"], layer_index=li) + w1("b_fc"))
         x = x + ops.qmatmul(h.astype(x.dtype), lw["w_proj"],
                             layer_index=li) + w1("b_proj")
+        if k_scale is not None:
+            return x, k_cache, v_cache, k_scale, v_scale
         return x, k_cache, v_cache
 
-    def write_one(cache_b, new_b, start_b):
-        return jax.lax.dynamic_update_slice(
-            cache_b, encode_kv(new_b.transpose(1, 0, 2), cache_b.dtype),
-            (0, start_b, 0))
-    k_cache = jax.vmap(write_one)(k_cache, k, start)
-    v_cache = jax.vmap(write_one)(v_cache, v, start)
+    # Per-slot in-place writes, unrolled over static B (a vmapped DUS
+    # over traced starts is a scatter -> full-cache copy per layer;
+    # see llama._layer_forward).
+    newk, ks = encode_kv_scaled(k.transpose(0, 2, 1, 3), k_cache.dtype)
+    newv, vs = encode_kv_scaled(v.transpose(0, 2, 1, 3), v_cache.dtype)
+    for b in range(B):
+        idx = (b, 0, start[b], 0)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, newk[b][None], idx)
+        v_cache = jax.lax.dynamic_update_slice(v_cache, newv[b][None], idx)
+        if ks is not None:
+            k_scale = jax.lax.dynamic_update_slice(
+                k_scale, ks[b][None], (b, 0, start[b]))
+            v_scale = jax.lax.dynamic_update_slice(
+                v_scale, vs[b][None], (b, 0, start[b]))
 
     if S == 1:
-        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len)
+        attn = ops.attention_decode(q[:, 0], k_cache, v_cache, kv_len,
+                                    k_scale=k_scale, v_scale=v_scale)
         attn = attn[:, None]
     else:
         attn = ops.attention_prefill(
-            q, decode_kv(k_cache, q.dtype), decode_kv(v_cache, q.dtype),
+            q, decode_kv(k_cache, q.dtype, k_scale),
+            decode_kv(v_cache, q.dtype, v_scale),
             causal=True, kv_len=kv_len, q_start=start)
     attn = attn.reshape(B, S, H)
     x = x + ops.qmatmul(attn.astype(x.dtype), lw["wo"],
@@ -201,6 +227,8 @@ def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
     h = ops.gelu(ops.qmatmul(h, lw["w_fc"], layer_index=li) + w1("b_fc"))
     x = x + ops.qmatmul(h.astype(x.dtype), lw["w_proj"],
                         layer_index=li) + w1("b_proj")
+    if k_scale is not None:
+        return x, k_cache, v_cache, k_scale, v_scale
     return x, k_cache, v_cache
 
 
@@ -225,37 +253,53 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     layers = params["layers"]
     fused = cache.fused_layout
 
+    scaled = cache.k_scale is not None
     if S == 1:
         # Decode: stacked cache flows through whole (no per-layer slice
         # copies — see llama.forward for the measurement).
         def body(carry, i):
-            x, k_full, v_full = carry
-            x, k_full, v_full = _layer_forward(config, x, layers, k_full,
-                                               v_full, start, kv_len,
-                                               layer_index=i,
-                                               fused_cache=fused)
-            return (x, k_full, v_full), None
+            x, k_full, v_full, ksf, vsf = carry
+            out = _layer_forward(config, x, layers, k_full,
+                                 v_full, start, kv_len,
+                                 layer_index=i, fused_cache=fused,
+                                 k_scale=ksf, v_scale=vsf)
+            x, k_full, v_full = out[:3]
+            ksf, vsf = out[3:] if scaled else (ksf, vsf)
+            return (x, k_full, v_full, ksf, vsf), None
     else:
         def body(carry, i):
-            x, k_full, v_full = carry
+            x, k_full, v_full, ksf, vsf = carry
             kc = jax.lax.dynamic_index_in_dim(k_full, i, 0, keepdims=False)
             vc = jax.lax.dynamic_index_in_dim(v_full, i, 0, keepdims=False)
-            x, kc, vc = _layer_forward(config, x, layers, kc, vc, start,
-                                       kv_len, layer_index=i,
-                                       fused_cache=fused)
+            kss = vss = None
+            if scaled:
+                kss = jax.lax.dynamic_index_in_dim(ksf, i, 0,
+                                                   keepdims=False)
+                vss = jax.lax.dynamic_index_in_dim(vsf, i, 0,
+                                                   keepdims=False)
+            out = _layer_forward(config, x, layers, kc, vc, start,
+                                 kv_len, layer_index=i,
+                                 fused_cache=fused, k_scale=kss,
+                                 v_scale=vss)
+            x, kc, vc = out[:3]
             k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
             v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)
-            return (x, k_full, v_full), None
+            if scaled:
+                ksf = jax.lax.dynamic_update_index_in_dim(ksf, out[3], i, 0)
+                vsf = jax.lax.dynamic_update_index_in_dim(vsf, out[4], i, 0)
+            return (x, k_full, v_full, ksf, vsf), None
 
-    (x, k_new, v_new), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v),
+    (x, k_new, v_new, ks_new, vs_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
         jnp.arange(config.num_layers, dtype=jnp.int32))
 
     x = ops.layer_norm(x, params["final_norm_w"], params["final_norm_b"],
                        config.rms_norm_eps)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
     return logits.astype(jnp.float32), KVCache(k=k_new, v=v_new,
-                                               length=kv_len)
+                                               length=kv_len,
+                                               k_scale=ks_new,
+                                               v_scale=vs_new)
 
 
 def forward_no_cache(params, config, tokens, seq_lens=None) -> jax.Array:

@@ -192,6 +192,10 @@ def shard_for_pipeline(params, cache, mesh: Mesh, pp: str = PP_AXIS,
 
     For deepseek pass `config`: the cache splits into a replicated
     dense part and a pp-sharded MoE part (DeepSeekPPCache)."""
+    if getattr(cache, "k_scale", None) is not None:
+        raise ValueError(
+            "pipeline parallelism does not thread int8 KV scales yet; "
+            "use kv_cache_dtype='bf16' or 'fp8' with pp")
     specs = _pp_spec_tree(params, pp)
     params = jax.tree_util.tree_map(
         lambda w, s: jax.device_put(w, NamedSharding(mesh, s)),
