@@ -542,3 +542,25 @@ def test_engine_on_mesh_matches_single_device(tiny_params, tiny_cfg):
         np.asarray(mesh_eng.compute_logprobs([1, 5, 9, 2])),
         np.asarray(base.compute_logprobs([1, 5, 9, 2])),
         rtol=1e-5, atol=1e-5)
+
+
+def test_engine_on_mesh_int8_kv_matches_single_device(tiny_params,
+                                                      tiny_cfg):
+    """int8 KV cache under the TP/DP mesh engine: scale planes shard
+    via shard_cache (cache_spec minus the D axis) and the sharded
+    trajectory must equal the single-device int8 one (greedy, f32)."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.parallel.mesh import make_mesh
+
+    cfg = ti.InferenceConfig(max_seq_len=64, eos_token_id=-1, seed=0,
+                             kv_cache_dtype="int8")
+    base = ti.InferenceEngine(tiny_params, tiny_cfg, cfg)
+    mesh_eng = ti.InferenceEngine(tiny_params, tiny_cfg, cfg,
+                                  mesh=make_mesh((2, 4)))
+    c = mesh_eng._take_cache(2)
+    assert c.k_scale is not None
+    mesh_eng._put_cache(2, c)
+    want = base.generate_batch([[1, 5, 9], [2, 4, 6]], 10, temperature=0.0)
+    got = mesh_eng.generate_batch([[1, 5, 9], [2, 4, 6]], 10,
+                                  temperature=0.0)
+    assert [r.tokens for r in got] == [r.tokens for r in want]
