@@ -104,12 +104,12 @@ def main():
     eng.generate_batch(prompts, max_new_tokens=n_tokens)
     eng.reset_state()
 
-    # Best of 5: the tunnel-attached chip occasionally degrades for a
-    # whole dispatch (observed +-20% swings run-to-run and 2x bad
-    # phases); the best run is the honest device capability, and each
-    # tiny-config rep costs ~130 ms.
+    # Best of 8: the tunnel-attached chip occasionally degrades for a
+    # whole dispatch (observed +-20% swings run-to-run, 2x bad phases,
+    # and RTT drifting 23 -> 75 ms within a day); the best run is the
+    # honest device capability, and each tiny-config rep costs ~130 ms.
     best = None
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    reps = int(os.environ.get("BENCH_REPS", "8"))
     for _ in range(reps):
         t0 = time.perf_counter()
         results = eng.generate_batch(prompts, max_new_tokens=n_tokens)
