@@ -96,8 +96,14 @@ def main():
             params = quantize_params(params, QuantizationConfig(
                 type=qtype, group_size=64))
 
+    # eos_token_id=-1: the random tiny model CAN sample the default EOS
+    # id (2) mid-run; an early-stopping rep then reports fewer tokens
+    # over a full-length scan and the headline collapses 5x depending
+    # on which rng draws land (a real flakiness source — earlier runs
+    # were silently subject to this roulette).
     eng = InferenceEngine(params, cfg, InferenceConfig(
-        max_seq_len=max_seq, temperature=0.8, top_k=50, top_p=0.9, seed=0))
+        max_seq_len=max_seq, temperature=0.8, top_k=50, top_p=0.9, seed=0,
+        eos_token_id=-1))
     prompts = [[1, 17, 42, 256, 731, 5, 9, 88]] * batch
 
     # warmup (compile the exact prefill + decode programs)
@@ -108,17 +114,16 @@ def main():
     # whole dispatch (observed +-20% swings run-to-run, 2x bad phases,
     # and RTT drifting 23 -> 75 ms within a day); the best run is the
     # honest device capability, and each tiny-config rep costs ~130 ms.
-    best = None
+    # Each rep's token count pairs with ITS OWN wall time.
+    tps = 0.0
     reps = int(os.environ.get("BENCH_REPS", "8"))
     for _ in range(reps):
         t0 = time.perf_counter()
         results = eng.generate_batch(prompts, max_new_tokens=n_tokens)
         dt = time.perf_counter() - t0
-        if best is None or dt < best:
-            best = dt
-    new_tokens = sum(len(r.tokens) - len(p)
-                     for r, p in zip(results, prompts))
-    tps = new_tokens / best
+        new_tokens = sum(len(r.tokens) - len(p)
+                         for r, p in zip(results, prompts))
+        tps = max(tps, new_tokens / dt)
 
     print(json.dumps({
         "metric": f"decode_tokens_per_sec_per_chip[{which},b{batch}]",
