@@ -380,7 +380,10 @@ class TestInt8KVCache:
         c = e._take_cache(1)
         assert c.k.dtype == jnp.int8 and c.k.nbytes == c.k.size
         assert c.k_scale is not None and c.k_scale.dtype == jnp.float32
-        assert c.k_scale.shape == c.k.shape[:-1]
+        # scales are head-major [L, B, Hkv, T] for BOTH cache layouts
+        L, B = c.k.shape[:2]
+        T = c.k.shape[2] if c.fused_layout else c.k.shape[3]
+        assert c.k_scale.shape == (L, B, tiny_cfg.kv_heads, T)
 
     def test_encode_decode_roundtrip_error_bound(self):
         import jax, jax.numpy as jnp
@@ -455,13 +458,27 @@ class TestInt8KVCache:
         r = e.generate_beam_search([1, 5, 42], 6, beam_size=3)
         assert len(r.tokens) >= 4
 
-    def test_fused_layout_rejected(self, tiny_cfg):
+    def test_fused_layout_int8(self, tiny_params, tiny_cfg):
+        """int8 + the fused-head layout: scales live in head-major
+        [L, B, Hkv, T] planes; the tiny fixture (D=32) auto-picks the
+        fused layout and must decode deterministically."""
         import jax.numpy as jnp
-        import pytest
+        import turboinfer_tpu as ti
+        from turboinfer_tpu.config import InferenceConfig
         from turboinfer_tpu.models import common
-        with pytest.raises(ValueError, match="head-major"):
-            common.init_cache(tiny_cfg, 1, max_seq=32, dtype=jnp.int8,
+        c = common.init_cache(tiny_cfg, 1, max_seq=32, dtype=jnp.int8,
                               fused=True)
+        assert c.fused_layout and c.k_scale is not None
+        assert c.k_scale.shape == (tiny_cfg.num_layers, 1,
+                                   tiny_cfg.kv_heads, 32)
+        e = ti.InferenceEngine(tiny_params, tiny_cfg, InferenceConfig(
+            max_seq_len=128, seed=0, kv_cache_dtype="int8"))
+        ec = e._take_cache(1)
+        assert ec.fused_layout, "tiny fixture should auto-pick fused"
+        e._put_cache(1, ec)
+        r = e.generate([1, 5, 42, 7], 10, temperature=0.0)
+        assert r.tokens == e.generate([1, 5, 42, 7], 10,
+                                      temperature=0.0).tokens
 
 
 # ---------------------------------------------------------------------------

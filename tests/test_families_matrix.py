@@ -112,6 +112,8 @@ def test_int8_kv_supported_families_smoke(monkeypatch):
         "mixtral": dict(num_experts=4, experts_per_token=2),
         "gpt_neox": dict(parallel_residual=True, rotary_pct=0.25),
         "gpt2": dict(),
+        "gpt_oss": dict(head_dim=64, num_experts=4, experts_per_token=2,
+                        sliding_window=16, sliding_window_pattern=2),
     }
     for arch, extra in cases.items():
         cfg = ModelConfig(vocab_size=120, hidden_size=256, num_layers=2,

@@ -372,6 +372,55 @@ def test_prefill_kernel_stacked_compressed_interpret():
                                    err_msg=f"int8 li={li}")
 
 
+def test_fused_decode_kernel_int8_scaled_interpret():
+    """int8 + fused-head layout: the block-diagonal kernel applies
+    per-(token, head) scales via the one-hot m1 dot — vs the
+    dequant-then-ref golden, incl. GQA, ragged fills, and sinks."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from turboinfer_tpu.kernels import ops
+    from turboinfer_tpu.kernels.pallas import decode_attention
+    from turboinfer_tpu.models.common import (decode_kv_fused,
+                                              encode_kv_scaled)
+    L, B, Hkv, G, D, T = 2, 2, 4, 2, 32, 128
+    Hq, HD = Hkv * G, Hkv * D
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, Hq, D), jnp.float32)
+    # build per-(token, head) values then pack to the fused layout
+    kh = jax.random.normal(jax.random.PRNGKey(1), (L, B, T, Hkv, D),
+                           jnp.float32)
+    vh = jax.random.normal(jax.random.PRNGKey(2), (L, B, T, Hkv, D),
+                           jnp.float32)
+    k8, ks = encode_kv_scaled(kh, jnp.int8)          # ks [L, B, T, Hkv]
+    v8, vs = encode_kv_scaled(vh, jnp.int8)
+    kf = k8.reshape(L, B, T, HD)
+    vf = v8.reshape(L, B, T, HD)
+    ksp = jnp.moveaxis(ks, -1, -2)                   # [L, B, Hkv, T]
+    vsp = jnp.moveaxis(vs, -1, -2)
+    kv_len = jnp.asarray([100, 64])
+    for li in (0, 1):
+        want = ops.attention_decode_fused_ref(
+            q, decode_kv_fused(kf[li], jnp.float32, ksp[li]),
+            decode_kv_fused(vf[li], jnp.float32, vsp[li]), kv_len)
+        got = decode_attention.decode_fused_pallas(
+            q, kf, vf, kv_len, layer_index=li, k_scale=ksp,
+            v_scale=vsp, interpret=True)
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"li={li}")
+    # composed with sinks (GPT-OSS) and a sliding window
+    sinks = jnp.asarray(np.linspace(-1, 1, Hq), jnp.float32)
+    want = ops.attention_decode_fused_ref(
+        q, decode_kv_fused(kf[0], jnp.float32, ksp[0]),
+        decode_kv_fused(vf[0], jnp.float32, vsp[0]), kv_len,
+        window=48, sinks=sinks)
+    got = decode_attention.decode_fused_pallas(
+        q, kf, vf, kv_len, layer_index=0, k_scale=ksp, v_scale=vsp,
+        window=48, sinks=sinks, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_decode_kernel_int8_scaled_interpret():
     """int8 KV cache: the head-major decode kernel's score/prob-side
     scale application must match the jnp reference on the dequantized

@@ -173,12 +173,15 @@ def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
 
 
 def attention_decode_fused(q, k_cache, v_cache, kv_len, layer_index=None,
-                           window=None, softcap=None, sinks=None):
+                           window=None, softcap=None, sinks=None,
+                           k_scale=None, v_scale=None):
     """k/v_cache in the FUSED-head layout [B, T, Hkv*D], or stacked
     [L, B, T, Hkv*D] with `layer_index` (kernel reads its layer via
     scalar prefetch). The layout that keeps D % 128 != 0 models
     (tiny fixtures, Qwen2-0.5B, Phi-3, GPT-OSS) on a Pallas decode
-    kernel. sinks: optional [Hq] attention-sink logits (GPT-OSS)."""
+    kernel. sinks: optional [Hq] attention-sink logits (GPT-OSS).
+    k_scale/v_scale: int8-cache per-token scales, [..., Hkv, T] f32 —
+    the head-major plane layout even for the fused cache."""
     from turboinfer_tpu.kernels import ops
     if pallas_enabled():
         from turboinfer_tpu.kernels.pallas import decode_attention
@@ -186,7 +189,9 @@ def attention_decode_fused(q, k_cache, v_cache, kv_len, layer_index=None,
                                                  layer_index=layer_index,
                                                  window=window,
                                                  softcap=softcap,
-                                                 sinks=sinks)
+                                                 sinks=sinks,
+                                                 k_scale=k_scale,
+                                                 v_scale=v_scale)
         if y is not None:
             return y
     if layer_index is not None:
@@ -194,11 +199,16 @@ def attention_decode_fused(q, k_cache, v_cache, kv_len, layer_index=None,
                                                keepdims=False)
         v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer_index, 0,
                                                keepdims=False)
-    from turboinfer_tpu.models.common import decode_kv
-    return ops.attention_decode_fused_ref(q, decode_kv(k_cache, q.dtype),
-                                          decode_kv(v_cache, q.dtype),
-                                          kv_len, window=window,
-                                          softcap=softcap, sinks=sinks)
+        if k_scale is not None:
+            k_scale = jax.lax.dynamic_index_in_dim(k_scale, layer_index, 0,
+                                                   keepdims=False)
+            v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer_index, 0,
+                                                   keepdims=False)
+    from turboinfer_tpu.models.common import decode_kv_fused
+    return ops.attention_decode_fused_ref(
+        q, decode_kv_fused(k_cache, q.dtype, k_scale),
+        decode_kv_fused(v_cache, q.dtype, v_scale),
+        kv_len, window=window, softcap=softcap, sinks=sinks)
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,

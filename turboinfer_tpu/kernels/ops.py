@@ -582,9 +582,11 @@ def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
 
 
 def attention_decode_fused(q, k_cache, v_cache, kv_len, layer_index=None,
-                           window=None, softcap=None, sinks=None):
+                           window=None, softcap=None, sinks=None,
+                           k_scale=None, v_scale=None):
     from turboinfer_tpu.kernels import dispatch
     return dispatch.attention_decode_fused(q, k_cache, v_cache, kv_len,
                                            layer_index=layer_index,
                                            window=window, softcap=softcap,
-                                           sinks=sinks)
+                                           sinks=sinks, k_scale=k_scale,
+                                           v_scale=v_scale)

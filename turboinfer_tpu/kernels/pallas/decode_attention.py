@@ -393,7 +393,7 @@ def _fused_chunk_rows(T: int, HD: int, itemsize: int) -> int:
 
 def _fused_kernel(idx_ref, len_ref, qbd_ref, *rest,
                   tt: int, scale: float, window=None, softcap=None,
-                  has_sinks: bool = False):
+                  has_sinks: bool = False, scaled: bool = False):
     """One sequence b: stream ceil(kv_len/tt) fused-lane cache chunks
     through NBUF VMEM buffers — one trip space covers ALL kv heads.
 
@@ -404,19 +404,37 @@ def _fused_kernel(idx_ref, len_ref, qbd_ref, *rest,
     softmax([scores, sink]) with the sink position dropped);
     k_hbm/v_hbm: [L, B, T, HD] HBM; o_ref: [1, Hqp, HD];
     kbuf/vbuf: [NBUF, tt, HD]; m/l: [Hqp, 128], acc: [Hqp, HD] f32.
+
+    `scaled` (int8 cache): per-token-head scales live in [L, B, Hkv, T]
+    planes (a [T, Hkv] minor layout would be a sub-128-lane memref
+    Mosaic rejects); the whole (layer, b) plane is one DMA up front.
+    Per chunk, the per-QUERY-head scale row is ONE tiny dot
+    m1[Hqp, Hkv] @ ks[:, chunk] (m1 = the q-head -> kv-head one-hot):
+    scores *= that, probs *= the v version before p @ v. The v-side
+    multiply scales row j by vs[t, kvh(j)], which is correct exactly
+    on the lanes the caller's block-diagonal extraction keeps.
     """
+    off = 0
     if has_sinks:
-        (sinks_ref, k_hbm, v_hbm, o_ref,
-         kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref) = rest
-    else:
-        (k_hbm, v_hbm, o_ref,
-         kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref) = rest
+        sinks_ref = rest[off]; off += 1
+    if scaled:
+        m1_ref, ks_hbm, vs_hbm = rest[off:off + 3]; off += 3
+    k_hbm, v_hbm, o_ref, kbuf, vbuf, ksem, vsem = rest[off:off + 7]
+    off += 7
+    if scaled:
+        ksbuf, vsbuf, kssem, vssem = rest[off:off + 4]; off += 4
+    m_ref, l_ref, acc_ref = rest[off:off + 3]
     b = pl.program_id(0)
     li = idx_ref[0]
     kv_len = len_ref[b]
     lo = jnp.maximum(kv_len - window, 0) if window is not None else 0
     c0 = jax.lax.div(lo, tt) if window is not None else 0
     nchunks = jax.lax.div(kv_len + tt - 1, tt) - c0   # >= 1 (kv_len >= 1)
+    if scaled:
+        pltpu.make_async_copy(ks_hbm.at[li, b], ksbuf, kssem).start()
+        pltpu.make_async_copy(vs_hbm.at[li, b], vsbuf, vssem).start()
+        pltpu.make_async_copy(ksbuf, ksbuf, kssem).wait()
+        pltpu.make_async_copy(vsbuf, vsbuf, vssem).wait()
 
     def start(t):
         i = c0 + t
@@ -459,6 +477,12 @@ def _fused_kernel(idx_ref, len_ref, qbd_ref, *rest,
             qbd_ref[0], _load_kv(kbuf[slot], qbd_ref.dtype),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if scaled:
+            ks_q = jax.lax.dot_general(              # [Hqp, tt]
+                m1_ref[:], ksbuf[:, pl.ds(i * tt, tt)],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * ks_q
         if softcap is not None:
             s = softcap * jnp.tanh(s * (1.0 / softcap))
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * tt
@@ -472,8 +496,16 @@ def _fused_kernel(idx_ref, len_ref, qbd_ref, *rest,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if scaled:
+            vs_q = jax.lax.dot_general(              # [Hqp, tt]
+                m1_ref[:], vsbuf[:, pl.ds(i * tt, tt)],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            pv = p * vs_q
+        else:
+            pv = p
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(qbd_ref.dtype), _load_kv(vbuf[slot], qbd_ref.dtype),
+            pv.astype(qbd_ref.dtype), _load_kv(vbuf[slot], qbd_ref.dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # [Hqp, HD] cross-head
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -487,7 +519,8 @@ def _fused_kernel(idx_ref, len_ref, qbd_ref, *rest,
 
 @functools.partial(jax.jit, static_argnames=("head_dim", "window",
                                              "softcap", "interpret"))
-def _decode_fused(qbd, k_cache, v_cache, kv_len, layer_idx, sinks=None, *,
+def _decode_fused(qbd, k_cache, v_cache, kv_len, layer_idx, sinks=None,
+                  m1=None, k_scale=None, v_scale=None, *,
                   head_dim: int, window=None, softcap=None,
                   interpret: bool = False):
     B, Hqp, HD = qbd.shape
@@ -495,10 +528,12 @@ def _decode_fused(qbd, k_cache, v_cache, kv_len, layer_idx, sinks=None, *,
     TT = _fused_chunk_rows(T, HD, k_cache.dtype.itemsize)
     scale = 1.0 / float(head_dim) ** 0.5
     has_sinks = sinks is not None
+    scaled = k_scale is not None
 
     kern = functools.partial(_fused_kernel, tt=TT, scale=scale,
                              window=window, softcap=softcap,
-                             has_sinks=has_sinks)
+                             has_sinks=has_sinks, scaled=scaled)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [
         pl.BlockSpec((1, Hqp, HD),
                      lambda b, idx, len_ref: (b, 0, 0),
@@ -510,9 +545,33 @@ def _decode_fused(qbd, k_cache, v_cache, kv_len, layer_idx, sinks=None, *,
                                      lambda b, idx, len_ref: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(sinks)
-    in_specs += [pl.BlockSpec(memory_space=pl.ANY),
-                 pl.BlockSpec(memory_space=pl.ANY)]
+    if scaled:
+        Hkv = k_scale.shape[2]
+        in_specs += [pl.BlockSpec((Hqp, Hkv),
+                                  lambda b, idx, len_ref: (0, 0),
+                                  memory_space=pltpu.VMEM),
+                     any_spec, any_spec]
+        args += [m1, k_scale, v_scale]
+    in_specs += [any_spec, any_spec]
     args += [k_cache, v_cache]
+    scratch = [
+        pltpu.VMEM((NBUF, TT, HD), k_cache.dtype),
+        pltpu.VMEM((NBUF, TT, HD), v_cache.dtype),
+        pltpu.SemaphoreType.DMA((NBUF,)),
+        pltpu.SemaphoreType.DMA((NBUF,)),
+    ]
+    if scaled:
+        scratch += [
+            pltpu.VMEM((k_scale.shape[2], T), jnp.float32),
+            pltpu.VMEM((k_scale.shape[2], T), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    scratch += [
+        pltpu.VMEM((Hqp, 128), jnp.float32),
+        pltpu.VMEM((Hqp, 128), jnp.float32),
+        pltpu.VMEM((Hqp, HD), jnp.float32),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
@@ -520,15 +579,7 @@ def _decode_fused(qbd, k_cache, v_cache, kv_len, layer_idx, sinks=None, *,
         out_specs=pl.BlockSpec((1, Hqp, HD),
                                lambda b, idx, len_ref: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, TT, HD), k_cache.dtype),
-            pltpu.VMEM((NBUF, TT, HD), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.VMEM((Hqp, 128), jnp.float32),
-            pltpu.VMEM((Hqp, 128), jnp.float32),
-            pltpu.VMEM((Hqp, HD), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kern,
@@ -548,30 +599,40 @@ def _decode_fused(qbd, k_cache, v_cache, kv_len, layer_idx, sinks=None, *,
 def decode_fused_pallas(q: jax.Array, k_cache: jax.Array,
                         v_cache: jax.Array, kv_len: jax.Array,
                         layer_index=None, window=None, softcap=None,
-                        sinks=None,
+                        sinks=None, k_scale=None, v_scale=None,
                         interpret: bool = False) -> Optional[jax.Array]:
     """Fused-head-layout decode attention.
 
     q: [B, Hq, D]; k/v_cache: [B, T, Hkv*D] (layer_index=None) or the
     stacked [L, B, T, Hkv*D] with `layer_index` the traced layer id;
     kv_len: [B]; sinks: optional [Hq] per-head attention-sink logits
-    (GPT-OSS). Returns [B, Hq, D] or None if not kernel-eligible
+    (GPT-OSS); k_scale/v_scale: int8-cache per-token scales
+    ([..., Hkv, T] f32 — the HEAD-MAJOR plane layout even for the
+    fused cache). Returns [B, Hq, D] or None if not kernel-eligible
     (requires (Hkv*D) % 128 == 0 and Hq % Hkv == 0).
     """
     B, Hq, D = q.shape
     if k_cache.dtype == jnp.float8_e4m3fn:
         k_cache = jax.lax.bitcast_convert_type(k_cache, jnp.uint8)
         v_cache = jax.lax.bitcast_convert_type(v_cache, jnp.uint8)
+    if (k_cache.dtype == jnp.int8) != (k_scale is not None):
+        return None            # int8 needs scales; scales need int8
     if layer_index is None:
         k_cache = k_cache[None]
         v_cache = v_cache[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
         layer_index = 0
     HD = k_cache.shape[3]
     Hkv = HD // D
     if HD % 128 or Hkv * D != HD or Hq % Hkv:
         return None
-    if k_cache.shape[2] % 8:
+    T = k_cache.shape[2]
+    if T % 8:
         return None            # chunk rows must stay sublane-aligned
+    if k_scale is not None and (T % 128 or 2 * Hkv * T * 4 > 6 * 1024 * 1024):
+        return None            # scale planes: minor (T) dim 128-aligned,
+                               # held whole in VMEM
     G = Hq // Hkv
     Hqp = max(8, -(-Hq // 8) * 8)
     # Block-diagonal query: Qbd[b, j, kvh(j)*D + d] = q[b, j, d].
@@ -584,7 +645,11 @@ def decode_fused_pallas(q: jax.Array, k_cache: jax.Array,
     if sinks is not None:
         sb = jnp.pad(sinks.astype(jnp.float32), (0, Hqp - Hq))
         sb = jnp.broadcast_to(sb[:, None], (Hqp, 128))
+    m1 = None
+    if k_scale is not None:
+        m1 = jnp.pad(M.astype(jnp.float32), ((0, Hqp - Hq), (0, 0)))
     out = _decode_fused(qbd, k_cache, v_cache, kv_len, layer_index, sb,
+                        m1, k_scale, v_scale,
                         head_dim=D, window=window, softcap=softcap,
                         interpret=interpret)
     # Extract the block diagonal of the cross-head [Hq, HD] accumulator:

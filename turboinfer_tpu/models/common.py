@@ -86,10 +86,6 @@ def init_cache(config: ModelConfig, batch_size: int,
     T = max_seq or config.max_seq_len
     dtype = dtype or config.dtype
     if fused:
-        if dtype == jnp.int8:
-            raise ValueError("int8 KV cache requires the head-major "
-                             "layout (fused-head models store scales "
-                             "per packed row — unsupported)")
         shape = (config.num_layers, batch_size, T,
                  config.kv_heads * config.head_dim_)
     else:
@@ -97,10 +93,14 @@ def init_cache(config: ModelConfig, batch_size: int,
                  config.head_dim_)
     ks = vs = None
     if dtype == jnp.int8:
-        # Two distinct buffers: aliasing one zeros array to both fields
-        # breaks donation ("donate the same buffer twice").
-        ks = jnp.zeros(shape[:-1], jnp.float32)           # [L,B,Hkv,T]
-        vs = jnp.zeros(shape[:-1], jnp.float32)
+        # Scales are [L, B, Hkv, T] for BOTH layouts (for fused too:
+        # a [T, Hkv] minor layout would make every kernel slice a
+        # sub-128-lane memref, which Mosaic rejects). Two distinct
+        # buffers: aliasing one zeros array to both fields breaks
+        # donation ("donate the same buffer twice").
+        sshape = (config.num_layers, batch_size, config.kv_heads, T)
+        ks = jnp.zeros(sshape, jnp.float32)
+        vs = jnp.zeros(sshape, jnp.float32)
     return KVCache(k=jnp.zeros(shape, dtype),
                    v=jnp.zeros(shape, dtype),
                    length=jnp.zeros((batch_size,), jnp.int32),
@@ -268,6 +268,21 @@ def encode_kv_scaled(x, cache_dtype):
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-12) / 127.0
     q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
     return q, s
+
+
+def decode_kv_fused(x, out_dtype, scale=None):
+    """decode_kv for the FUSED-head layout: x [..., T, Hkv*D] with the
+    scale in head-major plane layout [..., Hkv, T]."""
+    if x.dtype == jnp.int8:
+        if scale is None:
+            raise ValueError("int8 KV decode requires its scale array")
+        HD = x.shape[-1]
+        Hkv = scale.shape[-2]
+        D = HD // Hkv
+        xs = x.astype(jnp.float32).reshape(*x.shape[:-1], Hkv, D)
+        sc = jnp.moveaxis(scale.astype(jnp.float32), -2, -1)  # [..., T, Hkv]
+        return (xs * sc[..., None]).reshape(*x.shape).astype(out_dtype)
+    return decode_kv(x, out_dtype)
 
 
 def decode_kv(x, out_dtype, scale=None):

@@ -40,10 +40,15 @@ import jax.numpy as jnp
 from turboinfer_tpu.config import ModelConfig
 from turboinfer_tpu.kernels import ops
 from turboinfer_tpu.models.common import (KVCache, decode_kv, encode_kv,
+                                          encode_kv_scaled,
                                           resolve_fused_cache,  # noqa: F401
                                           param_bytes,
                                           param_count, reset_cache)
 from turboinfer_tpu.models.common import init_cache as _common_init_cache
+
+
+# int8 KV scales thread through the GPT-OSS layer scan like llama's.
+SUPPORTS_INT8_KV = True
 
 
 def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
@@ -162,7 +167,7 @@ def _moe_ffn(config: ModelConfig, h: jax.Array, lw: Dict[str, Any],
 
 def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
                k_cache, v_cache, start, kv_len, fused_cache=False,
-               gli=None):
+               gli=None, k_scale=None, v_scale=None):
     """GQA attention with per-head sink logits and the per-layer
     sliding/full window. k_cache/v_cache: [B, Hkv, T, D] (this layer),
     or fused-head [B, T, Hkv*D] / stacked [L, B, T, Hkv*D] with
@@ -192,20 +197,29 @@ def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
         # reading the stack by scalar prefetch (no per-layer cache copy
         # — the head-major gptoss path slices the layer each step).
         assert S == 1
-        newk = encode_kv(k.reshape(B, S, Hkv * D), k_cache.dtype)
-        newv = encode_kv(v.reshape(B, S, Hkv * D), v_cache.dtype)
+        newkq, ks = encode_kv_scaled(k, k_cache.dtype)   # [B, S, Hkv, D]
+        newvq, vs = encode_kv_scaled(v, v_cache.dtype)
+        newk = newkq.reshape(B, S, Hkv * D)
+        newv = newvq.reshape(B, S, Hkv * D)
         for b in range(B):
             idx = (li, b, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, newk[b][None, None], idx)
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, newv[b][None, None], idx)
+            if ks is not None:                    # scales [L, B, Hkv, T]
+                sidx = (li, b, 0, start[b])
+                k_scale = jax.lax.dynamic_update_slice(
+                    k_scale, ks[b].T[None, None], sidx)
+                v_scale = jax.lax.dynamic_update_slice(
+                    v_scale, vs[b].T[None, None], sidx)
         sinks = w1("sinks")
 
         def dec(window):
             return lambda: ops.attention_decode_fused(
                 q[:, 0], k_cache, v_cache, kv_len, layer_index=li,
-                window=window, sinks=sinks)
+                window=window, sinks=sinks,
+                k_scale=k_scale, v_scale=v_scale)
         if pattern and pattern > 1 and config.sliding_window:
             is_global = (gli + 1) % pattern == 0
             out = jax.lax.cond(is_global, dec(None),
@@ -213,6 +227,8 @@ def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
         else:
             out = dec(config.sliding_window)()
         out = out[:, None].reshape(B, S, nH * D)
+        if k_scale is not None:
+            return out.astype(h.dtype), k_cache, v_cache, k_scale, v_scale
         return out.astype(h.dtype), k_cache, v_cache
 
     if fused_cache:
@@ -220,34 +236,54 @@ def _attention(config: ModelConfig, h: jax.Array, lw, li, positions,
         # packed rows, then run the existing chunked streaming math on
         # a head-major view (one transposed copy per layer per prefill).
         T = k_cache.shape[1]
-
-        def write_fused(cache_b, new_b, start_b):
-            return jax.lax.dynamic_update_slice(
-                cache_b, encode_kv(new_b.reshape(S, Hkv * D),
-                                   cache_b.dtype), (start_b, 0))
-        k_cache = jax.vmap(write_fused)(k_cache, k, start)
-        v_cache = jax.vmap(write_fused)(v_cache, v, start)
+        newkq, ks = encode_kv_scaled(k, k_cache.dtype)   # [B, S, Hkv, D]
+        newvq, vs = encode_kv_scaled(v, v_cache.dtype)
+        newk = newkq.reshape(B, S, Hkv * D)
+        newv = newvq.reshape(B, S, Hkv * D)
+        for b in range(B):
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, newk[b][None], (b, start[b], 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, newv[b][None], (b, start[b], 0))
+            if ks is not None:                 # per-layer [B, Hkv, T]
+                k_scale = jax.lax.dynamic_update_slice(
+                    k_scale, ks[b].T[None], (b, 0, start[b]))
+                v_scale = jax.lax.dynamic_update_slice(
+                    v_scale, vs[b].T[None], (b, 0, start[b]))
         # S==1 decode always routes through the stacked branch above.
         assert S > 1, "per-layer fused-cache path is prefill-only"
         khm = k_cache.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
         vhm = v_cache.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
         out = _streaming_attention(config, q, khm, vhm, w1("sinks"),
-                                   positions, kv_len, gli)
+                                   positions, kv_len, gli,
+                                   k_scale=k_scale, v_scale=v_scale)
+        if k_scale is not None:
+            return out.astype(h.dtype), k_cache, v_cache, k_scale, v_scale
         return out.astype(h.dtype), k_cache, v_cache
 
-    def write_one(cache_b, new_b, start_b):
-        return jax.lax.dynamic_update_slice(
-            cache_b, encode_kv(new_b.transpose(1, 0, 2), cache_b.dtype),
-            (0, start_b, 0))
-    k_cache = jax.vmap(write_one)(k_cache, k, start)
-    v_cache = jax.vmap(write_one)(v_cache, v, start)
+    newkq, ks = encode_kv_scaled(k.transpose(0, 2, 1, 3), k_cache.dtype)
+    newvq, vs = encode_kv_scaled(v.transpose(0, 2, 1, 3), v_cache.dtype)
+    for b in range(B):
+        k_cache = jax.lax.dynamic_update_slice(k_cache, newkq[b][None],
+                                               (b, 0, start[b], 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, newvq[b][None],
+                                               (b, 0, start[b], 0))
+        if ks is not None:
+            k_scale = jax.lax.dynamic_update_slice(
+                k_scale, ks[b][None], (b, 0, start[b]))
+            v_scale = jax.lax.dynamic_update_slice(
+                v_scale, vs[b][None], (b, 0, start[b]))
     out = _streaming_attention(config, q, k_cache, v_cache, w1("sinks"),
-                               positions, kv_len, gli)
+                               positions, kv_len, gli,
+                               k_scale=k_scale, v_scale=v_scale)
+    if k_scale is not None:
+        return out.astype(h.dtype), k_cache, v_cache, k_scale, v_scale
     return out.astype(h.dtype), k_cache, v_cache
 
 
 def _streaming_attention(config, q, k_cache, v_cache, sinks_flat,
-                         positions, kv_len, li):
+                         positions, kv_len, li, k_scale=None,
+                         v_scale=None):
     """Streaming (online-softmax) attention over key chunks: one
     [B, Hkv, G, S, C] score block at a time — never a full [..., T]
     tensor, and the (possibly fp8) cache decodes per chunk instead of
@@ -278,10 +314,14 @@ def _streaming_attention(config, q, k_cache, v_cache, sinks_flat,
 
     def chunk(carry, ci):
         m, l, acc = carry
+        ksc = vsc = None
+        if k_scale is not None:                  # [B, Hkv, C] slices
+            ksc = jax.lax.dynamic_slice_in_dim(k_scale, ci * C, C, 2)
+            vsc = jax.lax.dynamic_slice_in_dim(v_scale, ci * C, C, 2)
         kc = decode_kv(jax.lax.dynamic_slice_in_dim(k_cache, ci * C, C,
-                                                    2), cdt)
+                                                    2), cdt, ksc)
         vc = decode_kv(jax.lax.dynamic_slice_in_dim(v_cache, ci * C, C,
-                                                    2), cdt)
+                                                    2), cdt, vsc)
         s = jnp.einsum("bhgsd,bhtd->bhgst", qf, kc,
                        preferred_element_type=jnp.float32) * scale
         tpos = (ci * C + jnp.arange(C, dtype=jnp.int32)
@@ -314,7 +354,7 @@ def _streaming_attention(config, q, k_cache, v_cache, sinks_flat,
 
 def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
                    kv_len, layer_index=None, fused_cache=False,
-                   global_layer_index=None):
+                   global_layer_index=None, k_scale=None, v_scale=None):
     # global_layer_index: the model-wide layer id when lw/caches are a
     # pipeline stage's LOCAL slice — the sliding/full window alternation
     # keys off the GLOBAL id while weights/caches index locally.
@@ -328,14 +368,20 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
         return w
 
     h = ops.rms_norm(x, w1("attn_norm"), config.rms_norm_eps)
-    attn, k_cache, v_cache = _attention(config, h, lw, li, positions,
-                                        k_cache, v_cache, start, kv_len,
-                                        fused_cache=fused_cache, gli=gli)
+    out = _attention(config, h, lw, li, positions,
+                     k_cache, v_cache, start, kv_len,
+                     fused_cache=fused_cache, gli=gli,
+                     k_scale=k_scale, v_scale=v_scale)
+    attn, k_cache, v_cache = out[:3]
+    if k_scale is not None:
+        k_scale, v_scale = out[3:]
     attn = ops.qmatmul(attn, lw["wo"], layer_index=li) \
         + w1("b_o").astype(x.dtype)
     x = x + attn
     h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
     x = x + _moe_ffn(config, h, lw, li)
+    if k_scale is not None:
+        return x, k_cache, v_cache, k_scale, v_scale
     return x, k_cache, v_cache
 
 
@@ -356,36 +402,53 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     layers = params["layers"]
     fused = cache.fused_layout
 
+    scaled = cache.k_scale is not None
     if fused and S == 1:
         # Fused-head stacked decode: the cache flows through whole (the
         # head-major body below pays a full per-layer cache slice copy
         # per step) and attention runs on the sink-aware fused kernel.
         def body(carry, i):
-            x, kf, vf = carry
-            x, kf, vf = _layer_forward(config, x, layers, positions, kf,
-                                       vf, start, kv_len, layer_index=i,
-                                       fused_cache=True)
-            return (x, kf, vf), None
+            x, kf, vf, ksf, vsf = carry
+            out = _layer_forward(config, x, layers, positions, kf,
+                                 vf, start, kv_len, layer_index=i,
+                                 fused_cache=True, k_scale=ksf,
+                                 v_scale=vsf)
+            x, kf, vf = out[:3]
+            ksf, vsf = out[3:] if scaled else (ksf, vsf)
+            return (x, kf, vf, ksf, vsf), None
     else:
         def body(carry, i):
-            x, kf, vf = carry
+            x, kf, vf, ksf, vsf = carry
             k1 = jax.lax.dynamic_index_in_dim(kf, i, 0, keepdims=False)
             v1 = jax.lax.dynamic_index_in_dim(vf, i, 0, keepdims=False)
-            x, k1, v1 = _layer_forward(config, x, layers, positions, k1,
-                                       v1, start, kv_len, layer_index=i,
-                                       fused_cache=fused)
+            kss = vss = None
+            if scaled:
+                kss = jax.lax.dynamic_index_in_dim(ksf, i, 0,
+                                                   keepdims=False)
+                vss = jax.lax.dynamic_index_in_dim(vsf, i, 0,
+                                                   keepdims=False)
+            out = _layer_forward(config, x, layers, positions, k1,
+                                 v1, start, kv_len, layer_index=i,
+                                 fused_cache=fused, k_scale=kss,
+                                 v_scale=vss)
+            x, k1, v1 = out[:3]
             kf = jax.lax.dynamic_update_index_in_dim(kf, k1, i, 0)
             vf = jax.lax.dynamic_update_index_in_dim(vf, v1, i, 0)
-            return (x, kf, vf), None
+            if scaled:
+                ksf = jax.lax.dynamic_update_index_in_dim(ksf, out[3], i, 0)
+                vsf = jax.lax.dynamic_update_index_in_dim(vsf, out[4], i, 0)
+            return (x, kf, vf, ksf, vsf), None
 
-    (x, k_new, v_new), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v),
+    (x, k_new, v_new, ks_new, vs_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
         jnp.arange(config.num_layers, dtype=jnp.int32))
 
     x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
     return logits.astype(jnp.float32), KVCache(k=k_new, v=v_new,
-                                               length=kv_len)
+                                               length=kv_len,
+                                               k_scale=ks_new,
+                                               v_scale=vs_new)
 
 
 def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,

@@ -76,12 +76,6 @@ def init_cache(config, batch_size: int, max_seq=None, dtype=None,
     shape). forward() handles both layouts."""
     if fused is None:
         fused = resolve_fused_cache(config, max_seq)
-        if fused and dtype == jnp.int8:
-            # int8 scales are per (head, token) — no fused-row story
-            # yet. Head-major still works on every model (D % 128 != 0
-            # decode just runs the jnp path instead of the fused
-            # kernel); int8 there trades decode speed for cache memory.
-            fused = False
     return _common_init_cache(config, batch_size, max_seq, dtype,
                               fused=fused)
 
@@ -320,21 +314,32 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         # Fused-head layout, stacked [L, B, T, Hkv*D] (decode): write one
         # [S, HD] row block per sequence, attend via the fused kernel
         # reading layer li straight from the stack (scalar prefetch).
-        newk = encode_kv(k.reshape(B, S, Hkv * D), k_cache.dtype)
-        newv = encode_kv(v.reshape(B, S, Hkv * D), v_cache.dtype)
+        # int8: values quantize per (token, head); scales write into the
+        # head-major [L, B, Hkv, T] planes (see decode_fused_pallas).
+        newkq, ks = encode_kv_scaled(k, k_cache.dtype)   # [B, S, Hkv, D]
+        newvq, vs = encode_kv_scaled(v, v_cache.dtype)
+        newk = newkq.reshape(B, S, Hkv * D)
+        newv = newvq.reshape(B, S, Hkv * D)
         for b in range(B):
             idx = (li, b, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, newk[b][None, None], idx)
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, newv[b][None, None], idx)
+            if ks is not None:
+                sidx = (li, b, 0, start[b])
+                k_scale = jax.lax.dynamic_update_slice(
+                    k_scale, ks[b].T[None, None], sidx)   # [1,1,Hkv,S]
+                v_scale = jax.lax.dynamic_update_slice(
+                    v_scale, vs[b].T[None, None], sidx)
         if S != 1:
             raise ValueError("stacked fused-cache path is decode-only")
 
         def dec(window):
             return lambda: ops.attention_decode_fused(
                 q[:, 0], k_cache, v_cache, kv_len, layer_index=li,
-                window=window, softcap=cap)
+                window=window, softcap=cap,
+                k_scale=k_scale, v_scale=v_scale)
         if alternating:
             attn = jax.lax.cond(is_global, dec(None),
                                 dec(config.sliding_window))
@@ -349,14 +354,21 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         # layer cache every layer (measured ~4 ms of a 55 ms 7B S=512
         # prefill before this fix).
         T = k_cache.shape[1]
-        newk = encode_kv(k.reshape(B, S, Hkv * D), k_cache.dtype)
-        newv = encode_kv(v.reshape(B, S, Hkv * D), v_cache.dtype)
+        newkq, ks = encode_kv_scaled(k, k_cache.dtype)   # [B, S, Hkv, D]
+        newvq, vs = encode_kv_scaled(v, v_cache.dtype)
+        newk = newkq.reshape(B, S, Hkv * D)
+        newv = newvq.reshape(B, S, Hkv * D)
         for b in range(B):
             idx = (b, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, newk[b][None], idx)
             v_cache = jax.lax.dynamic_update_slice(
                 v_cache, newv[b][None], idx)
+            if ks is not None:                # per-layer [B, Hkv, T]
+                k_scale = jax.lax.dynamic_update_slice(
+                    k_scale, ks[b].T[None], (b, 0, start[b]))
+                v_scale = jax.lax.dynamic_update_slice(
+                    v_scale, vs[b].T[None], (b, 0, start[b]))
 
         # Only the S>1 prefill body reaches the per-layer fused cache
         # (S==1 decode always goes through the stacked branch above).
@@ -364,9 +376,10 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         # Prefill reads want head-major slabs: one transposed copy
         # per layer per prefill call — amortized over S tokens and
         # dwarfed by the prefill matmuls.
-        kf = decode_kv(k_cache, q.dtype).reshape(
+        from turboinfer_tpu.models.common import decode_kv_fused
+        kf = decode_kv_fused(k_cache, q.dtype, k_scale).reshape(
             B, T, Hkv, D).transpose(0, 2, 1, 3)
-        vf = decode_kv(v_cache, q.dtype).reshape(
+        vf = decode_kv_fused(v_cache, q.dtype, v_scale).reshape(
             B, T, Hkv, D).transpose(0, 2, 1, 3)
 
         def pre(window):
