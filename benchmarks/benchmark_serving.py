@@ -88,7 +88,8 @@ def main():
         if args.paged:
             return PagedContinuousScheduler(params, cfg, icfg,
                                             batch_slots=args.slots,
-                                            page_size=args.page_size)
+                                            page_size=args.page_size,
+                                            decode_burst=args.burst)
         return ContinuousBatchingScheduler(params, cfg, icfg,
                                            batch_slots=args.slots,
                                            decode_burst=args.burst)

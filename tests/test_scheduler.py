@@ -106,6 +106,45 @@ def test_paged_matches_contiguous(sched_setup):
         assert results[rid].tokens == want[rid], f"request {rid} diverged"
 
 
+def test_paged_burst_matches_per_step(sched_setup):
+    """Paged decode bursts (one jitted n-step scan, pages pre-assigned
+    by step()) must reproduce the per-step paged trajectory exactly —
+    including EOS-mid-burst slot recycling and the final pool state."""
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    params, mcfg, cfg = sched_setup
+    prompts = [[1, i + 2, 2 * i + 3, 5] for i in range(5)]
+
+    base = PagedContinuousScheduler(params, mcfg, cfg, batch_slots=2,
+                                    page_size=8)
+    want = {}
+    for p in prompts:
+        want[base.submit(p, 10)] = None
+    want = {rid: r.tokens for rid, r in base.run().items()}
+
+    sched = PagedContinuousScheduler(params, mcfg, cfg, batch_slots=2,
+                                     page_size=8, decode_burst=4)
+    rids = [sched.submit(p, 10) for p in prompts]
+    results = sched.run()
+    for rid in rids:
+        assert results[rid].tokens == want[rid], f"request {rid} diverged"
+    assert sched.pool.available == base.pool.available
+
+
+def test_paged_burst_int8(sched_setup):
+    """Paged bursts over an int8 page pool run and stay deterministic."""
+    import dataclasses
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    params, mcfg, cfg = sched_setup
+    cfg8 = dataclasses.replace(cfg, kv_cache_dtype="int8")
+    outs = []
+    for _ in range(2):
+        s = PagedContinuousScheduler(params, mcfg, cfg8, batch_slots=2,
+                                     page_size=8, decode_burst=4)
+        rid = s.submit([1, 5, 42, 7], 10)
+        outs.append(s.run()[rid].tokens)
+    assert outs[0] == outs[1]
+
+
 def test_paged_pool_reuse_and_release(sched_setup):
     """Pages released by finished sequences are reused; the pool never
     leaks (all pages free after run())."""
