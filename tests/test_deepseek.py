@@ -253,3 +253,66 @@ def test_synthetic_quantized_deepseek_fixture():
     eng = ti.InferenceEngine(data.params, cfg,
                              ti.InferenceConfig(eos_token_id=-1))
     assert len(eng.generate([1, 5], 4, temperature=0.0).tokens) == 6
+
+
+def test_int8_latent_cache_close_to_f32(ds_params, ds_cfg):
+    """int8 MLA latent cache: prefill+decode over int8-stored c_kv/k_pe
+    (per-token absmax scales in KVCache.k_scale/v_scale [L,B,1,T]) must
+    track the f32-cache logits within the quantization noise. Random
+    tiny models sit on argmax near-ties, so compare logits."""
+    toks = jnp.asarray([[7, 23, 301, 5, 99]], jnp.int32)
+    ref, c_f = deepseek.forward(ds_params, ds_cfg, toks,
+                                deepseek.init_cache(ds_cfg, 1, max_seq=64))
+    c8 = deepseek.init_cache(ds_cfg, 1, max_seq=64, dtype=jnp.int8)
+    assert c8.k.dtype == jnp.int8 and c8.v.dtype == jnp.int8
+    assert c8.k_scale.shape == (3, 1, 1, 64)
+    got, c8 = deepseek.forward(ds_params, ds_cfg, toks, c8)
+    r, g = np.asarray(ref[0, -1]), np.asarray(got[0, -1])
+    assert np.abs(g - r).max() < 0.25 * max(1.0, np.abs(r).max())
+    # decode steps over the int8 cache stay close too
+    t = jnp.argmax(ref[0, -1])[None, None].astype(jnp.int32)
+    for _ in range(2):
+        ref2, c_f = deepseek.forward(ds_params, ds_cfg, t, c_f)
+        got2, c8 = deepseek.forward(ds_params, ds_cfg, t, c8)
+        d = np.abs(np.asarray(got2[0, 0]) - np.asarray(ref2[0, 0]))
+        assert d.max() < 0.25 * max(1.0, np.abs(np.asarray(ref2)).max())
+        t = jnp.argmax(ref2[0, 0])[None, None].astype(jnp.int32)
+
+
+def test_int8_latent_cache_engine_and_scheduler(ds_params, ds_cfg):
+    """kv_cache_dtype='int8' runs end-to-end on DeepSeek: engine
+    generate is deterministic, and the continuous-batching scheduler
+    (which gates on SUPPORTS_INT8_KV) reproduces the engine trajectory."""
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    icfg = ti.InferenceConfig(max_seq_len=64, kv_cache_dtype="int8")
+    eng = ti.InferenceEngine(ds_params, ds_cfg, icfg)
+    want = eng.generate([1, 5, 9, 20], 6, temperature=0.0).tokens
+    assert len(want) == 10
+    assert want == eng.generate([1, 5, 9, 20], 6, temperature=0.0).tokens
+    sched = ContinuousBatchingScheduler(ds_params, ds_cfg, icfg,
+                                        batch_slots=2)
+    rid = sched.submit([1, 5, 9, 20], max_new_tokens=6, temperature=0.0)
+    while sched.pending:
+        sched.step()
+    assert [1, 5, 9, 20] + sched.get_request(rid).out_tokens == list(want)
+
+
+def test_int8_latent_paged_scheduler_serves(ds_cfg, ds_params):
+    """DeepSeek + kv_cache_dtype='int8' under the PAGED scheduler: scale
+    pages ride the pool (written by the generic prefill scatter and the
+    MLA paged decode), and greedy outputs equal the contiguous int8
+    engine's."""
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    icfg = ti.InferenceConfig(max_seq_len=64, kv_cache_dtype="int8")
+    eng = ti.InferenceEngine(ds_params, ds_cfg, icfg)
+    want = eng.generate([1, 5, 9, 20], 8, temperature=0.0).tokens
+    sched = PagedContinuousScheduler(ds_params, ds_cfg, icfg,
+                                     batch_slots=2, page_size=8)
+    assert sched.cache.k_pages.dtype == jnp.int8
+    assert sched.cache.k_scale_pages is not None
+    rid = sched.submit([1, 5, 9, 20], max_new_tokens=8, temperature=0.0)
+    while sched.pending:
+        sched.step()
+    req = sched.get_request(rid)
+    assert req.finished
+    assert [1, 5, 9, 20] + req.out_tokens == list(want)

@@ -135,8 +135,7 @@ class InferenceEngine:
                 raise ValueError(
                     "kv_cache_dtype='int8' is not supported by this "
                     "model family (its forward does not thread the "
-                    "per-token KV scales; DeepSeek's MLA latent cache "
-                    "has no int8 story); use 'fp8' or 'bf16'")
+                    "per-token KV scales); use 'fp8' or 'bf16'")
             # fused=None -> model-chosen layout (llama-family picks the
             # fused-head layout for D % 128 != 0 so decode stays on a
             # Pallas kernel; other modules treat None as head-major).

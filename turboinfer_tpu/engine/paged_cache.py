@@ -62,8 +62,8 @@ def init_paged_cache(config: ModelConfig, batch_size: int, num_pages: int,
         # D=kv_lora_rank) and the shared rope key (v pool,
         # D=qk_rope_head_dim), one "head" each — the pools are
         # asymmetric and ~70x smaller than per-head K/V.
-        if dtype in (jnp.uint8, jnp.int8):   # compressed latents: no
-            dtype = config.dtype             # fp8/int8 story yet
+        if dtype == jnp.uint8:               # latents: no fp8 story
+            dtype = config.dtype             # (int8 + scale pages works)
         kshape = (config.num_layers, num_pages, 1, page_size,
                   config.kv_lora_rank)
         vshape = (config.num_layers, num_pages, 1, page_size,

@@ -132,8 +132,7 @@ class ContinuousBatchingScheduler:
             raise ValueError(
                 "kv_cache_dtype='int8' is not supported by this model "
                 "family (its forward does not thread the per-token KV "
-                "scales; DeepSeek's MLA latent cache has no int8 "
-                "story); use 'fp8' or 'bf16'")
+                "scales); use 'fp8' or 'bf16'")
         # Sharded runs keep the head-major 5-D layout (cache_spec shards
         # kv-heads over tp); single-chip runs let the model auto-pick.
         self.cache = self._model.init_cache(model_config, self.B,

@@ -41,9 +41,19 @@ import jax.numpy as jnp
 
 from turboinfer_tpu.config import ModelConfig, RopeMode
 from turboinfer_tpu.kernels import ops
-from turboinfer_tpu.models.common import (KVCache, param_bytes,  # noqa: F401
-                                          param_count)
+from turboinfer_tpu.models.common import (KVCache, encode_kv_scaled,  # noqa: F401
+                                          param_bytes, param_count)
 from turboinfer_tpu.models import moe as moe_mod
+
+# int8 latent cache (kv_cache_dtype="int8"): the compressed c_kv and the
+# shared rope key are stored int8 with per-token absmax scales
+# (KVCache.k_scale/v_scale [L, B, 1, T] f32 — the standard scale plane
+# with Hkv=1). The chunked online-softmax applies scales on the
+# [B, nH, S, C] score/prob tiles (scores factor as
+# sc_t * (q . c_i8[t]); the value pass folds sc into the probability
+# weights) — the cache is never decoded wholesale, matching the Pallas
+# kernels' int8 design (see models/common.KVCache).
+SUPPORTS_INT8_KV = True
 
 
 def _dims(config: ModelConfig):
@@ -161,15 +171,23 @@ def init_cache(config: ModelConfig, batch_size: int,
     _, _, dr, _, lr = _dims(config)
     dtype = dtype or config.dtype
     if dtype == jnp.uint8:          # fp8 latents unsupported; keep model
-        dtype = config.dtype
+        dtype = config.dtype        # (use kv_cache_dtype="int8" instead)
+    ks = vs = None
+    if dtype == jnp.int8:
+        ks = jnp.zeros((L, B, 1, T), jnp.float32)
+        vs = jnp.zeros((L, B, 1, T), jnp.float32)
     return KVCache(k=jnp.zeros((L, B, 1, T, lr), dtype),
                    v=jnp.zeros((L, B, 1, T, dr), dtype),
-                   length=jnp.zeros((B,), jnp.int32))
+                   length=jnp.zeros((B,), jnp.int32),
+                   k_scale=ks, v_scale=vs)
 
 
 def reset_cache(cache: KVCache) -> KVCache:
+    zs = (None if cache.k_scale is None
+          else jnp.zeros_like(cache.k_scale))
     return KVCache(k=jnp.zeros_like(cache.k), v=jnp.zeros_like(cache.v),
-                   length=jnp.zeros_like(cache.length))
+                   length=jnp.zeros_like(cache.length),
+                   k_scale=zs, v_scale=zs)
 
 
 # ---------------------------------------------------------------------------
@@ -212,12 +230,15 @@ def _route(config: ModelConfig, h: jax.Array, router: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _mla_attention(config: ModelConfig, h: jax.Array, lw, li,
-                   positions, c_cache, pe_cache, start, kv_len):
+                   positions, c_cache, pe_cache, start, kv_len,
+                   c_scale=None, pe_scale=None):
     """Absorbed MLA. h: [B,S,H] (normed); c_cache [B,1,T,lr],
-    pe_cache [B,1,T,dr] for THIS layer. Returns (attn_out [B,S,nH*dv],
-    c_cache', pe_cache')."""
+    pe_cache [B,1,T,dr] for THIS layer; c_scale/pe_scale [B,1,T] f32
+    per-token scale planes when the cache is int8. Returns
+    (attn_out [B,S,nH*dv], c_cache', pe_cache', c_scale', pe_scale')."""
     B, S, _ = h.shape
     nH, dn, dr, dv, lr = _dims(config)
+    is_i8 = c_cache.dtype == jnp.int8
 
     def w1(name):
         w = lw[name]
@@ -250,13 +271,30 @@ def _mla_attention(config: ModelConfig, h: jax.Array, lw, li,
     def write_one(cache_b, new_b, start_b):
         return jax.lax.dynamic_update_slice(
             cache_b, new_b[None].astype(cache_b.dtype), (0, start_b, 0))
-    c_cache = jax.vmap(write_one)(c_cache, c_lat, start)
-    pe_cache = jax.vmap(write_one)(pe_cache, k_pe, start)
+
+    if is_i8:
+        c_q, c_s = encode_kv_scaled(c_lat, jnp.int8)      # [B,S,lr],[B,S]
+        p_q, p_s = encode_kv_scaled(k_pe, jnp.int8)
+        c_cache = jax.vmap(write_one)(c_cache, c_q, start)
+        pe_cache = jax.vmap(write_one)(pe_cache, p_q, start)
+
+        def write_sc(sc_b, new_b, start_b):
+            return jax.lax.dynamic_update_slice(
+                sc_b, new_b[None], (0, start_b))
+        c_scale = jax.vmap(write_sc)(c_scale, c_s, start)
+        pe_scale = jax.vmap(write_sc)(pe_scale, p_s, start)
+    else:
+        c_cache = jax.vmap(write_one)(c_cache, c_lat, start)
+        pe_cache = jax.vmap(write_one)(pe_cache, k_pe, start)
     # Native-dtype operands with f32 accumulation: never materialize an
     # f32 copy of the latent cache (or of wkv_b) inside the layer scan.
-    cdt = c_cache.dtype
+    # int8 caches compute in the MODEL dtype (chunks are cast — a pure
+    # i8 cast, no scale multiply — and the scales land on score tiles).
+    cdt = h.dtype if is_i8 else c_cache.dtype
     c_all = c_cache[:, 0]                                 # [B,T,lr]
     pe_all = pe_cache[:, 0]                               # [B,T,dr]
+    c_sc_all = c_scale[:, 0] if is_i8 else None           # [B,T]
+    pe_sc_all = pe_scale[:, 0] if is_i8 else None
 
     # Absorb q_nope through the k-half of kv_b.
     wkv_b = w1("wkv_b").reshape(lr, nH, dn + dv)
@@ -284,12 +322,22 @@ def _mla_attention(config: ModelConfig, h: jax.Array, lw, li,
 
     def chunk(carry, ci):
         m, l, acc = carry
-        ck = jax.lax.dynamic_slice_in_dim(c_all, ci * C, C, 1)
-        pk = jax.lax.dynamic_slice_in_dim(pe_all, ci * C, C, 1)
-        s = (jnp.einsum("bsnr,btr->bnst", q_abs_n, ck,
-                        preferred_element_type=jnp.float32)
-             + jnp.einsum("bsnd,btd->bnst", q_pe_n, pk,
-                          preferred_element_type=jnp.float32)) * scale
+        ck = jax.lax.dynamic_slice_in_dim(c_all, ci * C, C, 1).astype(cdt)
+        pk = jax.lax.dynamic_slice_in_dim(pe_all, ci * C, C, 1).astype(cdt)
+        s_c = jnp.einsum("bsnr,btr->bnst", q_abs_n, ck,
+                         preferred_element_type=jnp.float32)
+        s_p = jnp.einsum("bsnd,btd->bnst", q_pe_n, pk,
+                         preferred_element_type=jnp.float32)
+        if is_i8:
+            # Scores factor per key token: sc_t * (q . c_i8[t]) — one
+            # broadcast multiply per score tile, latent and rope-key
+            # halves carrying their own scale planes.
+            csc = jax.lax.dynamic_slice_in_dim(c_sc_all, ci * C, C, 1)
+            psc = jax.lax.dynamic_slice_in_dim(pe_sc_all, ci * C, C, 1)
+            s = (s_c * csc[:, None, None, :]
+                 + s_p * psc[:, None, None, :]) * scale
+        else:
+            s = (s_c + s_p) * scale
         tpos = (ci * C + jnp.arange(C, dtype=jnp.int32)
                 )[None, None, None, :]
         ok = (tpos <= qpos) & (tpos < kv_len[:, None, None, None])
@@ -298,8 +346,11 @@ def _mla_attention(config: ModelConfig, h: jax.Array, lw, li,
         w = jnp.exp(s - m2[..., None])
         corr = jnp.exp(m - m2)
         l = l * corr + w.sum(-1)
+        # Value pass: sum_t w_t * (sc_t * c_i8[t]) = sum_t (w_t*sc_t)
+        # * c_i8[t] — fold the scale into the probability weights.
+        wv = w * csc[:, None, None, :] if is_i8 else w
         acc = (acc * corr[..., None]
-               + jnp.einsum("bnst,btr->bnsr", w.astype(cdt), ck,
+               + jnp.einsum("bnst,btr->bnsr", wv.astype(cdt), ck,
                             preferred_element_type=jnp.float32))
         return (m2, l, acc), None
 
@@ -313,11 +364,13 @@ def _mla_attention(config: ModelConfig, h: jax.Array, lw, li,
     attn = jnp.einsum("bsnr,rnd->bsnd", lat_out.astype(cdt),
                       w_vc.astype(cdt),
                       preferred_element_type=jnp.float32)
-    return attn.reshape(B, S, nH * dv).astype(h.dtype), c_cache, pe_cache
+    return (attn.reshape(B, S, nH * dv).astype(h.dtype), c_cache,
+            pe_cache, c_scale, pe_scale)
 
 
 def _layer_forward(config, x, lw, positions, c_cache, pe_cache, start,
-                   kv_len, layer_index=None, dense_ffn=False):
+                   kv_len, layer_index=None, dense_ffn=False,
+                   c_scale=None, pe_scale=None):
     li = layer_index
     B, S, _ = x.shape
 
@@ -328,8 +381,9 @@ def _layer_forward(config, x, lw, positions, c_cache, pe_cache, start,
         return w
 
     h = ops.rms_norm(x, w1("attn_norm"), config.rms_norm_eps)
-    attn, c_cache, pe_cache = _mla_attention(
-        config, h, lw, li, positions, c_cache, pe_cache, start, kv_len)
+    attn, c_cache, pe_cache, c_scale, pe_scale = _mla_attention(
+        config, h, lw, li, positions, c_cache, pe_cache, start, kv_len,
+        c_scale=c_scale, pe_scale=pe_scale)
     x = x + ops.qmatmul(attn, lw["wo"], layer_index=li)
 
     h = ops.rms_norm(x, w1("ffn_norm"), config.rms_norm_eps)
@@ -338,7 +392,7 @@ def _layer_forward(config, x, lw, positions, c_cache, pe_cache, start,
         u = ops.qmatmul(h, lw["w_up"], layer_index=li)
         ffn = ops.qmatmul(ops.swiglu(g, u).astype(h.dtype), lw["w_down"],
                           layer_index=li)
-        return x + ffn, c_cache, pe_cache
+        return x + ffn, c_cache, pe_cache, c_scale, pe_scale
 
     gates, top_i = _route(config, h, w1("router"), w1("router_bias"))
     out = moe_mod.expert_mix(config, h, lw, gates, top_i, layer_index=li)
@@ -347,7 +401,7 @@ def _layer_forward(config, x, lw, positions, c_cache, pe_cache, start,
                        ops.qmatmul(h, lw["ws_up"], layer_index=li))
         s = ops.qmatmul(s.astype(h.dtype), lw["ws_down"], layer_index=li)
         out = out + s.astype(jnp.float32)
-    return x + out.astype(x.dtype), c_cache, pe_cache
+    return x + out.astype(x.dtype), c_cache, pe_cache, c_scale, pe_scale
 
 
 # ---------------------------------------------------------------------------
@@ -370,46 +424,59 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
 
     x = ops.embed_lookup(params["embed"], tokens, config.dtype)
     ck, pk = cache.k, cache.v
+    csc, psc = cache.k_scale, cache.v_scale      # int8 scale stacks or None
 
-    def scan_group(x, ck, pk, lw, offset, n, dense):
+    def scan_group(x, ck, pk, csc, psc, lw, offset, n, dense):
         def body(carry, i):
-            x, ck, pk = carry
-            c1 = jax.lax.dynamic_index_in_dim(ck, offset + i, 0,
-                                              keepdims=False)
-            p1 = jax.lax.dynamic_index_in_dim(pk, offset + i, 0,
-                                              keepdims=False)
-            x, c1, p1 = _layer_forward(config, x, lw, positions, c1, p1,
-                                       start, kv_len, layer_index=i,
-                                       dense_ffn=dense)
-            ck2 = jax.lax.dynamic_update_index_in_dim(ck, c1, offset + i, 0)
-            pk2 = jax.lax.dynamic_update_index_in_dim(pk, p1, offset + i, 0)
-            return (x, ck2, pk2), None
-        (x, ck, pk), _ = jax.lax.scan(
-            body, (x, ck, pk), jnp.arange(n, dtype=jnp.int32))
-        return x, ck, pk
+            x, ck, pk, csc, psc = carry
+
+            def at(a):
+                return (None if a is None else
+                        jax.lax.dynamic_index_in_dim(a, offset + i, 0,
+                                                     keepdims=False))
+
+            def put(a, a1):
+                return (None if a is None else
+                        jax.lax.dynamic_update_index_in_dim(a, a1,
+                                                            offset + i, 0))
+            x, c1, p1, s1, t1 = _layer_forward(
+                config, x, lw, positions, at(ck), at(pk), start, kv_len,
+                layer_index=i, dense_ffn=dense, c_scale=at(csc),
+                pe_scale=at(psc))
+            return (x, put(ck, c1), put(pk, p1), put(csc, s1),
+                    put(psc, t1)), None
+        (x, ck, pk, csc, psc), _ = jax.lax.scan(
+            body, (x, ck, pk, csc, psc), jnp.arange(n, dtype=jnp.int32))
+        return x, ck, pk, csc, psc
 
     if kd:
-        x, ck, pk = scan_group(x, ck, pk, params["dense_layers"], 0, kd,
-                               True)
-    x, ck, pk = scan_group(x, ck, pk, params["layers"], kd,
-                           config.num_layers - kd, False)
+        x, ck, pk, csc, psc = scan_group(x, ck, pk, csc, psc,
+                                         params["dense_layers"], 0, kd,
+                                         True)
+    x, ck, pk, csc, psc = scan_group(x, ck, pk, csc, psc,
+                                     params["layers"], kd,
+                                     config.num_layers - kd, False)
 
     x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
-    return logits.astype(jnp.float32), KVCache(k=ck, v=pk, length=kv_len)
+    return logits.astype(jnp.float32), KVCache(k=ck, v=pk, length=kv_len,
+                                               k_scale=csc, v_scale=psc)
 
 
 def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
                          tokens: jax.Array, k_pages: jax.Array,
                          v_pages: jax.Array, block_table: jax.Array,
-                         lengths: jax.Array):
+                         lengths: jax.Array, *,
+                         k_scale_pages=None, v_scale_pages=None):
     """One decode step over PAGED latent pools (same contract as
     llama.forward_paged_decode). k_pages [L, P, 1, page, lr] holds the
     compressed latent, v_pages [L, P, 1, page, dr] the shared rope key
     (engine/paged_cache MLA branch). Attention streams the block table
     page by page with the online softmax; page reads are flat
     (layer, page) gathers off the stacked pools — only the B needed
-    pages move, never a layer's whole pool."""
+    pages move, never a layer's whole pool. int8 pools carry per-token
+    scale pages ([L, P, 1, page] f32) applied on the score/prob tiles;
+    when passed, the return grows to (logits, kp, vp, ksp, vsp)."""
     B = tokens.shape[0]
     nH, dn, dr, dv, lr = _dims(config)
     L = config.num_layers
@@ -423,13 +490,14 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
     offset = lengths % page
     write_ids = jnp.clip(jnp.take_along_axis(
         block_table, page_idx[:, None], axis=1)[:, 0], 0, P - 1)
-    cdt = k_pages.dtype
+    is_i8 = k_scale_pages is not None
+    cdt = config.dtype if is_i8 else k_pages.dtype
     scale = _softmax_scale(config)
 
     x = ops.embed_lookup(params["embed"], tokens[:, None],
                      config.dtype)             # [B, 1, H]
 
-    def layer_step(x, kp, vp, lw, li_cache, li_w, dense):
+    def layer_step(x, kp, vp, ksp, vsp, lw, li_cache, li_w, dense):
         def w1(name):
             return jax.lax.dynamic_index_in_dim(lw[name], li_w, 0,
                                                 keepdims=False)
@@ -456,6 +524,9 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
             scaling=config.rope_scaling)[:, :, 0]         # [B, 1, dr]
 
         # Write the new token's latent into each slot's current page.
+        if is_i8:
+            c_lat, c_s = encode_kv_scaled(c_lat, jnp.int8)  # [B,1,lr],[B,1]
+            k_pe, p_s = encode_kv_scaled(k_pe, jnp.int8)
         for b in range(B):
             idx = (li_cache, write_ids[b], 0, offset[b], 0)
             kp = jax.lax.dynamic_update_slice(
@@ -464,6 +535,12 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
             vp = jax.lax.dynamic_update_slice(
                 vp, k_pe[b][None, None, :, None, :].astype(vp.dtype),
                 idx)
+            if is_i8:
+                sidx = (li_cache, write_ids[b], 0, offset[b])
+                ksp = jax.lax.dynamic_update_slice(
+                    ksp, c_s[b][None, None, :, None], sidx)
+                vsp = jax.lax.dynamic_update_slice(
+                    vsp, p_s[b][None, None, :, None], sidx)
 
         wkv_b = w1("wkv_b").reshape(lr, nH, dn + dv)
         w_kc, w_vc = wkv_b[..., :dn], wkv_b[..., dn:]
@@ -475,18 +552,29 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
 
         kp_flat = kp.reshape((L * P,) + kp.shape[2:])
         vp_flat = vp.reshape((L * P,) + vp.shape[2:])
+        if is_i8:
+            ksp_flat = ksp.reshape((L * P,) + ksp.shape[2:])
+            vsp_flat = vsp.reshape((L * P,) + vsp.shape[2:])
 
         def page_chunk(carry, pi):
             m, l, acc = carry
             ids = jnp.clip(block_table[:, pi], 0, P - 1)  # [B]
             ck = jnp.take(kp_flat, li_cache * P + ids,
-                          axis=0)[:, 0]                   # [B,page,lr]
-            pk = jnp.take(vp_flat, li_cache * P + ids, axis=0)[:, 0]
-            s = (jnp.einsum("bsnr,btr->bnst", q_abs, ck,
-                            preferred_element_type=jnp.float32)
-                 + jnp.einsum("bsnd,btd->bnst", q_pe_n, pk,
-                              preferred_element_type=jnp.float32)
-                 ) * scale                                # [B,nH,1,page]
+                          axis=0)[:, 0].astype(cdt)       # [B,page,lr]
+            pk = jnp.take(vp_flat, li_cache * P + ids,
+                          axis=0)[:, 0].astype(cdt)
+            s_c = jnp.einsum("bsnr,btr->bnst", q_abs, ck,
+                             preferred_element_type=jnp.float32)
+            s_p = jnp.einsum("bsnd,btd->bnst", q_pe_n, pk,
+                             preferred_element_type=jnp.float32)
+            if is_i8:
+                csc = jnp.take(ksp_flat, li_cache * P + ids,
+                               axis=0)[:, 0]              # [B,page]
+                psc = jnp.take(vsp_flat, li_cache * P + ids, axis=0)[:, 0]
+                s = (s_c * csc[:, None, None, :]
+                     + s_p * psc[:, None, None, :]) * scale
+            else:
+                s = (s_c + s_p) * scale                   # [B,nH,1,page]
             tpos = (pi * page + jnp.arange(page, dtype=jnp.int32)
                     )[None, None, None, :]
             ok = tpos < kv_len[:, None, None, None]
@@ -495,8 +583,9 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
             w = jnp.exp(s - m2[..., None])
             corr = jnp.exp(m - m2)
             l = l * corr + w.sum(-1)
+            wv = w * csc[:, None, None, :] if is_i8 else w
             acc = (acc * corr[..., None]
-                   + jnp.einsum("bnst,btr->bnsr", w.astype(cdt), ck,
+                   + jnp.einsum("bnst,btr->bnsr", wv.astype(cdt), ck,
                                 preferred_element_type=jnp.float32))
             return (m2, l, acc), None
 
@@ -519,7 +608,7 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
             u = ops.qmatmul(h, lw["w_up"], layer_index=li_w)
             ffn = ops.qmatmul(ops.swiglu(g, u).astype(h.dtype),
                               lw["w_down"], layer_index=li_w)
-            return x + ffn, kp, vp
+            return x + ffn, kp, vp, ksp, vsp
         gates, top_i = _route(config, h, w1("router"), w1("router_bias"))
         out = moe_mod.expert_mix(config, h, lw, gates, top_i,
                                  layer_index=li_w)
@@ -530,28 +619,33 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
             s2 = ops.qmatmul(s2.astype(h.dtype), lw["ws_down"],
                              layer_index=li_w)
             out = out + s2.astype(jnp.float32)
-        return x + out.astype(x.dtype), kp, vp
+        return x + out.astype(x.dtype), kp, vp, ksp, vsp
 
     kp, vp = k_pages, v_pages
+    ksp, vsp = k_scale_pages, v_scale_pages
     if kd:
         def dense_body(carry, i):
-            x, kp, vp = carry
-            x, kp, vp = layer_step(x, kp, vp, params["dense_layers"],
-                                   i, i, True)
-            return (x, kp, vp), None
-        (x, kp, vp), _ = jax.lax.scan(
-            dense_body, (x, kp, vp), jnp.arange(kd, dtype=jnp.int32))
+            x, kp, vp, ksp, vsp = carry
+            x, kp, vp, ksp, vsp = layer_step(
+                x, kp, vp, ksp, vsp, params["dense_layers"], i, i, True)
+            return (x, kp, vp, ksp, vsp), None
+        (x, kp, vp, ksp, vsp), _ = jax.lax.scan(
+            dense_body, (x, kp, vp, ksp, vsp),
+            jnp.arange(kd, dtype=jnp.int32))
 
     def moe_body(carry, i):
-        x, kp, vp = carry
-        x, kp, vp = layer_step(x, kp, vp, params["layers"],
-                               kd + i, i, False)
-        return (x, kp, vp), None
-    (x, kp, vp), _ = jax.lax.scan(
-        moe_body, (x, kp, vp), jnp.arange(L - kd, dtype=jnp.int32))
+        x, kp, vp, ksp, vsp = carry
+        x, kp, vp, ksp, vsp = layer_step(
+            x, kp, vp, ksp, vsp, params["layers"], kd + i, i, False)
+        return (x, kp, vp, ksp, vsp), None
+    (x, kp, vp, ksp, vsp), _ = jax.lax.scan(
+        moe_body, (x, kp, vp, ksp, vsp),
+        jnp.arange(L - kd, dtype=jnp.int32))
 
     x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
+    if is_i8:
+        return logits.astype(jnp.float32)[:, 0], kp, vp, ksp, vsp
     return logits.astype(jnp.float32)[:, 0], kp, vp
 
 

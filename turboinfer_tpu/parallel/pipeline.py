@@ -175,8 +175,11 @@ def _adapter(config: ModelConfig, family: str, mod) -> _Adapter:
         if family == "gptoss":
             return lf(config, x, layers, positions, k, v, start, kv_len,
                       layer_index=i, global_layer_index=gi)
-        return lf(config, x, layers, positions, k, v, start, kv_len,
-                  layer_index=i, dense_ffn=False)             # deepseek
+        # deepseek: PP runs exact latents (int8 scale planes are gated
+        # out of the pipeline path) — drop the scale slots.
+        x, k, v, _, _ = lf(config, x, layers, positions, k, v, start,
+                           kv_len, layer_index=i, dense_ffn=False)
+        return x, k, v
 
     # gptoss's head-major stacked decode requires the fused cache
     # layout; its PP path slices per layer instead. deepseek always
@@ -356,8 +359,9 @@ def _deepseek_pipeline_forward(params, config: ModelConfig,
         for i in range(kd):
             c1 = kd_c[i]
             p1 = vd_c[i]
-            x, c1, p1 = lf(config, x, dl, positions, c1, p1, start,
-                           kv_len, layer_index=i, dense_ffn=True)
+            x, c1, p1, _, _ = lf(config, x, dl, positions, c1, p1,
+                                 start, kv_len, layer_index=i,
+                                 dense_ffn=True)
             kd_c = kd_c.at[i].set(c1)
             vd_c = vd_c.at[i].set(p1)
 
