@@ -386,3 +386,41 @@ def test_pipeline_gpt2_microbatch_matches_single():
                                                       pcache)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_pipeline_deepseek_microbatch_matches_single():
+    """Microbatched deepseek pipeline: the dense prelude runs replicated
+    at inject ticks (every stage applies identical dense-cache updates),
+    the MoE stack rides the GPipe ring — prefill + a decode step must
+    match the single-device forward at B=4, M=2."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    n_stage = 2
+    cfg, params, mod = _family_cfg_params("deepseek")
+    mesh = pmesh.make_mesh((n_stage, 1), axis_names=("pp", "tp"),
+                           devices=jax.devices()[:n_stage])
+    B = 4
+    rng = np.random.RandomState(11)
+    tokens = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, 5)), jnp.int32)
+    cache = mod.init_cache(cfg, B, max_seq=32)
+    want, want_cache = mod.forward(params, cfg, tokens, cache)
+
+    pparams, pcache = pipeline.shard_for_pipeline(
+        params, mod.init_cache(cfg, B, max_seq=32), mesh, config=cfg)
+    with mesh:
+        fwd = jax.jit(lambda p, t, c: pipeline.pipeline_forward_microbatch(
+            p, cfg, t, c, mesh=mesh, microbatches=2))
+        got, pcache = fwd(pparams, tokens, pcache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
+    # dense-prelude caches stayed in sync with the reference
+    kd = cfg.first_k_dense_replace
+    np.testing.assert_allclose(np.asarray(pcache.k_dense),
+                               np.asarray(want_cache.k[:kd]),
+                               rtol=3e-4, atol=3e-4)
+    tok = jnp.argmax(want[:, -1], -1).astype(jnp.int32)[:, None]
+    want2, _ = mod.forward(params, cfg, tok, want_cache)
+    with mesh:
+        got2, _ = fwd(pparams, tok, pcache)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=3e-4, atol=3e-4)

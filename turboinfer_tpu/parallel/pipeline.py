@@ -412,6 +412,151 @@ def _deepseek_pipeline_forward(params, config: ModelConfig,
                                    k=k_new, v=v_new, length=kv_len)
 
 
+def _deepseek_pipeline_forward_microbatch(
+        params, config: ModelConfig, tokens: jax.Array,
+        cache: DeepSeekPPCache, *, mesh: Mesh, axis: str,
+        mod, microbatches: Optional[int]) -> Tuple[jax.Array, Any]:
+    """GPipe-style microbatched relay for deepseek. The dense prelude
+    (first_k_dense_replace layers; weights + latent caches replicated)
+    runs on EVERY stage at each microbatch's inject tick — identical
+    replicated compute, so the replicated dense caches stay in sync —
+    and only stage 0 keeps the resulting activation for the ring. The
+    MoE stack then staggers over `axis` exactly like the generic
+    microbatch relay (one rotating activation slot per stage)."""
+    B, S = tokens.shape
+    n_stage = mesh.shape[axis]
+    kd = config.first_k_dense_replace
+    _check_stages(config, config.num_layers - kd, n_stage)
+    if not isinstance(cache, DeepSeekPPCache):
+        raise TypeError("deepseek pipeline needs the DeepSeekPPCache from "
+                        "shard_for_pipeline(..., config=config)")
+    M = microbatches or n_stage
+    if B % M:
+        raise ValueError(f"batch {B} not divisible by {M} microbatches")
+    mbB = B // M
+    lf = mod._layer_forward
+    ad = _adapter(config, "deepseek", mod)
+    H = config.hidden_size
+    V = params["lm_head"].shape[-1]
+
+    lspec = _pp_spec_tree(params, axis)
+    cspec = pipeline_cache_spec(axis)
+    rep_c = lambda a: P(*([None] * a.ndim))
+
+    def local(params_l, toks, kd_c, vd_c, k_loc, v_loc, length):
+        me = jax.lax.axis_index(axis)
+        n_local = k_loc.shape[0]
+        layers_local = params_l["layers"]
+        dl = params_l.get("dense_layers")
+        perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
+
+        def collect(t, a, out):
+            m_done = t - n_stage
+
+            def do(out):
+                return jax.lax.dynamic_update_slice(
+                    out, ad.head(params_l, a)[None],
+                    (jnp.maximum(m_done, 0), 0, 0, 0))
+            return jax.lax.cond((me == 0) & (m_done >= 0), do,
+                                lambda o: o, out)
+
+        def inject(t, a, kd_c, vd_c):
+            """Embed microbatch t + dense prelude — on ALL stages (the
+            dense caches replicate; every stage must apply the same
+            updates). Stage 0 keeps the activation."""
+            def do(args):
+                a, kd_c, vd_c = args
+                o = jnp.clip(t, 0, M - 1) * mbB
+                tks = jax.lax.dynamic_slice_in_dim(toks, o, mbB, 0)
+                st = jax.lax.dynamic_slice_in_dim(length, o, mbB, 0)
+                pos = st[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+                x = ad.embed(params_l, tks, pos)
+                kvl = st + S
+                kdm = jax.lax.dynamic_slice_in_dim(kd_c, o, mbB, 1)
+                vdm = jax.lax.dynamic_slice_in_dim(vd_c, o, mbB, 1)
+                for i in range(kd):
+                    x, c1, p1, _, _ = lf(config, x, dl, pos, kdm[i],
+                                         vdm[i], st, kvl, layer_index=i,
+                                         dense_ffn=True)
+                    kdm = jax.lax.dynamic_update_index_in_dim(
+                        kdm, c1, i, 0)
+                    vdm = jax.lax.dynamic_update_index_in_dim(
+                        vdm, p1, i, 0)
+                kd_c = jax.lax.dynamic_update_slice_in_dim(kd_c, kdm, o, 1)
+                vd_c = jax.lax.dynamic_update_slice_in_dim(vd_c, vdm, o, 1)
+                a = jnp.where(me == 0, x, a)
+                return a, kd_c, vd_c
+            return jax.lax.cond(t < M, do, lambda z: z, (a, kd_c, vd_c))
+
+        def process(t, a, kc, vc):
+            m = t - me
+
+            def run(args):
+                a, kc, vc = args
+                o = jnp.clip(m, 0, M - 1) * mbB
+                st = jax.lax.dynamic_slice_in_dim(length, o, mbB, 0)
+                positions = (st[:, None]
+                             + jnp.arange(S, dtype=jnp.int32)[None, :])
+                kvl = st + S
+                kcs = jax.lax.dynamic_slice_in_dim(kc, o, mbB, 1)
+                vcs = jax.lax.dynamic_slice_in_dim(vc, o, mbB, 1)
+
+                def body(carry, i):
+                    x, kf, vf = carry
+                    k1 = jax.lax.dynamic_index_in_dim(kf, i, 0,
+                                                      keepdims=False)
+                    v1 = jax.lax.dynamic_index_in_dim(vf, i, 0,
+                                                      keepdims=False)
+                    x, k1, v1 = ad.step(x, layers_local, positions, k1,
+                                        v1, st, kvl, i, None)
+                    kf = jax.lax.dynamic_update_index_in_dim(kf, k1, i, 0)
+                    vf = jax.lax.dynamic_update_index_in_dim(vf, v1, i, 0)
+                    return (x, kf, vf), None
+
+                (x, kcs, vcs), _ = jax.lax.scan(
+                    body, (a, kcs, vcs),
+                    jnp.arange(n_local, dtype=jnp.int32))
+                kc = jax.lax.dynamic_update_slice_in_dim(kc, kcs, o, 1)
+                vc = jax.lax.dynamic_update_slice_in_dim(vc, vcs, o, 1)
+                return x, kc, vc
+
+            return jax.lax.cond((m >= 0) & (m < M), run,
+                                lambda args: args, (a, kc, vc))
+
+        def tick(t, carry):
+            a, kd_c, vd_c, kc, vc, out = carry
+            out = collect(t, a, out)
+            a, kd_c, vd_c = inject(t, a, kd_c, vd_c)
+            a, kc, vc = process(t, a, kc, vc)
+            a = jax.lax.ppermute(a, axis, perm)
+            return a, kd_c, vd_c, kc, vc, out
+
+        a = jnp.zeros((mbB, S, H), config.dtype)
+        out = jnp.zeros((M, mbB, S, V), jnp.float32)
+        a, kd_c, vd_c, k_loc, v_loc, out = jax.lax.fori_loop(
+            0, M + n_stage - 1, tick,
+            (a, kd_c, vd_c, k_loc, v_loc, out))
+        out = collect(M + n_stage - 1, a, out)
+
+        logits = out.reshape(B, S, V)
+        logits = jnp.where(me == 0, logits, 0.0)
+        logits = jax.lax.psum(logits, axis)
+        return logits, kd_c, vd_c, k_loc, v_loc, length + S
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(lspec, P(None, None), rep_c(cache.k_dense),
+                  rep_c(cache.v_dense), cspec, cspec, P(None)),
+        out_specs=(P(None, None, None), rep_c(cache.k_dense),
+                   rep_c(cache.v_dense), cspec, cspec, P(None)),
+        check_vma=False)
+    logits, kd_new, vd_new, k_new, v_new, kv_len = fn(
+        params, tokens, cache.k_dense, cache.v_dense, cache.k, cache.v,
+        cache.length)
+    return logits, DeepSeekPPCache(k_dense=kd_new, v_dense=vd_new,
+                                   k=k_new, v=v_new, length=kv_len)
+
+
 def pipeline_forward_microbatch(params, config: ModelConfig,
                                 tokens: jax.Array, cache: KVCache, *,
                                 mesh: Mesh, axis: str = PP_AXIS,
@@ -424,19 +569,22 @@ def pipeline_forward_microbatch(params, config: ModelConfig,
     concurrently on different microbatches (total M+P-1 ticks instead
     of the plain relay's effectively-serial P stage passes over the
     full batch). Same contract and numerics as pipeline_forward; B must
-    divide by `microbatches` (default: the stage count). Uniform-layer
-    k/v-cache families only (llama/moe/gpt2/neox/gptoss).
+    divide by `microbatches` (default: the stage count). Covers every
+    PP family (llama/moe/gpt2/neox/gptoss/deepseek).
 
     One activation slot per stage rotates along the ring each tick
     (ppermute, neighbor ICI traffic only); stage 0 injects embeddings
     into the ring and collects finished activations into the logits
     buffer, which a psum broadcasts at the end.
+
+    deepseek routes to its own variant (dense-prelude layers run
+    replicated at inject ticks; the MoE stack rides the ring).
     """
     family, mod = _family(config)
     if family == "deepseek":
-        raise NotImplementedError(
-            "microbatched pipeline does not cover deepseek (dense "
-            "prelude); use pipeline_forward")
+        return _deepseek_pipeline_forward_microbatch(
+            params, config, tokens, cache, mesh=mesh, axis=axis, mod=mod,
+            microbatches=microbatches)
     B, S = tokens.shape
     n_stage = mesh.shape[axis]
     M = microbatches or n_stage
