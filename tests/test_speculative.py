@@ -127,3 +127,21 @@ def test_cross_family_moe_target_llama_draft():
                                config=icfg)
     assert res.tokens[0] == list(want)
     assert 0.0 <= res.acceptance_rate <= 1.0
+
+
+def test_greedy_spec_int8_kv_matches_plain_greedy_int8(models):
+    """kv_cache_dtype='int8' flows into BOTH spec caches (target
+    verification chunks and draft proposals read scaled int8 K/V), and
+    greedy speculative output equals the target-only int8-KV engine's
+    trajectory — the lossless property holds per cache dtype."""
+    params_t, cfg_t, params_d, cfg_d = models
+    icfg = InferenceConfig(temperature=0.0, seed=0, kv_cache_dtype="int8")
+    prompts = [[1, 5, 42, 7], [9, 3]]
+    eng = ti.InferenceEngine(params_t, cfg_t, icfg)
+    want = [eng.generate(p, 16, temperature=0.0).tokens for p in prompts]
+
+    res = speculative_generate(params_t, cfg_t, params_d, cfg_d, prompts,
+                               max_new_tokens=16, k=4, config=icfg)
+    for b, p in enumerate(prompts):
+        assert res.tokens[b] == want[b], f"sequence {b} diverged"
+    assert 0.0 <= res.acceptance_rate <= 1.0

@@ -190,8 +190,17 @@ def speculative_generate(params_t: Dict[str, Any], cfg_t: ModelConfig,
     # Prefill BOTH models on prompt[:-1]; the last prompt token is the
     # round loop's first input.
     lens = jnp.asarray(plens - 1, jnp.int32)
-    cache_t = model_t.init_cache(cfg_t, B, max_seq=T)
-    cache_d = model_d.init_cache(cfg_d, B, max_seq=T)
+    from turboinfer_tpu.models.common import resolve_kv_dtype
+    dt_t = resolve_kv_dtype(config.kv_cache_dtype, cfg_t.dtype)
+    dt_d = resolve_kv_dtype(config.kv_cache_dtype, cfg_d.dtype)
+    for m, dt in ((model_t, dt_t), (model_d, dt_d)):
+        if dt == jnp.int8 and not getattr(m, "SUPPORTS_INT8_KV", False):
+            raise ValueError(
+                "kv_cache_dtype='int8' is not supported by this model "
+                "family (its forward does not thread the per-token KV "
+                "scales); use 'fp8' or 'bf16'")
+    cache_t = model_t.init_cache(cfg_t, B, max_seq=T, dtype=dt_t)
+    cache_d = model_d.init_cache(cfg_d, B, max_seq=T, dtype=dt_d)
     if S > 1:
         _, cache_t = model_t.forward(params_t, cfg_t,
                                      jnp.asarray(arr[:, :-1]), cache_t,
