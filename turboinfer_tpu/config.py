@@ -214,10 +214,14 @@ class InferenceConfig:
     # memory for long prompts.
     prefill_chunk: int = 0
     # KV-cache storage dtype: "model" stores at the model's activation
-    # dtype; "fp8" stores float8_e4m3 (half the HBM bytes and decode
-    # attention bandwidth of bf16, no scale bookkeeping; K/V magnitudes
-    # sit well inside e4m3's +-448 range, logit deltas are ~1e-2).
-    # "bf16" forces bfloat16 for fp32 models.
+    # dtype; "int8" (the recommended compressed mode) stores symmetric
+    # per-(token, head) scaled int8 — half the HBM bytes of bf16, and
+    # FASTER than bf16 at batched long fills (scales apply on the
+    # kernels' small score/prob tiles); "fp8" stores float8_e4m3 (same
+    # memory halving, no scale bookkeeping, ~0-10% decode overhead
+    # from the in-kernel e4m3 bit decode); "bf16" forces bfloat16 for
+    # fp32 models. Honored by the engine, both schedulers, and
+    # speculative decoding.
     kv_cache_dtype: str = "model"
     # Accurate TTFT on the scan decode path costs a device sync between
     # the prefill and decode dispatches (~30-45 ms on a tunnel-attached
