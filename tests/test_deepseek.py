@@ -316,3 +316,23 @@ def test_int8_latent_paged_scheduler_serves(ds_cfg, ds_params):
     req = sched.get_request(rid)
     assert req.finished
     assert [1, 5, 9, 20] + req.out_tokens == list(want)
+
+
+def test_int8_latent_prefix_cache_consistent(ds_cfg, ds_params):
+    """int8 MLA page pool + automatic prefix caching: a repeat of the
+    same prompt is served from prefix-cached latent pages (their scale
+    pages shared with them) and reproduces the identical greedy
+    trajectory."""
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    icfg = ti.InferenceConfig(max_seq_len=64, temperature=0.0, seed=0,
+                              kv_cache_dtype="int8")
+    s = PagedContinuousScheduler(ds_params, ds_cfg, icfg,
+                                 batch_slots=2, page_size=8)
+    prompt = list(range(1, 20))              # spans 2+ full pages
+    r1 = s.submit(prompt, 6)
+    t1 = s.run()[r1].tokens
+    hits_before = s.pool.hits
+    r2 = s.submit(prompt, 6)
+    t2 = s.run()[r2].tokens
+    assert s.pool.hits > hits_before         # latent prefix pages reused
+    assert t1 == t2
