@@ -336,3 +336,30 @@ def test_int8_latent_prefix_cache_consistent(ds_cfg, ds_params):
     t2 = s.run()[r2].tokens
     assert s.pool.hits > hits_before         # latent prefix pages reused
     assert t1 == t2
+
+
+def test_mesh_engine_deepseek_matches_unsharded(ds_cfg, ds_params):
+    """Mesh-parallel InferenceEngine serving DeepSeek: MLA-head-sharded
+    weights (deepseek_param_specs) + the latent cache replicated over tp
+    (Hkv=1 cannot shard — shard_cache falls back) must reproduce the
+    unsharded greedy trajectory."""
+    from turboinfer_tpu.parallel import mesh as pmesh, shardings
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = pmesh.make_mesh((1, 2), devices=jax.devices()[:2])
+    icfg = ti.InferenceConfig(max_seq_len=64)
+    want = ti.InferenceEngine(ds_params, ds_cfg, icfg).generate(
+        [1, 5, 9, 20], 8, temperature=0.0).tokens
+    eng = ti.InferenceEngine(
+        ds_params, ds_cfg, icfg, mesh=mesh,
+        param_specs=shardings.deepseek_param_specs())
+    got = eng.generate([1, 5, 9, 20], 8, temperature=0.0).tokens
+    assert got == want
+    # int8 latent cache on the mesh: scale planes replicate with it
+    icfg8 = ti.InferenceConfig(max_seq_len=64, kv_cache_dtype="int8")
+    want8 = ti.InferenceEngine(ds_params, ds_cfg, icfg8).generate(
+        [1, 5, 9, 20], 8, temperature=0.0).tokens
+    eng8 = ti.InferenceEngine(
+        ds_params, ds_cfg, icfg8, mesh=mesh,
+        param_specs=shardings.deepseek_param_specs())
+    assert eng8.generate([1, 5, 9, 20], 8, temperature=0.0).tokens == want8

@@ -178,12 +178,18 @@ def shard_cache(cache, mesh: Mesh):
     B = cache.k.shape[1]
     data = DATA_AXIS if B % max(mesh.shape.get(DATA_AXIS, 1), 1) == 0 \
         else None
-    ns = NamedSharding(mesh, cache_spec(data=data))
+    # Head axis shards over tp only when it divides: deepseek's MLA
+    # latent cache has Hkv == 1 (the latent is shared by every head,
+    # deepseek_cache_spec) — replicate it instead of failing.
+    Hkv = cache.k.shape[2]
+    tp = TP_AXIS if Hkv % max(mesh.shape.get(TP_AXIS, 1), 1) == 0 \
+        else None
+    ns = NamedSharding(mesh, cache_spec(tp=tp, data=data))
     len_ns = NamedSharding(mesh, P(data))
     ks = vs = None
     if cache.k_scale is not None:
         # int8 scales [L, B, Hkv, T]: cache_spec minus the D axis.
-        sc_ns = NamedSharding(mesh, P(*cache_spec(data=data)[:4]))
+        sc_ns = NamedSharding(mesh, P(*cache_spec(tp=tp, data=data)[:4]))
         ks = jax.device_put(cache.k_scale, sc_ns)
         vs = jax.device_put(cache.v_scale, sc_ns)
     return KVCache(k=jax.device_put(cache.k, ns),
