@@ -363,3 +363,24 @@ def test_mesh_engine_deepseek_matches_unsharded(ds_cfg, ds_params):
         ds_params, ds_cfg, icfg8, mesh=mesh,
         param_specs=shardings.deepseek_param_specs())
     assert eng8.generate([1, 5, 9, 20], 8, temperature=0.0).tokens == want8
+
+
+def test_mesh_scheduler_deepseek_matches_unsharded(ds_cfg, ds_params):
+    """Continuous batching over a TP mesh for DeepSeek (MLA-head-sharded
+    weights, latent cache replicated over tp): greedy output equals the
+    unsharded engine's."""
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from turboinfer_tpu.parallel import mesh as pmesh, shardings
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = pmesh.make_mesh((1, 2), devices=jax.devices()[:2])
+    icfg = ti.InferenceConfig(max_seq_len=64)
+    want = ti.InferenceEngine(ds_params, ds_cfg, icfg).generate(
+        [1, 5, 9, 20], 6, temperature=0.0).tokens
+    sched = ContinuousBatchingScheduler(
+        ds_params, ds_cfg, icfg, batch_slots=2, mesh=mesh,
+        param_specs=shardings.deepseek_param_specs())
+    rid = sched.submit([1, 5, 9, 20], max_new_tokens=6, temperature=0.0)
+    while sched.pending:
+        sched.step()
+    assert [1, 5, 9, 20] + sched.get_request(rid).out_tokens == list(want)
