@@ -86,7 +86,8 @@ def cmd_serve(args):
     ti.initialize(enable_logging=not args.quiet)
     data = loader_mod.load_model_data(args.model)
     cfg = ti.InferenceConfig(max_seq_len=args.max_seq_len
-                             or data.config.max_seq_len)
+                             or data.config.max_seq_len,
+                             kv_cache_dtype=args.kv_cache_dtype)
     if data.tokenizer is not None and hasattr(data.tokenizer, "eos_id"):
         cfg = __import__("dataclasses").replace(
             cfg, eos_token_id=data.tokenizer.eos_id)
@@ -253,6 +254,11 @@ def main(argv=None):
                    help="paged KV cache + prefix caching")
     s.add_argument("--page-size", type=int, default=64)
     s.add_argument("--max-seq-len", type=int, default=None)
+    s.add_argument("--kv-cache-dtype", dest="kv_cache_dtype",
+                   choices=["model", "bf16", "fp8", "int8"],
+                   default="model",
+                   help="KV-cache storage dtype; int8/fp8 halve cache "
+                        "HBM (2x slots or context per chip)")
     s.add_argument("--max-queue", type=int, default=256,
                    help="waiting-request cap before 429s")
     s.add_argument("--served-name", default=None)
