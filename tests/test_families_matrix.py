@@ -97,10 +97,10 @@ def test_structured_json(fam):
 
 
 def test_int8_kv_supported_families_smoke(monkeypatch):
-    """int8 KV across every family that threads scales (llama-family,
-    MoE, NeoX, GPT-2): greedy decode over an int8 cache runs and tracks
-    the fp trajectory on clear-margin tiny models; unsupported families
-    (DeepSeek MLA, GPT-OSS) raise the documented error in the engine."""
+    """int8 KV across the uniform-cache families (llama-family, MoE,
+    NeoX, GPT-2, GPT-OSS): greedy decode over an int8 cache runs and
+    tracks the fp trajectory on clear-margin tiny models. DeepSeek's
+    int8 latent cache is covered in test_deepseek.py."""
     import jax
     import jax.numpy as jnp
     import turboinfer_tpu as ti
