@@ -546,3 +546,45 @@ def test_chunked_admission_queue_behind(sched_setup):
     results = sched.run()
     assert all(results[r].finished for r in rids)
     assert all(len(results[r].tokens) > 0 for r in rids)
+
+
+def test_paged_scheduler_on_tp_mesh_matches_single_device(tiny_params,
+                                                          tiny_cfg):
+    """Paged continuous batching over a (1, tp=4) mesh: weights
+    column/row-sharded, the shared page POOL sharded heads-over-tp
+    (pages replicated — every chip holds its head slice of every page),
+    block tables replicated host state. Greedy trajectories (incl. a
+    prefix-cached repeat) must equal the unsharded paged scheduler's."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    from turboinfer_tpu.parallel.mesh import make_mesh
+
+    cfg = ti.InferenceConfig(max_seq_len=64, temperature=0.0,
+                             eos_token_id=-1, seed=0)
+    prompts = [[1, 5, 9], [2, 4], [7, 3, 8, 6]]
+
+    base = PagedContinuousScheduler(tiny_params, tiny_cfg, cfg,
+                                    batch_slots=2, page_size=8)
+    for p in prompts:
+        base.submit(p, 10)
+    want = {r: g.tokens for r, g in base.run().items()}
+
+    import jax
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
+    sched = PagedContinuousScheduler(tiny_params, tiny_cfg, cfg,
+                                     batch_slots=2, page_size=8,
+                                     mesh=mesh)
+    assert sched.cache.k_pages.sharding.spec == (None, None, "tp",
+                                                 None, None)
+    for p in prompts:
+        sched.submit(p, 10)
+    got = {r: g.tokens for r, g in sched.run().items()}
+    assert got == want
+    # prefix-cached repeat on the sharded pool (prompt spans 2 pages)
+    long_p = list(range(1, 20))
+    r1 = sched.submit(long_p, 6)
+    t1 = sched.run()[r1].tokens
+    hits = sched.pool.hits
+    r2 = sched.submit(long_p, 6)
+    assert sched.run()[r2].tokens == t1
+    assert sched.pool.hits > hits

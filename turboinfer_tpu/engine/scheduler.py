@@ -842,14 +842,20 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                  batch_slots: int = 8, page_size: int = 256,
                  num_pages: Optional[int] = None,
                  prefix_caching: bool = True, tokenizer=None,
-                 decode_burst: int = 1):
+                 decode_burst: int = 1, mesh=None,
+                 param_specs: Optional[Dict[str, Any]] = None):
         # page_size trades paged-kernel grid overhead against allocation
         # / prefix-sharing granularity: on v5e, 7B decode with 64-token
         # pages runs 53.7 ms/step (4096 grid cells/layer) vs 40.7 with
         # 256-token pages — within 3% of the contiguous cache (39.4).
+        # mesh: TP/DP-sharded weights + the page POOL sharded
+        # heads-over-tp (the pool is shared by all sequences, so the
+        # page axis replicates — shardings.shard_paged_cache); block
+        # tables/lengths stay replicated host state.
         from turboinfer_tpu.engine import paged_cache as pc
         super().__init__(params, model_config, config, batch_slots,
-                         decode_burst=decode_burst, tokenizer=tokenizer)
+                         decode_burst=decode_burst, tokenizer=tokenizer,
+                         mesh=mesh, param_specs=param_specs)
         if not hasattr(self._model, "forward_paged_decode"):
             raise NotImplementedError(
                 f"{model_config.architecture} has no forward_paged_decode")
@@ -862,6 +868,9 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                                          num_pages=num_pages,
                                          page_size=page_size, max_seq=self.T,
                                          dtype=self._kv_dtype)
+        if mesh is not None:
+            from turboinfer_tpu.parallel import shardings as _sh
+            self.cache = _sh.shard_paged_cache(self.cache, mesh)
         self.pool = pc.PrefixPagePool(num_pages)
         self.prefix_caching = prefix_caching
         trash = self.pool.acquire()                 # held forever

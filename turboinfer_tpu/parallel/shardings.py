@@ -97,14 +97,25 @@ def paged_cache_spec(tp: str = TP_AXIS) -> P:
 
 def shard_paged_cache(cache, mesh: Mesh):
     """Place a PagedKVCache on the mesh (heads over tp, tables
-    replicated)."""
-    ns = NamedSharding(mesh, paged_cache_spec())
+    replicated). Pools whose head axis cannot divide tp (deepseek's
+    MLA latent pools, Hkv == 1) replicate instead; int8 scale pages
+    [L, P, Hkv, page] follow the pool spec minus the D axis."""
+    Hkv = cache.k_pages.shape[2]
+    tp = TP_AXIS if Hkv % max(mesh.shape.get(TP_AXIS, 1), 1) == 0 \
+        else None
+    ns = NamedSharding(mesh, paged_cache_spec(tp=tp))
     rep = NamedSharding(mesh, P())
+    ksp = vsp = None
+    if cache.k_scale_pages is not None:
+        sc_ns = NamedSharding(mesh, P(*paged_cache_spec(tp=tp)[:4]))
+        ksp = jax.device_put(cache.k_scale_pages, sc_ns)
+        vsp = jax.device_put(cache.v_scale_pages, sc_ns)
     return cache._replace(
         k_pages=jax.device_put(cache.k_pages, ns),
         v_pages=jax.device_put(cache.v_pages, ns),
         block_table=jax.device_put(cache.block_table, rep),
-        lengths=jax.device_put(cache.lengths, rep))
+        lengths=jax.device_put(cache.lengths, rep),
+        k_scale_pages=ksp, v_scale_pages=vsp)
 
 
 def _qtensor_spec(spec: P) -> P:
