@@ -125,12 +125,53 @@ def main():
                          for r, p in zip(results, prompts))
         tps = max(tps, new_tokens / dt)
 
+    # DEVICE rate alongside the wall-clock number: the wall e2e above is
+    # tunnel-hostage (the dispatch RTT drifted 23 -> 75 ms within one
+    # day — CLAUDE.md; a 17% "regression" in r03 was pure RTT). Method =
+    # benchmarks/profile_decode_min.py: repeated-min timing of the SAME
+    # fused decode-scan program the engine runs, minus the repeated-min
+    # round-trip time of a trivial jitted call on the same link.
+    sp = eng._sampling_params()
+    decode = eng._decode_scan_fn(n_tokens, sp, eng.config.eos_token_id,
+                                 eng.config.pad_token_id)
+    tokens, seq_lens, _ = eng._pad_batch(prompts)
+    pc = jnp.zeros((), jnp.int32)
+    rng = jax.random.PRNGKey(0)
+
+    def one_decode():
+        cache = eng._take_cache(batch)
+        last, cache = eng._run_prefill(tokens, seq_lens, cache)
+        toks, _, cache, _ = decode(eng.params, last, cache, rng, pc)
+        toks.block_until_ready()
+        eng._put_cache(batch, cache)
+
+    triv = jax.jit(lambda x: x + 1)
+    xs = jnp.zeros((8,), jnp.int32)
+    triv(xs).block_until_ready()          # compile
+    one_decode()                          # compile/warm exact programs
+    rtt = min(_timed(lambda: triv(xs).block_until_ready())
+              for _ in range(16))
+    scan_t = min(_timed(one_decode) for _ in range(reps))
+    # one_decode enqueues prefill + decode (two dispatches, one sync).
+    dev_t = max(scan_t - 2 * rtt, 1e-6)
+    dev_tps = batch * n_tokens / dev_t
+
     print(json.dumps({
         "metric": f"decode_tokens_per_sec_per_chip[{which},b{batch}]",
         "value": round(tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps / REFERENCE_TOKS_PER_S, 3),
+        # tunnel-drift-immune companions (see above):
+        "device_value": round(dev_tps, 2),
+        "device_unit": "tok/s (repeated-min, RTT-subtracted)",
+        "rtt_ms": round(rtt * 1e3, 2),
     }))
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

@@ -183,11 +183,15 @@ def init_cache(config: ModelConfig, batch_size: int,
 
 
 def reset_cache(cache: KVCache) -> KVCache:
-    zs = (None if cache.k_scale is None
+    # Reset each scale plane from its own array: the latent and rope-key
+    # planes currently share shape [L,B,1,T] but must not be assumed to.
+    ks = (None if cache.k_scale is None
           else jnp.zeros_like(cache.k_scale))
+    vs = (None if cache.v_scale is None
+          else jnp.zeros_like(cache.v_scale))
     return KVCache(k=jnp.zeros_like(cache.k), v=jnp.zeros_like(cache.v),
                    length=jnp.zeros_like(cache.length),
-                   k_scale=zs, v_scale=zs)
+                   k_scale=ks, v_scale=vs)
 
 
 # ---------------------------------------------------------------------------
@@ -491,6 +495,11 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
     write_ids = jnp.clip(jnp.take_along_axis(
         block_table, page_idx[:, None], axis=1)[:, 0], 0, P - 1)
     is_i8 = k_scale_pages is not None
+    if k_pages.dtype == jnp.int8 and not is_i8:
+        # Mirror models/common.decode_kv's guard: raw int8 codes without
+        # their scale planes would silently produce garbage logits.
+        raise ValueError("int8 KV paged decode requires its scale pages "
+                         "(k_scale_pages/v_scale_pages)")
     cdt = config.dtype if is_i8 else k_pages.dtype
     scale = _softmax_scale(config)
 
