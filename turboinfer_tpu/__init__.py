@@ -63,11 +63,14 @@ def is_initialized() -> bool:
 
 
 def load_model(model_path: str,
-               config: Optional[InferenceConfig] = None) -> InferenceEngine:
+               config: Optional[InferenceConfig] = None,
+               **engine_kw) -> InferenceEngine:
     """Load a model file into a ready engine (reference: load_model,
-    turboinfer.hpp:105). Supports .gguf / .safetensors / .tinq."""
+    turboinfer.hpp:105). Supports .gguf / .safetensors / .tinq.
+    engine_kw passes through to InferenceEngine (mesh=, parallel=...).
+    """
     from turboinfer_tpu.loader import loader
-    return loader.load_engine(model_path, config)
+    return loader.load_engine(model_path, config, **engine_kw)
 
 
 def _cached_engine(model_path: str) -> InferenceEngine:

@@ -26,7 +26,20 @@ def cmd_generate(args):
 
     import turboinfer_tpu as ti
     ti.initialize(enable_logging=not args.quiet)
-    eng = ti.load_model(args.model)
+    engine_kw = {}
+    if getattr(args, "context_parallel", 1) > 1:
+        import jax
+        from turboinfer_tpu.parallel import mesh as pmesh
+        devs = jax.devices()
+        n = args.context_parallel
+        if len(devs) < n:
+            print(f"--context-parallel {n} needs that many devices "
+                  f"(have {len(devs)})", file=sys.stderr)
+            return 2
+        engine_kw = dict(mesh=pmesh.make_mesh(
+            (n, 1), axis_names=("sp", "tp"), devices=devs[:n]),
+            parallel="cp")
+    eng = ti.load_model(args.model, **engine_kw)
     # The CLI displays TTFT, so pay the one prefill->decode sync for an
     # accurate number (see InferenceConfig.measure_ttft).
     eng.config = dataclasses.replace(eng.config, measure_ttft=True)
@@ -98,6 +111,22 @@ def cmd_serve(args):
         kw["page_size"] = args.page_size
     else:
         kw["decode_burst"] = args.burst
+    if args.pp_stages > 1:
+        if args.paged:
+            print("--pp-stages is not supported with --paged",
+                  file=sys.stderr)
+            return 2
+        import jax
+        from turboinfer_tpu.parallel import mesh as pmesh
+        devs = jax.devices()
+        if len(devs) < args.pp_stages:
+            print(f"--pp-stages {args.pp_stages} needs that many "
+                  f"devices (have {len(devs)})", file=sys.stderr)
+            return 2
+        kw.update(mesh=pmesh.make_mesh((args.pp_stages, 1),
+                                       axis_names=("pp", "tp"),
+                                       devices=devs[:args.pp_stages]),
+                  parallel="pp")
     sched = cls(data.params, data.config, cfg,
                 tokenizer=data.tokenizer, **kw)
     eng = ServingEngine(sched, tokenizer=data.tokenizer,
@@ -231,6 +260,10 @@ def main(argv=None):
     g.add_argument("--top-k", type=int, default=50)
     g.add_argument("--top-p", type=float, default=0.9)
     g.add_argument("--greedy", action="store_true")
+    g.add_argument("--context-parallel", type=int, default=1,
+                   metavar="N",
+                   help="sequence-shard the prompt KV cache over N "
+                        "devices (contexts larger than one chip's HBM)")
     g.add_argument("--quiet", action="store_true")
     g.set_defaults(fn=cmd_generate)
 
@@ -261,6 +294,10 @@ def main(argv=None):
                         "HBM (2x slots or context per chip)")
     s.add_argument("--max-queue", type=int, default=256,
                    help="waiting-request cap before 429s")
+    s.add_argument("--pp-stages", type=int, default=1,
+                   help="pipeline-parallel stages: layers (and the KV "
+                        "cache) shard 1/N per device — serve models "
+                        "bigger than one chip's HBM")
     s.add_argument("--served-name", default=None)
     s.add_argument("--quiet", action="store_true")
     s.set_defaults(fn=cmd_serve)

@@ -91,19 +91,55 @@ class InferenceEngine:
     def __init__(self, params: Dict[str, Any], model_config: ModelConfig,
                  config: Optional[InferenceConfig] = None,
                  tokenizer=None, mesh=None,
-                 param_specs: Optional[Dict[str, Any]] = None):
+                 param_specs: Optional[Dict[str, Any]] = None,
+                 parallel: str = "tp",
+                 pp_microbatches: Optional[int] = None):
         """mesh: optional jax.sharding.Mesh — the whole engine (prefill,
         fused decode scan, beam search, logprobs) runs tensor/data-
         parallel: weights sharded per `param_specs` (default
         parallel.shardings.param_specs) and the KV cache sharded
         batch-over-data / kv-heads-over-tp; every jitted program
-        compiles under GSPMD with XLA-placed collectives."""
+        compiles under GSPMD with XLA-placed collectives.
+
+        parallel="pp": PIPELINE-parallel serving instead — decoder
+        layers stage over the mesh's "pp" axis (weights + KV cache
+        shard 1/P on the layer axis; parallel/pipeline.py relay), so
+        models larger than one chip's HBM are servable through the
+        SAME generate/stream/beam API. pp_microbatches staggers
+        prefill/batch forwards GPipe-style when the batch divides
+        (decode at B=1 uses the plain relay — microbatching can't help
+        weight-streaming-bound steps).
+
+        parallel="cp": CONTEXT-parallel serving — the prompt's KV cache
+        sequence-shards over the mesh's "sp" axis (1/P of the attention
+        working set per chip; parallel/context.py ring prefill +
+        psum-combined decode), so contexts larger than one chip's HBM
+        are servable through the same API. Weights replicate."""
         from turboinfer_tpu.kernels import dispatch as _dispatch
         self.params = _dispatch.prepare_params(params, fuse=mesh is None)
         self.mesh = mesh
+        if parallel not in ("tp", "pp", "cp"):
+            raise ValueError(f"parallel must be 'tp', 'pp' or 'cp', "
+                             f"got '{parallel}'")
+        self.parallel = parallel if mesh is not None else "tp"
+        self.pp_microbatches = pp_microbatches
         if mesh is not None:
-            from turboinfer_tpu.parallel import shardings as _sh
-            self.params = _sh.shard_params(self.params, mesh, param_specs)
+            if self.parallel == "pp":
+                from turboinfer_tpu.parallel import pipeline as _pl
+                self.params = _pl.shard_pp_params(self.params, mesh)
+            elif self.parallel == "cp":
+                from jax.sharding import NamedSharding, PartitionSpec
+                from turboinfer_tpu.parallel import context as _cp
+                _cp.check_config(model_config)
+                if _cp.SP_AXIS not in mesh.shape:
+                    raise ValueError("parallel='cp' needs a mesh with "
+                                     f"an '{_cp.SP_AXIS}' axis")
+                self.params = jax.device_put(
+                    self.params, NamedSharding(mesh, PartitionSpec()))
+            else:
+                from turboinfer_tpu.parallel import shardings as _sh
+                self.params = _sh.shard_params(self.params, mesh,
+                                               param_specs)
         self.model_config = model_config
         self._model = registry.get_model(model_config.architecture)
         self.config = config or InferenceConfig(
@@ -114,16 +150,58 @@ class InferenceEngine:
         self._jit_cache: Dict[Any, Any] = {}
         self._cache_pool: Dict[Any, Any] = {}
 
+    @functools.cached_property
+    def _fwd(self):
+        """The engine's forward: (params, tokens, cache, seq_lens) ->
+        (logits, cache'). Single-chip and TP/DP meshes call the family
+        forward directly; parallel="pp" routes through the pipeline
+        stage relay (microbatched when the batch divides); parallel="cp"
+        routes through the context-parallel ring prefill / combined
+        decode."""
+        model, cfg = self._model, self.model_config
+        if self.parallel == "cp":
+            from turboinfer_tpu.parallel import context as _cp
+            mesh = self.mesh
+
+            def fwd_cp(params, tokens, cache, seq_lens=None):
+                if tokens.shape[1] > 1:
+                    return _cp.cp_prefill(params, cfg, tokens, cache,
+                                          mesh=mesh, seq_lens=seq_lens)
+                return _cp.cp_decode(params, cfg, tokens, cache,
+                                     mesh=mesh)
+            return fwd_cp
+        if self.parallel == "pp":
+            from turboinfer_tpu.parallel import pipeline as _pl
+            mesh, mb = self.mesh, self.pp_microbatches
+
+            def fwd(params, tokens, cache, seq_lens=None):
+                B = tokens.shape[0]
+                if mb and mb > 1 and B % mb == 0:
+                    return _pl.pipeline_forward_microbatch(
+                        params, cfg, tokens, cache, mesh=mesh,
+                        microbatches=mb, seq_lens=seq_lens)
+                return _pl.pipeline_forward(params, cfg, tokens, cache,
+                                            mesh=mesh, seq_lens=seq_lens)
+            return fwd
+        return lambda params, tokens, cache, seq_lens=None: model.forward(
+            params, cfg, tokens, cache, seq_lens=seq_lens)
+
     # -- KV-cache buffer pool -------------------------------------------
 
-    def _take_cache(self, batch_size: int):
+    def _take_cache(self, batch_size: int, prompt_width: int = 0):
         """Reuse the HBM KV buffers from a previous generate call when the
         shape matches — allocating + zero-filling a multi-GB cache per
         call costs real time over the device link. Stale K/V contents are
         harmless: every attention path masks by the per-sequence length,
         so resetting `length` to zero is a full reset (the honest
         equivalent of the reference's zero-fill KVCache::reset,
-        inference_engine.cpp:60-69, without the memset)."""
+        inference_engine.cpp:60-69, without the memset).
+
+        prompt_width (cp mode only): the padded prompt width — the cp
+        cache's sequence-sharded ctx region is sized to it (one compile
+        + one pool entry per prompt bucket)."""
+        if self.parallel == "cp":
+            return self._take_cp_cache(batch_size, prompt_width)
         key = (batch_size, self.config.max_seq_len)
         cache = self._cache_pool.pop(key, None)
         if cache is None:
@@ -146,25 +224,51 @@ class InferenceEngine:
                 max_seq=self.config.max_seq_len, dtype=dt,
                 fused=False if self.mesh is not None else None)
             if self.mesh is not None:
-                from turboinfer_tpu.parallel import shardings as _sh
-                cache = _sh.shard_cache(cache, self.mesh)
+                if self.parallel == "pp":
+                    from turboinfer_tpu.parallel import pipeline as _pl
+                    cache = _pl.shard_pp_cache(cache, self.mesh,
+                                               config=self.model_config)
+                else:
+                    from turboinfer_tpu.parallel import shardings as _sh
+                    cache = _sh.shard_cache(cache, self.mesh)
             return cache
         return cache._replace(length=jnp.zeros_like(cache.length))
 
+    def _take_cp_cache(self, batch_size: int, s_ctx: int):
+        from turboinfer_tpu.models.common import resolve_kv_dtype
+        from turboinfer_tpu.parallel import context as _cp
+        dt = resolve_kv_dtype(self.config.kv_cache_dtype,
+                              self.model_config.dtype)
+        if dt != jnp.dtype(self.model_config.dtype):
+            raise ValueError("the context-parallel engine supports only "
+                             "kv_cache_dtype='model'/'bf16'")
+        t_tail = max(self.config.max_seq_len - s_ctx, 8)
+        key = (batch_size, s_ctx, self.config.max_seq_len)
+        cache = self._cache_pool.pop(key, None)
+        if cache is None:
+            return _cp.init_cp_cache(self.model_config, batch_size,
+                                     s_ctx, t_tail, self.mesh)
+        return cache._replace(length=jnp.zeros_like(cache.length),
+                              ctx_len=jnp.zeros_like(cache.ctx_len))
+
     def _put_cache(self, batch_size: int, cache) -> None:
+        if self.parallel == "cp":
+            key = (batch_size, cache.k_ctx.shape[3],
+                   self.config.max_seq_len)
+            self._cache_pool[key] = cache
+            return
         self._cache_pool[(batch_size, self.config.max_seq_len)] = cache
 
     # -- jitted programs ----------------------------------------------------
 
     @functools.cached_property
     def _prefill_fn(self):
-        cfg = self.model_config
-        model = self._model
+        fwd = self._fwd
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def prefill(params, tokens, seq_lens, cache):
-            logits, cache = model.forward(params, cfg, tokens, cache,
-                                          seq_lens=seq_lens)
+            logits, cache = fwd(params, tokens, cache,
+                                seq_lens=seq_lens)
             # Last valid logit per sequence.
             idx = jnp.maximum(seq_lens - 1, 0)
             last = jnp.take_along_axis(
@@ -174,12 +278,11 @@ class InferenceEngine:
 
     @functools.cached_property
     def _decode_step_fn(self):
-        cfg = self.model_config
-        model = self._model
+        fwd = self._fwd
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def step(params, token, cache):
-            logits, cache = model.forward(params, cfg, token[:, None], cache)
+            logits, cache = fwd(params, token[:, None], cache)
             return logits[:, 0], cache
         return step
 
@@ -193,8 +296,7 @@ class InferenceEngine:
         key = ("scan", num_tokens, params_s, eos_id, pad_id, want_logprobs)
         if key in self._jit_cache:
             return self._jit_cache[key]
-        cfg = self.model_config
-        model = self._model
+        fwd = self._fwd
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def decode(params, first_logits, cache, rng, prompt_counts):
@@ -217,8 +319,7 @@ class InferenceEngine:
 
             def body(carry, rng_i):
                 token, cache, finished, out_counts = carry
-                logits, cache = model.forward(params, cfg, token[:, None],
-                                              cache)
+                logits, cache = fwd(params, token[:, None], cache)
                 logits = logits[:, 0]
                 counts = ((prompt_counts + out_counts, out_counts)
                           if params_s.needs_counts else None)
@@ -268,7 +369,9 @@ class InferenceEngine:
         Returns (last_logits [B, V], cache)."""
         B, S = tokens.shape
         C = self.config.prefill_chunk
-        if C <= 0 or S <= C:
+        if C <= 0 or S <= C or self.parallel == "cp":
+            # cp: the ring prefill is one shot over the whole (sharded)
+            # prompt — chunking would re-enter it with a filled cache.
             return self._prefill_fn(self.params, tokens, seq_lens, cache)
         lens_np = np.asarray(seq_lens)
         last = None
@@ -297,6 +400,12 @@ class InferenceEngine:
                    ) -> Tuple[jax.Array, jax.Array, int]:
         lens = [len(p) for p in prompts]
         S = _bucket(max(lens), self.config.prefill_bucket)
+        if self.parallel == "cp":
+            # the sequence-sharded prefill needs S divisible by the
+            # ring size
+            from turboinfer_tpu.parallel.context import SP_AXIS
+            p = self.mesh.shape[SP_AXIS]
+            S = -(-S // p) * p
         B = len(prompts)
         arr = np.full((B, S), self.config.pad_token_id, np.int32)
         for i, p in enumerate(prompts):
@@ -392,7 +501,10 @@ class InferenceEngine:
         B = len(prompts)
         max_new = min(max_new_tokens,
                       self.config.max_seq_len - int(seq_lens.max()))
-        cache = self._take_cache(B)
+        cache = self._take_cache(B, S)
+        if self.parallel == "cp":
+            # the decode tail bounds the generation budget
+            max_new = min(max_new, cache.k_tail.shape[3])
 
         last_logits, cache = self._run_prefill(tokens, seq_lens, cache)
         rng = self.next_rng()
@@ -520,10 +632,10 @@ class InferenceEngine:
         temp = (self.config.temperature if temperature is None
                 else temperature)
         t0 = time.perf_counter()
-        tokens, seq_lens, _ = self._pad_batch([input_tokens])
+        tokens, seq_lens, S = self._pad_batch([input_tokens])
         budget = min(max_new_tokens,
                      self.config.max_seq_len - len(input_tokens))
-        cache = self._take_cache(1)
+        cache = self._take_cache(1, S)
         rng_np = np.random.default_rng(
             int(jax.random.randint(self.next_rng(), (), 0, 2**31 - 1)))
         out: List[int] = []
@@ -570,8 +682,7 @@ class InferenceEngine:
         key = ("stream", burst, params_s, eos_id, pad_id)
         if key in self._jit_cache:
             return self._jit_cache[key]
-        cfg = self.model_config
-        model = self._model
+        fwd = self._fwd
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def run(params, token, cache, finished, rng, prompt_counts,
@@ -580,8 +691,7 @@ class InferenceEngine:
 
             def body(carry, rng_i):
                 token, cache, finished, oc = carry
-                logits, cache = model.forward(params, cfg, token[:, None],
-                                              cache)
+                logits, cache = fwd(params, token[:, None], cache)
                 counts = ((prompt_counts + oc, oc)
                           if params_s.needs_counts else None)
                 nxt = sampling.sample(rng_i, logits[:, 0], params_s, counts)
@@ -614,10 +724,12 @@ class InferenceEngine:
         eos = self.config.eos_token_id
         pad = self.config.pad_token_id
         burst = max(1, int(burst))
-        tokens, seq_lens, _ = self._pad_batch([input_tokens])
+        tokens, seq_lens, S = self._pad_batch([input_tokens])
         budget = min(max_new_tokens,
                      self.config.max_seq_len - len(input_tokens))
-        cache = self._take_cache(1)
+        cache = self._take_cache(1, S)
+        if self.parallel == "cp":
+            budget = min(budget, cache.k_tail.shape[3])
         t0 = time.perf_counter()
         from turboinfer_tpu.tokenizer.stream import IncrementalDecoder
         decoder = IncrementalDecoder(self.tokenizer)
@@ -769,7 +881,13 @@ class InferenceEngine:
         tokens, seq_lens, S = self._pad_batch([input_tokens])
         max_new = min(max_new_tokens,
                       self.config.max_seq_len - len(input_tokens))
-        cache = self._take_cache(1)
+        cache = self._take_cache(1, S)
+        if not hasattr(cache, "k_scale"):
+            # DeepSeekPPCache: the beam program's per-step cache
+            # gather/tiling assumes the KVCache field layout.
+            raise NotImplementedError(
+                "beam search is not supported on the deepseek "
+                "pipeline-parallel engine yet")
         last_logits, cache = self._run_prefill(tokens, seq_lens, cache)
         # One fused program: first expansion + the whole beam scan (no
         # host sync between them — same treatment generate() got for
@@ -834,8 +952,7 @@ class InferenceEngine:
         key = ("beam_run", beam_size, n_steps, temp, tk, tp)
         if key in self._jit_cache:
             return self._jit_cache[key]
-        cfg = self.model_config
-        model = self._model
+        fwd = self._fwd
         eos = self.config.eos_token_id
         NEG = -1e30
 
@@ -869,8 +986,7 @@ class InferenceEngine:
 
             def body(carry, _):
                 token, scores, finished, cache = carry
-                logits, cache = model.forward(params, cfg, token[:, None],
-                                              cache)
+                logits, cache = fwd(params, token[:, None], cache)
                 logp = filt(logits[:, 0])                    # [beam, V]
                 V = logp.shape[-1]
                 # Finished beams only propose EOS at score 0 (frozen).
@@ -905,6 +1021,10 @@ class InferenceEngine:
         0.0 (no context), matching the reference's convention."""
         self._validate(tokens)
         S = _bucket(len(tokens), self.config.prefill_bucket)
+        if self.parallel == "cp":
+            from turboinfer_tpu.parallel.context import SP_AXIS
+            p = self.mesh.shape[SP_AXIS]
+            S = -(-S // p) * p
         arr = np.full((1, S), self.config.pad_token_id, np.int32)
         arr[0, : len(tokens)] = np.asarray(tokens, np.int32)
         logits = self._host_view(
@@ -921,6 +1041,52 @@ class InferenceEngine:
     def _logprob_fn(self):
         cfg = self.model_config
         model = self._model
+        if self.parallel == "cp":
+            # Sequence-parallel scoring: exactly the workload CP exists
+            # for (a context whose [S, ...] working set won't fit one
+            # chip). The throwaway cache is built in-trace; the ring
+            # prefill's shard_map specs place it.
+            from turboinfer_tpu.parallel import context as _cp
+            mesh = self.mesh
+
+            @jax.jit
+            def run_cp(tokens, seq_lens):
+                B, S = tokens.shape
+                L, Hkv, D = (cfg.num_layers, cfg.kv_heads,
+                             cfg.head_dim_)
+                z = lambda t: jnp.zeros((L, B, Hkv, t, D), cfg.dtype)
+                cache = _cp.CPCache(
+                    k_ctx=z(S), v_ctx=z(S), k_tail=z(8), v_tail=z(8),
+                    ctx_len=jnp.zeros((B,), jnp.int32),
+                    length=jnp.zeros((B,), jnp.int32))
+                logits, _ = _cp.cp_prefill(self.params, cfg, tokens,
+                                           cache, mesh=mesh,
+                                           seq_lens=seq_lens)
+                return logits
+            return run_cp
+        if self.parallel == "pp":
+            # Cacheless full-sequence scoring through the stage relay: a
+            # fresh width-S pipeline cache is built in-trace (zeros) and
+            # discarded; shard_map's in_specs place it.
+            fwd = self._fwd
+            from turboinfer_tpu.parallel.pipeline import (DeepSeekPPCache,
+                                                          _family)
+            is_ds = _family(cfg)[0] == "deepseek"
+            kd = cfg.first_k_dense_replace if is_ds else 0
+
+            @jax.jit
+            def run_pp(tokens, seq_lens):
+                B, S = tokens.shape
+                cache = model.init_cache(cfg, B, max_seq=S, fused=False)
+                if is_ds:
+                    cache = DeepSeekPPCache(
+                        k_dense=cache.k[:kd], v_dense=cache.v[:kd],
+                        k=cache.k[kd:], v=cache.v[kd:],
+                        length=cache.length)
+                logits, _ = fwd(self.params, tokens, cache,
+                                seq_lens=seq_lens)
+                return logits
+            return run_pp
 
         @jax.jit
         def run(tokens, seq_lens):

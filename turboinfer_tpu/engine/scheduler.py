@@ -73,7 +73,7 @@ class ContinuousBatchingScheduler:
                  batch_slots: int = 8, decode_burst: int = 1,
                  max_queue: Optional[int] = None,
                  mesh=None, param_specs: Optional[Dict[str, Any]] = None,
-                 tokenizer=None):
+                 tokenizer=None, parallel: str = "tp"):
         """mesh: optional jax.sharding.Mesh — continuous batching over a
         TP/DP device mesh (BASELINE config 5: sharded weights + sharded
         KV cache under the slot scheduler). Weights shard per
@@ -83,15 +83,35 @@ class ContinuousBatchingScheduler:
         step runs as one pjit program — XLA places the collectives.
         batch_slots must divide by the data-axis size. Multi-host: call
         parallel.mesh.initialize_distributed first and pass the global
-        mesh; the host loop runs identically on every process."""
+        mesh; the host loop runs identically on every process.
+
+        parallel="pp": PIPELINE-parallel continuous batching instead —
+        layers stage over the mesh's "pp" axis (weights + slot-pool KV
+        cache shard 1/P on the layer axis), so continuous batching can
+        serve models larger than one chip's HBM. llama-family decoders
+        only (deepseek's split pipeline cache doesn't fit the slot
+        scatter); use the engine's pp mode for deepseek."""
         from turboinfer_tpu.kernels import dispatch as _dispatch
         self.params = _dispatch.prepare_params(
             params, fuse=mesh is None)   # fused columns straddle shards
         self.mesh = mesh
+        if parallel not in ("tp", "pp"):
+            raise ValueError(f"parallel must be 'tp' or 'pp', "
+                             f"got '{parallel}'")
+        self.parallel = parallel if mesh is not None else "tp"
         if mesh is not None:
-            from turboinfer_tpu.parallel import shardings as _sh
-            self.params = _sh.shard_params(self.params, mesh,
-                                           param_specs)
+            if self.parallel == "pp":
+                from turboinfer_tpu.parallel import pipeline as _pl
+                if _pl._family(model_config)[0] == "deepseek":
+                    raise NotImplementedError(
+                        "pipeline-parallel continuous batching does not "
+                        "cover deepseek (use InferenceEngine(parallel="
+                        "'pp') instead)")
+                self.params = _pl.shard_pp_params(self.params, mesh)
+            else:
+                from turboinfer_tpu.parallel import shardings as _sh
+                self.params = _sh.shard_params(self.params, mesh,
+                                               param_specs)
         self.model_config = model_config
         self._model = registry.get_model(model_config.architecture)
         self.config = config or InferenceConfig(
@@ -141,8 +161,12 @@ class ContinuousBatchingScheduler:
                                             fused=False if mesh is not None
                                             else None)
         if mesh is not None:
-            from turboinfer_tpu.parallel import shardings as _sh
-            self.cache = _sh.shard_cache(self.cache, mesh)
+            if self.parallel == "pp":
+                from turboinfer_tpu.parallel import pipeline as _pl
+                self.cache = _pl.shard_pp_cache(self.cache, mesh)
+            else:
+                from turboinfer_tpu.parallel import shardings as _sh
+                self.cache = _sh.shard_cache(self.cache, mesh)
         self.tokens = jnp.zeros((self.B,), jnp.int32)
         self.active = jnp.zeros((self.B,), jnp.bool_)
         self.budget = jnp.zeros((self.B,), jnp.int32)   # remaining tokens
@@ -170,9 +194,25 @@ class ContinuousBatchingScheduler:
     # -- jitted programs ------------------------------------------------
 
     @functools.cached_property
+    def _fwd(self):
+        """(params, tokens, cache, seq_lens) -> (logits, cache') — the
+        family forward, or the pipeline stage relay under parallel="pp"
+        (same indirection as InferenceEngine._fwd)."""
+        model, cfg = self._model, self.model_config
+        if self.parallel == "pp":
+            from turboinfer_tpu.parallel import pipeline as _pl
+            mesh = self.mesh
+
+            def fwd(params, tokens, cache, seq_lens=None):
+                return _pl.pipeline_forward(params, cfg, tokens, cache,
+                                            mesh=mesh, seq_lens=seq_lens)
+            return fwd
+        return lambda params, tokens, cache, seq_lens=None: model.forward(
+            params, cfg, tokens, cache, seq_lens=seq_lens)
+
+    @functools.cached_property
     def _decode_fn(self):
-        cfg = self.model_config
-        model = self._model
+        fwd = self._fwd
         eos = self.config.eos_token_id
 
         @functools.partial(jax.jit, donate_argnums=(3,))
@@ -180,8 +220,7 @@ class ContinuousBatchingScheduler:
                  minp, rep, pres, freq, pc, oc, bias):
             """One decode step for every slot; inactive slots still run
             (fixed shape) but their cache length is frozen."""
-            logits, new_cache = model.forward(params, cfg, tokens[:, None],
-                                              cache)
+            logits, new_cache = fwd(params, tokens[:, None], cache)
             logits = logits.at[:, 0].add(bias)
             nxt = sampling.sample_per_slot(
                 rng, logits[:, 0], temp, topk, topp, min_p=minp,
@@ -209,8 +248,7 @@ class ContinuousBatchingScheduler:
         Returns per-step (token, was_active, hit_eos) so the host can
         reconstruct exactly which tokens each request emitted.
         """
-        cfg = self.model_config
-        model = self._model
+        fwd = self._fwd
         eos = self.config.eos_token_id
         T = self.T
 
@@ -219,8 +257,7 @@ class ContinuousBatchingScheduler:
                   temp, topk, topp, minp, rep, pres, freq, pc, oc, bias):
             def body(carry, rng_i):
                 tokens, active, budget, cache, oc = carry
-                logits, new_cache = model.forward(params, cfg,
-                                                  tokens[:, None], cache)
+                logits, new_cache = fwd(params, tokens[:, None], cache)
                 logits = logits.at[:, 0].add(bias)
                 nxt = sampling.sample_per_slot(
                     rng_i, logits[:, 0], temp, topk, topp, min_p=minp,
@@ -256,6 +293,9 @@ class ContinuousBatchingScheduler:
         bound compile variants)."""
         cfg = self.model_config
         model = self._model
+        fwd = self._fwd
+        fused = (False if self.parallel == "pp"
+                 else self.cache.fused_layout)
 
         @functools.partial(jax.jit, donate_argnums=(4,))
         def prefill(params, tokens, seq_lens, slots, cache, rng, t, k, p,
@@ -264,9 +304,8 @@ class ContinuousBatchingScheduler:
             region; per-row first token sampled with its own params."""
             small = model.init_cache(cfg, m, max_seq=self.T,
                                      dtype=self._kv_dtype,
-                                     fused=self.cache.fused_layout)
-            logits, small = model.forward(params, cfg, tokens,
-                                          small, seq_lens=seq_lens)
+                                     fused=fused)
+            logits, small = fwd(params, tokens, small, seq_lens=seq_lens)
             idx = jnp.maximum(seq_lens - 1, 0)
             last = jnp.take_along_axis(
                 logits, idx[:, None, None].astype(jnp.int32),
@@ -554,13 +593,12 @@ class ContinuousBatchingScheduler:
         """One prompt chunk for m admitting rows: append to their small
         prefill cache at the current fill and capture last-token logits
         for rows whose prompt ends inside this chunk."""
-        cfg = self.model_config
-        model = self._model
+        fwd = self._fwd
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def chunk_fwd(params, chunk, chunk_lens, small, sel, out_logits):
-            logits, small = model.forward(params, cfg, chunk, small,
-                                          seq_lens=chunk_lens)
+            logits, small = fwd(params, chunk, small,
+                                seq_lens=chunk_lens)
             idx = jnp.maximum(chunk_lens - 1, 0)
             last = jnp.take_along_axis(
                 logits, idx[:, None, None].astype(jnp.int32),
@@ -856,6 +894,12 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         super().__init__(params, model_config, config, batch_slots,
                          decode_burst=decode_burst, tokenizer=tokenizer,
                          mesh=mesh, param_specs=param_specs)
+        # (paged + pipeline parallelism is unimplemented: the page-pool
+        # kernels index one global layer stack; parallel= is not
+        # forwarded above, so pp requests fail in super().__init__ only
+        # if passed positionally — guard explicitly.)
+        assert self.parallel == "tp", \
+            "PagedContinuousScheduler does not support parallel='pp'"
         if not hasattr(self._model, "forward_paged_decode"):
             raise NotImplementedError(
                 f"{model_config.architecture} has no forward_paged_decode")

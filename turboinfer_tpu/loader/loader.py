@@ -336,8 +336,11 @@ def load_tinq(path: str) -> ModelData:
     return ModelData(params=params, config=config, source_format="tinq")
 
 
-def load_engine(path: str, config: Optional[InferenceConfig] = None):
-    """Load a file into a ready InferenceEngine (library facade entry)."""
+def load_engine(path: str, config: Optional[InferenceConfig] = None,
+                **engine_kw):
+    """Load a file into a ready InferenceEngine (library facade entry).
+    engine_kw passes through to InferenceEngine (mesh=, parallel=,
+    param_specs=, ...)."""
     from turboinfer_tpu.engine.engine import InferenceEngine
     data = load_model_data(path)
     tokenizer = data.tokenizer or tok_mod.BuiltinTokenizer(
@@ -347,4 +350,4 @@ def load_engine(path: str, config: Optional[InferenceConfig] = None):
             max_seq_len=data.config.max_seq_len,
             eos_token_id=getattr(tokenizer, "eos_id", 2))
     return InferenceEngine(data.params, data.config, config,
-                           tokenizer=tokenizer)
+                           tokenizer=tokenizer, **engine_kw)

@@ -189,37 +189,52 @@ def _adapter(config: ModelConfig, family: str, mod) -> _Adapter:
                                               "neox"))
 
 
+def shard_pp_params(params, mesh: Mesh, pp: str = PP_AXIS):
+    """Place a param pytree with the pipeline shardings (stacked layer
+    weights' leading L axis over `pp`; everything else replicated)."""
+    specs = _pp_spec_tree(params, pp)
+    return jax.tree_util.tree_map(
+        lambda w, s: jax.device_put(w, NamedSharding(mesh, s)),
+        params, specs)
+
+
+def shard_pp_cache(cache, mesh: Mesh, pp: str = PP_AXIS,
+                   config: Optional[ModelConfig] = None):
+    """Place a fresh head-major KVCache with the pipeline shardings.
+    For deepseek pass `config`: the cache splits into a replicated
+    dense part and a pp-sharded MoE part (DeepSeekPPCache)."""
+    if getattr(cache, "k_scale", None) is not None:
+        raise ValueError(
+            "pipeline parallelism does not thread int8 KV scales yet; "
+            "use kv_cache_dtype='bf16' with pp")
+    if cache.k.dtype in (jnp.float8_e4m3fn, jnp.uint8):
+        raise ValueError(
+            "pipeline parallelism does not support compressed fp8 KV "
+            "caches; use kv_cache_dtype='bf16' with pp")
+    rep = lambda a: jax.device_put(a, NamedSharding(
+        mesh, P(*([None] * a.ndim))))
+    ns = NamedSharding(mesh, pipeline_cache_spec(pp))
+    if config is not None and _family(config)[0] == "deepseek":
+        kd = config.first_k_dense_replace
+        return DeepSeekPPCache(
+            k_dense=rep(cache.k[:kd]), v_dense=rep(cache.v[:kd]),
+            k=jax.device_put(cache.k[kd:], ns),
+            v=jax.device_put(cache.v[kd:], ns),
+            length=rep(cache.length))
+    return KVCache(
+        k=jax.device_put(cache.k, ns),
+        v=jax.device_put(cache.v, ns),
+        length=rep(cache.length))
+
+
 def shard_for_pipeline(params, cache, mesh: Mesh, pp: str = PP_AXIS,
                        config: Optional[ModelConfig] = None):
     """Place params + cache with the pipeline shardings.
 
     For deepseek pass `config`: the cache splits into a replicated
     dense part and a pp-sharded MoE part (DeepSeekPPCache)."""
-    if getattr(cache, "k_scale", None) is not None:
-        raise ValueError(
-            "pipeline parallelism does not thread int8 KV scales yet; "
-            "use kv_cache_dtype='bf16' or 'fp8' with pp")
-    specs = _pp_spec_tree(params, pp)
-    params = jax.tree_util.tree_map(
-        lambda w, s: jax.device_put(w, NamedSharding(mesh, s)),
-        params, specs)
-    rep = lambda a: jax.device_put(a, NamedSharding(
-        mesh, P(*([None] * a.ndim))))
-    if config is not None and _family(config)[0] == "deepseek":
-        kd = config.first_k_dense_replace
-        ns = NamedSharding(mesh, pipeline_cache_spec(pp))
-        pcache = DeepSeekPPCache(
-            k_dense=rep(cache.k[:kd]), v_dense=rep(cache.v[:kd]),
-            k=jax.device_put(cache.k[kd:], ns),
-            v=jax.device_put(cache.v[kd:], ns),
-            length=rep(cache.length))
-        return params, pcache
-    ns = NamedSharding(mesh, pipeline_cache_spec(pp))
-    cache = KVCache(
-        k=jax.device_put(cache.k, ns),
-        v=jax.device_put(cache.v, ns),
-        length=rep(cache.length))
-    return params, cache
+    return (shard_pp_params(params, mesh, pp),
+            shard_pp_cache(cache, mesh, pp, config=config))
 
 
 def _check_stages(config: ModelConfig, n_layers: int, n_stage: int):
@@ -229,19 +244,25 @@ def _check_stages(config: ModelConfig, n_layers: int, n_stage: int):
 
 
 def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
-                     cache, *, mesh: Mesh, axis: str = PP_AXIS
+                     cache, *, mesh: Mesh, axis: str = PP_AXIS,
+                     seq_lens: Optional[jax.Array] = None
                      ) -> Tuple[jax.Array, Any]:
     """Forward with decoder layers staged over `axis`.
 
     Same contract as <family>.forward; tokens/logits replicated across
     the pipeline, params/cache sharded on the layer axis. Head-major
     KV caches only (the fused-head layout stays on single-chip paths).
+    seq_lens: [B] new valid tokens per sequence (right-padded batches,
+    like <family>.forward); default S.
     """
     family, mod = _family(config)
     if family == "deepseek":
         return _deepseek_pipeline_forward(params, config, tokens, cache,
-                                          mesh=mesh, axis=axis, mod=mod)
+                                          mesh=mesh, axis=axis, mod=mod,
+                                          seq_lens=seq_lens)
     B, S = tokens.shape
+    if seq_lens is None:
+        seq_lens = jnp.full((B,), S, jnp.int32)
     n_stage = mesh.shape[axis]
     _check_stages(config, config.num_layers, n_stage)
     ad = _adapter(config, family, mod)
@@ -249,11 +270,11 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
     lspec = _pp_spec_tree(params, axis)
     cspec = pipeline_cache_spec(axis)
 
-    def local(params_l, toks, k_loc, v_loc, length):
+    def local(params_l, toks, k_loc, v_loc, length, sl):
         me = jax.lax.axis_index(axis)
         start = length
         positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
-        kv_len = start + S
+        kv_len = start + sl
         layers_local = params_l["layers"]
 
         x = ad.embed(params_l, toks, positions)
@@ -314,18 +335,20 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(lspec, P(None, None), cspec, cspec, P(None)),
+        in_specs=(lspec, P(None, None), cspec, cspec, P(None), P(None)),
         out_specs=(P(None, None, None), cspec, cspec, P(None)),
         check_vma=False)
     logits, k_new, v_new, kv_len = fn(params, tokens, cache.k, cache.v,
-                                      cache.length)
+                                      cache.length, seq_lens)
     return logits, KVCache(k=k_new, v=v_new, length=kv_len)
 
 
 def _deepseek_pipeline_forward(params, config: ModelConfig,
                                tokens: jax.Array,
                                cache: DeepSeekPPCache, *, mesh: Mesh,
-                               axis: str, mod) -> Tuple[jax.Array, Any]:
+                               axis: str, mod,
+                               seq_lens: Optional[jax.Array] = None
+                               ) -> Tuple[jax.Array, Any]:
     """deepseek stage relay: the `first_k_dense_replace` dense layers
     run REPLICATED on every stage before the ring (weights + their
     latent caches replicate; x is replicated at entry, so every stage
@@ -334,6 +357,8 @@ def _deepseek_pipeline_forward(params, config: ModelConfig,
     k = compressed latent [*, B, T, lr], v = shared rope key
     [*, B, T, dr] (models/deepseek.py)."""
     B, S = tokens.shape
+    if seq_lens is None:
+        seq_lens = jnp.full((B,), S, jnp.int32)
     n_stage = mesh.shape[axis]
     kd = config.first_k_dense_replace
     _check_stages(config, config.num_layers - kd, n_stage)
@@ -347,11 +372,11 @@ def _deepseek_pipeline_forward(params, config: ModelConfig,
     cspec = pipeline_cache_spec(axis)
     rep_c = lambda a: P(*([None] * a.ndim))
 
-    def local(params_l, toks, kd_c, vd_c, k_loc, v_loc, length):
+    def local(params_l, toks, kd_c, vd_c, k_loc, v_loc, length, sl):
         me = jax.lax.axis_index(axis)
         start = length
         positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
-        kv_len = start + S
+        kv_len = start + sl
 
         x = ad.embed(params_l, toks, positions)
         # Dense prelude — replicated compute on every stage.
@@ -401,13 +426,13 @@ def _deepseek_pipeline_forward(params, config: ModelConfig,
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(lspec, P(None, None), rep_c(cache.k_dense),
-                  rep_c(cache.v_dense), cspec, cspec, P(None)),
+                  rep_c(cache.v_dense), cspec, cspec, P(None), P(None)),
         out_specs=(P(None, None, None), rep_c(cache.k_dense),
                    rep_c(cache.v_dense), cspec, cspec, P(None)),
         check_vma=False)
     logits, kd_new, vd_new, k_new, v_new, kv_len = fn(
         params, tokens, cache.k_dense, cache.v_dense, cache.k, cache.v,
-        cache.length)
+        cache.length, seq_lens)
     return logits, DeepSeekPPCache(k_dense=kd_new, v_dense=vd_new,
                                    k=k_new, v=v_new, length=kv_len)
 
@@ -415,7 +440,8 @@ def _deepseek_pipeline_forward(params, config: ModelConfig,
 def _deepseek_pipeline_forward_microbatch(
         params, config: ModelConfig, tokens: jax.Array,
         cache: DeepSeekPPCache, *, mesh: Mesh, axis: str,
-        mod, microbatches: Optional[int]) -> Tuple[jax.Array, Any]:
+        mod, microbatches: Optional[int],
+        seq_lens: Optional[jax.Array] = None) -> Tuple[jax.Array, Any]:
     """GPipe-style microbatched relay for deepseek. The dense prelude
     (first_k_dense_replace layers; weights + latent caches replicated)
     runs on EVERY stage at each microbatch's inject tick — identical
@@ -424,6 +450,8 @@ def _deepseek_pipeline_forward_microbatch(
     MoE stack then staggers over `axis` exactly like the generic
     microbatch relay (one rotating activation slot per stage)."""
     B, S = tokens.shape
+    if seq_lens is None:
+        seq_lens = jnp.full((B,), S, jnp.int32)
     n_stage = mesh.shape[axis]
     kd = config.first_k_dense_replace
     _check_stages(config, config.num_layers - kd, n_stage)
@@ -443,7 +471,7 @@ def _deepseek_pipeline_forward_microbatch(
     cspec = pipeline_cache_spec(axis)
     rep_c = lambda a: P(*([None] * a.ndim))
 
-    def local(params_l, toks, kd_c, vd_c, k_loc, v_loc, length):
+    def local(params_l, toks, kd_c, vd_c, k_loc, v_loc, length, sl):
         me = jax.lax.axis_index(axis)
         n_local = k_loc.shape[0]
         layers_local = params_l["layers"]
@@ -471,7 +499,7 @@ def _deepseek_pipeline_forward_microbatch(
                 st = jax.lax.dynamic_slice_in_dim(length, o, mbB, 0)
                 pos = st[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
                 x = ad.embed(params_l, tks, pos)
-                kvl = st + S
+                kvl = st + jax.lax.dynamic_slice_in_dim(sl, o, mbB, 0)
                 kdm = jax.lax.dynamic_slice_in_dim(kd_c, o, mbB, 1)
                 vdm = jax.lax.dynamic_slice_in_dim(vd_c, o, mbB, 1)
                 for i in range(kd):
@@ -497,7 +525,7 @@ def _deepseek_pipeline_forward_microbatch(
                 st = jax.lax.dynamic_slice_in_dim(length, o, mbB, 0)
                 positions = (st[:, None]
                              + jnp.arange(S, dtype=jnp.int32)[None, :])
-                kvl = st + S
+                kvl = st + jax.lax.dynamic_slice_in_dim(sl, o, mbB, 0)
                 kcs = jax.lax.dynamic_slice_in_dim(kc, o, mbB, 1)
                 vcs = jax.lax.dynamic_slice_in_dim(vc, o, mbB, 1)
 
@@ -541,18 +569,18 @@ def _deepseek_pipeline_forward_microbatch(
         logits = out.reshape(B, S, V)
         logits = jnp.where(me == 0, logits, 0.0)
         logits = jax.lax.psum(logits, axis)
-        return logits, kd_c, vd_c, k_loc, v_loc, length + S
+        return logits, kd_c, vd_c, k_loc, v_loc, length + sl
 
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(lspec, P(None, None), rep_c(cache.k_dense),
-                  rep_c(cache.v_dense), cspec, cspec, P(None)),
+                  rep_c(cache.v_dense), cspec, cspec, P(None), P(None)),
         out_specs=(P(None, None, None), rep_c(cache.k_dense),
                    rep_c(cache.v_dense), cspec, cspec, P(None)),
         check_vma=False)
     logits, kd_new, vd_new, k_new, v_new, kv_len = fn(
         params, tokens, cache.k_dense, cache.v_dense, cache.k, cache.v,
-        cache.length)
+        cache.length, seq_lens)
     return logits, DeepSeekPPCache(k_dense=kd_new, v_dense=vd_new,
                                    k=k_new, v=v_new, length=kv_len)
 
@@ -560,7 +588,8 @@ def _deepseek_pipeline_forward_microbatch(
 def pipeline_forward_microbatch(params, config: ModelConfig,
                                 tokens: jax.Array, cache: KVCache, *,
                                 mesh: Mesh, axis: str = PP_AXIS,
-                                microbatches: Optional[int] = None
+                                microbatches: Optional[int] = None,
+                                seq_lens: Optional[jax.Array] = None
                                 ) -> Tuple[jax.Array, KVCache]:
     """GPipe-style staggered pipeline forward.
 
@@ -584,8 +613,10 @@ def pipeline_forward_microbatch(params, config: ModelConfig,
     if family == "deepseek":
         return _deepseek_pipeline_forward_microbatch(
             params, config, tokens, cache, mesh=mesh, axis=axis, mod=mod,
-            microbatches=microbatches)
+            microbatches=microbatches, seq_lens=seq_lens)
     B, S = tokens.shape
+    if seq_lens is None:
+        seq_lens = jnp.full((B,), S, jnp.int32)
     n_stage = mesh.shape[axis]
     M = microbatches or n_stage
     _check_stages(config, config.num_layers, n_stage)
@@ -600,7 +631,7 @@ def pipeline_forward_microbatch(params, config: ModelConfig,
     lspec = _pp_spec_tree(params, axis)
     cspec = pipeline_cache_spec(axis)
 
-    def local(params_l, toks, k_loc, v_loc, length):
+    def local(params_l, toks, k_loc, v_loc, length, sl):
         me = jax.lax.axis_index(axis)
         n_local = k_loc.shape[0]
         base = me * n_local
@@ -637,7 +668,7 @@ def pipeline_forward_microbatch(params, config: ModelConfig,
                 st = jax.lax.dynamic_slice_in_dim(length, o, mbB, 0)
                 positions = (st[:, None]
                              + jnp.arange(S, dtype=jnp.int32)[None, :])
-                kvl = st + S
+                kvl = st + jax.lax.dynamic_slice_in_dim(sl, o, mbB, 0)
                 kcs = jax.lax.dynamic_slice_in_dim(kc, o, mbB, 1)
                 vcs = jax.lax.dynamic_slice_in_dim(vc, o, mbB, 1)
 
@@ -690,13 +721,13 @@ def pipeline_forward_microbatch(params, config: ModelConfig,
         logits = out.reshape(B, S, V)
         logits = jnp.where(me == 0, logits, 0.0)
         logits = jax.lax.psum(logits, axis)
-        return logits, k_loc, v_loc, length + S
+        return logits, k_loc, v_loc, length + sl
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(lspec, P(None, None), cspec, cspec, P(None)),
+        in_specs=(lspec, P(None, None), cspec, cspec, P(None), P(None)),
         out_specs=(P(None, None, None), cspec, cspec, P(None)),
         check_vma=False)
     logits, k_new, v_new, kv_len = fn(params, tokens, cache.k, cache.v,
-                                      cache.length)
+                                      cache.length, seq_lens)
     return logits, KVCache(k=k_new, v=v_new, length=kv_len)
