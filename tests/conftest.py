@@ -25,6 +25,28 @@ import turboinfer_tpu as ti  # noqa: E402
 from turboinfer_tpu.models import llama  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="run the full matrix including @pytest.mark.slow tests "
+             "(also TURBOINFER_FULL_TESTS=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default lane skips @slow tests (suite-runtime budget: the full
+    matrix compiles thousands of XLA programs and creeps past 20 min;
+    see CLAUDE.md vm.max_map_count note). `--full`, the env var, or an
+    explicit `-m` expression runs everything selected."""
+    if (config.getoption("--full")
+            or os.environ.get("TURBOINFER_FULL_TESTS") == "1"
+            or config.getoption("-m")):
+        return
+    skip = pytest.mark.skip(reason="slow; run with --full")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     """Drop compiled executables at module boundaries.

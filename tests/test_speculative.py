@@ -145,3 +145,130 @@ def test_greedy_spec_int8_kv_matches_plain_greedy_int8(models):
     for b, p in enumerate(prompts):
         assert res.tokens[b] == want[b], f"sequence {b} diverged"
     assert 0.0 <= res.acceptance_rate <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Speculative decoding under the CONTINUOUS-BATCHING scheduler (VERDICT
+# r3 next-step 2): per-slot draft propose + one verify pass inside the
+# scheduler step; servable through ServingEngine / HTTP.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sched_pair(tiny_cfg, tiny_params):
+    dcfg = tiny_cfg.replace(num_layers=1, name="draft")
+    dparams = llama.init_params(jax.random.PRNGKey(7), dcfg)
+    return tiny_cfg, tiny_params, dcfg, dparams
+
+
+def test_spec_scheduler_greedy_trajectory_identical(sched_pair):
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    cfg, params, dcfg, dparams = sched_pair
+    icfg = ti.InferenceConfig(max_seq_len=128, temperature=0.0,
+                              eos_token_id=-1)
+    prompts = [[1, 5, 9], [2, 4, 7, 11], [3, 3, 3]]
+    ref = ContinuousBatchingScheduler(params, cfg, icfg, batch_slots=4)
+    want = [ref.submit(p, 12) for p in prompts]
+    wres = ref.run()
+    sched = ContinuousBatchingScheduler(
+        params, cfg, icfg, batch_slots=4, draft_params=dparams,
+        draft_config=dcfg, spec_k=3)
+    rids = [sched.submit(p, 12) for p in prompts]
+    res = sched.run()
+    for a, b in zip(want, rids):
+        assert wres[a].tokens == res[b].tokens
+        np.testing.assert_allclose(wres[a].logprobs, res[b].logprobs,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_spec_scheduler_staggered_admission(sched_pair):
+    """A request arriving mid-flight is prefilled into BOTH caches and
+    decodes speculatively alongside the running slots."""
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    cfg, params, dcfg, dparams = sched_pair
+    icfg = ti.InferenceConfig(max_seq_len=128, temperature=0.0,
+                              eos_token_id=-1)
+    ref = ContinuousBatchingScheduler(params, cfg, icfg, batch_slots=4)
+    w1 = ref.submit([1, 5, 9], 10)
+    w2 = ref.submit([2, 4, 7, 11], 10)
+    wres = ref.run()
+    sched = ContinuousBatchingScheduler(
+        params, cfg, icfg, batch_slots=4, draft_params=dparams,
+        draft_config=dcfg, spec_k=3)
+    r1 = sched.submit([1, 5, 9], 10)
+    sched.step()                       # first round runs with one slot
+    r2 = sched.submit([2, 4, 7, 11], 10)
+    res = sched.run()
+    assert wres[w1].tokens == res[r1].tokens
+    assert wres[w2].tokens == res[r2].tokens
+
+
+def test_spec_scheduler_sampled_and_penalty_fallback(sched_pair):
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    cfg, params, dcfg, dparams = sched_pair
+    icfg = ti.InferenceConfig(max_seq_len=128, temperature=0.8,
+                              top_k=40, top_p=0.95, eos_token_id=-1)
+    sched = ContinuousBatchingScheduler(
+        params, cfg, icfg, batch_slots=4, draft_params=dparams,
+        draft_config=dcfg, spec_k=3)
+    rids = [sched.submit(p, 10) for p in ([1, 5, 9], [2, 4])]
+    res = sched.run()
+    assert all(res[r].finished for r in rids)
+    assert len(res[rids[0]].tokens) == 3 + 10
+    # a penalty request falls the batch back to plain steps and still
+    # matches the non-spec scheduler exactly
+    icfg0 = ti.InferenceConfig(max_seq_len=128, temperature=0.0,
+                               eos_token_id=-1)
+    s2 = ContinuousBatchingScheduler(
+        params, cfg, icfg0, batch_slots=4, draft_params=dparams,
+        draft_config=dcfg)
+    r2 = s2.submit([1, 5, 9], 8, repetition_penalty=1.3)
+    ref2 = ContinuousBatchingScheduler(params, cfg, icfg0, batch_slots=4)
+    rr2 = ref2.submit([1, 5, 9], 8, repetition_penalty=1.3)
+    assert s2.run()[r2].tokens == ref2.run()[rr2].tokens
+
+
+def test_spec_scheduler_eos_mid_round(sched_pair):
+    """An EOS inside a round's accepted drafts ends the request at the
+    EOS; later round tokens are discarded."""
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    cfg, params, dcfg, dparams = sched_pair
+    # pick eos = the token greedy decoding actually produces at some
+    # step, so the run genuinely stops early
+    icfg_probe = ti.InferenceConfig(max_seq_len=128, temperature=0.0,
+                                    eos_token_id=-1)
+    ref = ContinuousBatchingScheduler(params, cfg, icfg_probe,
+                                      batch_slots=2)
+    rid = ref.submit([1, 5, 9], 12)
+    full = ref.run()[rid].tokens[3:]
+    eos = full[5]
+    icfg = ti.InferenceConfig(max_seq_len=128, temperature=0.0,
+                              eos_token_id=eos)
+    sched = ContinuousBatchingScheduler(
+        params, cfg, icfg, batch_slots=2, draft_params=dparams,
+        draft_config=dcfg, spec_k=4)
+    r = sched.submit([1, 5, 9], 12)
+    res = sched.run()
+    assert res[r].stop_reason == "eos"
+    assert res[r].tokens[3:] == full[:full.index(eos) + 1]
+
+
+def test_spec_serving_engine_stream(sched_pair):
+    """ServingEngine drives the speculative scheduler: multi-token
+    rounds pump correctly into per-request streams."""
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from turboinfer_tpu.serve.engine import ServingEngine, StreamEnd
+    cfg, params, dcfg, dparams = sched_pair
+    icfg = ti.InferenceConfig(max_seq_len=128, temperature=0.0,
+                              eos_token_id=-1)
+    ref = ContinuousBatchingScheduler(params, cfg, icfg, batch_slots=4)
+    w = ref.submit([1, 5, 9], 10)
+    want = ref.run()[w].tokens[3:]
+    sched = ContinuousBatchingScheduler(
+        params, cfg, icfg, batch_slots=4, draft_params=dparams,
+        draft_config=dcfg, spec_k=3)
+    eng = ServingEngine(sched)
+    rid = eng.submit([1, 5, 9], 10)
+    toks, end = eng.result(rid)
+    eng.shutdown()
+    assert toks == want
+    assert end.stop_reason == "length"

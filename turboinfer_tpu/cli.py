@@ -111,6 +111,14 @@ def cmd_serve(args):
         kw["page_size"] = args.page_size
     else:
         kw["decode_burst"] = args.burst
+    if args.draft_model:
+        if args.paged:
+            print("--draft-model is not supported with --paged",
+                  file=sys.stderr)
+            return 2
+        draft = loader_mod.load_model_data(args.draft_model)
+        kw.update(draft_params=draft.params, draft_config=draft.config,
+                  spec_k=args.spec_k)
     if args.pp_stages > 1:
         if args.paged:
             print("--pp-stages is not supported with --paged",
@@ -298,6 +306,12 @@ def main(argv=None):
                    help="pipeline-parallel stages: layers (and the KV "
                         "cache) shard 1/N per device — serve models "
                         "bigger than one chip's HBM")
+    s.add_argument("--draft-model", default=None,
+                   help="speculative decoding: small draft model file; "
+                        "each scheduler step proposes --spec-k tokens "
+                        "and verifies them in one target pass")
+    s.add_argument("--spec-k", type=int, default=4,
+                   help="draft tokens proposed per speculative round")
     s.add_argument("--served-name", default=None)
     s.add_argument("--quiet", action="store_true")
     s.set_defaults(fn=cmd_serve)

@@ -185,6 +185,40 @@ def token_logprob(logits: jax.Array, token: jax.Array) -> jax.Array:
                                axis=-1)[..., 0]
 
 
+def filtered_dist_per_slot(logits: jax.Array, temperature: jax.Array,
+                           top_k: jax.Array, top_p: jax.Array
+                           ) -> jax.Array:
+    """Per-row (temperature → top-k → top-p)-filtered probability
+    distribution — the dist speculative acceptance judges proposals
+    under. logits [B, ..., V]; temperature/top_p [B] f32, top_k [B] i32
+    broadcast over middle axes. Greedy rows (temperature <= 0) return a
+    ONE-HOT at the argmax, which makes rejection-sampling acceptance
+    collapse to exact greedy matching for those rows."""
+    V = logits.shape[-1]
+    x = logits.astype(jnp.float32)
+    bshape = (x.shape[0],) + (1,) * (x.ndim - 2)
+    t = jnp.maximum(temperature, 1e-6).reshape(bshape + (1,))
+    xs = x / t
+    sorted_desc = jnp.sort(xs, axis=-1)[..., ::-1]
+    k = jnp.where(top_k <= 0, V, jnp.clip(top_k, 1, V)).reshape(bshape)
+    kidx = jnp.broadcast_to((k - 1)[..., None], xs.shape[:-1] + (1,))
+    kth = jnp.take_along_axis(sorted_desc, kidx, axis=-1)
+    xs = jnp.where(xs < kth, NEG_INF, xs)
+    svals = jnp.where(sorted_desc < kth, NEG_INF, sorted_desc)
+    probs = jax.nn.softmax(svals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    p = jnp.where((top_p <= 0.0) | (top_p >= 1.0), 1.0,
+                  top_p).reshape(bshape + (1,))
+    keep = (cum - probs) < p
+    thresh = jnp.min(jnp.where(keep, svals, jnp.inf), axis=-1,
+                     keepdims=True)
+    xs = jnp.where(xs < thresh, NEG_INF, xs)
+    dist = jax.nn.softmax(xs, axis=-1)
+    onehot = jax.nn.one_hot(jnp.argmax(x, axis=-1), V, dtype=jnp.float32)
+    g = (temperature <= 0.0).reshape(bshape + (1,))
+    return jnp.where(g, onehot, dist)
+
+
 def sample_per_slot(rng: jax.Array, logits: jax.Array,
                     temperature: jax.Array, top_k: jax.Array,
                     top_p: jax.Array, num_candidates: int = 128,

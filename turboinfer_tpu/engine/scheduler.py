@@ -73,7 +73,10 @@ class ContinuousBatchingScheduler:
                  batch_slots: int = 8, decode_burst: int = 1,
                  max_queue: Optional[int] = None,
                  mesh=None, param_specs: Optional[Dict[str, Any]] = None,
-                 tokenizer=None, parallel: str = "tp"):
+                 tokenizer=None, parallel: str = "tp",
+                 draft_params: Optional[Dict[str, Any]] = None,
+                 draft_config: Optional[ModelConfig] = None,
+                 spec_k: int = 4):
         """mesh: optional jax.sharding.Mesh — continuous batching over a
         TP/DP device mesh (BASELINE config 5: sharded weights + sharded
         KV cache under the slot scheduler). Weights shard per
@@ -90,7 +93,17 @@ class ContinuousBatchingScheduler:
         cache shard 1/P on the layer axis), so continuous batching can
         serve models larger than one chip's HBM. llama-family decoders
         only (deepseek's split pipeline cache doesn't fit the slot
-        scatter); use the engine's pp mode for deepseek."""
+        scatter); use the engine's pp mode for deepseek.
+
+        draft_params/draft_config: SPECULATIVE decoding under the
+        scheduler — every step is one jitted round (draft proposes
+        spec_k tokens per slot, one target verify pass scores them,
+        per-slot rejection-sampling acceptance under each slot's
+        temperature/top-k/top-p filter). Greedy slots are
+        trajectory-identical to non-speculative decoding; slots using
+        penalties/min_p/logit_bias/grammars fall back to plain
+        single-token steps for that iteration (their filters are
+        per-token-sequential)."""
         from turboinfer_tpu.kernels import dispatch as _dispatch
         self.params = _dispatch.prepare_params(
             params, fuse=mesh is None)   # fused columns straddle shards
@@ -190,6 +203,40 @@ class ContinuousBatchingScheduler:
         self.counts_out = jnp.zeros((self.B, V), jnp.int32)
         # per-slot additive logit bias (OpenAI logit_bias)
         self.slot_bias = jnp.zeros((self.B, V), jnp.float32)
+        # -- speculative decoding state --------------------------------
+        self.spec_k = int(spec_k)
+        self._dmodel = None
+        # host-side per-slot flag: slot's sampling uses only
+        # temperature/top-k/top-p (the spec round covers those)
+        self._slot_plain = [True] * self.B
+        if draft_params is not None:
+            if draft_config is None:
+                raise ValueError("draft_params requires draft_config")
+            from turboinfer_tpu.kernels import dispatch as _dispatch
+            self._dmodel = registry.get_model(draft_config.architecture)
+            self.draft_config = draft_config
+            self.draft_params = _dispatch.prepare_params(
+                draft_params, fuse=mesh is None)
+            if self.parallel == "pp":
+                raise NotImplementedError(
+                    "speculative decoding is not supported under the "
+                    "pipeline-parallel scheduler")
+            self._dkv_dtype = resolve_kv_dtype(self.config.kv_cache_dtype,
+                                               draft_config.dtype)
+            if self._dkv_dtype == jnp.int8 and not getattr(
+                    self._dmodel, "SUPPORTS_INT8_KV", False):
+                raise ValueError(
+                    "kv_cache_dtype='int8' is not supported by the "
+                    "draft model family")
+            self.dcache = self._dmodel.init_cache(
+                draft_config, self.B, max_seq=self.T,
+                dtype=self._dkv_dtype,
+                fused=False if mesh is not None else None)
+            if mesh is not None:
+                from turboinfer_tpu.parallel import shardings as _sh
+                self.draft_params = _sh.shard_params(self.draft_params,
+                                                     mesh, None)
+                self.dcache = _sh.shard_cache(self.dcache, mesh)
 
     # -- jitted programs ------------------------------------------------
 
@@ -290,16 +337,33 @@ class ContinuousBatchingScheduler:
     def _prefill_fn(self, m: int, S: int):
         """Jitted m-prompt prefill: burst admissions share ONE forward
         and one host round trip (m is bucketed to powers of two to
-        bound compile variants)."""
+        bound compile variants). With a draft model attached, the SAME
+        call prefills the draft cache too (one extra forward, still one
+        round trip)."""
         cfg = self.model_config
         model = self._model
         fwd = self._fwd
         fused = (False if self.parallel == "pp"
                  else self.cache.fused_layout)
+        spec = self._dmodel is not None
+        dmodel = self._dmodel
+        dcfg = getattr(self, "draft_config", None)
 
-        @functools.partial(jax.jit, donate_argnums=(4,))
-        def prefill(params, tokens, seq_lens, slots, cache, rng, t, k, p,
-                    pen, pc_rows, bias_rows):
+        def scatter(cache, small, slots, seq_lens):
+            kc = cache.k.at[:, slots].set(small.k.astype(cache.k.dtype))
+            vc = cache.v.at[:, slots].set(small.v.astype(cache.v.dtype))
+            ksc = vsc = None
+            if cache.k_scale is not None:
+                ksc = cache.k_scale.at[:, slots].set(small.k_scale)
+                vsc = cache.v_scale.at[:, slots].set(small.v_scale)
+            length = cache.length.at[slots].set(seq_lens)
+            return KVCache(k=kc, v=vc, length=length,
+                           k_scale=ksc, v_scale=vsc)
+
+        @functools.partial(jax.jit,
+                           donate_argnums=(4, 5) if spec else (4,))
+        def prefill(params, tokens, seq_lens, slots, cache, dcache,
+                    params_d, rng, t, k, p, pen, pc_rows, bias_rows):
             """tokens [m, S] → each row written into its slot's cache
             region; per-row first token sampled with its own params."""
             small = model.init_cache(cfg, m, max_seq=self.T,
@@ -317,15 +381,15 @@ class ContinuousBatchingScheduler:
                 frequency_penalty=freq, counts=pc_rows,
                 out_counts=jnp.zeros_like(pc_rows))
             first_lp = sampling.token_logprob(last, first)
-            kc = cache.k.at[:, slots].set(small.k.astype(cache.k.dtype))
-            vc = cache.v.at[:, slots].set(small.v.astype(cache.v.dtype))
-            ksc = vsc = None
-            if cache.k_scale is not None:
-                ksc = cache.k_scale.at[:, slots].set(small.k_scale)
-                vsc = cache.v_scale.at[:, slots].set(small.v_scale)
-            length = cache.length.at[slots].set(seq_lens)
-            return first, first_lp, KVCache(k=kc, v=vc, length=length,
-                                            k_scale=ksc, v_scale=vsc)
+            cache = scatter(cache, small, slots, seq_lens)
+            if spec:
+                dsmall = dmodel.init_cache(dcfg, m, max_seq=self.T,
+                                           dtype=self._dkv_dtype,
+                                           fused=self.dcache.fused_layout)
+                _, dsmall = dmodel.forward(params_d, dcfg, tokens,
+                                           dsmall, seq_lens=seq_lens)
+                dcache = scatter(dcache, dsmall, slots, seq_lens)
+            return first, first_lp, cache, dcache
         return prefill
 
     @functools.cached_property
@@ -457,6 +521,10 @@ class ContinuousBatchingScheduler:
             bias = bias + mk.bias_row(req.struct_state,
                                       self.config.eos_token_id)
         self.slot_bias = self.slot_bias.at[slot].set(jnp.asarray(bias))
+        self._slot_plain[slot] = (mp == 0.0 and rep == 1.0
+                                  and pres == 0.0 and freq == 0.0
+                                  and not req.logit_bias
+                                  and req.response_format is None)
         return ((jnp.float32(t), jnp.int32(k), jnp.float32(p)),
                 (jnp.float32(mp), jnp.float32(rep), jnp.float32(pres),
                  jnp.float32(freq)), jnp.asarray(row)[None],
@@ -525,9 +593,11 @@ class ContinuousBatchingScheduler:
                 pc_rows.append(pc_row)
                 bias_rows.append(bias_row)
             C = self.config.prefill_chunk
-            if 0 < C < S and self._active:
+            if 0 < C < S and self._active and self._dmodel is None:
                 # Chunked admission — only while decodes are live (an
                 # idle scheduler prefills full-width: strictly faster).
+                # Speculative schedulers admit full-width (the draft
+                # cache prefill isn't chunked).
                 self._adm = dict(
                     group=group, slots=slots, arr=arr, S=S, C=C, pos=0,
                     t0=t0, sps=sps, pens=pens, pc_rows=pc_rows,
@@ -540,15 +610,20 @@ class ContinuousBatchingScheduler:
             if key not in self._prefill_cache:
                 self._prefill_cache[key] = self._prefill_fn(m, S)
             stack = jnp.stack
-            first, first_lp, self.cache = self._prefill_cache[key](
+            spec = self._dmodel is not None
+            first, first_lp, self.cache, dcache = self._prefill_cache[key](
                 self.params, jnp.asarray(arr),
                 jnp.asarray([len(r.prompt) for r in group], jnp.int32),
                 jnp.asarray(slots, jnp.int32), self.cache,
+                self.dcache if spec else None,
+                self.draft_params if spec else None,
                 self._next_rng(),
                 stack([s[0] for s in sps]), stack([s[1] for s in sps]),
                 stack([s[2] for s in sps]),
                 tuple(stack([p[j] for p in pens]) for j in range(4)),
                 jnp.concatenate(pc_rows), jnp.concatenate(bias_rows))
+            if spec:
+                self.dcache = dcache
             dt_ms = (time.perf_counter() - t0) * 1e3
             self._activate_prefilled(group, slots, first, first_lp,
                                      dt_ms)
@@ -746,6 +821,13 @@ class ContinuousBatchingScheduler:
             # nothing decoding — but an in-flight chunked admission
             # still counts as live work for drivers polling step()
             return 0 if self._adm is None else len(self._adm["group"])
+        if (self._dmodel is not None
+                and all(self._slot_plain[s] for s in self._active)):
+            # speculative rounds cover temp/top-k/top-p slots; any
+            # active penalties/bias/grammar slot falls the whole batch
+            # back to plain steps this iteration (those filters are
+            # per-token-sequential)
+            return self._step_spec()
         if self.decode_burst > 1 and not self._has_structured():
             # structured slots need their mask refreshed every token —
             # fall back to single steps while any are live.
@@ -778,6 +860,141 @@ class ContinuousBatchingScheduler:
     @functools.cached_property
     def _burst_cache(self):
         return {}
+
+    # -- speculative rounds ---------------------------------------------
+
+    @functools.cached_property
+    def _spec_round(self):
+        """One speculative round as ONE jitted program: draft ingest +
+        k-proposal scan + one (k+1)-wide target verify + per-slot
+        rejection-sampling acceptance. Greedy slots (temperature<=0)
+        judge under one-hot filtered dists, which makes acceptance
+        exact greedy matching — the output trajectory is identical to
+        non-speculative greedy decoding (tested). Inactive slots run
+        (fixed shapes) with frozen cache lengths."""
+        fwd_t = self._fwd
+        model_d, dcfg = self._dmodel, self.draft_config
+        k = self.spec_k
+
+        @functools.partial(jax.jit, donate_argnums=(3, 4))
+        def spec_round(params, params_d, tokens, cache, dcache, active,
+                       rng, temp, topk, topp):
+            B = tokens.shape[0]
+            rng_d, rng_acc, rng_res, rng_bonus = jax.random.split(rng, 4)
+            len_t0 = cache.length
+            len_d0 = dcache.length
+
+            # 1. draft ingest of the current (confirmed, uncached) token
+            lg, dcache = model_d.forward(params_d, dcfg, tokens[:, None],
+                                         dcache)
+            lg0 = lg[:, 0]
+
+            # 2. draft proposes k tokens under each slot's filter
+            def draft_body(carry, r):
+                lg_prev, dcache = carry
+                dist = sampling.filtered_dist_per_slot(lg_prev, temp,
+                                                       topk, topp)
+                d = jax.random.categorical(
+                    r, jnp.log(jnp.maximum(dist, 1e-30))).astype(
+                    jnp.int32)
+                lg, dcache = model_d.forward(params_d, dcfg, d[:, None],
+                                             dcache)
+                return (lg[:, 0], dcache), (d, lg_prev)
+
+            (_, dcache), (drafts, dlogits) = jax.lax.scan(
+                draft_body, (lg0, dcache), jax.random.split(rng_d, k))
+            drafts = drafts.T                                  # [B, k]
+            dlogits = dlogits.transpose(1, 0, 2)               # [B,k,V]
+
+            # 3. ONE target verify pass over [tok, d_1..d_k]
+            chunk = jnp.concatenate([tokens[:, None], drafts], axis=1)
+            tlg, cache = fwd_t(params, chunk, cache)           # [B,k+1,V]
+
+            # 4. per-slot rejection-sampling acceptance
+            pt = sampling.filtered_dist_per_slot(tlg[:, :k], temp,
+                                                 topk, topp)
+            qd = sampling.filtered_dist_per_slot(dlogits, temp,
+                                                 topk, topp)
+            p_d = jnp.take_along_axis(pt, drafts[..., None],
+                                      axis=-1)[..., 0]
+            q_d = jnp.take_along_axis(qd, drafts[..., None],
+                                      axis=-1)[..., 0]
+            u = jax.random.uniform(rng_acc, (B, k))
+            ok = u * q_d <= p_d
+            acc = jnp.cumprod(ok.astype(jnp.int32), axis=1)
+            a = jnp.sum(acc, axis=1)                           # [B]
+            slot = jnp.minimum(a, k - 1)
+            pt_a = jnp.take_along_axis(pt, slot[:, None, None],
+                                       axis=1)[:, 0]
+            qd_a = jnp.take_along_axis(qd, slot[:, None, None],
+                                       axis=1)[:, 0]
+            res = jnp.maximum(pt_a - qd_a, 0.0)
+            res_sum = jnp.sum(res, axis=-1, keepdims=True)
+            res = jnp.where(res_sum > 0, res / res_sum, pt_a)
+            corr = jax.random.categorical(
+                rng_res, jnp.log(jnp.maximum(res, 1e-30))).astype(
+                jnp.int32)
+            bonus_dist = sampling.filtered_dist_per_slot(
+                tlg[:, k:k + 1], temp, topk, topp)[:, 0]
+            bonus = jax.random.categorical(
+                rng_bonus, jnp.log(jnp.maximum(bonus_dist,
+                                               1e-30))).astype(jnp.int32)
+            nxt = jnp.where(a == k, bonus, corr)
+
+            # out[b, i] aligns with tlg[b, i]: accepted drafts then the
+            # correction/bonus token (padded with it)
+            pos = jnp.arange(k + 1)[None, :]
+            out = jnp.where(pos < a[:, None],
+                            jnp.pad(drafts, ((0, 0), (0, 1))),
+                            nxt[:, None])                      # [B,k+1]
+            lps = sampling.token_logprob(tlg, out)
+            n_emit = jnp.where(active, a + 1, 0)
+
+            # 5. cache-length rollback: only confirmed tokens count;
+            # inactive slots stay frozen (their writes are masked
+            # garbage past their length)
+            cache = cache._replace(
+                length=jnp.where(active, len_t0 + 1 + a, len_t0))
+            dcache = dcache._replace(
+                length=jnp.where(active, len_d0 + 1 + a, len_d0))
+            tokens = jnp.where(active, nxt, tokens)
+            return tokens, cache, dcache, out, lps, n_emit
+        return spec_round
+
+    def _step_spec(self) -> int:
+        eos = self.config.eos_token_id
+        (self.tokens, self.cache, self.dcache, out, lps,
+         n_emit) = self._spec_round(
+            self.params, self.draft_params, self.tokens, self.cache,
+            self.dcache, self.active, self._next_rng(), self.slot_temp,
+            self.slot_topk, self.slot_topp)
+        out_np, lps_np, n_np = (
+            np.asarray(a) for a in jax.device_get(
+                self._host_view((out, lps, n_emit))))
+        for slot in list(self._active):
+            req = self._active[slot]
+            for i in range(int(n_np[slot])):
+                tok = int(out_np[slot, i])
+                req.out_tokens.append(tok)
+                req.out_logprobs.append(float(lps_np[slot, i]))
+                if tok == eos:
+                    self._finish(slot, "eos")
+                    break
+                if len(req.out_tokens) >= req.max_new:
+                    self._finish(slot, "length")
+                    break
+                if (len(req.prompt) + len(req.out_tokens)
+                        + self.spec_k + 1 >= self.T):
+                    # keep spec_k+1 slack so the next round's verify
+                    # writes stay inside the cache
+                    self._finish(slot, "max_seq")
+                    break
+            else:
+                continue
+            # a slot that finished mid-round discards the rest of the
+            # round's tokens; resync its current-token register is not
+            # needed (the slot is inactive until re-admission resets it)
+        return len(self._active)
 
     def _step_burst(self) -> int:
         n = self.decode_burst
