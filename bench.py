@@ -145,12 +145,16 @@ def main():
         toks.block_until_ready()
         eng._put_cache(batch, cache)
 
+    # RTT probe: VARY the input each call — repeated identical calls
+    # have been observed returning in ~0.02 ms (client-side fast path),
+    # 1000x below the real per-call cost, which would wreck the
+    # subtraction.
     triv = jax.jit(lambda x: x + 1)
-    xs = jnp.zeros((8,), jnp.int32)
-    triv(xs).block_until_ready()          # compile
+    triv(jnp.zeros((8,), jnp.int32)).block_until_ready()   # compile
     one_decode()                          # compile/warm exact programs
-    rtt = min(_timed(lambda: triv(xs).block_until_ready())
-              for _ in range(16))
+    rtt = min(_timed(lambda i=i: triv(
+        jnp.full((8,), i, jnp.int32)).block_until_ready())
+        for i in range(16))
     scan_t = min(_timed(one_decode) for _ in range(reps))
     # one_decode enqueues prefill + decode (two dispatches, one sync).
     dev_t = max(scan_t - 2 * rtt, 1e-6)

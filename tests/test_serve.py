@@ -24,7 +24,11 @@ def served(tiny_params_mod, tiny_cfg_mod):
                              eos_token_id=-1, temperature=0.8)
     sched = ContinuousBatchingScheduler(tiny_params_mod, tiny_cfg_mod, cfg,
                                         batch_slots=4, tokenizer=tok)
-    eng = ServingEngine(sched, tokenizer=tok, model_name="tiny-test")
+    beam_eng = ti.InferenceEngine(sched.params, tiny_cfg_mod, cfg,
+                                  tokenizer=tok,
+                                  params_are_prepared=True)
+    eng = ServingEngine(sched, tokenizer=tok, model_name="tiny-test",
+                        beam_engine=beam_eng)
     srv = make_server(eng, host="127.0.0.1", port=0)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
@@ -420,3 +424,42 @@ def test_completions_response_format_validation(served):
         "prompt": "x", "max_tokens": 4,
         "response_format": {"type": "text"}})
     assert status == 200
+
+
+def test_beam_search_http(served):
+    """`use_beam_search` on the batch path: n best beams come back as
+    choices, matching the engine's own beam search."""
+    eng, port, tok, cfg = served
+    status, body = _post_json(port, "/v1/completions", {
+        "prompt": [1, 5, 9], "max_tokens": 8, "use_beam_search": True,
+        "best_of": 4, "n": 2, "logprobs": True})
+    assert status == 200
+    assert len(body["choices"]) == 2
+    assert body["choices"][0]["finish_reason"] in ("stop", "length")
+    # parity with a direct engine beam call
+    want = eng.beam_engine.generate_beam_search(
+        [1, 5, 9], 8, beam_size=4, return_all_beams=True)
+    assert body["choices"][0]["text"] == tok.decode(want[0].tokens[3:])
+    lp = body["choices"][0]["logprobs"]["token_logprobs"]
+    assert len(lp) == len(want[0].tokens) - 3
+
+
+def test_beam_search_http_streaming_rejected(served):
+    eng, port, tok, cfg = served
+    status, body = _post_json(port, "/v1/completions", {
+        "prompt": [1, 5, 9], "max_tokens": 8, "use_beam_search": True,
+        "stream": True})
+    assert status == 400
+
+
+def test_best_of_ranking(served):
+    """OpenAI best_of: sample best_of candidates, return the n best by
+    mean token logprob."""
+    eng, port, tok, cfg = served
+    status, body = _post_json(port, "/v1/completions", {
+        "prompt": [1, 5, 9], "max_tokens": 8, "best_of": 4, "n": 2,
+        "temperature": 0.9})
+    assert status == 200
+    assert len(body["choices"]) == 2
+    assert [c["index"] for c in body["choices"]] == [0, 1]
+    assert body["usage"]["completion_tokens"] == 32   # all 4 sampled

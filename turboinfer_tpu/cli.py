@@ -137,9 +137,19 @@ def cmd_serve(args):
                   parallel="pp")
     sched = cls(data.params, data.config, cfg,
                 tokenizer=data.tokenizer, **kw)
+    beam_eng = None
+    if "mesh" not in kw:
+        # n-best beam search on the batch path (`use_beam_search`):
+        # an engine SHARING the scheduler's prepared weights (zero
+        # extra HBM); beam jobs run on the serving driver thread.
+        from turboinfer_tpu.engine.engine import InferenceEngine
+        beam_eng = InferenceEngine(sched.params, data.config, cfg,
+                                   tokenizer=data.tokenizer,
+                                   params_are_prepared=True)
     eng = ServingEngine(sched, tokenizer=data.tokenizer,
                         model_name=args.served_name
-                        or __import__("os").path.basename(args.model))
+                        or __import__("os").path.basename(args.model),
+                        beam_engine=beam_eng)
     print(f"serving {eng.model_name} on http://{args.host}:{args.port}/v1 "
           f"({args.slots} slots{', paged' if args.paged else ''})",
           file=sys.stderr)

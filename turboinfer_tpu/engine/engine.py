@@ -93,7 +93,8 @@ class InferenceEngine:
                  tokenizer=None, mesh=None,
                  param_specs: Optional[Dict[str, Any]] = None,
                  parallel: str = "tp",
-                 pp_microbatches: Optional[int] = None):
+                 pp_microbatches: Optional[int] = None,
+                 params_are_prepared: bool = False):
         """mesh: optional jax.sharding.Mesh — the whole engine (prefill,
         fused decode scan, beam search, logprobs) runs tensor/data-
         parallel: weights sharded per `param_specs` (default
@@ -114,9 +115,16 @@ class InferenceEngine:
         sequence-shards over the mesh's "sp" axis (1/P of the attention
         working set per chip; parallel/context.py ring prefill +
         psum-combined decode), so contexts larger than one chip's HBM
-        are servable through the same API. Weights replicate."""
+        are servable through the same API. Weights replicate.
+
+        params_are_prepared=True: `params` already went through
+        kernels.dispatch.prepare_params (e.g. they are a live
+        scheduler's weights) — share them instead of building fused
+        copies (zero extra HBM)."""
         from turboinfer_tpu.kernels import dispatch as _dispatch
-        self.params = _dispatch.prepare_params(params, fuse=mesh is None)
+        self.params = (params if params_are_prepared else
+                       _dispatch.prepare_params(params,
+                                                fuse=mesh is None))
         self.mesh = mesh
         if parallel not in ("tp", "pp", "cp"):
             raise ValueError(f"parallel must be 'tp', 'pp' or 'cp', "
@@ -888,20 +896,22 @@ class InferenceEngine:
             raise NotImplementedError(
                 "beam search is not supported on the deepseek "
                 "pipeline-parallel engine yet")
-        last_logits, cache = self._run_prefill(tokens, seq_lens, cache)
-        # One fused program: first expansion + the whole beam scan (no
-        # host sync between them — same treatment generate() got for
-        # its first sample; beam previously paid an extra tunnel RTT).
+        # ONE fused program: prompt prefill + first expansion + the
+        # whole beam scan. The tunnel charges a fixed ~30 ms dispatch
+        # RTT PER JITTED CALL (CLAUDE.md) — a separate prefill dispatch
+        # cost the old path a third of its e2e wall on the tiny
+        # benchmark (device self-time is ~0.1 ms/step; the rest was
+        # per-call overhead). prefill_chunk does not apply here.
         run = self._beam_run_fn(beam_size, max_new - 1, temp, tk, tp)
-        (first_ix, first_lp, beam_scores, beam_finished, toks_hist,
-         parents_hist, lps_hist) = self._host_view(
-            run(self.params, last_logits, cache))
-        first_np = np.asarray(first_ix)
-        first_lp_np = np.asarray(first_lp)
-
-        toks_np = np.asarray(toks_hist)        # [steps, beam]
-        parents_np = np.asarray(parents_hist)  # [steps, beam]
-        lps_np = np.asarray(lps_hist)          # [steps, beam]
+        # ONE device_get for all seven outputs: per-array np.asarray
+        # fetches each cost a full tunnel round trip (~30 ms) — seven
+        # of them were ~200 ms of a 210 ms beam call (device self-time
+        # is ~6 ms; measured via XProf, profile_beam_trace.py).
+        (first_np, first_lp_np, scores, finished_np, toks_np,
+         parents_np, lps_np) = (np.asarray(a) for a in jax.device_get(
+            self._host_view(run(self.params, tokens, seq_lens, cache))))
+        self._put_cache(1, cache)     # prefill ran on a program-internal
+        # copy; the pooled buffer is reused (length resets on take)
         n_steps = toks_np.shape[0]
         beam_tokens = np.zeros((beam_size, n_steps + 1), np.int64)
         beam_lps = np.zeros((beam_size, n_steps + 1), np.float64)
@@ -915,8 +925,6 @@ class InferenceEngine:
             beam_lps[b, 0] = first_lp_np[cur]
 
         # Final ranking by length-normalized score.
-        scores = np.asarray(beam_scores)
-        finished_np = np.asarray(beam_finished)
         lengths = np.array([self._beam_len(beam_tokens[b], eos)
                             for b in range(beam_size)])
         norm = scores / np.maximum(lengths, 1) ** lp_pen
@@ -946,9 +954,9 @@ class InferenceEngine:
 
     def _beam_run_fn(self, beam_size: int, n_steps: int, temp: float,
                      tk: int, tp: float):
-        """Fused beam program: first expansion from the prefill logits +
+        """Fused beam program: prompt prefill + first expansion +
         `n_steps` beam-expansion scan, emitting (token, parent, logp)
-        per step for host-side lineage backtracking. One dispatch."""
+        per step for host-side lineage backtracking. ONE dispatch."""
         key = ("beam_run", beam_size, n_steps, temp, tk, tp)
         if key in self._jit_cache:
             return self._jit_cache[key]
@@ -965,7 +973,13 @@ class InferenceEngine:
             return sampling.log_softmax(x)
 
         @jax.jit
-        def run(params, first_logits, cache):
+        def run(params, tokens, seq_lens, cache):
+            # Prefill inside the program (no separate dispatch).
+            logits, cache = fwd(params, tokens, cache, seq_lens=seq_lens)
+            idx = jnp.maximum(seq_lens - 1, 0)
+            first_logits = jnp.take_along_axis(
+                logits, idx[:, None, None].astype(jnp.int32),
+                axis=1)[:, 0]
             # First expansion: top beam_size of the filtered prompt
             # distribution (cache is still batch=1 here).
             logp0 = filt(first_logits[0])                    # [V]

@@ -39,14 +39,25 @@ class StreamEnd:
 class ServingEngine:
     """Drives a ContinuousBatchingScheduler from a background thread."""
 
-    def __init__(self, scheduler, tokenizer=None, model_name: str = "model"):
+    def __init__(self, scheduler, tokenizer=None, model_name: str = "model",
+                 beam_engine=None):
+        """beam_engine: optional InferenceEngine SHARING the scheduler's
+        prepared params (InferenceEngine(sched.params,
+        params_are_prepared=True)) — backs n-best beam-search requests
+        (`use_beam_search` on the HTTP batch path). Beam jobs run on
+        the driver thread between scheduler steps, so all jax dispatch
+        stays single-threaded."""
         self.sched = scheduler
         self.tokenizer = tokenizer
         self.model_name = model_name
+        self.beam_engine = beam_engine
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._streams: Dict[int, queue.Queue] = {}
         self._emitted: Dict[int, int] = {}
+        self._beam_jobs: Dict[int, Dict[str, Any]] = {}
+        self._beam_order: List[int] = []
+        self._next_beam_id = -1
         self._stats = {"requests": 0, "tokens": 0, "started_at": time.time()}
         self._shutdown = False
         self._thread = threading.Thread(target=self._run, daemon=True,
@@ -74,8 +85,45 @@ class ServingEngine:
             self._work.notify()
         return rid
 
+    def submit_beam(self, prompt: Sequence[int], max_new_tokens: int,
+                    beam_size: int, **beam_kw) -> int:
+        """Queue an n-best beam-search job (needs a beam_engine).
+        Returns a (negative) request id; fetch with beam_result()."""
+        if self.beam_engine is None:
+            raise ValueError("server has no beam engine "
+                             "(beam search unavailable)")
+        with self._work:
+            rid = self._next_beam_id
+            self._next_beam_id -= 1
+            self._beam_jobs[rid] = dict(prompt=list(prompt),
+                                        max_new=max_new_tokens,
+                                        beam_size=beam_size, kw=beam_kw)
+            self._beam_order.append(rid)
+            self._streams[rid] = queue.Queue()
+            self._stats["requests"] += 1
+            self._work.notify()
+        return rid
+
+    def beam_result(self, rid: int, timeout: float = 300.0):
+        """Block until the beam job finishes; returns the sorted list of
+        GenerationResult (best first, one per beam)."""
+        q = self._streams[rid]
+        try:
+            item = q.get(timeout=timeout)
+        finally:
+            self._streams.pop(rid, None)
+        if isinstance(item, Exception):
+            raise item
+        return item
+
     def cancel(self, rid: int):
         with self._work:
+            if rid < 0:
+                self._beam_jobs.pop(rid, None)
+                if rid in self._beam_order:
+                    self._beam_order.remove(rid)
+                self._streams.pop(rid, None)
+                return
             if self.sched.cancel(rid) and rid in self.sched._done:
                 # the driver only pumps inside step(); a cancel with an
                 # otherwise idle scheduler must deliver StreamEnd itself
@@ -154,14 +202,39 @@ class ServingEngine:
         self.sched._adm = None        # abandon an in-flight admission
         self.sched._done.clear()
 
+    def _run_beam_job(self, rid: int):
+        job = self._beam_jobs.pop(rid, None)
+        if job is None:
+            return
+        q = self._streams.get(rid)
+        try:
+            results = self.beam_engine.generate_beam_search(
+                job["prompt"], job["max_new"],
+                beam_size=job["beam_size"], return_all_beams=True,
+                **job["kw"])
+            self._stats["tokens"] += sum(
+                len(r.tokens) - len(job["prompt"]) for r in results)
+            if q is not None:
+                q.put(results)
+        except Exception as e:             # noqa: BLE001
+            if q is not None:
+                q.put(e)
+
     def _run(self):
         sched = self.sched
         while True:
             with self._work:
-                while not self._shutdown and not sched.pending:
+                while (not self._shutdown and not sched.pending
+                       and not self._beam_order):
                     self._work.wait(timeout=1.0)
                 if self._shutdown:
                     return
+                # one queued beam job per loop turn, interleaved with
+                # scheduler steps (all jax dispatch on this one thread)
+                if self._beam_order:
+                    self._run_beam_job(self._beam_order.pop(0))
+                if not sched.pending:
+                    continue
                 try:
                     sched.step()
                 except Exception as e:     # noqa: BLE001 — driver must

@@ -207,9 +207,45 @@ class Handler(BaseHTTPRequestHandler):
                   presence_penalty=fget("presence_penalty"),
                   frequency_penalty=fget("frequency_penalty"),
                   logit_bias=lb, response_format=rf)
+        cid = f"cmpl-{uuid.uuid4().hex[:24]}"
+        want_lp = bool(body.get("logprobs"))
+        echo = bool(body.get("echo")) and not chat
+        best_of = int(body.get("best_of") or 0)
+        if bool(body.get("use_beam_search")):
+            # n-best BEAM search (vLLM-style flag): one fused beam
+            # program on the shared-params beam engine; returns the n
+            # best length-normalized beams.
+            if stream:
+                self._error(400, "use_beam_search does not support "
+                                 "streaming")
+                return
+            if eng.beam_engine is None:
+                self._error(400, "server has no beam engine")
+                return
+            beam_size = max(best_of, n, 2)
+            try:
+                rid = eng.submit_beam(
+                    prompt_ids, max_new, beam_size,
+                    temperature=fget("temperature"),
+                    top_k=None if top_k is None else int(top_k),
+                    top_p=fget("top_p"),
+                    length_penalty=fget("length_penalty"))
+                results = eng.beam_result(rid)
+            except ValueError as e:
+                self._error(400, str(e))
+                return
+            self._beam_response(results[:n], cid, obj_kind, chat,
+                                len(prompt_ids), want_lp)
+            return
+        if best_of > n and not stream:
+            # OpenAI best_of: sample best_of candidates, return the n
+            # best by mean token logprob.
+            rank_pool = best_of
+        else:
+            rank_pool = n
         try:
             rids = [eng.submit(prompt_ids, max_new, **kw)
-                    for _ in range(n)]
+                    for _ in range(rank_pool)]
         except ValueError as e:
             self._error(400, str(e))
             return
@@ -219,20 +255,54 @@ class Handler(BaseHTTPRequestHandler):
                 self._error(429, str(e), etype="rate_limit_exceeded")
                 return
             raise
-        cid = f"cmpl-{uuid.uuid4().hex[:24]}"
-        want_lp = bool(body.get("logprobs"))
-        echo = bool(body.get("echo")) and not chat
         if stream:
             self._stream_response(rids[0], cid, obj_kind, stops, chat)
         else:
             self._block_response(rids, cid, obj_kind, stops, chat,
                                  len(prompt_ids), want_lp,
-                                 prompt_ids if echo else None)
+                                 prompt_ids if echo else None,
+                                 keep_n=n)
+
+    def _beam_response(self, results, cid, kind, chat, n_prompt,
+                       want_lp):
+        """Render n-best beam GenerationResults as OpenAI choices."""
+        eng = self.engine
+        tok = eng.tokenizer
+        choices = []
+        completion = 0
+        for index, res in enumerate(results):
+            ids = res.tokens[n_prompt:]
+            completion += len(ids)
+            text = tok.decode(ids) if tok is not None else ""
+            reason = {"eos": "stop"}.get(res.stop_reason, "length")
+            choice = ({"index": index,
+                       "message": {"role": "assistant", "content": text},
+                       "finish_reason": reason} if chat else
+                      {"index": index, "text": text,
+                       "finish_reason": reason})
+            if want_lp and res.logprobs is not None:
+                toks = [tok.decode([t]) if tok else str(t) for t in ids]
+                lps = res.logprobs[:len(ids)]
+                if chat:
+                    choice["logprobs"] = {"content": [
+                        {"token": t, "logprob": l}
+                        for t, l in zip(toks, lps)]}
+                else:
+                    choice["logprobs"] = {"tokens": toks,
+                                          "token_logprobs": lps}
+            choices.append(choice)
+        self._json(200, {
+            "id": cid, "object": kind, "created": _now(),
+            "model": eng.model_name, "choices": choices,
+            "usage": {"prompt_tokens": n_prompt,
+                      "completion_tokens": completion,
+                      "total_tokens": n_prompt + completion}})
 
     def _block_response(self, rids, cid, kind, stops, chat, n_prompt,
-                        want_lp=False, echo_ids=None):
+                        want_lp=False, echo_ids=None, keep_n=None):
         eng = self.engine
         choices = []
+        mean_lps = []
         usage = {"prompt_tokens": 0, "completion_tokens": 0}
         for index, rid in enumerate(rids):
             asm = _TextAssembler(eng.tokenizer)
@@ -270,8 +340,18 @@ class Handler(BaseHTTPRequestHandler):
                     choice["logprobs"] = {"tokens": toks,
                                           "token_logprobs": lps}
             choices.append(choice)
+            lps = (end.logprobs or [])[:len(asm.ids)]
+            mean_lps.append(sum(lps) / max(len(lps), 1))
             usage["prompt_tokens"] = end.prompt_tokens
             usage["completion_tokens"] += end.completion_tokens
+        if keep_n is not None and keep_n < len(choices):
+            # OpenAI best_of ranking: keep the n best candidates by
+            # mean token logprob
+            order = sorted(range(len(choices)),
+                           key=lambda i: -mean_lps[i])[:keep_n]
+            choices = [choices[i] for i in order]
+            for i, c in enumerate(choices):
+                c["index"] = i
         self._json(200, {
             "id": cid, "object": kind, "created": _now(),
             "model": eng.model_name, "choices": choices,
