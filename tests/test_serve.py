@@ -463,3 +463,27 @@ def test_best_of_ranking(served):
     assert len(body["choices"]) == 2
     assert [c["index"] for c in body["choices"]] == [0, 1]
     assert body["usage"]["completion_tokens"] == 32   # all 4 sampled
+
+
+def test_response_format_json_schema_http(served):
+    """response_format={"type":"json_schema",...} constrains the HTTP
+    completion to the compiled schema."""
+    eng, port, tok, cfg = served
+    schema = {"type": "object",
+              "properties": {"n": {"type": "integer"},
+                             "ok": {"type": "boolean"}},
+              "required": ["n", "ok"]}
+    status, body = _post_json(port, "/v1/completions", {
+        "prompt": "data please", "max_tokens": 64, "temperature": 0.9,
+        "response_format": {"type": "json_schema",
+                            "json_schema": {"schema": schema}}})
+    assert status == 200
+    doc = json.loads(body["choices"][0]["text"])
+    assert list(doc) == ["n", "ok"]
+    assert isinstance(doc["n"], int) and isinstance(doc["ok"], bool)
+    # a broken schema is a 400, not a wedged request
+    status, body = _post_json(port, "/v1/completions", {
+        "prompt": "x", "max_tokens": 8,
+        "response_format": {"type": "json_schema",
+                            "json_schema": {"schema": {"$ref": "#/x"}}}})
+    assert status == 400

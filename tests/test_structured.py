@@ -352,3 +352,129 @@ def test_scheduler_structured_validation(tiny_params, tiny_cfg):
         sched.submit([1, 2], 4, response_format="json_object")
     with pytest.raises(ValueError, match="response_format"):
         sched.submit([1, 2], 4, response_format="xml")
+
+
+# ---------------------------------------------------------------------------
+# JSON-SCHEMA constrained decoding (VERDICT r3 next-step 7): schema ->
+# byte program -> on-device slot masks under the scheduler.
+# ---------------------------------------------------------------------------
+
+import turboinfer_tpu as ti
+
+
+@pytest.fixture()
+def tok_engine(tiny_params, tiny_cfg):
+    from turboinfer_tpu.tokenizer.bpe import BuiltinTokenizer
+    tok = BuiltinTokenizer(vocab_size=tiny_cfg.vocab_size)
+    eng = ti.InferenceEngine(
+        tiny_params, tiny_cfg,
+        ti.InferenceConfig(max_seq_len=256, seed=0,
+                           eos_token_id=tok.eos_id),
+        tokenizer=tok)
+    return eng, tok, tiny_cfg, tiny_params
+
+SCHEMA = {
+    "type": "object",
+    "properties": {
+        "name": {"type": "string", "maxLength": 12},
+        "age": {"type": "integer"},
+        "mood": {"type": "string", "enum": ["happy", "sad"]},
+        "tags": {"type": "array",
+                 "items": {"type": "string", "maxLength": 6},
+                 "minItems": 1, "maxItems": 3},
+        "meta": {"type": "object",
+                 "properties": {"ok": {"type": "boolean"}},
+                 "required": ["ok"]},
+    },
+    "required": ["name", "age", "mood", "tags", "meta"],
+}
+
+
+def test_schema_fsm_accepts_conforming_bytes():
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    fsm = SchemaFSM(SCHEMA)
+    doc = ('{"name":"bo","age":-12,"mood":"sad",'
+           '"tags":["a","b"],"meta":{"ok":true}}')
+    st = fsm.advance_bytes(fsm.initial(), doc.encode())
+    assert st is not None and fsm.done(st)
+    # violations rejected at the first bad byte
+    for bad in ('{"name":1', '{"age"', '{"name":"x","age":1.5',
+                '{"name":"x","age":1,"mood":"angry',
+                '{"name":"x","age":1,"mood":"sad","tags":[]'):
+        assert fsm.advance_bytes(fsm.initial(), bad.encode()) is None, bad
+
+
+def test_schema_fsm_array_bounds_and_integer():
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    fsm = SchemaFSM({"type": "array", "items": {"type": "integer"},
+                     "minItems": 2, "maxItems": 3})
+    ok = fsm.advance_bytes(fsm.initial(), b"[1,23,4]")
+    assert ok is not None and fsm.done(ok)
+    assert fsm.advance_bytes(fsm.initial(), b"[1]") is None
+    assert fsm.advance_bytes(fsm.initial(), b"[1,2,3,4") is None
+    assert fsm.advance_bytes(fsm.initial(), b"[1.5") is None
+
+
+def test_schema_fsm_rejects_unsupported():
+    from turboinfer_tpu.structured.schema_fsm import (SchemaError,
+                                                      SchemaFSM)
+    for bad in ({"$ref": "#/x"}, {"type": ["string", "null"]},
+                {"type": "array"},
+                {"enum": [1, 12]}):          # 1 is a byte-prefix of 12
+        with pytest.raises(SchemaError):
+            SchemaFSM(bad)
+
+
+def test_scheduler_schema_outputs_conform(tok_engine):
+    """Scheduler decoding under a schema mask: output parses AND
+    conforms (keys in order, enum honored, bounds honored)."""
+    import json as _json
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    eng, tok, cfg, params = tok_engine
+    icfg = ti.InferenceConfig(max_seq_len=256, temperature=0.9,
+                              eos_token_id=tok.eos_id)
+    sched = ContinuousBatchingScheduler(params, cfg, icfg,
+                                        batch_slots=2, tokenizer=tok)
+    rf = {"type": "json_schema", "json_schema": {"schema": SCHEMA}}
+    rids = [sched.submit(tok.encode("give me json"), 160,
+                         response_format=rf) for _ in range(2)]
+    res = sched.run()
+    for r in rids:
+        out = res[r]
+        assert out.stop_reason == "stop", out.stop_reason
+        text = tok.decode(out.tokens[len(tok.encode("give me json")):])
+        doc = _json.loads(text)
+        assert list(doc) == ["name", "age", "mood", "tags", "meta"]
+        assert isinstance(doc["age"], int)
+        assert doc["mood"] in ("happy", "sad")
+        assert 1 <= len(doc["tags"]) <= 3
+        assert isinstance(doc["meta"]["ok"], bool)
+
+
+def test_engine_generate_structured_schema(tok_engine):
+    import json as _json
+    eng, tok, cfg, params = tok_engine
+    rf = {"type": "json_schema",
+          "json_schema": {"schema": {
+              "type": "object",
+              "properties": {"n": {"type": "integer"},
+                             "ok": {"type": "boolean"}},
+              "required": ["n", "ok"]}}}
+    res = eng.generate_structured(tok.encode("data"), 64,
+                                  response_format=rf, temperature=0.8)
+    assert res.finished
+    doc = _json.loads(tok.decode(res.tokens[len(tok.encode("data")):]))
+    assert list(doc) == ["n", "ok"]
+    assert isinstance(doc["n"], int) and isinstance(doc["ok"], bool)
+
+
+def test_scheduler_rejects_bad_schema(tok_engine):
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    eng, tok, cfg, params = tok_engine
+    sched = ContinuousBatchingScheduler(params, cfg,
+                                        ti.InferenceConfig(max_seq_len=64),
+                                        batch_slots=2, tokenizer=tok)
+    with pytest.raises(ValueError):
+        sched.submit([1, 2], 8, response_format={
+            "type": "json_schema",
+            "json_schema": {"schema": {"$ref": "#/nope"}}})

@@ -614,18 +614,28 @@ class InferenceEngine:
 
     def generate_structured(self, input_tokens: Sequence[int],
                             max_new_tokens: int = 256, *,
-                            response_format: str = "json_object",
+                            response_format="json_object",
                             temperature: Optional[float] = None,
                             token_filter=None) -> GenerationResult:
         """Grammar-constrained generation: every emitted token must be a
         legal continuation of the active grammar, so the output is
         guaranteed to parse. response_format="json_object" constrains to
-        a single top-level JSON object (OpenAI semantics); pass a custom
+        a single top-level JSON object (OpenAI semantics);
+        {"type": "json_schema", "json_schema": {"schema": {...}}}
+        constrains to a compiled JSON Schema (structured/schema_fsm.py:
+        object types + required keys, enums, bounded arrays,
+        string/number/integer/boolean/null); pass a custom
         `token_filter` (see structured/filter.py) for other grammars.
 
-        Runs the host decode loop — the grammar state machine needs the
-        logits each step, so the fused scan doesn't apply. No reference
-        analog (it has no constrained decoding).
+        PERFORMANCE WARNING: this standalone API runs a HOST decode
+        loop — one device round trip per token (~30-45 ms each through
+        a tunnel-attached chip), roughly 100x slower than generate()'s
+        fused scan. For serving-speed constrained decoding use the
+        continuous-batching scheduler's response_format instead: it
+        applies the same grammars as on-device per-slot logit masks
+        with no extra dispatches (scheduler.py::_struct_after_token).
+
+        No reference analog (it has no constrained decoding).
         """
         self._validate(input_tokens)
         if token_filter is None:
@@ -634,9 +644,22 @@ class InferenceEngine:
                                    "tokenizer (or an explicit "
                                    "token_filter)")
             from turboinfer_tpu.structured import JsonTokenFilter
+            fsm = None
+            if isinstance(response_format, dict):
+                from turboinfer_tpu.engine.scheduler import \
+                    _normalize_response_format
+                rf = _normalize_response_format(response_format)
+                if isinstance(rf, tuple):
+                    import json as _json
+
+                    from turboinfer_tpu.structured.schema_fsm import \
+                        SchemaFSM
+                    fsm = SchemaFSM(_json.loads(rf[1]))
+                response_format = rf
             token_filter = JsonTokenFilter(
                 self.tokenizer,
-                require_object=(response_format == "json_object"))
+                require_object=(response_format == "json_object"),
+                fsm=fsm)
         temp = (self.config.temperature if temperature is None
                 else temperature)
         t0 = time.perf_counter()

@@ -53,9 +53,40 @@ class _Request:
     presence_penalty: Optional[float] = None
     frequency_penalty: Optional[float] = None
     logit_bias: Optional[Dict[int, float]] = None
-    # constrained decoding: "json" | "json_object" | None
-    response_format: Optional[str] = None
+    # constrained decoding: "json" | "json_object" |
+    # ("schema", <canonical schema json>) | None
+    response_format: object = None
     struct_state: object = None          # live grammar state (FSM)
+
+
+def _normalize_response_format(rf):
+    """Accepts the API surface forms and returns a hashable normal
+    form: None | "json" | "json_object" | ("schema", canonical-json).
+    Raises ValueError for anything else (schema compile errors surface
+    at submit time, not mid-decode)."""
+    if rf in (None, "json", "json_object"):
+        return rf
+    if isinstance(rf, dict):
+        t = rf.get("type")
+        if t in ("json", "json_object"):
+            return t
+        if t == "json_schema":
+            import json as _json
+            js = rf.get("json_schema") or {}
+            schema = js.get("schema") if isinstance(js, dict) else None
+            if schema is None and isinstance(rf.get("schema"), dict):
+                schema = rf["schema"]
+            if not isinstance(schema, dict):
+                raise ValueError(
+                    "response_format json_schema needs "
+                    "{'type':'json_schema','json_schema':{'schema': {...}}}")
+            from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+            SchemaFSM(schema)          # validate/compile now; raises
+            # NOTE: no sort_keys — property ORDER is semantic (emitted
+            # keys follow the schema's declaration order)
+            return ("schema", _json.dumps(schema,
+                                          separators=(",", ":")))
+    raise ValueError(f"unsupported response_format '{rf}'")
 
 
 class ContinuousBatchingScheduler:
@@ -410,9 +441,7 @@ class ContinuousBatchingScheduler:
                response_format: Optional[str] = None) -> int:
         if len(prompt) == 0:
             raise ValueError("prompt must be non-empty")
-        if response_format not in (None, "json", "json_object"):
-            raise ValueError(f"unsupported response_format "
-                             f"'{response_format}'")
+        response_format = _normalize_response_format(response_format)
         if response_format is not None and self.tokenizer is None:
             raise ValueError("response_format needs a scheduler tokenizer "
                              "(ContinuousBatchingScheduler(tokenizer=...))")
@@ -516,7 +545,7 @@ class ContinuousBatchingScheduler:
             # constrain the FIRST sampled token (prefill admission
             # samples it in the same jitted call) by the grammar's
             # initial state.
-            mk = self._masker(req.response_format == "json_object")
+            mk = self._masker(req.response_format)
             req.struct_state = mk.initial()
             bias = bias + mk.bias_row(req.struct_state,
                                       self.config.eos_token_id)
@@ -759,14 +788,24 @@ class ContinuousBatchingScheduler:
         self._adm = None
         self._activate_prefilled(group, slots, first, first_lp, dt_ms)
 
-    def _masker(self, require_object: bool):
-        m = self._maskers.get(require_object)
+    def _masker(self, rf):
+        """TokenMaskCache for a normalized response_format: "json" /
+        "json_object" use the generic JSON pushdown; ("schema", <json>)
+        compiles the schema to its own byte program (schema_fsm)."""
+        m = self._maskers.get(rf)
         if m is None:
             from turboinfer_tpu.structured import TokenMaskCache
+            fsm = None
+            if isinstance(rf, tuple):
+                import json as _json
+
+                from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+                fsm = SchemaFSM(_json.loads(rf[1]))
             m = TokenMaskCache(self.tokenizer,
-                               require_object=require_object,
-                               vocab_size=self.model_config.vocab_size)
-            self._maskers[require_object] = m
+                               require_object=(rf == "json_object"),
+                               vocab_size=self.model_config.vocab_size,
+                               fsm=fsm)
+            self._maskers[rf] = m
         return m
 
     def _struct_after_token(self, slot: int, req, tid: int) -> bool:
@@ -780,7 +819,7 @@ class ContinuousBatchingScheduler:
             return False
         if tid == self.config.eos_token_id:
             return False                  # the eos branch finishes it
-        mk = self._masker(req.response_format == "json_object")
+        mk = self._masker(req.response_format)
         nxt = mk.advance(req.struct_state, tid)
         if nxt is None:
             # unreachable: the mask only admits legal tokens; end the

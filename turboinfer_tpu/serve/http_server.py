@@ -190,13 +190,18 @@ class Handler(BaseHTTPRequestHandler):
                 return
         rf = body.get("response_format") or None
         if rf is not None:
-            rf = rf.get("type") if isinstance(rf, dict) else str(rf)
-            if rf in (None, "text"):
+            t = rf.get("type") if isinstance(rf, dict) else str(rf)
+            if t in (None, "text"):
                 rf = None
-            elif rf not in ("json", "json_object"):
-                self._error(400, f"unsupported response_format '{rf}'")
+            elif t in ("json", "json_object"):
+                rf = t
+            elif t == "json_schema":
+                pass                    # dict passes through; the
+                #                         scheduler compiles + validates
+            else:
+                self._error(400, f"unsupported response_format '{t}'")
                 return
-            elif self.engine.sched.tokenizer is None:
+            if rf is not None and self.engine.sched.tokenizer is None:
                 self._error(400, "response_format needs a tokenizer-"
                                  "backed server")
                 return

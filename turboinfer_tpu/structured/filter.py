@@ -79,9 +79,14 @@ class TokenMaskCache:
     """
 
     def __init__(self, tokenizer, require_object: bool = True,
-                 vocab_size: Optional[int] = None):
+                 vocab_size: Optional[int] = None, fsm=None):
+        """fsm: optional grammar object with initial()/advance(state,
+        byte)/done(state)/mask_key(state) — e.g. a compiled
+        schema_fsm.SchemaFSM. Default: the generic JSON pushdown
+        (json_fsm) with its stack-compaction key."""
         self.table = token_bytes_table(tokenizer)
         self.require_object = require_object
+        self.fsm = fsm
         self.V = vocab_size if vocab_size is not None else len(self.table)
         # trie node: (children {byte: node}, token ids ending here)
         root: Tuple[Dict[int, tuple], List[int]] = ({}, [])
@@ -101,10 +106,24 @@ class TokenMaskCache:
         self._trans: Dict[Tuple[json_fsm.State, int], object] = {}
 
     def initial(self) -> json_fsm.State:
+        if self.fsm is not None:
+            return self.fsm.initial()
         return json_fsm.initial(self.require_object)
 
     def done(self, state: json_fsm.State) -> bool:
+        if self.fsm is not None:
+            return self.fsm.done(state)
         return json_fsm.done(state)
+
+    def _advance_bytes(self, state, bs: bytes):
+        if self.fsm is not None:
+            return self.fsm.advance_bytes(state, bs)
+        return json_fsm.advance_bytes(state, bs)
+
+    def _advance_byte(self, state, b: int):
+        if self.fsm is not None:
+            return self.fsm.advance(state, b)
+        return json_fsm.advance(state, b)
 
     def advance(self, state: json_fsm.State, tid: int):
         """state after emitting token `tid` (None = was illegal)."""
@@ -112,11 +131,13 @@ class TokenMaskCache:
         if key in self._trans:
             return self._trans[key]
         bs = self.table[tid] if tid < len(self.table) else None
-        nxt = json_fsm.advance_bytes(state, bs) if bs else None
+        nxt = self._advance_bytes(state, bs) if bs else None
         self._trans[key] = nxt
         return nxt
 
     def _key(self, state: json_fsm.State) -> tuple:
+        if self.fsm is not None:
+            return self.fsm.mask_key(state)
         mode, payload, stack = state
         S = self._S
         if len(stack) <= S:
@@ -143,7 +164,7 @@ class TokenMaskCache:
             for tid in ids:
                 m[tid] = True
             for b, child in children.items():
-                ns = json_fsm.advance(st, b)
+                ns = self._advance_byte(st, b)
                 if ns is not None:
                     stack.append((child, ns))
         self._masks[key] = m
@@ -155,7 +176,7 @@ class TokenMaskCache:
         elsewhere. At DONE only EOS stays legal (generation must stop);
         if NO token is legal (unreachable for sane vocabs) EOS is
         allowed so the request can end instead of wedging."""
-        if json_fsm.done(state):
+        if self.done(state):
             m = np.zeros((self.V,), bool)
         else:
             m = self.mask(state)
@@ -166,22 +187,29 @@ class TokenMaskCache:
 
 
 class JsonTokenFilter:
-    """Stateful per-request JSON constraint."""
+    """Stateful per-request grammar constraint (generic JSON pushdown
+    by default; pass `fsm` — e.g. a compiled schema_fsm.SchemaFSM —
+    for schema-directed output)."""
 
     def __init__(self, tokenizer, require_object: bool = True,
-                 max_candidates: int = 512):
+                 max_candidates: int = 512, fsm=None):
         self.table = token_bytes_table(tokenizer)
         self.require_object = require_object
         self.max_candidates = max_candidates
-        self.state = json_fsm.initial(require_object)
+        self.fsm = fsm
+        self.state = (fsm.initial() if fsm is not None
+                      else json_fsm.initial(require_object))
         # (state, token id) -> next state (None = illegal)
         self._trans: Dict[Tuple[json_fsm.State, int], object] = {}
 
     def reset(self):
-        self.state = json_fsm.initial(self.require_object)
+        self.state = (self.fsm.initial() if self.fsm is not None
+                      else json_fsm.initial(self.require_object))
 
     @property
     def done(self) -> bool:
+        if self.fsm is not None:
+            return self.fsm.done(self.state)
         return json_fsm.done(self.state)
 
     def _next_state(self, tid: int):
@@ -189,7 +217,12 @@ class JsonTokenFilter:
         if key in self._trans:
             return self._trans[key]
         bs = self.table[tid] if tid < len(self.table) else None
-        nxt = json_fsm.advance_bytes(self.state, bs) if bs else None
+        if bs is None:
+            nxt = None
+        elif self.fsm is not None:
+            nxt = self.fsm.advance_bytes(self.state, bs)
+        else:
+            nxt = json_fsm.advance_bytes(self.state, bs)
         self._trans[key] = nxt
         return nxt
 
