@@ -78,11 +78,37 @@ def main():
     ap.add_argument("--kv", default="model",
                     choices=["model", "bf16", "fp8", "int8"],
                     help="KV cache storage dtype")
+    ap.add_argument("--spec-layers", type=int, default=0,
+                    help="speculative decoding with a synthetic draft "
+                         "model of this many layers (0 = off)")
+    ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--greedy", action="store_true",
+                    help="temperature 0 (speculative acceptance is "
+                         "highest for greedy)")
     args = ap.parse_args()
 
     params, cfg, icfg = build(args)
+    if args.greedy:
+        import dataclasses
+        icfg = dataclasses.replace(icfg, temperature=0.0)
     from turboinfer_tpu.engine.scheduler import (
         ContinuousBatchingScheduler, PagedContinuousScheduler)
+    spec_kw = {}
+    if args.spec_layers > 0:
+        # draft = the TARGET truncated to its first N layers (early-exit
+        # style, shares embed/head). On synthetic weights this gives a
+        # nonzero, shape-realistic acceptance rate — an independent
+        # random draft would accept ~nothing and measure only overhead.
+        import dataclasses
+
+        import jax
+        dl = args.spec_layers
+        dcfg = dataclasses.replace(cfg, num_layers=dl, name="draft")
+        dparams = dict(params)
+        dparams["layers"] = jax.tree_util.tree_map(
+            lambda w: w[:dl], params["layers"])
+        spec_kw = dict(draft_params=dparams, draft_config=dcfg,
+                       spec_k=args.spec_k)
 
     def make():
         if args.paged:
@@ -92,7 +118,8 @@ def main():
                                             decode_burst=args.burst)
         return ContinuousBatchingScheduler(params, cfg, icfg,
                                            batch_slots=args.slots,
-                                           decode_burst=args.burst)
+                                           decode_burst=args.burst,
+                                           **spec_kw)
 
     sched = make()
     rng = np.random.default_rng(0)
@@ -155,7 +182,9 @@ def main():
     gen_tokens = sum(gen.values())
     lats = [done_at[r] - arrive[r] for r in done_at]
     ttfts = [ttft[r] for r in done_at]
-    mode = "paged" if args.paged else f"burst={args.burst}"
+    mode = "paged" if args.paged else (
+        f"spec_k={args.spec_k}(draft={args.spec_layers}L)"
+        if args.spec_layers else f"burst={args.burst}")
     print(f"{args.model}-int{args.bits} slots={args.slots} {mode} "
           f"rate={args.rate}/s requests={len(done_at)}/{args.requests}")
     print(f"wall {total:.2f}s  generated {gen_tokens} tok  "

@@ -23,6 +23,8 @@ eng.generate_beam_search([1, 5, 9], N, beam_size=BEAMS)
 print(f"wall {(time.perf_counter()-t0)*1e3:.1f} ms for {N} steps",
       flush=True)
 
+import shutil
+shutil.rmtree("/tmp/trace_beam", ignore_errors=True)
 jax.profiler.start_trace("/tmp/trace_beam")
 eng.generate_beam_search([1, 5, 9], N, beam_size=BEAMS)
 jax.profiler.stop_trace()

@@ -42,6 +42,8 @@ tok, cache = steps(params, tok, cache, n=8)
 _ = int(np.asarray(tok).sum())
 ms = (time.perf_counter()-t0)/8*1e3
 print(f"{ms:.2f} ms/step  {B/ms*1000:.1f} tok/s", flush=True)
+import shutil
+shutil.rmtree("/tmp/trace_b1", ignore_errors=True)
 jax.profiler.start_trace("/tmp/trace_b1")
 tok, cache = steps(params, tok, cache, n=8)
 _ = int(np.asarray(tok).sum())

@@ -21,8 +21,15 @@ cfg = llama7b_config(dtype=jnp.bfloat16, max_seq_len=max(1024, S))
 data = create_synthetic_quantized_model(cfg, bits=BITS, group_size=GS)
 params = dispatch.prepare_params(data.params); del data
 
+LAST = os.environ.get("TURBOINFER_PROF_LASTONLY", "0") == "1"
+
 @jax.jit
 def prefill(params, tokens, cache):
+    if LAST:   # engine-style last-position-only head
+        idx = jnp.full((tokens.shape[0],), tokens.shape[1] - 1, jnp.int32)
+        logits, cache = llama.forward(params, cfg, tokens, cache,
+                                      logit_idx=idx)
+        return logits[:, 0], cache
     logits, cache = llama.forward(params, cfg, tokens, cache)
     return logits[:, -1], cache
 
@@ -31,6 +38,8 @@ cache = llama.init_cache(cfg, B, max_seq=max(1024, S),
                          dtype=kv_dtype)
 r, _ = prefill(params, tokens, cache); np.asarray(r)
 print("warm", flush=True)
+import shutil
+shutil.rmtree("/tmp/trace_prefill", ignore_errors=True)
 jax.profiler.start_trace("/tmp/trace_prefill")
 for _ in range(REPS):
     r, _ = prefill(params, tokens, cache)

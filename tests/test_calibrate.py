@@ -80,6 +80,7 @@ def test_collect_moments_rejects_quantized_params(tiny_params, tiny_cfg):
         calibrate.collect_moments(q, tiny_cfg, [[1, 2, 3]])
 
 
+@pytest.mark.slow
 def test_calibrated_quantize_params_end_to_end(tiny_params, tiny_cfg):
     """Full pipeline: calibrate -> quantize -> model still accurate,
     and no worse than uncalibrated on the calibration distribution."""

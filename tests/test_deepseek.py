@@ -105,6 +105,7 @@ def test_continuous_scheduler_serves(ds_params, ds_cfg):
     assert [1, 5, 9, 20] + sched.get_request(rid).out_tokens == list(want)
 
 
+@pytest.mark.slow
 def test_deepseek_quantization(ds_params, ds_cfg):
     """MLA + MoE quantization: attention/lora/shared stacks and the
     4-D expert stacks quantize (router and wkv_b stay fp — einsum'd /
@@ -173,6 +174,7 @@ def test_deepseek_tp_sharding(ds_cfg, ds_params):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_deepseek_paged_decode_matches_contiguous(ds_cfg, ds_params):
     """Paged latent pools (block-table streaming) must reproduce the
     contiguous compressed-cache logits trajectory."""
@@ -215,6 +217,7 @@ def test_deepseek_paged_decode_matches_contiguous(ds_cfg, ds_params):
                                       np.asarray(tok_c))
 
 
+@pytest.mark.slow
 def test_deepseek_paged_scheduler_serves(ds_cfg, ds_params):
     """DeepSeek under the paged continuous scheduler (incl. prefix
     caching machinery): greedy outputs equal the plain engine's."""
@@ -232,6 +235,7 @@ def test_deepseek_paged_scheduler_serves(ds_cfg, ds_params):
     assert [1, 5, 9, 20] + req.out_tokens == list(want)
 
 
+@pytest.mark.slow
 def test_synthetic_quantized_deepseek_fixture():
     """The packed perf-fixture factory produces a runnable quantized
     DeepSeek (engine decodes; expert stacks are 4-D QTensors)."""
@@ -255,6 +259,7 @@ def test_synthetic_quantized_deepseek_fixture():
     assert len(eng.generate([1, 5], 4, temperature=0.0).tokens) == 6
 
 
+@pytest.mark.slow
 def test_int8_latent_cache_close_to_f32(ds_params, ds_cfg):
     """int8 MLA latent cache: prefill+decode over int8-stored c_kv/k_pe
     (per-token absmax scales in KVCache.k_scale/v_scale [L,B,1,T]) must
@@ -318,6 +323,7 @@ def test_int8_latent_paged_scheduler_serves(ds_cfg, ds_params):
     assert [1, 5, 9, 20] + req.out_tokens == list(want)
 
 
+@pytest.mark.slow
 def test_int8_latent_prefix_cache_consistent(ds_cfg, ds_params):
     """int8 MLA page pool + automatic prefix caching: a repeat of the
     same prompt is served from prefix-cached latent pages (their scale
@@ -338,6 +344,7 @@ def test_int8_latent_prefix_cache_consistent(ds_cfg, ds_params):
     assert t1 == t2
 
 
+@pytest.mark.slow
 def test_mesh_engine_deepseek_matches_unsharded(ds_cfg, ds_params):
     """Mesh-parallel InferenceEngine serving DeepSeek: MLA-head-sharded
     weights (deepseek_param_specs) + the latent cache replicated over tp
@@ -365,6 +372,7 @@ def test_mesh_engine_deepseek_matches_unsharded(ds_cfg, ds_params):
     assert eng8.generate([1, 5, 9, 20], 8, temperature=0.0).tokens == want8
 
 
+@pytest.mark.slow
 def test_mesh_scheduler_deepseek_matches_unsharded(ds_cfg, ds_params):
     """Continuous batching over a TP mesh for DeepSeek (MLA-head-sharded
     weights, latent cache replicated over tp): greedy output equals the

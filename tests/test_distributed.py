@@ -29,6 +29,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_mesh_matches_single_process(tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__),

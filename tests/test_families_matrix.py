@@ -96,6 +96,7 @@ def test_structured_json(fam):
     assert len(res.tokens) > 2
 
 
+@pytest.mark.slow
 def test_int8_kv_supported_families_smoke(monkeypatch):
     """int8 KV across the uniform-cache families (llama-family, MoE,
     NeoX, GPT-2, GPT-OSS): greedy decode over an int8 cache runs and

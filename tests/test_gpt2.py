@@ -129,6 +129,7 @@ def test_gpt2_gguf_roundtrip(tmp_path, g2_params, g2_cfg):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_gpt2_quantization(g2_params, g2_cfg):
     """Architecture-aware quantizer handles gpt2 slots."""
     from turboinfer_tpu.config import QuantizationConfig, QuantType

@@ -143,6 +143,7 @@ def test_streaming_multi_chunk_matches_single(go_cfg, go_params):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gptoss_paged_decode_matches_contiguous(go_cfg, go_params):
     """Paged block-table decode with sinks + alternating windows must
     reproduce the contiguous-cache logits trajectory."""

@@ -422,6 +422,7 @@ def _deepseek_decode_check(config, params, tokens, want):
     _decode_check(config, params, tokens, want, mod=deepseek)
 
 
+@pytest.mark.slow
 def test_deepseek_v2_parity():
     """DeepSeek-V2: MLA with q-LoRA, softmax routing with group-limited
     greedy top-k, gateless shared experts, first dense layer."""
@@ -469,6 +470,7 @@ def test_deepseek_v2_lite_parity():
     _deepseek_decode_check(config, params, tokens, want)
 
 
+@pytest.mark.slow
 def test_deepseek_v3_parity():
     """DeepSeek-V3: sigmoid scores + e_score_correction_bias selection,
     top-2-sum group limiting (noaux_tc), normalized gates * scaling."""
@@ -582,6 +584,7 @@ def test_granite_parity():
     _decode_check(config, params, tokens, want)
 
 
+@pytest.mark.slow
 def test_deepseek_v3_yarn_parity():
     """Released DeepSeek checkpoints ship YaRN rope_scaling: NTK-by-
     parts freqs + attention-factor on cos/sin + mscale^2 on the softmax

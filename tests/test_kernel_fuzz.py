@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from turboinfer_tpu.config import QuantType
 from turboinfer_tpu.core.qtensor import QTensor, quantize
 from turboinfer_tpu.kernels import ops

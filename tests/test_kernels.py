@@ -616,6 +616,7 @@ class TestFusedDecodeAttention:
             jnp.ones((1,), jnp.int32), interpret=True) is None
 
 
+@pytest.mark.slow
 def test_fused_cache_layout_matches_head_major():
     """llama.forward over a fused-head cache must match the head-major
     cache bit-for-bit on CPU (prefill + decode through both layouts)."""
@@ -642,6 +643,7 @@ def test_fused_cache_layout_matches_head_major():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gpt2_fused_cache_matches_head_major():
     from turboinfer_tpu.config import ModelConfig
     from turboinfer_tpu.models import gpt2
@@ -666,6 +668,7 @@ def test_gpt2_fused_cache_matches_head_major():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_neox_fused_cache_matches_head_major():
     """Pythia-style partial rotary + parallel residual, and Falcon-style
     GQA, through both cache layouts; ALiBi configs must refuse to fuse."""
@@ -732,6 +735,7 @@ def test_fused_decode_with_sinks_matches_concat_softmax():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_moe_fused_cache_matches_head_major():
     from turboinfer_tpu.config import ModelConfig
     from turboinfer_tpu.models import moe
@@ -759,6 +763,7 @@ def test_moe_fused_cache_matches_head_major():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gptoss_fused_cache_matches_head_major():
     """GPT-OSS contiguous decode through the fused layout (sink-aware
     kernel + alternating windows) vs the head-major streaming path."""
@@ -818,6 +823,7 @@ def test_qmm_a8_prefill_path(monkeypatch):
     assert rel1 < 1e-2
 
 
+@pytest.mark.slow
 def test_gpt2_fused_fp8_cache_close_to_bf16():
     """gpt2/neox fused-cache writes must go through encode_kv: with an
     fp8 ("uint8 bits-at-rest") cache a raw float->uint8 astype would

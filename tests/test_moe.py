@@ -140,6 +140,7 @@ def test_moe_quantization_roundtrip_accuracy(moe_params, moe_cfg):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_qwen_moe_quantization(qwen_moe_cfg, qwen_moe_params):
     """Shared-expert stacks quantize too; engine still decodes."""
     from turboinfer_tpu.config import QuantizationConfig, QuantType
@@ -428,6 +429,7 @@ def test_qwen_moe_gguf_roundtrip(tmp_path, qwen_moe_cfg, qwen_moe_params):
             np.asarray(layers[slot], np.float32), err_msg=slot)
 
 
+@pytest.mark.slow
 def test_moe_paged_decode_matches_contiguous(moe_cfg, moe_params):
     """moe.forward_paged_decode (shared paged body + MoE FFN) must
     reproduce the contiguous-cache logits trajectory."""

@@ -147,6 +147,7 @@ def test_paged_pallas_kernel_matches_ref(cfg):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_forward_paged_decode_matches_contiguous(cfg):
     """Whole-model decode over the paged cache must produce the same
     logits trajectory as the contiguous-cache forward."""
@@ -354,6 +355,7 @@ def test_paged_pallas_kernel_window_softcap_matches_ref():
 
 
 @pytest.mark.parametrize("kind", ["mistral_window", "gemma2_pattern"])
+@pytest.mark.slow
 def test_forward_paged_decode_windowed_matches_contiguous(kind):
     """Windowed / softcapped / alternating-pattern models must produce
     the same logits trajectory over the paged cache as over the

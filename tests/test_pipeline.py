@@ -325,6 +325,7 @@ def _family_cfg_params(family):
 
 
 @pytest.mark.parametrize("family", ["gpt2", "neox", "gptoss", "deepseek"])
+@pytest.mark.slow
 def test_pipeline_family_prefill_and_decode(family):
     """Prefill + 3 greedy decode steps through the staged relay must
     match the family's single-device forward (gpt2: learned positions;
@@ -388,6 +389,7 @@ def test_pipeline_gpt2_microbatch_matches_single():
                                rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_deepseek_microbatch_matches_single():
     """Microbatched deepseek pipeline: the dense prelude runs replicated
     at inject ticks (every stage applies identical dense-cache updates),

@@ -141,6 +141,7 @@ def test_mse_scale_never_worse_than_absmax():
             assert em < ea * 0.95, (em, ea)
 
 
+@pytest.mark.slow
 def test_mse_scale_model_accuracy(tiny_params, tiny_cfg):
     """Whole-model check: int4 MSE scales give a logprob delta at least
     as good as absmax on the same prompts."""
@@ -187,6 +188,7 @@ def test_qembed_roundtrip_and_lookup():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_quantize_params_embeddings_not_skipped():
     """skip_embeddings=False quantizes lm_head group-wise and the embed
     table per-row int8 (reference quantizes every fp32 tensor,

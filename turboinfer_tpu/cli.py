@@ -119,6 +119,10 @@ def cmd_serve(args):
         draft = loader_mod.load_model_data(args.draft_model)
         kw.update(draft_params=draft.params, draft_config=draft.config,
                   spec_k=args.spec_k)
+    if args.pp_stages > 1 and args.tp > 1:
+        print("--pp-stages and --tp are mutually exclusive",
+              file=sys.stderr)
+        return 2
     if args.pp_stages > 1:
         if args.paged:
             print("--pp-stages is not supported with --paged",
@@ -135,6 +139,26 @@ def cmd_serve(args):
                                        axis_names=("pp", "tp"),
                                        devices=devs[:args.pp_stages]),
                   parallel="pp")
+    if args.tp > 1:
+        import jax
+        from turboinfer_tpu.models import registry
+        from turboinfer_tpu.parallel import mesh as pmesh, shardings
+        devs = jax.devices()
+        if len(devs) < args.tp:
+            print(f"--tp {args.tp} needs that many devices "
+                  f"(have {len(devs)})", file=sys.stderr)
+            return 2
+        fam = registry.get_model(
+            data.config.architecture).__name__.rsplit(".", 1)[-1]
+        # family-appropriate specs: MoE families shard EXPERTS over the
+        # axis (expert parallelism), deepseek shards MLA heads+experts,
+        # dense families use classic column/row TP.
+        specs = {"moe": shardings.moe_param_specs,
+                 "deepseek": shardings.deepseek_param_specs}.get(
+            fam, shardings.param_specs)()
+        kw.update(mesh=pmesh.make_mesh((1, args.tp),
+                                       devices=devs[:args.tp]),
+                  param_specs=specs)
     sched = cls(data.params, data.config, cfg,
                 tokenizer=data.tokenizer, **kw)
     beam_eng = None
@@ -316,6 +340,10 @@ def main(argv=None):
                    help="pipeline-parallel stages: layers (and the KV "
                         "cache) shard 1/N per device — serve models "
                         "bigger than one chip's HBM")
+    s.add_argument("--tp", type=int, default=1,
+                   help="tensor/expert-parallel serving over N devices "
+                        "(MoE families shard experts, deepseek shards "
+                        "MLA heads+experts, dense models column/row TP)")
     s.add_argument("--draft-model", default=None,
                    help="speculative decoding: small draft model file; "
                         "each scheduler step proposes --spec-k tokens "

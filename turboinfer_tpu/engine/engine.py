@@ -191,8 +191,10 @@ class InferenceEngine:
                 return _pl.pipeline_forward(params, cfg, tokens, cache,
                                             mesh=mesh, seq_lens=seq_lens)
             return fwd
-        return lambda params, tokens, cache, seq_lens=None: model.forward(
-            params, cfg, tokens, cache, seq_lens=seq_lens)
+        return (lambda params, tokens, cache, seq_lens=None,
+                logit_idx=None: model.forward(
+                    params, cfg, tokens, cache, seq_lens=seq_lens,
+                    logit_idx=logit_idx))
 
     # -- KV-cache buffer pool -------------------------------------------
 
@@ -272,13 +274,21 @@ class InferenceEngine:
     @functools.cached_property
     def _prefill_fn(self):
         fwd = self._fwd
+        # single-chip / TP forwards compute the head for ONLY the last
+        # valid position (skips S-1/S of the lm_head FLOPs + the
+        # [B, S, V] f32 materialization); pp/cp relays return full
+        # logits and gather here.
+        last_only = self.parallel == "tp"
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def prefill(params, tokens, seq_lens, cache):
+            idx = jnp.maximum(seq_lens - 1, 0)
+            if last_only:
+                logits, cache = fwd(params, tokens, cache,
+                                    seq_lens=seq_lens, logit_idx=idx)
+                return logits[:, 0], cache
             logits, cache = fwd(params, tokens, cache,
                                 seq_lens=seq_lens)
-            # Last valid logit per sequence.
-            idx = jnp.maximum(seq_lens - 1, 0)
             last = jnp.take_along_axis(
                 logits, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
             return last, cache

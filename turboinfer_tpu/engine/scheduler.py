@@ -285,8 +285,10 @@ class ContinuousBatchingScheduler:
                 return _pl.pipeline_forward(params, cfg, tokens, cache,
                                             mesh=mesh, seq_lens=seq_lens)
             return fwd
-        return lambda params, tokens, cache, seq_lens=None: model.forward(
-            params, cfg, tokens, cache, seq_lens=seq_lens)
+        return (lambda params, tokens, cache, seq_lens=None,
+                logit_idx=None: model.forward(
+                    params, cfg, tokens, cache, seq_lens=seq_lens,
+                    logit_idx=logit_idx))
 
     @functools.cached_property
     def _decode_fn(self):
@@ -391,6 +393,8 @@ class ContinuousBatchingScheduler:
             return KVCache(k=kc, v=vc, length=length,
                            k_scale=ksc, v_scale=vsc)
 
+        last_only = self.parallel == "tp"
+
         @functools.partial(jax.jit,
                            donate_argnums=(4, 5) if spec else (4,))
         def prefill(params, tokens, seq_lens, slots, cache, dcache,
@@ -400,11 +404,19 @@ class ContinuousBatchingScheduler:
             small = model.init_cache(cfg, m, max_seq=self.T,
                                      dtype=self._kv_dtype,
                                      fused=fused)
-            logits, small = fwd(params, tokens, small, seq_lens=seq_lens)
             idx = jnp.maximum(seq_lens - 1, 0)
-            last = jnp.take_along_axis(
-                logits, idx[:, None, None].astype(jnp.int32),
-                axis=1)[:, 0] + bias_rows                        # [m, V]
+            if last_only:
+                # head computed for ONLY the last valid position (skips
+                # S-1/S of the lm_head FLOPs; see llama.forward)
+                logits, small = fwd(params, tokens, small,
+                                    seq_lens=seq_lens, logit_idx=idx)
+                last = logits[:, 0] + bias_rows                  # [m, V]
+            else:
+                logits, small = fwd(params, tokens, small,
+                                    seq_lens=seq_lens)
+                last = jnp.take_along_axis(
+                    logits, idx[:, None, None].astype(jnp.int32),
+                    axis=1)[:, 0] + bias_rows                    # [m, V]
             minp, rep, pres, freq = pen
             first = sampling.sample_per_slot(
                 rng, last, t, k, p, min_p=minp,
@@ -417,8 +429,11 @@ class ContinuousBatchingScheduler:
                 dsmall = dmodel.init_cache(dcfg, m, max_seq=self.T,
                                            dtype=self._dkv_dtype,
                                            fused=self.dcache.fused_layout)
+                # draft prefill logits are discarded — one position's
+                # head is enough
                 _, dsmall = dmodel.forward(params_d, dcfg, tokens,
-                                           dsmall, seq_lens=seq_lens)
+                                           dsmall, seq_lens=seq_lens,
+                                           logit_idx=idx)
                 dcache = scatter(dcache, dsmall, slots, seq_lens)
             return first, first_lp, cache, dcache
         return prefill
@@ -698,15 +713,21 @@ class ContinuousBatchingScheduler:
         prefill cache at the current fill and capture last-token logits
         for rows whose prompt ends inside this chunk."""
         fwd = self._fwd
+        last_only = self.parallel == "tp"
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def chunk_fwd(params, chunk, chunk_lens, small, sel, out_logits):
-            logits, small = fwd(params, chunk, small,
-                                seq_lens=chunk_lens)
             idx = jnp.maximum(chunk_lens - 1, 0)
-            last = jnp.take_along_axis(
-                logits, idx[:, None, None].astype(jnp.int32),
-                axis=1)[:, 0]
+            if last_only:
+                logits, small = fwd(params, chunk, small,
+                                    seq_lens=chunk_lens, logit_idx=idx)
+                last = logits[:, 0]
+            else:
+                logits, small = fwd(params, chunk, small,
+                                    seq_lens=chunk_lens)
+                last = jnp.take_along_axis(
+                    logits, idx[:, None, None].astype(jnp.int32),
+                    axis=1)[:, 0]
             out_logits = jnp.where(sel[:, None],
                                    last.astype(jnp.float32), out_logits)
             return small, out_logits

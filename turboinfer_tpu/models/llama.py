@@ -516,7 +516,8 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
 
 def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             cache: KVCache, *, positions: Optional[jax.Array] = None,
-            seq_lens: Optional[jax.Array] = None
+            seq_lens: Optional[jax.Array] = None,
+            logit_idx: Optional[jax.Array] = None
             ) -> Tuple[jax.Array, KVCache]:
     """Forward pass over `tokens` [B, S] appending to `cache`.
 
@@ -526,6 +527,9 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
 
     positions: [B, S] absolute positions; default start + arange(S).
     seq_lens: [B] number of NEW valid tokens per sequence (<= S); default S.
+    logit_idx: [B] optional per-sequence position — compute the head for
+    ONLY that position (returns logits [B, 1, V]); skips S-1/S of the
+    lm_head FLOPs in prefill.
     Returns (logits [B, S, V] fp32, cache').
     """
     B, S = tokens.shape
@@ -611,6 +615,12 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
         unroll=layer_unroll(config.num_layers))
     k_new, v_new = cache_from_bits(k_new, v_new, was_fp8)
 
+    if logit_idx is not None:
+        # last-token-only head: prefill callers that need just the
+        # sampling logits skip the [B, S, V] full-vocab matmul (S x the
+        # needed FLOPs and a ~65 MB f32 materialization at 7B S=512)
+        x = jnp.take_along_axis(
+            x, logit_idx[:, None, None].astype(jnp.int32), axis=1)
     x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps,
                      1.0 if config.norm_offset else 0.0)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)

@@ -434,7 +434,8 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
 
 def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             cache: KVCache, *, positions: Optional[jax.Array] = None,
-            seq_lens: Optional[jax.Array] = None
+            seq_lens: Optional[jax.Array] = None,
+            logit_idx: Optional[jax.Array] = None
             ) -> Tuple[jax.Array, KVCache]:
     """Same contract as llama.forward."""
     B, S = tokens.shape
@@ -496,6 +497,10 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
         jnp.arange(config.num_layers, dtype=jnp.int32))
     k_new, v_new = cache_from_bits(k_new, v_new, was_fp8)
 
+    if logit_idx is not None:
+        # last-token-only head (see llama.forward)
+        x = jnp.take_along_axis(
+            x, logit_idx[:, None, None].astype(jnp.int32), axis=1)
     x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
     return logits.astype(jnp.float32), KVCache(k=k_new, v=v_new,

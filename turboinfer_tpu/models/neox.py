@@ -249,7 +249,8 @@ def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
 
 def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             cache: KVCache, *, positions: Optional[jax.Array] = None,
-            seq_lens: Optional[jax.Array] = None
+            seq_lens: Optional[jax.Array] = None,
+            logit_idx: Optional[jax.Array] = None
             ) -> Tuple[jax.Array, KVCache]:
     """Same contract as llama.forward."""
     B, S = tokens.shape
@@ -306,6 +307,10 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
         body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
         jnp.arange(config.num_layers, dtype=jnp.int32))
 
+    if logit_idx is not None:
+        # last-token-only head (see llama.forward)
+        x = jnp.take_along_axis(
+            x, logit_idx[:, None, None].astype(jnp.int32), axis=1)
     x = ops.layer_norm(x, params["final_norm_w"], params["final_norm_b"],
                        config.rms_norm_eps)
     logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
