@@ -189,6 +189,10 @@ def main():
           f"rate={args.rate}/s requests={len(done_at)}/{args.requests}")
     print(f"wall {total:.2f}s  generated {gen_tokens} tok  "
           f"throughput {gen_tokens / total:.1f} tok/s")
+    if getattr(sched, "spec_proposed", 0):
+        print(f"spec acceptance {sched.spec_accepted}/"
+              f"{sched.spec_proposed} = "
+              f"{sched.spec_accepted / sched.spec_proposed:.2f}")
     print(f"TTFT s   p50 {pct(ttfts, 0.5):.3f}  p99 {pct(ttfts, 0.99):.3f}")
     print(f"latency s p50 {pct(lats, 0.5):.3f}  p99 {pct(lats, 0.99):.3f}")
 

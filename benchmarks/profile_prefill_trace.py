@@ -22,13 +22,14 @@ data = create_synthetic_quantized_model(cfg, bits=BITS, group_size=GS)
 params = dispatch.prepare_params(data.params); del data
 
 LAST = os.environ.get("TURBOINFER_PROF_LASTONLY", "0") == "1"
+FRESH = os.environ.get("TURBOINFER_PROF_FRESH", "0") == "1"
 
 @jax.jit
 def prefill(params, tokens, cache):
-    if LAST:   # engine-style last-position-only head
+    if LAST:   # engine-style last-position-only head (+ cold prefill)
         idx = jnp.full((tokens.shape[0],), tokens.shape[1] - 1, jnp.int32)
         logits, cache = llama.forward(params, cfg, tokens, cache,
-                                      logit_idx=idx)
+                                      logit_idx=idx, fresh_prefill=FRESH)
         return logits[:, 0], cache
     logits, cache = llama.forward(params, cfg, tokens, cache)
     return logits[:, -1], cache

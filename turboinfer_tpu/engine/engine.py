@@ -192,9 +192,9 @@ class InferenceEngine:
                                             mesh=mesh, seq_lens=seq_lens)
             return fwd
         return (lambda params, tokens, cache, seq_lens=None,
-                logit_idx=None: model.forward(
+                logit_idx=None, **kw: model.forward(
                     params, cfg, tokens, cache, seq_lens=seq_lens,
-                    logit_idx=logit_idx))
+                    logit_idx=logit_idx, **kw))
 
     # -- KV-cache buffer pool -------------------------------------------
 
@@ -271,28 +271,46 @@ class InferenceEngine:
 
     # -- jitted programs ----------------------------------------------------
 
-    @functools.cached_property
-    def _prefill_fn(self):
+    def _prefill_program(self, fresh: bool):
+        """Jitted prefill. fresh=True (non-chunked path): the model may
+        assume cache.length == 0 — llama-family attention then reads
+        the just-computed K/V directly and the cache writes overlap
+        with compute (SUPPORTS_FRESH_PREFILL). Chunked prefill uses the
+        fresh=False program."""
+        key = ("prefill", fresh)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
         fwd = self._fwd
         # single-chip / TP forwards compute the head for ONLY the last
         # valid position (skips S-1/S of the lm_head FLOPs + the
         # [B, S, V] f32 materialization); pp/cp relays return full
         # logits and gather here.
         last_only = self.parallel == "tp"
+        kw = ({"fresh_prefill": True}
+              if fresh and last_only and getattr(
+                  self._model, "SUPPORTS_FRESH_PREFILL", False) else {})
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def prefill(params, tokens, seq_lens, cache):
             idx = jnp.maximum(seq_lens - 1, 0)
             if last_only:
                 logits, cache = fwd(params, tokens, cache,
-                                    seq_lens=seq_lens, logit_idx=idx)
+                                    seq_lens=seq_lens, logit_idx=idx,
+                                    **kw)
                 return logits[:, 0], cache
             logits, cache = fwd(params, tokens, cache,
                                 seq_lens=seq_lens)
             last = jnp.take_along_axis(
                 logits, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
             return last, cache
+        self._jit_cache[key] = prefill
         return prefill
+
+    @property
+    def _prefill_fn(self):
+        # chunk-safe program (callers that guarantee a cold cache use
+        # _prefill_program(True) via _run_prefill)
+        return self._prefill_program(False)
 
     @functools.cached_property
     def _decode_step_fn(self):
@@ -390,7 +408,9 @@ class InferenceEngine:
         if C <= 0 or S <= C or self.parallel == "cp":
             # cp: the ring prefill is one shot over the whole (sharded)
             # prompt — chunking would re-enter it with a filled cache.
-            return self._prefill_fn(self.params, tokens, seq_lens, cache)
+            # Non-chunked = cold cache: use the fresh-prefill program.
+            return self._prefill_program(True)(self.params, tokens,
+                                               seq_lens, cache)
         lens_np = np.asarray(seq_lens)
         last = None
         last_sel = np.zeros((B,), bool)

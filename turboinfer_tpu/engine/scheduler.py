@@ -237,6 +237,9 @@ class ContinuousBatchingScheduler:
         # -- speculative decoding state --------------------------------
         self.spec_k = int(spec_k)
         self._dmodel = None
+        # speculative observability: drafts proposed/accepted so far
+        self.spec_proposed = 0
+        self.spec_accepted = 0
         # host-side per-slot flag: slot's sampling uses only
         # temperature/top-k/top-p (the spec round covers those)
         self._slot_plain = [True] * self.B
@@ -286,9 +289,9 @@ class ContinuousBatchingScheduler:
                                             mesh=mesh, seq_lens=seq_lens)
             return fwd
         return (lambda params, tokens, cache, seq_lens=None,
-                logit_idx=None: model.forward(
+                logit_idx=None, **kw: model.forward(
                     params, cfg, tokens, cache, seq_lens=seq_lens,
-                    logit_idx=logit_idx))
+                    logit_idx=logit_idx, **kw))
 
     @functools.cached_property
     def _decode_fn(self):
@@ -407,9 +410,13 @@ class ContinuousBatchingScheduler:
             idx = jnp.maximum(seq_lens - 1, 0)
             if last_only:
                 # head computed for ONLY the last valid position (skips
-                # S-1/S of the lm_head FLOPs; see llama.forward)
+                # S-1/S of the lm_head FLOPs; see llama.forward); the
+                # small cache is brand-new => cold-prefill fast path
+                fkw = ({"fresh_prefill": True} if getattr(
+                    model, "SUPPORTS_FRESH_PREFILL", False) else {})
                 logits, small = fwd(params, tokens, small,
-                                    seq_lens=seq_lens, logit_idx=idx)
+                                    seq_lens=seq_lens, logit_idx=idx,
+                                    **fkw)
                 last = logits[:, 0] + bias_rows                  # [m, V]
             else:
                 logits, small = fwd(params, tokens, small,
@@ -1031,6 +1038,10 @@ class ContinuousBatchingScheduler:
         out_np, lps_np, n_np = (
             np.asarray(a) for a in jax.device_get(
                 self._host_view((out, lps, n_emit))))
+        live = len(self._active)
+        self.spec_proposed += self.spec_k * live
+        self.spec_accepted += int(
+            sum(max(int(n_np[s]) - 1, 0) for s in self._active))
         for slot in list(self._active):
             req = self._active[slot]
             for i in range(int(n_np[slot])):

@@ -64,6 +64,10 @@ from turboinfer_tpu.models.common import init_cache as _common_init_cache
 # scan; other family modules raise via the engine gate until they do.
 SUPPORTS_INT8_KV = True
 
+# forward(fresh_prefill=True): attention reads the just-computed K/V
+# directly on a cold prefill — engines opt in (see forward docstring).
+SUPPORTS_FRESH_PREFILL = True
+
 
 def init_cache(config, batch_size: int, max_seq=None, dtype=None,
                fused=False):
@@ -238,7 +242,8 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
                    v_cache: jax.Array, start: jax.Array, kv_len: jax.Array,
                    contiguous: bool = True, layer_index=None,
                    global_layer_index=None, fused_cache: bool = False,
-                   k_scale=None, v_scale=None
+                   k_scale=None, v_scale=None,
+                   fresh_prefill: bool = False
                    ) -> Tuple[jax.Array, ...]:
     """One decoder block (reference: TransformerLayer::forward,
     inference_engine.cpp:203-233 — RMSNorm → attn → residual → RMSNorm →
@@ -407,7 +412,27 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
             # pattern and runs at ~68 GB/s (measured ~117 us/layer at
             # S=512); materialized first, the write is contiguous.
             newk, newv = jax.lax.optimization_barrier((newk, newv))
-        for b in range(B):
+        import os as _os
+        skip_writes = (fresh_prefill and S > 1 and ks is None
+                       and _os.environ.get(
+                           "TURBOINFER_PREFILL_SKIP_WRITES") == "1")
+        # ^ MEASUREMENT ONLY: quantifies the cache-write cost (leaves
+        # the cache stale — decode after it would be wrong).
+        if (fresh_prefill and S > 1 and ks is None and not skip_writes
+                and _os.environ.get("TURBOINFER_PREFILL_WRITER") != "0"):
+            # Fresh prefill: write the slab with the aliased Pallas
+            # writer — XLA's scanned DUS measured ~10x the raw byte
+            # cost here (kernels/pallas/cache_write.py).
+            from turboinfer_tpu.kernels.dispatch import pallas_enabled
+            if pallas_enabled():
+                from turboinfer_tpu.kernels.pallas.cache_write import \
+                    cache_write_fresh
+                kc2 = cache_write_fresh(k_cache, newk, li)
+                if kc2 is not None:
+                    k_cache = kc2
+                    v_cache = cache_write_fresh(v_cache, newv, li)
+                    skip_writes = True          # writer replaced the DUS
+        for b in range(B) if not skip_writes else ():
             idx = (li, b, 0, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, newk[b][None, None], idx)
@@ -432,6 +457,23 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
             else:
                 attn = dec(config.sliding_window)()
             attn = attn[:, None]                                 # [B,1,Hq,D]
+        elif fresh_prefill and ks is None:
+            # Cold prefill (caller guarantees cache.length == 0, fp
+            # cache): attend the just-computed K/V DIRECTLY — the cache
+            # writes above leave the critical path (XLA overlaps them
+            # with attention/FFN; they only matter for later decode),
+            # and the kernel streams a contiguous [B, Hkv, S, D] block
+            # instead of masked tiles of the [L, ..., Tmax, D] stack.
+            def pre(window):
+                return lambda: ops.attention_prefill(
+                    q, newk, newv, causal=True, positions=positions,
+                    kv_len=kv_len, q_start=start if contiguous else None,
+                    window=window, softcap=cap)
+            if alternating:
+                attn = jax.lax.cond(is_global, pre(None),
+                                    pre(config.sliding_window))
+            else:
+                attn = pre(config.sliding_window)()
         else:
             def pre(window):
                 return lambda: ops.attention_prefill(
@@ -517,7 +559,8 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
 def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             cache: KVCache, *, positions: Optional[jax.Array] = None,
             seq_lens: Optional[jax.Array] = None,
-            logit_idx: Optional[jax.Array] = None
+            logit_idx: Optional[jax.Array] = None,
+            fresh_prefill: bool = False
             ) -> Tuple[jax.Array, KVCache]:
     """Forward pass over `tokens` [B, S] appending to `cache`.
 
@@ -530,6 +573,11 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
     logit_idx: [B] optional per-sequence position — compute the head for
     ONLY that position (returns logits [B, 1, V]); skips S-1/S of the
     lm_head FLOPs in prefill.
+    fresh_prefill: caller GUARANTEES cache.length == 0 (cold prefill of
+    a whole prompt) — head-major fp prefills then attend the
+    just-computed K/V directly, so the cache writes overlap with
+    compute instead of gating the attention kernel (engines pass this;
+    chunked prefill must not).
     Returns (logits [B, S, V] fp32, cache').
     """
     B, S = tokens.shape
@@ -582,7 +630,8 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             out = _layer_forward(
                 config, x, layers, positions, k_full, v_full,
                 start, kv_len, contiguous=contiguous, layer_index=i,
-                fused_cache=fused, k_scale=ks, v_scale=vs)
+                fused_cache=fused, k_scale=ks, v_scale=vs,
+                fresh_prefill=fresh_prefill)
             x, k_full, v_full = out[:3]
             ks, vs = out[3:] if scaled else (ks, vs)
             return (x, k_full, v_full, ks, vs), None
