@@ -180,3 +180,49 @@ def test_cli_eval_perplexity(tmp_path, tiny_params, tiny_cfg, capsys):
     rep2 = _json.loads(capsys.readouterr().out.strip())
     assert rep2["scored"] == rep2["tokens"] - 1
     assert rep2["perplexity"] > 0
+
+
+def test_cli_serve_parallel_flags(tmp_path, tiny_params, tiny_cfg,
+                                  monkeypatch):
+    """serve --pp-stages / --tp / --draft-model wire the right scheduler
+    configuration (construction-level: serve_forever is stubbed)."""
+    import jax
+
+    from tests.test_loader import _export_tiny_gguf
+    from turboinfer_tpu import cli
+    src = _export_tiny_gguf(tmp_path, tiny_params, tiny_cfg, "gguf")
+
+    captured = {}
+
+    def fake_serve_forever(eng, host, port, verbose=False):
+        captured["sched"] = eng.sched
+        captured["beam"] = eng.beam_engine
+        eng.shutdown()
+
+    monkeypatch.setattr("turboinfer_tpu.serve.serve_forever",
+                        fake_serve_forever)
+
+    # pipeline-parallel serving (tiny has layers divisible by 2)
+    assert cli.main(["serve", src, "--pp-stages", "2", "--slots", "2",
+                     "--quiet"]) == 0
+    assert captured["sched"].parallel == "pp"
+    assert captured["sched"].mesh.shape["pp"] == 2
+    assert captured["beam"] is None          # mesh serving: no beam eng
+
+    # tensor/expert-parallel serving
+    assert cli.main(["serve", src, "--tp", "2", "--slots", "2",
+                     "--quiet"]) == 0
+    assert captured["sched"].parallel == "tp"
+    assert captured["sched"].mesh.shape["tp"] == 2
+
+    # speculative serving with a draft model file
+    draft = _export_tiny_gguf(tmp_path, tiny_params, tiny_cfg, "gguf2")
+    assert cli.main(["serve", src, "--draft-model", draft, "--spec-k",
+                     "2", "--slots", "2", "--quiet"]) == 0
+    assert captured["sched"]._dmodel is not None
+    assert captured["sched"].spec_k == 2
+    assert captured["beam"] is not None      # single-chip: beam engine
+
+    # mutually exclusive flags
+    assert cli.main(["serve", src, "--pp-stages", "2", "--tp", "2",
+                     "--quiet"]) == 2
