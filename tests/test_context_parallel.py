@@ -94,3 +94,17 @@ def test_cp_beam_raises_honestly(cp_setup):
     eng = ti.InferenceEngine(params, cfg, icfg, mesh=mesh, parallel="cp")
     with pytest.raises(NotImplementedError):
         eng.generate_beam_search(_prompt(20), 4, beam_size=2)
+
+
+def test_cp_quantized_weights(cp_setup):
+    """INT4 weights through the CP engine — the long-context serving
+    config (quantized 7B + sequence-sharded cache) in miniature."""
+    from turboinfer_tpu.config import QuantizationConfig, QuantType
+    from turboinfer_tpu.quant.quantizer import quantize_params
+    params, cfg, mesh, icfg = cp_setup
+    q = quantize_params(params, QuantizationConfig(type=QuantType.INT4,
+                                                   group_size=32))
+    want = ti.InferenceEngine(q, cfg, icfg).generate(
+        _prompt(30, seed=5), 10).tokens
+    eng = ti.InferenceEngine(q, cfg, icfg, mesh=mesh, parallel="cp")
+    assert eng.generate(_prompt(30, seed=5), 10).tokens == want

@@ -157,6 +157,11 @@ def test_cli_quantize_inspect_generate(tmp_path, tiny_params, tiny_cfg,
     assert "int8" in out
     assert cli.main(["generate", dst, "hello", "--max-tokens", "5",
                      "--greedy", "--quiet"]) == 0
+    # context-parallel generate (virtual devices; CP shards the prompt
+    # KV cache over 2)
+    assert cli.main(["generate", dst, "hello", "--max-tokens", "4",
+                     "--greedy", "--quiet",
+                     "--context-parallel", "2"]) == 0
 
 
 def test_cli_eval_perplexity(tmp_path, tiny_params, tiny_cfg, capsys):
