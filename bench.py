@@ -127,10 +127,14 @@ def main():
 
     # DEVICE rate alongside the wall-clock number: the wall e2e above is
     # tunnel-hostage (the dispatch RTT drifted 23 -> 75 ms within one
-    # day — CLAUDE.md; a 17% "regression" in r03 was pure RTT). Method =
-    # benchmarks/profile_decode_min.py: repeated-min timing of the SAME
-    # fused decode-scan program the engine runs, minus the repeated-min
-    # round-trip time of a trivial jitted call on the same link.
+    # day — CLAUDE.md; a 17% "regression" in r03 was pure RTT).
+    # Method: DIFFERENCE of pipelined chains. Dispatch enqueue is cheap
+    # and only the final sync pays the tunnel round trip (verified:
+    # beam e2e ~= 1 RTT + device), so wall(k back-to-back runs, one
+    # sync) = RTT + k*device and device = (wall(4) - wall(1)) / 3 —
+    # the RTT cancels EXACTLY. (An earlier subtract-a-trivial-call-RTT
+    # method amplified probe error 4x when the scan time was close to
+    # the RTT itself.)
     sp = eng._sampling_params()
     decode = eng._decode_scan_fn(n_tokens, sp, eng.config.eos_token_id,
                                  eng.config.pad_token_id)
@@ -138,26 +142,21 @@ def main():
     pc = jnp.zeros((), jnp.int32)
     rng = jax.random.PRNGKey(0)
 
-    def one_decode():
-        cache = eng._take_cache(batch)
-        last, cache = eng._run_prefill(tokens, seq_lens, cache)
-        toks, _, cache, _ = decode(eng.params, last, cache, rng, pc)
+    def chain(k):
+        t0 = time.perf_counter()
+        toks = None
+        for _ in range(k):
+            cache = eng._take_cache(batch)
+            last, cache = eng._run_prefill(tokens, seq_lens, cache)
+            toks, _, cache, _ = decode(eng.params, last, cache, rng, pc)
+            eng._put_cache(batch, cache)
         toks.block_until_ready()
-        eng._put_cache(batch, cache)
+        return time.perf_counter() - t0
 
-    # RTT probe: VARY the input each call — repeated identical calls
-    # have been observed returning in ~0.02 ms (client-side fast path),
-    # 1000x below the real per-call cost, which would wreck the
-    # subtraction.
-    triv = jax.jit(lambda x: x + 1)
-    triv(jnp.zeros((8,), jnp.int32)).block_until_ready()   # compile
-    one_decode()                          # compile/warm exact programs
-    rtt = min(_timed(lambda i=i: triv(
-        jnp.full((8,), i, jnp.int32)).block_until_ready())
-        for i in range(16))
-    scan_t = min(_timed(one_decode) for _ in range(reps))
-    # one_decode enqueues prefill + decode (two dispatches, one sync).
-    dev_t = max(scan_t - 2 * rtt, 1e-6)
+    chain(1)                              # compile/warm exact programs
+    t1 = min(chain(1) for _ in range(reps))
+    t4 = min(chain(4) for _ in range(reps))
+    dev_t = max((t4 - t1) / 3.0, 1e-6)
     dev_tps = batch * n_tokens / dev_t
 
     print(json.dumps({
@@ -167,8 +166,8 @@ def main():
         "vs_baseline": round(tps / REFERENCE_TOKS_PER_S, 3),
         # tunnel-drift-immune companions (see above):
         "device_value": round(dev_tps, 2),
-        "device_unit": "tok/s (repeated-min, RTT-subtracted)",
-        "rtt_ms": round(rtt * 1e3, 2),
+        "device_unit": "tok/s (pipelined-chain difference, RTT-free)",
+        "rtt_ms": round((t1 - dev_t) * 1e3, 2),
     }))
 
 
