@@ -378,14 +378,23 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
         # Only the S>1 prefill body reaches the per-layer fused cache
         # (S==1 decode always goes through the stacked branch above).
         assert S > 1, "per-layer fused-cache path is prefill-only"
-        # Prefill reads want head-major slabs: one transposed copy
-        # per layer per prefill call — amortized over S tokens and
-        # dwarfed by the prefill matmuls.
-        from turboinfer_tpu.models.common import decode_kv_fused
-        kf = decode_kv_fused(k_cache, q.dtype, k_scale).reshape(
-            B, T, Hkv, D).transpose(0, 2, 1, 3)
-        vf = decode_kv_fused(v_cache, q.dtype, v_scale).reshape(
-            B, T, Hkv, D).transpose(0, 2, 1, 3)
+        if fresh_prefill and ks is None and newkq.dtype == q.dtype:
+            # Cold prefill, uncompressed cache: the head-major view of
+            # the just-computed K/V IS the whole valid cache — skip
+            # decoding + transposing the full [B, T, Hkv*D] buffer.
+            # (fp8 caches fail the dtype check: newkq holds raw e4m3
+            # bits there.)
+            kf = newkq.transpose(0, 2, 1, 3)
+            vf = newvq.transpose(0, 2, 1, 3)
+        else:
+            # Prefill reads want head-major slabs: one transposed copy
+            # per layer per prefill call — amortized over S tokens and
+            # dwarfed by the prefill matmuls.
+            from turboinfer_tpu.models.common import decode_kv_fused
+            kf = decode_kv_fused(k_cache, q.dtype, k_scale).reshape(
+                B, T, Hkv, D).transpose(0, 2, 1, 3)
+            vf = decode_kv_fused(v_cache, q.dtype, v_scale).reshape(
+                B, T, Hkv, D).transpose(0, 2, 1, 3)
 
         def pre(window):
             return lambda: ops.attention_prefill(
@@ -457,9 +466,10 @@ def _layer_forward(config: ModelConfig, x: jax.Array, lw: Dict[str, Any],
             else:
                 attn = dec(config.sliding_window)()
             attn = attn[:, None]                                 # [B,1,Hq,D]
-        elif fresh_prefill and ks is None:
-            # Cold prefill (caller guarantees cache.length == 0, fp
-            # cache): attend the just-computed K/V DIRECTLY — the cache
+        elif fresh_prefill and ks is None and newk.dtype == q.dtype:
+            # Cold prefill (caller guarantees cache.length == 0,
+            # uncompressed cache — fp8 bit-views fail the dtype check):
+            # attend the just-computed K/V DIRECTLY — the cache
             # writes above leave the critical path (XLA overlaps them
             # with attention/FFN; they only matter for later decode),
             # and the kernel streams a contiguous [B, Hkv, S, D] block

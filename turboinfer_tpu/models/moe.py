@@ -43,6 +43,10 @@ from turboinfer_tpu.models.common import init_cache as _common_init_cache
 # int8 KV scales thread through the MoE layer scan like llama's.
 SUPPORTS_INT8_KV = True
 
+# Cold prefills may attend the just-computed K/V directly (see
+# llama.forward's fresh_prefill contract).
+SUPPORTS_FRESH_PREFILL = True
+
 
 def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
                dtype=None, fused=False) -> KVCache:
@@ -284,7 +288,7 @@ def _expert_ffn_quant(config: ModelConfig, h: jax.Array,
 def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
                    kv_len, contiguous=True, layer_index=None,
                    global_layer_index=None, fused_cache=False,
-                   k_scale=None, v_scale=None):
+                   k_scale=None, v_scale=None, fresh_prefill=False):
     """LLaMA attention block + MoE FFN. lw is the FULL stacked layer
     dict when layer_index is given. global_layer_index is accepted for
     pipeline-parallel signature parity (MoE windows are uniform across
@@ -363,7 +367,22 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
                                     k_cache.dtype)
         newv, vs = encode_kv_scaled(v.transpose(0, 2, 1, 3),
                                     v_cache.dtype)
-        for b in range(B):
+        if S > 1:
+            newk, newv = jax.lax.optimization_barrier((newk, newv))
+        import os as _os
+        wrote_via_kernel = False
+        if (fresh_prefill and S > 1 and ks is None
+                and _os.environ.get("TURBOINFER_PREFILL_WRITER") != "0"):
+            from turboinfer_tpu.kernels.dispatch import pallas_enabled
+            if pallas_enabled():
+                from turboinfer_tpu.kernels.pallas.cache_write import \
+                    cache_write_fresh
+                kc2 = cache_write_fresh(k_cache, newk, li)
+                if kc2 is not None:
+                    k_cache = kc2
+                    v_cache = cache_write_fresh(v_cache, newv, li)
+                    wrote_via_kernel = True
+        for b in range(B) if not wrote_via_kernel else ():
             idx = (li, b, 0, start[b], 0)
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, newk[b][None, None], idx)
@@ -381,6 +400,14 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
                                         layer_index=li,
                                         k_scale=k_scale, v_scale=v_scale)
             attn = attn[:, None]
+        elif fresh_prefill and ks is None and newk.dtype == q.dtype:
+            # Cold prefill, uncompressed cache: attend the just-computed
+            # K/V directly (see llama._layer_forward; fp8 bit-views
+            # fail the dtype check).
+            attn = ops.attention_prefill(
+                q, newk, newv, causal=True, positions=positions,
+                kv_len=kv_len, q_start=start if contiguous else None,
+                window=config.sliding_window)
         else:
             attn = ops.attention_prefill(
                 q, k_cache, v_cache, causal=True, positions=positions,
@@ -435,7 +462,8 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
 def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             cache: KVCache, *, positions: Optional[jax.Array] = None,
             seq_lens: Optional[jax.Array] = None,
-            logit_idx: Optional[jax.Array] = None
+            logit_idx: Optional[jax.Array] = None,
+            fresh_prefill: bool = False
             ) -> Tuple[jax.Array, KVCache]:
     """Same contract as llama.forward."""
     B, S = tokens.shape
@@ -465,7 +493,8 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             out = _layer_forward(
                 config, x, layers, positions, k_full, v_full, start,
                 kv_len, contiguous=contiguous, layer_index=i,
-                fused_cache=fused, k_scale=ksf, v_scale=vsf)
+                fused_cache=fused, k_scale=ksf, v_scale=vsf,
+                fresh_prefill=fresh_prefill)
             x, k_full, v_full = out[:3]
             ksf, vsf = out[3:] if scaled else (ksf, vsf)
             return (x, k_full, v_full, ksf, vsf), None
