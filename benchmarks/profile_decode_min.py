@@ -1,5 +1,8 @@
-"""Robust 7B decode timing: repeat the 8-step scan several times inside
+"""Robust 7B decode timing: repeat an N-step scan several times inside
 one process and report min/median ms/step (tunnel has multi-ms jitter).
+N defaults to 64: an 8-step scan divides the ~30 ms tunnel round trip
+across only 8 steps (+3.7 ms/step of pure RTT that XProf shows is NOT
+device time). Set TURBOINFER_PROF_STEPS to override.
 Usage (from repo root): python benchmarks/profile_decode_min.py [B] [FILL] [BITS] [GS] [REPS] [MAX_SEQ]
 """
 import functools, os, sys, time
@@ -36,13 +39,14 @@ def steps(params, tok, cache, n):
     (tok, cache), _ = jax.lax.scan(body, (tok, cache), None, length=n)
     return tok
 
+N = int(os.environ.get("TURBOINFER_PROF_STEPS", "64"))
 tok = jnp.ones((B,), jnp.int32)
-_ = int(np.asarray(steps(params, tok, cache, n=8)).sum())
+_ = int(np.asarray(steps(params, tok, cache, n=N)).sum())
 times = []
 for _i in range(REPS):
     t0 = time.perf_counter()
-    _ = int(np.asarray(steps(params, tok, cache, n=8)).sum())
-    times.append((time.perf_counter() - t0) / 8 * 1e3)
+    _ = int(np.asarray(steps(params, tok, cache, n=N)).sum())
+    times.append((time.perf_counter() - t0) / N * 1e3)
 times.sort()
 med = times[len(times) // 2]
 print(f"min {times[0]:.2f} med {med:.2f} ms/step  "
