@@ -239,6 +239,110 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, *rest,
     jax.lax.fori_loop(0, ntrips, body, 0)
 
 
+def _kernel_wh(idx_ref, len_ref, q_ref, k_hbm, v_hbm, *rest,
+               hkv: int, ghp: int, tt: int, scale: float, nbuf: int,
+               window=None, softcap=None, scaled: bool = False):
+    """WHOLE-HEAD variant: each DMA trip fetches the [Hkv, TT, D] slab
+    of one chunk for ALL kv heads (strided HBM read), so a layer is
+    2*ceil(kv_len/TT) trips instead of 2*Hkv*ceil(kv_len/TT). At B=1
+    the per-trip issue cost dominates the baseline kernel (32 trips x
+    ~1 us vs 4 MB of payload); this variant is DMA-payload-bound.
+    Online-softmax state is per head ([Hkv*Ghp, ...] scratch) because
+    trips are chunk-major."""
+    if scaled:
+        (ks_hbm, vs_hbm, o_ref, kbuf, vbuf, ksem, vsem,
+         ksbuf, vsbuf, kssem, vssem, m_ref, l_ref, acc_ref) = rest
+    else:
+        (o_ref, kbuf, vbuf, ksem, vsem, m_ref, l_ref, acc_ref) = rest
+    b = pl.program_id(0)
+    li = idx_ref[0]
+    kv_len = len_ref[b]
+    if scaled:
+        pltpu.make_async_copy(ks_hbm.at[li, b], ksbuf, kssem).start()
+        pltpu.make_async_copy(vs_hbm.at[li, b], vsbuf, vssem).start()
+        pltpu.make_async_copy(ksbuf, ksbuf, kssem).wait()
+        pltpu.make_async_copy(vsbuf, vsbuf, vssem).wait()
+    lo = jnp.maximum(kv_len - window, 0) if window is not None else 0
+    c0 = jax.lax.div(lo, tt) if window is not None else 0
+    nchunks = jax.lax.div(kv_len + tt - 1, tt) - c0
+
+    def start(t):
+        i = c0 + t
+        slot = jax.lax.rem(t, nbuf)
+        pltpu.make_async_copy(
+            k_hbm.at[li, b, :, pl.ds(i * tt, tt)], kbuf.at[slot],
+            ksem.at[slot]).start()
+        pltpu.make_async_copy(
+            v_hbm.at[li, b, :, pl.ds(i * tt, tt)], vbuf.at[slot],
+            vsem.at[slot]).start()
+
+    def prime(t, _):
+        @pl.when(t < nchunks)
+        def _():
+            start(t)
+        return 0
+    jax.lax.fori_loop(0, nbuf - 1, prime, 0)
+
+    def body(t, _):
+        i = c0 + t
+        slot = jax.lax.rem(t, nbuf)
+
+        @pl.when(t + nbuf - 1 < nchunks)
+        def _():
+            start(t + nbuf - 1)
+
+        @pl.when(t == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        pltpu.make_async_copy(kbuf.at[slot], kbuf.at[slot],
+                              ksem.at[slot]).wait()
+        pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot],
+                              vsem.at[slot]).wait()
+        col1 = jax.lax.broadcasted_iota(jnp.int32, (ghp, tt), 1) + i * tt
+        valid = col1 < kv_len
+        if window is not None:
+            valid = jnp.logical_and(valid, col1 >= lo)
+        for h in range(hkv):
+            hs = slice(h * ghp, (h + 1) * ghp)
+            s = scale * jax.lax.dot_general(          # [Ghp, TT] f32
+                q_ref[0, h], _load_kv(kbuf[slot, h], q_ref.dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if scaled:
+                s = s * ksbuf[h, pl.ds(i * tt, tt)][None, :]
+            if softcap is not None:
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
+            s = jnp.where(valid, s, NEG_INF)
+            m_prev = m_ref[hs, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = (l_ref[hs, 0:1] * alpha
+                     + jnp.sum(p, axis=1, keepdims=True))
+            pv = (p * vsbuf[h, pl.ds(i * tt, tt)][None, :]
+                  if scaled else p)
+            acc_ref[hs] = acc_ref[hs] * alpha + jax.lax.dot_general(
+                pv.astype(q_ref.dtype), _load_kv(vbuf[slot, h],
+                                                 q_ref.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[hs] = jnp.broadcast_to(m_new, (ghp, 128))
+            l_ref[hs] = jnp.broadcast_to(l_new, (ghp, 128))
+
+        @pl.when(t == nchunks - 1)
+        def _():
+            for h in range(hkv):
+                hs = slice(h * ghp, (h + 1) * ghp)
+                denom = jnp.maximum(l_ref[hs, 0:1], 1e-30)
+                o_ref[0, h] = (acc_ref[hs] / denom).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("window", "softcap",
                                              "interpret"))
 def _decode(q4, k_cache, v_cache, kv_len, layer_idx, k_scale=None,
@@ -250,9 +354,38 @@ def _decode(q4, k_cache, v_cache, kv_len, layer_idx, k_scale=None,
     scale = 1.0 / float(D) ** 0.5
     scaled = k_scale is not None
 
-    kern = functools.partial(_kernel, hkv=Hkv, tt=TT, scale=scale,
-                             window=window, softcap=softcap,
-                             scaled=scaled)
+    # Whole-head chunk fetches (TURBOINFER_DECODE_WH=1, default OFF):
+    # one [Hkv, TT, D] strided DMA per (chunk, k/v) — 2*nchunks
+    # trips/layer instead of 2*Hkv*nchunks. Measured same-session at
+    # 7B MHA (tt_wh=256 under the 16 MB scoped-VMEM cap): B=8 fill-64
+    # 12.36 -> 11.38 ms/step (+8% — short fills are trip-issue-bound),
+    # but B=8 fill-960 16.13 -> 17.85 (-10%: nbuf=2 under-pipelines the
+    # long stream) and B=1 a wash (8.15 vs 8.17). Fill is dynamic, the
+    # mode is compile-static — kept opt-in for short-context serving.
+    wh = os.environ.get("TURBOINFER_DECODE_WH", "0") == "1"
+    # Scoped VMEM is hard-limited to 16 MB: size the whole-head chunk
+    # so 2 double-buffered K+V slabs (+ scale planes/state) fit in
+    # ~11 MB. MHA Hkv=32 lands on TT=256, GQA Hkv=8 on TT=512+.
+    nbuf_wh = 2
+    budget = 11 << 20
+    tt_wh = min(TT, max(budget // (2 * 2 * Hkv * D
+                                   * k_cache.dtype.itemsize), 1))
+    tt_wh = 1 << (tt_wh.bit_length() - 1)      # power of two
+    while tt_wh > 1 and T % tt_wh:
+        tt_wh //= 2
+    if wh and tt_wh >= 128:
+        kern = functools.partial(_kernel_wh, hkv=Hkv, ghp=Ghp, tt=tt_wh,
+                                 scale=scale, nbuf=nbuf_wh,
+                                 window=window, softcap=softcap,
+                                 scaled=scaled)
+        buf_shape = (nbuf_wh, Hkv, tt_wh, D)
+        state_rows = Hkv * Ghp
+    else:
+        kern = functools.partial(_kernel, hkv=Hkv, tt=TT, scale=scale,
+                                 window=window, softcap=softcap,
+                                 scaled=scaled)
+        buf_shape = (NBUF, TT, D)
+        state_rows = Ghp
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [
         pl.BlockSpec((1, Hkv, Ghp, D),
@@ -261,10 +394,10 @@ def _decode(q4, k_cache, v_cache, kv_len, layer_idx, k_scale=None,
         any_spec, any_spec,
     ]
     scratch = [
-        pltpu.VMEM((NBUF, TT, D), k_cache.dtype),
-        pltpu.VMEM((NBUF, TT, D), v_cache.dtype),
-        pltpu.SemaphoreType.DMA((NBUF,)),
-        pltpu.SemaphoreType.DMA((NBUF,)),
+        pltpu.VMEM(buf_shape, k_cache.dtype),
+        pltpu.VMEM(buf_shape, v_cache.dtype),
+        pltpu.SemaphoreType.DMA((buf_shape[0],)),
+        pltpu.SemaphoreType.DMA((buf_shape[0],)),
     ]
     ops = (q4, k_cache, v_cache)
     if scaled:
@@ -281,9 +414,9 @@ def _decode(q4, k_cache, v_cache, kv_len, layer_idx, k_scale=None,
         ]
         ops = ops + (k_scale, v_scale)
     scratch += [
-        pltpu.VMEM((Ghp, 128), jnp.float32),
-        pltpu.VMEM((Ghp, 128), jnp.float32),
-        pltpu.VMEM((Ghp, D), jnp.float32),
+        pltpu.VMEM((state_rows, 128), jnp.float32),
+        pltpu.VMEM((state_rows, 128), jnp.float32),
+        pltpu.VMEM((state_rows, D), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
