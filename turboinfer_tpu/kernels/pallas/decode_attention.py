@@ -356,12 +356,13 @@ def _decode(q4, k_cache, v_cache, kv_len, layer_idx, k_scale=None,
 
     # Whole-head chunk fetches (TURBOINFER_DECODE_WH=1, default OFF):
     # one [Hkv, TT, D] strided DMA per (chunk, k/v) — 2*nchunks
-    # trips/layer instead of 2*Hkv*nchunks. Measured same-session at
-    # 7B MHA (tt_wh=256 under the 16 MB scoped-VMEM cap): B=8 fill-64
-    # 12.36 -> 11.38 ms/step (+8% — short fills are trip-issue-bound),
-    # but B=8 fill-960 16.13 -> 17.85 (-10%: nbuf=2 under-pipelines the
-    # long stream) and B=1 a wash (8.15 vs 8.17). Fill is dynamic, the
-    # mode is compile-static — kept opt-in for short-context serving.
+    # trips/layer instead of 2*Hkv*nchunks. MEASURED NEUTRAL-TO-WORSE
+    # in-process at 7B MHA (tt_wh=256 under the 16 MB scoped-VMEM cap):
+    # B=1 fill-64 8.25 vs 8.25, B=1 fill-960 8.46 vs 8.64, B=8 fill-64
+    # 12.52 vs 12.73, B=8 fill-960 16.42 vs 16.53 ms/step (per-head vs
+    # whole-head; cross-PROCESS runs had shown phantom +-10% "wins" —
+    # the chip's speed drifts between process launches). The per-head
+    # kernel's trips pipeline well enough; kept as a measured variant.
     wh = os.environ.get("TURBOINFER_DECODE_WH", "0") == "1"
     # Scoped VMEM is hard-limited to 16 MB: size the whole-head chunk
     # so 2 double-buffered K+V slabs (+ scale planes/state) fit in
