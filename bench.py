@@ -171,11 +171,6 @@ def main():
     }))
 
 
-def _timed(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
-
 
 if __name__ == "__main__":
     main()

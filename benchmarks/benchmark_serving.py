@@ -93,6 +93,8 @@ def main():
         icfg = dataclasses.replace(icfg, temperature=0.0)
     from turboinfer_tpu.engine.scheduler import (
         ContinuousBatchingScheduler, PagedContinuousScheduler)
+    if args.spec_layers > 0 and args.paged:
+        sys.exit("--spec-layers is not supported with --paged")
     spec_kw = {}
     if args.spec_layers > 0:
         # draft = the TARGET truncated to its first N layers (early-exit

@@ -487,3 +487,14 @@ def test_response_format_json_schema_http(served):
         "response_format": {"type": "json_schema",
                             "json_schema": {"schema": {"$ref": "#/x"}}}})
     assert status == 400
+
+
+def test_best_of_validation(served):
+    eng, port, tok, cfg = served
+    status, _ = _post_json(port, "/v1/completions", {
+        "prompt": [1, 5], "max_tokens": 4, "best_of": 2, "n": 3})
+    assert status == 400                    # best_of < n
+    status, _ = _post_json(port, "/v1/completions", {
+        "prompt": [1, 5], "max_tokens": 4, "best_of": 2,
+        "stream": True})
+    assert status == 400                    # best_of with streaming

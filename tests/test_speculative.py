@@ -272,3 +272,26 @@ def test_spec_serving_engine_stream(sched_pair):
     eng.shutdown()
     assert toks == want
     assert end.stop_reason == "length"
+
+
+def test_spec_scheduler_trajectory_identical_at_cache_end(sched_pair):
+    """Slots within spec_k+1 of the cache end fall back to plain steps
+    (a speculative verify there would clamp its writes into the valid
+    prompt region); output matches the plain scheduler exactly up to
+    the max_seq boundary."""
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    cfg, params, dcfg, dparams = sched_pair
+    icfg = ti.InferenceConfig(max_seq_len=32, temperature=0.0,
+                              eos_token_id=-1)
+    prompt = [1, 5, 9, 2, 7, 3, 8, 4] * 3          # 24 tokens, T=32
+    ref = ContinuousBatchingScheduler(params, cfg, icfg, batch_slots=2)
+    w = ref.submit(prompt, 50)
+    wres = ref.run()
+    assert wres[w].stop_reason == "max_seq"
+    sched = ContinuousBatchingScheduler(
+        params, cfg, icfg, batch_slots=2, draft_params=dparams,
+        draft_config=dcfg, spec_k=4)
+    r = sched.submit(prompt, 50)
+    res = sched.run()
+    assert res[r].tokens == wres[w].tokens
+    assert res[r].stop_reason == "max_seq"

@@ -478,3 +478,45 @@ def test_scheduler_rejects_bad_schema(tok_engine):
         sched.submit([1, 2], 8, response_format={
             "type": "json_schema",
             "json_schema": {"schema": {"$ref": "#/nope"}}})
+
+
+def test_schema_mask_cache_bounded_for_unbounded_strings(tok_engine):
+    """Free strings without maxLength must not mint a fresh vocab mask
+    per generated token (the state's char counter canonicalizes once
+    past minLength)."""
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    eng, tok, cfg, params = tok_engine
+    icfg = ti.InferenceConfig(max_seq_len=256, temperature=0.9, seed=3,
+                              eos_token_id=tok.eos_id)
+    sched = ContinuousBatchingScheduler(params, cfg, icfg,
+                                        batch_slots=2, tokenizer=tok)
+    rf = {"type": "json_schema", "json_schema": {"schema": {
+        "type": "object", "properties": {"text": {"type": "string"}},
+        "required": ["text"]}}}
+    rid = sched.submit(tok.encode("write"), 120, response_format=rf)
+    res = sched.run()
+    assert len(res[rid].tokens) > 10
+    mk = next(iter(sched._maskers.values()))
+    # distinct mask keys stay far below one-per-token
+    assert len(mk._masks) < 40, len(mk._masks)
+
+
+def test_schema_top_level_number_can_span_tokens():
+    """A top-level integer schema must allow digits to continue AND
+    EOS at terminal states (done() no longer freezes after the first
+    digit token)."""
+    from turboinfer_tpu.structured.filter import TokenMaskCache
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    from turboinfer_tpu.tokenizer.bpe import BuiltinTokenizer
+    tok = BuiltinTokenizer(vocab_size=1000)
+    fsm = SchemaFSM({"type": "integer"})
+    mk = TokenMaskCache(tok, vocab_size=1000, fsm=fsm)
+    st = fsm.advance_bytes(fsm.initial(), b"7")
+    assert not fsm.done(st) and fsm.may_finish(st)
+    row = mk.bias_row(st, tok.eos_id)
+    assert row[tok.eos_id] == 0.0                  # stopping is legal
+    digit_ids = [i for i, bs in enumerate(mk.table)
+                 if bs == b"3"]
+    assert digit_ids and row[digit_ids[0]] == 0.0  # so is continuing
+    st2 = fsm.advance_bytes(st, b"23")
+    assert st2 is not None and fsm.may_finish(st2)

@@ -116,6 +116,10 @@ def cmd_serve(args):
             print("--draft-model is not supported with --paged",
                   file=sys.stderr)
             return 2
+        if args.pp_stages > 1:
+            print("--draft-model is not supported with --pp-stages",
+                  file=sys.stderr)
+            return 2
         draft = loader_mod.load_model_data(args.draft_model)
         kw.update(draft_params=draft.params, draft_config=draft.config,
                   spec_k=args.spec_k)

@@ -697,6 +697,11 @@ class InferenceEngine:
         budget = min(max_new_tokens,
                      self.config.max_seq_len - len(input_tokens))
         cache = self._take_cache(1, S)
+        if self.parallel == "cp":
+            # the decode tail bounds the budget (same guard as
+            # generate_batch/generate_stream — overflowing it clamps
+            # tail writes onto earlier tokens)
+            budget = min(budget, cache.k_tail.shape[3])
         rng_np = np.random.default_rng(
             int(jax.random.randint(self.next_rng(), (), 0, 2**31 - 1)))
         out: List[int] = []

@@ -889,11 +889,19 @@ class ContinuousBatchingScheduler:
             # still counts as live work for drivers polling step()
             return 0 if self._adm is None else len(self._adm["group"])
         if (self._dmodel is not None
-                and all(self._slot_plain[s] for s in self._active)):
+                and all(self._slot_plain[s] for s in self._active)
+                and all(len(r.prompt) + len(r.out_tokens)
+                        + self.spec_k + 1 <= self.T
+                        for r in self._active.values())):
             # speculative rounds cover temp/top-k/top-p slots; any
             # active penalties/bias/grammar slot falls the whole batch
             # back to plain steps this iteration (those filters are
-            # per-token-sequential)
+            # per-token-sequential). Slots within spec_k+1 of the cache
+            # end ALSO fall back: a round's (k+1)-wide verify write
+            # would clamp into the valid prompt region and silently
+            # corrupt it, and the plain path finishes exactly at T —
+            # keeping speculative trajectories identical to plain ones
+            # all the way to the boundary.
             return self._step_spec()
         if self.decode_burst > 1 and not self._has_structured():
             # structured slots need their mask refreshed every token —
@@ -1054,10 +1062,9 @@ class ContinuousBatchingScheduler:
                 if len(req.out_tokens) >= req.max_new:
                     self._finish(slot, "length")
                     break
-                if (len(req.prompt) + len(req.out_tokens)
-                        + self.spec_k + 1 >= self.T):
-                    # keep spec_k+1 slack so the next round's verify
-                    # writes stay inside the cache
+                if len(req.prompt) + len(req.out_tokens) >= self.T:
+                    # same boundary as the plain path; step() already
+                    # guarantees this round had spec_k+1 headroom
                     self._finish(slot, "max_seq")
                     break
             else:

@@ -229,10 +229,19 @@ class ServingEngine:
                     self._work.wait(timeout=1.0)
                 if self._shutdown:
                     return
+                beam_rid = (self._beam_order.pop(0)
+                            if self._beam_order else None)
+            if beam_rid is not None:
                 # one queued beam job per loop turn, interleaved with
-                # scheduler steps (all jax dispatch on this one thread)
-                if self._beam_order:
-                    self._run_beam_job(self._beam_order.pop(0))
+                # scheduler steps. Runs OUTSIDE the condition lock: only
+                # same-thread jax dispatch is required, and holding the
+                # lock for a whole beam generation would block every
+                # concurrent submit()/result()/cancel() for its
+                # duration.
+                self._run_beam_job(beam_rid)
+            with self._work:
+                if self._shutdown:
+                    return
                 if not sched.pending:
                     continue
                 try:

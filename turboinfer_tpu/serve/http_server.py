@@ -242,12 +242,18 @@ class Handler(BaseHTTPRequestHandler):
             self._beam_response(results[:n], cid, obj_kind, chat,
                                 len(prompt_ids), want_lp)
             return
-        if best_of > n and not stream:
-            # OpenAI best_of: sample best_of candidates, return the n
-            # best by mean token logprob.
-            rank_pool = best_of
-        else:
-            rank_pool = n
+        if best_of:
+            # OpenAI semantics: best_of must be >= n and is invalid
+            # with streaming (matching their 400s, not silent drops).
+            if best_of < n:
+                self._error(400, "best_of must be greater than or "
+                                 "equal to n")
+                return
+            if stream and best_of > 1:
+                self._error(400, "best_of is not supported with "
+                                 "streaming")
+                return
+        rank_pool = best_of if best_of > n else n
         try:
             rids = [eng.submit(prompt_ids, max_new, **kw)
                     for _ in range(rank_pool)]

@@ -183,6 +183,13 @@ class TokenMaskCache:
         row = np.where(m, 0.0, illegal).astype(np.float32)
         if not m.any() and 0 <= eos_id < self.V:
             row[eos_id] = 0.0
+        if (self.fsm is not None and 0 <= eos_id < self.V
+                and getattr(self.fsm, "may_finish", None)
+                and self.fsm.may_finish(state)):
+            # states where stopping is ALSO valid (e.g. a top-level
+            # number at a terminal digit): EOS stays legal alongside
+            # the continuations
+            row[eos_id] = 0.0
         return row
 
 

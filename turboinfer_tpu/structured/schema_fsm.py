@@ -157,18 +157,32 @@ class SchemaFSM:
         return (0, "", ())
 
     def done(self, state: State) -> bool:
+        """The document is COMPLETE — nothing may follow."""
+        return self.prog[state[0]][0] == "end"
+
+    def may_finish(self, state: State) -> bool:
+        """The document WOULD be valid if generation stopped here (a
+        top-level number at a terminal digit can either continue or
+        end). bias_row leaves EOS legal at such states ALONGSIDE the
+        continuations — done() used to claim these states were final,
+        which froze top-level numbers after their first token."""
         pc, sub, stack = state
-        if self.prog[pc][0] == "end":
-            return True
-        # a number directly before "end" may stop at any terminal spot
         ins = self.prog[pc]
-        if (ins[0] == "num" and isinstance(sub, tuple)
+        return (ins[0] == "num" and isinstance(sub, tuple)
                 and sub[0] in ("0", "i", "f", "ed")
-                and self.prog[pc + 1][0] == "end"):
-            return True
-        return False
+                and self.prog[pc + 1][0] == "end")
 
     def mask_key(self, state: State):
+        """Canonical key for mask caching. Free-string body states with
+        no maxLength are collapsed once past minLength (their legal
+        token set no longer depends on the exact count) — otherwise a
+        long unbounded string would mint a fresh full-vocab mask per
+        generated token and grow the cache without bound."""
+        pc, sub, stack = state
+        ins = self.prog[pc]
+        if (ins[0] == "str" and isinstance(sub, tuple)
+                and ins[2] is None and sub[1] >= ins[1]):
+            return (pc, (sub[0], ins[1]), stack)
         return state
 
     def _enter(self, pc: int, stack: Tuple) -> State:
