@@ -108,3 +108,48 @@ def test_cp_quantized_weights(cp_setup):
         _prompt(30, seed=5), 10).tokens
     eng = ti.InferenceEngine(q, cfg, icfg, mesh=mesh, parallel="cp")
     assert eng.generate(_prompt(30, seed=5), 10).tokens == want
+
+
+def test_cp_lora_matches_single_device(cp_setup):
+    """LoRA adapters on EVERY targeted slot (incl. wo/w_down) apply
+    under CP — a review found the attention-out and down-proj adapters
+    silently dropped."""
+    params, cfg, mesh, icfg = cp_setup
+    rng = np.random.default_rng(3)
+    L, H = cfg.num_layers, cfg.hidden_size
+    QD, F, r = cfg.q_dim, cfg.ffn_dim, 4
+    lw = dict(params["layers"])
+    for slot, din, dout in (("wq", H, QD), ("wo", QD, H),
+                            ("w_down", F, H)):
+        lw[f"lora_{slot}_a"] = jnp.asarray(
+            rng.normal(size=(L, din, r)) * 0.3, jnp.float32)
+        lw[f"lora_{slot}_b"] = jnp.asarray(
+            rng.normal(size=(L, r, dout)) * 0.3, jnp.float32)
+    lp = dict(params, layers=lw)
+    prompt = _prompt(25, seed=9)
+    want = ti.InferenceEngine(lp, cfg, icfg).generate(prompt, 10).tokens
+    base = ti.InferenceEngine(params, cfg, icfg).generate(
+        prompt, 10).tokens
+    assert want != base                 # the adapters matter
+    eng = ti.InferenceEngine(lp, cfg, icfg, mesh=mesh, parallel="cp")
+    assert eng.generate(prompt, 10).tokens == want
+
+
+def test_cp_partials_tiled_matches_untiled(monkeypatch):
+    """KV-tiled online combine == single-block partials (the tiling
+    bounds per-ring-step score memory for huge chunks)."""
+    import turboinfer_tpu.parallel.context as cpm
+    rng = np.random.default_rng(0)
+    B, Sq, Hq, Hkv, T, D = 2, 16, 8, 4, 300, 32
+    q = jnp.asarray(rng.normal(size=(B, Sq, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, T, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, T, D)), jnp.float32)
+    kpos = jnp.arange(T)
+    kv_valid = jnp.asarray([250, 300], jnp.int32)
+    qpos = jnp.asarray(rng.integers(0, 300, (B, Sq)), jnp.int32)
+    ref = cpm._partials(q, k, v, kpos, kv_valid, qpos)   # T <= 2048
+    monkeypatch.setenv("TURBOINFER_CP_TILE", "64")       # forces tiling
+    got = cpm._partials(q, k, v, kpos, kv_valid, qpos)   # 5 tiles + pad
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -62,7 +62,11 @@ def cache_write_fresh(cache, new_hm, layer_index, *, interpret=False):
     L, B, Hkv, T, D = cache.shape
     S = new_hm.shape[2]
     TS = min(S, 512)
-    if D % 128 or S % TS or T % TS or new_hm.dtype != cache.dtype:
+    if (D % 128 or S % TS or T % TS or S > T
+            or new_hm.dtype != cache.dtype):
+        # S > T would clamp the out-of-range block indices and silently
+        # drop the head of the prompt — fall back to the DUS, which
+        # fails loudly for such shapes.
         return None
     li_arr = jnp.reshape(jnp.asarray(layer_index, jnp.int32), (1,))
     return _write(cache, new_hm, li_arr, interpret=interpret)

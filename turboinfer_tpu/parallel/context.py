@@ -129,20 +129,9 @@ def _head(params, config, x):
     return logits
 
 
-def _partials(q, k, v, kpos, kv_valid, causal_qpos=None):
-    """Flash-style unnormalized partials of q [B, Sq, Hq, D] against
-    k/v [B, Hkv, T, D] (cache-major layout). kpos: [T] global key
-    positions; kv_valid: [B] keys with global position >= kv_valid[b]
-    are masked; causal_qpos: [B, Sq] global query positions for causal
-    masking (None = no causal mask beyond kv_valid).
-    Returns (m [B,Hq,Sq], l [B,Hq,Sq], acc [B,Sq,Hq,D]) in f32."""
-    B, Sq, Hq, D = q.shape
-    Hkv = k.shape[1]
-    if Hkv != Hq:
-        rep = Hq // Hkv
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
-    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+def _partials_block(q, k, v, kpos, kv_valid, causal_qpos):
+    """One [Sq, T] score block of flash partials (see _partials)."""
+    scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
     s = jnp.einsum("bshd,bhtd->bhst", q.astype(jnp.float32) * scale,
                    k.astype(jnp.float32))                  # [B,Hq,Sq,T]
     mask = kpos[None, None, None, :] < kv_valid[:, None, None, None]
@@ -158,6 +147,62 @@ def _partials(q, k, v, kpos, kv_valid, causal_qpos=None):
     return m, l, acc
 
 
+def _cp_tile() -> int:
+    import os
+    return int(os.environ.get("TURBOINFER_CP_TILE", "2048"))
+
+
+def _partials(q, k, v, kpos, kv_valid, causal_qpos=None):
+    """Flash-style unnormalized partials of q [B, Sq, Hq, D] against
+    k/v [B, Hkv, T, D] (cache-major layout). kpos: [T] global key
+    positions; kv_valid: [B] keys with global position >= kv_valid[b]
+    are masked; causal_qpos: [B, Sq] global query positions for causal
+    masking (None = no causal mask beyond kv_valid).
+    Returns (m [B,Hq,Sq], l [B,Hq,Sq], acc [B,Sq,Hq,D]) in f32.
+
+    The KV axis is processed in TURBOINFER_CP_TILE-sized tiles with an
+    online combine when T exceeds the tile — scores never materialize
+    beyond [B, Hq, Sq, tile], which bounds per-ring-step activation
+    memory for the huge per-chip chunks CP exists for (a 64k-context
+    ring step would otherwise build an [Sq, Sq] f32 block)."""
+    from turboinfer_tpu.kernels.ops import _repeat_kv
+    B, Sq, Hq, D = q.shape
+    k = _repeat_kv(k, Hq)
+    v = _repeat_kv(v, Hq)
+    T = k.shape[2]
+    tile = _cp_tile()
+    if T <= tile:
+        return _partials_block(q, k, v, kpos, kv_valid, causal_qpos)
+    nt = -(-T // tile)
+    pad = nt * tile - T
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        # padded keys carry an impossible position -> masked everywhere
+        kpos = jnp.pad(kpos, (0, pad), constant_values=2 ** 30)
+
+    m0 = jnp.full((B, Hq, Sq), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, Hq, Sq), jnp.float32)
+    a0 = jnp.zeros((B, Sq, Hq, D), jnp.float32)
+
+    def body(i, carry):
+        m, l, a = carry
+        kt = jax.lax.dynamic_slice_in_dim(k, i * tile, tile, 2)
+        vt = jax.lax.dynamic_slice_in_dim(v, i * tile, tile, 2)
+        pt = jax.lax.dynamic_slice_in_dim(kpos, i * tile, tile, 0)
+        mi, li, ai = _partials_block(q, kt, vt, pt, kv_valid,
+                                     causal_qpos)
+        mm = jnp.maximum(m, mi)
+        e1 = jnp.exp(m - mm)
+        e2 = jnp.exp(mi - mm)
+        l2 = l * e1 + li * e2
+        a2 = (a * e1.transpose(0, 2, 1)[..., None]
+              + ai * e2.transpose(0, 2, 1)[..., None])
+        return mm, l2, a2
+
+    return jax.lax.fori_loop(0, nt, body, (m0, l0, a0))
+
+
 def _qkv(config, h, layers, li, B, S):
     from turboinfer_tpu.models.llama import qkv_proj
     Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
@@ -170,12 +215,14 @@ def _rope(config, x, positions):
 
 
 def _ffn(config, x, layers, li):
-    from turboinfer_tpu.models.llama import gate_up_proj
+    from turboinfer_tpu.models.llama import _add_lora, gate_up_proj
     h = ops.rms_norm(x, _w1(layers, "ffn_norm", li), config.rms_norm_eps,
                      1.0 if config.norm_offset else 0.0)
     gate, up = gate_up_proj(h, layers, li)
     g = ops.glu(gate, up, config.hidden_act).astype(x.dtype)
-    return x + ops.qmatmul(g, layers["w_down"], layer_index=li)
+    return x + _add_lora(
+        ops.qmatmul(g, layers["w_down"], layer_index=li), g, layers,
+        "w_down", li)
 
 
 def _w1(layers, name, li):
@@ -267,7 +314,10 @@ def cp_prefill(params: Dict[str, Any], config: ModelConfig,
                 0, p_sz, ring, (kt, vt, m0, l0, a0))
             denom = jnp.maximum(l, 1e-30).transpose(0, 2, 1)[..., None]
             attn = (a / denom).reshape(B, s_loc, -1).astype(x.dtype)
-            x = x + ops.qmatmul(attn, layers["wo"], layer_index=li)
+            from turboinfer_tpu.models.llama import _add_lora
+            x = x + _add_lora(
+                ops.qmatmul(attn, layers["wo"], layer_index=li), attn,
+                layers, "wo", li)
             x = _ffn(config, x, layers, li)
             return (x, kc, vc), None
 
@@ -336,7 +386,12 @@ def cp_decode(params: Dict[str, Any], config: ModelConfig,
                     vtl, v[b].transpose(1, 0, 2)[None, None].astype(
                         vtl.dtype), idx)
 
-            # ctx partials (local chunk, read-only).
+            # ctx partials (local chunk, read-only). NOTE: the
+            # per-layer dynamic_index costs one extra read of the
+            # layer's chunk (slice copy, then the einsum reads it) —
+            # a factor-~2 on CP decode's ctx traffic, NOT the 4x+
+            # slice+write-back trap CLAUDE.md bans (this slice is
+            # never written back).
             kc = jax.lax.dynamic_index_in_dim(k_ctx, li, 0,
                                               keepdims=False)
             vc = jax.lax.dynamic_index_in_dim(v_ctx, li, 0,
@@ -359,7 +414,10 @@ def cp_decode(params: Dict[str, Any], config: ModelConfig,
                 + a_t * e_t.transpose(0, 2, 1)[..., None])
             denom = jnp.maximum(l, 1e-30).transpose(0, 2, 1)[..., None]
             attn = (acc / denom).reshape(B, 1, Hq * D).astype(x.dtype)
-            x = x + ops.qmatmul(attn, layers["wo"], layer_index=li)
+            from turboinfer_tpu.models.llama import _add_lora
+            x = x + _add_lora(
+                ops.qmatmul(attn, layers["wo"], layer_index=li), attn,
+                layers, "wo", li)
             x = _ffn(config, x, layers, li)
             return (x, ktl, vtl), None
 
