@@ -588,3 +588,19 @@ def test_paged_scheduler_on_tp_mesh_matches_single_device(tiny_params,
     r2 = sched.submit(long_p, 6)
     assert sched.run()[r2].tokens == t1
     assert sched.pool.hits > hits
+
+
+def test_paged_burst_near_max_seq_completes(tiny_params, tiny_cfg):
+    """A burst near max_seq used to index off the end of the block
+    table in _ensure_pages; it must clamp and finish with max_seq."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    cfg = ti.InferenceConfig(max_seq_len=64, temperature=0.0,
+                             eos_token_id=-1)
+    sched = PagedContinuousScheduler(tiny_params, tiny_cfg, cfg,
+                                     batch_slots=2, page_size=16,
+                                     decode_burst=4)
+    rid = sched.submit(list(range(1, 58)), 50)     # 57 tokens, T=64
+    res = sched.run()
+    assert res[rid].stop_reason == "max_seq"
+    assert len(res[rid].tokens) == 64

@@ -295,3 +295,33 @@ def test_spec_scheduler_trajectory_identical_at_cache_end(sched_pair):
     res = sched.run()
     assert res[r].tokens == wres[w].tokens
     assert res[r].stop_reason == "max_seq"
+
+
+def test_spec_draft_cache_resyncs_after_fallback(sched_pair):
+    """Plain-step fallback iterations advance only the target cache;
+    the next speculative round must re-ingest the gap into the draft
+    cache (otherwise acceptance silently collapses forever)."""
+    import numpy as _np
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    cfg, params, dcfg, dparams = sched_pair
+    icfg = ti.InferenceConfig(max_seq_len=128, temperature=0.0,
+                              eos_token_id=-1)
+    sched = ContinuousBatchingScheduler(
+        params, cfg, icfg, batch_slots=2, draft_params=dparams,
+        draft_config=dcfg, spec_k=3)
+    ra = sched.submit([1, 5, 9], 40)
+    sched.step()                                  # spec round
+    rb = sched.submit([2, 4], 6, repetition_penalty=1.3)  # forces plain
+    while sched.get_request(rb) is not None and \
+            not sched.get_request(rb).finished:
+        sched.step()
+    # fallback steps ran; next step is speculative again and must
+    # catch the draft cache up first
+    sched.step()
+    req = sched.get_request(ra)
+    if req is not None and not req.finished:
+        confirmed = len(req.prompt) + len(req.out_tokens) - 1
+        assert sched._spec_dlen[req.slot] == confirmed
+        dlen = int(_np.asarray(
+            sched._host_view(sched.dcache.length))[req.slot])
+        assert dlen == confirmed

@@ -520,3 +520,67 @@ def test_schema_top_level_number_can_span_tokens():
     assert digit_ids and row[digit_ids[0]] == 0.0  # so is continuing
     st2 = fsm.advance_bytes(st, b"23")
     assert st2 is not None and fsm.may_finish(st2)
+
+
+def test_schema_array_of_objects_compiles_and_conforms(tok_engine):
+    """Array-of-objects schemas crashed compilation (the arr_open
+    placeholder hit _lit's merge check)."""
+    import json as _json
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    schema = {"type": "array", "minItems": 1, "maxItems": 2,
+              "items": {"type": "object",
+                        "properties": {"a": {"type": "integer"}},
+                        "required": ["a"]}}
+    fsm = SchemaFSM(schema)
+    st = fsm.advance_bytes(fsm.initial(), b'[{"a":1},{"a":22}]')
+    assert st is not None and fsm.done(st)
+    assert fsm.advance_bytes(fsm.initial(), b'[]') is None   # minItems
+    # end-to-end under the engine host loop
+    eng, tok, cfg, params = tok_engine
+    rf = {"type": "json_schema", "json_schema": {"schema": schema}}
+    res = eng.generate_structured(tok.encode("list"), 80,
+                                  response_format=rf, temperature=0.9)
+    if res.finished:
+        doc = _json.loads(tok.decode(
+            res.tokens[len(tok.encode("list")):]))
+        assert isinstance(doc, list) and 1 <= len(doc) <= 2
+
+
+def test_generate_structured_top_level_number_finishes(tok_engine):
+    """Host-loop path: a top-level number schema can now stop (EOS
+    competes at may-finish states) instead of emitting digits until
+    MAX_NUM_LEN kills the grammar."""
+    import json as _json
+    eng, tok, cfg, params = tok_engine
+    rf = {"type": "json_schema",
+          "json_schema": {"schema": {"type": "integer"}}}
+    res = eng.generate_structured(tok.encode("n"), 40,
+                                  response_format=rf, temperature=0.0)
+    out = res.tokens[len(tok.encode("n")):]
+    text = tok.decode(out)
+    assert text.lstrip("-").isdigit()
+    val = _json.loads(text)
+    assert isinstance(val, int)
+
+
+def test_scheduler_structured_keeps_user_logit_bias(tiny_params,
+                                                    tiny_cfg):
+    """The user's logit_bias must ride every grammar mask, not just the
+    first token."""
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    from turboinfer_tpu.tokenizer.bpe import BuiltinTokenizer
+    import numpy as _np
+    tok = BuiltinTokenizer(vocab_size=tiny_cfg.vocab_size)
+    cfg = ti.InferenceConfig(max_seq_len=tiny_cfg.max_seq_len,
+                             temperature=0.0, seed=0)
+    sched = ContinuousBatchingScheduler(tiny_params, tiny_cfg, cfg,
+                                        tokenizer=tok, batch_slots=2)
+    tid = tok.encode("x")[-1]
+    rid = sched.submit([1, 5], 6, response_format="json",
+                       logit_bias={int(tid): -123.0})
+    sched.step()
+    req = sched.get_request(rid)
+    if req is not None and not req.finished:
+        row = _np.asarray(sched.slot_bias[req.slot])
+        assert row[tid] <= -123.0

@@ -689,7 +689,7 @@ class InferenceEngine:
             token_filter = JsonTokenFilter(
                 self.tokenizer,
                 require_object=(response_format == "json_object"),
-                fsm=fsm)
+                fsm=fsm, eos_id=self.config.eos_token_id)
         temp = (self.config.temperature if temperature is None
                 else temperature)
         t0 = time.perf_counter()
@@ -713,6 +713,11 @@ class InferenceEngine:
                 tid = token_filter.pick(logits_np, temperature=temp,
                                         rng=rng_np)
                 if tid is None:
+                    break
+                if (token_filter.done
+                        and tid == self.config.eos_token_id):
+                    # a MAY-finish grammar chose to stop (top-level
+                    # number schemas): don't append the EOS itself
                     break
                 out.append(tid)
                 if token_filter.done or len(out) >= budget:

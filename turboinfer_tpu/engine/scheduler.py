@@ -43,6 +43,7 @@ class _Request:
     slot: int = -1
     prefill_ms: float = 0.0
     finished: bool = False
+    finished_at: float = 0.0             # perf_counter at completion
     stop_reason: str = "length"
     # per-request sampling overrides (None → InferenceConfig defaults)
     temperature: Optional[float] = None
@@ -57,6 +58,21 @@ class _Request:
     # ("schema", <canonical schema json>) | None
     response_format: object = None
     struct_state: object = None          # live grammar state (FSM)
+
+
+def _scatter_into_slots(cache: KVCache, small: KVCache, slots,
+                        seq_lens) -> KVCache:
+    """Write a freshly-prefilled small cache's rows into their slots of
+    the shared pool (shared by full-width and chunked admission — keep
+    the int8-scale branch in ONE place)."""
+    kc = cache.k.at[:, slots].set(small.k.astype(cache.k.dtype))
+    vc = cache.v.at[:, slots].set(small.v.astype(cache.v.dtype))
+    ksc = vsc = None
+    if cache.k_scale is not None:
+        ksc = cache.k_scale.at[:, slots].set(small.k_scale)
+        vsc = cache.v_scale.at[:, slots].set(small.v_scale)
+    length = cache.length.at[slots].set(seq_lens)
+    return KVCache(k=kc, v=vc, length=length, k_scale=ksc, v_scale=vsc)
 
 
 def _normalize_response_format(rf):
@@ -240,6 +256,12 @@ class ContinuousBatchingScheduler:
         # speculative observability: drafts proposed/accepted so far
         self.spec_proposed = 0
         self.spec_accepted = 0
+        # host mirror of how many confirmed tokens each slot's DRAFT
+        # cache holds (plain/burst fallback steps advance only the
+        # target cache; _spec_catchup re-ingests the gap before the
+        # next speculative round — without it the draft proposes from
+        # a stale context forever and acceptance silently collapses)
+        self._spec_dlen: Dict[int, int] = {}
         # host-side per-slot flag: slot's sampling uses only
         # temperature/top-k/top-p (the spec round covers those)
         self._slot_plain = [True] * self.B
@@ -385,17 +407,6 @@ class ContinuousBatchingScheduler:
         dmodel = self._dmodel
         dcfg = getattr(self, "draft_config", None)
 
-        def scatter(cache, small, slots, seq_lens):
-            kc = cache.k.at[:, slots].set(small.k.astype(cache.k.dtype))
-            vc = cache.v.at[:, slots].set(small.v.astype(cache.v.dtype))
-            ksc = vsc = None
-            if cache.k_scale is not None:
-                ksc = cache.k_scale.at[:, slots].set(small.k_scale)
-                vsc = cache.v_scale.at[:, slots].set(small.v_scale)
-            length = cache.length.at[slots].set(seq_lens)
-            return KVCache(k=kc, v=vc, length=length,
-                           k_scale=ksc, v_scale=vsc)
-
         last_only = self.parallel == "tp"
 
         @functools.partial(jax.jit,
@@ -431,7 +442,7 @@ class ContinuousBatchingScheduler:
                 frequency_penalty=freq, counts=pc_rows,
                 out_counts=jnp.zeros_like(pc_rows))
             first_lp = sampling.token_logprob(last, first)
-            cache = scatter(cache, small, slots, seq_lens)
+            cache = _scatter_into_slots(cache, small, slots, seq_lens)
             if spec:
                 dsmall = dmodel.init_cache(dcfg, m, max_seq=self.T,
                                            dtype=self._dkv_dtype,
@@ -441,7 +452,7 @@ class ContinuousBatchingScheduler:
                 _, dsmall = dmodel.forward(params_d, dcfg, tokens,
                                            dsmall, seq_lens=seq_lens,
                                            logit_idx=idx)
-                dcache = scatter(dcache, dsmall, slots, seq_lens)
+                dcache = _scatter_into_slots(dcache, dsmall, slots, seq_lens)
             return first, first_lp, cache, dcache
         return prefill
 
@@ -493,6 +504,7 @@ class ContinuousBatchingScheduler:
             if req.rid == rid:
                 del self._queue[i]
                 req.finished = True
+                req.finished_at = time.perf_counter()
                 req.stop_reason = reason
                 self._done[rid] = req
                 return True
@@ -507,6 +519,7 @@ class ContinuousBatchingScheduler:
                     # keep running (fixed shapes), but the slot is never
                     # activated — _activate_prefilled skips it.
                     req.finished = True
+                    req.finished_at = time.perf_counter()
                     req.stop_reason = reason
                     self._done[rid] = req
                     return True
@@ -566,7 +579,10 @@ class ContinuousBatchingScheduler:
         if req.response_format is not None:
             # constrain the FIRST sampled token (prefill admission
             # samples it in the same jitted call) by the grammar's
-            # initial state.
+            # initial state. The USER bias rides every later grammar
+            # mask too (_struct_after_token) — it used to be dropped
+            # from the second token on.
+            req._user_bias = bias.copy() if req.logit_bias else None
             mk = self._masker(req.response_format)
             req.struct_state = mk.initial()
             bias = bias + mk.bias_row(req.struct_state,
@@ -701,6 +717,9 @@ class ContinuousBatchingScheduler:
             self.budget = self.budget.at[slot].set(
                 req.max_new - len(req.out_tokens))
             self._active[slot] = req
+            if self._dmodel is not None:
+                # admission prefilled the draft cache on the prompt
+                self._spec_dlen[slot] = len(req.prompt)
             done_struct = self._struct_after_token(slot, req, first_i)
             if first_i == self.config.eos_token_id:
                 self._finish(slot, "eos")
@@ -756,15 +775,8 @@ class ContinuousBatchingScheduler:
                 frequency_penalty=freq, counts=pc_rows,
                 out_counts=jnp.zeros_like(pc_rows))
             first_lp = sampling.token_logprob(last, first)
-            kc = cache.k.at[:, slots].set(small.k.astype(cache.k.dtype))
-            vc = cache.v.at[:, slots].set(small.v.astype(cache.v.dtype))
-            ksc = vsc = None
-            if cache.k_scale is not None:
-                ksc = cache.k_scale.at[:, slots].set(small.k_scale)
-                vsc = cache.v_scale.at[:, slots].set(small.v_scale)
-            length = cache.length.at[slots].set(seq_lens)
-            return first, first_lp, KVCache(k=kc, v=vc, length=length,
-                                            k_scale=ksc, v_scale=vsc)
+            return first, first_lp, _scatter_into_slots(cache, small,
+                                                        slots, seq_lens)
         return final
 
     def _adm_advance(self):
@@ -856,8 +868,11 @@ class ContinuousBatchingScheduler:
         req.struct_state = nxt
         if mk.done(nxt):
             return True
-        self.slot_bias = self.slot_bias.at[slot].set(
-            jnp.asarray(mk.bias_row(nxt, self.config.eos_token_id)))
+        row = mk.bias_row(nxt, self.config.eos_token_id)
+        ub = getattr(req, "_user_bias", None)
+        if ub is not None:
+            row = row + ub                 # OpenAI logit_bias persists
+        self.slot_bias = self.slot_bias.at[slot].set(jnp.asarray(row))
         return False
 
     def _has_structured(self) -> bool:
@@ -876,6 +891,7 @@ class ContinuousBatchingScheduler:
     def _finish(self, slot: int, reason: str):
         req = self._active.pop(slot)
         req.finished = True
+        req.finished_at = time.perf_counter()
         req.stop_reason = reason
         self.active = self.active.at[slot].set(False)
         self._done[req.rid] = req
@@ -893,6 +909,7 @@ class ContinuousBatchingScheduler:
                 and all(len(r.prompt) + len(r.out_tokens)
                         + self.spec_k + 1 <= self.T
                         for r in self._active.values())):
+            self._spec_catchup()
             # speculative rounds cover temp/top-k/top-p slots; any
             # active penalties/bias/grammar slot falls the whole batch
             # back to plain steps this iteration (those filters are
@@ -1036,6 +1053,47 @@ class ContinuousBatchingScheduler:
             return tokens, cache, dcache, out, lps, n_emit
         return spec_round
 
+    def _spec_catchup_fn(self, G: int):
+        dmodel, dcfg = self._dmodel, self.draft_config
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def catchup(params_d, tokens, dcache, seq_lens):
+            idx = jnp.zeros((tokens.shape[0],), jnp.int32)
+            _, dcache = dmodel.forward(params_d, dcfg, tokens, dcache,
+                                       seq_lens=seq_lens, logit_idx=idx)
+            return dcache
+        return catchup
+
+    def _spec_catchup(self):
+        """Re-ingest tokens the draft cache missed while plain/burst
+        fallback iterations ran (they advance only the target cache).
+        One jitted ragged forward; slots already in sync get
+        seq_lens 0."""
+        gaps = {}
+        for slot, req in self._active.items():
+            confirmed = len(req.prompt) + len(req.out_tokens) - 1
+            d = self._spec_dlen.get(slot, confirmed)
+            if confirmed > d:
+                gaps[slot] = (d, confirmed)
+        if not gaps:
+            return
+        G = max(c - d for d, c in gaps.values())
+        Gb = _bucket(G, True, minimum=8)
+        arr = np.zeros((self.B, Gb), np.int32)
+        lens = np.zeros((self.B,), np.int32)
+        for slot, (d, c) in gaps.items():
+            req = self._active[slot]
+            toks = (req.prompt + req.out_tokens)[d:c]
+            arr[slot, : len(toks)] = toks
+            lens[slot] = len(toks)
+            self._spec_dlen[slot] = c
+        key = ("spec_catchup", Gb)
+        if key not in self._burst_cache:
+            self._burst_cache[key] = self._spec_catchup_fn(Gb)
+        self.dcache = self._burst_cache[key](
+            self.draft_params, jnp.asarray(arr), self.dcache,
+            jnp.asarray(lens))
+
     def _step_spec(self) -> int:
         eos = self.config.eos_token_id
         (self.tokens, self.cache, self.dcache, out, lps,
@@ -1052,6 +1110,11 @@ class ContinuousBatchingScheduler:
             sum(max(int(n_np[s]) - 1, 0) for s in self._active))
         for slot in list(self._active):
             req = self._active[slot]
+            # the round confirmed everything except the new current
+            # token into BOTH caches
+            self._spec_dlen[slot] = (len(req.prompt)
+                                     + len(req.out_tokens)
+                                     + max(int(n_np[slot]), 1) - 1)
             for i in range(int(n_np[slot])):
                 tok = int(out_np[slot, i])
                 req.out_tokens.append(tok)
@@ -1118,7 +1181,10 @@ class ContinuousBatchingScheduler:
         t1 = time.perf_counter()
         out: Dict[int, GenerationResult] = {}
         for rid, req in self._done.items():
-            dt_ms = (t1 - req.submitted_at) * 1e3
+            # per-request completion clock (run-end stamping inflated
+            # early finishers' latency by the whole remaining run)
+            t_done = req.finished_at or t1
+            dt_ms = (t_done - req.submitted_at) * 1e3
             n = len(req.out_tokens)
             out[rid] = GenerationResult(
                 tokens=req.prompt + req.out_tokens,
@@ -1342,8 +1408,12 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
 
     def _ensure_pages(self, slot: int, upto_len: int) -> bool:
         """Assign pages so positions [0, upto_len) are backed. Returns
-        False (no state change) if the pool can't cover the need."""
-        need = -(-upto_len // self.page)
+        False (no state change) if the pool can't cover the need.
+        Requests past max_seq clamp to the table width — the decode
+        scan deactivates a slot at new_len == T before it could write
+        beyond the last page (a burst near T used to index off the end
+        of the block table here)."""
+        need = min(-(-upto_len // self.page), self._table.shape[1])
         have = int((self._table[slot] >= 0).sum())
         if need <= have:
             return True
@@ -1422,6 +1492,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             self._lengths[slot] = len(req.prompt)
             req.prefill_ms = (time.perf_counter() - t0) * 1e3
             req.slot = slot
+            first, first_lp = self._host_view((first, first_lp))
             first_i = int(first)
             req.out_tokens.append(first_i)
             req.out_logprobs.append(float(first_lp))

@@ -199,25 +199,41 @@ class JsonTokenFilter:
     for schema-directed output)."""
 
     def __init__(self, tokenizer, require_object: bool = True,
-                 max_candidates: int = 512, fsm=None):
+                 max_candidates: int = 512, fsm=None, eos_id=None):
+        """eos_id: when given and the grammar reaches a MAY-finish
+        state (fsm.may_finish — e.g. a top-level number at a terminal
+        digit), the EOS token competes with the legal continuations in
+        pick(); choosing it ends the generation. Without it a
+        top-level number grammar could never finish on the host path
+        (done() is strict)."""
         self.table = token_bytes_table(tokenizer)
         self.require_object = require_object
         self.max_candidates = max_candidates
         self.fsm = fsm
+        self.eos_id = eos_id
+        self._stopped = False
         self.state = (fsm.initial() if fsm is not None
                       else json_fsm.initial(require_object))
         # (state, token id) -> next state (None = illegal)
         self._trans: Dict[Tuple[json_fsm.State, int], object] = {}
 
     def reset(self):
+        self._stopped = False
         self.state = (self.fsm.initial() if self.fsm is not None
                       else json_fsm.initial(self.require_object))
 
     @property
     def done(self) -> bool:
+        if self._stopped:
+            return True
         if self.fsm is not None:
             return self.fsm.done(self.state)
         return json_fsm.done(self.state)
+
+    def _may_stop(self) -> bool:
+        return (self.eos_id is not None and self.fsm is not None
+                and getattr(self.fsm, "may_finish", None) is not None
+                and self.fsm.may_finish(self.state))
 
     def _next_state(self, tid: int):
         key = (self.state, tid)
@@ -243,9 +259,20 @@ class JsonTokenFilter:
         # best-first candidate order without a full sort
         part = np.argpartition(logits, -K)[-K:]
         order = part[np.argsort(logits[part])[::-1]]
+        may_stop = self._may_stop()
         valid: List[int] = []
         states = {}
         for tid in order:
+            if may_stop and int(tid) == self.eos_id:
+                # stopping competes with the continuations
+                if temperature <= 0.0:
+                    self._stopped = True
+                    return int(tid)
+                valid.append(int(tid))
+                states[int(tid)] = "STOP"
+                if len(valid) >= 64:
+                    break
+                continue
             nxt = self._next_state(int(tid))
             if nxt is None:
                 continue
@@ -269,5 +296,8 @@ class JsonTokenFilter:
         p = np.exp(x)
         p /= p.sum()
         choice = int((rng or np.random.default_rng()).choice(valid, p=p))
+        if states[choice] == "STOP":
+            self._stopped = True
+            return choice
         self.state = states[choice]
         return choice

@@ -62,8 +62,11 @@ class SchemaFSM:
     # -- compilation ----------------------------------------------------
 
     def _lit(self, bs: bytes):
-        # merge adjacent literals so lit positions stay small
-        if self.prog and self.prog[-1][0] == "lit":
+        # merge adjacent literals so lit positions stay small (the
+        # None check matters: an arr_open placeholder may precede us —
+        # array-of-objects crashed here before)
+        if (self.prog and self.prog[-1] is not None
+                and self.prog[-1][0] == "lit"):
             self.prog[-1] = ("lit", self.prog[-1][1] + bs)
         else:
             self.prog.append(("lit", bs))
