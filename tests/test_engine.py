@@ -581,3 +581,50 @@ def test_engine_on_mesh_int8_kv_matches_single_device(tiny_params,
     got = mesh_eng.generate_batch([[1, 5, 9], [2, 4, 6]], 10,
                                   temperature=0.0)
     assert [r.tokens for r in got] == [r.tokens for r in want]
+
+
+def test_scan_and_host_loop_sampled_trajectories_match(tiny_params,
+                                                       tiny_cfg):
+    """decode_loop='scan' and 'host' consume the SAME per-step rng keys
+    (split(r_dec, N)[i]); sampled outputs are identical — the host loop
+    used to chain-split and diverge from the 2nd token."""
+    import dataclasses
+
+    import turboinfer_tpu as ti
+    icfg = ti.InferenceConfig(max_seq_len=128, temperature=0.8, seed=5,
+                              top_k=40, eos_token_id=-1)
+    e1 = ti.InferenceEngine(tiny_params, tiny_cfg, icfg)
+    want = e1.generate([1, 5, 9], 20).tokens
+    e2 = ti.InferenceEngine(tiny_params, tiny_cfg,
+                            dataclasses.replace(icfg,
+                                                decode_loop="host"))
+    assert e2.generate([1, 5, 9], 20).tokens == want
+
+
+def test_zero_token_budget_is_a_noop(tiny_engine):
+    res = tiny_engine.generate([1, 5, 9], 0)
+    assert res.tokens == [1, 5, 9] and res.finished
+    assert list(tiny_engine.generate_stream([1, 5, 9], 0)) == []
+    import pytest as _pytest
+
+    from turboinfer_tpu.utils.errors import TokenError
+    with _pytest.raises(TokenError):
+        tiny_engine.generate_beam_search([1, 5, 9], 0, beam_size=2)
+
+
+def test_decode_scan_budget_bucketing(tiny_params, tiny_cfg):
+    """Distinct max_new_tokens values share one fused decode program
+    (bucketed to multiples of 32) and produce prefix-identical
+    outputs."""
+    import turboinfer_tpu as ti
+    icfg = ti.InferenceConfig(max_seq_len=256, temperature=0.8, seed=1,
+                              eos_token_id=-1)
+    eng = ti.InferenceEngine(tiny_params, tiny_cfg, icfg)
+    r64 = eng.generate([1, 5, 9], 64).tokens
+    n_progs = len(eng._jit_cache)
+    r40 = eng.generate([1, 5, 9], 40).tokens
+    r33 = eng.generate([1, 5, 9], 33).tokens
+    assert len(eng._jit_cache) == n_progs          # no new compiles
+    # NOTE: rng advances per call; compare against fresh engines
+    e2 = ti.InferenceEngine(tiny_params, tiny_cfg, icfg)
+    assert e2.generate([1, 5, 9], 64).tokens == r64

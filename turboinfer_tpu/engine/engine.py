@@ -262,6 +262,12 @@ class InferenceEngine:
                               ctx_len=jnp.zeros_like(cache.ctx_len))
 
     def _put_cache(self, batch_size: int, cache) -> None:
+        for leaf in jax.tree_util.tree_leaves(cache):
+            if getattr(leaf, "is_deleted", None) and leaf.is_deleted():
+                # a donated buffer whose dispatch failed (e.g. tunnel
+                # drop mid-call) — pooling it would poison every later
+                # request with 'Array has been deleted'
+                return
         if self.parallel == "cp":
             key = (batch_size, cache.k_ctx.shape[3],
                    self.config.max_seq_len)
@@ -412,8 +418,6 @@ class InferenceEngine:
             return self._prefill_program(True)(self.params, tokens,
                                                seq_lens, cache)
         lens_np = np.asarray(seq_lens)
-        last = None
-        last_sel = np.zeros((B,), bool)
         out_logits = None
         for c0 in range(0, S, C):
             c1 = min(c0 + C, S)
@@ -539,6 +543,12 @@ class InferenceEngine:
         B = len(prompts)
         max_new = min(max_new_tokens,
                       self.config.max_seq_len - int(seq_lens.max()))
+        if max_new <= 0:
+            # zero budget: a clean no-op (one token used to leak out)
+            return [GenerationResult(tokens=list(p), logprobs=[] if
+                                     return_logprobs else None,
+                                     finished=True, stop_reason="length")
+                    for p in prompts]
         cache = self._take_cache(B, S)
         if self.parallel == "cp":
             # the decode tail bounds the generation budget
@@ -570,7 +580,17 @@ class InferenceEngine:
             lps = sampling.token_logprob(last_logits, first)[:, None]
             finished = first == eos
         elif self.config.decode_loop == "scan":
-            decode = self._decode_scan_fn(max_new, sp, eos, pad,
+            # Bucket the scan length to multiples of 32 (like prompt
+            # bucketing): the fused program compiles per LENGTH, and
+            # callers sweeping max_new_tokens used to mint a multi-
+            # second XLA compile per distinct value. The ≤31 extra
+            # decoded tokens are discarded host-side; the kept prefix
+            # is bit-identical (split(key, N)[i] is N-independent).
+            n_prog = max_new
+            if self.config.prefill_bucket:
+                n_prog = min(-(-max_new // 32) * 32,
+                             self.config.max_seq_len - int(seq_lens.max()))
+            decode = self._decode_scan_fn(n_prog, sp, eos, pad,
                                           want_logprobs=return_logprobs)
             toks, lps, cache, finished = decode(self.params, last_logits,
                                                 cache, rng, pc)
@@ -584,10 +604,15 @@ class InferenceEngine:
             rows = jnp.arange(B)
             oc = (jnp.zeros_like(pc).at[rows, first].add(1)
                   if sp.needs_counts else None)
+            # SAME per-step keys as the fused scan (split(r_dec, N)[i]
+            # is N-independent in threefry counter mode) — the old
+            # chain-splitting diverged from the scan path from the 2nd
+            # sampled token, breaking the reproducibility contract
+            step_rngs = jax.random.split(r_dec, max(max_new - 1, 1))
             for i in range(max_new - 1):
                 logits, cache = self._decode_step_fn(self.params, token,
                                                      cache)
-                r_dec, r_i = jax.random.split(r_dec)
+                r_i = step_rngs[i]
                 nxt = sampling.sample(r_i, logits, sp,
                                       (pc + oc, oc) if sp.needs_counts
                                       else None)
@@ -613,7 +638,7 @@ class InferenceEngine:
         results = []
         new_total = 0
         for b in range(B):
-            row = toks_np[b].tolist()
+            row = toks_np[b][:max_new].tolist()   # drop bucket slack
             if eos in row:
                 n = row.index(eos) + 1
                 stop = "eos"
@@ -798,6 +823,8 @@ class InferenceEngine:
         tokens, seq_lens, S = self._pad_batch([input_tokens])
         budget = min(max_new_tokens,
                      self.config.max_seq_len - len(input_tokens))
+        if budget <= 0:
+            return
         cache = self._take_cache(1, S)
         if self.parallel == "cp":
             budget = min(budget, cache.k_tail.shape[3])
@@ -941,6 +968,12 @@ class InferenceEngine:
         vector<GenerationResult>, inference_engine.hpp:163).
         """
         self._validate(input_tokens)
+        if max_new_tokens <= 0:
+            raise TokenError("beam search needs max_new_tokens >= 1")
+        if self.parallel == "cp":
+            raise NotImplementedError(
+                "beam search is not supported on the context-parallel "
+                "engine yet")
         lp_pen = (self.config.length_penalty if length_penalty is None
                   else length_penalty)
         eos = self.config.eos_token_id
@@ -956,6 +989,7 @@ class InferenceEngine:
         if not hasattr(cache, "k_scale"):
             # DeepSeekPPCache: the beam program's per-step cache
             # gather/tiling assumes the KVCache field layout.
+            self._put_cache(1, cache)
             raise NotImplementedError(
                 "beam search is not supported on the deepseek "
                 "pipeline-parallel engine yet")
@@ -1184,9 +1218,16 @@ class InferenceEngine:
         memory_usage, inference_engine.cpp:1039-1092)."""
         w = self._model.param_bytes(self.params)
         c = self.model_config
+        from turboinfer_tpu.models.common import resolve_kv_dtype
+        kv_dt = resolve_kv_dtype(self.config.kv_cache_dtype, c.dtype)
         cache_elems = (c.num_layers * self.config.max_batch_size *
                        self.config.max_seq_len * c.kv_heads * c.head_dim_)
-        cache_bytes = 2 * cache_elems * jnp.dtype(c.dtype).itemsize
+        cache_bytes = 2 * cache_elems * jnp.dtype(kv_dt).itemsize
+        if kv_dt == jnp.int8:
+            # per-(token, head) f32 scale planes ride along
+            cache_bytes += (2 * 4 * c.num_layers
+                            * self.config.max_batch_size
+                            * self.config.max_seq_len * c.kv_heads)
         return int(w + cache_bytes)
 
     def performance_stats(self) -> str:

@@ -108,12 +108,17 @@ def init_cache(config: ModelConfig, batch_size: int,
 
 
 def reset_cache(cache: KVCache) -> KVCache:
-    """Zero-fill (reference: KVCache::reset, inference_engine.cpp:60-69)."""
-    zs = (None if cache.k_scale is None
+    """Zero-fill (reference: KVCache::reset, inference_engine.cpp:60-69).
+    Each scale plane resets from its OWN array (sharing one zeros array
+    between the two slots is the double-donation trap init_cache's
+    comment warns about)."""
+    ks = (None if cache.k_scale is None
           else jnp.zeros_like(cache.k_scale))
+    vs = (None if cache.v_scale is None
+          else jnp.zeros_like(cache.v_scale))
     return KVCache(k=jnp.zeros_like(cache.k), v=jnp.zeros_like(cache.v),
                    length=jnp.zeros_like(cache.length),
-                   k_scale=zs, v_scale=zs)
+                   k_scale=ks, v_scale=vs)
 
 
 def param_count(params: Any) -> int:

@@ -46,31 +46,6 @@ PP_AXIS = "pp"
 _PP_FAMILIES = ("llama", "moe", "gpt2", "neox", "gptoss", "deepseek")
 
 
-def pipeline_param_specs(pp: str = PP_AXIS,
-                         layers: Optional[Dict[str, Any]] = None
-                         ) -> Dict[str, Any]:
-    """Layer-stacked weights shard on the leading L axis over `pp`;
-    embeddings/norms/head replicated (the last stage uses them).
-
-    With `layers` (the params' stacked layer dict) the layer specs are
-    derived per leaf — every slot, including optional ones (biases,
-    qk-norms, post-norms, MoE experts) and QTensor data/scales, shards
-    its leading L axis over `pp`."""
-    if layers is not None:
-        lspecs = jax.tree_util.tree_map(
-            lambda w: P(pp, *([None] * (w.ndim - 1))), layers)
-    else:
-        lspecs = {s: P(pp, None, None) for s in
-                  ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")}
-        lspecs.update(attn_norm=P(pp, None), ffn_norm=P(pp, None))
-    return {
-        "embed": P(None, None),
-        "layers": lspecs,
-        "final_norm": P(None),
-        "lm_head": P(None, None),
-    }
-
-
 def _pp_spec_tree(params, pp: str = PP_AXIS) -> Dict[str, Any]:
     """Leaf-wise PartitionSpec tree for a whole param pytree: stacked
     layer weights (incl. QTensor data/scales and MoE expert stacks)
@@ -266,6 +241,7 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
     n_stage = mesh.shape[axis]
     _check_stages(config, config.num_layers, n_stage)
     ad = _adapter(config, family, mod)
+    V = params["lm_head"].shape[-1]
 
     lspec = _pp_spec_tree(params, axis)
     cspec = pipeline_cache_spec(axis)
@@ -327,9 +303,12 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
         x, k_loc, v_loc = jax.lax.fori_loop(
             0, n_stage, stage_step, (x, k_loc, v_loc))
         # After n_stage rotations the fully-processed x landed back on
-        # stage 0; stage 0 computes the head and a psum broadcasts.
-        logits = ad.head(params_l, x)
-        logits = jnp.where(me == 0, logits, 0.0)
+        # stage 0; ONLY stage 0 computes the head (every stage used to
+        # run the full-vocab matmul and throw P-1 results away) and a
+        # psum broadcasts.
+        logits = jax.lax.cond(
+            me == 0, lambda v: ad.head(params_l, v),
+            lambda v: jnp.zeros(v.shape[:2] + (V,), jnp.float32), x)
         logits = jax.lax.psum(logits, axis)
         return logits, k_loc, v_loc, kv_len
 
@@ -367,6 +346,7 @@ def _deepseek_pipeline_forward(params, config: ModelConfig,
                         "shard_for_pipeline(..., config=config)")
     lf = mod._layer_forward
     ad = _adapter(config, "deepseek", mod)
+    Vh = params["lm_head"].shape[-1]
 
     lspec = _pp_spec_tree(params, axis)
     cspec = pipeline_cache_spec(axis)
@@ -418,8 +398,9 @@ def _deepseek_pipeline_forward(params, config: ModelConfig,
 
         x, k_loc, v_loc = jax.lax.fori_loop(
             0, n_stage, stage_step, (x, k_loc, v_loc))
-        logits = ad.head(params_l, x)
-        logits = jnp.where(me == 0, logits, 0.0)
+        logits = jax.lax.cond(
+            me == 0, lambda v: ad.head(params_l, v),
+            lambda v: jnp.zeros(v.shape[:2] + (Vh,), jnp.float32), x)
         logits = jax.lax.psum(logits, axis)
         return logits, kd_c, vd_c, k_loc, v_loc, kv_len
 
@@ -626,8 +607,7 @@ def pipeline_forward_microbatch(params, config: ModelConfig,
     ad = _adapter(config, family, mod)
 
     H = config.hidden_size
-    V = params["lm_head"].shape[-1] if hasattr(params["lm_head"], "shape") \
-        else params["lm_head"].shape[-1]
+    V = params["lm_head"].shape[-1]      # QTensor exposes logical shape
     lspec = _pp_spec_tree(params, axis)
     cspec = pipeline_cache_spec(axis)
 
