@@ -292,8 +292,11 @@ class InferenceEngine:
         # [B, S, V] f32 materialization); pp/cp relays return full
         # logits and gather here.
         last_only = self.parallel == "tp"
+        # fresh_prefill stays single-chip: its Pallas cache writer /
+        # direct-K/V flash kernel have no GSPMD partition rule, so on a
+        # sharded mesh they would force replication (or fail to lower).
         kw = ({"fresh_prefill": True}
-              if fresh and last_only and getattr(
+              if fresh and last_only and self.mesh is None and getattr(
                   self._model, "SUPPORTS_FRESH_PREFILL", False) else {})
 
         @functools.partial(jax.jit, donate_argnums=(3,))
@@ -590,6 +593,12 @@ class InferenceEngine:
             if self.config.prefill_bucket:
                 n_prog = min(-(-max_new // 32) * 32,
                              self.config.max_seq_len - int(seq_lens.max()))
+            if self.parallel == "cp":
+                # mirror the max_new tail clamp: with a padded prompt
+                # (S > seq_lens.max()) the bucket round-up could exceed
+                # the tail width and the slack steps' tail writes would
+                # clamp onto the last valid tail row
+                n_prog = min(n_prog, cache.k_tail.shape[3])
             decode = self._decode_scan_fn(n_prog, sp, eos, pad,
                                           want_logprobs=return_logprobs)
             toks, lps, cache, finished = decode(self.params, last_logits,

@@ -423,8 +423,11 @@ class ContinuousBatchingScheduler:
                 # head computed for ONLY the last valid position (skips
                 # S-1/S of the lm_head FLOPs; see llama.forward); the
                 # small cache is brand-new => cold-prefill fast path
-                fkw = ({"fresh_prefill": True} if getattr(
-                    model, "SUPPORTS_FRESH_PREFILL", False) else {})
+                # (single-chip only: the fresh-path Pallas writer/flash
+                # kernel have no GSPMD partition rule on a mesh)
+                fkw = ({"fresh_prefill": True}
+                       if self.mesh is None and getattr(
+                           model, "SUPPORTS_FRESH_PREFILL", False) else {})
                 logits, small = fwd(params, tokens, small,
                                     seq_lens=seq_lens, logit_idx=idx,
                                     **fkw)
@@ -1067,32 +1070,44 @@ class ContinuousBatchingScheduler:
     def _spec_catchup(self):
         """Re-ingest tokens the draft cache missed while plain/burst
         fallback iterations ran (they advance only the target cache).
-        One jitted ragged forward; slots already in sync get
-        seq_lens 0."""
-        gaps = {}
-        for slot, req in self._active.items():
-            confirmed = len(req.prompt) + len(req.out_tokens) - 1
-            d = self._spec_dlen.get(slot, confirmed)
-            if confirmed > d:
-                gaps[slot] = (d, confirmed)
-        if not gaps:
-            return
-        G = max(c - d for d, c in gaps.values())
-        Gb = _bucket(G, True, minimum=8)
-        arr = np.zeros((self.B, Gb), np.int32)
-        lens = np.zeros((self.B,), np.int32)
-        for slot, (d, c) in gaps.items():
-            req = self._active[slot]
-            toks = (req.prompt + req.out_tokens)[d:c]
-            arr[slot, : len(toks)] = toks
-            lens[slot] = len(toks)
-            self._spec_dlen[slot] = c
-        key = ("spec_catchup", Gb)
-        if key not in self._burst_cache:
-            self._burst_cache[key] = self._spec_catchup_fn(Gb)
-        self.dcache = self._burst_cache[key](
-            self.draft_params, jnp.asarray(arr), self.dcache,
-            jnp.asarray(lens))
+        One jitted ragged forward per pass; slots already in sync get
+        seq_lens 0. The ingest width is capped so start[b] + W <= T for
+        EVERY row (the forward's per-row DUS writes the full W-wide
+        slab at the row's draft length regardless of seq_lens — an
+        uncapped bucket width near the cache end would clamp the write
+        and overwrite valid draft K/V below the slot's length); gaps
+        wider than the cap drain over multiple passes."""
+        while True:
+            gaps = {}
+            for slot, req in self._active.items():
+                confirmed = len(req.prompt) + len(req.out_tokens) - 1
+                d = self._spec_dlen.get(slot, confirmed)
+                if confirmed > d:
+                    gaps[slot] = (d, confirmed)
+            if not gaps:
+                return
+            G = max(c - d for d, c in gaps.values())
+            max_dlen = max(
+                self._spec_dlen.get(
+                    s, len(r.prompt) + len(r.out_tokens) - 1)
+                for s, r in self._active.items())
+            # step() guarantees every slot has spec_k+1 headroom, so
+            # T - max_dlen >= 2: each pass always makes progress.
+            W = min(_bucket(G, True, minimum=8), self.T - max_dlen)
+            arr = np.zeros((self.B, W), np.int32)
+            lens = np.zeros((self.B,), np.int32)
+            for slot, (d, c) in gaps.items():
+                req = self._active[slot]
+                toks = (req.prompt + req.out_tokens)[d: min(c, d + W)]
+                arr[slot, : len(toks)] = toks
+                lens[slot] = len(toks)
+                self._spec_dlen[slot] = d + len(toks)
+            key = ("spec_catchup", W)
+            if key not in self._burst_cache:
+                self._burst_cache[key] = self._spec_catchup_fn(W)
+            self.dcache = self._burst_cache[key](
+                self.draft_params, jnp.asarray(arr), self.dcache,
+                jnp.asarray(lens))
 
     def _step_spec(self) -> int:
         eos = self.config.eos_token_id
@@ -1135,6 +1150,16 @@ class ContinuousBatchingScheduler:
             # a slot that finished mid-round discards the rest of the
             # round's tokens; resync its current-token register is not
             # needed (the slot is inactive until re-admission resets it)
+        if self._active:
+            # Resync device-side budgets: a round emits a+1 tokens per
+            # slot but the spec program doesn't carry the budget array —
+            # a later fallback to plain/burst steps would otherwise run
+            # stale-high budgets and keep finished slots device-active.
+            slots = list(self._active)
+            self.budget = self.budget.at[jnp.asarray(slots)].set(
+                jnp.asarray([self._active[s].max_new
+                             - len(self._active[s].out_tokens)
+                             for s in slots], jnp.int32))
         return len(self._active)
 
     def _step_burst(self) -> int:
