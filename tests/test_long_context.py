@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from turboinfer_tpu.kernels import ops
-from turboinfer_tpu.parallel import long_context, mesh as pmesh
+from turboinfer_tpu.parallel import context as long_context, mesh as pmesh
 
 
 @pytest.fixture(scope="module")

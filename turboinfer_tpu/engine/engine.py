@@ -94,7 +94,8 @@ class InferenceEngine:
                  param_specs: Optional[Dict[str, Any]] = None,
                  parallel: str = "tp",
                  pp_microbatches: Optional[int] = None,
-                 params_are_prepared: bool = False):
+                 params_are_prepared: bool = False,
+                 cp_strategy: str = "ring"):
         """mesh: optional jax.sharding.Mesh — the whole engine (prefill,
         fused decode scan, beam search, logprobs) runs tensor/data-
         parallel: weights sharded per `param_specs` (default
@@ -116,6 +117,9 @@ class InferenceEngine:
         working set per chip; parallel/context.py ring prefill +
         psum-combined decode), so contexts larger than one chip's HBM
         are servable through the same API. Weights replicate.
+        cp_strategy="ulysses" swaps the ring prefill for the all_to_all
+        head-exchange (needs Hq and Hkv divisible by the ring size);
+        decode is strategy-independent.
 
         params_are_prepared=True: `params` already went through
         kernels.dispatch.prepare_params (e.g. they are a live
@@ -131,6 +135,7 @@ class InferenceEngine:
                              f"got '{parallel}'")
         self.parallel = parallel if mesh is not None else "tp"
         self.pp_microbatches = pp_microbatches
+        self.cp_strategy = cp_strategy
         if mesh is not None:
             if self.parallel == "pp":
                 from turboinfer_tpu.parallel import pipeline as _pl
@@ -170,11 +175,13 @@ class InferenceEngine:
         if self.parallel == "cp":
             from turboinfer_tpu.parallel import context as _cp
             mesh = self.mesh
+            strat = self.cp_strategy
 
             def fwd_cp(params, tokens, cache, seq_lens=None):
                 if tokens.shape[1] > 1:
                     return _cp.cp_prefill(params, cfg, tokens, cache,
-                                          mesh=mesh, seq_lens=seq_lens)
+                                          mesh=mesh, seq_lens=seq_lens,
+                                          strategy=strat)
                 return _cp.cp_decode(params, cfg, tokens, cache,
                                      mesh=mesh)
             return fwd_cp
@@ -249,15 +256,17 @@ class InferenceEngine:
         from turboinfer_tpu.parallel import context as _cp
         dt = resolve_kv_dtype(self.config.kv_cache_dtype,
                               self.model_config.dtype)
-        if dt != jnp.dtype(self.model_config.dtype):
-            raise ValueError("the context-parallel engine supports only "
-                             "kv_cache_dtype='model'/'bf16'")
+        if dt == jnp.uint8:
+            raise ValueError("the context-parallel engine supports "
+                             "kv_cache_dtype 'model'/'bf16'/'int8' "
+                             "(int8 is the compressed long-context "
+                             "cache; fp8 is not threaded)")
         t_tail = max(self.config.max_seq_len - s_ctx, 8)
         key = (batch_size, s_ctx, self.config.max_seq_len)
         cache = self._cache_pool.pop(key, None)
         if cache is None:
             return _cp.init_cp_cache(self.model_config, batch_size,
-                                     s_ctx, t_tail, self.mesh)
+                                     s_ctx, t_tail, self.mesh, dtype=dt)
         return cache._replace(length=jnp.zeros_like(cache.length),
                               ctx_len=jnp.zeros_like(cache.ctx_len))
 
