@@ -228,6 +228,15 @@ def test_cli_serve_parallel_flags(tmp_path, tiny_params, tiny_cfg,
     assert captured["sched"].spec_k == 2
     assert captured["beam"] is not None      # single-chip: beam engine
 
+    # context-parallel serving (sequence-sharded prompt cache)
+    assert cli.main(["serve", src, "--context-parallel", "2",
+                     "--slots", "2", "--quiet"]) == 0
+    from turboinfer_tpu.engine.cp_scheduler import ContextParallelScheduler
+    assert isinstance(captured["sched"], ContextParallelScheduler)
+    assert captured["sched"].mesh.shape["sp"] == 2
+
     # mutually exclusive flags
     assert cli.main(["serve", src, "--pp-stages", "2", "--tp", "2",
                      "--quiet"]) == 2
+    assert cli.main(["serve", src, "--context-parallel", "2", "--tp",
+                     "2", "--quiet"]) == 2

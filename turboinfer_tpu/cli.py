@@ -123,6 +123,24 @@ def cmd_serve(args):
         draft = loader_mod.load_model_data(args.draft_model)
         kw.update(draft_params=draft.params, draft_config=draft.config,
                   spec_k=args.spec_k)
+    cp_n = getattr(args, "context_parallel", 1)
+    if cp_n > 1:
+        if args.paged or args.pp_stages > 1 or args.tp > 1 \
+                or args.draft_model:
+            print("--context-parallel composes with none of --paged/"
+                  "--pp-stages/--tp/--draft-model yet", file=sys.stderr)
+            return 2
+        import jax
+        from turboinfer_tpu.parallel import mesh as pmesh
+        devs = jax.devices()
+        if len(devs) < cp_n:
+            print(f"--context-parallel {cp_n} needs that many devices "
+                  f"(have {len(devs)})", file=sys.stderr)
+            return 2
+        kw.update(mesh=pmesh.make_mesh((cp_n, 1),
+                                       axis_names=("sp", "tp"),
+                                       devices=devs[:cp_n]),
+                  parallel="cp")
     if args.pp_stages > 1 and args.tp > 1:
         print("--pp-stages and --tp are mutually exclusive",
               file=sys.stderr)
@@ -348,6 +366,11 @@ def main(argv=None):
                    help="tensor/expert-parallel serving over N devices "
                         "(MoE families shard experts, deepseek shards "
                         "MLA heads+experts, dense models column/row TP)")
+    s.add_argument("--context-parallel", type=int, default=1,
+                   metavar="N", dest="context_parallel",
+                   help="serve with the prompt KV cache sequence-"
+                        "sharded over N devices (long contexts larger "
+                        "than one chip's HBM; weights replicate)")
     s.add_argument("--draft-model", default=None,
                    help="speculative decoding: small draft model file; "
                         "each scheduler step proposes --spec-k tokens "

@@ -115,6 +115,18 @@ class ContinuousBatchingScheduler:
         results = sched.run()     # {rid: GenerationResult}
     """
 
+    def __new__(cls, *args, **kw):
+        # parallel="cp" on the base class transparently constructs the
+        # context-parallel scheduler (sequence-sharded prompt cache) —
+        # the documented `ContinuousBatchingScheduler(parallel="cp")`
+        # API without entangling the slot-pool code with CPCache.
+        if (cls is ContinuousBatchingScheduler
+                and kw.get("parallel") == "cp"):
+            from turboinfer_tpu.engine.cp_scheduler import \
+                ContextParallelScheduler
+            return super().__new__(ContextParallelScheduler)
+        return super().__new__(cls)
+
     def __init__(self, params: Dict[str, Any], model_config: ModelConfig,
                  config: Optional[InferenceConfig] = None,
                  batch_slots: int = 8, decode_burst: int = 1,
@@ -155,8 +167,8 @@ class ContinuousBatchingScheduler:
         self.params = _dispatch.prepare_params(
             params, fuse=mesh is None)   # fused columns straddle shards
         self.mesh = mesh
-        if parallel not in ("tp", "pp"):
-            raise ValueError(f"parallel must be 'tp' or 'pp', "
+        if parallel not in ("tp", "pp", "cp"):
+            raise ValueError(f"parallel must be 'tp', 'pp' or 'cp', "
                              f"got '{parallel}'")
         self.parallel = parallel if mesh is not None else "tp"
         if mesh is not None:
@@ -168,6 +180,15 @@ class ContinuousBatchingScheduler:
                         "cover deepseek (use InferenceEngine(parallel="
                         "'pp') instead)")
                 self.params = _pl.shard_pp_params(self.params, mesh)
+            elif self.parallel == "cp":
+                from jax.sharding import NamedSharding, PartitionSpec
+                from turboinfer_tpu.parallel import context as _cp
+                _cp.check_config(model_config)
+                if _cp.SP_AXIS not in mesh.shape:
+                    raise ValueError("parallel='cp' needs a mesh with "
+                                     f"an '{_cp.SP_AXIS}' axis")
+                self.params = jax.device_put(
+                    self.params, NamedSharding(mesh, PartitionSpec()))
             else:
                 from turboinfer_tpu.parallel import shardings as _sh
                 self.params = _sh.shard_params(self.params, mesh,
@@ -213,20 +234,7 @@ class ContinuousBatchingScheduler:
                 "kv_cache_dtype='int8' is not supported by this model "
                 "family (its forward does not thread the per-token KV "
                 "scales); use 'fp8' or 'bf16'")
-        # Sharded runs keep the head-major 5-D layout (cache_spec shards
-        # kv-heads over tp); single-chip runs let the model auto-pick.
-        self.cache = self._model.init_cache(model_config, self.B,
-                                            max_seq=self.T,
-                                            dtype=self._kv_dtype,
-                                            fused=False if mesh is not None
-                                            else None)
-        if mesh is not None:
-            if self.parallel == "pp":
-                from turboinfer_tpu.parallel import pipeline as _pl
-                self.cache = _pl.shard_pp_cache(self.cache, mesh)
-            else:
-                from turboinfer_tpu.parallel import shardings as _sh
-                self.cache = _sh.shard_cache(self.cache, mesh)
+        self.cache = self._make_cache()
         self.tokens = jnp.zeros((self.B,), jnp.int32)
         self.active = jnp.zeros((self.B,), jnp.bool_)
         self.budget = jnp.zeros((self.B,), jnp.int32)   # remaining tokens
@@ -293,6 +301,35 @@ class ContinuousBatchingScheduler:
                 self.draft_params = _sh.shard_params(self.draft_params,
                                                      mesh, None)
                 self.dcache = _sh.shard_cache(self.dcache, mesh)
+
+    def _make_cache(self):
+        """The shared slot-pool KV cache (subclasses override: paged
+        pool, CP sequence-sharded cache). Sharded runs keep the
+        head-major 5-D layout (cache_spec shards kv-heads over tp);
+        single-chip runs let the model auto-pick."""
+        cache = self._model.init_cache(self.model_config, self.B,
+                                       max_seq=self.T,
+                                       dtype=self._kv_dtype,
+                                       fused=False if self.mesh is not None
+                                       else None)
+        if self.mesh is not None:
+            if self.parallel == "pp":
+                from turboinfer_tpu.parallel import pipeline as _pl
+                cache = _pl.shard_pp_cache(cache, self.mesh)
+            else:
+                from turboinfer_tpu.parallel import shardings as _sh
+                cache = _sh.shard_cache(cache, self.mesh)
+        return cache
+
+    def _adm_bucket(self, plen: int) -> int:
+        """Prefill width for an admission group (CP overrides: every
+        admission prefills at the fixed ctx width)."""
+        return _bucket(plen, self.config.prefill_bucket)
+
+    def _hit_max_seq(self, req) -> bool:
+        """Whether the request has filled its cache capacity (CP
+        overrides: the decode tail is the binding bound)."""
+        return len(req.prompt) + len(req.out_tokens) >= self.T
 
     # -- jitted programs ------------------------------------------------
 
@@ -637,12 +674,10 @@ class ContinuousBatchingScheduler:
             m_cap = 1
             while m_cap * 2 <= len(free):
                 m_cap *= 2
-            S = _bucket(len(self._queue[0].prompt),
-                        self.config.prefill_bucket)
+            S = self._adm_bucket(len(self._queue[0].prompt))
             group: List[_Request] = []
-            while self._queue and len(group) < m_cap and _bucket(
-                    len(self._queue[0].prompt),
-                    self.config.prefill_bucket) == S:
+            while self._queue and len(group) < m_cap and \
+                    self._adm_bucket(len(self._queue[0].prompt)) == S:
                 group.append(self._queue.popleft())
             m = 1
             while m * 2 <= len(group):
@@ -948,7 +983,7 @@ class ContinuousBatchingScheduler:
                 self._finish(slot, "stop")
             elif len(req.out_tokens) >= req.max_new:
                 self._finish(slot, "length")
-            elif len(req.prompt) + len(req.out_tokens) >= self.T:
+            elif self._hit_max_seq(req):
                 self._finish(slot, "max_seq")
         return len(self._active)
 
@@ -1140,7 +1175,7 @@ class ContinuousBatchingScheduler:
                 if len(req.out_tokens) >= req.max_new:
                     self._finish(slot, "length")
                     break
-                if len(req.prompt) + len(req.out_tokens) >= self.T:
+                if self._hit_max_seq(req):
                     # same boundary as the plain path; step() already
                     # guarantees this round had spec_k+1 headroom
                     self._finish(slot, "max_seq")
@@ -1189,7 +1224,7 @@ class ContinuousBatchingScheduler:
                 if len(req.out_tokens) >= req.max_new:
                     self._finish(slot, "length")
                     break
-                if len(req.prompt) + len(req.out_tokens) >= self.T:
+                if self._hit_max_seq(req):
                     self._finish(slot, "max_seq")
                     break
         return len(self._active)
@@ -1591,7 +1626,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                 self._finish(slot, "stop")
             elif len(req.out_tokens) >= req.max_new:
                 self._finish(slot, "length")
-            elif len(req.prompt) + len(req.out_tokens) >= self.T:
+            elif self._hit_max_seq(req):
                 self._finish(slot, "max_seq")
         return len(self._active)
 
@@ -1685,7 +1720,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                 if len(req.out_tokens) >= req.max_new:
                     self._finish(slot, "length")
                     break
-                if len(req.prompt) + len(req.out_tokens) >= self.T:
+                if self._hit_max_seq(req):
                     self._finish(slot, "max_seq")
                     break
         return len(self._active)
