@@ -235,8 +235,16 @@ def test_cli_serve_parallel_flags(tmp_path, tiny_params, tiny_cfg,
     assert isinstance(captured["sched"], ContextParallelScheduler)
     assert captured["sched"].mesh.shape["sp"] == 2
 
-    # mutually exclusive flags
+    # PP x TP composition: 2-D (pp, tp) mesh (round-4 verdict lifted
+    # the old mutual exclusion)
     assert cli.main(["serve", src, "--pp-stages", "2", "--tp", "2",
-                     "--quiet"]) == 2
+                     "--slots", "2", "--quiet"]) == 0
+    assert captured["sched"].parallel == "pp"
+    assert captured["sched"].mesh.shape == {"pp": 2, "tp": 2}
+    wq = captured["sched"].params["layers"]["wq"]
+    spec = getattr(wq, "data", wq).sharding.spec
+    assert spec[0] == "pp" and spec[-1] == "tp"
+
+    # cp still composes with nothing
     assert cli.main(["serve", src, "--context-parallel", "2", "--tp",
                      "2", "--quiet"]) == 2

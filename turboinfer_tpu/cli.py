@@ -141,11 +141,10 @@ def cmd_serve(args):
                                        axis_names=("sp", "tp"),
                                        devices=devs[:cp_n]),
                   parallel="cp")
-    if args.pp_stages > 1 and args.tp > 1:
-        print("--pp-stages and --tp are mutually exclusive",
-              file=sys.stderr)
-        return 2
     if args.pp_stages > 1:
+        # composes with --tp: a 2-D (pp, tp) mesh — stage relay over
+        # pp, column/row-sharded weights over tp inside each stage
+        # (how DeepSeek-V3/GPT-OSS-scale models actually deploy).
         if args.paged:
             print("--pp-stages is not supported with --paged",
                   file=sys.stderr)
@@ -153,15 +152,16 @@ def cmd_serve(args):
         import jax
         from turboinfer_tpu.parallel import mesh as pmesh
         devs = jax.devices()
-        if len(devs) < args.pp_stages:
-            print(f"--pp-stages {args.pp_stages} needs that many "
-                  f"devices (have {len(devs)})", file=sys.stderr)
+        need = args.pp_stages * args.tp
+        if len(devs) < need:
+            print(f"--pp-stages {args.pp_stages} --tp {args.tp} needs "
+                  f"{need} devices (have {len(devs)})", file=sys.stderr)
             return 2
-        kw.update(mesh=pmesh.make_mesh((args.pp_stages, 1),
+        kw.update(mesh=pmesh.make_mesh((args.pp_stages, args.tp),
                                        axis_names=("pp", "tp"),
-                                       devices=devs[:args.pp_stages]),
+                                       devices=devs[:need]),
                   parallel="pp")
-    if args.tp > 1:
+    elif args.tp > 1:
         import jax
         from turboinfer_tpu.models import registry
         from turboinfer_tpu.parallel import mesh as pmesh, shardings

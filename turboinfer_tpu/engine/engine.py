@@ -139,7 +139,8 @@ class InferenceEngine:
         if mesh is not None:
             if self.parallel == "pp":
                 from turboinfer_tpu.parallel import pipeline as _pl
-                self.params = _pl.shard_pp_params(self.params, mesh)
+                self.params = _pl.shard_pp_params(self.params, mesh,
+                                                  config=model_config)
             elif self.parallel == "cp":
                 from jax.sharding import NamedSharding, PartitionSpec
                 from turboinfer_tpu.parallel import context as _cp

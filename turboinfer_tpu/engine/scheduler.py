@@ -179,7 +179,8 @@ class ContinuousBatchingScheduler:
                         "pipeline-parallel continuous batching does not "
                         "cover deepseek (use InferenceEngine(parallel="
                         "'pp') instead)")
-                self.params = _pl.shard_pp_params(self.params, mesh)
+                self.params = _pl.shard_pp_params(self.params, mesh,
+                                                  config=model_config)
             elif self.parallel == "cp":
                 from jax.sharding import NamedSharding, PartitionSpec
                 from turboinfer_tpu.parallel import context as _cp
@@ -315,7 +316,8 @@ class ContinuousBatchingScheduler:
         if self.mesh is not None:
             if self.parallel == "pp":
                 from turboinfer_tpu.parallel import pipeline as _pl
-                cache = _pl.shard_pp_cache(cache, self.mesh)
+                cache = _pl.shard_pp_cache(cache, self.mesh,
+                                           config=self.model_config)
             else:
                 from turboinfer_tpu.parallel import shardings as _sh
                 cache = _sh.shard_cache(cache, self.mesh)

@@ -164,9 +164,61 @@ def _adapter(config: ModelConfig, family: str, mod) -> _Adapter:
                                               "neox"))
 
 
-def shard_pp_params(params, mesh: Mesh, pp: str = PP_AXIS):
+def _tp_axis(mesh: Mesh, tp: str = "tp") -> Optional[str]:
+    """The mesh's tensor-parallel axis when it is real (size > 1)."""
+    return tp if mesh.shape.get(tp, 1) > 1 else None
+
+
+def pp_tp_specs(params, config: ModelConfig, pp: str = PP_AXIS,
+                tp: str = "tp"):
+    """2-D PP x TP spec tree: stacked layer weights shard their leading
+    L axis over `pp` AND their column/row axis over `tp` (family-
+    appropriate: dense column/row TP, MoE expert axis, deepseek MLA
+    heads). Non-layer weights (embed, norms, lm_head) take the family
+    TP specs directly — the lm_head vocab-shards over tp, replicated
+    over pp. This is how the flagship families actually deploy
+    (SURVEY §5 comms: axes e.g. ("dcn","fsdp","tp"))."""
+    from turboinfer_tpu.parallel import shardings as _sh
+    family = _family(config)[0]
+    tp_specs = {"moe": _sh.moe_param_specs,
+                "deepseek": _sh.deepseek_param_specs}.get(
+        family, _sh.param_specs)(tp)
+
+    def leaf_rank(leaf):
+        return leaf.data.ndim if hasattr(leaf, "data") else leaf.ndim
+
+    out = {}
+    for k, v in params.items():
+        ts = tp_specs.get(k)
+        if k == "layers" and isinstance(v, dict):
+            sub = {}
+            for n, leaf in v.items():
+                s = ts.get(n) if isinstance(ts, dict) else None
+                if isinstance(s, P) and len(s) >= 1:
+                    sub[n] = P(pp, *s[1:])      # leading L axis -> pp
+                else:
+                    # optional slots (LoRA, biases, qk-norms): stacked
+                    # over pp, tp-replicated
+                    sub[n] = P(pp, *([None] * (leaf_rank(leaf) - 1)))
+            out[k] = sub
+        elif isinstance(ts, P):
+            out[k] = ts
+        else:
+            out[k] = jax.tree_util.tree_map(lambda w: P(), v)
+    return out
+
+
+def shard_pp_params(params, mesh: Mesh, pp: str = PP_AXIS,
+                    config: Optional[ModelConfig] = None):
     """Place a param pytree with the pipeline shardings (stacked layer
-    weights' leading L axis over `pp`; everything else replicated)."""
+    weights' leading L axis over `pp`). When the mesh also carries a
+    real `tp` axis and `config` is given, weights additionally shard
+    over tp inside each stage (2-D PP x TP — see pp_tp_specs)."""
+    tp = _tp_axis(mesh)
+    if tp is not None and config is not None:
+        from turboinfer_tpu.parallel import shardings as _sh
+        return _sh.shard_params(params, mesh,
+                                specs=pp_tp_specs(params, config, pp, tp))
     specs = _pp_spec_tree(params, pp)
     return jax.tree_util.tree_map(
         lambda w, s: jax.device_put(w, NamedSharding(mesh, s)),
@@ -188,13 +240,20 @@ def shard_pp_cache(cache, mesh: Mesh, pp: str = PP_AXIS,
             "caches; use kv_cache_dtype='bf16' with pp")
     rep = lambda a: jax.device_put(a, NamedSharding(
         mesh, P(*([None] * a.ndim))))
-    ns = NamedSharding(mesh, pipeline_cache_spec(pp))
+    # 2-D PP x TP: kv-heads additionally shard over the real tp axis
+    # (head-major [L, B, Hkv, T, D]) when it divides.
+    tp = _tp_axis(mesh)
+    if tp is not None and (config is None
+                           or config.kv_heads % mesh.shape[tp]):
+        tp = None
+    ns = NamedSharding(mesh, P(pp, None, tp, None, None))
     if config is not None and _family(config)[0] == "deepseek":
         kd = config.first_k_dense_replace
+        ds_ns = NamedSharding(mesh, pipeline_cache_spec(pp))
         return DeepSeekPPCache(
             k_dense=rep(cache.k[:kd]), v_dense=rep(cache.v[:kd]),
-            k=jax.device_put(cache.k[kd:], ns),
-            v=jax.device_put(cache.v[kd:], ns),
+            k=jax.device_put(cache.k[kd:], ds_ns),
+            v=jax.device_put(cache.v[kd:], ds_ns),
             length=rep(cache.length))
     return KVCache(
         k=jax.device_put(cache.k, ns),
@@ -316,7 +375,7 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
         local, mesh=mesh,
         in_specs=(lspec, P(None, None), cspec, cspec, P(None), P(None)),
         out_specs=(P(None, None, None), cspec, cspec, P(None)),
-        check_vma=False)
+        check_vma=False, axis_names=frozenset({axis}))
     logits, k_new, v_new, kv_len = fn(params, tokens, cache.k, cache.v,
                                       cache.length, seq_lens)
     return logits, KVCache(k=k_new, v=v_new, length=kv_len)
@@ -410,7 +469,7 @@ def _deepseek_pipeline_forward(params, config: ModelConfig,
                   rep_c(cache.v_dense), cspec, cspec, P(None), P(None)),
         out_specs=(P(None, None, None), rep_c(cache.k_dense),
                    rep_c(cache.v_dense), cspec, cspec, P(None)),
-        check_vma=False)
+        check_vma=False, axis_names=frozenset({axis}))
     logits, kd_new, vd_new, k_new, v_new, kv_len = fn(
         params, tokens, cache.k_dense, cache.v_dense, cache.k, cache.v,
         cache.length, seq_lens)
@@ -558,7 +617,7 @@ def _deepseek_pipeline_forward_microbatch(
                   rep_c(cache.v_dense), cspec, cspec, P(None), P(None)),
         out_specs=(P(None, None, None), rep_c(cache.k_dense),
                    rep_c(cache.v_dense), cspec, cspec, P(None)),
-        check_vma=False)
+        check_vma=False, axis_names=frozenset({axis}))
     logits, kd_new, vd_new, k_new, v_new, kv_len = fn(
         params, tokens, cache.k_dense, cache.v_dense, cache.k, cache.v,
         cache.length, seq_lens)
@@ -707,7 +766,7 @@ def pipeline_forward_microbatch(params, config: ModelConfig,
         local, mesh=mesh,
         in_specs=(lspec, P(None, None), cspec, cspec, P(None), P(None)),
         out_specs=(P(None, None, None), cspec, cspec, P(None)),
-        check_vma=False)
+        check_vma=False, axis_names=frozenset({axis}))
     logits, k_new, v_new, kv_len = fn(params, tokens, cache.k, cache.v,
                                       cache.length, seq_lens)
     return logits, KVCache(k=k_new, v=v_new, length=kv_len)
