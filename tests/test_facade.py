@@ -212,7 +212,9 @@ def test_cli_serve_parallel_flags(tmp_path, tiny_params, tiny_cfg,
                      "--quiet"]) == 0
     assert captured["sched"].parallel == "pp"
     assert captured["sched"].mesh.shape["pp"] == 2
-    assert captured["beam"] is None          # mesh serving: no beam eng
+    # round-5: beam engines now ride meshes too (shared sharded params)
+    assert captured["beam"] is not None
+    assert captured["beam"].mesh is captured["sched"].mesh
 
     # tensor/expert-parallel serving
     assert cli.main(["serve", src, "--tp", "2", "--slots", "2",

@@ -184,14 +184,19 @@ def cmd_serve(args):
     sched = cls(data.params, data.config, cfg,
                 tokenizer=data.tokenizer, **kw)
     beam_eng = None
-    if "mesh" not in kw:
+    if sched.parallel != "cp" and not getattr(sched, "_ds_pp", False):
         # n-best beam search on the batch path (`use_beam_search`):
-        # an engine SHARING the scheduler's prepared weights (zero
-        # extra HBM); beam jobs run on the serving driver thread.
+        # an engine SHARING the scheduler's prepared (and, under a
+        # mesh, already-sharded) weights — zero extra HBM; beam jobs
+        # run on the serving driver thread. CP and deepseek-PP beam
+        # raise NotImplementedError in the engine, so those deployments
+        # honestly report "no beam engine" instead.
         from turboinfer_tpu.engine.engine import InferenceEngine
         beam_eng = InferenceEngine(sched.params, data.config, cfg,
                                    tokenizer=data.tokenizer,
-                                   params_are_prepared=True)
+                                   params_are_prepared=True,
+                                   mesh=sched.mesh,
+                                   parallel=sched.parallel)
     eng = ServingEngine(sched, tokenizer=data.tokenizer,
                         model_name=args.served_name
                         or __import__("os").path.basename(args.model),

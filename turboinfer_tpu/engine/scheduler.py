@@ -64,7 +64,17 @@ def _scatter_into_slots(cache: KVCache, small: KVCache, slots,
                         seq_lens) -> KVCache:
     """Write a freshly-prefilled small cache's rows into their slots of
     the shared pool (shared by full-width and chunked admission — keep
-    the int8-scale branch in ONE place)."""
+    the int8-scale branch in ONE place). Handles the deepseek pipeline
+    cache too (replicated dense prelude + pp-sharded MoE slabs)."""
+    if hasattr(cache, "k_dense"):
+        return cache._replace(
+            k_dense=cache.k_dense.at[:, slots].set(
+                small.k_dense.astype(cache.k_dense.dtype)),
+            v_dense=cache.v_dense.at[:, slots].set(
+                small.v_dense.astype(cache.v_dense.dtype)),
+            k=cache.k.at[:, slots].set(small.k.astype(cache.k.dtype)),
+            v=cache.v.at[:, slots].set(small.v.astype(cache.v.dtype)),
+            length=cache.length.at[slots].set(seq_lens))
     kc = cache.k.at[:, slots].set(small.k.astype(cache.k.dtype))
     vc = cache.v.at[:, slots].set(small.v.astype(cache.v.dtype))
     ksc = vsc = None
@@ -174,11 +184,6 @@ class ContinuousBatchingScheduler:
         if mesh is not None:
             if self.parallel == "pp":
                 from turboinfer_tpu.parallel import pipeline as _pl
-                if _pl._family(model_config)[0] == "deepseek":
-                    raise NotImplementedError(
-                        "pipeline-parallel continuous batching does not "
-                        "cover deepseek (use InferenceEngine(parallel="
-                        "'pp') instead)")
                 self.params = _pl.shard_pp_params(self.params, mesh,
                                                   config=model_config)
             elif self.parallel == "cp":
@@ -303,6 +308,31 @@ class ContinuousBatchingScheduler:
                                                      mesh, None)
                 self.dcache = _sh.shard_cache(self.dcache, mesh)
 
+    @property
+    def _ds_pp(self) -> bool:
+        """Pipeline-parallel deepseek: the slot pool is a
+        DeepSeekPPCache (replicated dense prelude + staged MoE)."""
+        if self.parallel != "pp":
+            return False
+        from turboinfer_tpu.parallel.pipeline import _family
+        return _family(self.model_config)[0] == "deepseek"
+
+    def _wrap_small(self, small):
+        """Convert a freshly-initialized deepseek KVCache into the
+        pipeline split form the stage relay consumes (no-op
+        otherwise)."""
+        if not self._ds_pp:
+            return small
+        from turboinfer_tpu.parallel.pipeline import DeepSeekPPCache
+        if small.k_scale is not None:
+            raise ValueError("pipeline parallelism does not thread "
+                             "int8 KV scales; use bf16 with pp")
+        kd = self.model_config.first_k_dense_replace
+        return DeepSeekPPCache(k_dense=small.k[:kd],
+                               v_dense=small.v[:kd],
+                               k=small.k[kd:], v=small.v[kd:],
+                               length=small.length)
+
     def _make_cache(self):
         """The shared slot-pool KV cache (subclasses override: paged
         pool, CP sequence-sharded cache). Sharded runs keep the
@@ -374,11 +404,10 @@ class ContinuousBatchingScheduler:
             oc = oc.at[jnp.arange(oc.shape[0]), nxt].add(
                 active.astype(jnp.int32))
             # Inactive slots: keep cache length frozen (writes to their
-            # slots are harmless garbage past their length).
-            new_len = jnp.where(active, new_cache.length, cache.length)
-            cache = KVCache(k=new_cache.k, v=new_cache.v, length=new_len,
-                            k_scale=new_cache.k_scale,
-                            v_scale=new_cache.v_scale)
+            # slots are harmless garbage past their length). _replace
+            # keeps this polymorphic over KVCache / DeepSeekPPCache.
+            cache = new_cache._replace(
+                length=jnp.where(active, new_cache.length, cache.length))
             hit_eos = active & (nxt == eos)
             return nxt, lp, hit_eos, cache, oc
         return step
@@ -411,9 +440,7 @@ class ContinuousBatchingScheduler:
                 oc = oc.at[jnp.arange(oc.shape[0]), nxt].add(
                     active.astype(jnp.int32))
                 new_len = jnp.where(active, new_cache.length, cache.length)
-                cache = KVCache(k=new_cache.k, v=new_cache.v, length=new_len,
-                            k_scale=new_cache.k_scale,
-                            v_scale=new_cache.v_scale)
+                cache = new_cache._replace(length=new_len)
                 was_active = active
                 hit_eos = active & (nxt == eos)
                 budget = budget - active.astype(jnp.int32)
@@ -454,9 +481,9 @@ class ContinuousBatchingScheduler:
                     params_d, rng, t, k, p, pen, pc_rows, bias_rows):
             """tokens [m, S] → each row written into its slot's cache
             region; per-row first token sampled with its own params."""
-            small = model.init_cache(cfg, m, max_seq=self.T,
-                                     dtype=self._kv_dtype,
-                                     fused=fused)
+            small = self._wrap_small(
+                model.init_cache(cfg, m, max_seq=self.T,
+                                 dtype=self._kv_dtype, fused=fused))
             idx = jnp.maximum(seq_lens - 1, 0)
             if last_only:
                 # head computed for ONLY the last valid position (skips
@@ -826,9 +853,11 @@ class ContinuousBatchingScheduler:
         group, slots = a["group"], a["slots"]
         m, S, C, pos = len(group), a["S"], a["C"], a["pos"]
         if a["small"] is None:
-            a["small"] = self._model.init_cache(
+            fused = (False if self.parallel == "pp"
+                     else self.cache.fused_layout)
+            a["small"] = self._wrap_small(self._model.init_cache(
                 self.model_config, m, max_seq=self.T,
-                dtype=self._kv_dtype, fused=self.cache.fused_layout)
+                dtype=self._kv_dtype, fused=fused))
             a["out_logits"] = jnp.zeros(
                 (m, self.model_config.vocab_size), jnp.float32)
         c1 = min(pos + C, S)
