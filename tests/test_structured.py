@@ -584,3 +584,220 @@ def test_scheduler_structured_keeps_user_logit_bias(tiny_params,
     if req is not None and not req.finished:
         row = _np.asarray(sched.slot_bias[req.slot])
         assert row[tid] <= -123.0
+
+
+# -- round-5 schema widening: optional props, anyOf, bounds, pattern ---
+
+def _random_walks(schema, n=40, seed=0, max_bytes=400):
+    """Sample n random documents by walking the schema FSM byte-by-byte
+    over its legal-byte sets, then jsonschema-validate every one — an
+    accept-path soundness property test."""
+    import random
+    import jsonschema
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    fsm = SchemaFSM(schema)
+    rng = random.Random(seed)
+    docs = []
+    for _ in range(n):
+        st = fsm.initial()
+        out = bytearray()
+        for _step in range(max_bytes):
+            if fsm.done(st):
+                break
+            legal = [b for b in range(0x20, 0x7F)
+                     if fsm.advance(st, b) is not None]
+            if not legal:
+                # terminal-only state ("0" at top level): must be a
+                # legal stopping point — dead ends are forbidden
+                assert fsm.may_finish(st), (bytes(out), st)
+                break
+            if fsm.may_finish(st) and rng.random() < 0.5:
+                break
+            b = rng.choice(legal)
+            st = fsm.advance(st, b)
+            out.append(b)
+        else:
+            raise AssertionError(f"walk did not terminate: {bytes(out)}")
+        doc = json.loads(out.decode())
+        jsonschema.validate(doc, schema)
+        docs.append(doc)
+    return docs
+
+
+def test_schema_optional_properties():
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    schema = {"type": "object",
+              "properties": {"a": {"type": "integer"},
+                             "opt1": {"type": "boolean"},
+                             "b": {"type": "integer"},
+                             "opt2": {"type": "boolean"}},
+              "required": ["a", "b"]}
+    fsm = SchemaFSM(schema)
+    for ok in (b'{"a":1,"b":2}', b'{"a":1,"opt1":true,"b":2}',
+               b'{"a":1,"b":2,"opt2":false}',
+               b'{"a":1,"opt1":true,"b":2,"opt2":true}'):
+        st = fsm.advance_bytes(fsm.initial(), ok)
+        assert st is not None and fsm.done(st), ok
+    for bad in (b'{"b":2', b'{"opt1":true,"opt2"', b'{"a":1}',
+                b'{"a":1,"opt2":true,"b"', b'{"a":1,"b":2,"opt1"'):
+        assert fsm.advance_bytes(fsm.initial(), bad) is None, bad
+    docs = _random_walks(schema, n=30)
+    # optionality genuinely exercised in sampled outputs
+    assert any("opt1" in d for d in docs)
+    assert any("opt1" not in d for d in docs)
+
+
+def test_schema_all_optional_object():
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    schema = {"type": "object",
+              "properties": {"x": {"type": "integer"},
+                             "y": {"type": "boolean"}},
+              "required": []}
+    fsm = SchemaFSM(schema)
+    for ok in (b"{}", b'{"x":5}', b'{"y":true}', b'{"x":5,"y":false}'):
+        st = fsm.advance_bytes(fsm.initial(), ok)
+        assert st is not None and fsm.done(st), ok
+    assert fsm.advance_bytes(fsm.initial(), b'{,') is None
+    _random_walks(schema, n=20)
+
+
+def test_schema_anyof_union():
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    schema = {"anyOf": [{"type": "string", "maxLength": 4},
+                        {"type": "integer"},
+                        {"type": "null"}]}
+    fsm = SchemaFSM(schema)
+    for ok in (b'"hi"', b"-42", b"null"):
+        st = fsm.advance_bytes(fsm.initial(), ok)
+        assert st is not None and (fsm.done(st) or fsm.may_finish(st)), ok
+    assert fsm.advance_bytes(fsm.initial(), b"true") is None
+    _random_walks(schema, n=30, seed=1)
+
+
+def test_schema_anyof_ambiguous_object_prefix():
+    """Two object alternatives share the '{' prefix — the NFA keeps
+    both branches live until the key disambiguates."""
+    import jsonschema
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    schema = {"oneOf": [
+        {"type": "object", "properties": {"cat": {"type": "string",
+                                                  "maxLength": 3}},
+         "required": ["cat"]},
+        {"type": "object", "properties": {"count": {"type": "integer"}},
+         "required": ["count"]}]}
+    fsm = SchemaFSM(schema)
+    for ok in (b'{"cat":"ab"}', b'{"count":7}'):
+        st = fsm.advance_bytes(fsm.initial(), ok)
+        assert st is not None and fsm.done(st), ok
+    # '{"c' keeps both alive; '{"ca' kills the count branch
+    st = fsm.advance_bytes(fsm.initial(), b'{"c')
+    assert st is not None and st[0] == "NFA"
+    st = fsm.advance_bytes(st, b'a')
+    assert st is not None and st[0] != "NFA"
+    assert fsm.advance_bytes(fsm.initial(), b'{"dog') is None
+    for d in _random_walks(schema, n=20, seed=2):
+        jsonschema.validate(d, schema)
+
+
+def test_schema_integer_bounds():
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    schema = {"type": "object",
+              "properties": {"pct": {"type": "integer", "minimum": 0,
+                                     "maximum": 100},
+                             "t": {"type": "integer", "minimum": -40,
+                                   "maximum": 60}},
+              "required": ["pct", "t"]}
+    fsm = SchemaFSM(schema)
+    for ok in (b'{"pct":0,"t":-40}', b'{"pct":100,"t":60}',
+               b'{"pct":55,"t":0}'):
+        st = fsm.advance_bytes(fsm.initial(), ok)
+        assert st is not None and fsm.done(st), ok
+    for bad in (b'{"pct":101', b'{"pct":-', b'{"pct":200',
+                b'{"pct":55,"t":-41', b'{"pct":55,"t":61',
+                b'{"pct":007'):
+        assert fsm.advance_bytes(fsm.initial(), bad) is None, bad
+    # "10" must stay extendable to 100 but not 101
+    st = fsm.advance_bytes(fsm.initial(), b'{"pct":10')
+    assert fsm.advance(st, ord("0")) is not None
+    assert fsm.advance(st, ord("1")) is None
+    docs = _random_walks(schema, n=40, seed=3)
+    assert any(d["t"] < 0 for d in docs)       # negatives sampled
+
+
+def test_schema_exclusive_bounds_and_top_level():
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    fsm = SchemaFSM({"type": "integer", "exclusiveMinimum": 0,
+                     "exclusiveMaximum": 10})
+    for v in range(1, 10):
+        st = fsm.advance_bytes(fsm.initial(), str(v).encode())
+        assert st is not None and fsm.may_finish(st), v
+    assert fsm.advance_bytes(fsm.initial(), b"0") is None
+    st = fsm.advance_bytes(fsm.initial(), b"1")
+    assert fsm.advance(st, ord("0")) is None   # 10 out of range
+
+
+def test_schema_string_pattern():
+    import re
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    schema = {"type": "object",
+              "properties": {"id": {"type": "string",
+                                    "pattern": "^[a-z]{3}-[0-9]{2}$"}},
+              "required": ["id"]}
+    fsm = SchemaFSM(schema)
+    st = fsm.advance_bytes(fsm.initial(), b'{"id":"abc-42"}')
+    assert st is not None and fsm.done(st)
+    for bad in (b'{"id":"ab-42"', b'{"id":"abcd', b'{"id":"abc-4"',
+                b'{"id":"ABC'):
+        assert fsm.advance_bytes(fsm.initial(), bad) is None, bad
+    docs = _random_walks(schema, n=25, seed=4)
+    for d in docs:
+        assert re.fullmatch(r"[a-z]{3}-[0-9]{2}", d["id"]), d
+
+
+def test_schema_pattern_unanchored_and_classes():
+    import re
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    # unanchored: must CONTAIN a digit run; also \d and + quantifier
+    schema = {"type": "string", "pattern": "\\d+", "maxLength": 8,
+              "minLength": 1}
+    fsm = SchemaFSM(schema)
+    for ok in (b'"7"', b'"ab12cd"'):
+        st = fsm.advance_bytes(fsm.initial(), ok)
+        assert st is not None and fsm.done(st), ok
+    assert fsm.advance_bytes(fsm.initial(), b'"abc"') is None
+    for d in _random_walks(schema, n=25, seed=5, max_bytes=60):
+        assert re.search(r"\d+", d), d
+
+
+def test_schema_combined_keywords_end_to_end(tok_engine):
+    """All four round-5 keywords in ONE schema, decoded under the
+    continuous-batching scheduler at high temperature, every output
+    jsonschema-validated."""
+    import json as _json
+    import jsonschema
+    from turboinfer_tpu.engine.scheduler import ContinuousBatchingScheduler
+    eng, tok, cfg, params = tok_engine
+    schema = {"type": "object",
+              "properties": {
+                  "kind": {"enum": ["cat", "dog"]},
+                  "nick": {"type": "string",
+                           "pattern": "^[a-z]{2,5}$"},
+                  "age": {"type": "integer", "minimum": 0,
+                          "maximum": 30},
+                  "extra": {"anyOf": [{"type": "null"},
+                                      {"type": "integer",
+                                       "minimum": 1, "maximum": 9}]}},
+              "required": ["kind", "age"]}
+    icfg = ti.InferenceConfig(max_seq_len=256, temperature=1.2, seed=11,
+                              eos_token_id=tok.eos_id)
+    sched = ContinuousBatchingScheduler(params, cfg, icfg,
+                                        batch_slots=4, tokenizer=tok)
+    rf = {"type": "json_schema", "json_schema": {"schema": schema}}
+    prompt = tok.encode("pet:")
+    rids = [sched.submit(prompt, 120, response_format=rf)
+            for _ in range(4)]
+    res = sched.run()
+    for r in rids:
+        assert res[r].stop_reason == "stop"
+        doc = _json.loads(tok.decode(res[r].tokens[len(prompt):]))
+        jsonschema.validate(doc, schema)

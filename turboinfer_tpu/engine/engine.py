@@ -697,8 +697,9 @@ class InferenceEngine:
         a single top-level JSON object (OpenAI semantics);
         {"type": "json_schema", "json_schema": {"schema": {...}}}
         constrains to a compiled JSON Schema (structured/schema_fsm.py:
-        object types + required keys, enums, bounded arrays,
-        string/number/integer/boolean/null); pass a custom
+        objects with required AND optional properties, anyOf/oneOf,
+        enums, bounded arrays, integer minimum/maximum, string
+        minLength/maxLength/pattern, number/boolean/null); pass a custom
         `token_filter` (see structured/filter.py) for other grammars.
 
         PERFORMANCE WARNING: this standalone API runs a HOST decode
