@@ -39,6 +39,8 @@ def cmd_generate(args):
         engine_kw = dict(mesh=pmesh.make_mesh(
             (n, 1), axis_names=("sp", "tp"), devices=devs[:n]),
             parallel="cp")
+    if getattr(args, "lora", None):
+        engine_kw["lora"] = args.lora
     eng = ti.load_model(args.model, **engine_kw)
     # The CLI displays TTFT, so pay the one prefill->decode sync for an
     # accurate number (see InferenceConfig.measure_ttft).
@@ -98,6 +100,13 @@ def cmd_serve(args):
     from turboinfer_tpu.serve import ServingEngine, serve_forever
     ti.initialize(enable_logging=not args.quiet)
     data = loader_mod.load_model_data(args.model)
+    if getattr(args, "lora", None):
+        # serve a LoRA fine-tune: the adapter rides the scheduler's
+        # prepared params via the runtime low-rank path (quantized
+        # bases included — no dequantized merge)
+        from turboinfer_tpu.loader import lora as lora_mod
+        data.params.update(lora_mod.apply_lora(
+            data.params, lora_mod.load_lora(args.lora, data.config)))
     cfg = ti.InferenceConfig(max_seq_len=args.max_seq_len
                              or data.config.max_seq_len,
                              kv_cache_dtype=args.kv_cache_dtype)
@@ -329,6 +338,9 @@ def main(argv=None):
     g.add_argument("--top-k", type=int, default=50)
     g.add_argument("--top-p", type=float, default=0.9)
     g.add_argument("--greedy", action="store_true")
+    g.add_argument("--lora", default=None, metavar="ADAPTER",
+                   help="PEFT LoRA adapter dir/file applied at runtime "
+                        "(works on quantized bases)")
     g.add_argument("--context-parallel", type=int, default=1,
                    metavar="N",
                    help="sequence-shard the prompt KV cache over N "
@@ -382,6 +394,9 @@ def main(argv=None):
                         "and verifies them in one target pass")
     s.add_argument("--spec-k", type=int, default=4,
                    help="draft tokens proposed per speculative round")
+    s.add_argument("--lora", default=None, metavar="ADAPTER",
+                   help="serve a LoRA fine-tune: PEFT adapter dir/file "
+                        "applied through the scheduler's params")
     s.add_argument("--served-name", default=None)
     s.add_argument("--quiet", action="store_true")
     s.set_defaults(fn=cmd_serve)

@@ -337,12 +337,18 @@ def load_tinq(path: str) -> ModelData:
 
 
 def load_engine(path: str, config: Optional[InferenceConfig] = None,
-                **engine_kw):
+                lora: Optional[str] = None, **engine_kw):
     """Load a file into a ready InferenceEngine (library facade entry).
     engine_kw passes through to InferenceEngine (mesh=, parallel=,
-    param_specs=, ...)."""
+    param_specs=, ...). lora: optional PEFT adapter directory/file —
+    attached via the runtime low-rank path (works on quantized
+    bases)."""
     from turboinfer_tpu.engine.engine import InferenceEngine
     data = load_model_data(path)
+    if lora is not None:
+        from turboinfer_tpu.loader import lora as lora_mod
+        data.params.update(lora_mod.apply_lora(
+            data.params, lora_mod.load_lora(lora, data.config)))
     tokenizer = data.tokenizer or tok_mod.BuiltinTokenizer(
         vocab_size=data.config.vocab_size)
     if config is None:
