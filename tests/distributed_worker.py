@@ -16,7 +16,14 @@ at all, README.md:462-469). Asserts:
      single-device scheduler;
   4. Orbax checkpoint save of the SHARDED params (each process writes
      its locally-owned shards) + sharding-aware restore onto the global
-     mesh reproduces the same trajectory.
+     mesh reproduces the same trajectory;
+  5. PIPELINE parallelism composed with TP (2 stages x 4-way TP, the
+     2-D mesh) across the process boundary;
+  6. CONTEXT parallelism: the 8-device ring prefill + psum-combined
+     decode with the prompt cache sequence-sharded across processes,
+     through engine.generate AND the CP continuous-batching scheduler;
+  7. EXPERT parallelism: a Mixtral-style decoder with experts sharded
+     over the cross-process tp axis, through engine.generate.
 
 Prints DISTRIBUTED_OK on success; any assert kills the process (the
 pytest side requires both workers to exit 0 and print the marker).
@@ -95,6 +102,52 @@ def main() -> None:
     got2 = eng2.generate([1, 5, 7, 9], 12, temperature=0.0).tokens
     assert got2 == want, (got2, want)
     print(f"[proc {proc_id}] ckpt ok", flush=True)
+
+    # 5. PP x TP across the process boundary: 2 stages (one per ...
+    # devices of both processes in each) x 4-way TP. Round-4 verdict
+    # item 6: "PP/CP/EP have never crossed a process boundary".
+    pcfg = cfg.replace(num_layers=4)
+    pparams = llama.init_params(jax.random.PRNGKey(1), pcfg)
+    pbase = ti.InferenceEngine(pparams, pcfg, icfg)
+    want_p = pbase.generate([1, 5, 7, 9], 8, temperature=0.0).tokens
+    pp_mesh = tmesh.make_mesh((2, 4), axis_names=("pp", "tp"))
+    peng = ti.InferenceEngine(pparams, pcfg, icfg, mesh=pp_mesh,
+                              parallel="pp")
+    got_p = peng.generate([1, 5, 7, 9], 8, temperature=0.0).tokens
+    assert got_p == want_p, (got_p, want_p)
+    print(f"[proc {proc_id}] pp x tp ok", flush=True)
+
+    # 6. CP: sequence-sharded ring over all 8 devices (engine +
+    # scheduler), prompt cache split across the two processes.
+    sp_mesh = tmesh.make_mesh((8, 1), axis_names=("sp", "tp"))
+    prompt = list(range(1, 20))
+    want_c = base.generate(prompt, 8, temperature=0.0).tokens
+    ceng = ti.InferenceEngine(params, cfg, icfg, mesh=sp_mesh,
+                              parallel="cp")
+    got_c = ceng.generate(prompt, 8, temperature=0.0).tokens
+    assert got_c == want_c, (got_c, want_c)
+    csched = ContinuousBatchingScheduler(params, cfg, icfg,
+                                         batch_slots=2, mesh=sp_mesh,
+                                         parallel="cp")
+    rid = csched.submit(prompt, 8)
+    got_cs = csched.run()[rid].tokens
+    assert got_cs == want_c, (got_cs, want_c)
+    print(f"[proc {proc_id}] cp ok", flush=True)
+
+    # 7. EP: Mixtral-style experts sharded over the cross-process tp
+    # axis; engine.generate decode through the routed FFN.
+    from turboinfer_tpu.models import moe
+    from turboinfer_tpu.parallel import shardings
+    ecfg = cfg.replace(architecture="mixtral", num_experts=4,
+                       experts_per_token=2)
+    eparams = moe.init_params(jax.random.PRNGKey(2), ecfg)
+    ebase = ti.InferenceEngine(eparams, ecfg, icfg)
+    want_e = ebase.generate([2, 4, 6, 8], 8, temperature=0.0).tokens
+    eeng = ti.InferenceEngine(eparams, ecfg, icfg, mesh=mesh,
+                              param_specs=shardings.moe_param_specs())
+    got_e = eeng.generate([2, 4, 6, 8], 8, temperature=0.0).tokens
+    assert got_e == want_e, (got_e, want_e)
+    print(f"[proc {proc_id}] ep ok", flush=True)
 
     print("DISTRIBUTED_OK", flush=True)
 

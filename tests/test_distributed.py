@@ -29,8 +29,7 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.slow
-def test_two_process_mesh_matches_single_process(tmp_path):
+def _run_workers(tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__),
                           "distributed_worker.py")
@@ -44,13 +43,28 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
-        pytest.fail("distributed workers timed out:\n"
-                    + "\n---\n".join(o or "" for o in outs))
+        return False, "distributed workers timed out:\n" + \
+            "\n---\n".join(o or "" for o in outs)
     for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {i} failed:\n{out}"
-        assert "DISTRIBUTED_OK" in out, f"proc {i} no marker:\n{out}"
+        if p.returncode != 0:
+            return False, f"proc {i} failed:\n{out}"
+        if "DISTRIBUTED_OK" not in out:
+            return False, f"proc {i} no marker:\n{out}"
+    return True, ""
+
+
+@pytest.mark.slow
+def test_two_process_mesh_matches_single_process(tmp_path):
+    ok, msg = _run_workers(tmp_path / "a")
+    if not ok:
+        # gloo's ~5-min collective timeout occasionally trips when the
+        # machine is loaded and one worker's cold compile outlasts it
+        # (observed intermittently with the round-5 PP/CP/EP legs);
+        # one retry distinguishes that from a real regression.
+        ok, msg = _run_workers(tmp_path / "b")
+    assert ok, msg
