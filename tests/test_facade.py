@@ -230,6 +230,14 @@ def test_cli_serve_parallel_flags(tmp_path, tiny_params, tiny_cfg,
     assert captured["sched"].spec_k == 2
     assert captured["beam"] is not None      # single-chip: beam engine
 
+    # speculative over the PAGED pool (round-5: the production serving
+    # path gets spec — the old --paged x --draft-model rejection is gone)
+    assert cli.main(["serve", src, "--paged", "--draft-model", draft,
+                     "--spec-k", "2", "--slots", "2", "--quiet"]) == 0
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    assert isinstance(captured["sched"], PagedContinuousScheduler)
+    assert captured["sched"]._dmodel is not None
+
     # context-parallel serving (sequence-sharded prompt cache)
     assert cli.main(["serve", src, "--context-parallel", "2",
                      "--slots", "2", "--quiet"]) == 0

@@ -7,6 +7,7 @@ rejection sampling accepts everything when draft == target.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -325,3 +326,109 @@ def test_spec_draft_cache_resyncs_after_fallback(sched_pair):
         dlen = int(_np.asarray(
             sched._host_view(sched.dcache.length))[req.slot])
         assert dlen == confirmed
+
+
+# -- speculative decoding over the PAGED scheduler (round-5) -----------
+
+def test_paged_verify_forward_matches_decode_chain(tiny_cfg, tiny_params):
+    """forward_paged_verify's G-token logits == G successive
+    forward_paged_decode steps (same pages, same math)."""
+    import numpy as np
+    from turboinfer_tpu.engine import paged_cache as pc
+    from turboinfer_tpu.models import llama
+    cfg = tiny_cfg
+    B, G, page = 2, 3, 8
+    cache = pc.init_paged_cache(cfg, B, num_pages=20, page_size=page,
+                                max_seq=64)
+    table = jnp.arange(1, 17, dtype=jnp.int32).reshape(B, 8)
+    kp, vp = cache.k_pages, cache.v_pages
+    rng = np.random.default_rng(0)
+    lengths = np.array([5, 11], np.int64)
+    # seed the prefix via decode steps
+    for t in range(int(lengths.max())):
+        toks = jnp.asarray(rng.integers(1, 900, B), jnp.int32)
+        mask_len = jnp.asarray(np.minimum(t, lengths), jnp.int32)
+        _, kp, vp = llama.forward_paged_decode(
+            tiny_params, cfg, toks, kp, vp, table, mask_len)
+    kp0, vp0 = kp, vp
+    chunk = jnp.asarray(rng.integers(1, 900, (B, G)), jnp.int32)
+    lens = jnp.asarray(lengths, jnp.int32)
+    want = []
+    for g in range(G):
+        lg, kp, vp = llama.forward_paged_decode(
+            tiny_params, cfg, chunk[:, g], kp, vp, table, lens + g)
+        want.append(lg)
+    want = jnp.stack(want, axis=1)                       # [B, G, V]
+    got, kp2, vp2 = llama.forward_paged_verify(
+        tiny_params, cfg, chunk, kp0, vp0, table, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kp2), np.asarray(kp),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_paged_spec_greedy_matches_plain_paged(tiny_cfg, tiny_params):
+    """Greedy speculative rounds under the PAGED scheduler are
+    trajectory-identical to the plain paged scheduler (round-4 verdict
+    missing #4: 'spec confined to contiguous slots is spec confined to
+    demos')."""
+    import numpy as np
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    from turboinfer_tpu.models import llama
+    cfg = tiny_cfg
+    params = tiny_params
+    icfg = ti.InferenceConfig(max_seq_len=96, temperature=0.0,
+                              eos_token_id=-1, seed=0)
+    prompts = [[int(t) for t in
+                np.random.default_rng(40 + i).integers(1, 900, 9 + 3 * i)]
+               for i in range(4)]
+    plain = PagedContinuousScheduler(params, cfg, icfg, batch_slots=2,
+                                     page_size=16)
+    wids = [plain.submit(p, 12) for p in prompts]
+    wres = plain.run()
+    # draft = the SAME weights (guaranteed 100% acceptance under greedy)
+    spec = PagedContinuousScheduler(params, cfg, icfg, batch_slots=2,
+                                    page_size=16, draft_params=params,
+                                    draft_config=cfg, spec_k=3)
+    rids = [spec.submit(p, 12) for p in prompts]
+    res = spec.run()
+    for a, b in zip(wids, rids):
+        assert wres[a].tokens == res[b].tokens
+    assert spec.spec_proposed > 0
+    # identical draft => greedy acceptance is total
+    assert spec.spec_accepted == spec.spec_proposed
+
+
+def test_paged_spec_truncated_draft_and_recycling(tiny_cfg, tiny_params):
+    """A DIFFERENT (truncated-layer) draft still produces the exact
+    target trajectory under greedy (rejection sampling guarantees it),
+    across slot recycling; acceptance is partial."""
+    import numpy as np
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    cfg = tiny_cfg
+    params = tiny_params
+    dcfg = cfg.replace(num_layers=1)
+    dparams = {"embed": params["embed"],
+               "layers": {k: v[:1] for k, v in
+                          params["layers"].items()},
+               "final_norm": params["final_norm"],
+               "lm_head": params["lm_head"]}
+    icfg = ti.InferenceConfig(max_seq_len=96, temperature=0.0,
+                              eos_token_id=-1, seed=1)
+    prompts = [[int(t) for t in
+                np.random.default_rng(60 + i).integers(1, 900, 7 + 2 * i)]
+               for i in range(5)]
+    plain = PagedContinuousScheduler(params, cfg, icfg, batch_slots=2,
+                                     page_size=16)
+    wids = [plain.submit(p, 10) for p in prompts]
+    wres = plain.run()
+    spec = PagedContinuousScheduler(params, cfg, icfg, batch_slots=2,
+                                    page_size=16, draft_params=dparams,
+                                    draft_config=dcfg, spec_k=3)
+    rids = [spec.submit(p, 10) for p in prompts]
+    res = spec.run()
+    for a, b in zip(wids, rids):
+        assert wres[a].tokens == res[b].tokens
+    assert 0 < spec.spec_accepted < spec.spec_proposed

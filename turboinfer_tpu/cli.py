@@ -121,10 +121,6 @@ def cmd_serve(args):
     else:
         kw["decode_burst"] = args.burst
     if args.draft_model:
-        if args.paged:
-            print("--draft-model is not supported with --paged",
-                  file=sys.stderr)
-            return 2
         if args.pp_stages > 1:
             print("--draft-model is not supported with --pp-stages",
                   file=sys.stderr)

@@ -1024,6 +1024,68 @@ class ContinuousBatchingScheduler:
 
     # -- speculative rounds ---------------------------------------------
 
+    @staticmethod
+    def _spec_propose(model_d, dcfg, params_d, lg0, dcache, rng_d, k,
+                      temp, topk, topp):
+        """Draft proposes k tokens per slot under each slot's filter.
+        Returns (drafts [B, k], dlogits [B, k, V], dcache)."""
+        def draft_body(carry, r):
+            lg_prev, dcache = carry
+            dist = sampling.filtered_dist_per_slot(lg_prev, temp,
+                                                   topk, topp)
+            d = jax.random.categorical(
+                r, jnp.log(jnp.maximum(dist, 1e-30))).astype(jnp.int32)
+            lg, dcache = model_d.forward(params_d, dcfg, d[:, None],
+                                         dcache)
+            return (lg[:, 0], dcache), (d, lg_prev)
+
+        (_, dcache), (drafts, dlogits) = jax.lax.scan(
+            draft_body, (lg0, dcache), jax.random.split(rng_d, k))
+        return drafts.T, dlogits.transpose(1, 0, 2), dcache
+
+    @staticmethod
+    def _spec_accept(tlg, dlogits, drafts, tokens, active, k, temp,
+                     topk, topp, rng_acc, rng_res, rng_bonus):
+        """Per-slot rejection-sampling acceptance of the drafts against
+        the target logits tlg [B, k+1, V]. Returns (tokens', out
+        [B, k+1], lps, n_emit, a)."""
+        B = drafts.shape[0]
+        pt = sampling.filtered_dist_per_slot(tlg[:, :k], temp,
+                                             topk, topp)
+        qd = sampling.filtered_dist_per_slot(dlogits, temp, topk, topp)
+        p_d = jnp.take_along_axis(pt, drafts[..., None],
+                                  axis=-1)[..., 0]
+        q_d = jnp.take_along_axis(qd, drafts[..., None],
+                                  axis=-1)[..., 0]
+        u = jax.random.uniform(rng_acc, (B, k))
+        ok = u * q_d <= p_d
+        acc = jnp.cumprod(ok.astype(jnp.int32), axis=1)
+        a = jnp.sum(acc, axis=1)                           # [B]
+        slot = jnp.minimum(a, k - 1)
+        pt_a = jnp.take_along_axis(pt, slot[:, None, None],
+                                   axis=1)[:, 0]
+        qd_a = jnp.take_along_axis(qd, slot[:, None, None],
+                                   axis=1)[:, 0]
+        res = jnp.maximum(pt_a - qd_a, 0.0)
+        res_sum = jnp.sum(res, axis=-1, keepdims=True)
+        res = jnp.where(res_sum > 0, res / res_sum, pt_a)
+        corr = jax.random.categorical(
+            rng_res, jnp.log(jnp.maximum(res, 1e-30))).astype(jnp.int32)
+        bonus_dist = sampling.filtered_dist_per_slot(
+            tlg[:, k:k + 1], temp, topk, topp)[:, 0]
+        bonus = jax.random.categorical(
+            rng_bonus, jnp.log(jnp.maximum(bonus_dist,
+                                           1e-30))).astype(jnp.int32)
+        nxt = jnp.where(a == k, bonus, corr)
+        pos = jnp.arange(k + 1)[None, :]
+        out = jnp.where(pos < a[:, None],
+                        jnp.pad(drafts, ((0, 0), (0, 1))),
+                        nxt[:, None])                      # [B, k+1]
+        lps = sampling.token_logprob(tlg, out)
+        n_emit = jnp.where(active, a + 1, 0)
+        tokens = jnp.where(active, nxt, tokens)
+        return tokens, out, lps, n_emit, a
+
     @functools.cached_property
     def _spec_round(self):
         """One speculative round as ONE jitted program: draft ingest +
@@ -1037,10 +1099,12 @@ class ContinuousBatchingScheduler:
         model_d, dcfg = self._dmodel, self.draft_config
         k = self.spec_k
 
+        propose = self._spec_propose
+        accept = self._spec_accept
+
         @functools.partial(jax.jit, donate_argnums=(3, 4))
         def spec_round(params, params_d, tokens, cache, dcache, active,
                        rng, temp, topk, topp):
-            B = tokens.shape[0]
             rng_d, rng_acc, rng_res, rng_bonus = jax.random.split(rng, 4)
             len_t0 = cache.length
             len_d0 = dcache.length
@@ -1048,68 +1112,21 @@ class ContinuousBatchingScheduler:
             # 1. draft ingest of the current (confirmed, uncached) token
             lg, dcache = model_d.forward(params_d, dcfg, tokens[:, None],
                                          dcache)
-            lg0 = lg[:, 0]
-
             # 2. draft proposes k tokens under each slot's filter
-            def draft_body(carry, r):
-                lg_prev, dcache = carry
-                dist = sampling.filtered_dist_per_slot(lg_prev, temp,
-                                                       topk, topp)
-                d = jax.random.categorical(
-                    r, jnp.log(jnp.maximum(dist, 1e-30))).astype(
-                    jnp.int32)
-                lg, dcache = model_d.forward(params_d, dcfg, d[:, None],
-                                             dcache)
-                return (lg[:, 0], dcache), (d, lg_prev)
-
-            (_, dcache), (drafts, dlogits) = jax.lax.scan(
-                draft_body, (lg0, dcache), jax.random.split(rng_d, k))
-            drafts = drafts.T                                  # [B, k]
-            dlogits = dlogits.transpose(1, 0, 2)               # [B,k,V]
+            drafts, dlogits, dcache = propose(
+                model_d, dcfg, params_d, lg[:, 0], dcache, rng_d, k,
+                temp, topk, topp)
 
             # 3. ONE target verify pass over [tok, d_1..d_k]
             chunk = jnp.concatenate([tokens[:, None], drafts], axis=1)
             tlg, cache = fwd_t(params, chunk, cache)           # [B,k+1,V]
 
-            # 4. per-slot rejection-sampling acceptance
-            pt = sampling.filtered_dist_per_slot(tlg[:, :k], temp,
-                                                 topk, topp)
-            qd = sampling.filtered_dist_per_slot(dlogits, temp,
-                                                 topk, topp)
-            p_d = jnp.take_along_axis(pt, drafts[..., None],
-                                      axis=-1)[..., 0]
-            q_d = jnp.take_along_axis(qd, drafts[..., None],
-                                      axis=-1)[..., 0]
-            u = jax.random.uniform(rng_acc, (B, k))
-            ok = u * q_d <= p_d
-            acc = jnp.cumprod(ok.astype(jnp.int32), axis=1)
-            a = jnp.sum(acc, axis=1)                           # [B]
-            slot = jnp.minimum(a, k - 1)
-            pt_a = jnp.take_along_axis(pt, slot[:, None, None],
-                                       axis=1)[:, 0]
-            qd_a = jnp.take_along_axis(qd, slot[:, None, None],
-                                       axis=1)[:, 0]
-            res = jnp.maximum(pt_a - qd_a, 0.0)
-            res_sum = jnp.sum(res, axis=-1, keepdims=True)
-            res = jnp.where(res_sum > 0, res / res_sum, pt_a)
-            corr = jax.random.categorical(
-                rng_res, jnp.log(jnp.maximum(res, 1e-30))).astype(
-                jnp.int32)
-            bonus_dist = sampling.filtered_dist_per_slot(
-                tlg[:, k:k + 1], temp, topk, topp)[:, 0]
-            bonus = jax.random.categorical(
-                rng_bonus, jnp.log(jnp.maximum(bonus_dist,
-                                               1e-30))).astype(jnp.int32)
-            nxt = jnp.where(a == k, bonus, corr)
-
-            # out[b, i] aligns with tlg[b, i]: accepted drafts then the
-            # correction/bonus token (padded with it)
-            pos = jnp.arange(k + 1)[None, :]
-            out = jnp.where(pos < a[:, None],
-                            jnp.pad(drafts, ((0, 0), (0, 1))),
-                            nxt[:, None])                      # [B,k+1]
-            lps = sampling.token_logprob(tlg, out)
-            n_emit = jnp.where(active, a + 1, 0)
+            # 4. per-slot rejection-sampling acceptance (out[b, i]
+            # aligns with tlg[b, i]: accepted drafts then the
+            # correction/bonus token, padded with it)
+            tokens, out, lps, n_emit, a = accept(
+                tlg, dlogits, drafts, tokens, active, k, temp, topk,
+                topp, rng_acc, rng_res, rng_bonus)
 
             # 5. cache-length rollback: only confirmed tokens count;
             # inactive slots stay frozen (their writes are masked
@@ -1118,7 +1135,6 @@ class ContinuousBatchingScheduler:
                 length=jnp.where(active, len_t0 + 1 + a, len_t0))
             dcache = dcache._replace(
                 length=jnp.where(active, len_d0 + 1 + a, len_d0))
-            tokens = jnp.where(active, nxt, tokens)
             return tokens, cache, dcache, out, lps, n_emit
         return spec_round
 
@@ -1175,16 +1191,25 @@ class ContinuousBatchingScheduler:
                 self.draft_params, jnp.asarray(arr), self.dcache,
                 jnp.asarray(lens))
 
-    def _step_spec(self) -> int:
-        eos = self.config.eos_token_id
+    def _run_spec_round(self):
+        """Dispatch one speculative round; returns host (out, lps,
+        n_emit) arrays. The paged scheduler overrides this (pool-based
+        verify) and _spec_target_advance; the host loop is shared."""
         (self.tokens, self.cache, self.dcache, out, lps,
          n_emit) = self._spec_round(
             self.params, self.draft_params, self.tokens, self.cache,
             self.dcache, self.active, self._next_rng(), self.slot_temp,
             self.slot_topk, self.slot_topp)
-        out_np, lps_np, n_np = (
-            np.asarray(a) for a in jax.device_get(
-                self._host_view((out, lps, n_emit))))
+        return tuple(np.asarray(a) for a in jax.device_get(
+            self._host_view((out, lps, n_emit))))
+
+    def _spec_target_advance(self, slot: int, n: int) -> None:
+        """Post-round target-cache length bookkeeping (contiguous: the
+        device program already rolled lengths; paged: host lengths)."""
+
+    def _step_spec(self) -> int:
+        eos = self.config.eos_token_id
+        out_np, lps_np, n_np = self._run_spec_round()
         live = len(self._active)
         self.spec_proposed += self.spec_k * live
         self.spec_accepted += int(
@@ -1196,6 +1221,7 @@ class ContinuousBatchingScheduler:
             self._spec_dlen[slot] = (len(req.prompt)
                                      + len(req.out_tokens)
                                      + max(int(n_np[slot]), 1) - 1)
+            self._spec_target_advance(slot, int(n_np[slot]))
             for i in range(int(n_np[slot])):
                 tok = int(out_np[slot, i])
                 req.out_tokens.append(tok)
@@ -1333,7 +1359,10 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                  num_pages: Optional[int] = None,
                  prefix_caching: bool = True, tokenizer=None,
                  decode_burst: int = 1, mesh=None,
-                 param_specs: Optional[Dict[str, Any]] = None):
+                 param_specs: Optional[Dict[str, Any]] = None,
+                 draft_params: Optional[Dict[str, Any]] = None,
+                 draft_config: Optional[ModelConfig] = None,
+                 spec_k: int = 4):
         # page_size trades paged-kernel grid overhead against allocation
         # / prefix-sharing granularity: on v5e, 7B decode with 64-token
         # pages runs 53.7 ms/step (4096 grid cells/layer) vs 40.7 with
@@ -1345,7 +1374,14 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         from turboinfer_tpu.engine import paged_cache as pc
         super().__init__(params, model_config, config, batch_slots,
                          decode_burst=decode_burst, tokenizer=tokenizer,
-                         mesh=mesh, param_specs=param_specs)
+                         mesh=mesh, param_specs=param_specs,
+                         draft_params=draft_params,
+                         draft_config=draft_config, spec_k=spec_k)
+        if self._dmodel is not None and not hasattr(
+                self._model, "forward_paged_verify"):
+            raise NotImplementedError(
+                f"{model_config.architecture} has no "
+                "forward_paged_verify (speculative paged serving)")
         # (paged + pipeline parallelism is unimplemented: the page-pool
         # kernels index one global layer stack; parallel= is not
         # forwarded above, so pp requests fail in super().__init__ only
@@ -1376,6 +1412,12 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         self._table = np.full((self.B, max_pages), -1, np.int32)
         self._table_dirty = False
         self._lengths = np.zeros((self.B,), np.int64)   # host lengths
+
+    def _make_cache(self):
+        # the paged pool replaces this right after super().__init__ —
+        # building the contiguous slot cache first would transiently
+        # double-allocate multi-GB of HBM at 7B scale
+        return None
 
     # -- paged jitted programs -----------------------------------------
 
@@ -1583,6 +1625,14 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             self._lengths[slot] = len(req.prompt)
             req.prefill_ms = (time.perf_counter() - t0) * 1e3
             req.slot = slot
+            if self._dmodel is not None:
+                # paged admission does not prefill the draft cache (the
+                # prefix-cached suffix prefill has no draft analog);
+                # _spec_catchup ingests the prompt before the first
+                # speculative round. Slot reuse: reset the draft length.
+                self._spec_dlen[slot] = 0
+                self.dcache = self.dcache._replace(
+                    length=self.dcache.length.at[slot].set(0))
             first, first_lp = self._host_view((first, first_lp))
             first_i = int(first)
             req.out_tokens.append(first_i)
@@ -1612,6 +1662,20 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         self._admit()
         if not self._active:
             return 0
+        if (self._dmodel is not None
+                and all(self._slot_plain[s] for s in self._active)
+                and all(len(r.prompt) + len(r.out_tokens)
+                        + self.spec_k + 1 <= self.T
+                        for r in self._active.values())
+                and all(self._ensure_pages(
+                    s, int(self._lengths[s]) + self.spec_k + 1)
+                    for s in self._active)):
+            # speculative round over the page pool: every live slot's
+            # next spec_k+1 positions are page-backed up front (a slot
+            # the pool can't cover falls the batch back to plain steps
+            # this iteration — same degradation as bursts)
+            self._spec_catchup()
+            return self._step_spec()
         if self.decode_burst > 1 and not self._has_structured():
             # Burst needs every live slot's NEXT `burst` positions
             # page-backed up front; if the pool can't cover that,
@@ -1661,6 +1725,70 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                 self._finish(slot, "max_seq")
         return len(self._active)
 
+
+    # -- speculative rounds over the page pool --------------------------
+
+    @functools.cached_property
+    def _spec_round_paged(self):
+        """Paged analog of _spec_round: the (k+1)-wide verify runs
+        forward_paged_verify — chunk K/V lands in the pre-assigned
+        pages and the multi-query paged kernel streams each slot's
+        prefix ONCE. Target length rollback is free (host block-table
+        lengths advance only by the accepted count; rejected drafts'
+        K/V is dead weight past the length, overwritten later)."""
+        model, cfg = self._model, self.model_config
+        model_d, dcfg = self._dmodel, self.draft_config
+        k = self.spec_k
+        scaled = self.cache.k_scale_pages is not None
+        propose = self._spec_propose
+        accept = self._spec_accept
+
+        @functools.partial(jax.jit, donate_argnums=(3, 4, 5, 6, 7))
+        def spec_round(params, params_d, tokens, kp, vp, ksp, vsp,
+                       dcache, active, table, lengths, rng, temp, topk,
+                       topp):
+            rng_d, rng_acc, rng_res, rng_bonus = jax.random.split(rng, 4)
+            len_d0 = dcache.length
+            lg, dcache = model_d.forward(params_d, dcfg,
+                                         tokens[:, None], dcache)
+            drafts, dlogits, dcache = propose(
+                model_d, dcfg, params_d, lg[:, 0], dcache, rng_d, k,
+                temp, topk, topp)
+            chunk = jnp.concatenate([tokens[:, None], drafts], axis=1)
+            kw = (dict(k_scale_pages=ksp, v_scale_pages=vsp)
+                  if scaled else {})
+            out_v = model.forward_paged_verify(
+                params, cfg, chunk, kp, vp, table, lengths, **kw)
+            tlg, kp, vp = out_v[:3]
+            if scaled:
+                ksp, vsp = out_v[3:]
+            tokens, out, lps, n_emit, a = accept(
+                tlg, dlogits, drafts, tokens, active, k, temp, topk,
+                topp, rng_acc, rng_res, rng_bonus)
+            dcache = dcache._replace(
+                length=jnp.where(active, len_d0 + 1 + a, len_d0))
+            return tokens, kp, vp, ksp, vsp, dcache, out, lps, n_emit
+        return spec_round
+
+    def _run_spec_round(self):
+        lengths_dev = jnp.asarray(self._lengths.astype(np.int32))
+        (self.tokens, kp, vp, ksp, vsp, self.dcache, out, lps,
+         n_emit) = self._spec_round_paged(
+            self.params, self.draft_params, self.tokens,
+            self.cache.k_pages, self.cache.v_pages,
+            self.cache.k_scale_pages, self.cache.v_scale_pages,
+            self.dcache, self.active, self._device_table(), lengths_dev,
+            self._next_rng(), self.slot_temp, self.slot_topk,
+            self.slot_topp)
+        self.cache = self.cache._replace(k_pages=kp, v_pages=vp,
+                                         k_scale_pages=ksp,
+                                         v_scale_pages=vsp)
+        return tuple(np.asarray(a) for a in jax.device_get(
+            self._host_view((out, lps, n_emit))))
+
+    def _spec_target_advance(self, slot: int, n: int) -> None:
+        # host block-table lengths ARE the paged target cache length
+        self._lengths[slot] += n
 
     def _paged_burst_fn(self, n: int):
         """n paged decode steps as ONE jitted scan (the paged analog of

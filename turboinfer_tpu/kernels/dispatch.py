@@ -211,6 +211,45 @@ def attention_decode_fused(q, k_cache, v_cache, kv_len, layer_index=None,
         kv_len, window=window, softcap=softcap, sinks=sinks)
 
 
+def attention_paged_verify(q, k_pages, v_pages, block_table, kv_len,
+                           layer_index=None, window=None, softcap=None,
+                           k_scale=None, v_scale=None):
+    """Multi-query paged attention for speculative verify: q
+    [B, G, Hq, D] with the chunk already written and kv_len including
+    it. Pallas streams the prefix once for all G queries; the jnp path
+    gathers pages and runs the prefill reference."""
+    from turboinfer_tpu.kernels import ops
+    if pallas_enabled():
+        from turboinfer_tpu.kernels.pallas import paged_attention
+        y = paged_attention.paged_verify_pallas(q, k_pages, v_pages,
+                                                block_table, kv_len,
+                                                layer_index=layer_index,
+                                                window=window,
+                                                softcap=softcap,
+                                                k_scale=k_scale,
+                                                v_scale=v_scale)
+        if y is not None:
+            return y
+    if layer_index is not None:
+        k_pages = jax.lax.dynamic_index_in_dim(k_pages, layer_index, 0,
+                                               keepdims=False)
+        v_pages = jax.lax.dynamic_index_in_dim(v_pages, layer_index, 0,
+                                               keepdims=False)
+        if k_scale is not None:
+            k_scale = jax.lax.dynamic_index_in_dim(k_scale, layer_index, 0,
+                                                   keepdims=False)
+            v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer_index, 0,
+                                                   keepdims=False)
+    from turboinfer_tpu.models.common import decode_kv
+    if k_pages.dtype == jnp.int8:
+        # per-page scales [P, Hkv, page] pair with [P, Hkv, page, D]
+        k_pages = decode_kv(k_pages, q.dtype, k_scale)
+        v_pages = decode_kv(v_pages, q.dtype, v_scale)
+    return ops.attention_paged_verify_ref(
+        q, k_pages, v_pages, block_table, kv_len, window=window,
+        softcap=softcap)
+
+
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,
                            layer_index=None, window=None, softcap=None,
                            k_scale=None, v_scale=None):

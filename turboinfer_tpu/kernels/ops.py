@@ -545,6 +545,32 @@ def attention_paged_decode_ref(q: jax.Array, k_pages: jax.Array,
                                 kv_len, window=window, softcap=softcap)
 
 
+def attention_paged_verify_ref(q: jax.Array, k_pages: jax.Array,
+                               v_pages: jax.Array, block_table: jax.Array,
+                               kv_len: jax.Array,
+                               window: Optional[int] = None,
+                               softcap: Optional[float] = None
+                               ) -> jax.Array:
+    """Multi-query paged attention (speculative verify) — golden model
+    for kernels/pallas/paged_attention.paged_verify_pallas.
+
+    q: [B, G, Hq, D] — the G chunk tokens, already written into pages;
+    kv_len: [B] INCLUDING the chunk (query g is at kv_len - G + g).
+    Gathers pages into a contiguous view, then attention_prefill_ref
+    with per-query positions (causal among the chunk)."""
+    B, G, Hq, D = q.shape
+    P, Hkv, page, _ = k_pages.shape
+    n = block_table.shape[1]
+    t = jnp.clip(block_table, 0, P - 1)
+    k = k_pages[t].transpose(0, 2, 1, 3, 4).reshape(B, Hkv, n * page, D)
+    v = v_pages[t].transpose(0, 2, 1, 3, 4).reshape(B, Hkv, n * page, D)
+    positions = (kv_len - G)[:, None] + jnp.arange(G)[None, :]
+    return attention_prefill_ref(q, k.astype(q.dtype), v.astype(q.dtype),
+                                 causal=True, positions=positions,
+                                 kv_len=kv_len, window=window,
+                                 softcap=softcap)
+
+
 # ---------------------------------------------------------------------------
 # Dispatch wrappers: use Pallas kernels on TPU, jnp reference elsewhere.
 # ---------------------------------------------------------------------------
@@ -569,6 +595,16 @@ def attention_decode(q, k_cache, v_cache, kv_len, layer_index=None,
                                      layer_index=layer_index, window=window,
                                      softcap=softcap, alibi=alibi,
                                      k_scale=k_scale, v_scale=v_scale)
+
+
+def attention_paged_verify(q, k_pages, v_pages, block_table, kv_len,
+                           layer_index=None, window=None, softcap=None,
+                           k_scale=None, v_scale=None):
+    from turboinfer_tpu.kernels import dispatch
+    return dispatch.attention_paged_verify(
+        q, k_pages, v_pages, block_table, kv_len,
+        layer_index=layer_index, window=window, softcap=softcap,
+        k_scale=k_scale, v_scale=v_scale)
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,

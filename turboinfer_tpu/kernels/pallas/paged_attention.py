@@ -41,7 +41,7 @@ NBUF = int(os.environ.get("TURBOINFER_PAGED_NBUF", "4"))
 def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, *rest,
             hkv: int, page: int, scale: float,
             window: Optional[int] = None, softcap: Optional[float] = None,
-            scaled: bool = False):
+            scaled: bool = False, g_tokens: int = 1, ghp: int = 8):
     """One sequence b: stream Hkv * ceil(kv_len/page) pages through NBUF
     VMEM buffers; trip t covers page (t % npages) of kv head
     (t // npages), folding into that head's online-softmax state.
@@ -53,9 +53,16 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, *rest,
 
     idx_ref: [1] layer id; len_ref: [B] valid lengths; table_ref:
     [B, max_pages] page ids (scalar prefetch, pre-clamped in range).
-    q_ref: [1, Hkv, Ghp, D]; k_hbm/v_hbm: [L, P, Hkv, page, D] HBM;
-    kbuf/vbuf: [NBUF, page, D] VMEM scratch; m/l: [Ghp, 128],
-    acc: [Ghp, D] f32 scratch (reused head to head).
+    q_ref: [1, Hkv, G*Ghp, D]; k_hbm/v_hbm: [L, P, Hkv, page, D] HBM;
+    kbuf/vbuf: [NBUF, page, D] VMEM scratch; m/l: [G*Ghp, 128],
+    acc: [G*Ghp, D] f32 scratch (reused head to head).
+
+    g_tokens > 1 (speculative VERIFY): the query tile packs G tokens'
+    head groups along the sublane axis (token g owns rows
+    [g*ghp, (g+1)*ghp)); query g sits at global position
+    kv_len - G + g and the causal mask offsets per row — the sequence
+    prefix streams ONCE for all G queries (the whole point of a
+    (k+1)-wide verify vs k+1 decode steps).
 
     `scaled` (int8 pools): ks/vs_hbm [L, P, Hkv, page] f32 per-token
     scales stream as whole [Hkv, page] planes per page (a per-head
@@ -71,7 +78,9 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, *rest,
     b = pl.program_id(0)
     li = idx_ref[0]
     kv_len = len_ref[b]
-    lo = jnp.maximum(kv_len - window, 0) if window is not None else 0
+    # window start of the EARLIEST query (position kv_len - g_tokens)
+    lo = (jnp.maximum(kv_len - g_tokens + 1 - window, 0)
+          if window is not None else 0)
     i0 = jax.lax.div(lo, page) if window is not None else 0
     npages = jax.lax.div(kv_len + page - 1, page) - i0   # >= 1 (kv_len >= 1)
     ntrips = hkv * npages
@@ -136,9 +145,15 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, *rest,
         if softcap is not None:
             s = softcap * jnp.tanh(s * (1.0 / softcap))
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * page
-        ok = col < kv_len
+        # per-row query position: row r belongs to token r // ghp at
+        # global position kv_len - G + (r // ghp); G == 1 reduces to
+        # the plain col < kv_len decode mask.
+        qpos = (kv_len - g_tokens
+                + jax.lax.div(jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 0), ghp))
+        ok = col <= qpos
         if window is not None:
-            ok = ok & (col >= lo)
+            ok = ok & (col > qpos - window)
         s = jnp.where(ok, s, NEG_INF)
 
         m_prev = m_ref[:, 0:1]
@@ -163,11 +178,13 @@ def _kernel(idx_ref, len_ref, table_ref, q_ref, k_hbm, v_hbm, *rest,
 
 
 @functools.partial(jax.jit, static_argnames=("window", "softcap",
-                                             "interpret"))
+                                             "interpret", "g_tokens",
+                                             "ghp"))
 def _paged_decode(q4, k_pages, v_pages, table, kv_len, layer_idx,
                   k_scale=None, v_scale=None, *,
-                  window=None, softcap=None, interpret: bool = False):
-    B, Hkv, Ghp, D = q4.shape
+                  window=None, softcap=None, interpret: bool = False,
+                  g_tokens: int = 1, ghp: int = 8):
+    B, Hkv, GQ, D = q4.shape            # GQ = g_tokens * ghp
     P, page = k_pages.shape[1], k_pages.shape[3]
     scale = 1.0 / float(D) ** 0.5
     scaled = k_scale is not None
@@ -178,10 +195,10 @@ def _paged_decode(q4, k_pages, v_pages, table, kv_len, layer_idx,
 
     kern = functools.partial(_kernel, hkv=Hkv, page=page, scale=scale,
                              window=window, softcap=softcap,
-                             scaled=scaled)
+                             scaled=scaled, g_tokens=g_tokens, ghp=ghp)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [
-        pl.BlockSpec((1, Hkv, Ghp, D),
+        pl.BlockSpec((1, Hkv, GQ, D),
                      lambda b, idx, lr, tr: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         any_spec, any_spec,
@@ -203,22 +220,22 @@ def _paged_decode(q4, k_pages, v_pages, table, kv_len, layer_idx,
         ]
         ops = ops + (k_scale, v_scale)
     scratch += [
-        pltpu.VMEM((Ghp, 128), jnp.float32),
-        pltpu.VMEM((Ghp, 128), jnp.float32),
-        pltpu.VMEM((Ghp, D), jnp.float32),
+        pltpu.VMEM((GQ, 128), jnp.float32),
+        pltpu.VMEM((GQ, 128), jnp.float32),
+        pltpu.VMEM((GQ, D), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Hkv, Ghp, D),
+        out_specs=pl.BlockSpec((1, Hkv, GQ, D),
                                lambda b, idx, lr, tr: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, Ghp, D), q4.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, GQ, D), q4.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
@@ -278,5 +295,54 @@ def paged_decode_pallas(q: jax.Array, k_pages: jax.Array,
     out = _paged_decode(q4, k_pages, v_pages, block_table, lengths,
                         layer_index, k_scale, v_scale,
                         window=window, softcap=softcap,
-                        interpret=interpret)
+                        interpret=interpret, g_tokens=1, ghp=Ghp)
     return out[:, :, :Gh].reshape(B, Hq, D)
+
+
+def paged_verify_pallas(q: jax.Array, k_pages: jax.Array,
+                        v_pages: jax.Array, block_table: jax.Array,
+                        lengths: jax.Array, layer_index=None,
+                        window: Optional[int] = None,
+                        softcap: Optional[float] = None,
+                        k_scale=None, v_scale=None,
+                        interpret: bool = False) -> Optional[jax.Array]:
+    """Multi-query paged attention for speculative VERIFY: q
+    [B, G, Hq, D] — the G chunk tokens' K/V are already written into
+    their pages and `lengths` INCLUDES them (query g sits at position
+    lengths - G + g; causal among the chunk). The sequence prefix
+    streams once for all G queries. Same eligibility gates as
+    paged_decode_pallas; returns [B, G, Hq, D] or None."""
+    B, G, Hq, D = q.shape
+    lengths = jnp.maximum(lengths, 1)
+    if k_pages.dtype == jnp.float8_e4m3fn:
+        k_pages = jax.lax.bitcast_convert_type(k_pages, jnp.uint8)
+        v_pages = jax.lax.bitcast_convert_type(v_pages, jnp.uint8)
+    if (k_pages.dtype == jnp.int8) != (k_scale is not None):
+        return None
+    if layer_index is None:
+        k_pages = k_pages[None]
+        v_pages = v_pages[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
+        layer_index = 0
+    Hkv, page = k_pages.shape[2], k_pages.shape[3]
+    if Hq % Hkv or D % 64 or page % 8:
+        return None
+    if D % 128 and not interpret:
+        return None
+    if k_scale is not None and page % 128 and not interpret:
+        return None
+    Gh = Hq // Hkv
+    Ghp = max(Gh, 8)
+    # token-major row packing: token g owns rows [g*Ghp, (g+1)*Ghp)
+    q5 = q.reshape(B, G, Hkv, Gh, D).transpose(0, 2, 1, 3, 4)
+    if Ghp != Gh:
+        q5 = jnp.pad(q5, ((0, 0), (0, 0), (0, 0), (0, Ghp - Gh),
+                          (0, 0)))
+    q4 = q5.reshape(B, Hkv, G * Ghp, D)
+    out = _paged_decode(q4, k_pages, v_pages, block_table, lengths,
+                        layer_index, k_scale, v_scale,
+                        window=window, softcap=softcap,
+                        interpret=interpret, g_tokens=G, ghp=Ghp)
+    out = out.reshape(B, Hkv, G, Ghp, D)[:, :, :, :Gh]
+    return out.transpose(0, 2, 1, 3, 4).reshape(B, G, Hq, D)

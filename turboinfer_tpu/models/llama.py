@@ -857,6 +857,150 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
     return logits[:, 0], k_new, v_new
 
 
+def forward_paged_verify(params: Dict[str, Any], config: ModelConfig,
+                         tokens: jax.Array, k_pages: jax.Array,
+                         v_pages: jax.Array, block_table: jax.Array,
+                         lengths: jax.Array, *,
+                         ffn_fn=_dense_ffn,
+                         k_scale_pages=None, v_scale_pages=None
+                         ) -> Tuple[jax.Array, ...]:
+    """SPECULATIVE-VERIFY forward over the paged cache: G tokens per
+    slot in ONE pass (tokens [B, G] = current token + G-1 drafts).
+    Each token's K/V writes into its page at position lengths[b] + g;
+    attention runs the multi-query paged kernel (the prefix streams
+    once for all G queries — kernels/pallas/paged_attention.
+    paged_verify_pallas). Returns (logits [B, G, V] f32, k_pages',
+    v_pages'[, ksp', vsp']). The caller owns length rollback (host
+    block-table lengths advance only by the accepted count; rejected
+    drafts' K/V is dead weight past the length, overwritten later —
+    the same trick as the contiguous speculative round)."""
+    B, G = tokens.shape
+    Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
+    cap = config.attn_logit_softcap
+    pattern = config.sliding_window_pattern
+    alternating = bool(pattern and pattern > 1 and config.sliding_window)
+    page = k_pages.shape[3]
+    P = k_pages.shape[1]
+    positions = lengths[:, None] + jnp.arange(G, dtype=jnp.int32)[None]
+    kv_len = lengths + G
+    # page id + in-page offset per (b, g)
+    pidx = positions // page                                 # [B, G]
+    poff = positions % page
+    page_ids = jnp.clip(jnp.take_along_axis(block_table, pidx, axis=1),
+                        0, P - 1)
+
+    x = ops.embed_lookup(params["embed"], tokens, config.dtype)
+    if config.scale_embeddings:
+        x = x * jnp.asarray(config.hidden_size ** 0.5, config.dtype)
+    if config.embedding_multiplier:
+        x = x * jnp.asarray(config.embedding_multiplier, config.dtype)
+    off = 1.0 if config.norm_offset else 0.0
+    layers = params["layers"]
+    was_fp8 = k_pages.dtype == jnp.float8_e4m3fn
+    if was_fp8:
+        k_pages = jax.lax.bitcast_convert_type(k_pages, jnp.uint8)
+        v_pages = jax.lax.bitcast_convert_type(v_pages, jnp.uint8)
+
+    def norm_w(w, i):
+        return jax.lax.dynamic_index_in_dim(w, i, 0, keepdims=False) \
+            if w.ndim == 2 else w
+
+    def body(carry, i):
+        x, kp_full, vp_full, ksp_full, vsp_full = carry
+        h = ops.rms_norm(x, norm_w(layers["attn_norm"], i),
+                         config.rms_norm_eps, off)
+        q, k, v = qkv_proj(h, layers, i, B, G, Hq, Hkv, D, config)
+        is_global = ((i + 1) % pattern == 0) if alternating else None
+        if alternating and config.rope_local_theta is not None:
+            fg = ops.rope_freqs(D, config.rope_theta,
+                                scaling=config.rope_scaling)
+            fl = ops.rope_freqs(D, config.rope_local_theta)
+            freqs = jnp.where(is_global, fg, fl)
+            q = ops.apply_rope(q, positions, mode=config.rope_mode,
+                               freqs=freqs)
+            k = ops.apply_rope(k, positions, mode=config.rope_mode,
+                               freqs=freqs)
+        else:
+            q = ops.apply_rope(q, positions, config.rope_theta,
+                               config.rope_mode,
+                               scaling=config.rope_scaling)
+            k = ops.apply_rope(k, positions, config.rope_theta,
+                               config.rope_mode,
+                               scaling=config.rope_scaling)
+        if config.attn_scale is not None:
+            q = (q.astype(jnp.float32)
+                 * (config.attn_scale * float(D) ** 0.5)).astype(q.dtype)
+
+        # per-(slot, token) in-place page writes (B and G are small and
+        # static; a vector scatter would copy the pool every layer —
+        # see forward_paged_decode)
+        for b in range(B):
+            for g in range(G):
+                idx = (i, page_ids[b, g], 0, poff[b, g], 0)
+                kq, ks = encode_kv_scaled(k[b, g], kp_full.dtype)
+                vq, vs = encode_kv_scaled(v[b, g], vp_full.dtype)
+                kp_full = jax.lax.dynamic_update_slice(
+                    kp_full, kq[None, None, :, None, :], idx)
+                vp_full = jax.lax.dynamic_update_slice(
+                    vp_full, vq[None, None, :, None, :], idx)
+                if ks is not None:
+                    sidx = (i, page_ids[b, g], 0, poff[b, g])
+                    ksp_full = jax.lax.dynamic_update_slice(
+                        ksp_full, ks[None, None, :, None], sidx)
+                    vsp_full = jax.lax.dynamic_update_slice(
+                        vsp_full, vs[None, None, :, None], sidx)
+
+        def ver(window):
+            return lambda: ops.attention_paged_verify(
+                q, kp_full, vp_full, block_table, kv_len,
+                layer_index=i, window=window, softcap=cap,
+                k_scale=ksp_full, v_scale=vsp_full)
+        if alternating:
+            attn = jax.lax.cond(is_global, ver(None),
+                                ver(config.sliding_window))
+        else:
+            attn = ver(config.sliding_window)()
+        attn = attn.reshape(B, G, Hq * D)
+        attn_out = ops.qmatmul(attn.astype(x.dtype), layers["wo"],
+                               layer_index=i)
+        if config.post_norms:
+            attn_out = ops.rms_norm(attn_out,
+                                    norm_w(layers["post_attn_norm"], i),
+                                    config.rms_norm_eps, off)
+        if config.residual_multiplier:
+            attn_out = attn_out * jnp.asarray(config.residual_multiplier,
+                                              attn_out.dtype)
+        x = x + attn_out
+        h = ops.rms_norm(x, norm_w(layers["ffn_norm"], i),
+                         config.rms_norm_eps, off)
+        ffn_out = ffn_fn(config, h, layers, i)
+        if config.post_norms:
+            ffn_out = ops.rms_norm(ffn_out,
+                                   norm_w(layers["post_ffn_norm"], i),
+                                   config.rms_norm_eps, off)
+        if config.residual_multiplier:
+            ffn_out = ffn_out * jnp.asarray(config.residual_multiplier,
+                                            ffn_out.dtype)
+        x = x + ffn_out
+        return (x, kp_full, vp_full, ksp_full, vsp_full), None
+
+    (x, k_new, v_new, ks_new, vs_new), _ = jax.lax.scan(
+        body, (x, k_pages, v_pages, k_scale_pages, v_scale_pages),
+        jnp.arange(config.num_layers, dtype=jnp.int32))
+    k_new, v_new = cache_from_bits(k_new, v_new, was_fp8)
+
+    x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps,
+                     1.0 if config.norm_offset else 0.0)
+    logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
+    logits = ops.apply_softcap(logits.astype(jnp.float32),
+                               config.final_logit_softcap)
+    if config.logits_scaling:
+        logits = logits / config.logits_scaling
+    if k_scale_pages is not None:
+        return logits, k_new, v_new, ks_new, vs_new
+    return logits, k_new, v_new
+
+
 def forward_no_cache(params: Dict[str, Any], config: ModelConfig,
                      tokens: jax.Array,
                      seq_lens: Optional[jax.Array] = None) -> jax.Array:

@@ -557,6 +557,22 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
                                       v_scale_pages=v_scale_pages)
 
 
+def forward_paged_verify(params: Dict[str, Any], config: ModelConfig,
+                         tokens: jax.Array, k_pages: jax.Array,
+                         v_pages: jax.Array, block_table: jax.Array,
+                         lengths: jax.Array, *,
+                         k_scale_pages=None, v_scale_pages=None):
+    """Speculative (k+1)-wide paged verify with the MoE FFN (same
+    contract as llama.forward_paged_verify)."""
+    def moe_ffn(cfg, h, layers, i):
+        return _moe_ffn(cfg, h, layers, layer_index=i)
+    return llama.forward_paged_verify(params, config, tokens, k_pages,
+                                      v_pages, block_table, lengths,
+                                      ffn_fn=moe_ffn,
+                                      k_scale_pages=k_scale_pages,
+                                      v_scale_pages=v_scale_pages)
+
+
 def forward_no_cache(params, config, tokens, seq_lens=None) -> jax.Array:
     B, S = tokens.shape
     cache = init_cache(config, B, max_seq=S)
