@@ -1358,7 +1358,8 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                  batch_slots: int = 8, page_size: int = 256,
                  num_pages: Optional[int] = None,
                  prefix_caching: bool = True, tokenizer=None,
-                 decode_burst: int = 1, mesh=None,
+                 decode_burst: int = 1, max_queue: Optional[int] = None,
+                 mesh=None,
                  param_specs: Optional[Dict[str, Any]] = None,
                  draft_params: Optional[Dict[str, Any]] = None,
                  draft_config: Optional[ModelConfig] = None,
@@ -1374,6 +1375,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         from turboinfer_tpu.engine import paged_cache as pc
         super().__init__(params, model_config, config, batch_slots,
                          decode_burst=decode_burst, tokenizer=tokenizer,
+                         max_queue=max_queue,
                          mesh=mesh, param_specs=param_specs,
                          draft_params=draft_params,
                          draft_config=draft_config, spec_k=spec_k)
