@@ -13,11 +13,23 @@ CPU number on a real 7B (see docs/BENCHMARKS.md). It needs ~18 min of
 cold compile through the axon tunnel, so the fast tiny config is the
 default for the driver.
 
+The default run ALSO emits a second JSON line (printed first; the
+tiny headline stays last for last-line parsers) with the 7B-int4
+DEVICE decode rate via a fast extrapolation: per-layer cost measured
+on L=4 vs L=8 7B-shape models (identical per-layer shapes/kernels as
+L=32; decode cost is linear in L — the intercept captures the
+lm_head/embed/sampling overhead), x32 via the slope. Validated against
+the directly-measured L=32 rate: 15.9 ms/step extrapolated vs 16.13
+measured (round 4, B=8 fill 960). Runs in a subprocess under a
+timeout so a tunnel outage cannot eat the tiny headline; ~3 min.
+
 Env knobs:
-  BENCH_CONFIG   tiny | tiny-int8 | tiny-int4 | 7b-int4 | 7b-int8
-                 (default tiny-int4)
+  BENCH_CONFIG   tiny | tiny-int8 | tiny-int4 | 7b-int4 | 7b-int8 |
+                 7b-extrap      (default tiny-int4)
   BENCH_TOKENS   decode length  (default 32 for 7b, 256 for tiny)
   BENCH_BATCH    batch size     (default 8 for 7b, 1 for tiny)
+  BENCH_SKIP_7B  =1 skips the extrapolated 7B companion line
+  BENCH_7B_TIMEOUT  subprocess budget, seconds (default 900)
 """
 
 from __future__ import annotations
@@ -55,8 +67,123 @@ def _device_watchdog(timeout_s: float = 300.0):
         os._exit(2)
 
 
+def _bench_7b_extrap():
+    """7B-int4 device decode rate, fast: per-layer cost from L=4 vs L=8
+    7B-shape models (same per-layer shapes/kernels as the real L=32),
+    extrapolated x32. Prints one JSON line.
+
+    Measurement: chain-difference (wall of 4 back-to-back 64-step scans
+    minus wall of 1, one fetch each — the tunnel RTT cancels exactly).
+    Chain inputs VARY (tok fed back, fresh seed per rep) because the
+    tunnel fast-paths repeated identical dispatches (~0.02 ms, lies),
+    and the sync is an np.asarray FETCH — block_until_ready does not
+    reliably flush the tunnel queue (measured 0.1 ms "chains").
+    """
+    import time
+
+    import numpy as np
+
+    from turboinfer_tpu.config import llama7b_config
+    from turboinfer_tpu.kernels import dispatch
+    from turboinfer_tpu.loader.synthetic import \
+        create_synthetic_quantized_model
+    from turboinfer_tpu.models import llama
+
+    B, FILL, MAX_SEQ, N, REPS = 8, 960, 1024, 64, 4
+    cfg8 = llama7b_config(dtype=jnp.bfloat16, max_seq_len=MAX_SEQ,
+                          num_layers=8)
+    data = create_synthetic_quantized_model(cfg8, bits=4, group_size=64)
+    params8 = dispatch.prepare_params(data.params)
+    del data
+    cfg4 = llama7b_config(dtype=jnp.bfloat16, max_seq_len=MAX_SEQ,
+                          num_layers=4)
+    params4 = dict(params8)
+    params4["layers"] = jax.tree.map(lambda a: a[:4], params8["layers"])
+
+    def measure(cfg, params):
+        cache = llama.init_cache(cfg, B, max_seq=MAX_SEQ)
+        cache = cache._replace(length=jnp.full((B,), FILL, jnp.int32))
+
+        @jax.jit
+        def steps(params, tok, cache):
+            def body(carry, _):
+                tok, cache = carry
+                logits, cache = llama.forward(params, cfg, tok[:, None],
+                                              cache)
+                nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+                return (nxt, cache), None
+            (tok, cache), _ = jax.lax.scan(body, (tok, cache), None,
+                                           length=N)
+            return tok
+
+        def chain(k, seed):
+            tok = jnp.full((B,), 3 + seed, jnp.int32)
+            t0 = time.perf_counter()
+            for _ in range(k):
+                tok = steps(params, tok, cache)
+            np.asarray(tok)
+            return time.perf_counter() - t0
+
+        chain(1, 99)                                   # compile + warm
+        t1 = min(chain(1, 100 + i) for i in range(REPS))
+        t4 = min(chain(4, 200 + i) for i in range(REPS))
+        return max((t4 - t1) / 3.0, 1e-9) / N * 1e3    # ms/step
+
+    m4 = measure(cfg4, params4)
+    m8 = measure(cfg8, params8)
+    per_layer = (m8 - m4) / 4.0
+    m32 = m4 + 28.0 * per_layer
+    tps = B * 1e3 / m32
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec_per_chip[7b-int4,b8,fill960]",
+        "value": round(tps, 1),
+        "unit": "tok/s (device, L=4/8->32 extrapolation)",
+        "vs_baseline": round(tps / REFERENCE_TOKS_PER_S, 3),
+        "ms_per_step": round(m32, 2),
+        "ms_per_layer": round(per_layer, 4),
+        "method": "chain-difference (RTT-free); per-layer slope from "
+                  "L=4 vs L=8 7B-shape models x32 + measured intercept",
+    }), flush=True)
+
+
+def _run_7b_companion() -> str:
+    """Run the 7B extrapolation in a SUBPROCESS (before this process
+    touches the chip — two live TPU processes deadlock the tunnel) and
+    return its JSON line, or an error line. Bounded by BENCH_7B_TIMEOUT
+    so an outage can't eat the tiny headline."""
+    import subprocess
+    import sys
+    budget = float(os.environ.get("BENCH_7B_TIMEOUT", "900"))
+    env = dict(os.environ, BENCH_CONFIG="7b-extrap")
+    err = ""
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, timeout=budget,
+                           cwd=os.path.dirname(os.path.abspath(__file__)),
+                           env=env)
+        for line in reversed(r.stdout.splitlines()):
+            if line.startswith("{"):
+                return line
+        err = f"no JSON line (rc={r.returncode}): {r.stderr[-300:]}"
+    except subprocess.TimeoutExpired:
+        err = f"timed out after {budget:.0f}s"
+    except Exception as e:                        # noqa: BLE001
+        err = repr(e)
+    return json.dumps({
+        "metric": "decode_tokens_per_sec_per_chip[7b-int4,b8,fill960]",
+        "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0, "error": err})
+
+
 def main():
+    which_early = os.environ.get("BENCH_CONFIG", "tiny-int4")
+    line_7b = None
+    if which_early.startswith("tiny") and \
+            os.environ.get("BENCH_SKIP_7B", "0") != "1":
+        line_7b = _run_7b_companion()     # subprocess; chip not held yet
     _device_watchdog(float(os.environ.get("BENCH_DEVICE_TIMEOUT", "300")))
+    if which_early == "7b-extrap":
+        _bench_7b_extrap()
+        return
     from turboinfer_tpu.config import (InferenceConfig, ModelConfig,
                                        QuantizationConfig, QuantType,
                                        llama7b_config, tiny_config)
@@ -159,7 +286,7 @@ def main():
     dev_t = max((t4 - t1) / 3.0, 1e-6)
     dev_tps = batch * n_tokens / dev_t
 
-    print(json.dumps({
+    out = {
         "metric": f"decode_tokens_per_sec_per_chip[{which},b{batch}]",
         "value": round(tps, 2),
         "unit": "tok/s",
@@ -168,7 +295,19 @@ def main():
         "device_value": round(dev_tps, 2),
         "device_unit": "tok/s (pipelined-chain difference, RTT-free)",
         "rtt_ms": round((t1 - dev_t) * 1e3, 2),
-    }))
+    }
+    if line_7b is not None:
+        # companion 7B north-star row: its own line (first — the tiny
+        # headline stays last for last-line parsers) AND summary fields
+        # folded into the headline object for single-object parsers.
+        print(line_7b, flush=True)
+        try:
+            d7 = json.loads(line_7b)
+            out["7b_int4_device_toks_per_s"] = d7.get("value", 0.0)
+            out["7b_note"] = d7.get("error") or d7.get("unit", "")
+        except ValueError:
+            pass
+    print(json.dumps(out))
 
 
 
