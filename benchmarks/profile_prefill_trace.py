@@ -24,7 +24,13 @@ params = dispatch.prepare_params(data.params); del data
 LAST = os.environ.get("TURBOINFER_PROF_LASTONLY", "0") == "1"
 FRESH = os.environ.get("TURBOINFER_PROF_FRESH", "0") == "1"
 
-@jax.jit
+import functools
+
+
+# donate the cache like the engine's _prefill_program does — without
+# donation XLA inserts two ~0.8 ms whole-cache copies (K and V stacks)
+# that the real engine program never pays.
+@functools.partial(jax.jit, donate_argnums=(2,))
 def prefill(params, tokens, cache):
     if LAST:   # engine-style last-position-only head (+ cold prefill)
         idx = jnp.full((tokens.shape[0],), tokens.shape[1] - 1, jnp.int32)
@@ -35,15 +41,16 @@ def prefill(params, tokens, cache):
     return logits[:, -1], cache
 
 tokens = jnp.ones((B, S), jnp.int32)
-cache = llama.init_cache(cfg, B, max_seq=max(1024, S),
-                         dtype=kv_dtype)
-r, _ = prefill(params, tokens, cache); np.asarray(r)
+def mkcache():
+    return llama.init_cache(cfg, B, max_seq=max(1024, S), dtype=kv_dtype)
+r, _ = prefill(params, tokens, mkcache()); np.asarray(r)
+caches = [mkcache() for _ in range(REPS)]
 print("warm", flush=True)
 import shutil
 shutil.rmtree("/tmp/trace_prefill", ignore_errors=True)
 jax.profiler.start_trace("/tmp/trace_prefill")
-for _ in range(REPS):
-    r, _ = prefill(params, tokens, cache)
+for i in range(REPS):
+    r, _ = prefill(params, tokens, caches[i])
 np.asarray(r)
 jax.profiler.stop_trace()
 

@@ -89,19 +89,28 @@ class QTensor:
     bits: int                 # static: 4 or 8
     group_size: int           # static: elements per group along K
     shape: Tuple[int, int]    # static: logical (K, N)
+    # Optional SECOND pre-tiled scales copy in the PREFILL kernel's
+    # [L, nk, gk, N] layout (pallas/qmm.prepare_scales): the prefill
+    # tiles pick a different TK than decode, and the 4-D retile is not
+    # a bitcast on TPU — without this the layer scan paid one scales
+    # copy per layer per prefill (~0.9 ms of a 48 ms 7B S=512 pass).
+    # Derived at engine setup, never persisted; ~1/16 of weight bytes.
+    scales_pf: Optional[jax.Array] = None
 
     # -- pytree protocol (bits/group_size/shape are static) ------------
     def tree_flatten(self):
-        children = (self.data, self.scales, self.zero_points)
+        children = (self.data, self.scales, self.zero_points,
+                    self.scales_pf)
         aux = (self.bits, self.group_size, self.shape)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        data, scales, zp = children
+        data, scales, zp, scales_pf = children
         bits, group_size, shape = aux
         return cls(data=data, scales=scales, zero_points=zp, bits=bits,
-                   group_size=group_size, shape=shape)
+                   group_size=group_size, shape=shape,
+                   scales_pf=scales_pf)
 
     # -- convenience ----------------------------------------------------
     @property

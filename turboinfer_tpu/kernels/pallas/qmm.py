@@ -834,7 +834,8 @@ def _retile_scales(arr, L, nk, gk, N):
 @functools.partial(jax.jit, static_argnames=("bits", "group_size", "K", "N",
                                              "out_dtype", "interpret",
                                              "a8"))
-def _qmm_stacked(x2, data3, scales3, zps3, layer_idx, *, bits: int,
+def _qmm_stacked(x2, data3, scales3, zps3, layer_idx, scales_pf=None, *,
+                 bits: int,
                  group_size: int, K: int, N: int, out_dtype,
                  interpret: bool = False, a8: bool = False):
     """x2: [M, K] @ layer `layer_idx` of data3 [L, K/kd, N] -> [M, N].
@@ -857,7 +858,9 @@ def _qmm_stacked(x2, data3, scales3, zps3, layer_idx, *, bits: int,
     nk = K // TK
     L = data3.shape[0]
     gk = TK // group_size
-    scales4 = _retile_scales(scales3, L, nk, gk, N)
+    src = (scales_pf if scales_pf is not None
+           and scales_pf.shape[1:3] == (nk, gk) else scales3)
+    scales4 = _retile_scales(src, L, nk, gk, N)
 
     asym = zps3 is not None
     mode = _fact_mode(bits, group_size, M, TK, a8=a8 and not asym)
@@ -976,7 +979,8 @@ def qmatmul_pallas_stacked(x: jax.Array, qt: QTensor, layer_index,
     for d in lead:
         M *= d
     out = _qmm_stacked(x.reshape(M, K), qt.data, qt.scales, qt.zero_points,
-                       layer_index, bits=qt.bits, group_size=qt.group_size,
+                       layer_index, qt.scales_pf,
+                       bits=qt.bits, group_size=qt.group_size,
                        K=K, N=N, out_dtype=x.dtype, interpret=interpret,
                        a8=_a8_enabled())
     if out is None:
@@ -1268,5 +1272,18 @@ def prepare_scales(qt: QTensor) -> QTensor:
     scales4 = qt.scales.reshape(L, nk, gk, N)
     zp4 = None if qt.zero_points is None \
         else qt.zero_points.reshape(L, nk, gk, N)
+    # Prefill picks a different TK (M>8 branch of _pick_tiles shrinks
+    # it for the bigger x blocks) — pre-tile a SECOND copy for that
+    # layout so the layer scan doesn't pay a per-layer scales retile
+    # every prefill (symmetric only; asym keeps the runtime retile).
+    scales_pf = None
+    if qt.zero_points is None:
+        tiles_pf = _pick_tiles(512, K, N, qt.bits, qt.group_size)
+        if tiles_pf is not None:
+            _, _, TKp = tiles_pf
+            nkp, gkp = K // TKp, TKp // qt.group_size
+            if (nkp, gkp) != (nk, gk):
+                scales_pf = qt.scales.reshape(L, nkp, gkp, N)
     return QTensor(data=qt.data, scales=scales4, zero_points=zp4,
-                   bits=qt.bits, group_size=qt.group_size, shape=qt.shape)
+                   bits=qt.bits, group_size=qt.group_size, shape=qt.shape,
+                   scales_pf=scales_pf)
