@@ -432,3 +432,34 @@ def test_paged_spec_truncated_draft_and_recycling(tiny_cfg, tiny_params):
     for a, b in zip(wids, rids):
         assert wres[a].tokens == res[b].tokens
     assert 0 < spec.spec_accepted < spec.spec_proposed
+
+
+def test_paged_spec_fp8_kv_matches_plain_paged(tiny_cfg, tiny_params):
+    """fp8 KV pages through paged speculative verify: trajectory-
+    identical to the plain fp8 paged scheduler. Regression: the verify
+    dispatch's jnp fallback gated KV decode on int8 only, attending
+    raw e4m3 bit patterns for fp8 pools (0% draft acceptance)."""
+    import numpy as np
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    cfg = tiny_cfg
+    params = tiny_params
+    icfg = ti.InferenceConfig(max_seq_len=96, temperature=0.0,
+                              eos_token_id=-1, seed=0,
+                              kv_cache_dtype="fp8")
+    prompts = [[int(t) for t in
+                np.random.default_rng(80 + i).integers(1, 900, 8 + 3 * i)]
+               for i in range(3)]
+    plain = PagedContinuousScheduler(params, cfg, icfg, batch_slots=2,
+                                     page_size=16)
+    wids = [plain.submit(p, 10) for p in prompts]
+    wres = plain.run()
+    spec = PagedContinuousScheduler(params, cfg, icfg, batch_slots=2,
+                                    page_size=16, draft_params=params,
+                                    draft_config=cfg, spec_k=3)
+    rids = [spec.submit(p, 10) for p in prompts]
+    res = spec.run()
+    for a, b in zip(wids, rids):
+        assert wres[a].tokens == res[b].tokens
+    # identical draft => greedy acceptance is total
+    assert spec.spec_accepted == spec.spec_proposed > 0

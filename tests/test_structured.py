@@ -801,3 +801,40 @@ def test_schema_combined_keywords_end_to_end(tok_engine):
         assert res[r].stop_reason == "stop"
         doc = _json.loads(tok.decode(res[r].tokens[len(prompt):]))
         jsonschema.validate(doc, schema)
+
+
+def test_schema_fractional_exclusive_bounds():
+    """Fractional exclusive bounds: smallest int > x is floor(x)+1,
+    largest < x is ceil(x)-1 (regression: int() truncation forbade 0
+    for exclusiveMaximum=0.5 and made {-0.5, 0.5} unsatisfiable)."""
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    fsm = SchemaFSM({"type": "integer", "exclusiveMinimum": -0.5,
+                     "exclusiveMaximum": 0.5})
+    st = fsm.advance_bytes(fsm.initial(), b"0")
+    assert st is not None and fsm.may_finish(st)
+    assert fsm.advance_bytes(fsm.initial(), b"1") is None
+    assert fsm.advance_bytes(fsm.initial(), b"-1") is None
+    fsm = SchemaFSM({"type": "integer", "exclusiveMaximum": 2.5})
+    st = fsm.advance_bytes(fsm.initial(), b"2")
+    assert st is not None and fsm.may_finish(st)
+    st3 = fsm.advance_bytes(fsm.initial(), b"3")
+    assert st3 is None or not fsm.may_finish(st3)
+
+
+def test_regex_zero_quantifier():
+    """{0} / {0,0} accept exactly zero occurrences of the atom
+    (regression: the original fragment stayed wired in, accepting
+    one)."""
+    import re
+    from turboinfer_tpu.structured.schema_fsm import SchemaFSM
+    schema = {"type": "string", "pattern": "^ab{0}c$"}
+    fsm = SchemaFSM(schema)
+    st = fsm.advance_bytes(fsm.initial(), b'"ac"')
+    assert st is not None and fsm.done(st)
+    assert fsm.advance_bytes(fsm.initial(), b'"abc"') is None
+    assert re.fullmatch("ab{0}c", "ac")            # sanity: re agrees
+    schema = {"type": "string", "pattern": "^a{0,0}$"}
+    fsm = SchemaFSM(schema)
+    st = fsm.advance_bytes(fsm.initial(), b'""')
+    assert st is not None and fsm.done(st)
+    assert fsm.advance_bytes(fsm.initial(), b'"a"') is None

@@ -201,6 +201,11 @@ def cmd_serve(args):
                                    tokenizer=data.tokenizer,
                                    params_are_prepared=True,
                                    mesh=sched.mesh,
+                                   # same specs as the scheduler —
+                                   # defaulting to dense TP specs would
+                                   # re-shard MoE/deepseek expert
+                                   # stacks into a SECOND weight copy
+                                   param_specs=kw.get("param_specs"),
                                    parallel=sched.parallel)
     eng = ServingEngine(sched, tokenizer=data.tokenizer,
                         model_name=args.served_name

@@ -241,13 +241,15 @@ def attention_paged_verify(q, k_pages, v_pages, block_table, kv_len,
             v_scale = jax.lax.dynamic_index_in_dim(v_scale, layer_index, 0,
                                                    keepdims=False)
     from turboinfer_tpu.models.common import decode_kv
-    if k_pages.dtype == jnp.int8:
-        # per-page scales [P, Hkv, page] pair with [P, Hkv, page, D]
-        k_pages = decode_kv(k_pages, q.dtype, k_scale)
-        v_pages = decode_kv(v_pages, q.dtype, v_scale)
+    # decode_kv handles every pool dtype (uint8 e4m3 bit views, int8 +
+    # per-page [P, Hkv, page] scales, bf16 passthrough) — gating it on
+    # int8 only left fp8 pages attended as RAW BIT PATTERNS here
+    # (0/81 draft acceptance reproduced; paged_decode's fallback below
+    # always decoded).
     return ops.attention_paged_verify_ref(
-        q, k_pages, v_pages, block_table, kv_len, window=window,
-        softcap=softcap)
+        q, decode_kv(k_pages, q.dtype, k_scale),
+        decode_kv(v_pages, q.dtype, v_scale),
+        block_table, kv_len, window=window, softcap=softcap)
 
 
 def attention_paged_decode(q, k_pages, v_pages, block_table, kv_len,

@@ -164,9 +164,14 @@ def shard_params(params: Dict[str, Any], mesh: Mesh,
                       leaf.zero_points,
                       NamedSharding(mesh, fit(spec,
                                               leaf.zero_points.ndim))))
+            spf = (None if leaf.scales_pf is None
+                   else jax.device_put(
+                       leaf.scales_pf,
+                       NamedSharding(mesh, fit(spec,
+                                               leaf.scales_pf.ndim))))
             return QTensor(data=data, scales=scales, zero_points=zp,
                            bits=leaf.bits, group_size=leaf.group_size,
-                           shape=leaf.shape)
+                           shape=leaf.shape, scales_pf=spf)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     def walk(p, s):

@@ -180,6 +180,11 @@ class RegexNFA:
 
     def _repeat(self, frag: _Frag, lo: int, hi: Optional[int],
                 atom_start: int) -> _Frag:
+        if hi == 0:
+            # {0} / {0,0}: zero occurrences ONLY — the atom must not be
+            # reachable (wiring `frag` in accepted one occurrence).
+            n0 = self._node()
+            return _Frag(n0, [n0])
         parts = [frag] + [self._clone_atom(atom_start)
                           for _ in range((hi if hi is not None else lo)
                                          + (0 if hi is not None else 1)

@@ -196,10 +196,15 @@ class SchemaFSM:
         if t in ("number", "integer"):
             lo = schema.get("minimum")
             hi = schema.get("maximum")
+            # exclusive bounds may be fractional (e.g. 0.5): the
+            # smallest integer > x is floor(x)+1 and the largest < x is
+            # ceil(x)-1 — int() truncation got both wrong for the
+            # fraction/negative cases (exclusiveMaximum=0.5 forbade 0).
+            import math
             if schema.get("exclusiveMinimum") is not None:
-                lo = int(schema["exclusiveMinimum"]) + 1
+                lo = math.floor(schema["exclusiveMinimum"]) + 1
             if schema.get("exclusiveMaximum") is not None:
-                hi = int(schema["exclusiveMaximum"]) - 1
+                hi = math.ceil(schema["exclusiveMaximum"]) - 1
             if lo is None and hi is None:
                 self.prog.append(("num", t == "integer", None, None))
                 return
