@@ -721,140 +721,20 @@ def forward_paged_decode(params: Dict[str, Any], config: ModelConfig,
     inference_engine.cpp:1493-1552) but the cache write is a scatter
     into the sequence's current page and attention walks the block
     table (Pallas paged kernel on TPU; gather reference elsewhere).
+
+    The body is the G=1 case of `forward_paged_verify` (one shared
+    decoder — a feature added to one could otherwise silently miss the
+    other and diverge speculative serving from plain paged decoding);
+    at G=1 the verify body dispatches the single-query decode kernel,
+    so this wrapper compiles to the same program as the old
+    standalone body.
     """
-    B = tokens.shape[0]
-    Hq, Hkv, D = config.num_heads, config.kv_heads, config.head_dim_
-    cap = config.attn_logit_softcap
-    pattern = config.sliding_window_pattern
-    alternating = bool(pattern and pattern > 1 and config.sliding_window)
-    page = k_pages.shape[3]
-    P = k_pages.shape[1]
-    positions = lengths[:, None]                                # [B, 1]
-    kv_len = lengths + 1
-    page_idx = lengths // page                                  # [B]
-    offset = lengths % page                                     # [B]
-    page_ids = jnp.clip(jnp.take_along_axis(
-        block_table, page_idx[:, None], axis=1)[:, 0], 0, P - 1)
-
-    x = ops.embed_lookup(params["embed"], tokens[:, None],
-                     config.dtype)                   # [B, 1, H]
-    if config.scale_embeddings:
-        x = x * jnp.asarray(config.hidden_size ** 0.5, config.dtype)
-    if config.embedding_multiplier:                # Granite
-        x = x * jnp.asarray(config.embedding_multiplier, config.dtype)
-    off = 1.0 if config.norm_offset else 0.0
-    layers = params["layers"]
-    was_fp8 = k_pages.dtype == jnp.float8_e4m3fn
-    if was_fp8:                       # uint8 bit view through the scan
-        k_pages = jax.lax.bitcast_convert_type(k_pages, jnp.uint8)
-        v_pages = jax.lax.bitcast_convert_type(v_pages, jnp.uint8)
-
-    def norm_w(w, i):
-        return jax.lax.dynamic_index_in_dim(w, i, 0, keepdims=False) \
-            if w.ndim == 2 else w
-
-    def body(carry, i):
-        x, kp_full, vp_full, ksp_full, vsp_full = carry
-
-        h = ops.rms_norm(x, norm_w(layers["attn_norm"], i),
-                         config.rms_norm_eps, off)
-        q, k, v = qkv_proj(h, layers, i, B, 1, Hq, Hkv, D, config)
-        # Per-layer local/global pattern (Gemma2/3) — same lax.cond-over-
-        # static-window structure as the contiguous decode path above.
-        is_global = ((i + 1) % pattern == 0) if alternating else None
-        if alternating and config.rope_local_theta is not None:
-            fg = ops.rope_freqs(D, config.rope_theta,
-                                scaling=config.rope_scaling)
-            fl = ops.rope_freqs(D, config.rope_local_theta)
-            freqs = jnp.where(is_global, fg, fl)
-            q = ops.apply_rope(q, positions, mode=config.rope_mode,
-                               freqs=freqs)
-            k = ops.apply_rope(k, positions, mode=config.rope_mode,
-                               freqs=freqs)
-        else:
-            q = ops.apply_rope(q, positions, config.rope_theta,
-                               config.rope_mode,
-                               scaling=config.rope_scaling)
-            k = ops.apply_rope(k, positions, config.rope_theta,
-                               config.rope_mode,
-                               scaling=config.rope_scaling)
-        if config.attn_scale is not None:
-            q = (q.astype(jnp.float32)
-                 * (config.attn_scale * float(D) ** 0.5)).astype(q.dtype)
-
-        # Write the new token's k/v into each slot's current page with
-        # per-slot dynamic_update_slice directly into the STACKED pool
-        # (B is small and static). A vector scatter
-        # (.at[page_ids, :, offset].set) here makes XLA materialize a
-        # copy of the page pool EVERY LAYER instead of updating in place
-        # — tens of ms/step at 7B scale — and so does slicing layer i
-        # out of the stack (full-pool copy + write-back per layer).
-        for b in range(B):
-            idx = (i, page_ids[b], 0, offset[b], 0)
-            kq, ks = encode_kv_scaled(k[b, 0], kp_full.dtype)  # [Hkv, D]
-            vq, vs = encode_kv_scaled(v[b, 0], vp_full.dtype)
-            kp_full = jax.lax.dynamic_update_slice(
-                kp_full, kq[None, None, :, None, :], idx)
-            vp_full = jax.lax.dynamic_update_slice(
-                vp_full, vq[None, None, :, None, :], idx)
-            if ks is not None:
-                sidx = (i, page_ids[b], 0, offset[b])
-                ksp_full = jax.lax.dynamic_update_slice(
-                    ksp_full, ks[None, None, :, None], sidx)
-                vsp_full = jax.lax.dynamic_update_slice(
-                    vsp_full, vs[None, None, :, None], sidx)
-
-        def dec(window):
-            return lambda: ops.attention_paged_decode(
-                q[:, 0], kp_full, vp_full, block_table, kv_len,
-                layer_index=i, window=window, softcap=cap,
-                k_scale=ksp_full, v_scale=vsp_full)
-        if alternating:
-            attn = jax.lax.cond(is_global, dec(None),
-                                dec(config.sliding_window))
-        else:
-            attn = dec(config.sliding_window)()
-        attn = attn.reshape(B, 1, Hq * D)
-        attn_out = ops.qmatmul(attn.astype(x.dtype), layers["wo"],
-                               layer_index=i)
-        if config.post_norms:
-            attn_out = ops.rms_norm(attn_out,
-                                    norm_w(layers["post_attn_norm"], i),
-                                    config.rms_norm_eps, off)
-        if config.residual_multiplier:             # Granite
-            attn_out = attn_out * jnp.asarray(config.residual_multiplier,
-                                              attn_out.dtype)
-        x = x + attn_out
-
-        h = ops.rms_norm(x, norm_w(layers["ffn_norm"], i),
-                         config.rms_norm_eps, off)
-        ffn_out = ffn_fn(config, h, layers, i)
-        if config.post_norms:
-            ffn_out = ops.rms_norm(ffn_out,
-                                   norm_w(layers["post_ffn_norm"], i),
-                                   config.rms_norm_eps, off)
-        if config.residual_multiplier:
-            ffn_out = ffn_out * jnp.asarray(config.residual_multiplier,
-                                            ffn_out.dtype)
-        x = x + ffn_out
-
-        return (x, kp_full, vp_full, ksp_full, vsp_full), None
-
-    (x, k_new, v_new, ks_new, vs_new), _ = jax.lax.scan(
-        body, (x, k_pages, v_pages, k_scale_pages, v_scale_pages),
-        jnp.arange(config.num_layers, dtype=jnp.int32))
-    k_new, v_new = cache_from_bits(k_new, v_new, was_fp8)
-
-    x = ops.rms_norm(x, params["final_norm"], config.rms_norm_eps,
-                     1.0 if config.norm_offset else 0.0)
-    logits = ops.qmatmul(x, params["lm_head"], preferred_dtype=jnp.float32)
-    logits = ops.apply_softcap(logits.astype(jnp.float32),
-                               config.final_logit_softcap)
-    if config.logits_scaling:                      # Granite: logits / m
-        logits = logits / config.logits_scaling
-    if k_scale_pages is not None:
-        return logits[:, 0], k_new, v_new, ks_new, vs_new
-    return logits[:, 0], k_new, v_new
+    out = forward_paged_verify(params, config, tokens[:, None], k_pages,
+                               v_pages, block_table, lengths,
+                               ffn_fn=ffn_fn,
+                               k_scale_pages=k_scale_pages,
+                               v_scale_pages=v_scale_pages)
+    return (out[0][:, 0],) + out[1:]
 
 
 def forward_paged_verify(params: Dict[str, Any], config: ModelConfig,
@@ -950,11 +830,22 @@ def forward_paged_verify(params: Dict[str, Any], config: ModelConfig,
                     vsp_full = jax.lax.dynamic_update_slice(
                         vsp_full, vs[None, None, :, None], sidx)
 
-        def ver(window):
-            return lambda: ops.attention_paged_verify(
-                q, kp_full, vp_full, block_table, kv_len,
-                layer_index=i, window=window, softcap=cap,
-                k_scale=ksp_full, v_scale=vsp_full)
+        # G == 1 (forward_paged_decode delegating here) keeps the
+        # single-query decode kernel — identical dispatch to the
+        # pre-unification decode body, so the hot serving path's
+        # program is unchanged.
+        if G == 1:
+            def ver(window):
+                return lambda: ops.attention_paged_decode(
+                    q[:, 0], kp_full, vp_full, block_table, kv_len,
+                    layer_index=i, window=window, softcap=cap,
+                    k_scale=ksp_full, v_scale=vsp_full)[:, None]
+        else:
+            def ver(window):
+                return lambda: ops.attention_paged_verify(
+                    q, kp_full, vp_full, block_table, kv_len,
+                    layer_index=i, window=window, softcap=cap,
+                    k_scale=ksp_full, v_scale=vsp_full)
         if alternating:
             attn = jax.lax.cond(is_global, ver(None),
                                 ver(config.sliding_window))
