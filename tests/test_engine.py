@@ -628,3 +628,40 @@ def test_decode_scan_budget_bucketing(tiny_params, tiny_cfg):
     # NOTE: rng advances per call; compare against fresh engines
     e2 = ti.InferenceEngine(tiny_params, tiny_cfg, icfg)
     assert e2.generate([1, 5, 9], 64).tokens == r64
+
+
+def test_nonpow2_max_seq_long_prompt(tiny_params, tiny_cfg):
+    """Prompt bucketing clamps to max_seq_len: a non-power-of-two
+    max_seq_len with a long-but-valid prompt used to bucket the prefill
+    slab WIDER than the KV cache and fail at trace time."""
+    import numpy as np
+    eng = ti.InferenceEngine(tiny_params, tiny_cfg,
+                             ti.InferenceConfig(max_seq_len=96,
+                                                temperature=0.0,
+                                                eos_token_id=-1))
+    prompt = [int(t) for t in
+              np.random.default_rng(0).integers(1, 900, 70)]
+    r = eng.generate(prompt, 10)
+    assert len(r.tokens) == 80
+    # logprob path shares the bucketing
+    lps = eng.compute_logprobs(prompt)
+    assert len(lps) == 70
+
+
+def test_generate_batch_per_row_budget(tiny_params, tiny_cfg):
+    """Each row uses its OWN max_seq headroom: a short prompt's output
+    must not shrink because a long prompt shares the batch (the old
+    global clamp keyed every row to the LONGEST prompt's headroom)."""
+    import numpy as np
+    icfg = ti.InferenceConfig(max_seq_len=128, temperature=0.0,
+                              eos_token_id=-1)
+    eng = ti.InferenceEngine(tiny_params, tiny_cfg, icfg)
+    rng = np.random.default_rng(1)
+    short = [int(t) for t in rng.integers(1, 900, 10)]
+    long = [int(t) for t in rng.integers(1, 900, 100)]
+    rs = eng.generate_batch([short, long], max_new_tokens=50)
+    assert len(rs[0].tokens) == 60            # full requested budget
+    assert len(rs[1].tokens) == 128           # its own headroom (28)
+    assert rs[1].stop_reason == "max_seq"
+    solo = eng.generate_batch([short], max_new_tokens=50)
+    assert rs[0].tokens == solo[0].tokens     # batch-composition-free

@@ -405,3 +405,26 @@ def test_forward_paged_decode_windowed_matches_contiguous(kind):
         tok_p = jnp.argmax(logits_p, -1).astype(jnp.int32)
         tok_c = jnp.argmax(logits_c[:, -1], -1).astype(jnp.int32)
         np.testing.assert_array_equal(np.asarray(tok_p), np.asarray(tok_c))
+
+
+def test_paged_submit_rejects_impossible_prompt(tiny_cfg, tiny_params):
+    """A prompt needing more pages than the whole pool is rejected at
+    submit() — it used to stay queued forever while run()/serve spun at
+    100% CPU with no error."""
+    import numpy as np
+    import pytest
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    icfg = ti.InferenceConfig(max_seq_len=256, temperature=0.0,
+                              eos_token_id=-1)
+    sched = PagedContinuousScheduler(tiny_params, tiny_cfg, icfg,
+                                     batch_slots=2, page_size=16,
+                                     num_pages=6)   # 5 usable
+    long = [int(t) for t in
+            np.random.default_rng(0).integers(1, 900, 200)]
+    with pytest.raises(ValueError, match="pages"):
+        sched.submit(long, 8)
+    # a prompt that fits still serves
+    ok = sched.submit(long[:40], 5)
+    res = sched.run()
+    assert len(res[ok].tokens) == 45

@@ -71,13 +71,22 @@ class GenerationResult:
     text: Optional[str] = None            # decoded output (chat() sets it)
 
 
-def _bucket(n: int, enable: bool, minimum: int = 16) -> int:
-    """Round prompt length up to a power of two to bound recompilation."""
+def _bucket(n: int, enable: bool, minimum: int = 16,
+            cap: Optional[int] = None) -> int:
+    """Round prompt length up to a power of two to bound recompilation.
+
+    `cap` (the cache width, max_seq_len): a non-power-of-two
+    max_seq_len otherwise yields a prefill slab WIDER than the KV
+    cache for long-but-valid prompts (e.g. max_seq 3000, prompt 2500
+    -> bucket 4096), which fails the cache dynamic_update_slice at
+    trace time (and overruns the paged block table)."""
     if not enable:
         return n
     b = minimum
     while b < n:
         b *= 2
+    if cap is not None and b > cap >= n:
+        b = cap
     return b
 
 
@@ -352,6 +361,14 @@ class InferenceEngine:
         if key in self._jit_cache:
             return self._jit_cache[key]
         fwd = self._fwd
+        # Per-row headroom stop: the scan length covers the SHORTEST
+        # row's budget, so longer-filled rows must finish individually
+        # when their cache fills (their later clamped writes only touch
+        # the finished row, whose tokens the host discards). CP carries
+        # a different cache structure (no .length) and keeps the
+        # conservative global clamp instead.
+        row_limit = (self.config.max_seq_len - 1
+                     if self.parallel == "tp" else None)
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def decode(params, first_logits, cache, rng, prompt_counts):
@@ -389,6 +406,12 @@ class InferenceEngine:
                     out_counts = out_counts.at[rows, nxt].add(
                         (~finished).astype(jnp.int32))
                 finished = finished | (nxt == eos_id)
+                if row_limit is not None:
+                    # post-write length T-1: this row just emitted its
+                    # last in-headroom token — stop it individually
+                    # (applied AFTER this step's sample so the final
+                    # allowed token is kept)
+                    finished = finished | (cache.length >= row_limit)
                 return (nxt, cache, finished, out_counts), (nxt, lp)
 
             finished0 = first_token == eos_id
@@ -454,7 +477,8 @@ class InferenceEngine:
     def _pad_batch(self, prompts: Sequence[Sequence[int]]
                    ) -> Tuple[jax.Array, jax.Array, int]:
         lens = [len(p) for p in prompts]
-        S = _bucket(max(lens), self.config.prefill_bucket)
+        S = _bucket(max(lens), self.config.prefill_bucket,
+                    cap=self.config.max_seq_len)
         if self.parallel == "cp":
             # the sequence-sharded prefill needs S divisible by the
             # ring size
@@ -554,8 +578,18 @@ class InferenceEngine:
 
         tokens, seq_lens, S = self._pad_batch(prompts)
         B = len(prompts)
+        # Budget bound: the SHORTEST row's fill decides the scan length
+        # so each row can use its own headroom — clamping to the
+        # longest prompt's headroom silently truncated short rows'
+        # outputs based on who they were batched with (a 10-token
+        # prompt got 28 tokens because a 100-token prompt shared the
+        # batch). Rows that exhaust their own headroom finish per-row
+        # inside the scan; CP keeps the conservative clamp (its tail
+        # writes must never clamp).
+        lens_lim = (int(seq_lens.max()) if self.parallel == "cp"
+                    else int(seq_lens.min()))
         max_new = min(max_new_tokens,
-                      self.config.max_seq_len - int(seq_lens.max()))
+                      self.config.max_seq_len - lens_lim)
         if max_new <= 0:
             # zero budget: a clean no-op (one token used to leak out)
             return [GenerationResult(tokens=list(p), logprobs=[] if
@@ -602,7 +636,7 @@ class InferenceEngine:
             n_prog = max_new
             if self.config.prefill_bucket:
                 n_prog = min(-(-max_new // 32) * 32,
-                             self.config.max_seq_len - int(seq_lens.max()))
+                             self.config.max_seq_len - lens_lim)
             if self.parallel == "cp":
                 # mirror the max_new tail clamp: with a padded prompt
                 # (S > seq_lens.max()) the bucket round-up could exceed
@@ -657,7 +691,11 @@ class InferenceEngine:
         results = []
         new_total = 0
         for b in range(B):
-            row = toks_np[b][:max_new].tolist()   # drop bucket slack
+            # drop bucket slack AND this row's beyond-headroom pads
+            # (rows finish individually when their cache fills)
+            cap_b = min(max_new,
+                        self.config.max_seq_len - len(prompts[b]))
+            row = toks_np[b][:max(cap_b, 0)].tolist()
             if eos in row:
                 n = row.index(eos) + 1
                 stop = "eos"
@@ -1151,7 +1189,8 @@ class InferenceEngine:
         compute_logprobs, inference_engine.cpp:873-954). First token gets
         0.0 (no context), matching the reference's convention."""
         self._validate(tokens)
-        S = _bucket(len(tokens), self.config.prefill_bucket)
+        S = _bucket(len(tokens), self.config.prefill_bucket,
+                    cap=self.config.max_seq_len)
         if self.parallel == "cp":
             from turboinfer_tpu.parallel.context import SP_AXIS
             p = self.mesh.shape[SP_AXIS]

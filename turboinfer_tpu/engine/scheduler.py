@@ -356,7 +356,7 @@ class ContinuousBatchingScheduler:
     def _adm_bucket(self, plen: int) -> int:
         """Prefill width for an admission group (CP overrides: every
         admission prefills at the fixed ctx width)."""
-        return _bucket(plen, self.config.prefill_bucket)
+        return _bucket(plen, self.config.prefill_bucket, cap=self.T)
 
     def _hit_max_seq(self, req) -> bool:
         """Whether the request has filled its cache capacity (CP
@@ -767,8 +767,8 @@ class ContinuousBatchingScheduler:
         """Post-prefill bookkeeping shared by the full-width and chunked
         admission paths: record each request's first token and mark its
         slot live (or finish it immediately on eos/grammar/budget)."""
-        first_np, lp_np = (np.asarray(a) for a in
-                           self._host_view((first, first_lp)))
+        first_np, lp_np = jax.device_get(
+            self._host_view((first, first_lp)))    # one batched fetch
         for i, req in enumerate(group):
             if req.finished:          # cancelled mid-chunked-admission
                 continue
@@ -1000,8 +1000,11 @@ class ContinuousBatchingScheduler:
             self.slot_pres, self.slot_freq, self.counts_prompt,
             self.counts_out, self.slot_bias)
         self.tokens = nxt
-        nxt_np, lp_np, eos_np = (np.asarray(a) for a in
-                                 self._host_view((nxt, lp, hit_eos)))
+        nxt_np, lp_np, eos_np = jax.device_get(
+            self._host_view((nxt, lp, hit_eos)))   # ONE batched fetch:
+        # per-array np.asarray costs a full tunnel round trip EACH
+        # (~30 ms; CLAUDE.md round-4) — 3x the per-token latency on the
+        # default serving path
         for slot in list(self._active):
             req = self._active[slot]
             req.out_tokens.append(int(nxt_np[slot]))
@@ -1016,7 +1019,22 @@ class ContinuousBatchingScheduler:
                 self._finish(slot, "length")
             elif self._hit_max_seq(req):
                 self._finish(slot, "max_seq")
+        self._resync_budget()
         return len(self._active)
+
+    def _resync_budget(self):
+        """Plain steps don't carry the device budget array; if bursts
+        (or spec rounds) can run later, refresh it from host truth so a
+        stale-high budget can't keep a finished slot device-active past
+        its true max_new (mirror of the spec-round resync)."""
+        if (self.decode_burst <= 1 and self._dmodel is None) \
+                or not self._active:
+            return
+        slots = list(self._active)
+        self.budget = self.budget.at[jnp.asarray(slots)].set(
+            jnp.asarray([self._active[s].max_new
+                         - len(self._active[s].out_tokens)
+                         for s in slots], jnp.int32))
 
     @functools.cached_property
     def _burst_cache(self):
@@ -1049,38 +1067,22 @@ class ContinuousBatchingScheduler:
         """Per-slot rejection-sampling acceptance of the drafts against
         the target logits tlg [B, k+1, V]. Returns (tokens', out
         [B, k+1], lps, n_emit, a)."""
-        B = drafts.shape[0]
+        from turboinfer_tpu.engine.speculative import (emit_layout,
+                                                       rejection_accept)
         pt = sampling.filtered_dist_per_slot(tlg[:, :k], temp,
                                              topk, topp)
         qd = sampling.filtered_dist_per_slot(dlogits, temp, topk, topp)
-        p_d = jnp.take_along_axis(pt, drafts[..., None],
-                                  axis=-1)[..., 0]
-        q_d = jnp.take_along_axis(qd, drafts[..., None],
-                                  axis=-1)[..., 0]
-        u = jax.random.uniform(rng_acc, (B, k))
-        ok = u * q_d <= p_d
-        acc = jnp.cumprod(ok.astype(jnp.int32), axis=1)
-        a = jnp.sum(acc, axis=1)                           # [B]
-        slot = jnp.minimum(a, k - 1)
-        pt_a = jnp.take_along_axis(pt, slot[:, None, None],
-                                   axis=1)[:, 0]
-        qd_a = jnp.take_along_axis(qd, slot[:, None, None],
-                                   axis=1)[:, 0]
-        res = jnp.maximum(pt_a - qd_a, 0.0)
-        res_sum = jnp.sum(res, axis=-1, keepdims=True)
-        res = jnp.where(res_sum > 0, res / res_sum, pt_a)
-        corr = jax.random.categorical(
-            rng_res, jnp.log(jnp.maximum(res, 1e-30))).astype(jnp.int32)
+        # shared rejection-sampling core (speculative.rejection_accept)
+        # — ONE copy of the acceptance/residual math for the engine
+        # round and this per-slot round
+        a, corr = rejection_accept(pt, qd, drafts, rng_acc, rng_res)
         bonus_dist = sampling.filtered_dist_per_slot(
             tlg[:, k:k + 1], temp, topk, topp)[:, 0]
         bonus = jax.random.categorical(
             rng_bonus, jnp.log(jnp.maximum(bonus_dist,
                                            1e-30))).astype(jnp.int32)
         nxt = jnp.where(a == k, bonus, corr)
-        pos = jnp.arange(k + 1)[None, :]
-        out = jnp.where(pos < a[:, None],
-                        jnp.pad(drafts, ((0, 0), (0, 1))),
-                        nxt[:, None])                      # [B, k+1]
+        out = emit_layout(drafts, nxt, a)                  # [B, k+1]
         lps = sampling.token_logprob(tlg, out)
         n_emit = jnp.where(active, a + 1, 0)
         tokens = jnp.where(active, nxt, tokens)
@@ -1421,6 +1423,22 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         # double-allocate multi-GB of HBM at 7B scale
         return None
 
+    def submit(self, prompt: Sequence[int], max_new_tokens: int = 50,
+               **kw) -> int:
+        # Reject prompts that could NEVER admit even against an empty
+        # pool (worst case: zero prefix sharing) — otherwise the
+        # request stays queued forever and run()/serve spin at 100%
+        # CPU with no error (page 0 is the reserved trash page).
+        W = -(-_bucket(len(prompt), self.config.prefill_bucket,
+                       cap=self.T) // self.page) * self.page
+        need = max(W // self.page, -(-(len(prompt) + 1) // self.page))
+        if need > self.pool.num_pages - 1:
+            raise ValueError(
+                f"prompt needs {need} pages but the pool has only "
+                f"{self.pool.num_pages - 1} (page_size={self.page}; "
+                f"raise num_pages)")
+        return super().submit(prompt, max_new_tokens, **kw)
+
     # -- paged jitted programs -----------------------------------------
 
     @functools.cached_property
@@ -1592,7 +1610,7 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
             # use (bucketed prompt, rounded up to whole pages); the
             # suffix takes the part past the shared prefix. See
             # _prefill_fn on why the width must match the cold path.
-            W = -(-_bucket(plen, self.config.prefill_bucket)
+            W = -(-_bucket(plen, self.config.prefill_bucket, cap=self.T)
                   // self.page) * self.page
             S_suf = W - pre
             n_new = S_suf // self.page
@@ -1635,7 +1653,8 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                 self._spec_dlen[slot] = 0
                 self.dcache = self.dcache._replace(
                     length=self.dcache.length.at[slot].set(0))
-            first, first_lp = self._host_view((first, first_lp))
+            first, first_lp = jax.device_get(
+                self._host_view((first, first_lp)))  # one batched fetch
             first_i = int(first)
             req.out_tokens.append(first_i)
             req.out_logprobs.append(float(first_lp))
@@ -1708,8 +1727,11 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                                          k_scale_pages=ksp,
                                          v_scale_pages=vsp)
         self.tokens = nxt
-        nxt_np, lp_np, eos_np = (np.asarray(a) for a in
-                                 self._host_view((nxt, lp, hit_eos)))
+        nxt_np, lp_np, eos_np = jax.device_get(
+            self._host_view((nxt, lp, hit_eos)))   # ONE batched fetch:
+        # per-array np.asarray costs a full tunnel round trip EACH
+        # (~30 ms; CLAUDE.md round-4) — 3x the per-token latency on the
+        # default serving path
         for slot in list(self._active):
             self._lengths[slot] += 1
             req = self._active[slot]
@@ -1725,7 +1747,8 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
                 self._finish(slot, "length")
             elif self._hit_max_seq(req):
                 self._finish(slot, "max_seq")
-        return len(self._active)
+        self._resync_budget()      # same stale-budget hazard as the
+        return len(self._active)   # contiguous plain step
 
 
     # -- speculative rounds over the page pool --------------------------

@@ -47,6 +47,52 @@ class SpecState(NamedTuple):
     cache_d: KVCache
 
 
+def rejection_accept(pt: jax.Array, qd: jax.Array, drafts: jax.Array,
+                     rng_acc, rng_res) -> Tuple[jax.Array, jax.Array]:
+    """Shared rejection-sampling core (used by BOTH the engine-level
+    spec step below and the scheduler's per-slot round — one copy of
+    the acceptance math, so a fix cannot silently miss one of them).
+
+    pt/qd: target/draft FILTERED distributions over the k draft
+    positions [B, k, V]; drafts: [B, k] proposed tokens.
+    Returns (a [B] accepted counts, corr [B] the residual-resampled
+    correction token at the first rejected position).
+
+    Accept d_i iff u·q(d_i) < p(d_i) — STRICT: u==0.0 is reachable
+    (uniform draws from [0,1)) and <= would accept a draft the target
+    assigns zero filtered probability. On reject, resample from the
+    residual max(p-q, 0) (renormalized; falls back to p when the
+    residual is empty) — the output distribution provably equals the
+    target's own sampling distribution.
+    """
+    k = drafts.shape[1]
+    p_d = jnp.take_along_axis(pt, drafts[..., None], axis=-1)[..., 0]
+    q_d = jnp.take_along_axis(qd, drafts[..., None], axis=-1)[..., 0]
+    u = jax.random.uniform(rng_acc, drafts.shape)
+    ok = u * q_d < p_d
+    acc = jnp.cumprod(ok.astype(jnp.int32), axis=1)
+    a = jnp.sum(acc, axis=1)                                   # [B]
+    slot = jnp.minimum(a, k - 1)
+    pt_a = jnp.take_along_axis(pt, slot[:, None, None], axis=1)[:, 0]
+    qd_a = jnp.take_along_axis(qd, slot[:, None, None], axis=1)[:, 0]
+    res = jnp.maximum(pt_a - qd_a, 0.0)
+    res_sum = jnp.sum(res, axis=-1, keepdims=True)
+    res = jnp.where(res_sum > 0, res / res_sum, pt_a)
+    corr = jax.random.categorical(
+        rng_res, jnp.log(jnp.maximum(res, 1e-30))).astype(jnp.int32)
+    return a, corr
+
+
+def emit_layout(drafts: jax.Array, nxt: jax.Array, a: jax.Array
+                ) -> jax.Array:
+    """Round output layout [B, k+1]: d_1..d_a then nxt, padded with
+    nxt (shared by engine and scheduler rounds)."""
+    k = drafts.shape[1]
+    pos = jnp.arange(k + 1)[None, :]
+    return jnp.where(pos < a[:, None],
+                     jnp.pad(drafts, ((0, 0), (0, 1))), nxt[:, None])
+
+
 def _filtered_probs(logits: jax.Array, sp: SamplingParams) -> jax.Array:
     """The (temperature/top-k/top-p)-filtered distribution both models'
     proposals are judged under. Matches sampling.sample's pipeline."""
@@ -109,25 +155,7 @@ def make_spec_step(model_t, cfg_t: ModelConfig, model_d, cfg_d: ModelConfig,
         else:
             pt = _filtered_probs(tlg[:, :k], sp)                # [B,k,V]
             qd = _filtered_probs(dlogits, sp)
-            p_d = jnp.take_along_axis(pt, drafts[..., None],
-                                      axis=-1)[..., 0]          # [B, k]
-            q_d = jnp.take_along_axis(qd, drafts[..., None],
-                                      axis=-1)[..., 0]
-            u = jax.random.uniform(rng_acc, (B, k))
-            ok = u * q_d <= p_d
-            acc = jnp.cumprod(ok.astype(jnp.int32), axis=1)
-            a = jnp.sum(acc, axis=1)                            # [B]
-            # Residual distribution at the first rejected slot.
-            slot = jnp.minimum(a, k - 1)
-            pt_a = jnp.take_along_axis(pt, slot[:, None, None],
-                                       axis=1)[:, 0]            # [B, V]
-            qd_a = jnp.take_along_axis(qd, slot[:, None, None],
-                                       axis=1)[:, 0]
-            res = jnp.maximum(pt_a - qd_a, 0.0)
-            res_sum = jnp.sum(res, axis=-1, keepdims=True)
-            res = jnp.where(res_sum > 0, res / res_sum, pt_a)
-            corr = jax.random.categorical(
-                rng_res, jnp.log(jnp.maximum(res, 1e-30))).astype(jnp.int32)
+            a, corr = rejection_accept(pt, qd, drafts, rng_acc, rng_res)
             bonus = sampling.sample(rng_bonus, tlg[:, k], sp)
             nxt = jnp.where(a == k, bonus, corr)
 
@@ -139,10 +167,7 @@ def make_spec_step(model_t, cfg_t: ModelConfig, model_d, cfg_d: ModelConfig,
         cache_d = cache_d._replace(length=len_t)
 
         # Emitted tokens this round: d_1..d_a then nxt, padded with nxt.
-        pos = jnp.arange(k + 1)[None, :]
-        out = jnp.where(pos < a[:, None],
-                        jnp.pad(drafts, ((0, 0), (0, 1))),
-                        nxt[:, None])                           # [B, k+1]
+        out = emit_layout(drafts, nxt, a)                       # [B, k+1]
         state = SpecState(tok=nxt, cache_t=cache_t, cache_d=cache_d)
         return state, out, a + 1
 
