@@ -8,6 +8,7 @@ to the OpenAI wire format.
 import http.client
 import json
 import threading
+import time
 
 import pytest
 
@@ -498,3 +499,76 @@ def test_best_of_validation(served):
         "prompt": [1, 5], "max_tokens": 4, "best_of": 2,
         "stream": True})
     assert status == 400                    # best_of with streaming
+
+
+def test_request_validation_hardening(served):
+    """Round-5 review regressions: non-dict JSON bodies and
+    max_tokens < 1 return 400 (not AttributeError / silent 128)."""
+    _, port, _, _ = served
+    status, body = _post_json(port, "/v1/completions", [1, 2, 3])
+    assert status == 400 and "error" in body
+    status, body = _post_json(port, "/v1/completions", "hi")
+    assert status == 400
+    status, body = _post_json(
+        port, "/v1/completions", {"prompt": [1, 5], "max_tokens": 0})
+    assert status == 400 and "max_tokens" in body["error"]["message"]
+
+
+def test_structured_stream_finish_reason_stop(served):
+    """A structured stream that completes its grammar reports
+    finish_reason 'stop' (the streaming map used to omit 'stop' and
+    fall through to 'length', disagreeing with the blocking path)."""
+    _, port, _, _ = served
+    schema = {"type": "object", "required": ["ok"],
+              "properties": {"ok": {"type": "boolean"}}}
+    resp, conn = _post(port, "/v1/completions", {
+        "prompt": [1, 5, 7], "max_tokens": 64, "stream": True,
+        "temperature": 0.0,
+        "response_format": {"type": "json_schema",
+                            "json_schema": {"schema": schema}}})
+    assert resp.status == 200
+    finishes = []
+    buf = b""
+    while True:
+        chunk = resp.read(1)
+        if not chunk:
+            break
+        buf += chunk
+        if buf.endswith(b"\n\n"):
+            for line in buf.split(b"\n"):
+                if line.startswith(b"data: ") and b"[DONE]" not in line:
+                    d = json.loads(line[6:])
+                    finishes.append(d["choices"][0]["finish_reason"])
+            if b"[DONE]" in buf:
+                break
+            buf = b""
+    conn.close()
+    assert finishes[-1] == "stop"
+
+
+def test_partial_pool_submit_cleans_up(tiny_params_mod, tiny_cfg_mod):
+    """n>1 submit hitting a full queue cancels the already-submitted
+    part of the pool instead of leaking streams that generate forever."""
+    tok = BuiltinTokenizer(vocab_size=tiny_cfg_mod.vocab_size)
+    cfg = ti.InferenceConfig(max_seq_len=tiny_cfg_mod.max_seq_len,
+                             eos_token_id=-1)
+    sched = ContinuousBatchingScheduler(tiny_params_mod, tiny_cfg_mod,
+                                        cfg, batch_slots=1, max_queue=2,
+                                        tokenizer=tok)
+    eng = ServingEngine(sched, tokenizer=tok, model_name="t")
+    srv = make_server(eng, host="127.0.0.1", port=0)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        port = srv.server_address[1]
+        status, body = _post_json(port, "/v1/completions", {
+            "prompt": [1, 5], "max_tokens": 4, "n": 8})
+        assert status == 429
+        # the partial pool was cancelled: no orphan streams linger
+        deadline = time.time() + 30
+        while time.time() < deadline and eng._streams:
+            time.sleep(0.2)
+        assert not eng._streams
+    finally:
+        srv.shutdown()
+        eng.shutdown()

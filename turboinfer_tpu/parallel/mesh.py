@@ -48,22 +48,20 @@ def make_mesh(shape: Optional[Tuple[int, int]] = None,
 
 
 def pick_mesh_shape(n_devices: int, num_kv_heads: int,
-                    batch_size: int = 1) -> Tuple[int, int]:
+                    batch_size: int = None) -> Tuple[int, int]:
     """Choose (data, tp): tp = largest divisor of n that also divides
-    num_kv_heads (KV cache shards evenly over heads), except that the
-    data axis never exceeds what the batch can fill — a data degree
-    bigger than batch_size would leave devices idle, so spare devices
-    stay on tp when heads allow."""
-    best = None
+    num_kv_heads (KV cache shards evenly over heads), data = the rest.
+
+    Maximizing tp already MINIMIZES the data degree, so there is no
+    batch-aware tradeoff left to make — a former `batch_size`
+    preference was provably inert (the first valid tp has the smallest
+    possible data; any later candidate only grows it) and is kept only
+    as an ignored parameter for callers that still pass it."""
     for tp in range(min(n_devices, num_kv_heads), 0, -1):
         if n_devices % tp or num_kv_heads % tp:
             continue
-        data = n_devices // tp
-        if best is None:
-            best = (data, tp)
-        if data <= max(1, batch_size):
-            return (data, tp)
-    return best or (n_devices, 1)
+        return (n_devices // tp, tp)
+    return (n_devices, 1)
 
 
 def single_device_mesh() -> Mesh:

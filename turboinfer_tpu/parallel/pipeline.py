@@ -19,6 +19,16 @@ large-batch decode). Weight-streaming-bound B=1 decode gains nothing
 from microbatching (every tick re-streams stage weights) — use the
 plain relay there.
 
+KNOWN COST (microbatch decode): process() slices the microbatch's
+batch rows out of the stage cache and writes the slab back each tick,
+so a decode step's ticks collectively read+write the whole stage
+cache (traffic ∝ T) to store one token per sequence — the same
+slice/write-back pattern the contiguous paths avoid (CLAUDE.md's
+measured ~4x). Fixing it needs the family `_layer_forward`s to accept
+a batch OFFSET for their in-place cache writes (so the full stage
+cache can ride the scan carry); until then prefer the plain relay for
+long-fill decode and microbatching for prefill/compute-bound shapes.
+
 Family support: llama, moe, gpt2, neox, gptoss run through a small
 per-family adapter (embedding prelude / head epilogue / layer-step
 call); deepseek (MLA latent caches + leading dense layers) has its own
@@ -105,8 +115,10 @@ def _adapter(config: ModelConfig, family: str, mod) -> _Adapter:
 
     def embed(params, toks, positions):
         x = ops.embed_lookup(params["embed"], toks, config.dtype)
-        if family in ("llama", "moe") and config.scale_embeddings:
+        if family == "llama" and config.scale_embeddings:
             # Gemma rounds sqrt(H) to the model dtype (llama.forward).
+            # llama-family ONLY: moe.forward ignores this knob, and the
+            # PP trajectory must match the family forward exactly.
             x = x * jnp.asarray(config.hidden_size ** 0.5, config.dtype)
         if family == "llama" and config.embedding_multiplier:
             x = x * jnp.asarray(config.embedding_multiplier, config.dtype)
@@ -131,7 +143,11 @@ def _adapter(config: ModelConfig, family: str, mod) -> _Adapter:
                              ).astype(jnp.float32)
         if family == "neox" and "lm_head_b" in params:       # Phi
             logits = logits + params["lm_head_b"]
-        logits = ops.apply_softcap(logits, config.final_logit_softcap)
+        if family == "llama":
+            # Gemma2's final softcap lives in the llama family; the
+            # other family forwards never apply it — applying it for
+            # them would diverge from the single-chip trajectory.
+            logits = ops.apply_softcap(logits, config.final_logit_softcap)
         if family == "llama" and config.logits_scaling:      # Granite
             logits = logits / config.logits_scaling
         return logits
@@ -279,7 +295,8 @@ def _check_stages(config: ModelConfig, n_layers: int, n_stage: int):
 
 def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
                      cache, *, mesh: Mesh, axis: str = PP_AXIS,
-                     seq_lens: Optional[jax.Array] = None
+                     seq_lens: Optional[jax.Array] = None,
+                     logit_idx: Optional[jax.Array] = None
                      ) -> Tuple[jax.Array, Any]:
     """Forward with decoder layers staged over `axis`.
 
@@ -288,12 +305,18 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
     KV caches only (the fused-head layout stays on single-chip paths).
     seq_lens: [B] new valid tokens per sequence (right-padded batches,
     like <family>.forward); default S.
+    logit_idx: [B] positions — compute the head for ONLY these (logits
+    come back [B, 1, V]). Without it a 7B S=512 B=8 prefill
+    materializes and psum-broadcasts ~0.5 GB of [B, S, V] f32 across
+    the ring; with it the head is S× cheaper and the psum carries
+    [B, 1, V] (mirrors <family>.forward's logit_idx).
     """
     family, mod = _family(config)
     if family == "deepseek":
         return _deepseek_pipeline_forward(params, config, tokens, cache,
                                           mesh=mesh, axis=axis, mod=mod,
-                                          seq_lens=seq_lens)
+                                          seq_lens=seq_lens,
+                                          logit_idx=logit_idx)
     B, S = tokens.shape
     if seq_lens is None:
         seq_lens = jnp.full((B,), S, jnp.int32)
@@ -304,8 +327,9 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
 
     lspec = _pp_spec_tree(params, axis)
     cspec = pipeline_cache_spec(axis)
+    gather = logit_idx is not None
 
-    def local(params_l, toks, k_loc, v_loc, length, sl):
+    def local(params_l, toks, k_loc, v_loc, length, sl, idx):
         me = jax.lax.axis_index(axis)
         start = length
         positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
@@ -365,6 +389,9 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
         # stage 0; ONLY stage 0 computes the head (every stage used to
         # run the full-vocab matmul and throw P-1 results away) and a
         # psum broadcasts.
+        if gather:
+            x = jnp.take_along_axis(
+                x, idx[:, None, None].astype(jnp.int32), axis=1)
         logits = jax.lax.cond(
             me == 0, lambda v: ad.head(params_l, v),
             lambda v: jnp.zeros(v.shape[:2] + (V,), jnp.float32), x)
@@ -373,11 +400,14 @@ def pipeline_forward(params, config: ModelConfig, tokens: jax.Array,
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(lspec, P(None, None), cspec, cspec, P(None), P(None)),
+        in_specs=(lspec, P(None, None), cspec, cspec, P(None), P(None),
+                  P(None)),
         out_specs=(P(None, None, None), cspec, cspec, P(None)),
         check_vma=False, axis_names=frozenset({axis}))
+    idx_arg = (jnp.zeros((B,), jnp.int32) if logit_idx is None
+               else logit_idx.astype(jnp.int32))
     logits, k_new, v_new, kv_len = fn(params, tokens, cache.k, cache.v,
-                                      cache.length, seq_lens)
+                                      cache.length, seq_lens, idx_arg)
     return logits, KVCache(k=k_new, v=v_new, length=kv_len)
 
 
@@ -385,7 +415,8 @@ def _deepseek_pipeline_forward(params, config: ModelConfig,
                                tokens: jax.Array,
                                cache: DeepSeekPPCache, *, mesh: Mesh,
                                axis: str, mod,
-                               seq_lens: Optional[jax.Array] = None
+                               seq_lens: Optional[jax.Array] = None,
+                               logit_idx: Optional[jax.Array] = None
                                ) -> Tuple[jax.Array, Any]:
     """deepseek stage relay: the `first_k_dense_replace` dense layers
     run REPLICATED on every stage before the ring (weights + their
@@ -410,8 +441,9 @@ def _deepseek_pipeline_forward(params, config: ModelConfig,
     lspec = _pp_spec_tree(params, axis)
     cspec = pipeline_cache_spec(axis)
     rep_c = lambda a: P(*([None] * a.ndim))
+    gather = logit_idx is not None
 
-    def local(params_l, toks, kd_c, vd_c, k_loc, v_loc, length, sl):
+    def local(params_l, toks, kd_c, vd_c, k_loc, v_loc, length, sl, idx):
         me = jax.lax.axis_index(axis)
         start = length
         positions = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
@@ -457,6 +489,9 @@ def _deepseek_pipeline_forward(params, config: ModelConfig,
 
         x, k_loc, v_loc = jax.lax.fori_loop(
             0, n_stage, stage_step, (x, k_loc, v_loc))
+        if gather:
+            x = jnp.take_along_axis(
+                x, idx[:, None, None].astype(jnp.int32), axis=1)
         logits = jax.lax.cond(
             me == 0, lambda v: ad.head(params_l, v),
             lambda v: jnp.zeros(v.shape[:2] + (Vh,), jnp.float32), x)
@@ -466,13 +501,16 @@ def _deepseek_pipeline_forward(params, config: ModelConfig,
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(lspec, P(None, None), rep_c(cache.k_dense),
-                  rep_c(cache.v_dense), cspec, cspec, P(None), P(None)),
+                  rep_c(cache.v_dense), cspec, cspec, P(None), P(None),
+                  P(None)),
         out_specs=(P(None, None, None), rep_c(cache.k_dense),
                    rep_c(cache.v_dense), cspec, cspec, P(None)),
         check_vma=False, axis_names=frozenset({axis}))
+    idx_arg = (jnp.zeros((B,), jnp.int32) if logit_idx is None
+               else logit_idx.astype(jnp.int32))
     logits, kd_new, vd_new, k_new, v_new, kv_len = fn(
         params, tokens, cache.k_dense, cache.v_dense, cache.k, cache.v,
-        cache.length, seq_lens)
+        cache.length, seq_lens, idx_arg)
     return logits, DeepSeekPPCache(k_dense=kd_new, v_dense=vd_new,
                                    k=k_new, v=v_new, length=kv_len)
 

@@ -118,17 +118,6 @@ def shard_paged_cache(cache, mesh: Mesh):
         k_scale_pages=ksp, v_scale_pages=vsp)
 
 
-def _qtensor_spec(spec: P) -> P:
-    """Sharding for a QTensor's leaves given the logical weight spec.
-
-    Logical weight [(...,) K, N]; data/scales share the layout on N. The
-    packed/contraction axis K is sharded the same way as the logical K —
-    group boundaries must divide evenly, validated by the quantizer when
-    sharding is requested.
-    """
-    return spec
-
-
 def fit_spec(spec: P, ndim: int) -> P:
     """Adapt a spec to an array of higher rank (e.g. pre-tiled 4-D
     scales [L, nk, gk, N]): keep the first and last axis specs,
