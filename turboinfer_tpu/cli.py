@@ -115,11 +115,13 @@ def cmd_serve(args):
             cfg, eos_token_id=data.tokenizer.eos_id)
     cls = PagedContinuousScheduler if args.paged \
         else ContinuousBatchingScheduler
-    kw = dict(batch_slots=args.slots, max_queue=args.max_queue)
+    # decode_burst applies to BOTH schedulers (the paged burst scan is
+    # implemented too; --paged silently dropping --burst cost a full
+    # ~30 ms tunnel round trip per token)
+    kw = dict(batch_slots=args.slots, max_queue=args.max_queue,
+              decode_burst=args.burst)
     if args.paged:
         kw["page_size"] = args.page_size
-    else:
-        kw["decode_burst"] = args.burst
     if args.draft_model:
         if args.pp_stages > 1:
             print("--draft-model is not supported with --pp-stages",
@@ -303,7 +305,12 @@ def cmd_eval(args):
         lps = eng.compute_logprobs(tokens[start:end])
         # Score only positions not already scored by the previous window
         # (the first window - stride positions are context overlap).
-        first = 1 if start == 0 else window - stride
+        # Floor at 1 always: compute_logprobs defines position 0 as a
+        # context-free 0.0 placeholder, and with the default
+        # stride == window the old `window - stride` = 0 counted that
+        # placeholder as a real probability-1.0 score at every window
+        # boundary, biasing perplexity low.
+        first = 1 if start == 0 else max(1, window - stride)
         total_lp += sum(lps[first:])
         count += len(lps) - first
         if end == len(tokens):

@@ -199,14 +199,22 @@ class InferenceEngine:
             from turboinfer_tpu.parallel import pipeline as _pl
             mesh, mb = self.mesh, self.pp_microbatches
 
-            def fwd(params, tokens, cache, seq_lens=None):
+            def fwd(params, tokens, cache, seq_lens=None, logit_idx=None):
                 B = tokens.shape[0]
                 if mb and mb > 1 and B % mb == 0:
-                    return _pl.pipeline_forward_microbatch(
+                    # microbatch relay has no last-position head yet —
+                    # preserve the [B, 1, V] contract by gathering here
+                    logits, cache = _pl.pipeline_forward_microbatch(
                         params, cfg, tokens, cache, mesh=mesh,
                         microbatches=mb, seq_lens=seq_lens)
+                    if logit_idx is not None:
+                        logits = jnp.take_along_axis(
+                            logits, logit_idx[:, None, None].astype(
+                                jnp.int32), axis=1)
+                    return logits, cache
                 return _pl.pipeline_forward(params, cfg, tokens, cache,
-                                            mesh=mesh, seq_lens=seq_lens)
+                                            mesh=mesh, seq_lens=seq_lens,
+                                            logit_idx=logit_idx)
             return fwd
         return (lambda params, tokens, cache, seq_lens=None,
                 logit_idx=None, **kw: model.forward(
@@ -306,11 +314,12 @@ class InferenceEngine:
         if key in self._jit_cache:
             return self._jit_cache[key]
         fwd = self._fwd
-        # single-chip / TP forwards compute the head for ONLY the last
-        # valid position (skips S-1/S of the lm_head FLOPs + the
-        # [B, S, V] f32 materialization); pp/cp relays return full
-        # logits and gather here.
-        last_only = self.parallel == "tp"
+        # single-chip / TP forwards AND the PP relay compute the head
+        # for ONLY the last valid position (skips S-1/S of the lm_head
+        # FLOPs + the [B, S, V] f32 materialization — at 7B S=512 B=8
+        # the PP relay also psum-broadcast ~0.5 GB of it across the
+        # ring); the cp relay returns full logits and gathers here.
+        last_only = self.parallel in ("tp", "pp")
         # fresh_prefill stays single-chip: its Pallas cache writer /
         # direct-K/V flash kernel have no GSPMD partition rule, so on a
         # sharded mesh they would force replication (or fail to lower).

@@ -375,9 +375,11 @@ class ContinuousBatchingScheduler:
             from turboinfer_tpu.parallel import pipeline as _pl
             mesh = self.mesh
 
-            def fwd(params, tokens, cache, seq_lens=None):
+            def fwd(params, tokens, cache, seq_lens=None,
+                    logit_idx=None):
                 return _pl.pipeline_forward(params, cfg, tokens, cache,
-                                            mesh=mesh, seq_lens=seq_lens)
+                                            mesh=mesh, seq_lens=seq_lens,
+                                            logit_idx=logit_idx)
             return fwd
         return (lambda params, tokens, cache, seq_lens=None,
                 logit_idx=None, **kw: model.forward(
@@ -473,7 +475,7 @@ class ContinuousBatchingScheduler:
         dmodel = self._dmodel
         dcfg = getattr(self, "draft_config", None)
 
-        last_only = self.parallel == "tp"
+        last_only = self.parallel in ("tp", "pp")
 
         @functools.partial(jax.jit,
                            donate_argnums=(4, 5) if spec else (4,))
@@ -806,7 +808,7 @@ class ContinuousBatchingScheduler:
         prefill cache at the current fill and capture last-token logits
         for rows whose prompt ends inside this chunk."""
         fwd = self._fwd
-        last_only = self.parallel == "tp"
+        last_only = self.parallel in ("tp", "pp")
 
         @functools.partial(jax.jit, donate_argnums=(3,))
         def chunk_fwd(params, chunk, chunk_lens, small, sel, out_logits):

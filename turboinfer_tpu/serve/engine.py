@@ -57,6 +57,7 @@ class ServingEngine:
         self._emitted: Dict[int, int] = {}
         self._beam_jobs: Dict[int, Dict[str, Any]] = {}
         self._beam_order: List[int] = []
+        self._cancels: List[int] = []
         self._next_beam_id = -1
         self._stats = {"requests": 0, "tokens": 0, "started_at": time.time()}
         self._shutdown = False
@@ -124,10 +125,27 @@ class ServingEngine:
                     self._beam_order.remove(rid)
                 self._streams.pop(rid, None)
                 return
+            # DEFER to the driver thread: scheduler.cancel dispatches
+            # jax (device `active` update / StreamEnd pump), and a beam
+            # job may be mid-dispatch on the driver thread OUTSIDE this
+            # lock — calling it here would break the single-dispatcher
+            # invariant the module header promises. Drop the stream
+            # immediately: a cancelled request has no consumer, and a
+            # lingering queue would hold its tokens forever.
+            self._streams.pop(rid, None)
+            self._emitted.pop(rid, None)
+            self._cancels.append(rid)
+            self._work.notify()
+
+    def _drain_cancels_locked(self):
+        """Driver-thread only (holds the lock): apply deferred
+        cancels."""
+        for rid in self._cancels:
             if self.sched.cancel(rid) and rid in self.sched._done:
                 # the driver only pumps inside step(); a cancel with an
                 # otherwise idle scheduler must deliver StreamEnd itself
                 self._pump(rid, self.sched._done.pop(rid))
+        self._cancels.clear()
 
     def stream(self, rid: int, timeout: float = 300.0) -> Iterator[Any]:
         """Yield token ids as they are produced, then one StreamEnd.
@@ -194,6 +212,15 @@ class ServingEngine:
         exception must fail the affected requests, not brick the
         server)."""
         for rid, q in list(self._streams.items()):
+            if rid < 0:
+                # beam streams: beam_result() re-raises Exceptions; a
+                # StreamEnd there would be RETURNED as if it were the
+                # results list (TypeError in the handler)
+                q.put(RuntimeError(message))
+                self._beam_jobs.pop(rid, None)
+                if rid in self._beam_order:
+                    self._beam_order.remove(rid)
+                continue
             q.put(StreamEnd(stop_reason=f"error: {message}",
                             prompt_tokens=0, completion_tokens=0))
         for req in list(self.sched._active.values()):
@@ -225,10 +252,11 @@ class ServingEngine:
         while True:
             with self._work:
                 while (not self._shutdown and not sched.pending
-                       and not self._beam_order):
+                       and not self._beam_order and not self._cancels):
                     self._work.wait(timeout=1.0)
                 if self._shutdown:
                     return
+                self._drain_cancels_locked()
                 beam_rid = (self._beam_order.pop(0)
                             if self._beam_order else None)
             if beam_rid is not None:
@@ -242,6 +270,7 @@ class ServingEngine:
             with self._work:
                 if self._shutdown:
                     return
+                self._drain_cancels_locked()
                 if not sched.pending:
                     continue
                 try:

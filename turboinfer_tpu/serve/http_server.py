@@ -51,9 +51,18 @@ class _TextAssembler:
         return self._dec.push(token)
 
 
-def _find_stop(text: str, stops: List[str]) -> Optional[int]:
-    """Earliest index of any stop string in text, or None."""
-    hits = [text.find(s) for s in stops if s and text.find(s) >= 0]
+def _find_stop(text: str, stops: List[str],
+               scanned: int = 0) -> Optional[int]:
+    """Earliest index of any stop string in text, or None. `scanned`:
+    characters already checked on previous calls — the scan restarts at
+    scanned - (longest stop - 1) so a stop straddling the boundary is
+    still caught, keeping per-token work O(len(delta)) instead of
+    rescanning the whole completion every token (the same quadratic
+    trap CLAUDE.md records for detokenization)."""
+    if not stops:
+        return None
+    lo = max(0, scanned - (max(len(x) for x in stops) - 1))
+    hits = [h for h in (text.find(x, lo) for x in stops if x) if h >= 0]
     return min(hits) if hits else None
 
 
@@ -82,10 +91,16 @@ class Handler(BaseHTTPRequestHandler):
     def _read_body(self) -> Optional[Dict[str, Any]]:
         try:
             n = int(self.headers.get("Content-Length", 0))
-            return json.loads(self.rfile.read(n) or b"{}")
+            body = json.loads(self.rfile.read(n) or b"{}")
         except (ValueError, json.JSONDecodeError):
             self._error(400, "request body is not valid JSON")
             return None
+        if not isinstance(body, dict):
+            # a bare array/string/number parses as JSON but crashed the
+            # handler at body.get(...) with AttributeError
+            self._error(400, "request body must be a JSON object")
+            return None
+        return body
 
     # -- routes ---------------------------------------------------------------
 
@@ -166,7 +181,11 @@ class Handler(BaseHTTPRequestHandler):
             return
         prompt_ids, obj_kind = enc
         eng = self.engine
-        max_new = int(body.get("max_tokens") or 128)
+        mt = body.get("max_tokens")
+        max_new = 128 if mt is None else int(mt)
+        if max_new < 1:
+            self._error(400, "max_tokens must be >= 1")
+            return
 
         def fget(key):
             v = body.get(key)
@@ -254,14 +273,22 @@ class Handler(BaseHTTPRequestHandler):
                                  "streaming")
                 return
         rank_pool = best_of if best_of > n else n
+        rids = []
         try:
-            rids = [eng.submit(prompt_ids, max_new, **kw)
-                    for _ in range(rank_pool)]
+            for _ in range(rank_pool):
+                rids.append(eng.submit(prompt_ids, max_new, **kw))
         except ValueError as e:
+            for r in rids:        # partial pool: don't leak the rest
+                eng.cancel(r)
             self._error(400, str(e))
             return
         except Exception as e:
             from turboinfer_tpu.utils.errors import SchedulerFullError
+            for r in rids:
+                # without this, a mid-pool SchedulerFullError left the
+                # already-submitted requests generating to completion
+                # into stream queues nobody would ever drain
+                eng.cancel(r)
             if isinstance(e, SchedulerFullError):
                 self._error(429, str(e), etype="rate_limit_exceeded")
                 return
@@ -322,13 +349,19 @@ class Handler(BaseHTTPRequestHandler):
                 if isinstance(item, StreamEnd):
                     end = item
                     break
+                scanned = len(text)
                 text += asm.push(item)
-                cut = _find_stop(text, stops)
+                cut = _find_stop(text, stops, scanned)
                 if cut is not None:
                     text = text[:cut]
                     eng.cancel(rid)
                     end = StreamEnd("stop", n_prompt, len(asm.ids))
                     break
+            if end.stop_reason.startswith("error"):
+                # a step() failure must surface as an error, not a 200
+                # that looks like a length-capped completion
+                self._error(500, end.stop_reason, etype="server_error")
+                return
             reason = {"eos": "stop", "stop": "stop"}.get(end.stop_reason,
                                                          "length")
             if echo_ids is not None and eng.tokenizer is not None:
@@ -411,13 +444,16 @@ class Handler(BaseHTTPRequestHandler):
             finish = "stop"
             for item in eng.stream(rid):
                 if isinstance(item, StreamEnd):
-                    finish = {"eos": "stop"}.get(item.stop_reason, "length")
+                    finish = {"eos": "stop", "stop": "stop"}.get(
+                        item.stop_reason,
+                        "error" if item.stop_reason.startswith("error")
+                        else "length")
                     break
                 delta = asm.push(item)
                 if not delta:
                     continue
                 total = emitted + delta
-                cut = _find_stop(total, stops)
+                cut = _find_stop(total, stops, len(emitted))
                 if cut is not None:
                     delta = total[len(emitted):cut]
                     if delta:
