@@ -428,3 +428,23 @@ def test_paged_submit_rejects_impossible_prompt(tiny_cfg, tiny_params):
     ok = sched.submit(long[:40], 5)
     res = sched.run()
     assert len(res[ok].tokens) == 45
+
+
+def test_gptoss_int8_paged_gated():
+    """gptoss supports int8 KV on the contiguous path but its paged
+    body takes no scale pools — the paged scheduler must raise at
+    construction, not TypeError at the first decode step."""
+    import jax
+    import pytest
+    import turboinfer_tpu as ti
+    from turboinfer_tpu.engine.scheduler import PagedContinuousScheduler
+    from turboinfer_tpu.models import gptoss
+    cfg = ti.tiny_config(architecture="gpt_oss", num_experts=2,
+                         experts_per_token=1, sliding_window=32,
+                         sliding_window_pattern=2)
+    params = gptoss.init_params(jax.random.PRNGKey(0), cfg)
+    icfg = ti.InferenceConfig(max_seq_len=64, kv_cache_dtype="int8",
+                              eos_token_id=-1)
+    with pytest.raises(NotImplementedError, match="int8"):
+        PagedContinuousScheduler(params, cfg, icfg, batch_slots=2,
+                                 page_size=16)

@@ -231,3 +231,20 @@ def test_tinq_qembed_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(p2["embed"].scales),
                                   np.asarray(q["embed"].scales))
     assert qc2.skip_embeddings is False
+
+
+def test_param_count_counts_expert_stacks():
+    """4-D [L, E, ...] expert QTensor stacks count L*E*K*N params (the
+    old ndim==3-only check undercounted MoE experts by L*E)."""
+    import jax.numpy as jnp
+    from turboinfer_tpu.core.qtensor import QTensor
+    from turboinfer_tpu.models.common import param_count
+    L, E, K, N, G = 2, 4, 8, 16, 4
+    qt = QTensor(data=jnp.zeros((L, E, K // 2, N), jnp.uint8),
+                 scales=jnp.ones((L, E, K // G, N), jnp.bfloat16),
+                 zero_points=None, bits=4, group_size=G, shape=(K, N))
+    assert param_count({"w": qt}) == L * E * K * N
+    qt3 = QTensor(data=jnp.zeros((L, K // 2, N), jnp.uint8),
+                  scales=jnp.ones((L, K // G, N), jnp.bfloat16),
+                  zero_points=None, bits=4, group_size=G, shape=(K, N))
+    assert param_count({"w": qt3}) == L * K * N

@@ -1397,6 +1397,15 @@ class PagedContinuousScheduler(ContinuousBatchingScheduler):
         if not hasattr(self._model, "forward_paged_decode"):
             raise NotImplementedError(
                 f"{model_config.architecture} has no forward_paged_decode")
+        if self._kv_dtype == jnp.int8 and not getattr(
+                self._model, "SUPPORTS_INT8_KV_PAGED",
+                getattr(self._model, "SUPPORTS_INT8_KV", False)):
+            # e.g. gptoss: contiguous int8 works but its paged body
+            # takes no scale pools — fail loudly at construction
+            # instead of a TypeError at the first decode step
+            raise NotImplementedError(
+                f"{model_config.architecture} paged serving does not "
+                "support kv_cache_dtype='int8'; use 'fp8' or 'bf16'")
         self._pc = pc
         self.page = page_size
         max_pages = -(-self.T // page_size)

@@ -26,7 +26,8 @@ from turboinfer_tpu.models.common import (KVCache,  # noqa: F401
                                           encode_kv_scaled,
                                           resolve_fused_cache,
                                           param_bytes, param_count,
-                                          reset_cache)
+                                          reset_cache,
+                                          write_fused_prefill)
 from turboinfer_tpu.models.common import init_cache as _common_init_cache
 
 
@@ -140,12 +141,11 @@ def _layer_forward(config: ModelConfig, x, lw, k_cache, v_cache,
         # Fused-head per-layer [B, T, H] (prefill body).
         T = k_cache.shape[1]
 
-        def write_fused(cache_b, new_b, start_b):
-            return jax.lax.dynamic_update_slice(
-                cache_b, encode_kv(new_b.reshape(S, H), cache_b.dtype),
-                (start_b, 0))
-        k_cache = jax.vmap(write_fused)(k_cache, k, start)
-        v_cache = jax.vmap(write_fused)(v_cache, v, start)
+        # per-slot unrolled writes (a vmapped DUS over traced
+        # starts lowers to a scatter that copies the whole layer
+        # cache every layer — common.write_fused_prefill)
+        k_cache, v_cache = write_fused_prefill(k_cache, v_cache,
+                                               k, v, start)
         # S==1 decode always routes through the stacked branch above.
         assert S > 1, "per-layer fused-cache path is prefill-only"
         kf = decode_kv(k_cache, q.dtype).reshape(
@@ -237,7 +237,12 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             seq_lens: Optional[jax.Array] = None,
             logit_idx: Optional[jax.Array] = None
             ) -> Tuple[jax.Array, KVCache]:
-    """Same contract as llama.forward: [B, S] tokens appended to cache."""
+    """Same contract as llama.forward: [B, S] tokens appended to cache.
+
+    positions: must be CONTIGUOUS from cache.length if given — the
+    causal mask is always built from start+arange (gpt2/neox have no
+    `contiguous` flag like llama), so non-contiguous positions would
+    pair custom position embeddings with a mismatched mask."""
     B, S = tokens.shape
     start = cache.length
     if positions is None:

@@ -50,6 +50,12 @@ from turboinfer_tpu.models.common import init_cache as _common_init_cache
 # int8 KV scales thread through the GPT-OSS layer scan like llama's.
 SUPPORTS_INT8_KV = True
 
+# The CONTIGUOUS forward threads int8 scales; the paged body's
+# sink-attention does not consume scale pools yet — the paged
+# scheduler gates on this instead of crashing with a TypeError at the
+# first decode step.
+SUPPORTS_INT8_KV_PAGED = False
+
 
 def init_cache(config: ModelConfig, batch_size: int, max_seq=None,
                dtype=None, fused=False) -> KVCache:

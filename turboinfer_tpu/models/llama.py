@@ -24,7 +24,6 @@ Layout decisions (TPU-first):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -659,7 +658,12 @@ def forward(params: Dict[str, Any], config: ModelConfig, tokens: jax.Array,
             out = _layer_forward(config, x, layers, positions, kc, vc,
                                  start, kv_len, contiguous=contiguous,
                                  layer_index=i, fused_cache=fused,
-                                 k_scale=kss, v_scale=vss)
+                                 k_scale=kss, v_scale=vss,
+                                 # without this the fused-layout cold-
+                                 # prefill fast path (attend the just-
+                                 # computed K/V, skip the full-buffer
+                                 # decode+transpose) was dead code
+                                 fresh_prefill=fresh_prefill)
             x, kc, vc = out[:3]
             k_full = jax.lax.dynamic_update_index_in_dim(k_full, kc, i, 0)
             v_full = jax.lax.dynamic_update_index_in_dim(v_full, vc, i, 0)

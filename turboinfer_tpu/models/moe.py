@@ -36,7 +36,8 @@ from turboinfer_tpu.models.common import (KVCache, cache_bits_view,  # noqa: F40
                                           encode_kv, encode_kv_scaled,
                                           resolve_fused_cache,
                                           param_bytes, param_count,
-                                          reset_cache)
+                                          reset_cache,
+                                          write_fused_prefill)
 from turboinfer_tpu.models.common import init_cache as _common_init_cache
 
 
@@ -308,8 +309,14 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
     h = ops.rms_norm(x, w1("attn_norm"), config.rms_norm_eps)
     from turboinfer_tpu.models.llama import qkv_proj
     q, k, v = qkv_proj(h, lw, li, B, S, Hq, Hkv, D, config)
-    q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode)
-    k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode)
+    # scaling= must match llama.forward_paged_verify (which the MoE
+    # paged path delegates to): omitting it here made paged prefill
+    # (unscaled) and paged decode (scaled) disagree on RoPE frequencies
+    # for rope-scaled checkpoints (Qwen2-MoE/OLMoE with YaRN/linear).
+    q = ops.apply_rope(q, positions, config.rope_theta, config.rope_mode,
+                       scaling=config.rope_scaling)
+    k = ops.apply_rope(k, positions, config.rope_theta, config.rope_mode,
+                       scaling=config.rope_scaling)
 
     if fused_cache and k_cache.ndim == 4:
         # Fused-head stacked decode [L, B, T, Hkv*D] — the layout that
@@ -337,12 +344,11 @@ def _layer_forward(config, x, lw, positions, k_cache, v_cache, start,
         # Fused-head per-layer [B, T, Hkv*D] (prefill body).
         T = k_cache.shape[1]
 
-        def write_fused(cache_b, new_b, start_b):
-            return jax.lax.dynamic_update_slice(
-                cache_b, encode_kv(new_b.reshape(S, Hkv * D),
-                                   cache_b.dtype), (start_b, 0))
-        k_cache = jax.vmap(write_fused)(k_cache, k, start)
-        v_cache = jax.vmap(write_fused)(v_cache, v, start)
+        # per-slot unrolled writes (a vmapped DUS over traced
+        # starts lowers to a scatter that copies the whole layer
+        # cache every layer — common.write_fused_prefill)
+        k_cache, v_cache = write_fused_prefill(k_cache, v_cache,
+                                               k, v, start)
         # S==1 decode always routes through the stacked branch above.
         assert S > 1, "per-layer fused-cache path is prefill-only"
         kf = decode_kv(k_cache, q.dtype).reshape(

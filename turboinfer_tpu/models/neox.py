@@ -35,7 +35,8 @@ from turboinfer_tpu.models.common import (KVCache,  # noqa: F401
                                           encode_kv_scaled,
                                           resolve_fused_cache,
                                           param_bytes, param_count,
-                                          reset_cache)
+                                          reset_cache,
+                                          write_fused_prefill)
 from turboinfer_tpu.models.common import init_cache as _common_init_cache
 
 
@@ -102,7 +103,7 @@ def _partial_rope(x: jax.Array, positions: jax.Array,
     if r <= 0:
         return x
     rot = ops.apply_rope(x[..., :r], positions, config.rope_theta,
-                         config.rope_mode)
+                         config.rope_mode, scaling=config.rope_scaling)
     if r == D:
         return rot
     return jnp.concatenate([rot, x[..., r:]], axis=-1)
@@ -163,12 +164,11 @@ def _layer_forward(config: ModelConfig, x, lw, positions, k_cache, v_cache,
         # Fused-head per-layer [B, T, Hkv*D] (prefill body).
         T = k_cache.shape[1]
 
-        def write_fused(cache_b, new_b, start_b):
-            return jax.lax.dynamic_update_slice(
-                cache_b, encode_kv(new_b.reshape(S, Hkv * D), cache_b.dtype),
-                (start_b, 0))
-        k_cache = jax.vmap(write_fused)(k_cache, k, start)
-        v_cache = jax.vmap(write_fused)(v_cache, v, start)
+        # per-slot unrolled writes (a vmapped DUS over traced
+        # starts lowers to a scatter that copies the whole layer
+        # cache every layer — common.write_fused_prefill)
+        k_cache, v_cache = write_fused_prefill(k_cache, v_cache,
+                                               k, v, start)
         # S==1 decode always routes through the stacked branch above.
         assert S > 1, "per-layer fused-cache path is prefill-only"
         kf = decode_kv(k_cache, q.dtype).reshape(

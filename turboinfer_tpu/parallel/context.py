@@ -295,10 +295,12 @@ def _qkv(config, h, layers, li, B, S):
 
 def _rope_l(config, family, x, positions, li):
     """Per-layer RoPE: Gemma3-style local layers use rope_local_theta
-    (and no scaling); moe matches moe.forward (no scaling)."""
+    (and no scaling); moe matches moe.forward (WITH scaling — round 5
+    aligned moe.forward with the paged path's llama delegation)."""
     if family == "moe":
         return ops.apply_rope(x, positions, config.rope_theta,
-                              config.rope_mode)
+                              config.rope_mode,
+                              scaling=config.rope_scaling)
     pattern = config.sliding_window_pattern
     alternating = bool(pattern and pattern > 1 and config.sliding_window)
     if alternating and config.rope_local_theta is not None:
