@@ -682,3 +682,143 @@ def test_config_dict_roundtrip_all_fields():
         if f.name in ("dtype", "extra"):
             continue
         assert getattr(back, f.name) == getattr(cfg, f.name), f.name
+
+
+# ---------------------------------------------------------------------------
+# Round-5 loader review regressions
+# ---------------------------------------------------------------------------
+
+def test_gemma_gguf_unbakes_norm_offset(tmp_path):
+    """llama.cpp's Gemma converter bakes (w+1) into every norm weight;
+    the GGUF loader must subtract it back (the runtime applies the
+    offset itself) — double application multiplied norms by (2+w)."""
+    H, V, L = 8, 6, 1
+    w_hf = 0.25 * np.ones(H, np.float32)        # HF-convention weight
+    md = {
+        "general.architecture": "gemma",
+        "gemma.embedding_length": H,
+        "gemma.block_count": L,
+        "gemma.attention.head_count": 2,
+        "gemma.attention.head_count_kv": 2,
+        "gemma.feed_forward_length": 16,
+        "gemma.context_length": 64,
+    }
+    rng = np.random.default_rng(0)
+    t = {
+        "token_embd.weight": rng.standard_normal((V, H)).astype(np.float32),
+        "output_norm.weight": w_hf + 1.0,       # llama.cpp bakes +1
+        "blk.0.attn_norm.weight": w_hf + 1.0,
+        "blk.0.ffn_norm.weight": w_hf + 1.0,
+        "blk.0.attn_q.weight": rng.standard_normal((8, H)).astype(np.float32),
+        "blk.0.attn_k.weight": rng.standard_normal((8, H)).astype(np.float32),
+        "blk.0.attn_v.weight": rng.standard_normal((8, H)).astype(np.float32),
+        "blk.0.attn_output.weight": rng.standard_normal((H, 8)).astype(np.float32),
+        "blk.0.ffn_gate.weight": rng.standard_normal((16, H)).astype(np.float32),
+        "blk.0.ffn_up.weight": rng.standard_normal((16, H)).astype(np.float32),
+        "blk.0.ffn_down.weight": rng.standard_normal((H, 16)).astype(np.float32),
+    }
+    path = str(tmp_path / "gemma.gguf")
+    gguf.write_gguf(path, md, t)
+    data = loader.load_model_data(path, dtype=jnp.float32)
+    assert data.config.norm_offset            # runtime applies (1+w)
+    np.testing.assert_allclose(
+        np.asarray(data.params["final_norm"]), w_hf, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(data.params["layers"]["attn_norm"][0]), w_hf,
+        atol=1e-6)
+
+
+def test_gemma2_gguf_attn_scale_by_size():
+    """gemma2 2B/9B use head_dim**-0.5 (attn_scale None -> default);
+    only 27B (46 layers) overrides with (hidden/heads)**-0.5."""
+    base = {"general.architecture": "gemma2",
+            "gemma2.embedding_length": 3584,
+            "gemma2.attention.head_count": 16,
+            "gemma2.attention.head_count_kv": 8,
+            "gemma2.attention.key_length": 256}
+    c9 = mapping.config_from_gguf_metadata({**base,
+                                            "gemma2.block_count": 42})
+    assert c9.attn_scale is None and c9.head_dim_ == 256
+    c27 = mapping.config_from_gguf_metadata({
+        **base, "gemma2.embedding_length": 4608,
+        "gemma2.attention.head_count": 32,
+        "gemma2.block_count": 46})
+    assert c27.attn_scale == pytest.approx((4608 / 32) ** -0.5)
+
+
+def test_config_dict_keeps_granite_knobs():
+    """TINQ persistence (config_to_dict/from_dict) round-trips the
+    Granite scaling knobs — they were silently dropped."""
+    cfg = ti.tiny_config(embedding_multiplier=12.0,
+                         residual_multiplier=0.22,
+                         logits_scaling=16.0)
+    back = mapping.config_from_dict(mapping.config_to_dict(cfg))
+    assert back.embedding_multiplier == 12.0
+    assert back.residual_multiplier == 0.22
+    assert back.logits_scaling == 16.0
+
+
+def test_hf_config_gpt2_keys():
+    """Stock HF GPT-2 config.json uses n_embd/n_layer/n_head/n_positions."""
+    cfg = mapping.config_from_hf_dict({
+        "model_type": "gpt2", "n_embd": 768, "n_layer": 12,
+        "n_head": 12, "n_positions": 1024, "vocab_size": 50257,
+        "n_inner": None, "layer_norm_epsilon": 1e-5})
+    assert (cfg.hidden_size, cfg.num_layers, cfg.num_heads) == (768, 12, 12)
+    assert cfg.max_seq_len == 1024
+    assert cfg.intermediate_size == 4 * 768
+    assert cfg.architecture == "gpt2"
+
+
+def test_phi3_gguf_fused_qkv_gateup(tmp_path):
+    """llama.cpp Phi-3 GGUFs fuse q|k|v into blk.N.attn_qkv.weight and
+    gate|up into a double-width blk.N.ffn_up.weight (no ffn_gate) —
+    both must split at load."""
+    H, V, F = 8, 6, 16
+    md = {
+        "general.architecture": "phi3",
+        "phi3.embedding_length": H,
+        "phi3.block_count": 1,
+        "phi3.attention.head_count": 2,
+        "phi3.attention.head_count_kv": 2,
+        "phi3.feed_forward_length": F,
+        "phi3.context_length": 64,
+    }
+    rng = np.random.default_rng(1)
+    qkv = rng.standard_normal((3 * H, H)).astype(np.float32)
+    gateup = rng.standard_normal((2 * F, H)).astype(np.float32)
+    t = {
+        "token_embd.weight": rng.standard_normal((V, H)).astype(np.float32),
+        "output_norm.weight": np.ones(H, np.float32),
+        "blk.0.attn_norm.weight": np.ones(H, np.float32),
+        "blk.0.ffn_norm.weight": np.ones(H, np.float32),
+        "blk.0.attn_qkv.weight": qkv,
+        "blk.0.attn_output.weight": rng.standard_normal((H, H)).astype(np.float32),
+        "blk.0.ffn_up.weight": gateup,
+        "blk.0.ffn_down.weight": rng.standard_normal((H, F)).astype(np.float32),
+    }
+    path = str(tmp_path / "phi3.gguf")
+    gguf.write_gguf(path, md, t)
+    data = loader.load_model_data(path, dtype=jnp.float32)
+    lw = data.params["layers"]
+    wq = lw.get("wqkv")
+    if wq is None:
+        np.testing.assert_allclose(np.asarray(lw["wq"][0]), qkv[:H].T,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lw["wk"][0]), qkv[H:2*H].T,
+                                   atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lw["w_gate"][0]), gateup[:F].T,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lw["w_up"][0]), gateup[F:].T,
+                               atol=1e-6)
+
+
+def test_write_safetensors_bf16_roundtrip(tmp_path):
+    from turboinfer_tpu.loader import safetensors as st
+    arr = (np.arange(8, dtype=np.float32) / 7).astype(jnp.bfloat16)
+    path = str(tmp_path / "bf.safetensors")
+    st.write_safetensors(path, {"w": np.asarray(arr)})
+    f = st.SafeTensorsFile(path)
+    back = f.tensor("w")
+    np.testing.assert_allclose(np.asarray(back, np.float32),
+                               np.asarray(arr, np.float32), atol=1e-6)

@@ -106,7 +106,10 @@ def _config_from_manifest(cfg: Dict[str, Any]) -> ModelConfig:
     dtype = cfg.pop("dtype", "bfloat16")
     fields = {f.name for f in dataclasses.fields(ModelConfig)}
     kw = {k: v for k, v in cfg.items() if k in fields}
-    for k in ("rope_scaling",):
+    # JSON round-trips tuples as lists; a frozen ModelConfig holding
+    # lists is unhashable and breaks config equality (mapping.
+    # config_from_dict converts `extra` too — keep both paths aligned)
+    for k in ("rope_scaling", "extra"):
         if isinstance(kw.get(k), list):
             kw[k] = tuple(tuple(e) for e in kw[k])
     if isinstance(kw.get("rope_mode"), str):

@@ -103,9 +103,19 @@ def load_gguf(path: str, dtype=None) -> ModelData:
             if emb:
                 config = config.replace(
                     vocab_size=gf.tensors[emb].shape[0])
+        get = gf.tensor
+        if config.norm_offset:
+            # llama.cpp's Gemma converter BAKES the (1+w) offset into
+            # every *norm.weight at conversion (convert_hf_to_gguf.py
+            # GemmaModel: data += 1); our runtime applies the offset
+            # itself (config.norm_offset), so un-bake it here or every
+            # norm would multiply by (2 + w_hf).
+            def get(name, _base=gf.tensor):
+                t = _base(name)
+                return t - 1.0 if name.endswith("norm.weight") else t
         assemble = mapping.assemble_for(config)
         params = assemble(
-            lambda name: gf.tensor(name), list(gf.tensors), config,
+            get, list(gf.tensors), config,
             dtype=dtype or config.dtype)
         tlog.log_info("loaded GGUF %s: %d tensors, arch=%s", path,
                       len(gf.tensors), config.architecture)
@@ -313,9 +323,16 @@ def _infer_config_from_shapes(shapes: Dict[str, Any], names,
         raise ValueError("cannot infer config: no decoder layers found")
     wk = mapping.resolve_name(names, "wk", 0)
     wq = mapping.resolve_name(names, "wq", 0)
+    wup = mapping.resolve_name(names, "w_up", 0)
+    if wk is None or wq is None or wup is None:
+        # fused qkv/gate_up layouts (Phi-3 style) carry no separate
+        # q/k/up tensors to size from — fail like the checks above do
+        # instead of shapes[None] raising a bare TypeError
+        raise ValueError(
+            "cannot infer config from tensor shapes (fused qkv/gate_up "
+            "layout?) — provide a config.json sidecar")
     kv_dim = shapes[wk][0]
     q_dim = shapes[wq][0]
-    wup = mapping.resolve_name(names, "w_up", 0)
     F = shapes[wup][0]
     # Assume head_dim from a standard 128/64 split.
     head_dim = 128 if q_dim % 128 == 0 and q_dim >= 1024 else \

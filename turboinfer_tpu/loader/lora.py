@@ -83,6 +83,16 @@ def load_lora(path: str, config: ModelConfig, dtype=None
 
     out: Dict[str, Any] = {}
     for slot, layers in per_slot.items():
+        # validate BEFORE dereferencing shapes: an adapter whose first
+        # layer holds only a lora_B used to crash with a raw KeyError
+        for i, ab in layers.items():
+            if "A" not in ab or "B" not in ab:
+                raise ModelFormatError(
+                    f"layer {i} {slot}: incomplete LoRA pair")
+            if not 0 <= i < L:
+                raise ModelFormatError(
+                    f"adapter targets layer {i} ({slot}) but the base "
+                    f"model has {L} layers — wrong base model?")
         any_layer = next(iter(layers.values()))
         rr = any_layer["A"].shape[0]
         d_in = any_layer["A"].shape[1]
@@ -90,9 +100,6 @@ def load_lora(path: str, config: ModelConfig, dtype=None
         a = np.zeros((L, d_in, rr), np.float32)
         b = np.zeros((L, rr, d_out), np.float32)
         for i, ab in layers.items():
-            if "A" not in ab or "B" not in ab:
-                raise ModelFormatError(
-                    f"layer {i} {slot}: incomplete LoRA pair")
             a[i] = ab["A"].T                      # [r, in] -> [in, r]
             b[i] = ab["B"].T * scale              # [out, r] -> [r, out]
         out[f"lora_{slot}_a"] = jnp.asarray(a, dtype)

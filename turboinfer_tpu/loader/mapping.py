@@ -211,19 +211,29 @@ def assemble_params(get: Callable[[str], np.ndarray], names: Sequence[str],
 
     def fetch_fused(slot: str, layer: int) -> Optional[np.ndarray]:
         """Phi-3-style checkpoints store qkv_proj / gate_up_proj fused
-        along the output axis; split the file-layout [out, in] rows."""
+        along the output axis; split the file-layout [out, in] rows.
+        llama.cpp GGUFs of the same models store the fusions as
+        blk.{i}.attn_qkv.weight and a DOUBLE-width
+        blk.{i}.ffn_up.weight (no ffn_gate tensor)."""
         if slot in ("wq", "wk", "wv"):
-            cand = f"model.layers.{layer}.self_attn.qkv_proj.weight"
-            if cand not in nameset:
-                return None
-            arr = get(cand)
-            qd, kvd = config.q_dim, config.kv_dim
-            return {"wq": arr[:qd], "wk": arr[qd:qd + kvd],
-                    "wv": arr[qd + kvd:qd + 2 * kvd]}[slot]
+            for cand in (f"model.layers.{layer}.self_attn.qkv_proj.weight",
+                         f"blk.{layer}.attn_qkv.weight"):
+                if cand in nameset:
+                    arr = get(cand)
+                    qd, kvd = config.q_dim, config.kv_dim
+                    return {"wq": arr[:qd], "wk": arr[qd:qd + kvd],
+                            "wv": arr[qd + kvd:qd + 2 * kvd]}[slot]
+            return None
         if slot in ("w_gate", "w_up"):
             cand = f"model.layers.{layer}.mlp.gate_up_proj.weight"
             if cand not in nameset:
-                return None
+                cand = f"blk.{layer}.ffn_up.weight"
+                if not (cand in nameset
+                        and f"blk.{layer}.ffn_gate.weight" not in nameset
+                        and config.intermediate_size
+                        and get(cand).shape[0]
+                        == 2 * config.intermediate_size):
+                    return None
             arr = get(cand)
             f = arr.shape[0] // 2
             return arr[:f] if slot == "w_gate" else arr[f:]
@@ -244,6 +254,14 @@ def assemble_params(get: Callable[[str], np.ndarray], names: Sequence[str],
                     f"{[t.format(i=layer) for t in SLOT_TEMPLATES[slot]]}")
             return None
         arr = get(name)
+        if (slot == "w_up" and layer is not None
+                and config.intermediate_size
+                and arr.shape[0] == 2 * config.intermediate_size
+                and resolve_name(names, "w_gate", layer) is None):
+            # Phi-3 GGUF: blk.{i}.ffn_up.weight holds gate|up fused
+            # (no ffn_gate tensor) — resolve_name matches it as w_up
+            # directly, so split here (w_gate takes the fused path).
+            arr = arr[config.intermediate_size:]
         if slot in _TRANSPOSED:
             arr = arr.T
         return arr
@@ -938,7 +956,13 @@ def config_from_gguf_metadata(md: Dict[str, Any],
         pattern = 6
     attn_scale = None
     if arch == "gemma2":
-        attn_scale = float(heads / hidden) ** 0.5   # (hidden/heads)**-0.5
+        # query_pre_attn_scalar: 27B (46 layers) uses hidden/heads;
+        # 2B/9B use head_dim (llama.cpp keys the same way off the
+        # layer count — the old unconditional hidden/heads inflated
+        # 2B/9B attention logits ~6-7%). head_dim**-0.5 is the
+        # runtime default, so None is correct for 2B/9B.
+        if geti("block_count", 32) == 46:
+            attn_scale = float(heads / hidden) ** 0.5
     elif arch == "gemma3":
         attn_scale = 256.0 ** -0.5
     softcap_a = float(md.get(f"{p}.attn_logit_softcapping", 0.0)) or None
@@ -1013,6 +1037,11 @@ def config_to_dict(config: ModelConfig) -> Dict[str, Any]:
         "attn_logit_softcap": config.attn_logit_softcap,
         "final_logit_softcap": config.final_logit_softcap,
         "rope_local_theta": config.rope_local_theta,
+        # Granite scaling knobs — omitting them silently un-scaled
+        # embeddings/residuals/logits after a TINQ round-trip
+        "embedding_multiplier": config.embedding_multiplier,
+        "residual_multiplier": config.residual_multiplier,
+        "logits_scaling": config.logits_scaling,
         "rope_scaling": list(list(kv) for kv in config.rope_scaling),
         "rotary_pct": config.rotary_pct,
         "parallel_residual": config.parallel_residual,
@@ -1066,6 +1095,31 @@ def config_from_hf_dict(hf: Dict[str, Any], dtype=None) -> ModelConfig:
     if mt == "gemma3" and "text_config" in hf:      # multimodal wrapper
         hf = {**hf["text_config"], "model_type": "gemma3"}
     arch = {"gemma3_text": "gemma3"}.get(mt, mt)
+
+    if arch == "gpt2":
+        # GPT2Config serializes n_embd/n_layer/n_head/n_positions —
+        # the generic branch's hidden_size/num_hidden_layers defaults
+        # built a bogus 4096-hidden/32-layer config for stock HF gpt2.
+        hidden = int(hf.get("n_embd", hf.get("hidden_size", 768)))
+        heads = int(hf.get("n_head", hf.get("num_attention_heads", 12)))
+        return ModelConfig(
+            vocab_size=int(hf.get("vocab_size", 50257)),
+            hidden_size=hidden,
+            num_layers=int(hf.get("n_layer",
+                                  hf.get("num_hidden_layers", 12))),
+            num_heads=heads,
+            num_kv_heads=heads,
+            head_dim=hidden // heads,
+            intermediate_size=int(hf.get("n_inner") or 4 * hidden),
+            rms_norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+            max_seq_len=int(hf.get("n_positions",
+                                   hf.get("max_position_embeddings",
+                                          1024))),
+            tie_embeddings=bool(hf.get("tie_word_embeddings", True)),
+            name=str(hf.get("_name_or_path", "gpt2")) or "gpt2",
+            architecture="gpt2",
+            dtype=dtype or jnp.bfloat16,
+        )
 
     if arch == "bloom":
         hidden = int(hf.get("hidden_size", hf.get("n_embed", 4096)))

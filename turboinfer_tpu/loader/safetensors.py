@@ -29,6 +29,14 @@ _NP_TO_ST = {np.dtype(np.float64): "F64", np.dtype(np.float32): "F32",
              np.dtype(np.int32): "I32", np.dtype(np.int16): "I16",
              np.dtype(np.int8): "I8", np.dtype(np.uint8): "U8",
              np.dtype(np.bool_): "BOOL"}
+try:
+    # the framework's default param dtype — without this the writer
+    # rejected bf16 while the reader happily parses BF16 (callers had
+    # to upcast to f32 at 2x the file size)
+    import ml_dtypes as _mld
+    _NP_TO_ST[np.dtype(_mld.bfloat16)] = "BF16"
+except ImportError:                                # pragma: no cover
+    pass
 
 
 class SafeTensorsFile:

@@ -193,6 +193,18 @@ def calibrated_quantize_params(
     if not cfg.symmetric:
         raise QuantizationError(
             "calibrated quantization requires symmetric=True")
+    layers = params.get("layers", {})
+    if "wqkv" not in layers and any(s not in layers
+                                    for s in ("wq", "wk", "wv")):
+        # Non-llama family (gpt2/neox/deepseek fused slots): fall back
+        # to uncalibrated quantization as the module docstring
+        # promises, instead of aborting the whole pipeline.
+        from turboinfer_tpu.utils import logging as tlog
+        tlog.log_warning(
+            "calibration supports the llama family only; %s falls "
+            "back to uncalibrated quantization",
+            model_config.architecture)
+        return quantize_params(params, cfg)
     if sample_tokens is None:
         sample_tokens = default_calibration_tokens(
             cfg, model_config, seed)
