@@ -60,7 +60,9 @@ class TestQmmKernel:
         w = _rand(K, N)
         x = _rand(M, K)
         qt = quantize(w, QuantType.INT4, group_size=256)
-        assert qmm._fact_eligible(qt.bits, qt.group_size)
+        # decode-shaped M: the dispatch's own mode picker must say
+        # "wide" (the predicate the kernel actually uses)
+        assert qmm._fact_mode(qt.bits, qt.group_size, 8, 512) == "wide"
         want = ops.qmatmul_ref(x, qt)
         got = qmm.qmatmul_pallas(x, qt, interpret=True)
         assert got is not None

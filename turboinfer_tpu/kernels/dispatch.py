@@ -21,13 +21,20 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=1)
-def _on_tpu() -> bool:
-    if os.environ.get("TURBOINFER_FORCE_REF", "0") == "1":
-        return False
+def _tpu_backend() -> bool:
     try:
         return jax.default_backend() not in ("cpu", "gpu")
     except Exception:
         return False
+
+
+def _on_tpu() -> bool:
+    # env read per CALL: caching it froze TURBOINFER_FORCE_REF at the
+    # first dispatch, so in-process kernel-vs-reference A/Bs silently
+    # compared the kernel against itself
+    if os.environ.get("TURBOINFER_FORCE_REF", "0") == "1":
+        return False
+    return _tpu_backend()
 
 
 def pallas_enabled() -> bool:

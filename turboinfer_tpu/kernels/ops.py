@@ -409,6 +409,12 @@ def attention_prefill_ref(q: jax.Array, k: jax.Array, v: jax.Array,
         scores = scores + (alibi[None, :, None, None]
                            * jnp.arange(T, dtype=jnp.float32))
     mask = None
+    if window is not None and not causal:
+        # the window mask below is causal-only; silently attending the
+        # full context here would be wrong (the pallas path also defers
+        # windowed non-causal to this reference)
+        raise NotImplementedError(
+            "sliding_window attention requires causal=True")
     if causal:
         if positions is None:
             qpos = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))

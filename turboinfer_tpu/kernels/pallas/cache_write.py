@@ -59,6 +59,8 @@ def cache_write_fresh(cache, new_hm, layer_index, *, interpret=False):
     """Write `new_hm` [B, Hkv, S, D] into `cache` [L, B, Hkv, T, D] at
     layer `layer_index`, T offset 0. Returns the updated cache, or None
     when the shape doesn't fit the kernel (caller falls back to DUS)."""
+    if cache.ndim != 5:
+        return None            # fused-head 4-D layout: DUS fallback
     L, B, Hkv, T, D = cache.shape
     S = new_hm.shape[2]
     TS = min(S, 512)

@@ -120,12 +120,12 @@ def _kernel(idx_ref, len_ref, q_ref, k_hbm, v_hbm, *rest,
     m/l: [Ghp, 128], acc: [Ghp, D] f32 scratch (reused head to head —
     heads complete in order).
 
-    `scaled` (int8 cache): ks_hbm/vs_hbm are the per-token scales
-    PRE-RESHAPED to [L, B, Hkv*(T//TT), TT] f32 (chunk rows on the
-    sublane axis — a per-chunk [TT] HBM slice would be a 1-sublane
-    memref_slice, which Mosaic rejects). The whole (layer, b) plane
-    (Hkv*T*4 bytes) is DMA'd once at kernel start; trip (h, i) reads
-    row h*(T//TT)+i by dynamic sublane index. The dequant multiplies
+    `scaled` (int8 cache): ks_hbm/vs_hbm are the per-token scale
+    planes in the cache's own [L, B, Hkv, T] f32 layout (a per-chunk
+    [TT] HBM slice would be a 1-sublane memref_slice, which Mosaic
+    rejects, so no chunk-row reshape exists). The whole (layer, b)
+    plane (Hkv*T*4 bytes) is DMA'd once at kernel start; trip (h, i)
+    reads ksbuf[h, pl.ds(i*TT, TT)] by dynamic lane offset. The dequant multiplies
     ride the SMALL [Ghp, TT] tiles where the per-token scale is a
     natural lane broadcast: scores *= ks after the q @ k dot, probs
     *= vs before the p @ v dot (identical algebra to dequantizing
@@ -454,6 +454,11 @@ def decode_pallas(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     k_scale/v_scale: per-token scales for int8 caches ([..., Hkv, T]
     f32, same leading layout as the cache)."""
     B, Hq, D = q.shape
+    # kv_len == 0 rows would run zero DMA trips and return garbage
+    # VMEM (NaN on TPU, finite on the jnp fallback — a silent
+    # TPU/CPU trajectory divergence); clamp like paged_decode_pallas
+    # does for inactive serving slots.
+    kv_len = jnp.maximum(kv_len, 1)
     if k_cache.dtype == jnp.float8_e4m3fn:
         # Free reinterpret: the kernel decodes e4m3 with integer math
         # (e4m3_to_bf16) — Mosaic's native fp8 casts are scalar-emulated

@@ -301,9 +301,10 @@ def _prefill_stacked(qh, k_stack, v_stack, kv_len, q_start, idx,
 
 
 def prefill_eligible(S: int, T: int, D: int, Hq: int, Hkv: int) -> bool:
-    """Shape eligibility shared by both prefill kernel layouts — the
-    model's forward() consults this at trace time to decide whether the
-    stacked cache can stay whole in the prefill layer-scan carry."""
+    """Shape eligibility shared by both prefill kernel layouts —
+    consulted by prefill_pallas below (models do NOT call this;
+    ineligible shapes fall to the jnp reference via the dispatch and
+    keep the stacked cache whole regardless)."""
     if Hq % Hkv or D % 64:
         return False
     TS, TT = min(S, 512), min(T, 512)

@@ -134,16 +134,6 @@ def _dequant_int4_halves(qp, s, G, g2, TN, zp=None):
     return w_lo, w_hi
 
 
-def _fact_eligible(bits: int, group_size: int) -> bool:
-    """The wide factored-scale int4 variant needs each half-group to
-    span whole 128-lane slices of the pre-gathered activations (Mosaic
-    only slices the lane dim at 128 alignment)."""
-    import os
-    if os.environ.get("TURBOINFER_QMM_NO_FACT") == "1":
-        return False
-    return bits == 4 and group_size >= 256 and (group_size // 2) % 128 == 0
-
-
 def _fact_mode(bits: int, group_size: int, M: int, TK: int,
                a8: bool = False):
     """Pick the factored-scale int4 variant for this shape.
@@ -896,7 +886,7 @@ def _qmm_stacked(x2, data3, scales3, zps3, layer_idx, scales_pf=None, *,
     cost = pl.CostEstimate(
         flops=2 * Mp * N * K,
         bytes_accessed=(Mp * K * x2.dtype.itemsize + K * N * bits // 8
-                        + (K // group_size) * N * 2 * (2 if asym else 1)
+                        + (K // group_size) * N * 4 * (2 if asym else 1)
                         + Mp * N * 2),
         transcendentals=0)
     idx_arr = jnp.asarray(layer_idx, jnp.int32).reshape(1)
@@ -1110,7 +1100,7 @@ def _qmm_grouped(xg, data3, scales3, zps3, slots, *, bits: int,
     cost = pl.CostEstimate(
         flops=2 * G * Mp * N * K,
         bytes_accessed=G * (Mp * K * xg.dtype.itemsize + K * N * bits // 8
-                            + (K // group_size) * N * 2 * (2 if asym else 1)
+                            + (K // group_size) * N * 4 * (2 if asym else 1)
                             + Mp * N * 2),
         transcendentals=0)
     idx_arr = jnp.asarray(slots, jnp.int32).reshape(G)
@@ -1141,6 +1131,12 @@ def _qmm_grouped(xg, data3, scales3, zps3, slots, *, bits: int,
                                  lambda g, i, j, k, idx: (g, i, k),
                                  memory_space=pltpu.VMEM)
         if nparts > 1:
+            # KEEP IN SYNC with _masked_x_cat/_group_row_sums: this is
+            # the same sub-group masking and row-sum tiling with a
+            # leading G axis (a layout change to the helpers — e.g. a
+            # pack_int4 sub-group reorder — must be mirrored here or
+            # the grouped MoE path silently computes with the stale
+            # layout).
             sub = (jnp.arange(K // 2) // g2) % nparts
             xl = jnp.concatenate(
                 [jnp.where(sub == j, x_lo, 0) for j in range(nparts)],
